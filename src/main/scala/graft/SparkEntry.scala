@@ -1,13 +1,258 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Converters, CopyDiff, Dedup, Fork, Purge, Retention}
+import graft.planning.WatermarkPartitioner
+import graft.sinks.AtomicPublisher.WriteSpec
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 end-to-end on the driver testdata; [[oracleSql]] holds the
+  * DuckDB-equivalent SQL with IDENTICAL output column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-entry/$name"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A compaction-style pipeline: dedup lineitem on its key with delta
+    * ordering, then the classic pricing-summary aggregation. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+      .transform(Dedup.keyDeltaTop1(Seq("l_orderkey", "l_linenumber"),
+        Seq(col("l_shipdate").desc, col("l_extendedprice").desc)))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Total-order delta comparator for lineitem dedup (deterministic
+    * survivor; the reference requires delta fields to induce an order —
+    * RecordKeyDedupReducerBase.java:74-94). */
+  private val lineitemDelta = Seq(
+    col("l_shipdate").desc, col("l_extendedprice").desc, col("l_quantity").desc,
+    col("l_partkey").asc, col("l_suppkey").asc, col("l_discount").asc,
+    col("l_tax").asc, col("l_returnflag").asc, col("l_linestatus").asc)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- converter-chain operators (SURVEY §2.3) ---
+    "q01_project" -> ((s, dir) =>
+      t(s, dir, "lineitem").transform(
+        Converters.pickFields(Seq("l_orderkey", "l_partkey", "l_quantity")))),
+
+    "q02_filter" -> ((s, dir) =>
+      t(s, dir, "orders").transform(Converters.filterEq("o_orderstatus", "F"))),
+
+    "q03_derive_partition" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .transform(Converters.derivePartition("o_orderdate", "yyyy/MM/dd"))
+        .select("o_orderkey", "datepartition")),
+
+    "q04_flatmap_split" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .transform(Converters.splitToRows("o_orderpriority", "-"))),
+
+    "q05_sample" -> ((s, dir) =>
+      t(s, dir, "lineitem").transform(Converters.sampleByKeyMod("l_orderkey", 2, 10))),
+
+    // --- compaction / dedup (SURVEY §2.6) ---
+    "q06_dedup_delta" -> ((s, dir) =>
+      t(s, dir, "lineitem").transform(
+        Dedup.keyDeltaTop1(Seq("l_orderkey", "l_linenumber"), lineitemDelta))),
+
+    "q07_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "lineitem").transform(Dedup.exact())),
+
+    // --- incremental watermark scan (SURVEY §2.1 QueryBasedSource) ---
+    "q08_incremental" -> ((s, dir) =>
+      WatermarkPartitioner.incrementalScan(
+        t(s, dir, "orders"), "o_orderdate",
+        Timestamp.valueOf("1995-06-01 00:00:00"),
+        Timestamp.valueOf("1996-06-01 00:00:00"),
+        WatermarkPartitioner.DateWm, maxPartitions = 4)),
+
+    // --- completeness / audit counts (SURVEY §2.6) ---
+    "q09_audit_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("w"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    "q19_completeness_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ingested = ev.groupBy(date_trunc("hour", col("ts")).as("w"))
+        .agg(count(lit(1)).as("ingested_cnt"))
+      val audit = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(date_trunc("hour", col("ts")).as("w"))
+        .agg(count(lit(1)).as("audit_cnt"))
+      ingested.join(broadcast(audit), Seq("w"))
+        .withColumn("passed", col("ingested_cnt") >= col("audit_cnt"))
+    }),
+
+    // --- compliance purge (SURVEY §2.6) ---
+    "q10_purge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val deletes = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select("c_custkey")
+      Purge.purge(cust, deletes, Seq("c_custkey"))
+    }),
+
+    // --- distcp diff (SURVEY §2.6) ---
+    "q11_copy_diff" -> ((s, dir) => {
+      val manifest = t(s, dir, "part").select(
+        concat(lit("/data/part_"), col("p_partkey"), lit(".parquet")).as("path"),
+        col("p_size").cast("bigint").as("length"))
+      val target = manifest.filter(
+        pmod(regexp_extract(col("path"), "part_(\\d+)", 1).cast("bigint"), lit(3)) =!= 0)
+      CopyDiff.diff(manifest, target)
+    }),
+
+    // --- retention (SURVEY §2.6) ---
+    "q12_retention_newestk" -> ((s, dir) =>
+      versions(t(s, dir, "orders")).transform(
+        Retention.newestK(Seq("dataset"),
+          Seq(col("version_ts").desc, col("path").desc), k = 5))),
+
+    "q17_retention_time" -> ((s, dir) =>
+      versions(t(s, dir, "orders")).transform(
+        Retention.newerThan("version_ts", Timestamp.valueOf("1996-01-01 00:00:00")))),
+
+    // --- task-level policy (SURVEY §2.5) ---
+    "q13_rowcount_policy" -> ((s, dir) => {
+      val in = t(s, dir, "lineitem")
+      val out = in.transform(Converters.pickFields(Seq("l_orderkey", "l_quantity")))
+      val (inCnt, outCnt) = (in.count(), out.count())
+      require(operators.Quality.rowCountExact(inCnt, outCnt), "row count policy failed")
+      s.createDataFrame(java.util.List.of(org.apache.spark.sql.Row(inCnt, outCnt)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("in_cnt", org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("out_cnt", org.apache.spark.sql.types.LongType, false))))
+    }),
+
+    // --- fork multi-sink (SURVEY §2.4) ---
+    "q14_fork_a" -> ((s, dir) => runFork(s, dir, "a")),
+    "q14_fork_b" -> ((s, dir) => runFork(s, dir, "b")),
+
+    // --- streaming window counts == batch (SURVEY §2.8) ---
+    "q15_stream_window" -> ((s, dir) => {
+      val stream = Tables.loadStream(s, dir, "events")
+      Streams.runToCompletion(
+        Streams.tumblingCounts(stream, "ts", "1 minute"), "q15_stream_window_tbl")
+    }),
+
+    // --- partitioned write + read-back (SURVEY §2.7) ---
+    // Month granularity + repartition on the partition key: one file per
+    // partition dir (day granularity on tiny rows-per-day testdata would
+    // mean thousands of dirs x shuffle-partition files — the classic
+    // small-files anti-pattern; at scale pick the grain so dirs hold GBs).
+    "q16_partitioned_write" -> ((s, dir) => {
+      val out = tmp("q16")
+      t(s, dir, "orders")
+        .transform(Converters.derivePartition("o_orderdate", "yyyy-MM"))
+        .repartition(col("datepartition"))
+        .write.mode("overwrite").partitionBy("datepartition").parquet(out)
+      s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      s.read.parquet(out)
+    }),
+
+    // --- json converter (SURVEY §2.3, from_json pipeline) ---
+    "q18_json_props" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
+  )
+
+  /** Synthesized dataset-versions table for retention queries
+    * (FIXTURES.md B: versions derived from orders). */
+  private def versions(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderpriority").as("dataset"),
+      col("o_orderdate").as("version_ts"),
+      concat(lit("/v/"), col("o_orderkey")).as("path"))
+
+  private def runFork(s: SparkSession, dir: String, branch: String): DataFrame = {
+    val base = tmp(s"q14_$branch")
+    val counts = Fork.run(
+      t(s, dir, "orders"),
+      Seq(
+        Fork.Branch("a", Some(col("o_orderstatus") === "F"),
+          _.select("o_orderkey", "o_totalprice"), s"$base/a", WriteSpec()),
+        Fork.Branch("b", None,
+          _.select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("datepartition")),
+          s"$base/b", WriteSpec())),
+      runId = s"verify_$branch")
+    require(counts.values.forall(_ >= 0))
+    s.read.parquet(s"$base/$branch")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    "q02_filter" ->
+      "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    "q03_derive_partition" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y/%m/%d') AS datepartition FROM orders",
+    "q04_flatmap_split" ->
+      "SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS token FROM orders",
+    "q05_sample" ->
+      "SELECT * FROM lineitem WHERE l_orderkey % 10 < 2",
+    "q06_dedup_delta" ->
+      ("SELECT * EXCLUDE (rn) FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY l_orderkey, l_linenumber ORDER BY l_shipdate DESC, " +
+        "l_extendedprice DESC, l_quantity DESC, l_partkey, l_suppkey, " +
+        "l_discount, l_tax, l_returnflag, l_linestatus) AS rn FROM lineitem) t " +
+        "WHERE rn = 1"),
+    "q07_dedup_exact" ->
+      "SELECT DISTINCT * FROM lineitem",
+    "q08_incremental" ->
+      ("SELECT * FROM orders WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00' " +
+        "AND o_orderdate <= TIMESTAMP '1996-06-01 00:00:00'"),
+    "q09_audit_window" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w, count(*) AS cnt " +
+        "FROM events GROUP BY 1"),
+    "q19_completeness_join" ->
+      ("SELECT i.w AS w, i.ingested_cnt, a.audit_cnt, " +
+        "i.ingested_cnt >= a.audit_cnt AS passed FROM " +
+        "(SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) w, count(*) ingested_cnt " +
+        "FROM events GROUP BY 1) i JOIN " +
+        "(SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) w, count(*) audit_cnt " +
+        "FROM events WHERE event_id % 2 = 0 GROUP BY 1) a USING (w)"),
+    "q10_purge" ->
+      "SELECT * FROM customer WHERE c_custkey % 7 <> 0",
+    "q11_copy_diff" ->
+      ("SELECT concat('/data/part_', p_partkey, '.parquet') AS path, " +
+        "CAST(p_size AS BIGINT) AS length FROM part WHERE p_partkey % 3 = 0"),
+    "q12_retention_newestk" ->
+      ("SELECT * EXCLUDE (rn) FROM (SELECT o_orderpriority AS dataset, " +
+        "o_orderdate AS version_ts, concat('/v/', o_orderkey) AS path, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate DESC, " +
+        "concat('/v/', o_orderkey) DESC) AS rn FROM orders) t WHERE rn <= 5"),
+    "q17_retention_time" ->
+      ("SELECT o_orderpriority AS dataset, o_orderdate AS version_ts, " +
+        "concat('/v/', o_orderkey) AS path FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"),
+    "q13_rowcount_policy" ->
+      "SELECT count(*) AS in_cnt, count(*) AS out_cnt FROM lineitem",
+    "q14_fork_a" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "q14_fork_b" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS datepartition FROM orders",
+    "q15_stream_window" ->
+      ("SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS w_start, count(*) AS cnt " +
+        "FROM events GROUP BY 1"),
+    "q16_partitioned_write" ->
+      "SELECT *, strftime(o_orderdate, '%Y-%m') AS datepartition FROM orders",
+    "q18_json_props" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events"),
+  )
 }

@@ -1,0 +1,115 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *     set against the corpus; one map-side pass over the corpus computes
+  *     all similarities, then a per-query top-k. Correctness baseline.
+  *   - [[lshTopK]] — sign-random-projection (hyperplane) LSH: corpus and
+  *     queries are bucketed by an m-bit signature; candidates are corpus
+  *     vectors sharing a bucket with a query under any of `tables`
+  *     independent hash tables. At 100 TB this avoids scoring the full
+  *     corpus per query: the join is on bucket keys, candidates per query
+  *     are O(bucket size × tables).
+  *
+  * All arithmetic is in double (cast once) via codegen'd higher-order
+  * functions — no UDFs.
+  */
+object Ann {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val (ad, bd) = (asDouble(a), asDouble(b))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * `queries` must be small enough to broadcast (it is hinted). Excludes
+    * self-matches on equal ids. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): ±1 derived from xxhash64 — reproducible across runs/engines. */
+  private def planeSign(table: Int, plane: Column, dim: Column): Column =
+    when(pmod(xxhash64(lit(table), plane, dim), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** m-bit sign-random-projection signature of a vector for one table. */
+  def srpSignature(vec: Column, bits: Int, table: Int): Column = {
+    val vd = asDouble(vec)
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p => {
+        val proj = aggregate(
+          zip_with(vd, sequence(lit(0), size(vd) - 1).cast("array<double>"),
+            (x, i) => x * planeSign(table, p, i.cast("bigint"))),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share a bucket in any
+    * table, then exact cosine + per-query top-k over candidates only.
+    *
+    * The query side is MULTIPROBED: besides its own bucket, each query
+    * probes every bucket at Hamming distance 1 (flip one signature bit).
+    * Multiprobe multiplies only the tiny broadcast side by (bits+1) while
+    * boosting per-table recall from p^bits to P(>= bits-1 bits agree) —
+    * the standard trick to keep `tables` small at scale. Size `bits`
+    * ~ log2(corpusSize / targetBucketSize). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12,
+              tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, multiprobe: Boolean): DataFrame = {
+      val probes: Column => Column = sig =>
+        if (!multiprobe) array(sig)
+        else concat(array(sig), transform(sequence(lit(0), lit(bits - 1)),
+          j => sig.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        explode(flatten(array((0 until tables).map(t =>
+          transform(probes(srpSignature(col(vecCol), bits, t)),
+            b => struct(lit(t).as("tbl"), b.as("bucket")))): _*))).as("hb"))
+        .select(col(id), col(s"__v_$id"),
+          col("hb.tbl").as("tbl"), col("hb.bucket").as("bucket"))
+    }
+
+    val qb = broadcast(bucketed(queries, "query_id", multiprobe = true))
+    val cb = bucketed(corpus, "neighbor_id", multiprobe = false)
+    val cand = cb.join(qb, Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__v_query_id"), col("__v_neighbor_id"))
+      .distinct()
+    val scored = cand.withColumn("cosine",
+      cosine(col("__v_query_id"), col("__v_neighbor_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video payloads as opaque binary
+  * columns with typed metadata, processed by per-partition batch decoders.
+  *
+  * The Spark-side plumbing (schema, partition sizing, batch iteration,
+  * typed output) is real; the actual media decode is STUBBED behind
+  * [[MediaDecoder]] because no image/audio libraries ship in this
+  * container — swap [[FakeDecoder]] for a real implementation (JavaCV,
+  * TwelveMonkeys, ...) without touching the pipeline.
+  *
+  * Scale notes: binary payloads dominate row size, so
+  * spark.sql.files.maxPartitionBytes should be sized for ~hundreds of
+  * records per partition; decode runs in mapPartitions so any native
+  * decoder is initialized once per partition, not per record.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  final case class MediaRecord(media_id: Long, media_type: String,
+                               payload: Array[Byte], mime: String, source: String)
+
+  final case class MediaFeatures(media_id: Long, media_type: String,
+                                 width: Int, height: Int, n_frames: Int,
+                                 duration_ms: Long, feature: Array[Float])
+
+  /** Decoder contract: one instance per partition, batch-iterates records. */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** STUB decoder — deterministic fake features derived from the payload
+    * bytes so pipelines are testable end-to-end without media libraries.
+    * Replace with a real decoder for production. */
+  final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
+      val h = java.util.Arrays.hashCode(bytes)
+      val dim = (r: MediaRecord) => math.abs(h % 1024) + 16
+      MediaFeatures(r.media_id, r.media_type,
+        width = dim(r), height = math.abs((h / 7) % 1024) + 16,
+        n_frames = if (r.media_type == "video") math.abs(h % 300) + 1 else 1,
+        duration_ms = if (r.media_type != "image") math.abs(h.toLong % 60000L) else 0L,
+        feature = Array.tabulate(featureDim)(i =>
+          ((h * (i + 1)).toFloat / Int.MaxValue)))
+    }
+  }
+
+  /** Decode/feature-extract: typed mapPartitions over the media table. */
+  def extractFeatures(media: DataFrame,
+                      decoder: MediaDecoder = new FakeDecoder()): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it => it.map(decoder.decode) }
+  }
+
+  /** Frame sampling plan for video: every nth frame index as rows —
+    * pure-relational (explode over a sequence), the decode of each sampled
+    * frame happens in the decoder stage. */
+  def sampleFrames(features: DataFrame, every: Int): DataFrame =
+    features.filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
+          lit(every))))
+      .select("media_id", "frame_idx")
+
+  /** Build a synthetic media table from the documents table (testdata has
+    * no binary columns; payload = utf8 bytes of the text). */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      col("source"))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Record-transform operators with the semantics of the reference's
+  * `Converter` chain (gobblin-api/.../converter/Converter.java:61,92,111 —
+  * chainable 1:{0,1,N} record transforms), re-expressed as declarative
+  * DataFrame transforms so Catalyst can fuse/push them down instead of
+  * running a row-at-a-time converter chain.
+  *
+  * Each is a `DataFrame => DataFrame`; compose with `df.transform(...)`.
+  */
+object Converters {
+
+  /** Keep listed (possibly nested, dot-separated) fields.
+    * Ref semantics: gobblin-core/.../filter/AvroFieldsPickConverter.java:50.
+    * Nested picks are aliased with '_' joining path segments. */
+  def pickFields(fields: Seq[String])(df: DataFrame): DataFrame =
+    df.select(fields.map { f =>
+      if (f.contains(".")) col(f).as(f.replace('.', '_')) else col(f)
+    }: _*)
+
+  /** Remove fields. Ref: AvroProjectionConverter.java:42. */
+  def dropFields(fields: Seq[String])(df: DataFrame): DataFrame =
+    df.drop(fields: _*)
+
+  /** Keep records where field == value.
+    * Ref: gobblin-core/.../filter/AvroFilterConverter.java:42. */
+  def filterEq(field: String, value: Any)(df: DataFrame): DataFrame =
+    df.filter(col(field) === lit(value))
+
+  /** Regex-match filter on a string column.
+    * Ref: string/StringFilterConverter.java:40. */
+  def filterRegex(field: String, pattern: String)(df: DataFrame): DataFrame =
+    df.filter(col(field).rlike(pattern))
+
+  /** Project a single (possibly nested) field out as the record.
+    * Ref: avro/AvroFieldRetrieverConverter.java:43. */
+  def retrieveField(field: String, as: String = "value")(df: DataFrame): DataFrame =
+    df.select(col(field).as(as))
+
+  /** Copy nested keys to the top level (a.b -> a_b).
+    * Ref: avro/FlattenNestedKeyConverter.java:58. */
+  def flattenNestedKeys(paths: Seq[String])(df: DataFrame): DataFrame =
+    paths.foldLeft(df)((d, p) => d.withColumn(p.replace('.', '_'), col(p)))
+
+  /** Derive a time-partition column from a timestamp column — the writer-side
+    * TimeBasedWriterPartitioner (gobblin-core/.../partitioner/
+    * TimeBasedWriterPartitioner.java:59) expressed as a derived column that
+    * `write.partitionBy` can use. */
+  def derivePartition(tsCol: String, fmt: String, as: String = "datepartition")(
+      df: DataFrame): DataFrame =
+    df.withColumn(as, date_format(col(tsCol), fmt))
+
+  /** Split a string column on a delimiter into N records (1:N flatMap).
+    * Ref: string/StringSplitterConverter.java:34. */
+  def splitToRows(field: String, delim: String, as: String = "token")(
+      df: DataFrame): DataFrame =
+    df.withColumn(as, explode(split(col(field), java.util.regex.Pattern.quote(delim))))
+      .drop(field)
+
+  /** Split into one array-typed column (StringSplitterToListConverter). */
+  def splitToList(field: String, delim: String, as: String = "tokens")(
+      df: DataFrame): DataFrame =
+    df.withColumn(as, split(col(field), java.util.regex.Pattern.quote(delim)))
+
+  /** Bernoulli sample. Ref: gobblin-core-base/.../SamplingConverter.java:36.
+    * `sample` is seeded but not partition-stable across layouts; for
+    * oracle-reproducible sampling use [[sampleByKeyMod]]. */
+  def sampleBernoulli(ratio: Double, seed: Long = 42L)(df: DataFrame): DataFrame =
+    df.sample(withReplacement = false, ratio, seed)
+
+  /** Deterministic sample: keep rows where key % denom < num.
+    * Layout-independent, so it is reproducible in any engine. */
+  def sampleByKeyMod(keyCol: String, num: Int, denom: Int)(df: DataFrame): DataFrame =
+    df.filter(pmod(col(keyCol), lit(denom)) < lit(num))
+
+  /** Parse a JSON string column into typed columns.
+    * Ref: JsonStringToJsonIntermediateConverter.java:48 +
+    * JsonIntermediateToAvroConverter.java:50 — the two-step JSON pipeline is
+    * one `from_json` here (schema declared, types cast by Catalyst). */
+  def parseJson(field: String, schema: DataType, as: String = "json")(
+      df: DataFrame): DataFrame =
+    df.withColumn(as, from_json(col(field), schema.asInstanceOf[StructType]))
+
+  /** Record -> JSON string. Ref: json/JsonToStringConverter.java /
+    * AnyToJsonConverter. */
+  def toJsonString(as: String = "json")(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as(as))
+
+  /** Rename columns per mapping (AvroToJdbcEntryConverter field mapping,
+    * gobblin-modules/gobblin-sql/.../AvroToJdbcEntryConverter.java:72). */
+  def renameFields(mapping: Map[String, String])(df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** Apply a chain of converters in declared order (MultiConverter,
+    * gobblin-runtime/.../MultiConverter.java:50). */
+  def chain(converters: Seq[DataFrame => DataFrame])(df: DataFrame): DataFrame =
+    converters.foldLeft(df)((d, c) => c(d))
+
+  /** Cast columns per mapping — serde converters (AvroToBytesConverter etc.)
+    * reduce to casts in a typed engine. */
+  def castFields(mapping: Map[String, DataType])(df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) }
+}

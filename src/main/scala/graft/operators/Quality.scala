@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Quality-checker operators.
+  *
+  * Row level — reference RowLevelPolicy (gobblin-api/.../row/
+  * RowLevelPolicy.java:33,37-45): per-record predicate with result
+  * PASSED/FAILED and type FAIL (abort job), ERR_FILE (divert record to an
+  * error file), OPTIONAL (record metric only). The checker applies a list
+  * of policies (gobblin-core/.../RowLevelPolicyChecker.java:51,103).
+  *
+  * Task level — reference TaskLevelPolicy (gobblin-api/.../task/
+  * TaskLevelPolicy.java:24): post-extract aggregate assertions deciding
+  * commit (RowCountPolicy, RowCountRangePolicy, SchemaCompatibilityPolicy).
+  *
+  * Spark-first: a row policy is a Column predicate; the pass-stream and the
+  * err-stream are two filters over one (cached) scan, and FAIL policies are
+  * an `observe`d counter checked before commit — no row-at-a-time checker.
+  */
+object Quality {
+
+  sealed trait PolicyType
+  case object Fail extends PolicyType      // any failed record aborts commit
+  case object ErrFile extends PolicyType   // failed records diverted
+  case object Optional extends PolicyType  // metric only
+
+  final case class RowPolicy(name: String, predicate: Column, typ: PolicyType)
+
+  final case class RowCheckResult(passed: DataFrame, rejected: DataFrame,
+                                  failPolicies: Seq[RowPolicy]) {
+    /** Enforce FAIL semantics: abort (exception) if any record failed a
+      * FAIL-typed policy. Call after materializing `rejected` (or directly —
+      * triggers a count). */
+    def enforceFail(): Unit = {
+      if (failPolicies.nonEmpty) {
+        val p = failPolicies.map(_.predicate).reduce(_ && _)
+        val bad = rejected.filter(!p).limit(1).count()
+        require(bad == 0,
+          s"row policies ${failPolicies.map(_.name).mkString(",")} failed")
+      }
+    }
+  }
+
+  /** Split one pass over the data into pass-stream + reject side-output.
+    * Caller persists `df` if both sides are materialized separately. */
+  def checkRows(df: DataFrame, policies: Seq[RowPolicy]): RowCheckResult = {
+    val all = policies.map(_.predicate).reduceOption(_ && _).getOrElse(lit(true))
+    RowCheckResult(df.filter(all), df.filter(!coalesce(all, lit(false))),
+      policies.filter(_.typ == Fail))
+  }
+
+  // ---- task-level (aggregate) policies ----------------------------------
+
+  /** RowCountPolicy: written == extracted. */
+  def rowCountExact(extracted: Long, written: Long): Boolean = extracted == written
+
+  /** RowCountRangePolicy: |written/extracted - 1| within range. */
+  def rowCountRange(extracted: Long, written: Long, range: Double): Boolean =
+    extracted == 0 || math.abs(written.toDouble / extracted - 1.0) <= range
+
+  /** SchemaCompatibilityPolicy: every expected field present with a
+    * compatible (equal, or nullable-widened) type. */
+  def schemaCompatible(expected: StructType, actual: StructType): Boolean =
+    expected.fields.forall { ef =>
+      actual.fields.exists(af =>
+        af.name == ef.name && af.dataType == ef.dataType &&
+          (ef.nullable || !af.nullable))
+    }
+
+  /** Common row policies from the reference's policy library. */
+  object policies {
+    /** AvroHeaderGuidPolicy: non-null guid. */
+    def nonNull(colName: String): RowPolicy =
+      RowPolicy(s"nonNull_$colName", col(colName).isNotNull, Fail)
+
+    /** RecordTimestampLowerBoundPolicy: reject too-old records
+      * (policies/time/RecordTimestampLowerBoundPolicy.java). */
+    def timestampLowerBound(colName: String, bound: java.sql.Timestamp): RowPolicy =
+      RowPolicy(s"tsLowerBound_$colName", col(colName) >= lit(bound), ErrFile)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.operators.Quality
+import graft.sinks.AtomicPublisher.WriteSpec
+
+/** Declarative pipeline spec — the engine's equivalent of a Gobblin job
+  * config (.pull properties; gobblin-api/.../configuration/
+  * ConfigurationKeys.java). A pipeline is:
+  *
+  *   source -> transforms* -> rowPolicies -> fork branches (each with its
+  *   own transform + sink) -> task policies -> publish + state commit
+  *
+  * mirroring Source -> Converter* -> RowQualityChecker -> Fork -> Writer ->
+  * TaskQualityChecker -> Publisher (gobblin-docs/Gobblin-Architecture.md).
+  *
+  * Specs are plain case classes; `PipelineSpec.fromProperties` parses the
+  * reference's flat key=value style so jobs stay declarative/configurable.
+  */
+final case class SourceSpec(format: String, // parquet | csv | json | text
+                            path: String,
+                            options: Map[String, String] = Map.empty,
+                            schemaDDL: Option[String] = None,
+                            // incremental watermark scan
+                            watermarkColumn: Option[String] = None,
+                            watermarkDefault: Option[String] = None)
+
+final case class BranchSpec(name: String,
+                            filterExpr: Option[String] = None,
+                            selectCols: Seq[String] = Nil,
+                            outDir: String,
+                            format: String = "parquet",
+                            partitionBy: Seq[String] = Nil) {
+  def predicate: Option[Column] = filterExpr.map(expr)
+  def transform: DataFrame => DataFrame =
+    df => if (selectCols.isEmpty) df else df.select(selectCols.map(col): _*)
+  def writeSpec: WriteSpec = WriteSpec(format = format, partitionBy = partitionBy)
+}
+
+final case class RowPolicySpec(name: String, predicateExpr: String,
+                               typ: String /* FAIL | ERR_FILE | OPTIONAL */) {
+  def toPolicy: Quality.RowPolicy = Quality.RowPolicy(name, expr(predicateExpr),
+    typ.toUpperCase match {
+      case "FAIL" => Quality.Fail
+      case "ERR_FILE" => Quality.ErrFile
+      case _ => Quality.Optional
+    })
+}
+
+final case class PipelineSpec(name: String,
+                              source: SourceSpec,
+                              transformExprs: Seq[String] = Nil, // SQL select-exprs, chained
+                              rowPolicies: Seq[RowPolicySpec] = Nil,
+                              errDir: Option[String] = None,
+                              rowCountRange: Option[Double] = None, // task policy
+                              branches: Seq[BranchSpec],
+                              stateDir: Option[String] = None)
+
+object PipelineSpec {
+
+  /** Parse the reference's flat property style, e.g.
+    * {{{
+    * job.name=demo
+    * source.format=parquet
+    * source.path=/data/orders.parquet
+    * source.watermark.column=o_orderdate
+    * source.watermark.default=1990-01-01 00:00:00
+    * transform.1=selectExpr:o_orderkey,o_orderdate,o_totalprice
+    * rowpolicy.1.name=nonNullKey
+    * rowpolicy.1.predicate=o_orderkey IS NOT NULL
+    * rowpolicy.1.type=FAIL
+    * qualitychecker.err.dir=/out/err
+    * taskpolicy.rowcount.range=0.0
+    * fork.1.name=main
+    * fork.1.filter=o_totalprice > 0
+    * fork.1.select=o_orderkey,o_orderdate
+    * fork.1.out=/out/main
+    * fork.1.format=parquet
+    * fork.1.partitionBy=datepartition
+    * state.dir=/out/_state
+    * }}}
+    */
+  def fromProperties(props: Map[String, String]): PipelineSpec = {
+    def idx(prefix: String): Seq[Int] =
+      props.keys.flatMap { k =>
+        if (k.startsWith(prefix)) k.stripPrefix(prefix).split('.').headOption
+          .flatMap(_.toIntOption)
+        else None
+      }.toSeq.distinct.sorted
+
+    val source = SourceSpec(
+      format = props.getOrElse("source.format", "parquet"),
+      path = props("source.path"),
+      options = props.collect {
+        case (k, v) if k.startsWith("source.option.") =>
+          k.stripPrefix("source.option.") -> v },
+      schemaDDL = props.get("source.schema"),
+      watermarkColumn = props.get("source.watermark.column"),
+      watermarkDefault = props.get("source.watermark.default"))
+
+    val transforms = idx("transform.").map(i => props(s"transform.$i"))
+
+    val rowPolicies = idx("rowpolicy.").map { i =>
+      RowPolicySpec(
+        props.getOrElse(s"rowpolicy.$i.name", s"policy$i"),
+        props(s"rowpolicy.$i.predicate"),
+        props.getOrElse(s"rowpolicy.$i.type", "OPTIONAL"))
+    }
+
+    val branches = idx("fork.").map { i =>
+      BranchSpec(
+        name = props.getOrElse(s"fork.$i.name", s"branch$i"),
+        filterExpr = props.get(s"fork.$i.filter"),
+        selectCols = props.get(s"fork.$i.select")
+          .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil),
+        outDir = props(s"fork.$i.out"),
+        format = props.getOrElse(s"fork.$i.format", "parquet"),
+        partitionBy = props.get(s"fork.$i.partitionBy")
+          .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
+    }
+
+    PipelineSpec(
+      name = props.getOrElse("job.name", "graft-job"),
+      source = source,
+      transformExprs = transforms,
+      rowPolicies = rowPolicies,
+      errDir = props.get("qualitychecker.err.dir"),
+      rowCountRange = props.get("taskpolicy.rowcount.range").map(_.toDouble),
+      branches = branches,
+      stateDir = props.get("state.dir"))
+  }
+}

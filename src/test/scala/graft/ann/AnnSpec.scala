@@ -1,0 +1,52 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val c = df.select(Ann.cosine($"a", $"b")).as[Double].head
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    assert(math.abs(df.select(Ann.cosine($"a", $"b")).as[Double].head) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query") {
+    val queries = emb.filter($"vec_id" < 3)
+    val out = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val counts = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(0L, 1L, 2L))
+    assert(counts.values.forall(_ == 5))
+    // ranks are 1..5 and cosine non-increasing per query
+    val r0 = out.filter($"query_id" === 0).orderBy("rank")
+      .select("cosine").as[Double].collect()
+    assert(r0.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("srp signature is deterministic") {
+    val a = emb.limit(5).select(Ann.srpSignature($"embedding", 8, 0)).as[Long].collect()
+    val b = emb.limit(5).select(Ann.srpSignature($"embedding", 8, 0)).as[Long].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("lshTopK recalls most of the exact top-k") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      bits = 6, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}

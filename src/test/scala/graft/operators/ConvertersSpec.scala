@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+class ConvertersSpec extends SparkSpec {
+
+  private lazy val orders = Tables.load(spark, sf, "orders")
+  private lazy val lineitem = Tables.load(spark, sf, "lineitem")
+
+  test("pickFields keeps exactly the requested columns") {
+    val out = orders.transform(Converters.pickFields(Seq("o_orderkey", "o_totalprice")))
+    assert(out.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+    assert(out.count() == orders.count())
+  }
+
+  test("dropFields removes columns") {
+    val out = orders.transform(Converters.dropFields(Seq("o_orderpriority")))
+    assert(!out.columns.contains("o_orderpriority"))
+  }
+
+  test("filterEq keeps only matching records") {
+    val out = orders.transform(Converters.filterEq("o_orderstatus", "F"))
+    assert(out.filter(col("o_orderstatus") =!= "F").count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("filterRegex matches pattern") {
+    val out = orders.transform(Converters.filterRegex("o_orderpriority", "^1-"))
+    assert(out.count() == orders.filter(col("o_orderpriority").startsWith("1-")).count())
+  }
+
+  test("splitToRows is a 1:N flatMap") {
+    val base = orders.select("o_orderkey", "o_orderpriority")
+    val out = base.transform(Converters.splitToRows("o_orderpriority", "-"))
+    assert(out.count() >= base.count())
+    assert(out.columns.toSeq.sorted == Seq("o_orderkey", "token"))
+  }
+
+  test("derivePartition formats timestamps") {
+    val out = orders.transform(Converters.derivePartition("o_orderdate", "yyyy-MM-dd"))
+    val v = out.select("datepartition").head.getString(0)
+    assert(v.matches("\\d{4}-\\d{2}-\\d{2}"))
+  }
+
+  test("sampleByKeyMod is deterministic and proportional") {
+    val a = lineitem.transform(Converters.sampleByKeyMod("l_orderkey", 2, 10)).count()
+    val b = lineitem.transform(Converters.sampleByKeyMod("l_orderkey", 2, 10)).count()
+    assert(a == b)
+    assert(a > 0 && a < lineitem.count())
+  }
+
+  test("sampleBernoulli approximates the ratio") {
+    val n = lineitem.count()
+    val s = lineitem.transform(Converters.sampleBernoulli(0.2)).count()
+    assert(s > n * 0.1 && s < n * 0.3)
+  }
+
+  test("parseJson extracts typed fields") {
+    val ev = Tables.load(spark, sf, "events")
+    val out = ev.transform(Converters.parseJson("props",
+      StructType(Seq(StructField("k", LongType)))))
+    assert(out.select(col("json.k")).filter(col("k").isNotNull).count() > 0)
+  }
+
+  test("toJsonString round-trips") {
+    val out = orders.limit(5).transform(Converters.toJsonString())
+    assert(out.head.getString(0).startsWith("{"))
+  }
+
+  test("chain composes in order") {
+    val out = orders.transform(Converters.chain(Seq(
+      Converters.filterEq("o_orderstatus", "F"),
+      Converters.pickFields(Seq("o_orderkey")))))
+    assert(out.columns.toSeq == Seq("o_orderkey"))
+  }
+
+  test("castFields changes types") {
+    val out = orders.transform(Converters.castFields(Map("o_orderkey" -> StringType)))
+    assert(out.schema("o_orderkey").dataType == StringType)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Dedup / retention / purge / copy-diff — the data-organization jobs. */
+class DataOrgSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem = Tables.load(spark, sf, "lineitem")
+
+  test("keyDeltaTop1 keeps one record per key, max by delta") {
+    val df = Seq(
+      (1, "a", 10), (1, "b", 20), (2, "c", 5)
+    ).toDF("k", "v", "delta")
+    val out = Dedup.keyDeltaTop1(Seq("k"), Seq(col("delta").desc))(df)
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "b") // max delta for k=1
+  }
+
+  test("keyDeltaTop1 on lineitem never exceeds distinct key count") {
+    val out = Dedup.keyDeltaTop1(Seq("l_orderkey", "l_linenumber"),
+      Seq(col("l_shipdate").desc, col("l_extendedprice").desc))(lineitem)
+    assert(out.count() ==
+      lineitem.select("l_orderkey", "l_linenumber").distinct().count())
+  }
+
+  test("exact dedup equals distinct") {
+    assert(Dedup.exact()(lineitem).count() == lineitem.distinct().count())
+  }
+
+  test("threshold verifier gates recompaction") {
+    assert(Dedup.thresholdVerify(30, 100, 0.2))
+    assert(!Dedup.thresholdVerify(10, 100, 0.2))
+  }
+
+  test("retention newestK keeps K per dataset") {
+    val versions = Seq(
+      ("d1", Timestamp.valueOf("2024-01-01 00:00:00"), "p1"),
+      ("d1", Timestamp.valueOf("2024-01-02 00:00:00"), "p2"),
+      ("d1", Timestamp.valueOf("2024-01-03 00:00:00"), "p3"),
+      ("d2", Timestamp.valueOf("2024-01-01 00:00:00"), "p4")
+    ).toDF("dataset", "ts", "path")
+    val out = Retention.newestK(Seq("dataset"),
+      Seq(col("ts").desc, col("path").desc), 2)(versions)
+    assert(out.count() == 3)
+    assert(out.filter($"path" === "p1").count() == 0) // oldest d1 dropped
+  }
+
+  test("retention newerThan filters by cutoff; delete set is the complement") {
+    val versions = Seq(
+      ("d1", Timestamp.valueOf("2024-01-01 00:00:00"), "p1"),
+      ("d1", Timestamp.valueOf("2024-06-01 00:00:00"), "p2")
+    ).toDF("dataset", "ts", "path")
+    val survivors = Retention.newerThan("ts",
+      Timestamp.valueOf("2024-03-01 00:00:00"))(versions)
+    assert(survivors.count() == 1)
+    val deletes = Retention.deleteSet(versions, survivors, Seq("path"))
+    assert(deletes.select("path").as[String].collect().toSeq == Seq("p1"))
+  }
+
+  test("retention combine intersect/union") {
+    val versions = Seq(
+      ("d1", Timestamp.valueOf("2024-01-01 00:00:00"), "p1"),
+      ("d1", Timestamp.valueOf("2024-06-01 00:00:00"), "p2"),
+      ("d1", Timestamp.valueOf("2024-07-01 00:00:00"), "p3")
+    ).toDF("dataset", "ts", "path")
+    val newest1 = Retention.newestK(Seq("dataset"), Seq(col("ts").desc), 1) _
+    val newer = Retention.newerThan("ts", Timestamp.valueOf("2024-03-01 00:00:00")) _
+    assert(Retention.combineIntersect(Seq(newest1, newer))(versions).count() == 1)
+    assert(Retention.combineUnion(Seq(newest1, newer))(versions).count() == 2)
+  }
+
+  test("purge removes listed keys only") {
+    val cust = Tables.load(spark, sf, "customer")
+    val deletes = cust.filter($"c_custkey" % 7 === 0).select("c_custkey")
+    val out = Purge.purge(cust, deletes, Seq("c_custkey"))
+    assert(out.count() == cust.count() - deletes.distinct().count())
+    assert(Purge.purged(cust, deletes, Seq("c_custkey")).count() ==
+      deletes.distinct().count())
+  }
+
+  test("copy diff finds files missing at target") {
+    val src = Seq(("/a", 1L), ("/b", 2L), ("/c", 3L)).toDF("path", "length")
+    val dst = Seq(("/a", 1L), ("/b", 99L)).toDF("path", "length") // /b differs
+    val out = CopyDiff.diff(src, dst).orderBy("path").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("/b", "/c"))
+  }
+
+  test("allocateUnderBudget keeps the highest-priority prefix") {
+    val files = Seq(("/a", 10L, 1), ("/b", 10L, 2), ("/c", 10L, 3))
+      .toDF("path", "length", "prio")
+    val out = CopyDiff.allocateUnderBudget(files, "length",
+      Seq(col("prio").asc), budgetBytes = 25L)
+    assert(out.select("path").as[String].collect().toSet == Set("/a", "/b"))
+  }
+
+  test("listManifest walks a directory tree") {
+    val dir = tmpDir("manifest")
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/t1")
+    val m = CopyDiff.listManifest(spark, dir)
+    assert(m.count() > 0)
+    assert(m.columns.toSeq == Seq("path", "length", "mod_time"))
+  }
+}

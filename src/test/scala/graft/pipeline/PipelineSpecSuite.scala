@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.state.StateStore
+
+class PipelineSpecSuite extends SparkSpec {
+
+  test("fromProperties parses the reference's flat key style") {
+    val spec = PipelineSpec.fromProperties(Map(
+      "job.name" -> "demo",
+      "source.format" -> "parquet",
+      "source.path" -> "/x",
+      "source.watermark.column" -> "ts",
+      "source.watermark.default" -> "1990-01-01 00:00:00",
+      "transform.1" -> "selectExpr:a;b",
+      "rowpolicy.1.name" -> "nn",
+      "rowpolicy.1.predicate" -> "a IS NOT NULL",
+      "rowpolicy.1.type" -> "FAIL",
+      "taskpolicy.rowcount.range" -> "0.0",
+      "fork.1.name" -> "main",
+      "fork.1.out" -> "/out/main",
+      "fork.2.name" -> "audit",
+      "fork.2.filter" -> "b > 0",
+      "fork.2.out" -> "/out/audit",
+      "state.dir" -> "/state"))
+    assert(spec.name == "demo")
+    assert(spec.source.watermarkColumn.contains("ts"))
+    assert(spec.transformExprs == Seq("selectExpr:a;b"))
+    assert(spec.rowPolicies.head.typ == "FAIL")
+    assert(spec.branches.map(_.name) == Seq("main", "audit"))
+    assert(spec.rowCountRange.contains(0.0))
+  }
+
+  test("end-to-end: source -> transforms -> policies -> fork -> publish -> state") {
+    val out = tmpDir("pipe")
+    val spec = PipelineSpec(
+      name = "e2e",
+      source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet",
+        watermarkColumn = Some("o_orderdate"),
+        watermarkDefault = Some("1990-01-01 00:00:00")),
+      transformExprs = Seq(
+        "selectExpr:o_orderkey;o_orderstatus;o_totalprice;o_orderdate"),
+      rowPolicies = Seq(RowPolicySpec("pos", "o_totalprice > 0", "ERR_FILE")),
+      errDir = Some(s"$out/err"),
+      rowCountRange = Some(0.0),
+      branches = Seq(
+        BranchSpec("all", None, Seq("o_orderkey", "o_totalprice"), s"$out/all"),
+        BranchSpec("f_only", Some("o_orderstatus = 'F'"), Nil, s"$out/f")),
+      stateDir = Some(s"$out/state"))
+
+    val r1 = PipelineRunner.run(spark, spec, "run1")
+    assert(r1.extracted > 0)
+    assert(r1.branchCounts("all") == r1.extracted)
+    assert(r1.committedWatermark.isDefined)
+
+    // published output is readable and matches the branch predicate
+    val f = spark.read.parquet(s"$out/f")
+    assert(f.filter(col("o_orderstatus") =!= "F").count() == 0)
+
+    // re-run: watermark advanced to max(o_orderdate), so nothing new
+    val r2 = PipelineRunner.run(spark, spec, "run2")
+    assert(r2.extracted == 0)
+    // empty run preserves the previous watermark (QueryBasedSource:195-199)
+    assert(r2.committedWatermark == r1.committedWatermark)
+    val store = new StateStore(spark, s"$out/state")
+    assert(store.highWatermark("e2e").contains(r1.committedWatermark.get))
+  }
+
+  test("FAIL row policy aborts the job") {
+    val out = tmpDir("pipefail")
+    val spec = PipelineSpec(
+      name = "failjob",
+      source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet"),
+      rowPolicies = Seq(RowPolicySpec("nope", "o_totalprice < 0", "FAIL")),
+      branches = Seq(BranchSpec("b", None, Nil, s"$out/b")))
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, spec, "runX")
+    }
+  }
+}

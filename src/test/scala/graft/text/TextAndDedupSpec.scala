@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.dedup.{MinHashDedup, SimHash}
+
+class TextAndDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("tokenCount counts whitespace tokens") {
+    val df = Seq("a b c", "one").toDF("text")
+    assert(df.select(TextStats.tokenCount($"text")).as[Int].collect().toSeq ==
+      Seq(3, 1))
+  }
+
+  test("quality columns are populated and sane") {
+    val out = TextStats.withQuality(docs, "text")
+    val row = out.select("n_tokens", "punct_ratio", "avg_token_len").head
+    assert(row.getLong(0) > 0)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) > 0.0)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "el gato y la casa de los perros que",
+      "zzz qqq xxx").toDF("text")
+    val out = df.select(TextStats.langId($"text")).as[String].collect()
+    assert(out(0) == "en")
+    assert(out(1) == "es")
+    assert(out(2) == "und")
+  }
+
+  test("rollingFingerprint is order-sensitive, contentFingerprint is md5") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val fp = df.select(TextStats.rollingFingerprint($"text")).as[Long].collect()
+    assert(fp(0) != fp(1))
+    assert(fp(0) == fp(2))
+    val md = df.select(TextStats.contentFingerprint($"text")).head.getString(0)
+    assert(md.length == 32)
+  }
+
+  test("minhash shingles produce n-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(MinHashDedup.shingles($"text", 3)).as[Seq[String]].head
+    assert(sh == Seq("a b c", "b c d"))
+    // shorter than n -> whole text as one shingle
+    val short = Seq("a b").toDF("text")
+      .select(MinHashDedup.shingles($"text", 3)).as[Seq[String]].head
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash signature is deterministic and identical for identical text") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")).toDF("id", "text")
+    val sigs = df.select($"id", MinHashDedup.signature($"text", 3, 16).as("sig"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(sigs(0)._2 == sigs(1)._2)
+    assert(sigs(0)._2 != sigs(2)._2)
+  }
+
+  test("minhash LSH finds exact duplicates as candidate pairs") {
+    val dup = docs.limit(20)
+      .union(docs.limit(20).withColumn("doc_id", $"doc_id" + 1000000L))
+    val pairs = MinHashDedup.candidatePairs(dup, "doc_id", "text")
+    // every duplicated doc must appear in at least one candidate pair
+    assert(pairs.filter($"id_b" === $"id_a" + 1000000L).count() == 20)
+  }
+
+  test("verifyJaccard computes exact jaccard on candidates") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = MinHashDedup.verifyJaccard(pairs, df, "doc_id", "text", 0.5)
+    assert(out.count() == 1)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical texts equal, near texts close, disjoint texts far") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (3L, "entirely unrelated vocabulary cluster banana apple orange kiwi")
+    ).toDF("id", "text")
+    val sig = df.select($"id", SimHash.simhash($"text").as("s"))
+      .orderBy("id").as[(Long, Long)].collect().map(_._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(0), sig(1)) < ham(sig(0), sig(2)))
+  }
+
+  test("simhash candidatePairs finds near-dups within hamming bound") {
+    val dup = docs.limit(10)
+      .union(docs.limit(10).withColumn("doc_id", $"doc_id" + 500000L))
+    val pairs = SimHash.candidatePairs(dup, "doc_id", "text", maxDist = 3)
+    assert(pairs.filter($"id_b" === $"id_a" + 500000L).count() == 10)
+  }
+}
