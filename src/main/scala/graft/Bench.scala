@@ -1,23 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: fixed headline workloads over
+  * sys.env("SPARK_GRAFT_SF_DIR"), one JSON result line on stdout.
+  *
+  * The headline set is held STABLE across rounds (the driver compares each
+  * round against the first recorded baseline): a representative slice of
+  * scan/project, shuffle-heavy dedup, window aggregation, broadcast
+  * anti-join, partitioned write, and the training-data operators
+  * (minhash, simhash, text quality, ANN).
+  */
 object Bench {
+
+  // stable headline workloads; each forced with count()
+  val headline: Seq[String] = Seq(
+    "q01_project",          // scan + projection pushdown
+    "q06_dedup_delta",      // key-shuffle windowed top-1
+    "q07_dedup_exact",      // full-row distinct
+    "q09_audit_window",     // time-bucket aggregation
+    "q10_purge",            // broadcast left_anti
+    "q16_partitioned_write",// partitioned parquet write + read-back
+    "q21_minhash_pairs",    // shingle/minhash/band join
+    "q22_simhash",          // 64-bit vote fold
+    "q25_quality_score",    // text quality columns
+    "q28_ann_topk",         // brute-force cosine top-k
+    "q29_ann_lsh")          // multiprobe SRP-LSH top-k
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm up the JVM/codegen paths outside the timed region
+    SparkEntry.queries("q01_project")(spark, sfDir).count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

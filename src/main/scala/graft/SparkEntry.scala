@@ -5,10 +5,14 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ann.Ann
+import graft.dedup.{MinHashDedup, SimHash}
+import graft.multimodal.Multimodal
 import graft.operators.{Converters, CopyDiff, Dedup, Fork, Purge, Retention}
 import graft.planning.WatermarkPartitioner
 import graft.sinks.AtomicPublisher.WriteSpec
 import graft.streaming.Streams
+import graft.text.TextStats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,6 +173,112 @@ object SparkEntry {
     "q18_json_props" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
+
+    // --- grok-style log parsing (GrokToJsonConverter ≈ regex groups) ---
+    "q31_grok_parse" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 1).as("prio_num"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 2).as("prio_name"))),
+
+    // --- regex row filter (StringFilterConverter) ---
+    "q32_regex_filter" -> ((s, dir) =>
+      t(s, dir, "documents").transform(Converters.filterRegex("text", "spark"))
+        .select("doc_id", "lang", "source")),
+
+    // --- csv sink/source round-trip (SURVEY §2.1/§2.7 file formats) ---
+    "q33_csv_roundtrip" -> ((s, dir) => {
+      val out = tmp("q33")
+      val proj = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      proj.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(proj.schema).option("header", "true").csv(out)
+    }),
+
+    // --- orc sink/source round-trip ---
+    "q34_orc_roundtrip" -> ((s, dir) => {
+      val out = tmp("q34")
+      val proj = t(s, dir, "supplier")
+      proj.write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
+    // ==== training-data pipeline operators (documents/embeddings) ====
+
+    // exact content dedup: one survivor per md5(text)
+    "q20_docs_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextStats.contentFingerprint(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))),
+
+    // minhash LSH near-dup candidate pairs (rows-only: xxhash64 not in DuckDB)
+    "q21_minhash_pairs" -> ((s, dir) =>
+      MinHashDedup.candidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 32, numBands = 8)),
+
+    // simhash fingerprints (rows-only)
+    "q22_simhash" -> ((s, dir) =>
+      SimHash.withSimhash(t(s, dir, "documents"), "text")
+        .select("doc_id", "simhash")),
+
+    // exact token-set jaccard between consecutive doc pairs
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.select(col("doc_id").as("id_a"), col("toks").as("tok_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("toks").as("tok_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
+            size(array_union(col("tok_a"), col("tok_b"))).cast("double"))
+            .as("jaccard"))
+    }),
+
+    // language id by stopword profiles
+    "q24_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.langId(col("text")).as("lang_pred"))),
+
+    // quality scoring components
+    "q25_quality_score" -> ((s, dir) =>
+      TextStats.withQuality(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+          "punct_ratio", "stopword_hits")),
+
+    // token counting (whitespace + BPE-ish estimate)
+    "q26_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextStats.tokenEstimateBpe(col("text")).cast("bigint").as("n_tokens_bpe"))),
+
+    // rolling fingerprint (rows-only: xxhash64 not in DuckDB)
+    "q27_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.rollingFingerprint(col("text")).as("fingerprint"))),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q28_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall measured in tests)
+    "q29_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, bits = 6, tables = 8)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // multimodal decode plumbing (rows-only; stub decoder, deterministic)
+    "q30_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select("media_id", "media_type", "width", "height", "n_frames")
+    }),
   )
 
   /** Synthesized dataset-versions table for retention queries
@@ -254,5 +364,61 @@ object SparkEntry {
     "q18_json_props" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events"),
+    "q31_grok_parse" ->
+      ("SELECT o_orderkey, regexp_extract(o_orderpriority, '(\\d+)-(\\w+)', 1) " +
+        "AS prio_num, regexp_extract(o_orderpriority, '(\\d+)-(\\w+)', 2) " +
+        "AS prio_name FROM orders"),
+    "q32_regex_filter" ->
+      "SELECT doc_id, lang, source FROM documents WHERE regexp_matches(text, 'spark')",
+    "q33_csv_roundtrip" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
+    "q34_orc_roundtrip" ->
+      "SELECT * FROM supplier",
+    "q20_docs_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
+    "q23_ngram_jaccard" ->
+      ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(list_distinct(string_split(a.text, ' ')), " +
+        "list_distinct(string_split(b.text, ' ')))) / " +
+        "len(list_distinct(list_concat(string_split(a.text, ' '), " +
+        "string_split(b.text, ' ')))) AS jaccard " +
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"),
+    "q24_langid" -> {
+      val profiles = TextStats.langIdProfiles
+      val scoreExprs = profiles.map { case (lang, words) =>
+        lang -> ("len(list_intersect(string_split(text, ' '), [" +
+          words.map(w => s"'$w'").mkString(",") + "]))")
+      }
+      val best = "greatest(" + scoreExprs.map(_._2).mkString(", ") + ")"
+      val cases = scoreExprs.map { case (lang, e) =>
+        s"WHEN $best > 0 AND $e = $best THEN '$lang'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM documents"
+    },
+    "q25_quality_score" -> {
+      val stop = TextStats.defaultStopwords.map(w => s"'$w'").mkString(",")
+      "SELECT doc_id, length(text) AS n_chars_calc, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / " +
+        "len(string_split(text, ' ')) AS avg_token_len, " +
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) " +
+        "AS DOUBLE) / length(text) AS punct_ratio, " +
+        s"len(list_intersect(string_split(text, ' '), [$stop])) AS stopword_hits " +
+        "FROM documents"
+    },
+    "q26_token_count" ->
+      ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents"),
+    "q28_ann_topk" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the "would this survive 100×?" checks.
+  * These pin the plan shapes that matter at scale: column pruning and
+  * filter pushdown reaching the parquet scan, broadcast joins for small
+  * sides, and no redundant shuffles in the dedup path.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q01 projection prunes columns at the parquet scan") {
+    val p = planOf(q("q01_project"))
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"),
+      s"scan reads more than projected: $read")
+  }
+
+  test("q02 filter is pushed to the parquet scan") {
+    val p = planOf(q("q02_filter"))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("o_orderstatus"),
+      s"filter not pushed down: $pushed")
+  }
+
+  test("q08 incremental chunks push the watermark range into the scan") {
+    val p = planOf(q("q08_incremental"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("o_orderdate")),
+      s"watermark predicates not pushed: $pushed")
+  }
+
+  test("q10 purge uses a broadcast anti-join (no shuffle of the big side)") {
+    val p = planOf(q("q10_purge"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"purge should broadcast the delete-key side:\n$p")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q06 dedup shuffles exactly once (window over one key partition)") {
+    val p = planOf(q("q06_dedup_delta"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$p")
+    // map-side top-1 pruning before the shuffle (WindowGroupLimit Partial)
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q09 window aggregation does partial aggregation before the shuffle") {
+    val p = planOf(q("q09_audit_window"))
+    assert(p.contains("HashAggregate"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 shuffle, saw $exchanges")
+  }
+
+  test("q28 ANN broadcast: corpus is not shuffled for scoring") {
+    val p = planOf(q("q28_ann_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side should be broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the text-quality pipeline (no UDFs)") {
+    val p = planOf(q("q25_quality_score"))
+    assert(p.contains("codegen id"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+}
