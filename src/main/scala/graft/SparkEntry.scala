@@ -210,10 +210,18 @@ object SparkEntry {
         .groupBy(TextStats.contentFingerprint(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("doc_id"))),
 
-    // minhash LSH near-dup candidate pairs (rows-only: xxhash64 not in DuckDB)
-    "q21_minhash_pairs" -> ((s, dir) =>
-      MinHashDedup.candidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, k = 32, numBands = 8)),
+    // minhash LSH near-dup pairs, exact-verified: LSH proposes candidates,
+    // exact shingle-Jaccard filters them, so the output is EXACTLY the
+    // above-threshold pair set (DuckDB recomputes it all-pairs — feasible
+    // at oracle scale, while the engine path stays O(docs x bands)).
+    "q21_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        n = 3, k = 32, numBands = 16)
+      MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
+    }),
 
     // simhash fingerprints (rows-only)
     "q22_simhash" -> ((s, dir) =>
@@ -376,6 +384,17 @@ object SparkEntry {
       "SELECT * FROM supplier",
     "q20_docs_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
+    "q21_minhash_pairs" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+2],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-1)] END) AS sh " +
+        "FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh,b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh,b.sh))) AS j " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM p WHERE j >= 0.5"),
     "q23_ngram_jaccard" ->
       ("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "len(list_intersect(list_distinct(string_split(a.text, ' ')), " +

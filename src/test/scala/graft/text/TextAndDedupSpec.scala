@@ -64,6 +64,26 @@ class TextAndDedupSpec extends SparkSpec {
     assert(sigs(0)._2 != sigs(2)._2)
   }
 
+  test("minhash native expression: edge cases and shingle-range semantics") {
+    // empty text, single token, multi-space (empty tokens), short docs —
+    // must not crash and must stay deterministic
+    val df = Seq((1L, ""), (2L, "solo"), (3L, "a  b"), (4L, "a b"),
+      (5L, "a b c d e")).toDF("id", "text")
+    val sigs = df.select($"id", MinHashDedup.signature($"text", 3, 8).as("s"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(sigs.forall(_._2.length == 8))
+    assert(sigs.map(_._2).distinct.length == 5)
+    // a shingle is a byte range of the text: docs sharing all n-grams of
+    // each other have signatures built from the same shingle set
+    val same = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "text")
+      .select(MinHashDedup.signature($"text", 3, 8)).as[Seq[Long]].collect()
+    assert(same(0) == same(1))
+    // band hashes: numBands wide
+    val b = df.select(graft.functions.MinHash.bandHashes($"text", 3, 8, 4))
+      .as[Seq[Long]].head
+    assert(b.length == 4)
+  }
+
   test("minhash LSH finds exact duplicates as candidate pairs") {
     val dup = docs.limit(20)
       .union(docs.limit(20).withColumn("doc_id", $"doc_id" + 1000000L))
