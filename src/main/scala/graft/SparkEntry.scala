@@ -273,19 +273,34 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
-    // LSH-bucketed ANN (rows-only; recall measured in tests)
+    // LSH-bucketed ANN. Oracle contract: the LSH result must EQUAL the
+    // exact brute-force top-k (q28's oracle) — recall 1.0, any missed
+    // neighbor is a hash mismatch. The testdata embeddings are random
+    // (max cosine ~0.37, no planted neighbors), the hardest regime for
+    // SRP-LSH, so bits is sized small for the 500-vector corpus
+    // (bits ~ log2(corpus/bucket); buckets of ~30) and tables high; at
+    // real scale bits grows with log(corpus) and real embedding clusters
+    // make recall far cheaper.
     "q29_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, bits = 6, tables = 8)
-        .select("query_id", "neighbor_id", "rank")
+        k = 10, bits = 4, tables = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
     }),
 
-    // multimodal decode plumbing (rows-only; stub decoder, deterministic)
+    // multimodal decode plumbing; the stub decoder's features are a
+    // documented pure function of payload length, so DuckDB can recompute
+    // them from the same documents table (real decoders plug in via
+    // MediaDecoder without touching this contract).
     "q30_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
       Multimodal.extractFeatures(media).toDF()
-        .select("media_id", "media_type", "width", "height", "n_frames")
+        .select(col("media_id"), col("media_type"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
     }),
   )
 
@@ -428,6 +443,38 @@ object SparkEntry {
     "q26_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents"),
+    "q22_simhash" ->
+      ("WITH h AS (SELECT doc_id, " +
+        "[('0x' || substr(md5(t),1,15))::BIGINT FOR t IN string_split(text,' ')] AS hs " +
+        "FROM documents) " +
+        "SELECT doc_id, list_sum([CASE WHEN " +
+        "list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0 " +
+        "THEN 1::BIGINT << j ELSE 0 END FOR j IN range(60)])::BIGINT AS simhash " +
+        "FROM h"),
+    "q27_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(1000003::BIGINT, " +
+        "[('0x' || substr(md5(t),1,15))::BIGINT % 2147483647 " +
+        "FOR t IN string_split(text,' ')]), " +
+        "(acc, h) -> (acc*1000003 + h) % 2147483647) AS fingerprint " +
+        "FROM documents"),
+    "q29_ann_lsh" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    "q30_multimodal_features" ->
+      ("SELECT doc_id AS media_id, " +
+        "['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type, " +
+        "(strlen(text) % 1024 + 16)::BIGINT AS width, " +
+        "((strlen(text) // 7) % 1024 + 16)::BIGINT AS height, " +
+        "(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 300 + 1 " +
+        "ELSE 1 END)::BIGINT AS n_frames FROM documents"),
     "q28_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

@@ -41,19 +41,19 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake features derived from the payload
-    * bytes so pipelines are testable end-to-end without media libraries.
-    * Replace with a real decoder for production. */
+    * byte LENGTH, so the decode contract is a documented pure function any
+    * engine can recompute (this is what makes the q30 oracle possible).
+    * Replace with a real decoder for production; the Spark-side plumbing
+    * (schema, partitioning, per-partition decoder init) is unchanged. */
   final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
-      val bytes = Option(r.payload).getOrElse(Array.emptyByteArray)
-      val h = java.util.Arrays.hashCode(bytes)
-      val dim = (r: MediaRecord) => math.abs(h % 1024) + 16
+      val len = Option(r.payload).map(_.length).getOrElse(0)
       MediaFeatures(r.media_id, r.media_type,
-        width = dim(r), height = math.abs((h / 7) % 1024) + 16,
-        n_frames = if (r.media_type == "video") math.abs(h % 300) + 1 else 1,
-        duration_ms = if (r.media_type != "image") math.abs(h.toLong % 60000L) else 0L,
-        feature = Array.tabulate(featureDim)(i =>
-          ((h * (i + 1)).toFloat / Int.MaxValue)))
+        width = len % 1024 + 16,
+        height = (len / 7) % 1024 + 16,
+        n_frames = if (r.media_type == "video") len % 300 + 1 else 1,
+        duration_ms = if (r.media_type != "image") (len.toLong * 31L) % 60000L else 0L,
+        feature = Array.tabulate(featureDim)(i => ((len * (i + 1)) % 997).toFloat / 997f))
     }
   }
 

@@ -73,6 +73,13 @@ object TextStats {
     * engines; used by exact-dedup-by-content). */
   def contentFingerprint(text: Column): Column = md5(text)
 
+  /** 60-bit non-negative hash portable across engines: the first 15 hex
+    * chars of md5 as a bigint. Spark: conv(substring(md5,…),16,10); DuckDB:
+    * ('0x' || substr(md5(x),1,15))::BIGINT — bit-identical, so any
+    * fingerprint built on it is oracle-checkable (xxhash64 is Spark-only). */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Rolling polynomial fingerprint over tokens — order-sensitive (same
     * words in a different order produce a different value), the
     * document-fingerprinting primitive for near-line dedup keys.
@@ -80,7 +87,7 @@ object TextStats {
     * it is ANSI-safe (no long overflow) and engine-reproducible. */
   def rollingFingerprint(text: Column): Column = {
     val m = lit(2147483647L) // 2^31 - 1 (prime)
-    aggregate(transform(tokens(text), t => xxhash64(t)),
+    aggregate(transform(tokens(text), t => portableHash60(t)),
       lit(1000003L),
       (acc, h) => pmod(acc * lit(1000003L) + pmod(h, m), m))
   }
