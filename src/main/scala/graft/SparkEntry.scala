@@ -202,6 +202,20 @@ object SparkEntry {
       s.read.orc(out)
     }),
 
+    // --- jdbc sink + incremental source round-trip (embedded Derby) ---
+    // staged write (staging table + one publish txn, JdbcWriter.java:67
+    // semantics), then read back through watermark chunk predicates, each
+    // a separate partition's WHERE clause (QueryBasedSource semantics).
+    "q35_jdbc_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graft_q35;create=true"
+      val nation = t(s, dir, "nation")
+      graft.sinks.JdbcWriter.writeStaged(nation, graft.sinks.JdbcWriter.JdbcSpec(
+        url, "nation", org.apache.spark.sql.SaveMode.Overwrite))
+      val preds = graft.sources.JdbcIncremental.numericPredicates(
+        "n_nationkey", -1L, 1000L, maxPartitions = 4)
+      graft.sources.JdbcIncremental.read(s, url, "nation", preds)
+    }),
+
     // ==== training-data pipeline operators (documents/embeddings) ====
 
     // exact content dedup: one survivor per md5(text)
@@ -397,6 +411,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem",
     "q34_orc_roundtrip" ->
       "SELECT * FROM supplier",
+    "q35_jdbc_roundtrip" ->
+      "SELECT * FROM nation",
     "q20_docs_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
     "q21_minhash_pairs" ->

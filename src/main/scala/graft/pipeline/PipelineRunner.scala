@@ -130,7 +130,9 @@ object PipelineRunner {
     var r = spark.read.format(s.format).options(s.options)
     s.schemaDDL.foreach(ddl => r = r.schema(ddl))
     s.format match {
-      case "text" => r.load(s.path)
+      // jdbc carries its target in options (url/dbtable), not a path;
+      // watermark + transform filters push into the generated SQL
+      case "jdbc" => r.load()
       case _      => r.load(s.path)
     }
   }

@@ -92,7 +92,8 @@ object PipelineSpec {
 
     val source = SourceSpec(
       format = props.getOrElse("source.format", "parquet"),
-      path = props("source.path"),
+      path = props.getOrElse("source.path", ""), // jdbc sources have no path
+
       options = props.collect {
         case (k, v) if k.startsWith("source.option.") =>
           k.stripPrefix("source.option.") -> v },

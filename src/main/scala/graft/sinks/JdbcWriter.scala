@@ -1,0 +1,75 @@
+package graft.sinks
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** JDBC sink with the reference's staging-table publish protocol.
+  *
+  * Reference: JdbcWriter batch-inserts into a STAGING table
+  * (gobblin-modules/gobblin-sql/.../writer/JdbcWriter.java:67); at job
+  * commit JdbcPublisher moves staging rows into the final table so a
+  * mid-write failure never leaves partial rows visible. Batch size is the
+  * dominant throughput knob (the reference's published sweep peaks at
+  * batch=1000 — gobblin-docs/sinks/Gobblin-JDBC-Writer.md:188-196), so it
+  * is first-class here and defaults to 1000.
+  *
+  * Spark-first: executors batch-insert partitions in parallel via
+  * `df.write.jdbc` (the reference is single-writer; Spark's parallelism is
+  * bounded by `numPartitions`); the publish step is one driver-side
+  * INSERT..SELECT transaction, O(rows) in the database but zero data
+  * movement through the engine.
+  */
+object JdbcWriter {
+
+  final case class JdbcSpec(url: String,
+                            table: String,
+                            mode: SaveMode = SaveMode.Append,
+                            batchSize: Int = 1000,
+                            numPartitions: Option[Int] = None,
+                            properties: Map[String, String] = Map.empty)
+
+  /** Direct write (no staging): rows become visible as they commit per
+    * partition — at-least-once on retry, like the reference without its
+    * publisher. */
+  def write(df: DataFrame, spec: JdbcSpec): Unit = {
+    val p = new java.util.Properties()
+    spec.properties.foreach { case (k, v) => p.setProperty(k, v) }
+    p.setProperty("batchsize", spec.batchSize.toString)
+    val d = spec.numPartitions.fold(df)(n => df.coalesce(n))
+    d.write.mode(spec.mode).jdbc(spec.url, spec.table, p)
+  }
+
+  /** Staged write + atomic publish: parallel batch-insert into
+    * `<table>_stg`, then one transaction moves the rows into the final
+    * table (created from the staging shape when absent; DELETEd first for
+    * Overwrite) and drops staging. */
+  def writeStaged(df: DataFrame, spec: JdbcSpec): Unit = {
+    val staging = spec.table + "_stg"
+    write(df, spec.copy(table = staging, mode = SaveMode.Overwrite))
+    val conn = DriverManager.getConnection(spec.url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      val tableExists = {
+        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+        var found = false
+        while (rs.next() && !found)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(spec.table)
+        rs.close(); found
+      }
+      if (!tableExists)
+        st.executeUpdate(
+          s"CREATE TABLE ${spec.table} AS SELECT * FROM $staging WITH NO DATA")
+      else if (spec.mode == SaveMode.Overwrite)
+        st.executeUpdate(s"DELETE FROM ${spec.table}")
+      st.executeUpdate(s"INSERT INTO ${spec.table} SELECT * FROM $staging")
+      conn.commit()
+      st.executeUpdate(s"DROP TABLE $staging")
+      conn.commit()
+      st.close()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+}
