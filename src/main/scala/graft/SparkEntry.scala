@@ -337,7 +337,7 @@ object SparkEntry {
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("datepartition")),
           s"$base/b", WriteSpec())),
       runId = s"verify_$branch")
-    require(counts.values.forall(_ >= 0))
+    require(counts.values.forall(_.written >= 0))
     s.read.parquet(s"$base/$branch")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.storage.StorageLevel
 
 import graft.sinks.AtomicPublisher
@@ -12,13 +13,19 @@ import graft.sinks.AtomicPublisher.WriteSpec
   * Reference: ForkOperator (gobblin-api/.../fork/ForkOperator.java:36,52,
   * 61,70) returns a per-record Boolean routing vector; Forker splits the
   * record stream into per-branch bounded queues
-  * (StreamModelTaskRunner.java:140-155).
+  * (StreamModelTaskRunner.java:140-155); BaseDataPublisher publishes all
+  * branches only at job commit, after quality checks
+  * (COMMIT_ON_FULL_SUCCESS — JobCommitPolicy.java:35).
   *
   * Spark-first: the routing vector becomes per-branch filter predicates;
   * the shared input is persisted ONCE and each branch is an independent
-  * write action over it. The reference's bounded queues / copy-on-fork
-  * disappear — Rows are immutable and Spark schedules the branch jobs over
-  * the same cached scan. At 100 TB prefer StorageLevel.DISK_ONLY or
+  * write action over it. Branch row counts come from `observe()` metrics
+  * collected DURING each write — never from re-reading published output
+  * (which would double branch IO at scale and mis-count formats whose
+  * read-back needs options, e.g. headered CSV). All branches stage first;
+  * the `beforePromote` hook (task-level policies) then gates a rename-only
+  * promote of every branch — a failed branch or failed policy leaves all
+  * previous outputs untouched. At 100 TB prefer StorageLevel.DISK_ONLY or
   * recompute (no persist) when branch predicates are selective enough that
   * two scans beat caching.
   */
@@ -30,19 +37,42 @@ object Fork {
                           outDir: String,
                           spec: WriteSpec = WriteSpec())
 
-  /** Materialize every branch; returns per-branch row counts. */
+  /** Per-branch observed counts: rows routed into the branch (after its
+    * predicate, before its transform) and rows actually written. */
+  final case class BranchResult(routed: Long, written: Long)
+
+  /** Stage every branch, collect per-branch metrics from the writes, run
+    * `beforePromote` (task-level policies), then promote all branches.
+    * Any failure before promote leaves no branch visible/modified. */
   def run(df: DataFrame, branches: Seq[Branch], runId: String,
-          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): Map[String, Long] = {
-    val shared = if (branches.size > 1) df.persist(storage) else df
+          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+          beforePromote: Map[String, BranchResult] => Unit = _ => ())
+      : Map[String, BranchResult] = {
+    val needPersist =
+      branches.size > 1 && df.storageLevel == StorageLevel.NONE
+    val shared = if (needPersist) df.persist(storage) else df
+    val staged = scala.collection.mutable.ListBuffer
+      .empty[(Branch, Observation, Observation, AtomicPublisher.Staged)]
     try {
-      branches.map { b =>
+      branches.foreach { b =>
         val routed = b.predicate.fold(shared)(shared.filter)
-        val out = b.transform(routed)
-        AtomicPublisher.publish(out, b.outDir, runId, b.spec)
-        val written = out.sparkSession.read.format(b.spec.format).load(b.outDir)
-        b.name -> written.count()
+        val obsR = Observation(s"graft_${runId}_${b.name}_routed")
+        val obsW = Observation(s"graft_${runId}_${b.name}_written")
+        val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
+          .observe(obsW, count(lit(1)).as("rows"))
+        staged += ((b, obsR, obsW, AtomicPublisher.stage(out, b.outDir, runId, b.spec)))
+      }
+      val results = staged.map { case (b, obsR, obsW, _) =>
+        b.name -> BranchResult(
+          obsR.get("rows").asInstanceOf[Long],
+          obsW.get("rows").asInstanceOf[Long])
       }.toMap
-    } finally if (branches.size > 1) { shared.unpersist(); () }
+      beforePromote(results)
+      staged.foreach(_._4.promote())
+      results
+    } catch {
+      case e: Throwable => staged.foreach(_._4.abort()); throw e
+    } finally if (needPersist) { shared.unpersist(); () }
   }
 
   /** Plan-only fork (no writes): per-branch DataFrames over a shared scan. */

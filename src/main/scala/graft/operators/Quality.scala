@@ -37,7 +37,10 @@ object Quality {
     def enforceFail(): Unit = {
       if (failPolicies.nonEmpty) {
         val p = failPolicies.map(_.predicate).reduce(_ && _)
-        val bad = rejected.filter(!p).limit(1).count()
+        // NULL predicate = violation (three-valued logic: !p is NULL for
+        // NULL p, which a bare filter would drop — mirroring checkRows'
+        // !coalesce(p, false) routing keeps NULL-failing rows counted)
+        val bad = rejected.filter(!coalesce(p, lit(false))).limit(1).count()
         require(bad == 0,
           s"row policies ${failPolicies.map(_.name).mkString(",")} failed")
       }

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -23,9 +23,17 @@ import graft.state.StateStore
   *     (BaseDataPublisher), state-store watermark upsert
   *     (FsDatasetStateStore).
   *
-  * Commit policy is COMMIT_ON_FULL_SUCCESS (JobCommitPolicy.java:35): any
-  * branch failure aborts the publish of the whole job (writes are staged,
-  * so nothing becomes visible).
+  * Commit policy is COMMIT_ON_FULL_SUCCESS (JobCommitPolicy.java:35): all
+  * branches stage first, task policies run over the staged counts, and
+  * only then does anything become visible (rename-only promote; a branch
+  * or policy failure leaves every previous output untouched).
+  *
+  * Metrics are SINGLE-PASS: source-row count, max watermark, passed and
+  * rejected counts, FAIL-policy violations and per-branch routed/written
+  * counts all come from `observe()` nodes evaluated during the sink
+  * actions themselves. Total source scans per run: one for the err-file
+  * side-output (when row policies exist) + one to materialize the shared
+  * cache for the branch writes — nothing is ever re-read to count it.
   */
 object PipelineRunner {
 
@@ -59,46 +67,69 @@ object PipelineRunner {
       }
     }
 
-    val checked = Quality.checkRows(transformed, spec.rowPolicies.map(_.toPolicy))
+    // source-level metrics observed below the policy split (and below the
+    // cache point): whichever sink action runs first records them
+    val obsSrc = Observation(s"graft_${runId}_src")
+    val srcMetrics = Seq(count(lit(1)).as("rows")) ++
+      spec.source.watermarkColumn.map(c => max(col(c)).as("wm_max"))
+    val srcObserved = transformed.observe(obsSrc, srcMetrics.head, srcMetrics.tail: _*)
+
+    val checked = Quality.checkRows(srcObserved, spec.rowPolicies.map(_.toPolicy))
     val needBoth = spec.rowPolicies.nonEmpty
-    val input = if (needBoth) checked.passed.persist(StorageLevel.MEMORY_AND_DISK)
-                else checked.passed
+    val obsPassed = Observation(s"graft_${runId}_passed")
+    val passedObs = checked.passed.observe(obsPassed, count(lit(1)).as("rows"))
+    val input = if (needBoth) passedObs.persist(StorageLevel.MEMORY_AND_DISK)
+                else passedObs
 
+    // rejected side-output: ONE action writes the err file and observes
+    // both the reject count and the FAIL-policy violation count
     val rejectedCount =
-      if (needBoth) {
-        checked.enforceFail()
+      if (!needBoth) 0L
+      else {
+        val failPred = checked.failPolicies.map(_.predicate).reduceOption(_ && _)
+        val obsRej = Observation(s"graft_${runId}_rejected")
+        val rejMetrics = Seq(count(lit(1)).as("rows")) ++ failPred.map(p =>
+          sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as("fail_cnt"))
+        val rejObs = checked.rejected.observe(obsRej, rejMetrics.head, rejMetrics.tail: _*)
         spec.errDir match {
-          case Some(err) =>
-            AtomicPublisher.publish(checked.rejected, s"$err/${spec.name}", runId)
-            spark.read.parquet(s"$err/${spec.name}").count()
-          case None => checked.rejected.count()
+          case Some(err) => AtomicPublisher.publish(rejObs, s"$err/${spec.name}", runId)
+          case None      => rejObs.count(): Unit // force one scan for the metrics
         }
-      } else 0L
-
-    // observe extracted count on the shared input without an extra scan
-    val extracted = input.count()
-
-    // ---- branches ----
-    val branchCounts = Fork.run(input,
-      spec.branches.map(b => Fork.Branch(b.name, b.predicate, b.transform,
-        b.outDir, b.writeSpec)), runId)
-
-    // ---- 3. task policies + state commit ----
-    spec.rowCountRange.foreach { range =>
-      spec.branches.foreach { b =>
-        val written = branchCounts(b.name)
-        val expected =
-          if (b.filterExpr.isEmpty) extracted
-          else input.filter(b.predicate.get).count()
-        require(Quality.rowCountRange(expected, written, range),
-          s"row-count policy failed for branch ${b.name}: expected≈$expected written=$written")
+        val m = obsRej.get
+        failPred.foreach { _ =>
+          val bad = Option(m("fail_cnt")).fold(0L)(_.asInstanceOf[Long])
+          require(bad == 0, s"row policies " +
+            s"${checked.failPolicies.map(_.name).mkString(",")} failed: " +
+            s"$bad violating records")
+        }
+        m("rows").asInstanceOf[Long]
       }
-    }
 
-    val newWm: Option[String] = spec.source.watermarkColumn.flatMap { wmCol =>
+    // ---- branches: stage all, gate on task policies, then promote ----
+    val branchResults = Fork.run(input,
+      spec.branches.map(b => Fork.Branch(b.name, b.predicate, b.transform,
+        b.outDir, b.writeSpec)), runId,
+      beforePromote = counts =>
+        // ---- 3a. task policies run BEFORE anything becomes visible ----
+        spec.rowCountRange.foreach { range =>
+          spec.branches.foreach { b =>
+            val c = counts(b.name)
+            require(Quality.rowCountRange(c.routed, c.written, range),
+              s"row-count policy failed for branch ${b.name}: " +
+                s"expected≈${c.routed} written=${c.written}")
+          }
+        })
+
+    // sink-less job (no branches): run one count to materialize metrics
+    if (spec.branches.isEmpty) { input.count(); () }
+
+    val extracted = obsPassed.get("rows").asInstanceOf[Long]
+
+    // ---- 3b. state commit ----
+    val newWm: Option[String] = spec.source.watermarkColumn.flatMap { _ =>
       // empty extract preserves the previous watermark (QueryBasedSource.java:195-199)
       if (extracted == 0) prevWm
-      else Option(transformed.agg(max(col(wmCol))).head.get(0)).map(fmtWm)
+      else Option(obsSrc.get("wm_max")).map(fmtWm)
     }
     (store, newWm) match {
       case (Some(s), Some(wm)) => s.commit(Map((spec.name, "") -> wm), runId)
@@ -106,11 +137,12 @@ object PipelineRunner {
     }
     if (needBoth) { input.unpersist(); () }
 
-    JobResult(runId, extracted, rejectedCount, branchCounts, newWm)
+    JobResult(runId, extracted, rejectedCount,
+      branchResults.map { case (k, v) => k -> v.written }, newWm)
   }
 
   /** Canonical "yyyy-MM-dd HH:mm:ss[.f...]" watermark string from whatever
-    * the collected max() returns (Timestamp, or Instant when
+    * the observed max() returns (Timestamp, or Instant when
     * spark.sql.datetime.java8API is on). */
   private def fmtWm(v: Any): String = v match {
     case t: Timestamp => t.toString

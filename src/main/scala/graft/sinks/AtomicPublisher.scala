@@ -1,22 +1,27 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
-/** Staged atomic publish: write to a staging dir, then rename into the
-  * final dir in one filesystem move.
+/** Staged atomic publish: write to a staging dir, then swap into the
+  * final dir with renames.
   *
   * Reference: all FS writers stage task output
   * (gobblin-core/.../writer/FsDataWriter.java:58 — task-staging ->
   * task-output) and BaseDataPublisher.java:106,338 atomically renames to
-  * the final directory at job commit, per branch.
+  * the final directory at JOB commit, per branch — data becomes visible
+  * only after every branch and every quality check succeeded
+  * (COMMIT_ON_FULL_SUCCESS, JobCommitPolicy.java:35).
   *
   * Spark-first: Spark's FileCommitProtocol already gives task-level
-  * atomicity (_temporary + rename); this publisher adds the reference's
-  * JOB-level publish step — data is invisible under the final path until
-  * the whole branch succeeded. TimePartitioned layout is preserved because
-  * partition subdirectories are moved as-is
-  * (TimePartitionedDataPublisher semantics).
+  * atomicity (_temporary + rename); this publisher adds the job-level
+  * step, split into [[stage]] (expensive write, failure-safe) and
+  * [[Staged.promote]] (cheap rename swap) so a multi-branch job can stage
+  * everything, run task-level policies, and only then make any branch
+  * visible. Promote never deletes the previous output before the new one
+  * is in place: old data is renamed aside, the staging dir renamed in,
+  * and the old copy removed last — a crash mid-promote leaves either the
+  * old or the new data at the final path, never neither.
   */
 object AtomicPublisher {
 
@@ -25,22 +30,43 @@ object AtomicPublisher {
                              options: Map[String, String] = Map.empty,
                              mode: SaveMode = SaveMode.Overwrite)
 
-  /** Write df to `<finalDir>/.staging-<runId>`, then move into finalDir. */
-  def publish(df: DataFrame, finalDir: String, runId: String,
-              spec: WriteSpec = WriteSpec()): Unit = {
+  /** A written-but-not-yet-visible output. */
+  final case class Staged(fs: FileSystem, staging: Path, dst: Path, runId: String) {
+    /** Swap staged data into the final path (old aside -> new in -> drop old). */
+    def promote(): Unit = {
+      val old = new Path(dst.getParent, s".old-$runId-${dst.getName}")
+      if (fs.exists(old)) fs.delete(old, true)
+      val hadOld = fs.exists(dst)
+      if (hadOld) require(fs.rename(dst, old), s"promote: cannot set aside $dst")
+      if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+      if (!fs.rename(staging, dst)) {
+        if (hadOld) fs.rename(old, dst) // restore previous output
+        throw new IllegalStateException(s"promote rename failed: $staging -> $dst")
+      }
+      if (hadOld) fs.delete(old, true)
+    }
+
+    /** Drop the staged data (nothing was ever visible). */
+    def abort(): Unit = { if (fs.exists(staging)) fs.delete(staging, true); () }
+  }
+
+  /** Write df to `<parent>/.staging-<runId>-<name>`; nothing visible yet. */
+  def stage(df: DataFrame, finalDir: String, runId: String,
+            spec: WriteSpec = WriteSpec()): Staged = {
     val spark = df.sparkSession
-    val fs = new Path(finalDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = new Path(finalDir).getParent
-    val staging = new Path(parent, s".staging-$runId-${new Path(finalDir).getName}")
+    val dst = new Path(finalDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dst.getParent, s".staging-$runId-${dst.getName}")
     if (fs.exists(staging)) fs.delete(staging, true)
 
     var w = df.write.mode(spec.mode).format(spec.format).options(spec.options)
     if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
     w.save(staging.toString)
-
-    val dst = new Path(finalDir)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-    require(fs.rename(staging, dst), s"publish rename failed: $staging -> $dst")
+    Staged(fs, staging, dst, runId)
   }
+
+  /** Single-branch convenience: stage then promote immediately. */
+  def publish(df: DataFrame, finalDir: String, runId: String,
+              spec: WriteSpec = WriteSpec()): Unit =
+    stage(df, finalDir, runId, spec).promote()
 }

@@ -68,6 +68,81 @@ class PipelineSpecSuite extends SparkSpec {
     assert(store.highWatermark("e2e").contains(r1.committedWatermark.get))
   }
 
+  test("single-pass metrics: exactly one action per sink, none for counting") {
+    // err write + 2 branch writes = 3 SQL executions; every count
+    // (extracted/rejected/branch/watermark) must come from observe()
+    // metrics of those same actions, so any extra execution is a re-scan
+    // regression (the runner used to issue ~7).
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(): Unit
+          case _ =>
+        }
+    }
+    val out = tmpDir("pipe-actions")
+    val spec = PipelineSpec(
+      name = "actions",
+      source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet"),
+      rowPolicies = Seq(RowPolicySpec("pos", "o_totalprice > 0", "ERR_FILE")),
+      errDir = Some(s"$out/err"),
+      rowCountRange = Some(0.0),
+      branches = Seq(
+        BranchSpec("all", None, Seq("o_orderkey", "o_totalprice"), s"$out/all"),
+        BranchSpec("f_only", Some("o_orderstatus = 'F'"), Nil, s"$out/f")))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = PipelineRunner.run(spark, spec, "runActions")
+      assert(r.extracted > 0 && r.branchCounts.size == 2)
+      // listener events are async: wait for the count to stabilize
+      var last = -1
+      var stable = 0
+      var i = 0
+      while (stable < 5 && i < 100) {
+        val c = execs.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(50); i += 1
+      }
+      assert(execs.get() == 3,
+        s"expected 3 sink actions (err + 2 branches), saw ${execs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("commit-on-full-success: failed task policy leaves previous outputs intact") {
+    import graft.operators.Fork
+    val out = tmpDir("fork-staged")
+    val orders = Tables.load(spark, sf, "orders")
+    val branches = Seq(
+      Fork.Branch("a", None, _.select("o_orderkey"), s"$out/a"),
+      Fork.Branch("b", None, _.select("o_orderkey", "o_totalprice"), s"$out/b"))
+
+    // run 1 publishes good data
+    val r1 = Fork.run(orders, branches, "runGood")
+    val rowsA = spark.read.parquet(s"$out/a").count()
+    assert(rowsA == r1("a").written && rowsA > 0)
+
+    // run 2 stages a DIFFERENT (smaller) dataset, then the task policy
+    // (beforePromote) rejects it: both run-1 outputs must survive and the
+    // staging dirs must be cleaned up
+    val smaller = orders.limit(5)
+    intercept[IllegalStateException] {
+      Fork.run(smaller, branches, "runBad",
+        beforePromote = counts =>
+          if (counts("a").written != rowsA)
+            throw new IllegalStateException("row-count policy failed"))
+    }
+    assert(spark.read.parquet(s"$out/a").count() == rowsA)
+    assert(spark.read.parquet(s"$out/b").count() == rowsA)
+    val stagingLeft = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith(".staging"))
+    assert(stagingLeft.isEmpty, s"staging not cleaned: ${stagingLeft.mkString(",")}")
+
+    // observed counts: routed sees pre-transform rows, written post-write
+    assert(r1("b") == Fork.BranchResult(rowsA, rowsA))
+  }
+
   test("FAIL row policy aborts the job") {
     val out = tmpDir("pipefail")
     val spec = PipelineSpec(
