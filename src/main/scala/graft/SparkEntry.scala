@@ -165,8 +165,17 @@ object SparkEntry {
         .transform(Converters.derivePartition("o_orderdate", "yyyy-MM"))
         .repartition(col("datepartition"))
         .write.mode("overwrite").partitionBy("datepartition").parquet(out)
-      s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      s.read.parquet(out)
+      // partition values must read back as the written strings; scope the
+      // inference toggle to this read (partition discovery happens inside
+      // the .parquet() call) instead of leaking it into the session
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try s.read.parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }),
 
     // --- json converter (SURVEY §2.3, from_json pipeline) ---

@@ -25,16 +25,55 @@ object CopyDiff {
 
   /** Allocate highest-priority files under a total byte budget
     * (CopySource prioritization): order by priority, keep the prefix whose
-    * cumulative size fits. */
+    * cumulative size fits.
+    *
+    * The running sum is DISTRIBUTED: a global `Window.orderBy` would pull
+    * the entire manifest into one task (a 100 TB copy plan has millions of
+    * files). Instead, constant bucket boundaries (approx quantiles of the
+    * priority column, collected once and inlined as literals so every
+    * re-execution buckets identically) split the manifest into ordered
+    * buckets; each bucket computes its local running sum in parallel and a
+    * driver-side prefix over the tiny per-bucket totals supplies the
+    * offsets. Ties in the priority column land in the same bucket, so the
+    * result equals the single-window plan whenever the priority order is
+    * total; heavily skewed priorities degrade toward fewer active buckets.
+    * Eager: collects quantiles + bucket totals (planning-time actions,
+    * O(buckets) rows) when called. */
   def allocateUnderBudget(files: DataFrame, lengthCol: String,
-                          priorityOrder: Seq[org.apache.spark.sql.Column],
-                          budgetBytes: Long): DataFrame = {
+                          priorityCol: String, ascending: Boolean,
+                          budgetBytes: Long, buckets: Int = 64): DataFrame = {
+    val dir = if (ascending) col(priorityCol).asc else col(priorityCol).desc
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = files.stat.approxQuantile(priorityCol, probs, 0.001)
+      .distinct.sorted.toSeq
+    // bucket index increases along the scan order for either direction
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map { b =>
+        if (ascending) when(col(priorityCol) > lit(b), 1).otherwise(0)
+        else when(col(priorityCol) < lit(b), 1).otherwise(0)
+      }.reduce(_ + _)
+    val bucketed = files.withColumn("__graft_bkt", bucketExpr)
+
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(priorityOrder: _*)
+    val w = Window.partitionBy(col("__graft_bkt")).orderBy(dir)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    files.withColumn("__graft_cum", sum(col(lengthCol)).over(w))
+    val local = bucketed.withColumn("__graft_cum_local",
+      sum(col(lengthCol)).over(w))
+
+    val totals = bucketed.groupBy("__graft_bkt")
+      .agg(sum(col(lengthCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = totals.scanLeft((0, 0L)) {
+      case ((_, acc), (bkt, t)) => (bkt + 1, acc + t)
+    }.init.zip(totals).map { case ((_, off), (bkt, _)) => bkt -> off }.toMap
+
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
+      when(col("__graft_bkt") === bkt, lit(off)).otherwise(acc)
+    }
+    local.withColumn("__graft_cum", col("__graft_cum_local") + offExpr)
       .filter(col("__graft_cum") <= budgetBytes)
-      .drop("__graft_cum")
+      .drop("__graft_bkt", "__graft_cum_local", "__graft_cum")
   }
 
   /** Build a file manifest DataFrame by listing a filesystem path

@@ -63,13 +63,21 @@ object WatermarkPartitioner {
     val hi = high.toInstant
     if (!hi.isAfter(lo)) Nil
     else {
-      val units = unit.between(lo, hi)
+      val units = unit.between(lo, hi) // truncates a partial trailing unit
       val n = math.max(1L, math.min(maxPartitions.toLong, units)).toInt
       val step = math.ceil(math.max(units, 1L).toDouble / n).toLong
       (0 until n).flatMap { i =>
         val cLo = lo.plus(step * i, unit)
-        val cHiRaw = lo.plus(step * (i + 1), unit)
-        val cHi = if (cHiRaw.isAfter(hi)) hi else cHiRaw
+        // the LAST chunk always tops out at hi itself: unit-aligned steps
+        // would otherwise stop at lo + units (< hi when the interval is
+        // not a whole multiple of the unit) and silently lose the rows in
+        // (lo + units, hi]
+        val cHi =
+          if (i == n - 1) hi
+          else {
+            val cHiRaw = lo.plus(step * (i + 1), unit)
+            if (cHiRaw.isAfter(hi)) hi else cHiRaw
+          }
         if (cHi.isAfter(cLo)) Some(Chunk(Timestamp.from(cLo), Timestamp.from(cHi)))
         else None
       }

@@ -40,7 +40,11 @@ final class StateStore(spark: SparkSession, dir: String) {
   def highWatermark(dataset: String, partition: String = ""): Option[String] =
     read().get((dataset, partition))
 
-  /** Upsert watermarks atomically (write temp, rename over). */
+  /** Upsert watermarks atomically: write temp, then a single
+    * overwrite-capable rename — there is never a moment without a readable
+    * state file (a delete-then-rename would, on a crash between the two,
+    * fall back to watermarkDefault next run and re-extract everything;
+    * the reference's FsStateStore keeps prior state recoverable). */
   def commit(entries: Map[(String, String), String], runId: String): Unit = {
     val merged = read() ++ entries
     val txt = merged.map { case ((d, pt), wm) =>
@@ -50,8 +54,10 @@ final class StateStore(spark: SparkSession, dir: String) {
     val dst = new org.apache.hadoop.fs.Path(path)
     val out = fs.create(tmp, true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"state commit rename failed: $tmp -> $dst")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def asDataFrame: DataFrame = {

@@ -95,8 +95,40 @@ class DataOrgSpec extends SparkSpec {
     val files = Seq(("/a", 10L, 1), ("/b", 10L, 2), ("/c", 10L, 3))
       .toDF("path", "length", "prio")
     val out = CopyDiff.allocateUnderBudget(files, "length",
-      Seq(col("prio").asc), budgetBytes = 25L)
+      "prio", ascending = true, budgetBytes = 25L)
     assert(out.select("path").as[String].collect().toSet == Set("/a", "/b"))
+  }
+
+  test("allocateUnderBudget distributed prefix-sum matches a global window") {
+    // 1000 files, distinct priorities -> result must equal the naive
+    // single-task global-window allocation, without using one
+    val files = spark.range(1000)
+      .select(concat(lit("/f"), col("id")).as("path"),
+        (pmod(col("id") * 37, lit(100)) + 1).as("length"),
+        pmod(col("id") * 7919, lit(100000)).as("prio"))
+    val budget = 9000L
+    val got = CopyDiff.allocateUnderBudget(files, "length",
+      "prio", ascending = true, budgetBytes = budget)
+    // reference result via driver-side sort (test-only oracle)
+    val all = files.orderBy(col("prio").asc)
+      .select("path", "length").as[(String, Long)].collect()
+    var acc = 0L
+    val expect = all.takeWhile { case (_, l) => acc += l; acc <= budget }
+      .map(_._1).toSet
+    assert(got.select("path").as[String].collect().toSet == expect)
+    // descending direction too
+    val gotDesc = CopyDiff.allocateUnderBudget(files, "length",
+      "prio", ascending = false, budgetBytes = budget)
+    var acc2 = 0L
+    val expectDesc = files.orderBy(col("prio").desc)
+      .select("path", "length").as[(String, Long)].collect()
+      .takeWhile { case (_, l) => acc2 += l; acc2 <= budget }.map(_._1).toSet
+    assert(gotDesc.select("path").as[String].collect().toSet == expectDesc)
+    // the plan must not contain a partition-less (global) Window
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "global (partition-less) window found in plan")
   }
 
   test("listManifest walks a directory tree") {

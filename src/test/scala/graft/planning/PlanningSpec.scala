@@ -2,6 +2,8 @@ package graft.planning
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.{SparkSpec, Tables}
 import graft.planning.WatermarkPartitioner._
 
@@ -31,6 +33,28 @@ class PlanningSpec extends SparkSpec {
       case Seq(a, b) => assert(a.high == b.low)
       case _ =>
     }
+  }
+
+  test("splitTime keeps the partial trailing unit (non-aligned high)") {
+    // [Jan1 00:00, Jan3 12:00] at day granularity: unit.between truncates
+    // to 2 days — the final chunk must still top out at 12:00, not 00:00
+    val lo = Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = Timestamp.valueOf("1995-01-03 12:00:00")
+    val chunks = splitTime(lo, hi, DateWm, 2)
+    assert(chunks.head.low == lo)
+    assert(chunks.last.high == hi, s"tail lost: ${chunks.last}")
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(a.high == b.low)
+      case _ =>
+    }
+    // and the chunked scan over real data equals the direct range filter
+    val orders = Tables.load(spark, sf, "orders")
+    val lo2 = Timestamp.valueOf("1995-06-01 00:00:00")
+    val hi2 = Timestamp.valueOf("1995-08-15 09:30:00")
+    val chunked = incrementalScan(orders, "o_orderdate", lo2, hi2, DateWm, 4)
+    val direct = orders.filter(
+      col("o_orderdate") > lit(lo2) && col("o_orderdate") <= lit(hi2))
+    assert(chunked.count() == direct.count())
   }
 
   test("incrementalScan union equals single range filter") {
