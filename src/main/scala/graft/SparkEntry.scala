@@ -246,6 +246,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
     }),
 
+    // duplicate-cluster resolution: verified near-dup pairs -> connected
+    // components -> cluster id per doc (survivor = min id per cluster);
+    // DuckDB recomputes components with a recursive CTE over the same
+    // exact-Jaccard pair set.
+    "q36_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        n = 3, k = 32, numBands = 16)
+      val pairs = MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
+        n = 3, threshold = 0.5).select("id_a", "id_b")
+      graft.dedup.DupClusters.resolve(docs, "doc_id", pairs)
+        .select("doc_id", "cluster_id")
+    }),
+
     // simhash fingerprints (rows-only)
     "q22_simhash" -> ((s, dir) =>
       SimHash.withSimhash(t(s, dir, "documents"), "text")
@@ -468,6 +482,24 @@ object SparkEntry {
     "q26_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents"),
+    "q36_dup_clusters" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+2],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-1)] END) AS sh " +
+        "FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p " +
+        "UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e " +
+        "ON e.src = r.b WHERE e.dst <> r.a), " +
+        "cl AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
+        "SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN cl ON cl.a = d.doc_id"),
     "q22_simhash" ->
       ("WITH h AS (SELECT doc_id, " +
         "[('0x' || substr(md5(t),1,15))::BIGINT FOR t IN string_split(text,' ')] AS hs " +

@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: candidate/verified pairs are only half of
+  * near-dup dedup — a training-data pipeline must then group pairs into
+  * clusters (connected components) and keep ONE survivor per cluster.
+  * (The reference's dedup is exact-key only — AvroKeyDedupReducer.java:39;
+  * this closes the near-dup loop the same way its reducer keeps one record
+  * per key.)
+  *
+  * Components by iterative min-label propagation: every node starts as its
+  * own label; each round a node adopts the minimum label among itself and
+  * its neighbors; fixpoint = every component labeled by its minimum id.
+  * Rounds needed = component diameter — near-dup clusters are shallow
+  * (dozens of docs, diameter a few hops), so the cap of `maxIter` rounds
+  * is generous; the loop stops early on convergence (one count per round,
+  * over O(pairs) rows, never O(docs^2)). Label state is persisted per
+  * round and the previous round unpersisted, so lineage stays flat. For
+  * adversarial graphs with long chains swap in the large-star/small-star
+  * alternation — same join shape, O(log n) rounds.
+  */
+object DupClusters {
+
+  /** (id, cluster) for every id that appears in `pairs`; cluster = the
+    * minimum id of the connected component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("nbr")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.join(
+          labels.select(col("id"), col("cluster").as("prev")), "id")
+          .filter(col("cluster") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      require(converged, s"components did not converge in $maxIter rounds")
+      labels
+    } finally edges.unpersist()
+  }
+
+  /** Annotate every doc with its cluster id (its own id when it is in no
+    * pair — singletons are their own cluster). */
+  def resolve(docs: DataFrame, idCol: String, pairs: DataFrame,
+              maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter)
+      .withColumnRenamed("id", idCol)
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+  }
+
+  /** One survivor per cluster: the minimum-id member (plus every
+    * singleton). */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                maxIter: Int = 20): DataFrame =
+    resolve(docs, idCol, pairs, maxIter)
+      .filter(col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+}

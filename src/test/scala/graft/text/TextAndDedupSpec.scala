@@ -100,6 +100,26 @@ class TextAndDedupSpec extends SparkSpec {
     assert(out.head.getDouble(2) == 1.0)
   }
 
+  test("dup-cluster resolution: components, singletons, survivors") {
+    import graft.dedup.DupClusters
+    // chain 1-2-3 (transitive), pair 10-11, singleton 20
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val resolved = DupClusters.resolve(docs, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(resolved == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val surv = DupClusters.survivors(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(surv == Set(1L, 10L, 20L))
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L to 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val cc = DupClusters.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L))
+  }
+
   test("simhash: identical texts equal, near texts close, disjoint texts far") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
