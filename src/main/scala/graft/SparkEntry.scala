@@ -211,6 +211,26 @@ object SparkEntry {
       s.read.orc(out)
     }),
 
+    // --- incremental file-manifest source (FileBasedSource.java:58) ---
+    // run 1 extracts the initial files and commits the snapshot; new files
+    // then land in the directory; run 2 must read ONLY the delta.
+    "q37_manifest_incremental" -> ((s, dir) => {
+      val base = tmp("q37")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true) // fresh scenario
+      val data = s"$base/data"
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(data)
+      val run1 = graft.sources.ManifestSource.plan(s, s"$base/state", "orders_inc", data)
+      run1.df.count(): Unit
+      run1.commit()
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.mode("append").parquet(data)
+      graft.sources.ManifestSource.plan(s, s"$base/state", "orders_inc", data).df
+    }),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -436,6 +456,8 @@ object SparkEntry {
       "SELECT * FROM supplier",
     "q35_jdbc_roundtrip" ->
       "SELECT * FROM nation",
+    "q37_manifest_incremental" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
     "q20_docs_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
     "q21_minhash_pairs" ->
