@@ -183,11 +183,13 @@ object SparkEntry {
       t(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k"))),
 
-    // --- grok-style log parsing (GrokToJsonConverter ≈ regex groups) ---
+    // --- grok log parsing (GrokToJsonConverter.java:86): a real %{...}
+    // pattern compiled to regex groups, not a hand-written regex ---
     "q31_grok_parse" -> ((s, dir) =>
-      t(s, dir, "orders").select(col("o_orderkey"),
-        regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 1).as("prio_num"),
-        regexp_extract(col("o_orderpriority"), "(\\d+)-(\\w+)", 2).as("prio_name"))),
+      graft.functions.Grok.parse(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderpriority", "%{INT:prio_num}-%{WORD:prio_name}")
+        .select("o_orderkey", "prio_num", "prio_name")),
 
     // --- regex row filter (StringFilterConverter) ---
     "q32_regex_filter" -> ((s, dir) =>
@@ -209,6 +211,18 @@ object SparkEntry {
       val proj = t(s, dir, "supplier")
       proj.write.mode("overwrite").orc(out)
       s.read.orc(out)
+    }),
+
+    // --- avro sink/source round-trip (AvroHdfsDataWriter.java:51; no
+    // spark-avro jar here, so the engine's own GenericRecord<->Row bridge
+    // over avro-mapred does the IO, logical timestamp types included) ---
+    "q38_avro_roundtrip" -> ((s, dir) => {
+      val out = tmp("q38")
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      graft.sources.AvroIO.write(t(s, dir, "orders"), out, "orders")
+      graft.sources.AvroIO.read(s, out)
     }),
 
     // --- incremental file-manifest source (FileBasedSource.java:58) ---
@@ -458,6 +472,8 @@ object SparkEntry {
       "SELECT * FROM nation",
     "q37_manifest_incremental" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
+    "q38_avro_roundtrip" ->
+      "SELECT * FROM orders",
     "q20_docs_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
     "q21_minhash_pairs" ->

@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GrokSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compile: named macros capture in order, unnamed do not") {
+    val c = Grok.compile("%{INT:num}-%{WORD}-%{WORD:tag}")
+    assert(c.fields.map(f => (f.name, f.group)) == Seq("num" -> 1, "tag" -> 2))
+    assert("42-foo-bar".matches(c.regex))
+  }
+
+  test("nested library patterns expand (NUMBER -> BASE10NUM, TIMESTAMP_ISO8601)") {
+    val c = Grok.compile("%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{GREEDYDATA:msg}")
+    val m = java.util.regex.Pattern.compile(c.regex)
+      .matcher("2024-03-01 12:34:56 ERROR disk full")
+    assert(m.matches())
+    assert(m.group(1) == "2024-03-01 12:34:56")
+    assert(m.group(2) == "ERROR")
+    assert(m.group(3) == "disk full")
+  }
+
+  test("parse: typed fields, NULLs for unmatched lines") {
+    val df = Seq(
+      "10.0.0.1 alice 200 0.125",
+      "not a log line at all!!!").toDF("line")
+    val out = Grok.parse(df, "line",
+      "%{IPV4:ip} %{USERNAME:user} %{INT:status:int} %{NUMBER:dur:double}")
+    val rows = out.select("ip", "user", "status", "dur")
+      .as[(Option[String], Option[String], Option[Int], Option[Double])]
+      .collect()
+    assert(rows(0) == ((Some("10.0.0.1"), Some("alice"), Some(200), Some(0.125))))
+    assert(rows(1) == ((None, None, None, None)))
+    assert(out.schema("status").dataType.typeName == "integer")
+    assert(out.schema("dur").dataType.typeName == "double")
+  }
+
+  test("literal regex between macros is honored; unknown pattern rejected") {
+    val c = Grok.compile("""^\[%{WORD:a}\]$""")
+    val m = java.util.regex.Pattern.compile(c.regex).matcher("[xyz]")
+    assert(m.find() && m.group(1) == "xyz")
+    assert(!java.util.regex.Pattern.compile(c.regex).matcher("no brackets").find())
+    intercept[IllegalArgumentException] { Grok.compile("%{NOPE:x}") }
+    intercept[IllegalArgumentException] {
+      Grok.parse(Seq("x").toDF("line"), "line", "%{WORD:w:complex128}")
+        .collect()
+    }
+  }
+}
