@@ -225,6 +225,76 @@ object SparkEntry {
       graft.sources.AvroIO.read(s, out)
     }),
 
+    // --- late data + recompaction (MRCompactor late dirs): records after
+    // the watermark publish normally, earlier ones spill into _late
+    // (hidden from reads); recompaction merges + dedups + republishes, so
+    // the final dir holds exactly the full event set.
+    "q42_late_recompact" -> ((s, dir) => {
+      import graft.operators.LateData
+      val base = tmp("q42")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val out = s"$base/ds"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      val wm = Timestamp.valueOf("2024-01-15 00:00:00")
+      val (onTime, late) = LateData.splitLate(ev, "ts", wm)
+      onTime.write.parquet(out)
+      LateData.appendLate(late, out, "spill1")
+      LateData.recompact(s, out, Seq("event_id"),
+        Seq(col("ts").desc), "recompact1")
+      s.read.parquet(out).select("event_id", "user_id", "event_type")
+    }),
+
+    // --- kafka-shaped offset-range planning (KafkaSource.java:198,213):
+    // events replayed as 4 "partitions"; partitions 0/1 resume from their
+    // committed offsets, partition 2's commit (10) fell below the retained
+    // earliest (25) -> reset-to-earliest, partition 3 has no commit ->
+    // start at earliest. Extraction is one OR-of-ranges pushed predicate.
+    "q41_offset_ranges" -> ((s, dir) => {
+      import graft.planning.OffsetRangePlanner._
+      val ev = t(s, dir, "events").select(col("event_id"),
+        pmod(col("event_id"), lit(4)).cast("int").as("part"),
+        expr("event_id div 4").as("off"))
+      val stats = ev.groupBy("part")
+        .agg(min(col("off")).as("lo"), max(col("off")).as("hi"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val partitions = (0 until 4).map { p =>
+        val (lo, hi) = stats(p)
+        PartitionState("events", p,
+          earliest = if (p == 2) 25L else lo, latest = hi + 1)
+      }
+      val committed = Map(("events", 0) -> 100L, ("events", 1) -> 50L,
+        ("events", 2) -> 10L)
+      val ranges = plan(partitions, committed, ResetEarliest)
+      extract(ev, ranges, "part", "off").select("event_id", "part", "off")
+    }),
+
+    // --- envelope decode (EnvelopeSchemaConverter.java:57): payload bytes
+    // deserialized with the writer schema looked up by id in a registry ---
+    "q39_envelope" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val schemaJson = graft.sources.AvroIO
+        .avroSchemaFor(orders.schema, "orders").toString
+      val env = graft.sources.Envelope.encodeAvro(orders, schemaJson, schemaId = 7L)
+      graft.sources.Envelope.decodeAvro(env, "schema_id", "payload",
+        Map(7L -> schemaJson), schemaJson)
+    }),
+
+    // --- codec converters (StreamCodec gzip + aes): encrypt/compress then
+    // invert, which must restore the original text exactly ---
+    "q40_codec_roundtrip" -> ((s, dir) => {
+      val key = "0123456789abcdef"
+      t(s, dir, "documents").select(col("doc_id"),
+        decode(graft.functions.Codecs.gunzip(
+          graft.functions.Codecs.gzip(encode(col("text"), "UTF-8"))), "UTF-8")
+          .as("text_gz"),
+        decode(graft.functions.Codecs.aesDecrypt(
+          graft.functions.Codecs.aesEncrypt(encode(col("text"), "UTF-8"), key), key),
+          "UTF-8").as("text_aes"))
+    }),
+
     // --- incremental file-manifest source (FileBasedSource.java:58) ---
     // run 1 extracts the initial files and commits the snapshot; new files
     // then land in the directory; run 2 must read ONLY the delta.
@@ -474,6 +544,18 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1",
     "q38_avro_roundtrip" ->
       "SELECT * FROM orders",
+    "q39_envelope" ->
+      "SELECT * FROM orders",
+    "q42_late_recompact" ->
+      "SELECT event_id, user_id, event_type FROM events",
+    "q41_offset_ranges" ->
+      ("SELECT event_id, (event_id % 4)::INT AS part, event_id // 4 AS off " +
+        "FROM events WHERE (event_id % 4 = 0 AND event_id // 4 >= 100) " +
+        "OR (event_id % 4 = 1 AND event_id // 4 >= 50) " +
+        "OR (event_id % 4 = 2 AND event_id // 4 >= 25) " +
+        "OR (event_id % 4 = 3)"),
+    "q40_codec_roundtrip" ->
+      "SELECT doc_id, text AS text_gz, text AS text_aes FROM documents",
     "q20_docs_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM documents GROUP BY 1",
     "q21_minhash_pairs" ->

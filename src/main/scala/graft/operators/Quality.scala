@@ -73,6 +73,14 @@ object Quality {
           (ef.nullable || !af.nullable))
     }
 
+  /** FileSizePolicy (policies/size/FileSizePolicy.java): every written
+    * data file within [minBytes, maxBytes] — catches both corrupt-empty
+    * outputs and the small-files anti-pattern after a publish. */
+  def fileSizesWithin(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      minBytes: Long, maxBytes: Long): Boolean =
+    graft.sources.ManifestSource.listFiles(spark, dir)
+      .forall(f => f.length >= minBytes && f.length <= maxBytes)
+
   /** Common row policies from the reference's policy library. */
   object policies {
     /** AvroHeaderGuidPolicy: non-null guid. */

@@ -1,0 +1,44 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+
+/** Post-publish catalog registration: make published directories
+  * SQL-visible tables and discover their partitions — the reference's
+  * Hive-registration publisher
+  * (gobblin-hive-registration/.../HiveRegister.java:62,
+  * HiveRegistrationPublisher), whose job is CREATE TABLE IF NOT EXISTS +
+  * ADD PARTITION per published path.
+  *
+  * Spark-first: `CREATE TABLE ... USING <format> LOCATION` against the
+  * session catalog plus `ALTER TABLE ... RECOVER PARTITIONS` (MSCK) —
+  * identical statements work against a real Hive metastore; the tests run
+  * on the in-memory catalog.
+  */
+object CatalogRegister {
+
+  /** Register (idempotently) a published directory as an external table
+    * and sync its partitions. Returns the row count visible via SQL. */
+  def register(spark: SparkSession, table: String, dir: String,
+               format: String = "parquet",
+               partitionCols: Seq[String] = Nil): Unit = {
+    if (partitionCols.isEmpty)
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING $format " +
+        s"LOCATION '$dir'"): Unit
+    else {
+      // partitioned external tables need an explicit column list; infer
+      // it from the published files (partition columns come back from
+      // Spark's layout discovery)
+      val schema = spark.read.format(format).load(dir).schema
+      val cols = schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table ($cols) USING $format " +
+        s"PARTITIONED BY (${partitionCols.mkString(", ")}) " +
+        s"LOCATION '$dir'"): Unit
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS"): Unit
+    }
+  }
+
+  /** Drop the registration (data stays — external-table semantics). */
+  def deregister(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+}

@@ -126,7 +126,7 @@ object AvroIO {
 
   // ---- values ------------------------------------------------------------
 
-  private def toAvro(v: Any, s: Schema): Any = {
+  private[sources] def toAvro(v: Any, s: Schema): Any = {
     if (v == null) return null
     s.getType match {
       case Schema.Type.UNION =>
@@ -164,7 +164,7 @@ object AvroIO {
     }
   }
 
-  private def fromAvro(v: Any, s: Schema): Any = {
+  private[sources] def fromAvro(v: Any, s: Schema): Any = {
     if (v == null) return null
     s.getType match {
       case Schema.Type.UNION =>
