@@ -82,6 +82,30 @@ class LateDataSpec extends SparkSpec {
     } finally CatalogRegister.deregister(spark, "graft_reg_orders")
   }
 
+  test("avro->orc conversion swaps only affected partitions") {
+    import graft.sources.AvroIO
+    val base = tmpDir("avro2orc")
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type")
+    AvroIO.write(ev, s"$base/avro")
+    val swapped = FormatConvert.avroToOrc(spark, s"$base/avro", s"$base/orc",
+      partitionBy = Seq("event_type"), runId = "c1")
+    assert(swapped.nonEmpty)
+    val orc = spark.read.orc(s"$base/orc")
+    assert(orc.count() == ev.count())
+
+    // second conversion carrying ONE partition must leave the others alone
+    val one = ev.filter($"event_type" === "click").limit(5)
+    AvroIO.write(one, s"$base/avro2")
+    val swapped2 = FormatConvert.avroToOrc(spark, s"$base/avro2", s"$base/orc",
+      partitionBy = Seq("event_type"), runId = "c2")
+    assert(swapped2 == Seq("event_type=click"))
+    val after = spark.read.orc(s"$base/orc")
+    assert(after.filter($"event_type" === "click").count() == 5)
+    assert(after.filter($"event_type" =!= "click").count() ==
+      ev.filter($"event_type" =!= "click").count())
+  }
+
   test("file-size policy bounds written files") {
     val dir = tmpDir("fsize")
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/out")

@@ -1,10 +1,61 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.{SparkSpec, Tables}
 
 class StreamsSpec extends SparkSpec {
+
+  test("event-time watermark drops data later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Timestamp, String)]
+    val windowed = Streams.tumblingCounts(
+      src.toDF().toDF("ts", "v"), "ts", "10 minutes", lateness = "5 minutes")
+    val q = windowed.writeStream.format("memory")
+      .queryName("wm_late_tbl").outputMode("append").start()
+    // batch 1: events at 10:00-10:09 advance the watermark to 10:55-5min
+    src.addData((Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 10:09:00"), "b"),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "c"))
+    q.processAllAvailable()
+    // batch 2: an event for the long-closed 10:00 window is too late
+    src.addData((Timestamp.valueOf("2024-01-01 10:01:00"), "LATE"),
+      (Timestamp.valueOf("2024-01-01 11:01:00"), "d"))
+    q.processAllAvailable()
+    src.stop()
+    q.stop()
+    val counts = spark.table("wm_late_tbl")
+      .as[(Timestamp, Long)].collect().toMap
+    // the 10:00 window finalized with 2 rows — the late row never landed
+    assert(counts(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
+  }
+
+  test("exactly-once file sink: restarting from the checkpoint never re-emits") {
+    val dir = tmpDir("eos")
+    def runOnce(): Unit = {
+      val stream = Tables.loadStream(spark, sf, "events")
+      val q = stream.select("event_id").writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n = spark.read.parquet(s"$dir/out").count()
+    assert(n == Tables.load(spark, sf, "events").count())
+    // same input, same checkpoint: nothing reprocessed, no duplicates
+    runOnce()
+    assert(spark.read.parquet(s"$dir/out").count() == n)
+    assert(spark.read.parquet(s"$dir/out")
+      .groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
 
   test("streaming tumbling counts equal batch counts (stream/batch parity)") {
     val stream = Tables.loadStream(spark, sf, "events")
