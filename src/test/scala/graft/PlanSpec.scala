@@ -72,4 +72,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("codegen id"))
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
   }
+
+  test("q21 minhash: no cartesian product, documents scanned at most 3x") {
+    // bands -> groupBy(bucket) -> pair explode -> verify joins; the old
+    // self-join formulation re-evaluated the signature pipeline per side
+    val df = q("q21_minhash_pairs")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in minhash plan:\n$p")
+    val docScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(docScans <= 3, s"documents scanned $docScans times")
+    // the signature never materializes: only band hashes appear
+    assert(p.contains("minhash_band_hashes"))
+    assert(!p.contains("minhash_signature"))
+  }
+
+  test("q41 offset ranges push the partition/offset predicate to the scan") {
+    val p = planOf(q("q41_offset_ranges"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("event_id")),
+      s"offset-range predicate not pushed: $pushed")
+  }
+
+  test("q36 components: edges never join against the full documents table") {
+    val p = planOf(q("q36_dup_clusters"))
+    assert(!p.contains("CartesianProduct"))
+    // final resolve joins docs LEFT to the tiny component table
+    assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"),
+      s"resolve should left-join components:\n$p")
+  }
 }

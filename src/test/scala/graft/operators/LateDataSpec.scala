@@ -56,6 +56,9 @@ class LateDataSpec extends SparkSpec {
     val pruned = DatePartitionedSource.read(spark, root,
       lowWatermark = Some(java.time.LocalDate.parse("2024-01-01")))
     assert(pruned.select("id").as[Long].collect().toSet == Set(2L, 3L))
+    // pruning happens at plan time: the pruned-out dir's files are not
+    // even part of the scan's file list
+    assert(!pruned.inputFiles.exists(_.contains("2024/01/01")))
     // lookback window bounds the scan from below
     val look = DatePartitionedSource.read(spark, root, lookback = Some(1))
     assert(look.select("id").as[Long].collect().toSet == Set(2L, 3L))

@@ -37,6 +37,9 @@ class ManifestSpec extends SparkSpec {
     val run3 = ManifestSource.plan(spark, state, "ds", data, format = "text")
     assert(run3.newFiles.map(f => new java.io.File(f.path).getName).toSet ==
       Set("f1.txt", "f3.txt"))
+    // the scan itself touches ONLY the delta files (plan-time pruning)
+    assert(run3.df.inputFiles.map(f => new java.io.File(f).getName).toSet ==
+      Set("f1.txt", "f3.txt"))
     run3.commit()
 
     // run 4: stable again
