@@ -52,25 +52,12 @@ object Ann {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): ±1 derived from xxhash64 — reproducible across runs/engines. */
-  private def planeSign(table: Int, plane: Column, dim: Column): Column =
-    when(pmod(xxhash64(lit(table), plane, dim), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** m-bit sign-random-projection signature of a vector for one table. */
-  def srpSignature(vec: Column, bits: Int, table: Int): Column = {
-    val vd = asDouble(vec)
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p => {
-        val proj = aggregate(
-          zip_with(vd, sequence(lit(0), size(vd) - 1).cast("array<double>"),
-            (x, i) => x * planeSign(table, p, i.cast("bigint"))),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  /** m-bit sign-random-projection signature of a vector for one table —
+    * one native eval computes ALL tables; this face picks one (see
+    * [[graft.functions.SrpSignatures]] for why it is an Expression, not
+    * higher-order functions). */
+  def srpSignature(vec: Column, bits: Int, table: Int): Column =
+    element_at(graft.functions.Srp.signatures(vec, bits, table + 1), table + 1)
 
   /** LSH-bucketed approximate top-k: candidates share a bucket in any
     * table, then exact cosine + per-query top-k over candidates only.
@@ -89,12 +76,12 @@ object Ann {
         if (!multiprobe) array(sig)
         else concat(array(sig), transform(sequence(lit(0), lit(bits - 1)),
           j => sig.bitwiseXOR(call_function("shiftleft", lit(1L), j))))
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
-        explode(flatten(array((0 until tables).map(t =>
-          transform(probes(srpSignature(col(vecCol), bits, t)),
-            b => struct(lit(t).as("tbl"), b.as("bucket")))): _*))).as("hb"))
-        .select(col(id), col(s"__v_$id"),
-          col("hb.tbl").as("tbl"), col("hb.bucket").as("bucket"))
+      // all table signatures in one native eval per row
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"), posexplode(
+        graft.functions.Srp.signatures(col(vecCol), bits, tables))
+        .as(Seq("tbl", "sig")))
+        .select(col(id), col(s"__v_$id"), col("tbl"),
+          explode(probes(col("sig"))).as("bucket"))
     }
 
     val qb = broadcast(bucketed(queries, "query_id", multiprobe = true))
