@@ -52,7 +52,7 @@ object Fork {
       branches.size > 1 && df.storageLevel == StorageLevel.NONE
     val shared = if (needPersist) df.persist(storage) else df
     val staged = scala.collection.mutable.ListBuffer
-      .empty[(Branch, Observation, Observation, AtomicPublisher.Staged)]
+      .empty[(Branch, Observation, Observation, AtomicPublisher.StagedOutput)]
     try {
       branches.foreach { b =>
         val routed = b.predicate.fold(shared)(shared.filter)
@@ -60,7 +60,18 @@ object Fork {
         val obsW = Observation(s"graft_${runId}_${b.name}_written")
         val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
           .observe(obsW, count(lit(1)).as("rows"))
-        staged += ((b, obsR, obsW, AtomicPublisher.stage(out, b.outDir, runId, b.spec)))
+        val so: AtomicPublisher.StagedOutput =
+          if (b.spec.format == "jdbc")
+            // jdbc branches stage into a <table>_stg table; outDir names
+            // the table when no dbtable option is given
+            graft.sinks.JdbcWriter.stage(out, graft.sinks.JdbcWriter.JdbcSpec(
+              url = b.spec.options("url"),
+              table = b.spec.options.getOrElse("dbtable", b.outDir),
+              mode = b.spec.mode,
+              batchSize = b.spec.options.get("batchsize")
+                .map(_.toInt).getOrElse(1000)))
+          else AtomicPublisher.stage(out, b.outDir, runId, b.spec)
+        staged += ((b, obsR, obsW, so))
       }
       val results = staged.map { case (b, obsR, obsW, _) =>
         b.name -> BranchResult(

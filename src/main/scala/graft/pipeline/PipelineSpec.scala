@@ -30,13 +30,15 @@ final case class SourceSpec(format: String, // parquet | csv | json | text
 final case class BranchSpec(name: String,
                             filterExpr: Option[String] = None,
                             selectCols: Seq[String] = Nil,
-                            outDir: String,
+                            outDir: String, // jdbc branches: the table name
                             format: String = "parquet",
-                            partitionBy: Seq[String] = Nil) {
+                            partitionBy: Seq[String] = Nil,
+                            options: Map[String, String] = Map.empty) {
   def predicate: Option[Column] = filterExpr.map(expr)
   def transform: DataFrame => DataFrame =
     df => if (selectCols.isEmpty) df else df.select(selectCols.map(col): _*)
-  def writeSpec: WriteSpec = WriteSpec(format = format, partitionBy = partitionBy)
+  def writeSpec: WriteSpec =
+    WriteSpec(format = format, partitionBy = partitionBy, options = options)
 }
 
 final case class RowPolicySpec(name: String, predicateExpr: String,
@@ -119,7 +121,10 @@ object PipelineSpec {
         outDir = props(s"fork.$i.out"),
         format = props.getOrElse(s"fork.$i.format", "parquet"),
         partitionBy = props.get(s"fork.$i.partitionBy")
-          .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
+          .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil),
+        options = props.collect {
+          case (k, v) if k.startsWith(s"fork.$i.option.") =>
+            k.stripPrefix(s"fork.$i.option.") -> v })
     }
 
     PipelineSpec(

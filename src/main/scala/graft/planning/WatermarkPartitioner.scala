@@ -84,6 +84,37 @@ object WatermarkPartitioner {
     }
   }
 
+  /** Equi-DEPTH chunking from a value histogram — the reference's
+    * Salesforce planner probes a per-day row-count histogram and packs
+    * days into chunks of roughly equal record counts, instead of
+    * equal-width ranges that skew wildly on bursty data
+    * (gobblin-salesforce/.../SalesforceSource.java:272-303).
+    *
+    * `histogram` is (ordered key, rows-at-key); consecutive keys pack
+    * greedily until a chunk reaches targetRowsPerChunk. Returns inclusive
+    * (firstKey, lastKey) chunks — each becomes one extraction predicate
+    * `key >= first AND key <= last`. */
+  def packHistogram[K](histogram: Seq[(K, Long)],
+                       targetRowsPerChunk: Long): Seq[(K, K)] = {
+    require(targetRowsPerChunk > 0)
+    if (histogram.isEmpty) Nil
+    else {
+      val out = Seq.newBuilder[(K, K)]
+      var first = histogram.head._1
+      var last = histogram.head._1
+      var acc = 0L
+      histogram.foreach { case (k, n) =>
+        if (acc > 0 && acc + n > targetRowsPerChunk) {
+          out += ((first, last)); first = k; acc = 0L
+        }
+        last = k
+        acc += n
+      }
+      out += ((first, last))
+      out.result()
+    }
+  }
+
   /** Chunk -> pushdown predicate on a column: (low, high]. */
   def predicate[T](wmCol: String, c: Chunk[T]): Column =
     col(wmCol) > lit(c.low) && col(wmCol) <= lit(c.high)

@@ -30,8 +30,18 @@ object AtomicPublisher {
                              options: Map[String, String] = Map.empty,
                              mode: SaveMode = SaveMode.Overwrite)
 
-  /** A written-but-not-yet-visible output. */
-  final case class Staged(fs: FileSystem, staging: Path, dst: Path, runId: String) {
+  /** Anything written-but-not-yet-visible: promote makes it visible
+    * atomically, abort discards it. Directories (this file) and staging
+    * tables (JdbcWriter) share the contract so Fork can stage
+    * heterogeneous branches and promote them together. */
+  trait StagedOutput {
+    def promote(): Unit
+    def abort(): Unit
+  }
+
+  /** A written-but-not-yet-visible output directory. */
+  final case class Staged(fs: FileSystem, staging: Path, dst: Path, runId: String)
+      extends StagedOutput {
     /** Swap staged data into the final path (old aside -> new in -> drop old). */
     def promote(): Unit = {
       val old = new Path(dst.getParent, s".old-$runId-${dst.getName}")

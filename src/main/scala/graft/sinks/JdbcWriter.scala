@@ -40,36 +40,58 @@ object JdbcWriter {
     d.write.mode(spec.mode).jdbc(spec.url, spec.table, p)
   }
 
-  /** Staged write + atomic publish: parallel batch-insert into
-    * `<table>_stg`, then one transaction moves the rows into the final
-    * table (created from the staging shape when absent; DELETEd first for
-    * Overwrite) and drops staging. */
-  def writeStaged(df: DataFrame, spec: JdbcSpec): Unit = {
+  /** A staging table written but not yet published. */
+  final case class StagedTable(spec: JdbcSpec, staging: String)
+      extends AtomicPublisher.StagedOutput {
+    /** One transaction moves staging rows into the final table (created
+      * from the staging shape when absent; DELETEd first for Overwrite),
+      * then drops staging. */
+    def promote(): Unit = {
+      val conn = DriverManager.getConnection(spec.url)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        val tableExists = {
+          val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+          var found = false
+          while (rs.next() && !found)
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(spec.table)
+          rs.close(); found
+        }
+        if (!tableExists)
+          st.executeUpdate(
+            s"CREATE TABLE ${spec.table} AS SELECT * FROM $staging WITH NO DATA")
+        else if (spec.mode == SaveMode.Overwrite)
+          st.executeUpdate(s"DELETE FROM ${spec.table}")
+        st.executeUpdate(s"INSERT INTO ${spec.table} SELECT * FROM $staging")
+        conn.commit()
+        st.executeUpdate(s"DROP TABLE $staging")
+        conn.commit()
+        st.close()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally conn.close()
+    }
+
+    def abort(): Unit = {
+      val conn = DriverManager.getConnection(spec.url)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => } // never written
+        st.close()
+      } finally conn.close()
+    }
+  }
+
+  /** Parallel batch-insert into `<table>_stg`; nothing visible yet. */
+  def stage(df: DataFrame, spec: JdbcSpec): StagedTable = {
     val staging = spec.table + "_stg"
     write(df, spec.copy(table = staging, mode = SaveMode.Overwrite))
-    val conn = DriverManager.getConnection(spec.url)
-    try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      val tableExists = {
-        val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
-        var found = false
-        while (rs.next() && !found)
-          found = rs.getString("TABLE_NAME").equalsIgnoreCase(spec.table)
-        rs.close(); found
-      }
-      if (!tableExists)
-        st.executeUpdate(
-          s"CREATE TABLE ${spec.table} AS SELECT * FROM $staging WITH NO DATA")
-      else if (spec.mode == SaveMode.Overwrite)
-        st.executeUpdate(s"DELETE FROM ${spec.table}")
-      st.executeUpdate(s"INSERT INTO ${spec.table} SELECT * FROM $staging")
-      conn.commit()
-      st.executeUpdate(s"DROP TABLE $staging")
-      conn.commit()
-      st.close()
-    } catch {
-      case e: Throwable => conn.rollback(); throw e
-    } finally conn.close()
+    StagedTable(spec, staging)
   }
+
+  /** Staged write + immediate publish. */
+  def writeStaged(df: DataFrame, spec: JdbcSpec): Unit =
+    stage(df, spec).promote()
 }

@@ -65,6 +65,39 @@ class JdbcSourceSinkSpec extends SparkSpec {
     assert(JdbcIncremental.maxWatermark(spark, u, "t", "wm").contains(42L))
   }
 
+  test("jdbc fork branch stages and publishes with commit-on-full-success") {
+    import graft.operators.Fork
+    import graft.sinks.AtomicPublisher.WriteSpec
+    val u = url("t_forkjdbc")
+    val out = tmpDir("jdbc-fork")
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val branches = Seq(
+      Fork.Branch("files", None, identity, s"$out/files"),
+      Fork.Branch("db", None, identity, "orders_out",
+        WriteSpec(format = "jdbc", options = Map("url" -> u))))
+    val r = Fork.run(orders, branches, "fr1")
+    val inDb = spark.read.jdbc(u, "orders_out", new java.util.Properties())
+    assert(inDb.count() == orders.count())
+    assert(r("db").written == orders.count())
+
+    // a rejected run must leave BOTH the files and the table untouched
+    intercept[IllegalStateException] {
+      Fork.run(orders.limit(3), branches, "fr2",
+        beforePromote = _ => throw new IllegalStateException("policy"))
+    }
+    assert(spark.read.jdbc(u, "orders_out", new java.util.Properties())
+      .count() == orders.count())
+    assert(spark.read.parquet(s"$out/files").count() == orders.count())
+    // jdbc staging table cleaned up by abort
+    val conn = java.sql.DriverManager.getConnection(u)
+    val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    var names = List.empty[String]
+    while (rs.next()) names ::= rs.getString("TABLE_NAME")
+    conn.close()
+    assert(!names.exists(_.equalsIgnoreCase("orders_out_stg")))
+  }
+
   test("pipeline e2e with a jdbc source: filters push into the scan") {
     val u = url("t_pipe")
     val orders = Tables.load(spark, sf, "orders")
