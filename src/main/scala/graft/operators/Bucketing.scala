@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed co-located joins: persist both sides of a recurring join
+  * bucketed by the join key so every subsequent join is shuffle-free on
+  * both sides — the 100 TB answer to "this fact-fact join shuffles 100 TB
+  * every night".
+  *
+  * The reference has no bucketing (its MR compaction re-shuffles per
+  * run); this is the Spark-native upgrade the build brief calls for
+  * ("repartition()/bucketing for co-located joins"). Bucket counts must
+  * MATCH on both sides; pick ~ (table size / 256 MB) at production scale.
+  */
+object Bucketing {
+
+  /** Write df as a bucketed (optionally sorted) managed table. */
+  def writeBucketed(df: DataFrame, table: String, bucketBy: Seq[String],
+                    numBuckets: Int, sortBy: Seq[String] = Nil,
+                    format: String = "parquet",
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketBy.nonEmpty && numBuckets > 0)
+    var w = df.write.mode(mode).format(format)
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+    if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+    w.saveAsTable(table)
+  }
+}

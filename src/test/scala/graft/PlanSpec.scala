@@ -94,6 +94,32 @@ class PlanSpec extends SparkSpec {
       s"offset-range predicate not pushed: $pushed")
   }
 
+  test("bucketed tables join with ZERO shuffles on either side") {
+    import graft.operators.Bucketing
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    val li = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    try {
+      Bucketing.writeBucketed(orders, "b_orders", Seq("o_orderkey"), 4,
+        sortBy = Seq("o_orderkey"))
+      Bucketing.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", Seq("o_orderkey"), 4, sortBy = Seq("o_orderkey"))
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        "o_orderkey")
+      // matching bucket layouts: the join plans with no Exchange at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = planOf(spark.table("b_orders").join(
+          spark.table("b_lineitem"), "o_orderkey"))
+        val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+        assert(exchanges == 0, s"bucketed join should not shuffle:\n$p")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(joined.count() == li.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("q36 components: edges never join against the full documents table") {
     val p = planOf(q("q36_dup_clusters"))
     assert(!p.contains("CartesianProduct"))

@@ -131,6 +131,34 @@ class DataOrgSpec extends SparkSpec {
       "global (partition-less) window found in plan")
   }
 
+  test("copy executor streams bytes, renames into place, re-runs are idempotent") {
+    val base = tmpDir("copyexec")
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val files = (1 to 5).map { i =>
+      val f = new java.io.File(srcDir, s"f$i.bin")
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](1000 * i)(i.toByte))
+      f
+    }
+    val tasks = files.map(f => CopyExec.CopyTask(
+      f.getAbsolutePath, s"$base/dst/${f.getName}", f.length())).toDS()
+    val s1 = CopyExec.execute(tasks, parallelism = 2)
+    assert(s1 == CopyExec.CopyStats(5, 0, files.map(_.length()).sum))
+    files.foreach { f =>
+      val dst = java.nio.file.Paths.get(s"$base/dst/${f.getName}")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(dst),
+        java.nio.file.Files.readAllBytes(f.toPath)))
+    }
+    // re-run copies nothing (length match short-circuits)
+    val s2 = CopyExec.execute(tasks, parallelism = 2)
+    assert(s2 == CopyExec.CopyStats(0, 5, 0))
+    // a truncated target is repaired
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/dst/f1.bin"), Array[Byte](9))
+    val s3 = CopyExec.execute(tasks)
+    assert(s3.filesCopied == 1 && s3.filesSkipped == 4)
+  }
+
   test("listManifest walks a directory tree") {
     val dir = tmpDir("manifest")
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/t1")

@@ -35,6 +35,24 @@ class StreamsSpec extends SparkSpec {
     assert(counts(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
   }
 
+  test("streaming dedup: duplicates across micro-batches collapse to one survivor") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    // the streaming face of Dedup.exact: state-backed dropDuplicates
+    val deduped = src.toDF().toDF("id", "v").dropDuplicates("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("sdedup_tbl").outputMode("append").start()
+    src.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch"))
+    q.processAllAvailable()
+    src.addData((2L, "b-dup-next-batch"), (3L, "c"))
+    q.processAllAvailable()
+    src.stop(); q.stop()
+    val rows = spark.table("sdedup_tbl").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(2L) == "b") // first occurrence survives across batches
+  }
+
   test("exactly-once file sink: restarting from the checkpoint never re-emits") {
     val dir = tmpDir("eos")
     def runOnce(): Unit = {
