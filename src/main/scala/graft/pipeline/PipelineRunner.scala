@@ -54,15 +54,27 @@ object PipelineRunner {
       case _ => None
     }
     val sourced = (spec.source.watermarkColumn, prevWm) match {
-      case (Some(wmCol), Some(wm)) => raw.filter(col(wmCol) > lit(parseTs(wm)))
+      case (Some(wmCol), Some(wm)) => raw.filter(col(wmCol) > lit(parseWm(wm)))
       case _ => raw
     }
 
-    // ---- 2. transforms + row policies ----
+    // ---- 2. transforms (the Converter chain, declaratively) ----
     val transformed = spec.transformExprs.foldLeft(sourced) { (df, t) =>
-      t.split(':') match {
+      t.split(":", 2) match {
         case Array("selectExpr", exprs) => df.selectExpr(exprs.split(';').map(_.trim): _*)
         case Array("filter", e)         => df.filter(e)
+        case Array("drop", cols)        => df.drop(cols.split(';').map(_.trim): _*)
+        case Array("rename", spec2) => // old1=new1;old2=new2
+          spec2.split(';').foldLeft(df) { (d, kv) =>
+            val Array(from, to) = kv.split('=').map(_.trim)
+            d.withColumnRenamed(from, to)
+          }
+        case Array("split", spec2) => // col;delim -> 1:N rows (StringSplitter)
+          val Array(c, delim) = spec2.split(';').map(_.trim)
+          df.transform(graft.operators.Converters.splitToRows(c, delim))
+        case Array("grok", spec2) => // col;pattern (GrokToJsonConverter)
+          val Array(c, pattern) = spec2.split(";", 2).map(_.trim)
+          graft.functions.Grok.parse(df, c, pattern)
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }
@@ -150,6 +162,12 @@ object PipelineRunner {
     case l: java.time.LocalDateTime => Timestamp.valueOf(l).toString
     case other => other.toString
   }
+
+  /** Watermark literal: numeric (SIMPLE watermark type) or timestamp
+    * (DATE/HOUR/TIMESTAMP types) — Partitioner.java:50's WatermarkType
+    * split, inferred from the stored string. */
+  private def parseWm(wm: String): Any =
+    wm.toLongOption.getOrElse(parseTs(wm))
 
   private def parseTs(wm: String): Timestamp =
     try Timestamp.valueOf(wm)

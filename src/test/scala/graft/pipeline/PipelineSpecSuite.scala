@@ -143,6 +143,41 @@ class PipelineSpecSuite extends SparkSpec {
     assert(r1("b") == Fork.BranchResult(rowsA, rowsA))
   }
 
+  test("declarative transform chain: grok/split/drop/rename") {
+    val out = tmpDir("pipe-transforms")
+    val spec = PipelineSpec(
+      name = "transforms",
+      source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet"),
+      transformExprs = Seq(
+        "selectExpr:o_orderkey;o_orderpriority",
+        "grok:o_orderpriority;%{INT:prio_num}-%{WORD:prio_name}",
+        "drop:o_orderpriority",
+        "rename:prio_num=pn",
+        "filter:pn IS NOT NULL"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    val r = PipelineRunner.run(spark, spec, "runT")
+    val back = spark.read.parquet(s"$out/main")
+    assert(back.columns.toSeq == Seq("o_orderkey", "pn", "prio_name"))
+    assert(back.count() == r.extracted && r.extracted > 0)
+  }
+
+  test("numeric (SIMPLE) watermark advances and is honored on re-run") {
+    val out = tmpDir("pipe-numwm")
+    val spec = PipelineSpec(
+      name = "numwm",
+      source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet",
+        watermarkColumn = Some("o_orderkey"),
+        watermarkDefault = Some("0")),
+      branches = Seq(BranchSpec("main", None, Seq("o_orderkey"), s"$out/main")),
+      stateDir = Some(s"$out/state"))
+    val r1 = PipelineRunner.run(spark, spec, "n1")
+    assert(r1.extracted > 0)
+    assert(r1.committedWatermark.exists(_.toLongOption.isDefined))
+    val r2 = PipelineRunner.run(spark, spec, "n2")
+    assert(r2.extracted == 0) // nothing above max(o_orderkey)
+    assert(r2.committedWatermark == r1.committedWatermark)
+  }
+
   test("FAIL row policy aborts the job") {
     val out = tmpDir("pipefail")
     val spec = PipelineSpec(
