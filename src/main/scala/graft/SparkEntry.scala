@@ -338,13 +338,15 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"))),
 
     // minhash LSH near-dup pairs, exact-verified: LSH proposes candidates,
-    // exact shingle-Jaccard filters them, so the output is EXACTLY the
-    // above-threshold pair set (DuckDB recomputes it all-pairs — feasible
-    // at oracle scale, while the engine path stays O(docs x bands)).
+    // exact shingle-Jaccard filters them, so the output equals the
+    // above-threshold pair set up to LSH recall — r=2,b=32 banding keeps
+    // the miss probability ~1e-4 even at the 0.5 threshold boundary
+    // (DuckDB recomputes the set all-pairs at oracle scale, while the
+    // engine path stays O(docs x bands)).
     "q21_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
-        n = 3, k = 32, numBands = 16)
+        n = 3, k = 64, numBands = 32)
       MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
         n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard_r"))
@@ -357,7 +359,7 @@ object SparkEntry {
     "q36_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
-        n = 3, k = 32, numBands = 16)
+        n = 3, k = 64, numBands = 32)
       val pairs = MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
         n = 3, threshold = 0.5).select("id_a", "id_b")
       graft.dedup.DupClusters.resolve(docs, "doc_id", pairs)

@@ -25,7 +25,13 @@ import org.apache.spark.storage.StorageLevel
 object DupClusters {
 
   /** (id, cluster) for every id that appears in `pairs`; cluster = the
-    * minimum id of the connected component. */
+    * minimum id of the connected component.
+    *
+    * The returned DataFrame is PERSISTED (the propagation loop needs the
+    * final labels materialized and re-derivable without replaying every
+    * round); callers running many resolutions in one session should
+    * `.unpersist()` it — or the frame returned by [[resolve]] — once
+    * consumed. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

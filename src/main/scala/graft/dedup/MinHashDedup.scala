@@ -66,12 +66,17 @@ object MinHashDedup {
   /** Near-duplicate candidate pairs (id_a < id_b), distinct.
     *
     * numBands trades recall for candidate volume: rows-per-band r = k/b,
-    * P(candidate | jaccard j) = 1 - (1 - j^r)^b. The default r=2, b=16
-    * makes misses above j=0.8 astronomically rare (~1e-11) at the cost of
-    * more false candidates — which the exact-verify stage filters anyway. */
+    * P(candidate | jaccard j) = 1 - (1 - j^r)^b. The default r=2, b=32
+    * keeps the miss probability below ~1e-4 even at j=0.5 (and ~1e-22 at
+    * j=0.9) at the cost of more false candidates — which the exact-verify
+    * stage filters anyway; pick band counts from the target threshold
+    * when tuning. `maxBucketSize` defaults to unbounded (exact recall);
+    * at extreme scale cap it to shed boilerplate mega-buckets, accepting
+    * that pairs inside dropped buckets are lost (run exact dedup first so
+    * such buckets don't exist). */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3, k: Int = 32, numBands: Int = 16,
-                     maxBucketSize: Int = 10000): DataFrame = {
+                     n: Int = 3, k: Int = 64, numBands: Int = 32,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val b = bands(df, idCol, textCol, n, k, numBands)
     val ids = col("ids")
     b.groupBy(col("band_idx"), col("band_hash"))

@@ -77,23 +77,45 @@ object Grok {
           "(?:" + expandBody(sub, depth + 1) + ")")
       })
     }
+    // capturing groups the USER wrote in raw-regex segments shift the
+    // group numbering, so count them while walking the pattern (library
+    // bodies are non-capturing by contract)
+    def countCaptures(s: String): Int = {
+      var n = 0
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' => i += 1 // skip escaped char
+          case '(' if i + 1 >= s.length || s.charAt(i + 1) != '?' => n += 1
+          case _ =>
+        }
+        i += 1
+      }
+      n
+    }
     var group = 0
     val fields = scala.collection.mutable.ListBuffer.empty[Field]
-    val regex = macroRe.replaceAllIn(pattern, m => {
+    val out = new StringBuilder
+    var last = 0
+    macroRe.findAllMatchIn(pattern).foreach { m =>
+      val literal = pattern.substring(last, m.start)
+      group += countCaptures(literal)
+      out ++= literal
       val body = expandBody(
         library.getOrElse(m.group(1),
           throw new IllegalArgumentException(s"unknown grok pattern %{${m.group(1)}}")),
         0)
-      val replacement = Option(m.group(2)) match {
+      Option(m.group(2)) match {
         case Some(fieldName) =>
           group += 1
           fields += Field(fieldName, group, Option(m.group(3)))
-          "(" + body + ")"
-        case None => "(?:" + body + ")"
+          out ++= "(" + body + ")"
+        case None => out ++= "(?:" + body + ")"
       }
-      java.util.regex.Matcher.quoteReplacement(replacement)
-    })
-    Compiled(regex, fields.toSeq)
+      last = m.end
+    }
+    out ++= pattern.substring(last)
+    Compiled(out.toString, fields.toSeq)
   }
 
   private def cast(c: Column, t: Option[String]): Column = t match {

@@ -46,13 +46,19 @@ object CopyDiff {
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bounds = files.stat.approxQuantile(priorityCol, probs, 0.001)
       .distinct.sorted.toSeq
-    // bucket index increases along the scan order for either direction
+    // bucket index increases along the scan order for either direction;
+    // NULL priorities follow the window defaults (asc = nulls FIRST ->
+    // bucket 0; desc = nulls LAST -> one past the last bound)
     val bucketExpr =
       if (bounds.isEmpty) lit(0)
-      else bounds.map { b =>
-        if (ascending) when(col(priorityCol) > lit(b), 1).otherwise(0)
-        else when(col(priorityCol) < lit(b), 1).otherwise(0)
-      }.reduce(_ + _)
+      else {
+        val indicator = bounds.map { b =>
+          if (ascending) when(col(priorityCol) > lit(b), 1).otherwise(0)
+          else when(col(priorityCol) < lit(b), 1).otherwise(0)
+        }.reduce(_ + _)
+        if (ascending) when(col(priorityCol).isNull, lit(0)).otherwise(indicator)
+        else when(col(priorityCol).isNull, lit(bounds.size)).otherwise(indicator)
+      }
     val bucketed = files.withColumn("__graft_bkt", bucketExpr)
 
     import org.apache.spark.sql.expressions.Window

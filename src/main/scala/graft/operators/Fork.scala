@@ -69,7 +69,7 @@ object Fork {
               table = b.spec.options.getOrElse("dbtable", b.outDir),
               mode = b.spec.mode,
               batchSize = b.spec.options.get("batchsize")
-                .map(_.toInt).getOrElse(1000)))
+                .map(_.toInt).getOrElse(1000)), runId)
           else AtomicPublisher.stage(out, b.outDir, runId, b.spec)
         staged += ((b, obsR, obsW, so))
       }
@@ -79,6 +79,11 @@ object Fork {
           obsW.get("rows").asInstanceOf[Long])
       }.toMap
       beforePromote(results)
+      // promotes are cheap renames but sequential: a crash BETWEEN them
+      // can leave branches at different versions until the re-run — the
+      // same exposure as the reference's per-branch publish loop
+      // (BaseDataPublisher publishes branch dirs one rename at a time);
+      // all failure modes BEFORE the first promote publish nothing
       staged.foreach(_._4.promote())
       results
     } catch {

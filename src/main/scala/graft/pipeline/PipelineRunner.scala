@@ -103,17 +103,23 @@ object PipelineRunner {
         val rejMetrics = Seq(count(lit(1)).as("rows")) ++ failPred.map(p =>
           sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as("fail_cnt"))
         val rejObs = checked.rejected.observe(obsRej, rejMetrics.head, rejMetrics.tail: _*)
-        spec.errDir match {
-          case Some(err) => AtomicPublisher.publish(rejObs, s"$err/${spec.name}", runId)
-          case None      => rejObs.count(): Unit // force one scan for the metrics
-        }
+        // STAGE the err output (metrics come from the staged write) but
+        // only make it visible after FAIL enforcement passes — an aborting
+        // job must not clobber the previous run's err directory
+        val stagedErr = spec.errDir.map(err =>
+          AtomicPublisher.stage(rejObs, s"$err/${spec.name}", runId))
+        if (stagedErr.isEmpty) { rejObs.count(): Unit } // metrics-only scan
         val m = obsRej.get
         failPred.foreach { _ =>
           val bad = Option(m("fail_cnt")).fold(0L)(_.asInstanceOf[Long])
-          require(bad == 0, s"row policies " +
-            s"${checked.failPolicies.map(_.name).mkString(",")} failed: " +
-            s"$bad violating records")
+          if (bad != 0) {
+            stagedErr.foreach(_.abort())
+            throw new IllegalArgumentException(s"row policies " +
+              s"${checked.failPolicies.map(_.name).mkString(",")} failed: " +
+              s"$bad violating records")
+          }
         }
+        stagedErr.foreach(_.promote())
         m("rows").asInstanceOf[Long]
       }
 

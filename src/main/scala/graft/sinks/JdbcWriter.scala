@@ -84,14 +84,17 @@ object JdbcWriter {
     }
   }
 
-  /** Parallel batch-insert into `<table>_stg`; nothing visible yet. */
-  def stage(df: DataFrame, spec: JdbcSpec): StagedTable = {
-    val staging = spec.table + "_stg"
+  /** Parallel batch-insert into `<table>_stg_<runId>`; nothing visible
+    * yet. The runId suffix keeps concurrent jobs (or a retry racing a
+    * stuck run) from clobbering each other's staged rows — same reason
+    * the file publisher embeds runId in its staging dir. */
+  def stage(df: DataFrame, spec: JdbcSpec, runId: String = "run"): StagedTable = {
+    val staging = spec.table + "_stg_" + runId.replaceAll("[^A-Za-z0-9_]", "_")
     write(df, spec.copy(table = staging, mode = SaveMode.Overwrite))
     StagedTable(spec, staging)
   }
 
   /** Staged write + immediate publish. */
-  def writeStaged(df: DataFrame, spec: JdbcSpec): Unit =
-    stage(df, spec).promote()
+  def writeStaged(df: DataFrame, spec: JdbcSpec, runId: String = "run"): Unit =
+    stage(df, spec, runId).promote()
 }

@@ -146,10 +146,14 @@ object AvroIO {
           .map { case (k, mv) => k -> toAvro(mv, s.getValueType) }.toMap.asJava
       case Schema.Type.LONG if s.getLogicalType != null &&
           s.getLogicalType.getName == "timestamp-micros" =>
-        val t = v.asInstanceOf[Timestamp]
-        // getTime's millis already include the fractional second -> use
-        // whole seconds + full nano field (floorDiv for pre-epoch values)
-        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+        v match { // java.sql vs java.time externals (datetime.java8API)
+          case t: Timestamp =>
+            // getTime's millis already include the fractional second ->
+            // whole seconds + full nano field (floorDiv for pre-epoch)
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+          case i: java.time.Instant =>
+            Math.floorDiv(i.getEpochSecond, 1L) * 1000000L + i.getNano / 1000
+        }
       case Schema.Type.LONG if s.getLogicalType != null &&
           s.getLogicalType.getName == "local-timestamp-micros" =>
         val ldt = v.asInstanceOf[java.time.LocalDateTime]
@@ -157,7 +161,10 @@ object AvroIO {
           ldt.getNano / 1000
       case Schema.Type.INT if s.getLogicalType != null &&
           s.getLogicalType.getName == "date" =>
-        v.asInstanceOf[Date].toLocalDate.toEpochDay.toInt
+        v match {
+          case d: Date => d.toLocalDate.toEpochDay.toInt
+          case l: java.time.LocalDate => l.toEpochDay.toInt
+        }
       case Schema.Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Schema.Type.STRING => v.toString
       case _ => v
@@ -216,11 +223,16 @@ object AvroIO {
     else Seq(p)).headOption
       .getOrElse(throw new IllegalArgumentException(s"no .avro files in $path"))
     val in = fs.open(file)
+    var reader: org.apache.avro.file.DataFileStream[GenericRecord] = null
     try {
-      val reader = new org.apache.avro.file.DataFileStream(
+      reader = new org.apache.avro.file.DataFileStream(
         in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
-      try reader.getSchema finally reader.close()
-    } finally if (in != null) () // DataFileStream.close closed it
+      reader.getSchema
+    } finally {
+      // DataFileStream.close closes the wrapped stream; if its
+      // constructor threw (corrupt file) close the stream ourselves
+      if (reader != null) reader.close() else in.close()
+    }
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {

@@ -85,7 +85,7 @@ final class ManifestStore(spark: SparkSession, dir: String) {
                 finally in.close()
       txt.linesIterator.filter(_.nonEmpty).map { line =>
         val path = """"path":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(line)
-          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+          .map(m => graft.state.StateStore.unescape(m.group(1)))
           .getOrElse(throw new IllegalArgumentException(s"bad manifest line: $line"))
         val len = """"length":(\d+)""".r.findFirstMatchIn(line)
           .map(_.group(1).toLong)

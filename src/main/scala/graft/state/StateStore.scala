@@ -74,12 +74,35 @@ object StateStore {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Inverse of [[js]]'s escaping (the full set: quote, backslash,
+    * newline, \\uXXXX) — values must round-trip or re-runs misread their
+    * own committed state. */
+  private[graft] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n'  => sb += '\n'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   // minimal JSON-line parser for the fixed shape written by commit()
   private[state] def parseLine(line: String): ((String, String), String) = {
     def field(name: String): String = {
       val m = ("\"" + name + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
       m.findFirstMatchIn(line)
-        .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .map(mm => unescape(mm.group(1)))
         .getOrElse(throw new IllegalArgumentException(s"bad state line: $line"))
     }
     ((field("dataset"), field("partition")), field("high_watermark"))

@@ -36,6 +36,18 @@ class GrokSpec extends SparkSpec {
     assert(out.schema("dur").dataType.typeName == "double")
   }
 
+  test("user capture groups in raw segments do not shift field numbering") {
+    val c = Grok.compile("(GET|POST) %{INT:code} \\(x\\) %{WORD:who}")
+    // group 1 = the user's (GET|POST); fields follow at 2 and 3
+    assert(c.fields.map(f => (f.name, f.group)) == Seq("code" -> 2, "who" -> 3))
+    val m = java.util.regex.Pattern.compile(c.regex)
+      .matcher("POST 201 (x) alice")
+    assert(m.find() && m.group(2) == "201" && m.group(3) == "alice")
+    val df = Seq("GET 404 (x) bob").toDF("line")
+    val out = Grok.parse(df, "line", "(GET|POST) %{INT:code:int} \\(x\\) %{WORD:who}")
+    assert(out.select("code", "who").as[(Int, String)].head == ((404, "bob")))
+  }
+
   test("literal regex between macros is honored; unknown pattern rejected") {
     val c = Grok.compile("""^\[%{WORD:a}\]$""")
     val m = java.util.regex.Pattern.compile(c.regex).matcher("[xyz]")

@@ -95,7 +95,7 @@ class JdbcSourceSinkSpec extends SparkSpec {
     var names = List.empty[String]
     while (rs.next()) names ::= rs.getString("TABLE_NAME")
     conn.close()
-    assert(!names.exists(_.equalsIgnoreCase("orders_out_stg")))
+    assert(!names.exists(_.toLowerCase.startsWith("orders_out_stg")))
   }
 
   test("pipeline e2e with a jdbc source: filters push into the scan") {
