@@ -18,6 +18,15 @@ import org.apache.spark.sql.types.StructType
   *     window aggregation with event-time watermark;
   *   - fork multi-sink -> foreachBatch { persist; write each branch }.
   */
+/** A closed activity session: [start, end] of events for one key with
+  * no gap longer than the session timeout. (Package-level: encoder
+  * codegen requires top-level case classes.) */
+final case class Session(key: String, start: java.sql.Timestamp,
+                         end: java.sql.Timestamp, events: Long)
+
+private[streaming] final case class SessionState(start: Long, end: Long,
+                                                 events: Long)
+
 object Streams {
 
   /** Replay a bounded file table as a stream (the test stand-in for a Kafka
@@ -54,6 +63,65 @@ object Streams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset state surface the built-in windows can't
+    * express (gap-based sessions close when a key goes quiet, not on a
+    * fixed grid). State per key is O(1) (open-session bounds + count);
+    * sessions close either by a later event arriving past the gap or by
+    * the event-time timeout firing once the watermark passes end+gap —
+    * so state never outlives the watermark (bounded at any key count).
+    *
+    * The reference has no session operator (SURVEY §2.8 "not present");
+    * this is the Spark-native extension point its FlushingExtractor-style
+    * per-key state would map onto. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: String): org.apache.spark.sql.Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMs.months == 0, "gap must be day-or-finer")
+
+    events.select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
+      .withWatermark("ts", gap)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator(Session(key, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.events))
+          } else {
+            val ts = it.map(_._2.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMillis =>
+                  cur = Some(s.copy(end = math.max(s.end, t),
+                    events = s.events + 1))
+                case Some(s) => // gap exceeded: close and start anew
+                  closed += Session(key, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.events)
+                  cur = Some(SessionState(t, t, 1))
+                case None => cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMillis)
+            }
+            closed.iterator
+          }
+      }
   }
 
   /** Streaming fork: one micro-batch persisted, written to N sinks — the

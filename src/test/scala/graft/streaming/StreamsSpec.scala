@@ -35,6 +35,39 @@ class StreamsSpec extends SparkSpec {
     assert(counts(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
   }
 
+  test("sessionize: gap-based sessions close on new activity or watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Timestamp)]
+    val sessions = Streams.sessionize(
+      src.toDF().toDF("user", "ts"), "user", "ts", gap = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_tbl").outputMode("append").start()
+    // burst 1: two events 5 min apart = one session
+    src.addData(("u1", Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("u1", Timestamp.valueOf("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // burst 2 for u1 after a >10min gap closes session 1 inline; u2 starts
+    src.addData(("u1", Timestamp.valueOf("2024-01-01 11:00:00")),
+      ("u2", Timestamp.valueOf("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // watermark push far ahead: open sessions time out and finalize
+    src.addData(("u3", Timestamp.valueOf("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    src.addData(("u3", Timestamp.valueOf("2024-01-02 23:00:00")))
+    q.processAllAvailable()
+    src.stop(); q.stop()
+    val out = spark.table("sessions_tbl")
+      .as[Session].collect().sortBy(s => (s.key, s.start.getTime))
+    val u1 = out.filter(_.key == "u1")
+    assert(u1.length == 2)
+    assert(u1(0).events == 2 &&
+      u1(0).start == Timestamp.valueOf("2024-01-01 10:00:00") &&
+      u1(0).end == Timestamp.valueOf("2024-01-01 10:05:00"))
+    assert(u1(1).events == 1)
+    assert(out.exists(s => s.key == "u2" && s.events == 1))
+  }
+
   test("streaming dedup: duplicates across micro-batches collapse to one survivor") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
