@@ -83,10 +83,18 @@ object Grok {
     def countCaptures(s: String): Int = {
       var n = 0
       var i = 0
+      var inClass = false // '(' inside [...] is a literal, not a group
       while (i < s.length) {
         s.charAt(i) match {
           case '\\' => i += 1 // skip escaped char
-          case '(' if i + 1 >= s.length || s.charAt(i + 1) != '?' => n += 1
+          case '[' if !inClass => inClass = true
+          case ']' if inClass  => inClass = false
+          case '(' if !inClass =>
+            if (i + 1 >= s.length || s.charAt(i + 1) != '?') n += 1
+            // (?<name>...) is a CAPTURING named group (unlike (?:, (?=,
+            // (?<=, (?<! ...), so it shifts the numbering too
+            else if (i + 3 < s.length && s.charAt(i + 2) == '<' &&
+                     s.charAt(i + 3) != '=' && s.charAt(i + 3) != '!') n += 1
           case _ =>
         }
         i += 1

@@ -92,6 +92,7 @@ object PipelineRunner {
     val passedObs = checked.passed.observe(obsPassed, count(lit(1)).as("rows"))
     val input = if (needBoth) passedObs.persist(StorageLevel.MEMORY_AND_DISK)
                 else passedObs
+    try {
 
     // rejected side-output: ONE action writes the err file and observes
     // both the reject count and the FAIL-policy violation count
@@ -153,10 +154,11 @@ object PipelineRunner {
       case (Some(s), Some(wm)) => s.commit(Map((spec.name, "") -> wm), runId)
       case _ =>
     }
-    if (needBoth) { input.unpersist(); () }
 
     JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm)
+    // a FAIL-policy abort or branch failure must not leak the cached source
+    } finally if (needBoth) { input.unpersist(); () }
   }
 
   /** Canonical "yyyy-MM-dd HH:mm:ss[.f...]" watermark string from whatever

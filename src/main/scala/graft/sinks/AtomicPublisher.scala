@@ -20,8 +20,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * everything, run task-level policies, and only then make any branch
   * visible. Promote never deletes the previous output before the new one
   * is in place: old data is renamed aside, the staging dir renamed in,
-  * and the old copy removed last — a crash mid-promote leaves either the
-  * old or the new data at the final path, never neither.
+  * and the old copy removed last. A crash between the two renames leaves
+  * the final path briefly missing, but the previous output remains
+  * recoverable in `.old-<runId>-<name>` — [[stage]] and [[Staged.promote]]
+  * both restore such a dangling park before starting, so the next run (or
+  * retry) heals the gap rather than deleting the parked copy.
   */
 object AtomicPublisher {
 
@@ -44,7 +47,10 @@ object AtomicPublisher {
       extends StagedOutput {
     /** Swap staged data into the final path (old aside -> new in -> drop old). */
     def promote(): Unit = {
+      recoverDangling(fs, dst)
       val old = new Path(dst.getParent, s".old-$runId-${dst.getName}")
+      // a leftover park alongside an existing dst is stale (a prior promote
+      // that crashed after the swap, before its final delete) — drop it
       if (fs.exists(old)) fs.delete(old, true)
       val hadOld = fs.exists(dst)
       if (hadOld) require(fs.rename(dst, old), s"promote: cannot set aside $dst")
@@ -60,12 +66,25 @@ object AtomicPublisher {
     def abort(): Unit = { if (fs.exists(staging)) fs.delete(staging, true); () }
   }
 
+  /** A crash between promote's two renames leaves dst missing and the
+    * previous output parked in `.old-<runId>-<name>`. If dst is absent and
+    * exactly one park exists, rename it back so readers (and this run's
+    * overwrite semantics) see the last published data again. */
+  private[sinks] def recoverDangling(fs: FileSystem, dst: Path): Unit =
+    if (!fs.exists(dst) && fs.exists(dst.getParent)) {
+      val parks = fs.listStatus(dst.getParent).map(_.getPath).filter { p =>
+        p.getName.startsWith(".old-") && p.getName.endsWith(s"-${dst.getName}")
+      }
+      if (parks.length == 1) { fs.rename(parks.head, dst); () }
+    }
+
   /** Write df to `<parent>/.staging-<runId>-<name>`; nothing visible yet. */
   def stage(df: DataFrame, finalDir: String, runId: String,
             spec: WriteSpec = WriteSpec()): Staged = {
     val spark = df.sparkSession
     val dst = new Path(finalDir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDangling(fs, dst)
     val staging = new Path(dst.getParent, s".staging-$runId-${dst.getName}")
     if (fs.exists(staging)) fs.delete(staging, true)
 

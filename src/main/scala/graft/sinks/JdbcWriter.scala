@@ -52,7 +52,10 @@ object JdbcWriter {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         val tableExists = {
-          val rs = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+          // scope the probe to the connection's current schema — a
+          // same-named table in another schema must not suppress CREATE
+          val schema = try conn.getSchema catch { case _: Throwable => null }
+          val rs = conn.getMetaData.getTables(null, schema, null, Array("TABLE"))
           var found = false
           while (rs.next() && !found)
             found = rs.getString("TABLE_NAME").equalsIgnoreCase(spec.table)

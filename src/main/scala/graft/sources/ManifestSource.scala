@@ -13,9 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * previous run's file snapshot in state and processes the set
   * difference.
   *
-  * Semantics: a file is "new" when its (path, length) is not in the
-  * committed manifest — so an appended/rewritten file re-extracts, an
-  * untouched file never does. Commit is all-or-nothing via an
+  * Semantics: a file is "new" when its (path, length, modTime) is not in
+  * the committed manifest — so an appended file, or one rewritten in place
+  * even to the same byte length, re-extracts; an untouched file never
+  * does. Commit is all-or-nothing via an
   * overwrite-capable rename (same protocol as the watermark store): a
   * crash before commit re-extracts the same delta (at-least-once, like
   * the reference), never loses files.
@@ -41,7 +42,8 @@ object ManifestSource {
     val store = new ManifestStore(spark, stateDir)
     val current = listFiles(spark, root)
     val committed = store.read(dataset)
-    val fresh = current.filterNot(f => committed.get(f.path).contains(f.length))
+    val fresh = current.filterNot(f =>
+      committed.get(f.path).contains((f.length, f.modTime)))
     val reader = spark.read.format(format).options(options)
     val df =
       if (fresh.nonEmpty) reader.load(fresh.map(_.path): _*)
@@ -75,8 +77,8 @@ final class ManifestStore(spark: SparkSession, dir: String) {
   private def fs = new Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** path -> length of the last committed snapshot. */
-  def read(dataset: String): Map[String, Long] = {
+  /** path -> (length, modTime) of the last committed snapshot. */
+  def read(dataset: String): Map[String, (Long, Long)] = {
     val p = file(dataset)
     if (!fs.exists(p)) Map.empty
     else {
@@ -90,7 +92,9 @@ final class ManifestStore(spark: SparkSession, dir: String) {
         val len = """"length":(\d+)""".r.findFirstMatchIn(line)
           .map(_.group(1).toLong)
           .getOrElse(throw new IllegalArgumentException(s"bad manifest line: $line"))
-        path -> len
+        val mod = """"mod_time":(\d+)""".r.findFirstMatchIn(line)
+          .map(_.group(1).toLong).getOrElse(0L)
+        path -> ((len, mod))
       }.toMap
     }
   }

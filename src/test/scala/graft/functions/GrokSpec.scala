@@ -48,6 +48,24 @@ class GrokSpec extends SparkSpec {
     assert(out.select("code", "who").as[(Int, String)].head == ((404, "bob")))
   }
 
+  test("char-class parens and named groups in raw segments count correctly") {
+    // '(' inside a character class is a literal, NOT a capture group
+    val c1 = Grok.compile("x[(]%{WORD:w}[)] %{INT:n}")
+    assert(c1.fields.map(f => (f.name, f.group)) == Seq("w" -> 1, "n" -> 2))
+    val m1 = java.util.regex.Pattern.compile(c1.regex).matcher("x(hello) 42")
+    assert(m1.find() && m1.group(1) == "hello" && m1.group(2) == "42")
+
+    // (?<name>...) IS capturing and shifts the numbering; (?:...), (?=...)
+    // and lookbehinds do not
+    val c2 = Grok.compile("(?<num>\\d+)-(?:ab) %{WORD:w}")
+    assert(c2.fields.map(f => (f.name, f.group)) == Seq("w" -> 2))
+    val m2 = java.util.regex.Pattern.compile(c2.regex).matcher("17-ab tail")
+    assert(m2.find() && m2.group(2) == "tail")
+
+    val c3 = Grok.compile("(?=\\d)(?<num>\\d+) %{WORD:w}")
+    assert(c3.fields.map(f => (f.name, f.group)) == Seq("w" -> 2))
+  }
+
   test("literal regex between macros is honored; unknown pattern rejected") {
     val c = Grok.compile("""^\[%{WORD:a}\]$""")
     val m = java.util.regex.Pattern.compile(c.regex).matcher("[xyz]")

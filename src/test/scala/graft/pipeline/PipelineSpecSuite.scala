@@ -178,15 +178,18 @@ class PipelineSpecSuite extends SparkSpec {
     assert(r2.committedWatermark == r1.committedWatermark)
   }
 
-  test("FAIL row policy aborts the job") {
+  test("FAIL row policy aborts the job and releases the cached source") {
     val out = tmpDir("pipefail")
     val spec = PipelineSpec(
       name = "failjob",
       source = SourceSpec(format = "parquet", path = s"$sf/orders.parquet"),
       rowPolicies = Seq(RowPolicySpec("nope", "o_totalprice < 0", "FAIL")),
       branches = Seq(BranchSpec("b", None, Nil, s"$out/b")))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     intercept[IllegalArgumentException] {
       PipelineRunner.run(spark, spec, "runX")
     }
+    // the abort path must unpersist the MEMORY_AND_DISK source cache
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
   }
 }

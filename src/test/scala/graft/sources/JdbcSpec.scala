@@ -41,6 +41,20 @@ class JdbcSourceSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(u, "t", new java.util.Properties()).count() == 1)
   }
 
+  test("staged publish scopes the existence probe to the current schema") {
+    val u = url("t_xschema")
+    val conn = java.sql.DriverManager.getConnection(u)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE SCHEMA OTHERS")
+    st.executeUpdate("CREATE TABLE OTHERS.SCOPED(x INT)")
+    st.close(); conn.close()
+    // a same-named table in another schema must not suppress CREATE TABLE
+    // in the current schema (the unqualified INSERT would then fail)
+    val df = Seq((1L, "a")).toDF("id", "v")
+    JdbcWriter.writeStaged(df, JdbcSpec(u, "scoped"))
+    assert(spark.read.jdbc(u, "scoped", new java.util.Properties()).count() == 1)
+  }
+
   test("incremental read: chunk predicates = partitions, union covers interval") {
     val u = url("t_inc")
     val nation = Tables.load(spark, sf, "nation")

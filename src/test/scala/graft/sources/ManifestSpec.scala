@@ -47,6 +47,26 @@ class ManifestSpec extends SparkSpec {
       .newFiles.isEmpty)
   }
 
+  test("same-length in-place rewrite re-extracts (modTime freshness)") {
+    val base = tmpDir("manifest-modtime")
+    val data = s"$base/data"
+    val state = s"$base/state"
+    writeText(data, "f1.txt", "aaaa\n")
+    val run1 = ManifestSource.plan(spark, state, "ds", data, format = "text")
+    assert(run1.newFiles.size == 1)
+    run1.commit()
+
+    // rewrite with identical byte length but a bumped modTime
+    writeText(data, "f1.txt", "bbbb\n")
+    Files.setLastModifiedTime(Paths.get(data, "f1.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    val run2 = ManifestSource.plan(spark, state, "ds", data, format = "text")
+    assert(run2.newFiles.map(f => new java.io.File(f.path).getName) == Seq("f1.txt"))
+    run2.commit()
+    assert(ManifestSource.plan(spark, state, "ds", data, format = "text")
+      .newFiles.isEmpty)
+  }
+
   test("hidden/marker files are ignored; missing root is an empty listing") {
     val base = tmpDir("manifest-hidden")
     val data = s"$base/data"
