@@ -315,6 +315,60 @@ object SparkEntry {
       graft.sources.ManifestSource.plan(s, s"$base/state", "orders_inc", data).df
     }),
 
+    // --- gap-based sessionization (batch face; parity with the
+    // flatMapGroupsWithState streaming face is unit-tested) ---
+    "q44_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.gapSessions(
+        t(s, dir, "events"), "user_id", "ts", "2 hours")),
+
+    // --- bucketed co-located join: both sides persisted bucketed by the
+    // join key, so the recurring fact-fact join runs shuffle-free (the
+    // zero-exchange plan is asserted in DataOrgSpec; here the result is
+    // hash-checked against a plain join) ---
+    "q45_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        "q45_orders", Seq("o_orderkey"), numBuckets = 8)
+      Bucketing.writeBucketed(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "q45_lineitem", Seq("l_orderkey"), numBuckets = 8)
+      s.table("q45_orders")
+        .join(s.table("q45_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"),
+          max(col("o_totalprice")).as("max_total"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- raw date-tree source with plan-time pruning (yyyy/MM/dd dirs
+    // carry no column mapping, so Catalyst can't prune them; the source
+    // prunes at planning and only in-range leaves reach the scan) ---
+    "q46_date_prune" -> ((s, dir) => {
+      val base = tmp("q46")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("y", date_format(col("ts"), "yyyy"))
+        .withColumn("m", date_format(col("ts"), "MM"))
+        .withColumn("d", date_format(col("ts"), "dd"))
+      ev.repartition(col("y"), col("m"), col("d"))
+        .write.partitionBy("y", "m", "d").parquet(base)
+      graft.sources.DatePartitionedSource.read(s, base,
+        pattern = "'y='yyyy/'m='MM/'d='dd",
+        lowWatermark = Some(java.time.LocalDate.parse("2024-01-10")))
+        .select("event_id", "user_id")
+    }),
+
+    // --- deterministic stratified sampling (the sampleBy shape, made
+    // layout-independent and engine-reproducible via portable hash) ---
+    "q48_stratified_sample" -> ((s, dir) =>
+      t(s, dir, "documents").transform(Converters.stratifiedSampleByHash(
+        "doc_id", "lang", Map("en" -> 50, "de" -> 20), defaultRate = 10))
+        .select("doc_id", "lang", "source")),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -428,6 +482,36 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, bits = 4, tables = 16)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
+    // embedding-cosine near-duplicate PAIRS (the dedup face of ANN):
+    // banded SRP-LSH proposes, exact cosine verifies — so the result is
+    // the exact >=threshold pair set up to LSH recall (2-bit bands x 32
+    // tables keep P(miss) ~3e-7 per boundary pair; DuckDB recomputes the
+    // set all-pairs, the engine never does).
+    "q43_embed_neardup" -> ((s, dir) =>
+      Ann.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, bits = 2, tables = 32)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))),
+
+    // IVF ANN: coarse quantizer (spherical k-means on a bounded sample) +
+    // nprobe cell probing. Run on a DERIVED clustered corpus (a +10.0
+    // spike on dimension vec_id%16 — recomputable in SQL) because IVF's
+    // contract only holds when data has cluster structure; there the
+    // probed cells contain every true neighbor, so the output must EQUAL
+    // the exact top-k (the oracle recomputes exact top-k over the same
+    // derived corpus — recall 1.0, any probe miss is a hash mismatch).
+    "q47_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val derived = emb.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      Ann.ivfTopK(derived, derived.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, numCells = 16, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine_r"),
           col("rank").cast("bigint").as("rank"))
@@ -654,6 +738,49 @@ object SparkEntry {
         "((strlen(text) // 7) % 1024 + 16)::BIGINT AS height, " +
         "(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 300 + 1 " +
         "ELSE 1 END)::BIGINT AS n_frames FROM documents"),
+    "q43_embed_neardup" ->
+      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "list_dot_product(a.v,b.v) / (sqrt(list_dot_product(a.v,a.v)) * " +
+        "sqrt(list_dot_product(b.v,b.v))) AS cosine " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM p " +
+        "WHERE cosine >= 0.35"),
+    "q44_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+        "OR ts > lag(ts) OVER w + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM g) " +
+        "SELECT user_id, session_seq::BIGINT AS session_seq, " +
+        "CAST(min(ts) AS TIMESTAMP) AS session_start, " +
+        "CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events " +
+        "FROM s GROUP BY user_id, session_seq"),
+    "q45_bucketed_join" ->
+      ("SELECT o_orderkey, sum(l_quantity) AS sum_qty, " +
+        "max(o_totalprice) AS max_total, count(*) AS n " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderkey"),
+    "q46_date_prune" ->
+      ("SELECT event_id, user_id FROM events " +
+        "WHERE CAST(ts AS DATE) > DATE '2024-01-10'"),
+    "q47_ivf_ann" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    "q48_stratified_sample" ->
+      ("SELECT doc_id, lang, source FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < " +
+        "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END"),
     "q28_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
   *
-  * Two paths:
+  * Four paths:
   *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
   *     set against the corpus; one map-side pass over the corpus computes
   *     all similarities, then a per-query top-k. Correctness baseline.
@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *     independent hash tables. At 100 TB this avoids scoring the full
   *     corpus per query: the join is on bucket keys, candidates per query
   *     are O(bucket size × tables).
+  *   - [[ivfTopK]] — inverted-file index: a coarse quantizer (spherical
+  *     k-means over a bounded sample) assigns every corpus vector to a
+  *     cell; each query probes only its `nprobe` nearest cells.
+  *   - [[nearDupPairs]] — embedding-cosine near-duplicate PAIRS over the
+  *     whole corpus (dedup, not search): banded SRP-LSH proposes candidate
+  *     pairs, exact cosine verifies them.
   *
   * All arithmetic is in double (cast once) via codegen'd higher-order
   * functions — no UDFs.
@@ -93,6 +99,161 @@ object Ann {
       .distinct()
     val scored = cand.withColumn("cosine",
       cosine(col("__v_query_id"), col("__v_neighbor_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding-cosine near-duplicate pairs (dedup face of ANN)
+  // ---------------------------------------------------------------------
+
+  /** All corpus pairs (id_a < id_b) with cosine >= threshold: banded
+    * SRP-LSH proposes candidates (pairs sharing a `bits`-bit signature in
+    * any of `tables` tables), exact cosine filters them — LSH can only
+    * MISS (P(miss) = (1 - p^bits)^tables, p = 1 - acos(cos)/pi), never
+    * emit a below-threshold pair.
+    *
+    * Plan shape mirrors [[graft.dedup.MinHashDedup.candidatePairs]]: one
+    * shuffle on (table, signature) buckets + intra-bucket pair generation
+    * (no self-join), then a verify join that touches candidates only.
+    * Size `bits` up with the threshold: tight thresholds (0.9+) allow
+    * 8-16 bits (small selective buckets); loose ones (0.3-0.5) need few
+    * bits and more tables to hold recall — at 100 TB run exact dedup
+    * first and use a tight threshold, where bucket sizes stay tiny.
+    * `maxBucketSize` sheds degenerate mega-buckets (boilerplate spikes) at
+    * the cost of pairs inside them. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, bits: Int = 2, tables: Int = 32,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sigs = corpus.select(col(idCol).as("__id"), posexplode(
+      graft.functions.Srp.signatures(col(vecCol), bits, tables))
+      .as(Seq("tbl", "sig")))
+    val ids = col("ids")
+    val pairs = sigs.groupBy(col("tbl"), col("sig"))
+      .agg(sort_array(collect_list(col("__id"))).as("ids"))
+      .filter(size(ids) > 1 && size(ids) <= maxBucketSize)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN
+  // ---------------------------------------------------------------------
+
+  /** Coarse quantizer: unit-norm centroids (spherical k-means). */
+  final case class IvfModel(centroids: Array[Array[Double]]) {
+    def numCells: Int = centroids.length
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotArr(v, v))
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Train the coarse quantizer on a BOUNDED deterministic sample
+    * (hash-ordered, like IVF builds everywhere: train small, assign big):
+    * farthest-point init (greedy max-min cosine distance, deterministic)
+    * then `iters` Lloyd refinements, all over the collected sample —
+    * O(sampleN x cells x dim x iters) driver work, independent of corpus
+    * size. Assignment of the full corpus stays distributed. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               numCells: Int, iters: Int = 3, sampleN: Int = 4096): IvfModel = {
+    val sample = corpus
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleN)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(sample.length >= numCells,
+      s"IVF: sample ${sample.length} smaller than numCells $numCells")
+    // farthest-point init: start at the hash-min vector, greedily add the
+    // sample point with the lowest max-cosine to the chosen set
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.length < numCells) {
+      val next = sample.minBy(v => init.map(c => dotArr(v, c)).max)
+      init += next
+    }
+    var cents = init.toArray
+    // Lloyd: assign sample to argmax-cosine cell, recenter on the mean
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(numCells)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](numCells)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.MinValue; var c = 0
+        while (c < numCells) {
+          val d = dotArr(v, cents(c))
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))).toArray
+    }
+    IvfModel(cents)
+  }
+
+  private def centroidLit(model: IvfModel): Column =
+    typedlit(model.centroids.map(_.toSeq).toSeq)
+
+  /** Per-centroid dot products of a (row-normalizing not needed — ranking
+    * per row is scale-invariant) vector against the unit centroids. */
+  private def cellScores(vec: Column, model: IvfModel): Column =
+    transform(centroidLit(model), c =>
+      aggregate(zip_with(asDouble(vec), c, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v))
+
+  /** 0-based nearest-cell id (argmax centroid dot product). */
+  def assignCell(vec: Column, model: IvfModel): Column = {
+    val scores = cellScores(vec, model)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** IVF approximate top-k: train (or take) a coarse quantizer, assign the
+    * corpus to cells distributedly, probe each query's `nprobe` best
+    * cells, exact-score candidates, per-query top-k.
+    *
+    * At 100 TB the cell assignment is a map-only pass (write it
+    * partitioned by cell and probes become partition-pruned reads); the
+    * per-query work is O(corpus x nprobe / cells) instead of O(corpus). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
+              model: Option[IvfModel] = None): DataFrame = {
+    val m = model.getOrElse(ivfTrain(corpus, idCol, vecCol, numCells))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), assignCell(col(vecCol), m).as("cell"))
+    // top-nprobe cells per query: sort (score, cell) structs descending
+    val probes = slice(reverse(array_sort(zip_with(
+      cellScores(col(vecCol), m),
+      sequence(lit(0), lit(m.numCells - 1)),
+      (s, i) => struct(s.as("s"), i.as("cell"))))), 1, nprobe)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), explode(probes).as("probe"))
+      .select(col("query_id"), col("__qv"), col("probe.cell").cast("int").as("cell")))
+    val cand = c.join(q, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .distinct()
+    val scored = cand.withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 
 /** Bucketed co-located joins: persist both sides of a recurring join
@@ -20,6 +21,17 @@ object Bucketing {
                     format: String = "parquet",
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketBy.nonEmpty && numBuckets > 0)
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+      // a managed-table dir orphaned by a dead session (dir on disk, no
+      // catalog entry) fails CREATE with LOCATION_ALREADY_EXISTS; an
+      // Overwrite writer owns the location, so clear it (default db only —
+      // qualified names resolve through the catalog and never hit this)
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     var w = df.write.mode(mode).format(format)
       .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
     if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)

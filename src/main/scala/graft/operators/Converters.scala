@@ -77,6 +77,24 @@ object Converters {
   def sampleByKeyMod(keyCol: String, num: Int, denom: Int)(df: DataFrame): DataFrame =
     df.filter(pmod(col(keyCol), lit(denom)) < lit(num))
 
+  /** Deterministic STRATIFIED sample: per-stratum keep rates (out of
+    * `mod`) applied through a portable hash of the key — the `sampleBy`
+    * shape, but layout-independent (Spark's `sampleBy` seeds per
+    * partition, so its row set changes with file splits) and reproducible
+    * in any engine that has md5 (see TextStats.portableHash60). Map-only,
+    * no shuffle; the hash spreads uniformly so the kept fraction
+    * concentrates tightly around rate/mod per stratum at any scale. */
+  def stratifiedSampleByHash(keyCol: String, strataCol: String,
+                             rates: Map[String, Int], defaultRate: Int,
+                             mod: Int = 100)(df: DataFrame): DataFrame = {
+    require(mod > 0 && (rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= mod))
+    val rate = rates.toSeq.sortBy(_._1).foldLeft[Column](lit(defaultRate)) {
+      case (els, (k, r)) => when(col(strataCol) === lit(k), lit(r)).otherwise(els)
+    }
+    df.filter(pmod(graft.text.TextStats.portableHash60(
+      col(keyCol).cast("string")), lit(mod.toLong)) < rate)
+  }
+
   /** Parse a JSON string column into typed columns.
     * Ref: JsonStringToJsonIntermediateConverter.java:48 +
     * JsonIntermediateToAvroConverter.java:50 — the two-step JSON pipeline is

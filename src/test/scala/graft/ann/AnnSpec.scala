@@ -39,6 +39,50 @@ class AnnSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("nearDupPairs equals the exact above-threshold pair set") {
+    val exact = {
+      val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .filter(Ann.cosine($"va", $"vb") >= 0.35)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val lsh = Ann.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, bits = 2, tables = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  private def clustered = emb.select($"vec_id",
+    transform($"embedding".cast("array<double>"),
+      (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+        lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+
+  test("ivfTopK equals exact top-k on a clustered corpus") {
+    val derived = clustered
+    val queries = derived.filter($"vec_id" < 5)
+    val exact = Ann.bruteForceTopK(derived, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val ivf = Ann.ivfTopK(derived, queries, "vec_id", "embedding", 10,
+      numCells = 16, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivf model: unit centroids, assignment covers only valid cells") {
+    val m = Ann.ivfTrain(emb, "vec_id", "embedding", numCells = 8)
+    assert(m.centroids.length == 8)
+    assert(m.centroids.forall(c =>
+      math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9))
+    val cells = emb.select(Ann.assignCell($"embedding", m)).as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // deterministic: retraining yields identical centroids
+    val m2 = Ann.ivfTrain(emb, "vec_id", "embedding", numCells = 8)
+    assert(m.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
   test("lshTopK recalls most of the exact top-k") {
     val queries = emb.filter($"vec_id" < 5)
     val exact = Ann.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

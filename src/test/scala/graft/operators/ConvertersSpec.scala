@@ -81,4 +81,26 @@ class ConvertersSpec extends SparkSpec {
     val out = orders.transform(Converters.castFields(Map("o_orderkey" -> StringType)))
     assert(out.schema("o_orderkey").dataType == StringType)
   }
+
+  test("stratifiedSampleByHash: per-stratum rates, deterministic, layout-free") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = docs.transform(Converters.stratifiedSampleByHash(
+      "doc_id", "lang", Map("en" -> 50, "de" -> 20), defaultRate = 10))
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def frac(l: String) = kept.getOrElse(l, 0L).toDouble / total(l)
+    // hash is uniform: kept fraction lands near the configured rate
+    assert(math.abs(frac("en") - 0.50) < 0.15, s"en=${frac("en")}")
+    assert(math.abs(frac("de") - 0.20) < 0.15, s"de=${frac("de")}")
+    assert(total.keySet.diff(Set("en", "de")).forall(l => frac(l) < 0.30))
+    // deterministic across runs and layouts (repartition changes nothing)
+    val again = docs.repartition(7)
+      .transform(Converters.stratifiedSampleByHash(
+        "doc_id", "lang", Map("en" -> 50, "de" -> 20), defaultRate = 10))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sampled.select("doc_id").as[Long].collect().toSet)
+  }
 }
