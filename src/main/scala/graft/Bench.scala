@@ -25,7 +25,12 @@ object Bench {
     "q22_simhash",          // 64-bit vote fold
     "q25_quality_score",    // text quality columns
     "q28_ann_topk",         // brute-force cosine top-k
-    "q29_ann_lsh")          // multiprobe SRP-LSH top-k
+    "q29_ann_lsh",          // multiprobe SRP-LSH top-k
+    // appended round 3 (earlier entries stay comparable across rounds):
+    "q36_dup_clusters",     // near-dup pairs -> connected components
+    "q43_embed_neardup",    // banded SRP-LSH + exact-cosine verify
+    "q44_sessionize",       // keyed gap sessions (1 shuffle)
+    "q47_ivf_ann")          // IVF coarse-quantizer probe
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -488,14 +488,27 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-duplicate PAIRS (the dedup face of ANN):
-    // banded SRP-LSH proposes, exact cosine verifies — so the result is
-    // the exact >=threshold pair set up to LSH recall (2-bit bands x 32
-    // tables keep P(miss) ~3e-7 per boundary pair; DuckDB recomputes the
-    // set all-pairs, the engine never does).
-    "q43_embed_neardup" -> ((s, dir) =>
-      Ann.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, bits = 2, tables = 32)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))),
+    // banded SRP-LSH proposes, exact cosine verifies. The corpus is the
+    // embeddings table plus a deterministically perturbed copy of every
+    // vector (per-dim scale 0.97..1.03 — recomputable in SQL), planting
+    // one cosine~0.9995 near-dup per vector: the regime LSH dedup exists
+    // for (tight threshold, selective buckets — 8-bit bands keep bucket
+    // sizes ~corpus/256 per table while P(miss) stays ~1e-8/pair; random
+    // pairs top out near cosine 0.5, far under the 0.9 threshold, so the
+    // verified set is exactly the planted pairs). DuckDB recomputes the
+    // set all-pairs; the engine never does.
+    "q43_embed_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val near = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.01) *
+            (pmod(i.cast("bigint"), lit(7L)) - lit(3L)).cast("double")))
+          .as("embedding"))
+      Ann.nearDupPairs(base.unionByName(near), "vec_id", "embedding",
+        threshold = 0.9, bits = 8, tables = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_r"))
+    }),
 
     // IVF ANN: coarse quantizer (spherical k-means on a bounded sample) +
     // nprobe cell probing. Run on a DERIVED clustered corpus (a +10.0
@@ -739,13 +752,16 @@ object SparkEntry {
         "(CASE WHEN doc_id % 3 = 2 THEN strlen(text) % 300 + 1 " +
         "ELSE 1 END)::BIGINT AS n_frames FROM documents"),
     "q43_embed_neardup" ->
-      ("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      ("WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+        "e AS (SELECT vec_id, v FROM base UNION ALL " +
+        "SELECT vec_id + 1000000, [v[i] * (1 + 0.01 * ((i - 1) % 7 - 3)) " +
+        "FOR i IN range(1, len(v) + 1)] FROM base), " +
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
         "list_dot_product(a.v,b.v) / (sqrt(list_dot_product(a.v,a.v)) * " +
         "sqrt(list_dot_product(b.v,b.v))) AS cosine " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT id_a, id_b, round(cosine, 6) AS cosine_r FROM p " +
-        "WHERE cosine >= 0.35"),
+        "WHERE cosine >= 0.9"),
     "q44_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
         "OR ts > lag(ts) OVER w + INTERVAL 2 HOUR THEN 1 ELSE 0 END AS ns " +
