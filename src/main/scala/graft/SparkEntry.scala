@@ -369,6 +369,26 @@ object SparkEntry {
         "doc_id", "lang", Map("en" -> 50, "de" -> 20), defaultRate = 10))
         .select("doc_id", "lang", "source")),
 
+    // --- salted join (skew mitigation): result must be IDENTICAL to the
+    // plain join — the salt only re-partitions the work. The oracle runs
+    // the unsalted join, so any salt-induced dup/loss is a hash mismatch.
+    "q49_salted_join" -> ((s, dir) => {
+      import graft.operators.Skew
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ords = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Skew.saltedJoin(li, ords, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    // --- multimodal frame sampling: every-nth-frame plan rows over the
+    // decoded video features (deterministic via the documented stub) ---
+    "q50_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(Multimodal.extractFeatures(media).toDF(), every = 7)
+        .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"))
+    }),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -793,6 +813,14 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    "q49_salted_join" ->
+      ("SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
+    "q50_frame_sample" ->
+      ("SELECT doc_id AS media_id, " +
+        "unnest(range(0, (strlen(text) % 300 + 1)::BIGINT, 7)) AS frame_idx " +
+        "FROM documents WHERE doc_id % 3 = 2"),
     "q48_stratified_sample" ->
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < " +

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins: salt the hot side, replicate the other.
+  *
+  * A shuffled join puts every row of one key into one task; a hot key
+  * (null-ish defaults, a mega-customer, boilerplate content) turns that
+  * task into the job's straggler. Salting scatters the hot side across
+  * `salts` sub-keys and replicates the other side once per sub-key, so
+  * the hot key runs on `salts` tasks — result identical to the plain
+  * join.
+  *
+  * When to reach for this instead of the built-ins:
+  *   - AQE's skew-join (spark.sql.adaptive.skewJoin) already splits
+  *     oversized SORT-MERGE partitions at runtime — prefer it when it
+  *     applies (it is on in this engine's sessions).
+  *   - broadcast() beats salting whenever the small side fits in memory.
+  *   - Salting remains the tool when AQE can't see the skew (stream-static
+  *     joins, aggregate-after-join pipelines where the straggler is the
+  *     downstream agg, or engines/configs without AQE) — and it composes
+  *     with bucketing (salt the bucket key at write time).
+  *
+  * The replicated side grows `salts`×: size `salts` to the straggler
+  * ratio (hot-key rows / average-task rows), not higher.
+  */
+object Skew {
+
+  /** Per-row salt in [0, salts): deterministic-given-layout, uniform, and
+    * independent of the data values (a value-derived salt would re-skew). */
+  private def rowSalt(salts: Int): Column =
+    pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+      lit(salts.toLong)).cast("int")
+
+  /** Inner/left join of a skewed `fact` against `dim` on fact.factKey =
+    * dim.dimKey, salted `salts` ways. Every fact row carries one salt;
+    * every dim row is replicated to all salts; the join key becomes
+    * (key, salt). Output columns = fact ++ dim (dimKey dropped), exactly
+    * as the unsalted join. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"salted join supports inner/left (fact side preserved), not $joinType")
+    val f = fact.withColumn("__salt", rowSalt(salts))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, f("__salt") === d("__salt") &&
+        col(factKey) === col(dimKey), joinType)
+      .drop("__salt").drop(dimKey)
+  }
+}

@@ -166,4 +166,22 @@ class DataOrgSpec extends SparkSpec {
     assert(m.count() > 0)
     assert(m.columns.toSeq == Seq("path", "length", "mod_time"))
   }
+
+  test("saltedJoin equals the plain join (inner and left), salt never leaks") {
+    // a skewed fact: every row of key 1 plus a thin tail
+    val fact = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b"), (9L, "no-dim")))
+      .toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "unused"))
+      .toDF("dk", "w")
+    val plainInner = fact.join(dim, col("k") === col("dk")).drop("dk")
+    val saltedInner = Skew.saltedJoin(fact, dim, "k", "dk", salts = 7)
+    assert(saltedInner.columns.toSeq == plainInner.columns.toSeq)
+    assert(saltedInner.exceptAll(plainInner).count() == 0)
+    assert(plainInner.exceptAll(saltedInner).count() == 0)
+
+    val plainLeft = fact.join(dim, col("k") === col("dk"), "left").drop("dk")
+    val saltedLeft = Skew.saltedJoin(fact, dim, "k", "dk", salts = 7, "left")
+    assert(saltedLeft.exceptAll(plainLeft).count() == 0)
+    assert(plainLeft.exceptAll(saltedLeft).count() == 0)
+  }
 }
