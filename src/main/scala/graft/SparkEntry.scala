@@ -389,6 +389,47 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("bigint").as("frame_idx"))
     }),
 
+    // --- REST pagination source (RestApiExtractor.java:61): the fetcher
+    // seam pages a driver-side JSON "endpoint" (no network here) through
+    // the cursor loop; the decoded frame must equal the source table ---
+    "q51_rest_pages" -> ((s, dir) => {
+      val proj = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val rows = proj.toJSON.collect()
+      val pageSize = 1000
+      def fetch(cursor: Long): graft.sources.RestSource.Page = {
+        val from = cursor.toInt
+        val until = math.min(from + pageSize, rows.length)
+        graft.sources.RestSource.Page(rows.slice(from, until).toSeq,
+          if (until < rows.length) Some(until.toLong) else None)
+      }
+      graft.sources.RestSource.read(s, fetch, schema = Some(proj.schema))
+    }),
+
+    // --- catalog-registration publisher (HiveRegister.java:62): publish a
+    // partitioned dir, register it as an external table + RECOVER
+    // PARTITIONS, then read THROUGH the catalog ---
+    "q52_catalog_register" -> ((s, dir) => {
+      val base = tmp("q52")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val out = s"$base/events_tbl"
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .drop("ts")
+        .repartition(col("dt"))
+        .write.partitionBy("dt").parquet(out)
+      graft.sinks.CatalogRegister.deregister(s, "q52_events")
+      graft.sinks.CatalogRegister.register(s, "q52_events", out,
+        partitionCols = Seq("dt"))
+      // partition inference types dt as DATE; emit it as the written
+      // string (DATE canonicalizes differently per engine in the compare)
+      s.table("q52_events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("dt").cast("string").as("dt"))
+    }),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -813,6 +854,11 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    "q51_rest_pages" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    "q52_catalog_register" ->
+      ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt " +
+        "FROM events"),
     "q49_salted_join" ->
       ("SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -249,10 +249,11 @@ object Ann {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), explode(probes).as("probe"))
       .select(col("query_id"), col("__qv"), col("probe.cell").cast("int").as("cell")))
+    // no distinct needed: a neighbor lives in exactly one cell and each
+    // (query, cell) probe appears once, so candidates cannot repeat
     val cand = c.join(q, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__qv", "__cv")
-      .distinct()
     val scored = cand.withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

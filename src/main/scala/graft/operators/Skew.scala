@@ -44,11 +44,11 @@ object Skew {
     require(salts > 0, "salts must be positive")
     require(Set("inner", "left", "left_outer")(joinType),
       s"salted join supports inner/left (fact side preserved), not $joinType")
-    val f = fact.withColumn("__salt", rowSalt(salts))
-    val d = dim.withColumn("__salt",
+    val f = fact.withColumn("__graft_salt", rowSalt(salts))
+    val d = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    f.join(d, f("__salt") === d("__salt") &&
+    f.join(d, f("__graft_salt") === d("__graft_salt") &&
         col(factKey) === col(dimKey), joinType)
-      .drop("__salt").drop(dimKey)
+      .drop("__graft_salt").drop(dimKey)
   }
 }
