@@ -40,6 +40,16 @@ object Ann {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Per-query top-k over ("query_id", "neighbor_id", "cosine") rows —
+    * shared tail of every search path (deterministic tie-break on id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Exact top-k cosine neighbors of each query vector.
     * `queries` must be small enough to broadcast (it is hinted). Excludes
     * self-matches on equal ids. */
@@ -51,11 +61,7 @@ object Ann {
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** m-bit sign-random-projection signature of a vector for one table —
@@ -99,11 +105,7 @@ object Ann {
       .distinct()
     val scored = cand.withColumn("cosine",
       cosine(col("__v_query_id"), col("__v_neighbor_id")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   // ---------------------------------------------------------------------
@@ -218,14 +220,20 @@ object Ann {
   /** Per-centroid dot products of a (row-normalizing not needed — ranking
     * per row is scale-invariant) vector against the unit centroids. */
   private def cellScores(vec: Column, model: IvfModel): Column =
-    transform(centroidLit(model), c =>
-      aggregate(zip_with(asDouble(vec), c, (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v))
+    transform(centroidLit(model), c => dot(asDouble(vec), c))
 
-  /** 0-based nearest-cell id (argmax centroid dot product). */
+  /** 0-based nearest-cell id (argmax centroid dot product), computed in a
+    * single fold over the score array — the scores are evaluated once per
+    * row (an array_max + array_position pair would evaluate the whole
+    * numCells x dim scoring twice: HOF subtrees are not CSE'd). */
   def assignCell(vec: Column, model: IvfModel): Column = {
-    val scores = cellScores(vec, model)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
+    val pairs = zip_with(cellScores(vec, model),
+      sequence(lit(0), lit(model.numCells - 1)),
+      (s, i) => struct(s.as("s"), i.as("cell")))
+    aggregate(pairs,
+      struct(lit(Double.MinValue).as("s"), lit(-1).as("cell")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("cell").cast("int")
   }
 
   /** IVF approximate top-k: train (or take) a coarse quantizer, assign the
@@ -255,10 +263,6 @@ object Ann {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id", "__qv", "__cv")
     val scored = cand.withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -83,13 +83,15 @@ object Grok {
     def countCaptures(s: String): Int = {
       var n = 0
       var i = 0
-      var inClass = false // '(' inside [...] is a literal, not a group
+      // '(' inside [...] is a literal, not a group; Java classes NEST
+      // ([a[bc]] is a union), so track depth, not a boolean
+      var classDepth = 0
       while (i < s.length) {
         s.charAt(i) match {
           case '\\' => i += 1 // skip escaped char
-          case '[' if !inClass => inClass = true
-          case ']' if inClass  => inClass = false
-          case '(' if !inClass =>
+          case '[' => classDepth += 1
+          case ']' if classDepth > 0 => classDepth -= 1
+          case '(' if classDepth == 0 =>
             if (i + 1 >= s.length || s.charAt(i + 1) != '?') n += 1
             // (?<name>...) is a CAPTURING named group (unlike (?:, (?=,
             // (?<=, (?<! ...), so it shifts the numbering too

@@ -22,13 +22,20 @@ object Bucketing {
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(bucketBy.nonEmpty && numBuckets > 0)
     val spark = df.sparkSession
-    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+    if (mode == SaveMode.Overwrite && !table.contains('.') &&
+        !spark.catalog.tableExists(table)) {
       // a managed-table dir orphaned by a dead session (dir on disk, no
       // catalog entry) fails CREATE with LOCATION_ALREADY_EXISTS; an
-      // Overwrite writer owns the location, so clear it (default db only —
-      // qualified names resolve through the catalog and never hit this)
-      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
-        table.toLowerCase)
+      // Overwrite writer owns the location, so clear it. The location is
+      // resolved through the CURRENT database's catalog path (default db
+      // lives at <warehouse>/<t>, others at <db>.db/<t>) so a same-named
+      // live table in another database is never touched; db-qualified
+      // names are left to the catalog entirely.
+      val db = spark.catalog.currentDatabase
+      val dbRoot =
+        if (db == "default") new Path(spark.conf.get("spark.sql.warehouse.dir"))
+        else new Path(spark.catalog.getDatabase(db).locationUri)
+      val loc = new Path(dbRoot, table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

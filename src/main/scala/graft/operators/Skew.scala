@@ -47,8 +47,9 @@ object Skew {
     val f = fact.withColumn("__graft_salt", rowSalt(salts))
     val d = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // dataframe-qualified refs: factKey and dimKey may share a name
     f.join(d, f("__graft_salt") === d("__graft_salt") &&
-        col(factKey) === col(dimKey), joinType)
-      .drop("__graft_salt").drop(dimKey)
+        f(factKey) === d(dimKey), joinType)
+      .drop(d(dimKey)).drop(f("__graft_salt")).drop(d("__graft_salt"))
   }
 }

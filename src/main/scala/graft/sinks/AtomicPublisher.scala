@@ -22,9 +22,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * is in place: old data is renamed aside, the staging dir renamed in,
   * and the old copy removed last. A crash between the two renames leaves
   * the final path briefly missing, but the previous output remains
-  * recoverable in `.old-<runId>-<name>` — [[stage]] and [[Staged.promote]]
-  * both restore such a dangling park before starting, so the next run (or
-  * retry) heals the gap rather than deleting the parked copy.
+  * recoverable in `.old-<name>` — [[stage]] and [[Staged.promote]] both
+  * restore such a dangling park before starting, so the next run (or
+  * retry) heals the gap rather than deleting the parked copy. The park
+  * name is exactly `.old-` + the destination's name (no runId: a park is
+  * meaningful only relative to its destination, one park per destination
+  * can exist, and an exact name can never match a sibling destination
+  * whose name happens to share a suffix).
   */
 object AtomicPublisher {
 
@@ -48,9 +52,9 @@ object AtomicPublisher {
     /** Swap staged data into the final path (old aside -> new in -> drop old). */
     def promote(): Unit = {
       recoverDangling(fs, dst)
-      val old = new Path(dst.getParent, s".old-$runId-${dst.getName}")
-      // a leftover park alongside an existing dst is stale (a prior promote
-      // that crashed after the swap, before its final delete) — drop it
+      val old = new Path(dst.getParent, s".old-${dst.getName}")
+      // after recovery, a park that still coexists with dst is stale (a
+      // prior promote crashed after its swap, before the final delete)
       if (fs.exists(old)) fs.delete(old, true)
       val hadOld = fs.exists(dst)
       if (hadOld) require(fs.rename(dst, old), s"promote: cannot set aside $dst")
@@ -67,16 +71,15 @@ object AtomicPublisher {
   }
 
   /** A crash between promote's two renames leaves dst missing and the
-    * previous output parked in `.old-<runId>-<name>`. If dst is absent and
-    * exactly one park exists, rename it back so readers (and this run's
-    * overwrite semantics) see the last published data again. */
-  private[sinks] def recoverDangling(fs: FileSystem, dst: Path): Unit =
-    if (!fs.exists(dst) && fs.exists(dst.getParent)) {
-      val parks = fs.listStatus(dst.getParent).map(_.getPath).filter { p =>
-        p.getName.startsWith(".old-") && p.getName.endsWith(s"-${dst.getName}")
-      }
-      if (parks.length == 1) { fs.rename(parks.head, dst); () }
-    }
+    * previous output parked in `.old-<name>`. If dst is absent and its
+    * park exists, rename it back so readers (and this run's overwrite
+    * semantics) see the last published data again. Exact-name match only:
+    * a sibling destination's park (`.old-raw-events` vs dst `events`) can
+    * never be confused for this one. */
+  private[sinks] def recoverDangling(fs: FileSystem, dst: Path): Unit = {
+    val park = new Path(dst.getParent, s".old-${dst.getName}")
+    if (!fs.exists(dst) && fs.exists(park)) { fs.rename(park, dst); () }
+  }
 
   /** Write df to `<parent>/.staging-<runId>-<name>`; nothing visible yet. */
   def stage(df: DataFrame, finalDir: String, runId: String,

@@ -42,8 +42,13 @@ object ManifestSource {
     val store = new ManifestStore(spark, stateDir)
     val current = listFiles(spark, root)
     val committed = store.read(dataset)
-    val fresh = current.filterNot(f =>
-      committed.get(f.path).contains((f.length, f.modTime)))
+    // mod_time 0 = committed by a build that didn't record it: match on
+    // length alone so an upgrade stays incremental instead of re-ingesting
+    // the full corpus (a genuine epoch-0 mtime is indistinguishable but
+    // not produced by real filesystems)
+    val fresh = current.filterNot(f => committed.get(f.path).exists {
+      case (len, mod) => len == f.length && (mod == 0L || mod == f.modTime)
+    })
     val reader = spark.read.format(format).options(options)
     val df =
       if (fresh.nonEmpty) reader.load(fresh.map(_.path): _*)

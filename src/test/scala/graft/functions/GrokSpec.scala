@@ -64,6 +64,13 @@ class GrokSpec extends SparkSpec {
 
     val c3 = Grok.compile("(?=\\d)(?<num>\\d+) %{WORD:w}")
     assert(c3.fields.map(f => (f.name, f.group)) == Seq("w" -> 2))
+
+    // Java classes nest: [[ab](] is ONE class (union of [ab] and '('),
+    // so neither its inner brackets nor its '(' shift the numbering
+    val c4 = Grok.compile("[[ab](] %{WORD:w}")
+    assert(c4.fields.map(f => (f.name, f.group)) == Seq("w" -> 1))
+    val m4 = java.util.regex.Pattern.compile(c4.regex).matcher("a hello")
+    assert(m4.find() && m4.group(1) == "hello")
   }
 
   test("literal regex between macros is honored; unknown pattern rejected") {

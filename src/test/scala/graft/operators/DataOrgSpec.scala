@@ -183,5 +183,11 @@ class DataOrgSpec extends SparkSpec {
     val saltedLeft = Skew.saltedJoin(fact, dim, "k", "dk", salts = 7, "left")
     assert(saltedLeft.exceptAll(plainLeft).count() == 0)
     assert(plainLeft.exceptAll(saltedLeft).count() == 0)
+
+    // the common shape: both sides name the key identically
+    val dimSame = dim.withColumnRenamed("dk", "k")
+    val saltedSame = Skew.saltedJoin(fact, dimSame, "k", "k", salts = 5)
+    assert(saltedSame.columns.toSeq == Seq("k", "v", "w"))
+    assert(saltedSame.count() == plainInner.count())
   }
 }

@@ -14,19 +14,35 @@ class PublisherSpec extends SparkSpec {
     val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // simulate a crash between promote's two renames: previous output is
-    // parked in .old-<runId>-data and nothing sits at the final path
-    assert(fs.rename(new Path(dst), new Path(s"$out/.old-r2-data")))
+    // parked in .old-data and nothing sits at the final path
+    assert(fs.rename(new Path(dst), new Path(s"$out/.old-data")))
     assert(!fs.exists(new Path(dst)))
     AtomicPublisher.recoverDangling(fs, new Path(dst))
     assert(spark.read.parquet(dst).count() == 3)
 
     // a full publish after such a crash heals the gap, then replaces —
     // including a retry reusing the SAME runId as the crashed promote
-    assert(fs.rename(new Path(dst), new Path(s"$out/.old-r3-data")))
-    AtomicPublisher.publish(Seq(9, 9).toDF("v"), dst, "r3")
+    assert(fs.rename(new Path(dst), new Path(s"$out/.old-data")))
+    AtomicPublisher.publish(Seq(9, 9).toDF("v"), dst, "r1")
     assert(spark.read.parquet(dst).count() == 2)
     val leftovers = fs.listStatus(new Path(out)).map(_.getPath.getName)
       .filter(n => n.startsWith(".old-") || n.startsWith(".staging-"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("a sibling destination's park is never restored to this destination") {
+    val out = tmpDir("pub-sibling")
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `raw-events` crashed mid-promote, leaving its park; `events` has
+    // never been published — recovery for `events` must NOT adopt it
+    AtomicPublisher.publish(Seq(7).toDF("v"), s"$out/raw-events", "r1")
+    assert(fs.rename(new Path(s"$out/raw-events"),
+      new Path(s"$out/.old-raw-events")))
+    AtomicPublisher.recoverDangling(fs, new Path(s"$out/events"))
+    assert(!fs.exists(new Path(s"$out/events")))
+    assert(fs.exists(new Path(s"$out/.old-raw-events")))
+    // and raw-events itself still heals
+    AtomicPublisher.recoverDangling(fs, new Path(s"$out/raw-events"))
+    assert(spark.read.parquet(s"$out/raw-events").count() == 1)
   }
 }

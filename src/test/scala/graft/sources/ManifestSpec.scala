@@ -67,6 +67,21 @@ class ManifestSpec extends SparkSpec {
       .newFiles.isEmpty)
   }
 
+  test("manifests without mod_time match on length alone (upgrade compat)") {
+    val base = tmpDir("manifest-compat")
+    val data = s"$base/data"
+    val state = s"$base/state"
+    writeText(data, "f1.txt", "one\n")
+    val files = ManifestSource.listFiles(spark, data)
+    // hand-written pre-upgrade manifest: no mod_time field
+    Files.createDirectories(Paths.get(state))
+    Files.writeString(Paths.get(state, "manifest-ds.json"),
+      files.map(f => s"""{"path":"${f.path}","length":${f.length}}""")
+        .mkString("\n"))
+    val run = ManifestSource.plan(spark, state, "ds", data, format = "text")
+    assert(run.newFiles.isEmpty, "length-only match must keep the delta empty")
+  }
+
   test("hidden/marker files are ignored; missing root is an empty listing") {
     val base = tmpDir("manifest-hidden")
     val data = s"$base/data"
