@@ -40,33 +40,45 @@ object JdbcWriter {
     d.write.mode(spec.mode).jdbc(spec.url, spec.table, p)
   }
 
+  private def tableExists(conn: java.sql.Connection, table: String): Boolean = {
+    // scope the probe to the connection's current schema — a same-named
+    // table in another schema must not suppress CREATE
+    val schema = try conn.getSchema catch { case _: Throwable => null }
+    val rs = conn.getMetaData.getTables(null, schema, null, Array("TABLE"))
+    var found = false
+    while (rs.next() && !found)
+      found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+    rs.close(); found
+  }
+
   /** A staging table written but not yet published. */
   final case class StagedTable(spec: JdbcSpec, staging: String)
       extends AtomicPublisher.StagedOutput {
     /** One transaction moves staging rows into the final table (created
       * from the staging shape when absent; DELETEd first for Overwrite),
       * then drops staging. */
-    def promote(): Unit = {
+    def promote(): Unit = promote(None)
+
+    /** As [[promote()]], but also records `marker` = (stream, epoch) in
+      * the commit ledger INSIDE the same transaction — the exactly-once
+      * handshake of [[writeEpochOnce]]. */
+    def promote(marker: Option[(String, Long)]): Unit = {
       val conn = DriverManager.getConnection(spec.url)
       try {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
-        val tableExists = {
-          // scope the probe to the connection's current schema — a
-          // same-named table in another schema must not suppress CREATE
-          val schema = try conn.getSchema catch { case _: Throwable => null }
-          val rs = conn.getMetaData.getTables(null, schema, null, Array("TABLE"))
-          var found = false
-          while (rs.next() && !found)
-            found = rs.getString("TABLE_NAME").equalsIgnoreCase(spec.table)
-          rs.close(); found
-        }
-        if (!tableExists)
+        if (!tableExists(conn, spec.table))
           st.executeUpdate(
             s"CREATE TABLE ${spec.table} AS SELECT * FROM $staging WITH NO DATA")
         else if (spec.mode == SaveMode.Overwrite)
           st.executeUpdate(s"DELETE FROM ${spec.table}")
         st.executeUpdate(s"INSERT INTO ${spec.table} SELECT * FROM $staging")
+        marker.foreach { case (stream, epoch) =>
+          val ps = conn.prepareStatement(
+            s"INSERT INTO $commitsTable VALUES (?, ?)")
+          ps.setString(1, stream); ps.setLong(2, epoch)
+          ps.executeUpdate(); ps.close()
+        }
         conn.commit()
         st.executeUpdate(s"DROP TABLE $staging")
         conn.commit()
@@ -100,4 +112,55 @@ object JdbcWriter {
   /** Staged write + immediate publish. */
   def writeStaged(df: DataFrame, spec: JdbcSpec, runId: String = "run"): Unit =
     stage(df, spec, runId).promote()
+
+  // ---- exactly-once per-epoch publish (streaming foreachBatch face) ----
+
+  private val commitsTable = "graft_commits"
+
+  private def ensureCommitsTable(url: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      if (!tableExists(conn, commitsTable)) {
+        val st = conn.createStatement()
+        st.executeUpdate(s"CREATE TABLE $commitsTable " +
+          "(stream VARCHAR(256) NOT NULL, epoch BIGINT NOT NULL)")
+        st.close()
+      }
+    } finally conn.close()
+  }
+
+  private def epochCommitted(url: String, stream: String, epoch: Long): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val ps = conn.prepareStatement(
+        s"SELECT count(*) FROM $commitsTable WHERE stream = ? AND epoch = ?")
+      ps.setString(1, stream); ps.setLong(2, epoch)
+      val rs = ps.executeQuery(); rs.next()
+      val n = rs.getLong(1)
+      rs.close(); ps.close()
+      n > 0
+    } finally conn.close()
+  }
+
+  /** Exactly-once micro-batch publish: the batch's rows and its
+    * (stream, epoch) ledger entry commit in ONE transaction, so a restart
+    * that re-delivers an unacknowledged epoch (checkpoint wrote the offset
+    * but the sink ack was lost — Structured Streaming's at-least-once
+    * foreachBatch contract) finds the ledger entry and skips the batch.
+    * Returns false when the epoch was already committed.
+    *
+    * Reference: the streaming JDBC commit path — WriterUtils/JdbcPublisher
+    * staging-table txn (JdbcWriter.java:67) + the watermark ack the
+    * FineGrainedWatermarkTracker provides per flush epoch. */
+  def writeEpochOnce(df: DataFrame, spec: JdbcSpec, stream: String,
+                     epoch: Long): Boolean = {
+    require(spec.mode == SaveMode.Append,
+      "exactly-once epochs accumulate: use SaveMode.Append")
+    ensureCommitsTable(spec.url)
+    if (epochCommitted(spec.url, stream, epoch)) false
+    else {
+      stage(df, spec, s"${stream}_e$epoch").promote(Some((stream, epoch)))
+      true
+    }
+  }
 }

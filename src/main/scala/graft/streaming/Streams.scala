@@ -124,6 +124,24 @@ object Streams {
       }
   }
 
+  /** Exactly-once stream -> JDBC: each micro-batch's rows commit in the
+    * same database transaction as its (stream, epoch) ledger entry
+    * ([[graft.sinks.JdbcWriter.writeEpochOnce]]), so the at-least-once
+    * redelivery of foreachBatch after a crash-restart dedupes at the sink
+    * — checkpoint (offset progress) + idempotent epoch publish = the
+    * reference's streaming commit contract (FlushingExtractor epoch ack). */
+  def jdbcSinkExactlyOnce(stream: DataFrame,
+                          spec: graft.sinks.JdbcWriter.JdbcSpec,
+                          streamName: String, checkpointDir: String,
+                          trigger: Trigger = Trigger.AvailableNow()) =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sinks.JdbcWriter.writeEpochOnce(batch, spec, streamName, epochId): Unit
+      }
+      .start()
+
   /** Streaming fork: one micro-batch persisted, written to N sinks — the
     * streaming equivalent of operators.Fork (per-batch atomicity; sinks see
     * each micro-batch exactly once given checkpointing + idempotent paths). */

@@ -73,4 +73,29 @@ class PlanningSpec extends SparkSpec {
     val t = Timestamp.valueOf("1995-06-01 00:00:00")
     assert(incrementalScan(orders, "o_orderdate", t, t, DateWm, 4).count() == 0)
   }
+
+  test("binPacker balanced: all items placed, bins within a largest-item spread") {
+    import BinPacker._
+    val items = (1 to 40).map(i => Item(s"f$i", (i * 37 % 100 + 1).toLong))
+    val bins = packBalanced(items, 6)
+    assert(bins.size == 6)
+    assert(bins.flatMap(_.ids).sorted == items.map(_.id).sorted)
+    val ws = bins.map(_.weight)
+    val largest = items.map(_.weight).max
+    assert(ws.max - ws.min <= largest,
+      s"imbalance ${ws.max - ws.min} exceeds largest item $largest")
+    // deterministic: same input -> same packing
+    assert(packBalanced(items, 6).map(_.ids) == bins.map(_.ids))
+  }
+
+  test("binPacker capped: capacity respected, oversized items isolated") {
+    import BinPacker._
+    val items = Seq(Item("huge", 500L), Item("a", 60L), Item("b", 50L),
+      Item("c", 40L), Item("d", 30L), Item("e", 10L))
+    val bins = packCapped(items, capacity = 100L)
+    assert(bins.flatMap(_.ids).sorted == items.map(_.id).sorted)
+    // the oversized item sits alone; every other bin is under capacity
+    assert(bins.filter(_.ids.contains("huge")).head.ids == Vector("huge"))
+    assert(bins.filterNot(_.ids.contains("huge")).forall(_.weight <= 100L))
+  }
 }
