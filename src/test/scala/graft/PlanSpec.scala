@@ -127,4 +127,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftOuter") || p.contains("BroadcastHashJoin"),
       s"resolve should left-join components:\n$p")
   }
+
+  test("q43 embed near-dup: banded bucket join, never an all-pairs product") {
+    val p = planOf(q("q43_embed_neardup"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must stay bucket-joined, not all-pairs:\n$p")
+    // candidate generation groups on (table, signature) buckets
+    assert(p.contains("srp_signatures"))
+  }
+
+  test("q47 IVF: probe side is broadcast, corpus assignment is map-only") {
+    val p = planOf(q("q47_ivf_ann"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"query probes should broadcast against the assigned corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q49 salted join result plan carries the composite (key, salt) join") {
+    val p = planOf(q("q49_salted_join"))
+    assert(p.contains("__graft_salt"),
+      s"salt must be part of the join keys:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
