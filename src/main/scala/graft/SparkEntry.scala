@@ -430,6 +430,63 @@ object SparkEntry {
         col("event_type"), col("dt").cast("string").as("dt"))
     }),
 
+    // --- Salesforce-style histogram chunk planning (SalesforceSource
+    // .java:272-303: probe a per-day row-count histogram, pack days into
+    // equal-row chunks, extract each chunk as its own range query; the
+    // union must cover the table exactly once) ---
+    "q53_histogram_chunks" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val hist = orders.groupBy(col("o_orderdate")).count()
+        .orderBy("o_orderdate").collect()
+        .map(r => r.get(0) -> r.getLong(1)).toSeq
+      val target = math.max(1L, hist.map(_._2).sum / 8)
+      val chunks = WatermarkPartitioner.packHistogram(hist, target)
+      chunks.map { case (first, last) =>
+        orders.filter(col("o_orderdate") >= lit(first) &&
+          col("o_orderdate") <= lit(last))
+      }.reduce(_ unionAll _)
+    }),
+
+    // --- distcp byte-copy executor (FileAwareInputStreamDataWriter):
+    // plan from a manifest listing, stream-copy with staging+rename,
+    // re-read the COPIES — byte-identical files parse to equal rows ---
+    "q54_copy_exec" -> ((s, dir) => {
+      import s.implicits._
+      val base = tmp("q54")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val srcDir = s"$base/src"
+      val dstDir = s"$base/dst"
+      t(s, dir, "supplier").write.mode("overwrite").parquet(srcDir)
+      // manifest paths are root-relative ("/part-...")
+      val tasks = operators.CopyDiff.listManifest(s, srcDir).collect().map { r =>
+        val rel = r.getAs[String]("path")
+        operators.CopyExec.CopyTask(s"$srcDir$rel", s"$dstDir$rel",
+          r.getAs[Long]("length"))
+      }
+      val stats = operators.CopyExec.execute(s.createDataset(tasks.toSeq),
+        parallelism = 4)
+      require(stats.filesCopied + stats.filesSkipped == tasks.length)
+      s.read.parquet(dstDir)
+    }),
+
+    // --- partition-scoped purge rewrite (HivePurgerSource.java:66): only
+    // partitions holding a deleted key are rewritten (dynamic partition
+    // overwrite); the re-read of the WHOLE tree equals the anti-join ---
+    "q55_purge_partitions" -> ((s, dir) => {
+      val base = tmp("q55")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val cust = t(s, dir, "customer")
+      cust.write.partitionBy("c_mktsegment").parquet(base)
+      val deletes = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select("c_custkey")
+      Purge.purgePartitioned(s, base, "c_mktsegment", deletes, Seq("c_custkey"))
+      s.read.parquet(base).select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -859,6 +916,13 @@ object SparkEntry {
     "q52_catalog_register" ->
       ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt " +
         "FROM events"),
+    "q53_histogram_chunks" ->
+      "SELECT * FROM orders",
+    "q54_copy_exec" ->
+      "SELECT * FROM supplier",
+    "q55_purge_partitions" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_custkey % 7 <> 0"),
     "q49_salted_join" ->
       ("SELECT o_orderpriority, sum(l_quantity) AS sum_qty, count(*) AS n " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

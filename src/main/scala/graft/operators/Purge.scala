@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Compliance purge (GDPR delete): remove rows whose key appears in a
   * deletion list, then rewrite the partition.
@@ -25,4 +27,46 @@ object Purge {
   def purged(data: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String]): DataFrame =
     data.join(deleteKeys.select(keyCols.head, keyCols.tail: _*).distinct(),
       keyCols, "left_semi")
+
+  /** Partitions a purge run touched / removed outright. */
+  final case class PartitionPurgeStats(affected: Seq[Any], removed: Seq[Any])
+
+  /** Purge IN PLACE over a partitioned directory, rewriting ONLY the
+    * partitions that contain a deleted key — the reference's
+    * per-Hive-partition purge work units (HivePurgerSource.java:66 plans
+    * one WU per affected partition; untouched partitions are never read
+    * or written). Affected-partition discovery is one semi-join; the
+    * rewrite is a dynamic partition overwrite restricted to those
+    * partitions; a partition whose every row is purged is deleted
+    * outright (dynamic overwrite cannot express "overwrite with
+    * nothing"). The affected list is collected to the driver — it is the
+    * purge plan, bounded by the delete list, not the data. */
+  def purgePartitioned(spark: SparkSession, dir: String, partitionCol: String,
+                       deleteKeys: DataFrame, keyCols: Seq[String],
+                       format: String = "parquet"): PartitionPurgeStats = {
+    val data = spark.read.format(format).load(dir)
+    val affected = purged(data, deleteKeys, keyCols)
+      .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return PartitionPurgeStats(Nil, Nil)
+    val survivors = purge(
+      data.filter(col(partitionCol).isin(affected: _*)), deleteKeys, keyCols)
+    val survivorParts = survivors.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try survivors.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(partitionCol).save(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    // fully-purged partitions wrote no rows: drop their directories
+    val removed = affected.filterNot(survivorParts.contains)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    removed.foreach { v =>
+      fs.delete(new Path(dir, s"$partitionCol=$v"), true): Unit
+    }
+    PartitionPurgeStats(affected, removed)
+  }
 }

@@ -167,6 +167,26 @@ class DataOrgSpec extends SparkSpec {
     assert(m.columns.toSeq == Seq("path", "length", "mod_time"))
   }
 
+  test("purgePartitioned rewrites only affected partitions, drops emptied ones") {
+    val dir = tmpDir("purge-part")
+    Seq((1L, "a", "P1"), (2L, "b", "P1"), (3L, "c", "P2"), (4L, "d", "P3"))
+      .toDF("k", "v", "part").write.mode("overwrite")
+      .partitionBy("part").parquet(dir)
+    def filesOf(p: String) = Option(new java.io.File(s"$dir/part=$p").list())
+      .map(_.toSet).getOrElse(Set.empty[String])
+    val untouchedBefore = filesOf("P3")
+
+    // P2 is fully purged (must vanish), P1 partially, P3 untouched
+    val deletes = Seq(1L, 3L).toDF("k")
+    val stats = Purge.purgePartitioned(spark, dir, "part", deletes, Seq("k"))
+    assert(stats.affected.toSet == Set("P1", "P2"))
+    assert(stats.removed == Seq("P2"))
+    val back = spark.read.parquet(dir)
+    assert(back.select("k").as[Long].collect().toSet == Set(2L, 4L))
+    assert(filesOf("P2").isEmpty)
+    assert(filesOf("P3") == untouchedBefore, "unaffected partition was rewritten")
+  }
+
   test("saltedJoin equals the plain join (inner and left), salt never leaks") {
     // a skewed fact: every row of key 1 plus a thin tail
     val fact = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b"), (9L, "no-dim")))
