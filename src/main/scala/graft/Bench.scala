@@ -30,7 +30,8 @@ object Bench {
     "q36_dup_clusters",     // near-dup pairs -> connected components
     "q43_embed_neardup",    // banded SRP-LSH + exact-cosine verify
     "q44_sessionize",       // keyed gap sessions (1 shuffle)
-    "q47_ivf_ann")          // IVF coarse-quantizer probe
+    "q47_ivf_ann",          // IVF coarse-quantizer probe
+    "q56_jdbc_bulk")        // staged JDBC publish (BASELINE.md rec/s figure)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -487,6 +487,23 @@ object SparkEntry {
       s.read.parquet(base).select("c_custkey", "c_name", "c_mktsegment")
     }),
 
+    // --- BULK jdbc sink: the reference's only published throughput figure
+    // is its JDBC writer (80k records, batch=1000, parallelism=1 -> 40 s,
+    // ~2000 rec/s — BASELINE.md). This stages the full orders table into
+    // embedded Derby with the same batch size, publishes transactionally,
+    // and reads it back through JDBC; the bench entry times it so rec/s is
+    // directly comparable (modern hardware, noted honestly in BASELINE.md).
+    "q56_jdbc_bulk" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:graft_q56;create=true"
+      val orders = t(s, dir, "orders")
+      graft.sinks.JdbcWriter.writeStaged(orders, graft.sinks.JdbcWriter.JdbcSpec(
+        url, "orders_bulk", org.apache.spark.sql.SaveMode.Overwrite,
+        batchSize = 1000))
+      // Derby TIMESTAMP comes back zoned; restore the source's NTZ face
+      s.read.jdbc(url, "orders_bulk", new java.util.Properties())
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp_ntz"))
+    }),
+
     // --- jdbc sink + incremental source round-trip (embedded Derby) ---
     // staged write (staging table + one publish txn, JdbcWriter.java:67
     // semantics), then read back through watermark chunk predicates, each
@@ -917,6 +934,8 @@ object SparkEntry {
       ("SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d') AS dt " +
         "FROM events"),
     "q53_histogram_chunks" ->
+      "SELECT * FROM orders",
+    "q56_jdbc_bulk" ->
       "SELECT * FROM orders",
     "q54_copy_exec" ->
       "SELECT * FROM supplier",
