@@ -590,6 +590,12 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).cast("bigint").as("n_tokens"),
         TextStats.tokenEstimateBpe(col("text")).cast("bigint").as("n_tokens_bpe"))),
 
+    // text canonicalization + repetition signal (pre-dedup cleanup pass)
+    "q57_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.normalizeText(col("text")).as("norm_text"),
+        round(TextStats.repetitionRatio(col("text")), 6).as("rep_ratio"))),
+
     // rolling fingerprint (rows-only: xxhash64 not in DuckDB)
     "q27_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -836,6 +842,11 @@ object SparkEntry {
     "q26_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents"),
+    "q57_text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text, " +
+        "round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE / " +
+        "len(string_split(text, ' ')), 6) AS rep_ratio FROM documents"),
     "q36_dup_clusters" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +

@@ -75,6 +75,17 @@ object PipelineRunner {
         case Array("grok", spec2) => // col;pattern (GrokToJsonConverter)
           val Array(c, pattern) = spec2.split(";", 2).map(_.trim)
           graft.functions.Grok.parse(df, c, pattern)
+        case Array("sample", spec2) => // keyCol;num;denom (SamplingConverter)
+          val Array(c, num, denom) = spec2.split(';').map(_.trim)
+          df.transform(graft.operators.Converters.sampleByKeyMod(
+            c, num.toInt, denom.toInt))
+        case Array("stratified", spec2) => // keyCol;strataCol;en=50,de=20;10
+          val parts = spec2.split(';').map(_.trim)
+          val rates = parts(2).split(',').filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split('=').map(_.trim); k -> v.toInt
+          }.toMap
+          df.transform(graft.operators.Converters.stratifiedSampleByHash(
+            parts(0), parts(1), rates, parts(3).toInt))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -23,6 +23,20 @@ object TextStats {
     * thumb; combined with word count for a cheap bound. */
   def tokenEstimateBpe(text: Column): Column = ceil(length(text) / lit(4.0))
 
+  /** Normalized text: lowercase, punctuation stripped, whitespace
+    * collapsed — the canonicalization pass run before dedup/fingerprints
+    * so cosmetic variants collapse to one form. Pure codegen map. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[.,!?;:]", ""), "\\s+", " "))
+
+  /** Token repetition ratio in [0, 1): 1 - distinct/total tokens — the
+    * cheap repetition signal (high = boilerplate/degenerate text, the
+    * first filter large corpus-quality pipelines apply). */
+  def repetitionRatio(text: Column): Column =
+    lit(1.0) - size(array_distinct(tokens(text))).cast("double") /
+      size(tokens(text)).cast("double")
+
   /** Quality-scoring components (length / punctuation / stopword ratios). */
   def qualityColumns(text: Column, stopwords: Seq[String]): Seq[(String, Column)] = {
     val nChars = length(text)

@@ -161,6 +161,28 @@ class PipelineSpecSuite extends SparkSpec {
     assert(back.count() == r.extracted && r.extracted > 0)
   }
 
+  test("declarative sample + stratified transforms") {
+    val out = tmpDir("pipe-sample")
+    val spec = PipelineSpec(
+      name = "sampled",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq("stratified:doc_id;lang;en=100;0"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    val r = PipelineRunner.run(spark, spec, "runS")
+    val back = spark.read.parquet(s"$out/main")
+    // rate 100 keeps every 'en' doc, default 0 drops everything else
+    assert(back.filter(col("lang") =!= "en").count() == 0)
+    assert(back.count() == r.extracted && r.extracted > 0)
+
+    val spec2 = spec.copy(name = "sampled2",
+      transformExprs = Seq("sample:doc_id;1;2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/mod")))
+    val r2 = PipelineRunner.run(spark, spec2, "runS2")
+    val mod = spark.read.parquet(s"$out/mod")
+    assert(mod.filter(pmod(col("doc_id"), lit(2)) =!= 0).count() == 0)
+    assert(r2.extracted > 0)
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
