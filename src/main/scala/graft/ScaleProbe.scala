@@ -5,18 +5,21 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.{DupClusters, MinHashDedup}
 
-/** Dev tool: scale the near-dup dedup pipeline beyond the test SFs by
-  * replicating the documents table K times with shifted ids, and time
-  * candidate generation -> exact verify -> cluster resolution. Usage:
-  *   runMain graft.ScaleProbe <sfDir> <replication>
-  * (each replica duplicates every document, so true near-dup pairs grow
+/** Dev tool: scale the near-dup/ANN pipelines beyond the test SFs by
+  * replicating the input K times with shifted ids, and time each stage.
+  * Usage:
+  *   runMain graft.ScaleProbe <sfDir> <replication> [docs|embed]
+  * docs mode (default): replicate documents (true near-dup pairs grow
   * ~K^2 within each content group — a stress test for bucket skew, not
-  * just volume).
+  * just volume). embed mode: replicate embeddings with a small
+  * deterministic per-replica perturbation (plants K-sized near-dup
+  * groups) and time SRP-banded near-dup pairs + IVF build/search.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val k = if (args.length > 1) args(1).toInt else 4
+    val mode = if (args.length > 2) args(2) else "docs"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,6 +29,8 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "embed") { embedProbe(spark, sfDir, k, cpus.toInt); return }
 
     val base = Tables.load(spark, sfDir, "documents")
     val n0 = base.count()
@@ -52,6 +57,43 @@ object ScaleProbe {
       DupClusters.resolve(docs, "doc_id", verified.select("id_a", "id_b"))
         .agg(countDistinct(col("cluster_id"))).head.getLong(0))
     println(s"[scaleprobe] docs=$n candidates=$nc verified=$nv clusters=$clusters")
+    spark.stop()
+  }
+
+  /** Embedding-space probe: K perturbed replicas -> banded near-dup pairs
+    * (threshold 0.9, planted groups of size K) and IVF train/assign/search. */
+  private def embedProbe(spark: SparkSession, sfDir: String, k: Int,
+                         cpus: Int): Unit = {
+    import graft.ann.Ann
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scaleprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = (0 until k).map(i =>
+      base.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        transform(col("embedding"), (x, p) =>
+          x * (lit(1.0) + lit(0.002 * i) *
+            (pmod(p.cast("bigint"), lit(7L)) - lit(3L)).cast("double")))
+          .as("embedding"))).reduce(_ union _)
+      .repartition(cpus).persist()
+    val n = corpus.count()
+    val pairs = time(s"neardup pairs over $n vectors")(
+      Ann.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, bits = 8, tables = 8).count())
+    val model = time("ivf train (sampled spherical k-means)")(
+      Ann.ivfTrain(corpus, "vec_id", "embedding", numCells = 64))
+    val assigned = time("ivf assign (map-only corpus pass)")(
+      corpus.select(Ann.assignCell(col("embedding"), model)).count())
+    val hits = time("ivf search 100 queries, nprobe=8")(
+      Ann.ivfTopK(corpus, corpus.filter(col("vec_id") < 100), "vec_id",
+        "embedding", k = 10, numCells = 64, nprobe = 8,
+        model = Some(model)).count())
+    println(s"[scaleprobe] vectors=$n neardup_pairs=$pairs " +
+      s"assigned=$assigned ivf_hits=$hits")
     spark.stop()
   }
 }
