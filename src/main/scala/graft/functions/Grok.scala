@@ -88,6 +88,10 @@ object Grok {
       var classDepth = 0
       while (i < s.length) {
         s.charAt(i) match {
+          case '\\' if i + 1 < s.length && s.charAt(i + 1) == 'Q' =>
+            // \Q...\E quotes everything inside — skip to the \E
+            val e = s.indexOf("\\E", i + 2)
+            i = if (e < 0) s.length else e + 1
           case '\\' => i += 1 // skip escaped char
           case '[' => classDepth += 1
           case ']' if classDepth > 0 => classDepth -= 1

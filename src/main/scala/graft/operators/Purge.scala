@@ -48,25 +48,40 @@ object Purge {
     val affected = purged(data, deleteKeys, keyCols)
       .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return PartitionPurgeStats(Nil, Nil)
-    val survivors = purge(
-      data.filter(col(partitionCol).isin(affected: _*)), deleteKeys, keyCols)
-    val survivorParts = survivors.select(partitionCol).distinct()
-      .collect().map(_.get(0)).toSet
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try survivors.write.mode(SaveMode.Overwrite).format(format)
-      .partitionBy(partitionCol).save(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // null partitions land in __HIVE_DEFAULT_PARTITION__ and never match
+    // isin — select them explicitly
+    val (nullAffected, valAffected) = affected.partition(_ == null)
+    val inAffected = {
+      val byVal =
+        if (valAffected.nonEmpty) col(partitionCol).isin(valAffected: _*)
+        else org.apache.spark.sql.functions.lit(false)
+      if (nullAffected.nonEmpty) byVal || col(partitionCol).isNull else byVal
     }
-    // fully-purged partitions wrote no rows: drop their directories
-    val removed = affected.filterNot(survivorParts.contains)
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    removed.foreach { v =>
-      fs.delete(new Path(dir, s"$partitionCol=$v"), true): Unit
-    }
-    PartitionPurgeStats(affected, removed)
+    val survivors = purge(data.filter(inAffected), deleteKeys, keyCols)
+      .persist() // one scan+anti-join feeds both the part list and the write
+    try {
+      val survivorParts = survivors.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try survivors.write.mode(SaveMode.Overwrite).format(format)
+        .partitionBy(partitionCol).save(dir)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      // fully-purged partitions wrote no rows: drop their directories,
+      // using Spark's own Hive-style escaping for the dir names
+      val removed = affected.filterNot(survivorParts.contains)
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      removed.foreach { v =>
+        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(partitionCol,
+            if (v == null) null else v.toString)
+        fs.delete(new Path(dir, dirName), true): Unit
+      }
+      PartitionPurgeStats(affected, removed)
+    } finally { survivors.unpersist(); () }
   }
 }

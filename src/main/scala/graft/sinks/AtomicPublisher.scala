@@ -28,7 +28,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * name is exactly `.old-` + the destination's name (no runId: a park is
   * meaningful only relative to its destination, one park per destination
   * can exist, and an exact name can never match a sibling destination
-  * whose name happens to share a suffix).
+  * whose name happens to share a suffix). Parks from the earlier
+  * `.old-<runId>-<name>` format are NOT auto-restored: unlike committed
+  * state (manifests, watermarks), a park is a transient crash artifact
+  * that exists only if a promote died inside its two-rename window —
+  * recover such a leftover by renaming it to `.old-<name>` by hand.
   */
 object AtomicPublisher {
 

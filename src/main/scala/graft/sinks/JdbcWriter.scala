@@ -122,8 +122,16 @@ object JdbcWriter {
     try {
       if (!tableExists(conn, commitsTable)) {
         val st = conn.createStatement()
-        st.executeUpdate(s"CREATE TABLE $commitsTable " +
-          "(stream VARCHAR(256) NOT NULL, epoch BIGINT NOT NULL)")
+        // the PRIMARY KEY is load-bearing: two drivers racing the same
+        // epoch (zombie/failover overlap) both pass the fast-path check,
+        // but only ONE ledger INSERT can commit — the loser's txn rolls
+        // back atomically with its rows (see writeEpochOnce)
+        try st.executeUpdate(s"CREATE TABLE $commitsTable " +
+          "(stream VARCHAR(256) NOT NULL, epoch BIGINT NOT NULL, " +
+          "PRIMARY KEY (stream, epoch))")
+        catch { case _: java.sql.SQLException if tableExists(conn, commitsTable) =>
+          // lost a concurrent CREATE race: the table exists, proceed
+        }
         st.close()
       }
     } finally conn.close()
@@ -147,7 +155,11 @@ object JdbcWriter {
     * that re-delivers an unacknowledged epoch (checkpoint wrote the offset
     * but the sink ack was lost — Structured Streaming's at-least-once
     * foreachBatch contract) finds the ledger entry and skips the batch.
-    * Returns false when the epoch was already committed.
+    * Returns false when the epoch was already committed. The ledger check
+    * is only a fast path — the real guarantee is the ledger's PRIMARY KEY:
+    * concurrent drivers racing one epoch both reach promote, but the
+    * loser's duplicate ledger INSERT aborts its transaction, rows
+    * included, before anything becomes visible.
     *
     * Reference: the streaming JDBC commit path — WriterUtils/JdbcPublisher
     * staging-table txn (JdbcWriter.java:67) + the watermark ack the
@@ -159,8 +171,15 @@ object JdbcWriter {
     ensureCommitsTable(spec.url)
     if (epochCommitted(spec.url, stream, epoch)) false
     else {
-      stage(df, spec, s"${stream}_e$epoch").promote(Some((stream, epoch)))
-      true
+      val staged = stage(df, spec, s"${stream}_e$epoch")
+      try { staged.promote(Some((stream, epoch))); true }
+      catch {
+        // lost the ledger race (SQLState 23xxx = integrity violation):
+        // the winner committed this epoch; drop our staged copy
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("23")) =>
+          staged.abort(); false
+      }
     }
   }
 }

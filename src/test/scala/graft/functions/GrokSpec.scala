@@ -71,6 +71,12 @@ class GrokSpec extends SparkSpec {
     assert(c4.fields.map(f => (f.name, f.group)) == Seq("w" -> 1))
     val m4 = java.util.regex.Pattern.compile(c4.regex).matcher("a hello")
     assert(m4.find() && m4.group(1) == "hello")
+
+    // \Q...\E quotes literally: the '(' inside is not a group
+    val c5 = Grok.compile("\\Q(x)\\E %{WORD:w}")
+    assert(c5.fields.map(f => (f.name, f.group)) == Seq("w" -> 1))
+    val m5 = java.util.regex.Pattern.compile(c5.regex).matcher("(x) hi")
+    assert(m5.find() && m5.group(1) == "hi")
   }
 
   test("literal regex between macros is honored; unknown pattern rejected") {

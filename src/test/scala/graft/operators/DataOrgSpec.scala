@@ -187,6 +187,21 @@ class DataOrgSpec extends SparkSpec {
     assert(filesOf("P3") == untouchedBefore, "unaffected partition was rewritten")
   }
 
+  test("purgePartitioned handles escaped and null partition values") {
+    val dir = tmpDir("purge-esc")
+    // 'A:B' is stored Hive-escaped (part=A%3AB); null lands in
+    // __HIVE_DEFAULT_PARTITION__ and never matches isin
+    Seq((1L, Some("A:B")), (2L, Some("A:B")), (3L, None), (4L, Some("OK")))
+      .toDF("k", "part").write.mode("overwrite")
+      .partitionBy("part").parquet(dir)
+    val deletes = Seq(1L, 2L, 3L).toDF("k")
+    val stats = Purge.purgePartitioned(spark, dir, "part", deletes, Seq("k"))
+    assert(stats.removed.toSet == Set("A:B", null))
+    assert(spark.read.parquet(dir).select("k").as[Long].collect().toSet == Set(4L))
+    assert(!new java.io.File(s"$dir/part=A%3AB").exists())
+    assert(!new java.io.File(s"$dir/part=__HIVE_DEFAULT_PARTITION__").exists())
+  }
+
   test("saltedJoin equals the plain join (inner and left), salt never leaks") {
     // a skewed fact: every row of key 1 plus a thin tail
     val fact = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b"), (9L, "no-dim")))

@@ -135,6 +135,12 @@ class StreamsSpec extends SparkSpec {
     // a genuinely new epoch still lands
     assert(JdbcWriter.writeEpochOnce(batch.limit(5), spec, "evs", epoch = 999L))
     assert(count() == expected + 5)
+    // the ledger PRIMARY KEY is the real guarantee: a racing promote that
+    // slipped past the fast path aborts atomically — rows do not duplicate
+    val staged = JdbcWriter.stage(batch.limit(5), spec, "evs_race")
+    intercept[java.sql.SQLException] { staged.promote(Some(("evs", 999L))) }
+    staged.abort()
+    assert(count() == expected + 5)
   }
 
   test("streaming tumbling counts equal batch counts (stream/batch parity)") {
