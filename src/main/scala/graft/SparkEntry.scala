@@ -154,6 +154,18 @@ object SparkEntry {
         Streams.tumblingCounts(stream, "ts", "1 minute"), "q15_stream_window_tbl")
     }),
 
+    // --- stream-static enrichment join (lookup-converter shape): each
+    // events micro-batch joins a broadcast dimension; result must equal
+    // the batch join ---
+    "q58_stream_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("bucket", pmod(col("user_id"), lit(10)))
+      val stream = Tables.loadStream(s, dir, "events")
+        .select("event_id", "user_id")
+      Streams.runToCompletionAppend(
+        Streams.enrich(stream, dim, Seq("user_id")), "q58_enrich_tbl")
+    }),
+
     // --- partitioned write + read-back (SURVEY §2.7) ---
     // Month granularity + repartition on the partition key: one file per
     // partition dir (day granularity on tiny rows-per-day testdata would
@@ -763,6 +775,8 @@ object SparkEntry {
     "q15_stream_window" ->
       ("SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS w_start, count(*) AS cnt " +
         "FROM events GROUP BY 1"),
+    "q58_stream_enrich" ->
+      ("SELECT user_id, event_id, user_id % 10 AS bucket FROM events"),
     "q16_partitioned_write" ->
       "SELECT *, strftime(o_orderdate, '%Y-%m') AS datepartition FROM orders",
     "q18_json_props" ->

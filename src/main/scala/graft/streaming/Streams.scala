@@ -65,6 +65,30 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** As [[runToCompletion]] but in APPEND mode — for stateless streams
+    * (projections, filters, stream-static joins) where every micro-batch
+    * row is final on arrival. */
+  def runToCompletionAppend(stream: DataFrame, queryName: String): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension — the lookup-converter shape (dimension attributes added
+    * during ingestion). The static side re-broadcasts per batch, so a
+    * slowly-changing dim can be swapped by re-resolving the DataFrame; no
+    * stream state, no watermark needed for an inner join. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             joinCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset state surface the built-in windows can't
     * express (gap-based sessions close when a key goes quiet, not on a
