@@ -27,16 +27,30 @@ object DupClusters {
   /** (id, cluster) for every id that appears in `pairs`; cluster = the
     * minimum id of the connected component.
     *
+    * Hybrid execution: when the (deduped) edge set fits comfortably on
+    * the driver (`driverMaxEdges`, default 2^20 — near-dup pair sets are
+    * a vanishing fraction of corpus size), a single collect + union-find
+    * resolves components in one pass with zero iterative jobs — the same
+    * driver-side planning budget the reference spends on work units.
+    * Larger edge sets run the distributed min-label propagation loop.
+    * Both paths produce identical labels.
+    *
     * The returned DataFrame is PERSISTED (the propagation loop needs the
     * final labels materialized and re-derivable without replaying every
     * round); callers running many resolutions in one session should
     * `.unpersist()` it — or the frame returned by [[resolve]] — once
     * consumed. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && edges.count() <= driverMaxEdges)
+      return driverComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -64,6 +78,35 @@ object DupClusters {
       require(converged, s"components did not converge in $maxIter rounds")
       labels
     } finally edges.unpersist()
+  }
+
+  /** Driver union-find (path compression + union by min) over a collected
+    * edge list; labels = min id per component, matching the loop. */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    edges.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // keep the smaller id as root = the cluster label
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+      parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b)): Unit
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    spark.createDataset(nodes.toSeq.map(n => (n, find(n))))
+      .toDF("id", "cluster")
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Annotate every doc with its cluster id (its own id when it is in no

@@ -118,6 +118,17 @@ class TextAndDedupSpec extends SparkSpec {
     val cc = DupClusters.connectedComponents(chain)
       .as[(Long, Long)].collect().toMap
     assert(cc.values.toSet == Set(1L))
+    // driver union-find and the distributed loop produce identical labels
+    // (driverMaxEdges = 0 forces the loop on the same edges)
+    val viaLoop = DupClusters.connectedComponents(chain, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == cc)
+    val pairsLoop = DupClusters
+      .connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val pairsDriver = DupClusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(pairsLoop == pairsDriver)
   }
 
   test("simhash: identical texts equal, near texts close, disjoint texts far") {
