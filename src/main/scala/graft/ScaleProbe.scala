@@ -55,7 +55,7 @@ object ScaleProbe {
     val nv = time("exact verify")(verified.count())
     val clusters = time("cluster resolution")(
       DupClusters.resolve(docs, "doc_id", verified.select("id_a", "id_b"))
-        .agg(countDistinct(col("cluster_id"))).head.getLong(0))
+        .agg(countDistinct(col("cluster_id"))).head().getLong(0))
     println(s"[scaleprobe] docs=$n candidates=$nc verified=$nv clusters=$clusters")
     spark.stop()
   }

@@ -106,7 +106,7 @@ object Converters {
   /** Record -> JSON string. Ref: json/JsonToStringConverter.java /
     * AnyToJsonConverter. */
   def toJsonString(as: String = "json")(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as(as))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as(as))
 
   /** Rename columns per mapping (AvroToJdbcEntryConverter field mapping,
     * gobblin-modules/gobblin-sql/.../AvroToJdbcEntryConverter.java:72). */

@@ -61,9 +61,9 @@ object PipelineRunner {
     // ---- 2. transforms (the Converter chain, declaratively) ----
     val transformed = spec.transformExprs.foldLeft(sourced) { (df, t) =>
       t.split(":", 2) match {
-        case Array("selectExpr", exprs) => df.selectExpr(exprs.split(';').map(_.trim): _*)
+        case Array("selectExpr", exprs) => df.selectExpr(exprs.split(';').map(_.trim).toIndexedSeq: _*)
         case Array("filter", e)         => df.filter(e)
-        case Array("drop", cols)        => df.drop(cols.split(';').map(_.trim): _*)
+        case Array("drop", cols)        => df.drop(cols.split(';').map(_.trim).toIndexedSeq: _*)
         case Array("rename", spec2) => // old1=new1;old2=new2
           spec2.split(';').foldLeft(df) { (d, kv) =>
             val Array(from, to) = kv.split('=').map(_.trim)
