@@ -608,6 +608,18 @@ object SparkEntry {
         TextStats.normalizeText(col("text")).as("norm_text"),
         round(TextStats.repetitionRatio(col("text")), 6).as("rep_ratio"))),
 
+    // corpus-level top-k frequent n-grams (boilerplate/vocabulary mining):
+    // explode shingles -> partial-agg count -> deterministic top-k. At
+    // scale this is the map-side-combined shuffle of the n-gram key space,
+    // with the top-k a TakeOrdered over partial maxima — never a sort of
+    // the full key space.
+    "q59_top_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(MinHashDedup.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram").asc)
+        .limit(50)),
+
     // rolling fingerprint (rows-only: xxhash64 not in DuckDB)
     "q27_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -856,6 +868,15 @@ object SparkEntry {
     "q26_token_count" ->
       ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +
         "CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe FROM documents"),
+    "q59_top_ngrams" ->
+      ("WITH t AS (SELECT CASE WHEN len(string_split(text,' ')) < 2 " +
+        "THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+1],' ') " +
+        "FOR i IN range(1, len(string_split(text,' ')))] END AS sh " +
+        "FROM documents) " +
+        "SELECT ngram, count(*) AS cnt FROM " +
+        "(SELECT unnest(sh) AS ngram FROM t) " +
+        "GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50"),
     "q57_text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text, " +
