@@ -186,11 +186,27 @@ object Ann {
     require(sample.length >= numCells,
       s"IVF: sample ${sample.length} smaller than numCells $numCells")
     // farthest-point init: start at the hash-min vector, greedily add the
-    // sample point with the lowest max-cosine to the chosen set
+    // sample point with the lowest max-cosine to the chosen set. A running
+    // per-sample max-dot array (updated once per new centroid, k-means++
+    // style) keeps this O(sampleN x cells x dim) — recomputing against the
+    // whole chosen set per candidate would be quadratic in cells, a real
+    // cost at the thousands-of-cells scale 100 TB demands.
     val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    val maxDot = sample.map(v => dotArr(v, sample.head))
     while (init.length < numCells) {
-      val next = sample.minBy(v => init.map(c => dotArr(v, c)).max)
+      var bestIdx = 0; var i = 1
+      while (i < sample.length) { // first-min tie-break, matching minBy
+        if (maxDot(i) < maxDot(bestIdx)) bestIdx = i
+        i += 1
+      }
+      val next = sample(bestIdx)
       init += next
+      var j = 0
+      while (j < sample.length) {
+        val d = dotArr(sample(j), next)
+        if (d > maxDot(j)) maxDot(j) = d
+        j += 1
+      }
     }
     var cents = init.toArray
     // Lloyd: assign sample to argmax-cosine cell, recenter on the mean

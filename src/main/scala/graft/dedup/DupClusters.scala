@@ -81,10 +81,14 @@ object DupClusters {
   }
 
   /** Driver union-find (path compression + union by min) over a collected
-    * edge list; labels = min id per component, matching the loop. */
+    * edge list; labels = min id per component, matching the loop. The
+    * result is cast back to the input id type so callers see the SAME
+    * schema whichever path ran — data volume must never change the
+    * contract. */
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val idType = edges.schema("src").dataType
     val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].collect()
     edges.unpersist()
@@ -106,6 +110,7 @@ object DupClusters {
     val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
     spark.createDataset(nodes.toSeq.map(n => (n, find(n))))
       .toDF("id", "cluster")
+      .select(col("id").cast(idType), col("cluster").cast(idType))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -36,11 +36,18 @@ object Purge {
     * per-Hive-partition purge work units (HivePurgerSource.java:66 plans
     * one WU per affected partition; untouched partitions are never read
     * or written). Affected-partition discovery is one semi-join; the
-    * rewrite is a dynamic partition overwrite restricted to those
-    * partitions; a partition whose every row is purged is deleted
-    * outright (dynamic overwrite cannot express "overwrite with
-    * nothing"). The affected list is collected to the driver — it is the
-    * purge plan, bounded by the delete list, not the data. */
+    * affected list is collected to the driver — it is the purge plan,
+    * bounded by the delete list, not the data.
+    *
+    * Survivors are staged to a hidden dir under `dir` (Spark readers skip
+    * `.`-prefixed paths), then each affected partition dir is swapped via
+    * the AtomicPublisher rename protocol — the read path is never
+    * overwritten mid-scan, each partition flips all-or-nothing, and a
+    * crash mid-loop leaves every partition either old or new, healed by a
+    * re-run (the purge is idempotent). A fully-purged partition has no
+    * staged dir and is deleted outright. After the swap the semi-join is
+    * re-run and the call FAILS LOUDLY if any deleted key survived — a
+    * GDPR purge must never silently partial-delete. */
   def purgePartitioned(spark: SparkSession, dir: String, partitionCol: String,
                        deleteKeys: DataFrame, keyCols: Seq[String],
                        format: String = "parquet"): PartitionPurgeStats = {
@@ -58,30 +65,25 @@ object Purge {
       if (nullAffected.nonEmpty) byVal || col(partitionCol).isNull else byVal
     }
     val survivors = purge(data.filter(inAffected), deleteKeys, keyCols)
-      .persist() // one scan+anti-join feeds both the part list and the write
-    try {
-      val survivorParts = survivors.select(partitionCol).distinct()
-        .collect().map(_.get(0)).toSet
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try survivors.write.mode(SaveMode.Overwrite).format(format)
-        .partitionBy(partitionCol).save(dir)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-      // fully-purged partitions wrote no rows: drop their directories,
-      // using Spark's own Hive-style escaping for the dir names
-      val removed = affected.filterNot(survivorParts.contains)
-      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      removed.foreach { v =>
-        val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(partitionCol,
-            if (v == null) null else v.toString)
-        fs.delete(new Path(dir, dirName), true): Unit
-      }
-      PartitionPurgeStats(affected, removed)
-    } finally { survivors.unpersist(); () }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(dir, ".purge-staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    survivors.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(partitionCol).save(staging.toString)
+    val removed = Seq.newBuilder[Any]
+    affected.foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partitionCol, if (v == null) null else v.toString)
+      val src = new Path(staging, dirName)
+      val dst = new Path(dir, dirName)
+      if (fs.exists(src))
+        graft.sinks.AtomicPublisher.Staged(fs, src, dst, "purge").promote()
+      else { fs.delete(dst, true); removed += v }
+    }
+    fs.delete(staging, true)
+    val leftover = purged(spark.read.format(format).load(dir), deleteKeys, keyCols)
+    require(leftover.isEmpty,
+      s"purge verification failed: deleted keys remain in $dir after partition swap")
+    PartitionPurgeStats(affected, removed.result())
   }
 }

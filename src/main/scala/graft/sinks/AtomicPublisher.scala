@@ -82,7 +82,12 @@ object AtomicPublisher {
     * never be confused for this one. */
   private[sinks] def recoverDangling(fs: FileSystem, dst: Path): Unit = {
     val park = new Path(dst.getParent, s".old-${dst.getName}")
-    if (!fs.exists(dst) && fs.exists(park)) { fs.rename(park, dst); () }
+    if (!fs.exists(dst) && fs.exists(park))
+      // HDFS rename reports failure via `false`, not an exception. If the
+      // restore fails, the park is the ONLY copy of the last published
+      // output — abort rather than fall through to promote's stale-park
+      // delete, which would destroy it.
+      require(fs.rename(park, dst), s"recover: cannot restore $park -> $dst")
   }
 
   /** Write df to `<parent>/.staging-<runId>-<name>`; nothing visible yet. */

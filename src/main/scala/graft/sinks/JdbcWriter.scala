@@ -174,11 +174,15 @@ object JdbcWriter {
       val staged = stage(df, spec, s"${stream}_e$epoch")
       try { staged.promote(Some((stream, epoch))); true }
       catch {
-        // lost the ledger race (SQLState 23xxx = integrity violation):
-        // the winner committed this epoch; drop our staged copy
+        // SQLState 23xxx = integrity violation. Only a duplicate ledger
+        // INSERT means "lost the race"; a constraint on the TARGET table
+        // (a PK/NOT NULL someone added to the sink) raises the same class,
+        // and swallowing it would advance the checkpoint past an epoch that
+        // was never written. Trust the ledger, not the SQLState.
         case e: java.sql.SQLException
             if Option(e.getSQLState).exists(_.startsWith("23")) =>
-          staged.abort(); false
+          if (epochCommitted(spec.url, stream, epoch)) { staged.abort(); false }
+          else { staged.abort(); throw e }
       }
     }
   }
