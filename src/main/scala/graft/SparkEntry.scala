@@ -620,6 +620,36 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("ngram").asc)
         .limit(50)),
 
+    // atomic multi-branch snapshot commit: two branches publish through
+    // one manifest-pointer flip; a second commit updates one branch and
+    // carries the other forward; the result reads the live snapshot of
+    // both branches PLUS a time-travel read of the first — every row
+    // resolved through manifests, never raw dirs.
+    "q60_snapshot_commit" -> ((s, dir) => {
+      val root = tmp("q60")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val log = new graft.sinks.SnapshotLog(s, root)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val (id1, _) = Fork.runSnapshot(orders,
+        Seq(
+          Fork.Branch("low", Some(col("o_totalprice") < 100000),
+            _.select("o_orderkey", "o_totalprice"), outDir = ""),
+          Fork.Branch("high", Some(col("o_totalprice") >= 100000),
+            _.select("o_orderkey", "o_totalprice"), outDir = "")),
+        log, "q60r1")
+      val id2 = log.commit(Map("low" ->
+        orders.filter(col("o_totalprice") < 100000 &&
+          col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_totalprice")))
+      log.read("low", Some(id2)).withColumn("src", lit("low@2"))
+        .unionByName(log.read("high").withColumn("src", lit("high")))
+        .unionByName(log.read("low", Some(id1)).withColumn("src", lit("low@1")))
+        .select("src", "o_orderkey", "o_totalprice")
+    }),
+
     // rolling fingerprint (rows-only: xxhash64 not in DuckDB)
     "q27_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -877,6 +907,13 @@ object SparkEntry {
         "SELECT ngram, count(*) AS cnt FROM " +
         "(SELECT unnest(sh) AS ngram FROM t) " +
         "GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 50"),
+    "q60_snapshot_commit" ->
+      ("SELECT 'low@2' AS src, o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice < 100000 AND o_orderstatus = 'F' " +
+        "UNION ALL SELECT 'high' AS src, o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice >= 100000 " +
+        "UNION ALL SELECT 'low@1' AS src, o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice < 100000"),
     "q57_text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
         "'[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text, " +

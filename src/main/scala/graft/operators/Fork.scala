@@ -94,4 +94,45 @@ object Fork {
   /** Plan-only fork (no writes): per-branch DataFrames over a shared scan. */
   def plan(df: DataFrame, branches: Seq[Branch]): Map[String, DataFrame] =
     branches.map(b => b.name -> b.transform(b.predicate.fold(df)(df.filter))).toMap
+
+  /** Fork whose branches commit through a [[graft.sinks.SnapshotLog]]:
+    * every branch writes an immutable snapshot data dir, `beforePromote`
+    * (task-level policies) gates the commit, then ONE pointer swap makes
+    * all branches visible atomically — closing [[run]]'s sequential-rename
+    * window (a crash can never leave branches at mixed versions) and
+    * giving the reference's COMMIT_ON_FULL_SUCCESS across branches with
+    * snapshot isolation for readers. Branch `outDir` is ignored; the
+    * branch NAME keys the log. Returns the committed snapshot id and the
+    * observed per-branch counts. */
+  def runSnapshot(df: DataFrame, branches: Seq[Branch],
+                  log: graft.sinks.SnapshotLog, runId: String,
+                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                  beforePromote: Map[String, BranchResult] => Unit = _ => ())
+      : (Long, Map[String, BranchResult]) = {
+    val needPersist =
+      branches.size > 1 && df.storageLevel == StorageLevel.NONE
+    val shared = if (needPersist) df.persist(storage) else df
+    try {
+      val outputs = branches.map { b =>
+        val routed = b.predicate.fold(shared)(shared.filter)
+        val obsR = Observation(s"graft_${runId}_${b.name}_routed")
+        val obsW = Observation(s"graft_${runId}_${b.name}_written")
+        val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
+          .observe(obsW, count(lit(1)).as("rows"))
+        (b, obsR, obsW, out)
+      }
+      // stage runs the writes (invisible until activate); observations
+      // complete during those writes
+      val pending = log.stage(
+        outputs.map { case (b, _, _, out) => b.name -> out }.toMap,
+        branches.map(b => b.name -> b.spec).toMap)
+      val results = outputs.map { case (b, obsR, obsW, _) =>
+        b.name -> BranchResult(
+          obsR.get("rows").asInstanceOf[Long],
+          obsW.get("rows").asInstanceOf[Long])
+      }.toMap
+      beforePromote(results) // a throw here leaves only invisible orphans
+      (pending.activate(), results)
+    } finally if (needPersist) { shared.unpersist(); () }
+  }
 }

@@ -1,0 +1,112 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.Fork
+import graft.sinks.AtomicPublisher.WriteSpec
+
+class SnapshotLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multi-branch commit is all-or-nothing: staged but unactivated data is invisible") {
+    val log = new SnapshotLog(spark, tmpDir("snap-atomic"))
+    log.commit(Map(
+      "a" -> Seq(1, 2).toDF("v"),
+      "b" -> Seq(10).toDF("v")))
+    assert(log.currentId().contains(1L))
+    assert(log.read("a").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(log.read("b").as[Int].collect().toSeq == Seq(10))
+
+    // crash injection: stage snapshot 2 for BOTH branches, then "die"
+    // before activate — readers must still see snapshot 1 on both
+    val pending = log.stage(Map(
+      "a" -> Seq(3).toDF("v"),
+      "b" -> Seq(30).toDF("v")))
+    assert(log.currentId().contains(1L), "pointer must not move before activate")
+    assert(log.read("a").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(log.read("b").as[Int].collect().toSeq == Seq(10))
+
+    // activate flips BOTH branches at once
+    pending.activate()
+    assert(log.currentId().contains(2L))
+    assert(log.read("a").as[Int].collect().toSeq == Seq(3))
+    assert(log.read("b").as[Int].collect().toSeq == Seq(30))
+  }
+
+  test("a commit after a crashed stage never reuses the orphan's id") {
+    val log = new SnapshotLog(spark, tmpDir("snap-orphan"))
+    log.commit(Map("a" -> Seq(1).toDF("v")))
+    log.stage(Map("a" -> Seq(2).toDF("v"))) // orphan snap-2, never activated
+    val id = log.commit(Map("a" -> Seq(3).toDF("v")))
+    assert(id == 3L, "orphan manifest id must be skipped, its data may be partial")
+    assert(log.read("a").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("partial commit carries forward untouched branches; time travel reads old snapshots") {
+    val log = new SnapshotLog(spark, tmpDir("snap-carry"))
+    log.commit(Map(
+      "a" -> Seq("a1").toDF("v"),
+      "b" -> Seq("b1").toDF("v")))
+    val id2 = log.commit(Map("a" -> Seq("a2").toDF("v"))) // b untouched
+    assert(id2 == 2L)
+    assert(log.read("a").as[String].collect().toSeq == Seq("a2"))
+    assert(log.read("b").as[String].collect().toSeq == Seq("b1"),
+      "carried-forward branch must resolve through the new manifest")
+    // time travel: snapshot 1 still shows the old "a"
+    assert(log.read("a", asOf = Some(1L)).as[String].collect().toSeq == Seq("a1"))
+    assert(log.history() == Seq(2L, 1L))
+  }
+
+  test("expire keeps the recent chain and sweeps unreferenced + orphan data dirs") {
+    val root = tmpDir("snap-expire")
+    val log = new SnapshotLog(spark, root)
+    log.commit(Map("a" -> Seq(1).toDF("v")))
+    log.commit(Map("a" -> Seq(2).toDF("v")))
+    log.stage(Map("a" -> Seq(99).toDF("v"))) // crashed commit's orphan
+    log.commit(Map("a" -> Seq(3).toDF("v")))
+    // ids: commits take 1 and 2, the crashed stage burns 3, final commit is 4
+    log.expire(keepLast = 2)
+    assert(log.read("a").as[Int].collect().toSeq == Seq(3))
+    assert(log.read("a", asOf = Some(2L)).as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException](log.read("a", asOf = Some(1L)))
+    intercept[IllegalArgumentException](log.read("a", asOf = Some(3L)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/a"))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dataDirs == Seq("snap-2", "snap-4"),
+      s"expired + orphan dirs must be swept, got $dataDirs")
+  }
+
+  test("csv branch round-trips its read options through the manifest") {
+    val log = new SnapshotLog(spark, tmpDir("snap-csv"))
+    log.commit(
+      Map("c" -> Seq((1, "x"), (2, "y")).toDF("id", "s")),
+      Map("c" -> WriteSpec(format = "csv",
+        options = Map("header" -> "true"))))
+    val back = log.read("c")
+    assert(back.columns.toSeq == Seq("id", "s"))
+    assert(back.count() == 2)
+  }
+
+  test("Fork.runSnapshot: policy failure publishes nothing; success flips all branches at once") {
+    val log = new SnapshotLog(spark, tmpDir("snap-fork"))
+    val df = Seq((1, "F"), (2, "O"), (3, "F")).toDF("k", "status")
+    val branches = Seq(
+      Fork.Branch("f_only", Some(col("status") === "F"), identity, outDir = ""),
+      Fork.Branch("all", None, _.select("k"), outDir = ""))
+
+    intercept[IllegalStateException] {
+      Fork.runSnapshot(df, branches, log, "r1",
+        beforePromote = _ => throw new IllegalStateException("policy failed"))
+    }
+    assert(log.currentId().isEmpty, "failed policy must leave no visible snapshot")
+
+    val (id, counts) = Fork.runSnapshot(df, branches, log, "r2")
+    assert(counts("f_only") == Fork.BranchResult(2, 2))
+    assert(counts("all") == Fork.BranchResult(3, 3))
+    assert(log.read("f_only", asOf = Some(id)).count() == 2)
+    assert(log.read("all").columns.toSeq == Seq("k"))
+  }
+}
