@@ -283,6 +283,33 @@ object SparkEntry {
       extract(ev, ranges, "part", "off").select("event_id", "part", "off")
     }),
 
+    // Kafka ingestion lifecycle across runs: run 1 consumes the retained
+    // log to offset 50 per partition and commits its frontier to the
+    // state store; run 2 replans from the COMMITTED offsets and must
+    // extract exactly the delta — the query's output is run 2 alone
+    // (KafkaSource.java:198,213 resume semantics, q37's manifest pattern).
+    "q61_offset_resume" -> ((s, dir) => {
+      import graft.planning.{OffsetLifecycle, OffsetRangePlanner}
+      import OffsetRangePlanner.PartitionState
+      val stateDir = tmp("q61")
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stateDir), true)
+      val store = new graft.state.StateStore(s, stateDir)
+      val ev = t(s, dir, "events").select(col("event_id"),
+        pmod(col("event_id"), lit(4)).cast("int").as("part"),
+        expr("event_id div 4").as("off"))
+      val maxOff = ev.agg(max("off")).collect()(0).getLong(0)
+      val parts1 = (0 until 4).map(p => PartitionState("events", p, 0L, 50L))
+      val run1 = OffsetLifecycle.planRun(store, parts1, ev, "part", "off")
+      require(run1.data.count() > 0, "run 1 must consume the initial log")
+      run1.commitOffsets(store, "run1")
+      val parts2 = (0 until 4).map(p =>
+        PartitionState("events", p, 0L, maxOff + 1))
+      val run2 = OffsetLifecycle.planRun(store, parts2, ev, "part", "off")
+      run2.data.select("event_id", "part", "off")
+    }),
+
     // --- envelope decode (EnvelopeSchemaConverter.java:57): payload bytes
     // deserialized with the writer schema looked up by id in a registry ---
     "q39_envelope" -> ((s, dir) => {
@@ -850,6 +877,9 @@ object SparkEntry {
         "OR (event_id % 4 = 1 AND event_id // 4 >= 50) " +
         "OR (event_id % 4 = 2 AND event_id // 4 >= 25) " +
         "OR (event_id % 4 = 3)"),
+    "q61_offset_resume" ->
+      ("SELECT event_id, (event_id % 4)::INT AS part, event_id // 4 AS off " +
+        "FROM events WHERE event_id // 4 >= 50"),
     "q40_codec_roundtrip" ->
       "SELECT doc_id, text AS text_gz, text AS text_aes FROM documents",
     "q20_docs_dedup_exact" ->
