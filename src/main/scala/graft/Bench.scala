@@ -31,7 +31,9 @@ object Bench {
     "q43_embed_neardup",    // banded SRP-LSH + exact-cosine verify
     "q44_sessionize",       // keyed gap sessions (1 shuffle)
     "q47_ivf_ann",          // IVF coarse-quantizer probe
-    "q56_jdbc_bulk")        // staged JDBC publish (BASELINE.md rec/s figure)
+    "q56_jdbc_bulk",        // staged JDBC publish (BASELINE.md rec/s figure)
+    // appended round 4:
+    "q62_grok_wide")        // 7-field grok, single-match GrokStruct
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,6 +203,27 @@ object SparkEntry {
         "o_orderpriority", "%{INT:prio_num}-%{WORD:prio_name}")
         .select("o_orderkey", "prio_num", "prio_name")),
 
+    // wide grok: a 7-field log pattern over synthesized log lines; the
+    // whole row parses with ONE GrokStruct match (bench headline — k
+    // regexp_extracts would cost k regex runs per row)
+    "q62_grok_wide" -> ((s, dir) => {
+      val lines = t(s, dir, "orders").select(col("o_orderkey"),
+        concat_ws(" ",
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          lit("INFO"),
+          concat(lit("host"), pmod(col("o_orderkey"), lit(50))),
+          concat(lit("10.0."), pmod(col("o_orderkey"), lit(256)), lit(".1")),
+          concat(lit("user"), col("o_custkey")),
+          col("o_orderstatus"),
+          pmod(col("o_orderkey"), lit(10)),
+          col("o_totalprice")).as("line"))
+      graft.functions.Grok.parse(lines, "line",
+        "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{WORD:host} %{IPV4:ip} " +
+          "%{USERNAME:user} %{WORD:status} %{INT:prio:int} %{NUMBER:price:double}")
+        .select("o_orderkey", "ts", "lvl", "host", "ip", "user", "status",
+          "prio", "price")
+    }),
+
     // --- regex row filter (StringFilterConverter) ---
     "q32_regex_filter" -> ((s, dir) =>
       t(s, dir, "documents").transform(Converters.filterRegex("text", "spark"))
@@ -880,6 +901,12 @@ object SparkEntry {
     "q61_offset_resume" ->
       ("SELECT event_id, (event_id % 4)::INT AS part, event_id // 4 AS off " +
         "FROM events WHERE event_id // 4 >= 50"),
+    "q62_grok_wide" ->
+      ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts, " +
+        "'INFO' AS lvl, 'host' || (o_orderkey % 50) AS host, " +
+        "'10.0.' || (o_orderkey % 256) || '.1' AS ip, " +
+        "'user' || o_custkey AS \"user\", o_orderstatus AS status, " +
+        "(o_orderkey % 10)::INT AS prio, o_totalprice AS price FROM orders"),
     "q40_codec_roundtrip" ->
       "SELECT doc_id, text AS text_gz, text AS text_aes FROM documents",
     "q20_docs_dedup_exact" ->

@@ -1,7 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Grok pattern compiler: `%{NAME:field}` / `%{NAME:field:type}` macros
   * over a library of named regex fragments, compiled to one Java regex
@@ -19,9 +23,10 @@ import org.apache.spark.sql.functions._
   * coercion). Unmatched lines yield NULL fields (the reference emits
   * nulls and lets a row policy reject them).
   *
-  * Scale: compilation is driver-side; extraction is codegen'd
-  * `regexp_extract` per field — k fields cost k regex runs per row, fine
-  * for log shapes (k small); keep GREEDYDATA fields last to avoid
+  * Scale: compilation is driver-side; extraction is ONE compiled regex
+  * and ONE match per row via [[GrokStruct]] — all k typed fields read
+  * from the same Matcher, like the reference's single convertRecord
+  * match, never k regex executions. Keep GREEDYDATA fields last to avoid
   * backtracking blowups, exactly as with any grok engine.
   */
 object Grok {
@@ -143,23 +148,73 @@ object Grok {
     case None => c
   }
 
-  /** Typed columns for every named field in the pattern; NULL when the
-    * line does not match. */
-  def columns(src: Column, pattern: String,
-              library: Map[String, String] = defaultPatterns): Seq[(String, Column)] = {
+  /** The all-groups struct column (one regex match per row) plus the
+    * compiled field list. */
+  def structColumn(src: Column, pattern: String,
+                   library: Map[String, String] = defaultPatterns)
+      : (Column, Seq[Field]) = {
     val c = compile(pattern, library)
-    val matches = src.rlike(c.regex)
-    c.fields.map { f =>
-      f.name -> cast(
-        when(matches, regexp_extract(src, c.regex, f.group)).otherwise(lit(null)),
-        f.castTo)
-    }
+    val e = GrokStruct(GraftColumnShim.expression(src), c.regex,
+      c.fields.map(_.name), c.fields.map(_.group))
+    (GraftColumnShim.column(e), c.fields)
   }
 
-  /** Converter form: df plus one column per grok field. */
+  /** Typed columns for every named field in the pattern; NULL when the
+    * line does not match. Each column is a struct-field read of the same
+    * [[GrokStruct]] subtree, so a projection selecting several of them
+    * still runs the regex once per row (equal deterministic subtrees are
+    * subexpression-eliminated); [[parse]] pins single evaluation
+    * structurally and is the preferred converter form. */
+  def columns(src: Column, pattern: String,
+              library: Map[String, String] = defaultPatterns): Seq[(String, Column)] = {
+    val (sc, fields) = structColumn(src, pattern, library)
+    fields.map(f => f.name -> cast(sc.getField(f.name), f.castTo))
+  }
+
+  /** Converter form: df plus one column per grok field. The struct lands
+    * in its own projection; CollapseProject never inlines a
+    * multiply-referenced non-cheap expression, so the regex runs ONCE per
+    * row however many fields the pattern declares. */
   def parse(df: DataFrame, srcCol: String, pattern: String,
-            library: Map[String, String] = defaultPatterns): DataFrame =
-    columns(col(srcCol), pattern, library).foldLeft(df) {
-      case (d, (name, c)) => d.withColumn(name, c)
+            library: Map[String, String] = defaultPatterns): DataFrame = {
+    val (sc, fields) = structColumn(col(srcCol), pattern, library)
+    val tmpCol = s"__grok_$srcCol"
+    fields.foldLeft(df.withColumn(tmpCol, sc)) { case (d, f) =>
+      d.withColumn(f.name, cast(col(tmpCol).getField(f.name), f.castTo))
+    }.drop(tmpCol)
+  }
+}
+
+/** One compiled regex, ONE `find()` per row, every named grok field read
+  * from the same match into a struct of strings.
+  *
+  * Matches the reference's convertRecord, which matches the compiled grok
+  * once and walks its named groups (GrokToJsonConverter.java:86) — k
+  * fields never cost k regex executions. Parity with the regexp_extract
+  * semantics this replaces: NULL struct when the line has no match; a
+  * matched line's non-participating optional group yields "". */
+case class GrokStruct(child: Expression, regex: String,
+                      fieldNames: Seq[String], groups: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(fieldNames.length == groups.length)
+  override def dataType: DataType =
+    StructType(fieldNames.map(n => StructField(n, StringType)))
+  override def prettyName: String = "grok_struct"
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = pattern.matcher(input.asInstanceOf[UTF8String].toString)
+    if (!m.find()) null
+    else {
+      val out = new Array[Any](groups.length)
+      var i = 0
+      while (i < groups.length) {
+        val g = m.group(groups(i))
+        out(i) = if (g == null) UTF8String.EMPTY_UTF8 else UTF8String.fromString(g)
+        i += 1
+      }
+      new GenericInternalRow(out)
     }
+  }
+  override protected def withNewChildInternal(newChild: Expression): GrokStruct =
+    copy(child = newChild)
 }

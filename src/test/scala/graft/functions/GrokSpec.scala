@@ -79,6 +79,35 @@ class GrokSpec extends SparkSpec {
     assert(m5.find() && m5.group(1) == "hi")
   }
 
+  test("parse runs ONE grok_struct node however many fields the pattern has") {
+    // parquet-backed so ConvertToLocalRelation can't pre-evaluate the plan
+    val dir = tmpDir("grok-plan")
+    Seq("2024-03-01 12:34:56 ERROR web01 10.0.0.1 alice 500 0.75")
+      .toDF("line").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val out = Grok.parse(df, "line",
+      "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{WORD:host} %{IPV4:ip} " +
+        "%{USERNAME:user} %{INT:status:int} %{NUMBER:dur:double}")
+      .select("ts", "lvl", "host", "ip", "user", "status", "dur")
+    val plan = out.queryExecution.optimizedPlan.toString
+    val n = "grok_struct".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected exactly one grok_struct in the plan, got $n:\n$plan")
+    assert(out.as[(String, String, String, String, String, Int, Double)].head ==
+      (("2024-03-01 12:34:56", "ERROR", "web01", "10.0.0.1", "alice", 500, 0.75)))
+  }
+
+  test("grok struct: unmatched line yields null fields, optional group yields empty string") {
+    val df = Seq("ab 7", "zzz").toDF("line")
+    // the INT is optional: a matched line without it must give "" (the
+    // regexp_extract parity contract), an unmatched line null
+    val out = Grok.parse(df, "line", "%{WORD:w}(?: %{INT:n})?")
+    val rows = out.select("w", "n").as[(Option[String], Option[String])].collect()
+    assert(rows(0) == ((Some("ab"), Some("7"))))
+    assert(rows(1) == ((Some("zzz"), Some("")))) // WORD matches, INT absent
+    val unmatched = Grok.parse(Seq("!!!").toDF("line"), "line", "^%{WORD:w}$")
+    assert(unmatched.select("w").as[Option[String]].head.isEmpty)
+  }
+
   test("literal regex between macros is honored; unknown pattern rejected") {
     val c = Grok.compile("""^\[%{WORD:a}\]$""")
     val m = java.util.regex.Pattern.compile(c.regex).matcher("[xyz]")
