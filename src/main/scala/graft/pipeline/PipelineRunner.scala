@@ -198,6 +198,8 @@ object PipelineRunner {
   private def read(spark: SparkSession, s: SourceSpec): DataFrame = {
     var r = spark.read.format(s.format).options(s.options)
     s.schemaDDL.foreach(ddl => r = r.schema(ddl))
+    s.schemaJson.foreach(j =>
+      r = r.schema(graft.sources.JsonSchemaDialect.parse(j)))
     s.format match {
       // jdbc carries its target in options (url/dbtable), not a path;
       // watermark + transform filters push into the generated SQL

@@ -23,6 +23,10 @@ final case class SourceSpec(format: String, // parquet | csv | json | text
                             path: String,
                             options: Map[String, String] = Map.empty,
                             schemaDDL: Option[String] = None,
+                            // the reference's JSON-intermediate schema
+                            // dialect (JsonSchemaDialect) — ports a
+                            // reference job's schema verbatim
+                            schemaJson: Option[String] = None,
                             // incremental watermark scan
                             watermarkColumn: Option[String] = None,
                             watermarkDefault: Option[String] = None)
@@ -100,6 +104,7 @@ object PipelineSpec {
         case (k, v) if k.startsWith("source.option.") =>
           k.stripPrefix("source.option.") -> v },
       schemaDDL = props.get("source.schema"),
+      schemaJson = props.get("source.schema.json"),
       watermarkColumn = props.get("source.watermark.column"),
       watermarkDefault = props.get("source.watermark.default"))
 

@@ -1,11 +1,13 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** REST-style paginated ingestion: a driver-side pagination loop pulls
-  * JSON pages through a pluggable fetcher until the cursor ends, then the
-  * accumulated records parse into a DataFrame.
+  * JSON pages through a pluggable fetcher until the cursor ends, spilling
+  * every `flushEveryPages` pages to a staged JSON-lines chunk; the chunks
+  * then parse as one distributed read.
   *
   * Reference: RestApiExtractor
   * (gobblin-core/.../extract/restapi/RestApiExtractor.java:61) — the
@@ -15,23 +17,51 @@ import org.apache.spark.sql.types.StructType
   * is the seam where an HTTP client plugs in; tests drive it with an
   * in-memory endpoint.
   *
-  * Scale note: pagination is inherently sequential per endpoint (the
+  * Scale notes: pagination is inherently sequential per endpoint (the
   * cursor is a data dependency) — same as the reference; parallelism
   * comes from planning MANY endpoints/chunks (e.g. one fetcher per
   * histogram chunk, see [[graft.planning.WatermarkPartitioner
-  * .packHistogram]]) — and the JSON decode of fetched pages is
-  * distributed.
+  * .packHistogram]]). Driver memory is O(flushEveryPages × page) — a
+  * million-record backfill through one endpoint streams through the
+  * driver, it never accumulates there — and the JSON decode runs
+  * distributed over the staged chunks.
   */
 object RestSource {
 
   /** One page: raw JSON records + the next cursor (None = done). */
   final case class Page(records: Seq[String], next: Option[Long])
 
-  /** Pull all pages starting at cursor 0, parse as JSON rows. */
+  /** Pull all pages starting at cursor 0, parse as JSON rows.
+    *
+    * `stagingDir` (default: a fresh dir under java.io.tmpdir) holds the
+    * spilled chunks; it must outlive the returned (lazy) DataFrame. */
   def read(spark: SparkSession, fetch: Long => Page,
            schema: Option[StructType] = None,
-           maxPages: Int = 100000): DataFrame = {
-    val buf = Vector.newBuilder[String]
+           maxPages: Int = 100000,
+           flushEveryPages: Int = 64,
+           stagingDir: Option[String] = None): DataFrame = {
+    require(flushEveryPages > 0)
+    val dir = new Path(stagingDir.getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-rest-${java.util.UUID.randomUUID()}"))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+
+    var buf = Vector.newBuilder[String]
+    var bufPages = 0
+    var chunks = 0
+    def flush(): Unit = if (bufPages > 0) {
+      val out = fs.create(new Path(dir, f"chunk-$chunks%05d.jsonl"), true)
+      try buf.result().foreach { r =>
+        // valid JSON holds raw newlines only as insignificant whitespace
+        // BETWEEN tokens (in-string newlines must be \n-escaped), so
+        // flattening them preserves the record while keeping 1 line = 1 row
+        out.write(r.replace('\n', ' ').replace('\r', ' ').getBytes("UTF-8"))
+        out.write('\n')
+      } finally out.close()
+      chunks += 1; buf = Vector.newBuilder[String]; bufPages = 0
+    }
+
     var cursor: Option[Long] = Some(0L)
     var pages = 0
     while (cursor.isDefined) {
@@ -40,10 +70,18 @@ object RestSource {
       buf ++= page.records
       cursor = page.next
       pages += 1
+      bufPages += 1
+      if (bufPages >= flushEveryPages) flush()
     }
-    import spark.implicits._
-    val ds = spark.createDataset(buf.result())
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    reader.json(ds)
+    flush()
+
+    if (chunks == 0) { // empty extract: preserve the no-data contract
+      import spark.implicits._
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      reader.json(spark.createDataset(Seq.empty[String]))
+    } else {
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      reader.json(dir.toString)
+    }
   }
 }

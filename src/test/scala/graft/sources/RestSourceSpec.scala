@@ -20,6 +20,36 @@ class RestSourceSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().toSet == (0L until 25L).toSet)
   }
 
+  test("long backfills spill every N pages: driver holds O(N pages), chunks decode distributed") {
+    val staging = tmpDir("rest-chunks")
+    val nPages = 120
+    val perPage = 5
+    def fetch(offset: Long): RestSource.Page = {
+      val p = offset.toInt
+      RestSource.Page(
+        (0 until perPage).map(i => s"""{"id":${p * perPage + i}}"""),
+        if (p + 1 < nPages) Some(p + 1) else None)
+    }
+    val df = RestSource.read(spark, fetch, flushEveryPages = 8,
+      stagingDir = Some(staging))
+    // 120 pages at flush-every-8 must leave ceil(120/8)=15 chunk files —
+    // proof the builder was drained every 8 pages, never grew past them
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunkFiles = fs.listStatus(new org.apache.hadoop.fs.Path(staging))
+      .map(_.getPath.getName).filter(_.startsWith("chunk-"))
+    assert(chunkFiles.length == 15, chunkFiles.mkString(","))
+    import spark.implicits._
+    assert(df.select("id").as[Long].collect().toSet ==
+      (0L until (nPages * perPage).toLong).toSet)
+    // records with embedded formatting newlines survive the line spill
+    val multi = RestSource.read(spark,
+      _ => RestSource.Page(Seq("{\n  \"id\": 1,\n  \"s\": \"a\\nb\"\n}"), None),
+      flushEveryPages = 1, stagingDir = Some(tmpDir("rest-multiline")))
+    val row = multi.select("id", "s").as[(Long, String)].head
+    assert(row == ((1L, "a\nb")))
+  }
+
   test("runaway pagination is bounded") {
     intercept[IllegalArgumentException] {
       RestSource.read(spark, _ => RestSource.Page(Seq("{}"), Some(0L)),
