@@ -125,11 +125,13 @@ object Ann {
     * 8-16 bits (small selective buckets); loose ones (0.3-0.5) need few
     * bits and more tables to hold recall — at 100 TB run exact dedup
     * first and use a tight threshold, where bucket sizes stay tiny.
-    * `maxBucketSize` sheds degenerate mega-buckets (boilerplate spikes) at
-    * the cost of pairs inside them. */
+    * `maxBucketSize` sheds degenerate mega-buckets (boilerplate spikes,
+    * zero vectors) at the cost of pairs inside them; the bound is the
+    * DEFAULT because one mega-bucket emits O(bucket²) pairs from a single
+    * task — pass `Int.MaxValue` to opt in to unbounded. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, bits: Int = 2, tables: Int = 32,
-                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                   maxBucketSize: Int = 10000): DataFrame = {
     val sigs = corpus.select(col(idCol).as("__id"), posexplode(
       graft.functions.Srp.signatures(col(vecCol), bits, tables))
       .as(Seq("tbl", "sig")))

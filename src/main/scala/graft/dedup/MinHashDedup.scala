@@ -70,13 +70,16 @@ object MinHashDedup {
     * keeps the miss probability below ~1e-4 even at j=0.5 (and ~1e-22 at
     * j=0.9) at the cost of more false candidates — which the exact-verify
     * stage filters anyway; pick band counts from the target threshold
-    * when tuning. `maxBucketSize` defaults to unbounded (exact recall);
-    * at extreme scale cap it to shed boilerplate mega-buckets, accepting
-    * that pairs inside dropped buckets are lost (run exact dedup first so
-    * such buckets don't exist). */
+    * when tuning. `maxBucketSize` BOUNDS each bucket's O(bucket²) pair
+    * fan-out: one boilerplate mega-bucket at corpus scale would otherwise
+    * emit billions of pairs from a single task, so the safe cap is the
+    * DEFAULT and unbounded (`Int.MaxValue`) is the explicit opt-in. Pairs
+    * wholly inside a shed bucket are lost — run exact dedup first so
+    * degenerate buckets don't exist, and treat a shed as a data-quality
+    * signal, not noise. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 64, numBands: Int = 32,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                     maxBucketSize: Int = 10000): DataFrame = {
     val b = bands(df, idCol, textCol, n, k, numBands)
     val ids = col("ids")
     b.groupBy(col("band_idx"), col("band_hash"))

@@ -124,26 +124,57 @@ object Streams {
             Iterator(Session(key, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.events))
           } else {
-            val ts = it.map(_._2.getTime).toSeq.sorted
-            val closed = scala.collection.mutable.ListBuffer.empty[Session]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMillis =>
-                  cur = Some(s.copy(end = math.max(s.end, t),
-                    events = s.events + 1))
-                case Some(s) => // gap exceeded: close and start anew
-                  closed += Session(key, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.events)
-                  cur = Some(SessionState(t, t, 1))
-                case None => cur = Some(SessionState(t, t, 1))
+            // interval merge, NOT materialize+sort: each event either
+            // extends an adjacent session or opens its own, so per-key
+            // task memory is O(sessions in the batch) — a hot key's
+            // dense bot burst folds into ONE interval while a
+            // toSeq.sorted would buffer the entire burst
+            val sessions = new java.util.TreeMap[Long, SessionState]()
+            state.getOption.foreach(s => sessions.put(s.start, s))
+            it.foreach { case (_, tsv) =>
+              val t = tsv.getTime
+              val fl = sessions.floorEntry(t)
+              if (fl != null && t - fl.getValue.end <= gapMillis) {
+                // lands in (or within gap after) the session starting <= t
+                val ext = fl.getValue.copy(
+                  end = math.max(fl.getValue.end, t),
+                  events = fl.getValue.events + 1)
+                sessions.put(fl.getKey, ext)
+                // the extension may bridge into the next session
+                val nx = sessions.higherEntry(fl.getKey)
+                if (nx != null && nx.getKey - ext.end <= gapMillis) {
+                  val u = SessionState(fl.getKey,
+                    math.max(ext.end, nx.getValue.end),
+                    ext.events + nx.getValue.events)
+                  sessions.remove(nx.getKey)
+                  sessions.put(fl.getKey, u)
+                }
+              } else {
+                val ce = sessions.ceilingEntry(t)
+                if (ce != null && ce.getKey - t <= gapMillis) {
+                  // within gap BEFORE the next session: extend it backward
+                  val s = ce.getValue
+                  sessions.remove(ce.getKey)
+                  sessions.put(t, s.copy(start = t, events = s.events + 1))
+                } else sessions.put(t, SessionState(t, t, 1))
               }
             }
-            cur.foreach { s =>
+            // every session but the newest is final; the newest stays open
+            val all = sessions.values().iterator()
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
+            var open: Option[SessionState] = None
+            while (all.hasNext) {
+              val s = all.next()
+              open.foreach(closed += _)
+              open = Some(s)
+            }
+            open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.end + gapMillis)
             }
-            closed.iterator
+            closed.iterator.map(s => Session(key,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+              s.events))
           }
       }
   }

@@ -53,6 +53,19 @@ class AnnSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("nearDupPairs sheds a signature mega-bucket at the default-bounded cap") {
+    // 30 clones of one vector land in the same bucket of every table
+    val clones = emb.limit(1).select($"embedding")
+      .crossJoin(spark.range(30).select($"id".as("vec_id")))
+      .select($"vec_id", $"embedding")
+    val shed = Ann.nearDupPairs(clones, "vec_id", "embedding",
+      threshold = 0.9, bits = 4, tables = 4, maxBucketSize = 10)
+    assert(shed.count() == 0, "bucket of 30 must shed at cap 10")
+    val kept = Ann.nearDupPairs(clones, "vec_id", "embedding",
+      threshold = 0.9, bits = 4, tables = 4)
+    assert(kept.count() == 30L * 29 / 2)
+  }
+
   private def clustered = emb.select($"vec_id",
     transform($"embedding".cast("array<double>"),
       (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),

@@ -57,6 +57,33 @@ class SessionizeSpec extends SparkSpec {
     assert(streamSet == batchSet)
   }
 
+  test("hot key: one dense 20k-event micro-batch folds into one interval, unsorted") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Timestamp)]
+    val streamed = Streams.sessionize(
+      src.toDF().toDF("user", "ts"), "user", "ts", gap = "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("hotkey_sessions").outputMode("append").start()
+    // a bot key bursting 20k events 1s apart, delivered in scrambled
+    // order, plus a second burst past the gap — all in ONE batch
+    val rng = new scala.util.Random(7)
+    val burst1 = (0 until 20000).map(i =>
+      ("bot", new Timestamp(ts("00:00:00").getTime + i * 1000L)))
+    val burst2 = (0 until 100).map(i =>
+      ("bot", new Timestamp(ts("12:00:00").getTime + i * 1000L)))
+    src.addData(rng.shuffle(burst1 ++ burst2): _*)
+    q.processAllAvailable()
+    src.addData(("zz", Timestamp.valueOf("2024-01-09 00:00:00")))
+    q.processAllAvailable()
+    src.stop(); q.stop()
+    val out = spark.table("hotkey_sessions").as[Session].collect()
+      .filter(_.key == "bot").sortBy(_.start.getTime)
+    assert(out.length == 2, out.mkString(","))
+    assert(out(0).events == 20000 && out(0).start == ts("00:00:00") &&
+      out(0).end == new Timestamp(ts("00:00:00").getTime + 19999 * 1000L))
+    assert(out(1).events == 100)
+  }
+
   test("gapSessions plans exactly one shuffle (windows + agg share the key partitioning)") {
     val events = graft.Tables.load(spark, sf, "events")
     val p = Sessionize.gapSessions(events, "user_id", "ts", "2 hours")

@@ -92,6 +92,18 @@ class TextAndDedupSpec extends SparkSpec {
     assert(pairs.filter($"id_b" === $"id_a" + 1000000L).count() == 20)
   }
 
+  test("a mega-bucket above maxBucketSize is shed instead of exploding O(n^2)") {
+    // 40 identical docs share EVERY band bucket: bucket size 40
+    val clones = (0 until 40).map(i => (i.toLong, "same boilerplate text here"))
+      .toDF("doc_id", "text")
+    val shed = MinHashDedup.candidatePairs(clones, "doc_id", "text",
+      maxBucketSize = 10)
+    assert(shed.count() == 0, "bucket of 40 must shed at cap 10")
+    // the safe DEFAULT still finds ordinary duplicate groups
+    val kept = MinHashDedup.candidatePairs(clones, "doc_id", "text")
+    assert(kept.count() == 40L * 39 / 2)
+  }
+
   test("verifyJaccard computes exact jaccard on candidates") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
