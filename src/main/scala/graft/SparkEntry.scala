@@ -507,6 +507,15 @@ object SparkEntry {
       }.reduce(_ unionAll _)
     }),
 
+    // PK-chunk fallback (SalesforceExtractor.java:97): when no histogram
+    // column exists, range-chunk the primary key from one min/max/count
+    // probe; the chunk union must cover the table EXACTLY once (multiset
+    // hash equality catches both gaps and overlaps).
+    "q63_pk_chunks" -> ((s, dir) =>
+      WatermarkPartitioner.pkChunkedScan(t(s, dir, "orders"), "o_orderkey",
+        targetRowsPerChunk = 1000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
     // --- distcp byte-copy executor (FileAwareInputStreamDataWriter):
     // plan from a manifest listing, stream-copy with staging+rename,
     // re-read the COPIES — byte-identical files parse to equal rows ---
@@ -519,15 +528,13 @@ object SparkEntry {
       val srcDir = s"$base/src"
       val dstDir = s"$base/dst"
       t(s, dir, "supplier").write.mode("overwrite").parquet(srcDir)
-      // manifest paths are root-relative ("/part-...")
-      val tasks = operators.CopyDiff.listManifest(s, srcDir).collect().map { r =>
-        val rel = r.getAs[String]("path")
-        operators.CopyExec.CopyTask(s"$srcDir$rel", s"$dstDir$rel",
-          r.getAs[Long]("length"))
-      }
-      val stats = operators.CopyExec.execute(s.createDataset(tasks.toSeq),
-        parallelism = 4)
-      require(stats.filesCopied + stats.filesSkipped == tasks.length)
+      // manifest paths are root-relative ("/part-..."); the task build is
+      // a distributed map over the manifest — no driver collect
+      val tasks = operators.CopyExec.planFromManifest(
+        operators.CopyDiff.listManifest(s, srcDir), srcDir, dstDir)
+      val n = tasks.count()
+      val stats = operators.CopyExec.execute(tasks, parallelism = 4)
+      require(stats.filesCopied + stats.filesSkipped == n)
       s.read.parquet(dstDir)
     }),
 
@@ -901,6 +908,8 @@ object SparkEntry {
     "q61_offset_resume" ->
       ("SELECT event_id, (event_id % 4)::INT AS part, event_id // 4 AS off " +
         "FROM events WHERE event_id // 4 >= 50"),
+    "q63_pk_chunks" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     "q62_grok_wide" ->
       ("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts, " +
         "'INFO' AS lvl, 'host' || (o_orderkey % 50) AS host, " +

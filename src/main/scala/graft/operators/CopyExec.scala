@@ -25,6 +25,23 @@ object CopyExec {
 
   final case class CopyTask(src: String, dst: String, length: Long)
 
+  /** Derive the copy plan from a (path, length) manifest as a DISTRIBUTED
+    * map — the task set never lands on the driver, so a million-file tree
+    * plans with the same O(1) driver footprint as ten files (the
+    * reference's CopySource.java:207-222 plans driver-side; Spark lets the
+    * plan itself stay a Dataset). Manifest paths are root-relative. */
+  def planFromManifest(manifest: org.apache.spark.sql.DataFrame,
+                       srcRoot: String, dstRoot: String): Dataset[CopyTask] = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    manifest.select(
+      concat(lit(srcRoot), col("path")).as("src"),
+      concat(lit(dstRoot), col("path")).as("dst"),
+      col("length"))
+      .as[CopyTask]
+  }
+
   final case class CopyStats(filesCopied: Long, filesSkipped: Long,
                              bytesCopied: Long)
 

@@ -115,6 +115,49 @@ object WatermarkPartitioner {
     }
   }
 
+  /** Primary-key range chunking — the reference's Salesforce PK-chunk
+    * FALLBACK for tables with no histogram column
+    * (SalesforceExtractor.java:97: the bulk API splits extraction by Id
+    * ranges when the dynamic-probing histogram path is unavailable):
+    * chunk [min, max] into equal-width INCLUSIVE key ranges sized so each
+    * holds ~targetRowsPerChunk under uniform key density. Needs only
+    * min/max/count — one aggregate probe — and covers the key space
+    * exactly once (no gaps, no overlap); skewed key density degrades
+    * balance, not correctness, which is exactly the PK-chunk trade. */
+  def pkChunks(min: Long, max: Long, count: Long,
+               targetRowsPerChunk: Long): Seq[(Long, Long)] = {
+    require(targetRowsPerChunk > 0)
+    if (count <= 0 || max < min) Nil
+    else {
+      val span = max - min + 1
+      val wanted = math.ceil(count.toDouble / targetRowsPerChunk).toLong
+      val n = math.max(1L, math.min(wanted, span)).toInt
+      val step = math.ceil(span.toDouble / n).toLong
+      (0 until n).flatMap { i =>
+        val lo = min + i * step
+        val hi = math.min(lo + step - 1, max)
+        if (hi >= lo) Some((lo, hi)) else None
+      }
+    }
+  }
+
+  /** PK-chunked scan: probe min/max/count of the key (one aggregate,
+    * driver-bounded), then union per-chunk reads whose inclusive range
+    * predicates push into the source scan. */
+  def pkChunkedScan(df: DataFrame, pkCol: String,
+                    targetRowsPerChunk: Long): DataFrame = {
+    val row = df.agg(min(col(pkCol)).cast("long"), max(col(pkCol)).cast("long"),
+      count(lit(1))).head()
+    if (row.isNullAt(0)) df.limit(0)
+    else {
+      val chunks = pkChunks(row.getLong(0), row.getLong(1), row.getLong(2),
+        targetRowsPerChunk)
+      chunks.map { case (lo, hi) =>
+        df.filter(col(pkCol) >= lit(lo) && col(pkCol) <= lit(hi))
+      }.reduce(_ union _)
+    }
+  }
+
   /** Chunk -> pushdown predicate on a column: (low, high]. */
   def predicate[T](wmCol: String, c: Chunk[T]): Column =
     col(wmCol) > lit(c.low) && col(wmCol) <= lit(c.high)

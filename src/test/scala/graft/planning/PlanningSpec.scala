@@ -74,6 +74,30 @@ class PlanningSpec extends SparkSpec {
     assert(incrementalScan(orders, "o_orderdate", t, t, DateWm, 4).count() == 0)
   }
 
+  test("pkChunks covers [min,max] exactly once, sized from count") {
+    import WatermarkPartitioner._
+    // 1000 keys over a 10k span at 100 rows/chunk -> 10 chunks
+    val chunks = pkChunks(min = 5L, max = 10004L, count = 1000L,
+      targetRowsPerChunk = 100L)
+    assert(chunks.size == 10)
+    assert(chunks.head._1 == 5L && chunks.last._2 == 10004L)
+    // inclusive ranges: consecutive chunks abut with no gap or overlap
+    chunks.sliding(2).foreach { case Seq((_, hi), (lo2, _)) =>
+      assert(lo2 == hi + 1, s"gap/overlap at $hi -> $lo2")
+    }
+    // degenerate cases
+    assert(pkChunks(1, 0, 10, 5) == Nil)
+    assert(pkChunks(7, 7, 3, 1) == Seq((7L, 7L)))
+    // span smaller than wanted chunk count: one chunk per key at most
+    assert(pkChunks(1, 3, 1000, 1).size == 3)
+
+    // the scan face: chunk union equals the table exactly once
+    val orders = Tables.load(spark, sf, "orders").select("o_orderkey")
+    val scanned = pkChunkedScan(orders, "o_orderkey", targetRowsPerChunk = 250)
+    assert(scanned.count() == orders.count())
+    assert(scanned.distinct().count() == orders.distinct().count())
+  }
+
   test("binPacker balanced: all items placed, bins within a largest-item spread") {
     import BinPacker._
     val items = (1 to 40).map(i => Item(s"f$i", (i * 37 % 100 + 1).toLong))
