@@ -90,6 +90,11 @@ object RecordSinks {
       }
     }
 
+  /** Console writer (gobblin-core/.../writer/ConsoleWriter.java:29): the
+    * debugging sink — rows to stdout, bounded. */
+  def console(df: DataFrame, numRows: Int = 20, truncate: Boolean = true): Unit =
+    df.show(numRows, truncate)
+
   /** Drive a decorated sink over every partition of df. */
   def run(df: DataFrame, mkSink: () => RecordSink[Row],
           retry: Option[RetryConfig] = None,
