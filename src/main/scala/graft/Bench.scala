@@ -33,7 +33,8 @@ object Bench {
     "q47_ivf_ann",          // IVF coarse-quantizer probe
     "q56_jdbc_bulk",        // staged JDBC publish (BASELINE.md rec/s figure)
     // appended round 4:
-    "q62_grok_wide")        // 7-field grok, single-match GrokStruct
+    "q62_grok_wide",        // 7-field grok, single-match GrokStruct
+    "q64_ivf_indexed")      // IVF index build + partition-pruned search
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

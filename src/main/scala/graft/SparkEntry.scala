@@ -780,6 +780,28 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // IVF over a PERSISTED index: same derived clustered corpus and
+    // recall-1.0 contract as q47 (identical deterministic training, so the
+    // output must EQUAL the exact top-k), but the corpus is written
+    // partitioned by coarse cell and the probes become partition-pruned
+    // reads — the scan touches only the probed cells (PlanSpec pins the
+    // PartitionFilters), which is the 100 TB search shape.
+    "q64_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val derived = emb.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val model = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      val idx = tmp("q64_ivf_index")
+      Ann.ivfWriteIndex(derived, "vec_id", "embedding", model, idx)
+      Ann.ivfTopKIndexed(idx, derived.filter(col("vec_id") < 5), "vec_id",
+        "embedding", k = 10, nprobe = 2, model = model)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -1065,6 +1087,21 @@ object SparkEntry {
       ("SELECT event_id, user_id FROM events " +
         "WHERE CAST(ts AS DATE) > DATE '2024-01-10'"),
     "q47_ivf_ann" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    // identical contract to q47: the persisted-index path must return the
+    // exact top-k over the same derived clustered corpus
+    "q64_ivf_indexed" ->
       ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
         "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
         "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +

@@ -254,13 +254,59 @@ object Ann {
       .getField("cell").cast("int")
   }
 
+  /** Per-query top-`nprobe` probe cells: descending (score, cell) structs
+    * — shared by the inline and persisted-index search paths. */
+  private def probeCells(vec: Column, model: IvfModel, nprobe: Int): Column =
+    slice(reverse(array_sort(zip_with(
+      cellScores(vec, model),
+      sequence(lit(0), lit(model.numCells - 1)),
+      (s, i) => struct(s.as("s"), i.as("cell"))))), 1, nprobe)
+
+  /** Persist the corpus as an on-disk IVF index: parquet partitioned by
+    * coarse cell. This is the 100 TB shape [[ivfTopK]]'s doc promises:
+    * assignment is a map-only pass at build time, and each query's probes
+    * become PARTITION-PRUNED reads — a search touches nprobe/numCells of
+    * the corpus on disk instead of scanning all of it. */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    model: IvfModel, path: String): Unit =
+    corpus.select(col(idCol), col(vecCol),
+      assignCell(col(vecCol), model).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** IVF top-k over a persisted index. The distinct probe cells of the
+    * (small, broadcastable) query set are resolved driver-side — bounded
+    * by queries x nprobe, the same planning budget the reference spends
+    * on work-unit generation — and pushed as a literal partition filter,
+    * so the scan's PartitionFilters prunes every unprobed cell before any
+    * IO happens. */
+  def ivfTopKIndexed(indexPath: String, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int,
+                     model: IvfModel): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(probeCells(col(vecCol), model, nprobe)).as("probe"))
+      .select(col("query_id"), col("__qv"),
+        col("probe.cell").cast("int").as("cell"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col("cell"))
+    val cand = c.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+    rankTopK(cand.withColumn("cosine",
+      cosine(col("__qv"), col("__cv"))), k)
+  }
+
   /** IVF approximate top-k: train (or take) a coarse quantizer, assign the
     * corpus to cells distributedly, probe each query's `nprobe` best
     * cells, exact-score candidates, per-query top-k.
     *
-    * At 100 TB the cell assignment is a map-only pass (write it
-    * partitioned by cell and probes become partition-pruned reads); the
-    * per-query work is O(corpus x nprobe / cells) instead of O(corpus). */
+    * At 100 TB build the index once with [[ivfWriteIndex]] and search with
+    * [[ivfTopKIndexed]] (partition-pruned reads); the per-query work is
+    * O(corpus x nprobe / cells) instead of O(corpus). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
               model: Option[IvfModel] = None): DataFrame = {
@@ -268,10 +314,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), assignCell(col(vecCol), m).as("cell"))
     // top-nprobe cells per query: sort (score, cell) structs descending
-    val probes = slice(reverse(array_sort(zip_with(
-      cellScores(col(vecCol), m),
-      sequence(lit(0), lit(m.numCells - 1)),
-      (s, i) => struct(s.as("s"), i.as("cell"))))), 1, nprobe)
+    val probes = probeCells(col(vecCol), m, nprobe)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), explode(probes).as("probe"))
       .select(col("query_id"), col("__qv"), col("probe.cell").cast("int").as("cell")))

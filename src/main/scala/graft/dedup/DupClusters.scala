@@ -11,16 +11,17 @@ import org.apache.spark.storage.StorageLevel
   * this closes the near-dup loop the same way its reducer keeps one record
   * per key.)
   *
-  * Components by iterative min-label propagation: every node starts as its
-  * own label; each round a node adopts the minimum label among itself and
-  * its neighbors; fixpoint = every component labeled by its minimum id.
-  * Rounds needed = component diameter — near-dup clusters are shallow
-  * (dozens of docs, diameter a few hops), so the cap of `maxIter` rounds
-  * is generous; the loop stops early on convergence (one count per round,
-  * over O(pairs) rows, never O(docs^2)). Label state is persisted per
-  * round and the previous round unpersisted, so lineage stays flat. For
-  * adversarial graphs with long chains swap in the large-star/small-star
-  * alternation — same join shape, O(log n) rounds.
+  * Components by large-star/small-star contraction (the MapReduce
+  * connected-components algorithm of Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14): each round every node hooks its
+  * larger neighbors onto its minimum neighbor (large-star), then collapses
+  * chains onto local minima (small-star). The edge set contracts to star
+  * graphs rooted at each component's minimum id in O(log n) rounds —
+  * unlike min-label propagation this is diameter-INDEPENDENT, so a
+  * pathological chain of near-dups (rolling boilerplate, shingled spam)
+  * converges as fast as a shallow cluster. Per-round state is persisted
+  * and the previous round unpersisted, so lineage stays flat; work per
+  * round is O(edges), never O(docs^2).
   */
 object DupClusters {
 
@@ -51,33 +52,76 @@ object DupClusters {
         f.dataType == org.apache.spark.sql.types.IntegerType)
     if (integralIds && edges.count() <= driverMaxEdges)
       return driverComponents(edges)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    try starComponents(edges, maxIter) finally edges.unpersist()
+  }
+
+  /** Large-star/small-star alternation over a symmetric, distinct edge
+    * set. State between rounds is the directed parent-edge set
+    * (child > parent); at the fixpoint it is a union of stars, each
+    * rooted at its component's minimum id.
+    *
+    *   large-star(u): m = min(N(u) + u); every neighbor v > u hooks to m.
+    *   small-star(u): m = min of u's smaller neighbors; they and u hook
+    *     to m.
+    *
+    * Both are one groupBy(min) + one equi-join on the grouping key — the
+    * same shuffle shape as one min-label round — but the round count is
+    * O(log n) instead of O(diameter). */
+  private def starComponents(sym: DataFrame, maxIter: Int): DataFrame = {
+    def swap(e: DataFrame): DataFrame =
+      e.select(col("dst").as("src"), col("src").as("dst"))
+    // orient every undirected edge child>parent: (max, min)
+    var e = sym.filter(col("src") > col("dst"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIter) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("cluster").as("nbr")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("nbr")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next.join(
-          labels.select(col("id"), col("cluster").as("prev")), "id")
-          .filter(col("cluster") =!= col("prev")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        i += 1
-      }
-      require(converged, s"components did not converge in $maxIter rounds")
-      labels
-    } finally edges.unpersist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: group the SYMMETRIC view by node, hook larger
+      // neighbors onto least(min neighbor, self)
+      val lsym = e.union(swap(e))
+      val lmin = lsym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = lsym.join(lmin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // small-star: all edges are child>parent; group by child, hook the
+      // smaller neighbors AND the child itself onto their minimum
+      val smin = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large.join(smin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(smin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      large.unpersist()
+      // fixpoint when the directed edge set is unchanged (both distinct,
+      // so equal counts + empty one-sided difference <=> set equality)
+      converged = small.count() == e.count() &&
+        small.except(e).isEmpty
+      e.unpersist()
+      e = small
+      i += 1
+    }
+    require(converged, s"components did not converge in $maxIter rounds")
+    // stars: every non-root appears exactly once as src with its root as
+    // dst; roots appear only as dst — label them with themselves. Nodes
+    // seen ONLY as self-pairs were dropped by the child>parent
+    // orientation; they are their own singleton cluster.
+    val starLabels = e.select(col("src").as("id"), col("dst").as("cluster"))
+      .union(e.select(col("dst").as("id"), col("dst").as("cluster")))
+      .distinct()
+    val selfOnly = sym.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+      .join(starLabels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    val labels = starLabels.union(selfOnly)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before releasing the final edge state
+    e.unpersist()
+    labels
   }
 
   /** Driver union-find (path compression + union by min) over a collected

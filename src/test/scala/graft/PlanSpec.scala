@@ -144,6 +144,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q64 IVF index search prunes unprobed cells via partition filters") {
+    val p = planOf(q("q64_ivf_indexed"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"),
+      s"index scan must carry a partition filter on cell: $pf\n$p")
+    // probes (tiny) broadcast against the pruned corpus cells
+    assert(p.contains("BroadcastHashJoin"), s"probe join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q49 salted join result plan carries the composite (key, salt) join") {
     val p = planOf(q("q49_salted_join"))
     assert(p.contains("__graft_salt"),

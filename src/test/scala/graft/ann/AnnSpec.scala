@@ -84,6 +84,27 @@ class AnnSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfTopKIndexed over a persisted index equals the inline ivfTopK") {
+    val derived = clustered
+    val queries = derived.filter($"vec_id" < 5)
+    val model = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+    val idx = s"${sys.props("java.io.tmpdir")}/graft-test/ivf-index"
+    Ann.ivfWriteIndex(derived, "vec_id", "embedding", model, idx)
+    val indexed = Ann.ivfTopKIndexed(idx, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2, model = model)
+    val inline = Ann.ivfTopK(derived, queries, "vec_id", "embedding", 10,
+      numCells = 16, nprobe = 2, model = Some(model))
+    assert(indexed.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet ==
+      inline.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet)
+    // the scan is partition-pruned: only the probed cell dirs are read
+    val scan = indexed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected partition filters on cell:\n$scan")
+  }
+
   test("ivf model: unit centroids, assignment covers only valid cells") {
     val m = Ann.ivfTrain(emb, "vec_id", "embedding", numCells = 8)
     assert(m.centroids.length == 8)

@@ -143,6 +143,31 @@ class TextAndDedupSpec extends SparkSpec {
     assert(pairsLoop == pairsDriver)
   }
 
+  test("star contraction: long chain converges diameter-independently") {
+    import graft.dedup.DupClusters
+    // a 200-node chain has diameter 199; min-label propagation would need
+    // 199 rounds, large-star/small-star contracts it in O(log n) — the
+    // tight maxIter only holds for the star algorithm
+    val n = 200L
+    val chain = (1L to n).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val cc = DupClusters
+      .connectedComponents(chain, maxIter = 12, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect()
+    assert(cc.length == n.toInt)
+    assert(cc.forall(_._2 == 1L))
+    // random graph (self-pairs included) parity vs driver union-find
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("id_a", "id_b")
+    val dist = DupClusters.connectedComponents(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    val drv = DupClusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == drv)
+  }
+
   test("simhash: identical texts equal, near texts close, disjoint texts far") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
