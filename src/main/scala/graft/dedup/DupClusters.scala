@@ -66,14 +66,24 @@ object DupClusters {
     *
     * Both are one groupBy(min) + one equi-join on the grouping key — the
     * same shuffle shape as one min-label round — but the round count is
-    * O(log n) instead of O(diameter). */
+    * O(log n) instead of O(diameter).
+    *
+    * CRITICAL for any iterative Dataset algorithm: each round's state is
+    * `localCheckpoint(eager = true)`, not merely persisted. A persist
+    * keeps the logical plan, and every round here references the previous
+    * round's frame ~12 times (the symmetric view, two grouped mins, two
+    * joins, the convergence compare), so without truncation the plan tree
+    * grows ~12^rounds and the DRIVER dies at planning time long before
+    * the data is large. Checkpointing pins each round's rows in the block
+    * manager and restarts lineage, so the plan of round N is O(1) in N;
+    * dropped round references are reclaimed by the ContextCleaner. */
   private def starComponents(sym: DataFrame, maxIter: Int): DataFrame = {
     def swap(e: DataFrame): DataFrame =
       e.select(col("dst").as("src"), col("src").as("dst"))
     // orient every undirected edge child>parent: (max, min)
     var e = sym.filter(col("src") > col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -95,13 +105,13 @@ object DupClusters {
         .union(smin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true) // truncate lineage before reuse
       large.unpersist()
-      // fixpoint when the directed edge set is unchanged (both distinct,
-      // so equal counts + empty one-sided difference <=> set equality)
+      // fixpoint when the directed edge set is unchanged; both sides are
+      // distinct AND checkpointed, so this compares two materialized sets
+      // (equal counts + empty one-sided anti-join <=> set equality)
       converged = small.count() == e.count() &&
-        small.except(e).isEmpty
-      e.unpersist()
+        small.join(e, Seq("src", "dst"), "left_anti").isEmpty
       e = small
       i += 1
     }
@@ -119,8 +129,7 @@ object DupClusters {
       .select(col("id"), col("id").as("cluster"))
     val labels = starLabels.union(selfOnly)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before releasing the final edge state
-    e.unpersist()
+    labels.count() // materialize off the final (checkpointed) edge state
     labels
   }
 
