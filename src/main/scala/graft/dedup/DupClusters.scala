@@ -36,6 +36,15 @@ object DupClusters {
     * Larger edge sets run the distributed min-label propagation loop.
     * Both paths produce identical labels.
     *
+    * Checkpointing on the distributed path: when the session has a
+    * reliable checkpoint dir (`spark.sparkContext.setCheckpointDir`),
+    * per-round state goes there and survives executor loss; otherwise it
+    * falls back to `localCheckpoint`, whose blocks are NOT recomputable —
+    * an executor loss (or dynamic-allocation executor release, which
+    * Spark documents as unsafe with localCheckpoint) fails the job. For
+    * production-scale runs — exactly the > `driverMaxEdges` edge sets
+    * that take this path — set a checkpoint dir or pin executors.
+    *
     * The returned DataFrame is PERSISTED (the propagation loop needs the
     * final labels materialized and re-derivable without replaying every
     * round); callers running many resolutions in one session should
@@ -69,21 +78,39 @@ object DupClusters {
     * O(log n) instead of O(diameter).
     *
     * CRITICAL for any iterative Dataset algorithm: each round's state is
-    * `localCheckpoint(eager = true)`, not merely persisted. A persist
-    * keeps the logical plan, and every round here references the previous
-    * round's frame ~12 times (the symmetric view, two grouped mins, two
-    * joins, the convergence compare), so without truncation the plan tree
-    * grows ~12^rounds and the DRIVER dies at planning time long before
-    * the data is large. Checkpointing pins each round's rows in the block
-    * manager and restarts lineage, so the plan of round N is O(1) in N;
-    * dropped round references are reclaimed by the ContextCleaner. */
+    * checkpointed (eagerly), not merely persisted. A persist keeps the
+    * logical plan, and every round here references the previous round's
+    * frame ~12 times (the symmetric view, two grouped mins, two joins,
+    * the convergence compare), so without truncation the plan tree grows
+    * ~12^rounds and the DRIVER dies at planning time long before the
+    * data is large. Checkpointing pins each round's rows (block manager
+    * for local, checkpoint-dir files for reliable) and restarts lineage,
+    * so the plan of round N is O(1) in N. Round N-1's local-checkpoint
+    * blocks are released EXPLICITLY once round N is materialized and
+    * compared — at most two rounds of edge state live at once, instead
+    * of up to maxIter copies waiting on driver GC + ContextCleaner. */
   private def starComponents(sym: DataFrame, maxIter: Int): DataFrame = {
     def swap(e: DataFrame): DataFrame =
       e.select(col("dst").as("src"), col("src").as("dst"))
+    val reliable = sym.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // eager lineage truncation + a handle that frees the round's pinned
+    // blocks (no-op for reliable checkpoints: those live as files, and
+    // ContextCleaner removes them with the RDD reference when configured)
+    def truncate(df: DataFrame): (DataFrame, () => Unit) = {
+      val cp = if (reliable) df.checkpoint(eager = true)
+               else df.localCheckpoint(eager = true)
+      val free: () => Unit =
+        if (reliable) () => ()
+        else {
+          val pinned = cp.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }
+          () => pinned.foreach(_.unpersist(blocking = false))
+        }
+      (cp, free)
+    }
     // orient every undirected edge child>parent: (max, min)
-    var e = sym.filter(col("src") > col("dst"))
-      .distinct()
-      .localCheckpoint(eager = true)
+    var (e, freeE) = truncate(sym.filter(col("src") > col("dst")).distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -100,19 +127,21 @@ object DupClusters {
       // small-star: all edges are child>parent; group by child, hook the
       // smaller neighbors AND the child itself onto their minimum
       val smin = large.groupBy("src").agg(min(col("dst")).as("m"))
-      val small = large.join(smin, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(smin.select(col("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(eager = true) // truncate lineage before reuse
+      val (small, freeSmall) = truncate(
+        large.join(smin, "src")
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(smin.select(col("src"), col("m").as("dst")))
+          .filter(col("src") =!= col("dst"))
+          .distinct())
       large.unpersist()
       // fixpoint when the directed edge set is unchanged; both sides are
       // distinct AND checkpointed, so this compares two materialized sets
       // (equal counts + empty one-sided anti-join <=> set equality)
       converged = small.count() == e.count() &&
         small.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      freeE() // round N-1's blocks: the compare above was their last use
       e = small
+      freeE = freeSmall
       i += 1
     }
     require(converged, s"components did not converge in $maxIter rounds")
@@ -130,6 +159,10 @@ object DupClusters {
     val labels = starLabels.union(selfOnly)
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels.count() // materialize off the final (checkpointed) edge state
+    // labels is MEMORY_AND_DISK (eviction spills, never recomputes), so
+    // the final round's pinned copy can go too — same executor-loss
+    // caveat the scaladoc states for the whole local-checkpoint path
+    freeE()
     labels
   }
 
@@ -170,8 +203,9 @@ object DupClusters {
   /** Annotate every doc with its cluster id (its own id when it is in no
     * pair — singletons are their own cluster). */
   def resolve(docs: DataFrame, idCol: String, pairs: DataFrame,
-              maxIter: Int = 20): DataFrame = {
-    val comp = connectedComponents(pairs, maxIter)
+              maxIter: Int = 20,
+              driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter, driverMaxEdges)
       .withColumnRenamed("id", idCol)
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
@@ -181,8 +215,9 @@ object DupClusters {
   /** One survivor per cluster: the minimum-id member (plus every
     * singleton). */
   def survivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                maxIter: Int = 20): DataFrame =
-    resolve(docs, idCol, pairs, maxIter)
+                maxIter: Int = 20,
+                driverMaxEdges: Long = 1L << 20): DataFrame =
+    resolve(docs, idCol, pairs, maxIter, driverMaxEdges)
       .filter(col(idCol) === col("cluster_id"))
       .drop("cluster_id")
 }

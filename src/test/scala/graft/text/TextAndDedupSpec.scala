@@ -168,6 +168,31 @@ class TextAndDedupSpec extends SparkSpec {
     assert(dist == drv)
   }
 
+  test("components: a session checkpoint dir routes round state to reliable storage") {
+    import graft.dedup.DupClusters
+    val sc = spark.sparkContext
+    val dir = tmpDir("cc-checkpoint")
+    sc.setCheckpointDir(dir)
+    try {
+      val chain = (1L to 50L).sliding(2).map(s => (s.head, s.last)).toSeq
+        .toDF("id_a", "id_b")
+      val cc = DupClusters.connectedComponents(chain, driverMaxEdges = 0L)
+        .as[(Long, Long)].collect()
+      assert(cc.length == 50 && cc.forall(_._2 == 1L))
+      // per-round state must have materialized as rdd-* checkpoint dirs
+      // (survives executor loss, unlike localCheckpoint blocks)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(sc.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var sawRdd = false
+      while (it.hasNext && !sawRdd)
+        sawRdd = it.next().getPath.toString.contains("/rdd-")
+      assert(sawRdd, "reliable checkpoint files must exist under the dir")
+    } finally sc.setCheckpointDir(null)
+    assert(sc.getCheckpointDir.isEmpty,
+      "suite must not leak a checkpoint dir into other tests")
+  }
+
   test("simhash: identical texts equal, near texts close, disjoint texts far") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again today"),
