@@ -34,7 +34,10 @@ object Bench {
     "q56_jdbc_bulk",        // staged JDBC publish (BASELINE.md rec/s figure)
     // appended round 4:
     "q62_grok_wide",        // 7-field grok, single-match GrokStruct
-    "q64_ivf_indexed")      // IVF index build + partition-pruned search
+    "q64_ivf_indexed",      // IVF index build + partition-pruned search
+    // appended round 6: the distributed star-contraction loop — planner
+    // blowups (plan growth per round) surface here as bench deltas
+    "q65_components_distributed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -802,6 +802,40 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // distributed components path, oracle-checked: a deterministic graph
+    // over the documents ids (chains of 10 merged by long-range overlay
+    // edges — multi-hop AND cross-chain) resolved with driverMaxEdges = 0,
+    // so the large-star/small-star loop itself — the path a 100 TB pair
+    // set must take — is DuckDB-verified, not just the driver union-find
+    // shortcut q36 exercises.
+    "q65_components_distributed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val ids = docs.select(col("doc_id").as("d"))
+      val chain = ids
+        .filter(pmod(col("d"), lit(10)) =!= 9 && col("d") < lit(n - 1))
+        .select(col("d").as("id_a"), (col("d") + 1).as("id_b"))
+      val overlay = ids.filter(pmod(col("d"), lit(97)) === 0)
+        .select(col("d").as("id_a"), pmod(col("d") * 31, lit(n)).as("id_b"))
+      graft.dedup.DupClusters.resolve(docs, "doc_id", chain.union(overlay),
+        driverMaxEdges = 0L)
+        .select("doc_id", "cluster_id")
+    }),
+
+    // HLL approximate completeness (SURVEY §4): per-day audit where the
+    // distinct-id comparison is an HLL++ sketch (map-side, O(windows)
+    // shuffle) instead of an exact distinct (O(rows) shuffle). The drop
+    // pattern (even ids on every 5th day) puts healthy days at ratio 1.0
+    // and broken days at ~0.5 — both >15 sigma from the 0.75 threshold at
+    // rsd 0.005, so the approximate decision equals the oracle's exact one.
+    "q66_hll_completeness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ingested = ev.filter(!(pmod(col("event_id"), lit(2)) === 0 &&
+        pmod(dayofmonth(col("ts")), lit(5)) === 0))
+      operators.Quality.approxCompleteness(ev, ingested,
+        date_trunc("day", _), "ts", "event_id", threshold = 0.75)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -1114,6 +1148,32 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    "q65_components_distributed" ->
+      ("WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "ch AS (SELECT d AS id_a, d + 1 AS id_b FROM ids, n " +
+        "WHERE d % 10 <> 9 AND d < n - 1), " +
+        "ov AS (SELECT d AS id_a, (d * 31) % n AS id_b FROM ids, n " +
+        "WHERE d % 97 = 0), " +
+        "p AS (SELECT * FROM ch UNION ALL SELECT * FROM ov), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p " +
+        "UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e " +
+        "ON e.src = r.b WHERE e.dst <> r.a), " +
+        "cl AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a) " +
+        "SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN cl ON cl.a = d.doc_id"),
+    "q66_hll_completeness" ->
+      ("WITH s AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) " +
+        "AS TIMESTAMP) AS w, count(*) AS n_expected, " +
+        "count(DISTINCT event_id) AS src_d FROM events GROUP BY 1), " +
+        "i AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) " +
+        "AS TIMESTAMP) AS w, count(*) AS n_ingested, " +
+        "count(DISTINCT event_id) AS ing_d FROM events " +
+        "WHERE NOT (event_id % 2 = 0 AND day(ts) % 5 = 0) GROUP BY 1) " +
+        "SELECT w, n_expected, n_ingested, " +
+        "ing_d * 1.0 / src_d >= 0.75 AS passed FROM s JOIN i USING (w)"),
     "q51_rest_pages" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
     "q52_catalog_register" ->

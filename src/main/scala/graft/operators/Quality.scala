@@ -81,6 +81,35 @@ object Quality {
     graft.sources.ManifestSource.listFiles(spark, dir)
       .forall(f => f.length >= minBytes && f.length <= maxBytes)
 
+  /** HLL approximate completeness audit — the 100 TB form of the
+    * audit-count verify (KafkaAuditCountVerifier.java:44 compares source
+    * vs ingested counts per window). An EXACT per-window distinct count
+    * shuffles every id to its window's reducer; `approx_count_distinct`
+    * (HyperLogLog++) partial-aggregates a fixed-size sketch per window on
+    * the map side, so the shuffle is O(windows x sketch), independent of
+    * row count.
+    *
+    * Error bound: HLL++ relative standard deviation is `rsd` (default
+    * 0.5%). A window's pass/fail decision can flip only if its true
+    * ingested/source ratio lies within ~3*rsd*sqrt(2) of `threshold` —
+    * callers should pick a threshold with margin to the ratios they
+    * expect (e.g. 0.75 against healthy≈1.0 / broken≈0.5 is a >15-sigma
+    * margin; the exact-count columns are still exact, only the ratio
+    * decision is approximate). */
+  def approxCompleteness(source: DataFrame, ingested: DataFrame,
+                         windowOf: Column => Column, tsCol: String,
+                         idCol: String, threshold: Double,
+                         rsd: Double = 0.005): DataFrame = {
+    def agg(df: DataFrame, prefix: String): DataFrame =
+      df.groupBy(windowOf(col(tsCol)).as("w"))
+        .agg(approx_count_distinct(col(idCol), rsd).as(s"${prefix}_approx"),
+          count(lit(1)).as(s"n_$prefix"))
+    agg(source, "expected").join(agg(ingested, "ingested"), Seq("w"))
+      .select(col("w"), col("n_expected"), col("n_ingested"),
+        (col("ingested_approx").cast("double") / col("expected_approx")
+          >= threshold).as("passed"))
+  }
+
   /** Common row policies from the reference's policy library. */
   object policies {
     /** AvroHeaderGuidPolicy: non-null guid. */
