@@ -131,7 +131,10 @@ object Fork {
           obsR.get("rows").asInstanceOf[Long],
           obsW.get("rows").asInstanceOf[Long])
       }.toMap
-      beforePromote(results) // a throw here leaves only invisible orphans
+      // a policy throw leaves only invisible orphans — but must release
+      // the commit lock so the next run isn't told a rival is in flight
+      try beforePromote(results)
+      catch { case e: Throwable => pending.abort(); throw e }
       (pending.activate(), results)
     } finally if (needPersist) { shared.unpersist(); () }
   }

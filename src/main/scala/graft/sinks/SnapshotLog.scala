@@ -25,13 +25,24 @@ import graft.sinks.AtomicPublisher.WriteSpec
   *
   * Scale: the manifest is O(branches) lines and the pointer is one file —
   * driver-side metadata, independent of data size; the data writes are the
-  * same distributed writes the job already does. Single-writer per log
-  * root (the reference's job-level lock — e.g. FsJobLock — serializes
-  * publishers the same way).
+  * same distributed writes the job already does.
+  *
+  * Single-writer is ENFORCED, not assumed: [[stage]] takes a `LOCK` file
+  * under the log root via atomic create-if-absent (the reference
+  * serializes publishers with the same filesystem lock —
+  * gobblin-runtime/.../locks/FsJobLock.java), holds it across
+  * stage→activate, and a rival committer fails LOUDLY instead of silently
+  * clobbering manifests or racing the pointer flip; the manifest itself
+  * is additionally created with overwrite=false as defense in depth. A
+  * committer that dies between stage and activate leaves the lock behind
+  * — the next commit's error says so, and [[breakLock]] clears it once
+  * the operator confirms the rival is gone (its staged data is an
+  * invisible orphan either way).
   *
   * Layout under `root`:
   * {{{
   *   CURRENT                      # "3" — id of the live snapshot
+  *   LOCK                         # present while a commit is in flight
   *   snapshots/snap-3.json        # header + one line per branch
   *   data/<branch>/snap-3/        # immutable parquet/orc/csv dir
   * }}}
@@ -43,6 +54,40 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   private def fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def currentPtr = new Path(rootPath, "CURRENT")
   private def manifestPath(id: Long) = new Path(rootPath, s"snapshots/snap-$id.json")
+  private def lockFile = new Path(rootPath, "LOCK")
+
+  /** Take the commit lock or fail loudly naming the holder. `create` with
+    * overwrite=false is atomic create-if-absent on HDFS/local (and on
+    * object stores with conditional-put semantics), so two committers can
+    * never both hold it. */
+  private def acquireLock(): Unit = {
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    val holder =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    try {
+      val out = fs.create(lockFile, false)
+      try out.write(s"$holder\n${java.time.Instant.now()}".getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val rival = try {
+          val in = fs.open(lockFile)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: Exception => "<unreadable>" }
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot log $root is locked by [$rival]: a rival commit is " +
+            "in flight, or crashed between stage and activate — verify " +
+            "it is gone, then breakLock()", e)
+    }
+  }
+
+  private def releaseLock(): Unit = { fs.delete(lockFile, false): Unit }
+
+  /** Clear a lock left by a committer that died mid-commit. Only call
+    * after confirming no rival is alive — its staged snapshot stays an
+    * invisible orphan ([[expire]] sweeps it). */
+  def breakLock(): Unit = releaseLock()
 
   /** Id of the live snapshot, None before the first commit. */
   def currentId(): Option[Long] = {
@@ -81,9 +126,10 @@ final class SnapshotLog(spark: SparkSession, root: String) {
   }
 
   /** A written-but-invisible snapshot: data dirs and manifest exist, the
-    * pointer still names the parent. [[activate]] is the commit point —
-    * one overwrite-rename of `CURRENT`. Aborting needs no cleanup for
-    * correctness (orphans are invisible); [[expire]] sweeps them. */
+    * pointer still names the parent; the commit lock is HELD. [[activate]]
+    * is the commit point — one overwrite-rename of `CURRENT`, then the
+    * lock is released. [[abort]] just releases the lock: orphan data dirs
+    * are invisible ([[expire]] sweeps them). */
   final class Pending(val id: Long) {
     def activate(): Long = {
       val tmp = new Path(rootPath, s".CURRENT.tmp")
@@ -93,37 +139,52 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         currentPtr.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(fc.makeQualified(tmp), fc.makeQualified(currentPtr),
         Options.Rename.OVERWRITE)
+      releaseLock()
       id
     }
+
+    /** Release the lock without publishing; staged output stays an
+      * invisible orphan. */
+    def abort(): Unit = releaseLock()
   }
 
   /** Write every branch's data dir and the manifest for snapshot
     * `parent+1`, WITHOUT flipping the pointer. Branches not in `branches`
     * are carried forward from the parent snapshot (their data dirs are
     * immutable, so the new manifest just repeats the old pointer —
-    * an update of one table never rewrites its siblings). */
+    * an update of one table never rewrites its siblings).
+    *
+    * Takes the commit lock; the returned [[Pending]] owns it until
+    * `activate()`/`abort()`. A failure during the stage itself releases
+    * the lock before rethrowing (the committer is alive to know). */
   def stage(branches: Map[String, DataFrame],
             specs: Map[String, WriteSpec] = Map.empty): Pending = {
-    val parent = current()
-    val id = nextId(parent.map(_.id))
-    val written = branches.map { case (name, df) =>
-      require(!name.contains("/") && !name.contains("\n"),
-        s"branch name must be path- and manifest-safe: $name")
-      val rel = s"data/$name/snap-$id"
-      val spec = specs.getOrElse(name, WriteSpec())
-      var w = df.write.mode(SaveMode.Overwrite).format(spec.format)
-        .options(spec.options)
-      if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
-      w.save(new Path(rootPath, rel).toString)
-      name -> BranchRef(rel, spec.format, spec.options)
-    }
-    val carried = parent.map(_.branches).getOrElse(Map.empty) -- branches.keys
-    val snap = Snapshot(id, parent.map(_.id), carried ++ written)
-    val mp = manifestPath(id)
-    if (!fs.exists(mp.getParent)) fs.mkdirs(mp.getParent)
-    val out = fs.create(mp, true)
-    try out.write(renderManifest(snap).getBytes("UTF-8")) finally out.close()
-    new Pending(id)
+    acquireLock()
+    try {
+      val parent = current()
+      val id = nextId(parent.map(_.id))
+      val written = branches.map { case (name, df) =>
+        require(!name.contains("/") && !name.contains("\n"),
+          s"branch name must be path- and manifest-safe: $name")
+        val rel = s"data/$name/snap-$id"
+        val spec = specs.getOrElse(name, WriteSpec())
+        var w = df.write.mode(SaveMode.Overwrite).format(spec.format)
+          .options(spec.options)
+        if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
+        w.save(new Path(rootPath, rel).toString)
+        name -> BranchRef(rel, spec.format, spec.options)
+      }
+      val carried = parent.map(_.branches).getOrElse(Map.empty) -- branches.keys
+      val snap = Snapshot(id, parent.map(_.id), carried ++ written)
+      val mp = manifestPath(id)
+      if (!fs.exists(mp.getParent)) fs.mkdirs(mp.getParent)
+      // overwrite=false: under the lock no rival can race this id, so an
+      // existing manifest means something is deeply wrong — fail loudly
+      // rather than silently replace it
+      val out = fs.create(mp, false)
+      try out.write(renderManifest(snap).getBytes("UTF-8")) finally out.close()
+      new Pending(id)
+    } catch { case e: Throwable => releaseLock(); throw e }
   }
 
   /** Stage + activate: the atomic multi-branch commit. */
@@ -146,6 +207,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     * kept ids still time-travel. */
   def expire(keepLast: Int): Unit = {
     require(keepLast >= 1, "must keep at least the live snapshot")
+    acquireLock() // never sweep under a committer's feet
+    try expireLocked(keepLast) finally releaseLock()
+  }
+
+  private def expireLocked(keepLast: Int): Unit = {
     val keep = history().take(keepLast)
     val keptRefs = keep.map(snapshot).flatMap(_.branches.values.map(_.path)).toSet
     val snapDir = new Path(rootPath, "snapshots")

@@ -38,8 +38,45 @@ class SnapshotLogSpec extends SparkSpec {
     val log = new SnapshotLog(spark, tmpDir("snap-orphan"))
     log.commit(Map("a" -> Seq(1).toDF("v")))
     log.stage(Map("a" -> Seq(2).toDF("v"))) // orphan snap-2, never activated
+    // the dead committer left the lock: the next commit must say so, and
+    // proceed only after the operator clears it
+    intercept[java.util.ConcurrentModificationException](
+      log.commit(Map("a" -> Seq(3).toDF("v"))))
+    log.breakLock()
     val id = log.commit(Map("a" -> Seq(3).toDF("v")))
     assert(id == 3L, "orphan manifest id must be skipped, its data may be partial")
+    assert(log.read("a").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("writer lock: rival committers fail loudly; the holder's commit lands intact") {
+    val root = tmpDir("snap-lock")
+    val log = new SnapshotLog(spark, root)
+    log.commit(Map("a" -> Seq(1).toDF("v")))
+    val pending = log.stage(Map("a" -> Seq(2).toDF("v")))
+    // a second committer process (fresh instance, same root) must not be
+    // able to stage, commit, or expire while the lock is held
+    val rival = new SnapshotLog(spark, root)
+    val e = intercept[java.util.ConcurrentModificationException](
+      rival.commit(Map("a" -> Seq(99).toDF("v"))))
+    assert(e.getMessage.contains("locked"))
+    intercept[java.util.ConcurrentModificationException](rival.expire(1))
+    // loser's failure changed nothing; winner activates untouched
+    pending.activate()
+    assert(log.read("a").as[Int].collect().toSeq == Seq(2))
+    // lock released at activate: the rival can now commit normally
+    val id = rival.commit(Map("a" -> Seq(3).toDF("v")))
+    assert(rival.read("a").as[Int].collect().toSeq == Seq(3))
+    assert(log.history().head == id)
+  }
+
+  test("writer lock: an aborted pending releases the lock, publishes nothing") {
+    val log = new SnapshotLog(spark, tmpDir("snap-abort"))
+    log.commit(Map("a" -> Seq(1).toDF("v")))
+    val pending = log.stage(Map("a" -> Seq(2).toDF("v")))
+    pending.abort()
+    assert(log.read("a").as[Int].collect().toSeq == Seq(1),
+      "aborted stage must stay invisible")
+    log.commit(Map("a" -> Seq(3).toDF("v"))) // no breakLock needed
     assert(log.read("a").as[Int].collect().toSeq == Seq(3))
   }
 
@@ -64,6 +101,7 @@ class SnapshotLogSpec extends SparkSpec {
     log.commit(Map("a" -> Seq(1).toDF("v")))
     log.commit(Map("a" -> Seq(2).toDF("v")))
     log.stage(Map("a" -> Seq(99).toDF("v"))) // crashed commit's orphan
+    log.breakLock() // operator clears the dead committer's lock
     log.commit(Map("a" -> Seq(3).toDF("v")))
     // ids: commits take 1 and 2, the crashed stage burns 3, final commit is 4
     log.expire(keepLast = 2)
