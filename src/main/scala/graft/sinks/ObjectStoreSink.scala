@@ -23,6 +23,14 @@ import graft.sinks.RecordSinks.RecordSink
   * per-object atomicity: a reader never observes a half-written object,
   * and a task retry simply overwrites. Deletes are idempotent (deleting
   * an absent key is a no-op), so Spark task retries are safe end-to-end.
+  *
+  * RPC budget — against a real object store every filesystem call is an
+  * HTTP round trip, so the per-record cost is exactly 1 `create` + 1
+  * `rename` on the fresh-key path (overwrite pays delete + one retry
+  * when the first rename reports the destination exists). There are NO
+  * per-record `exists` probes: parent dirs are mkdir'd once per
+  * directory per partition (cached in the sink instance), and
+  * rename/delete return values convey what a pre-check would have asked.
   */
 object ObjectStoreSink {
 
@@ -31,28 +39,42 @@ object ObjectStoreSink {
   final case class Delete(key: String) extends Op
 
   /** One store instance per partition; `toOp` maps the partition's rows
-    * to operations (the converter face). */
-  def fsSink(root: String, toOp: Row => Op): RecordSink[Row] =
+    * to operations (the converter face). `hadoopConf` entries land on the
+    * store's Configuration — scheme impls, credentials, endpoints. */
+  def fsSink(root: String, toOp: Row => Op,
+             hadoopConf: Map[String, String] = Map.empty): RecordSink[Row] =
     new RecordSink[Row] {
       @transient private var fs: FileSystem = _
+      @transient private var knownDirs: scala.collection.mutable.HashSet[String] = _
       private def keyPath(key: String) = {
         require(!key.contains(".."), s"unsafe object key: $key")
         new Path(root, key)
       }
       override def open(pid: Int): Unit = {
-        fs = new Path(root)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val conf = new org.apache.hadoop.conf.Configuration()
+        hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+        fs = new Path(root).getFileSystem(conf)
+        knownDirs = scala.collection.mutable.HashSet.empty
         fs.mkdirs(new Path(root)): Unit
+        knownDirs += fs.makeQualified(new Path(root)).toString
       }
       def write(record: Row): Unit = toOp(record) match {
         case Put(key, value) =>
           val dst = keyPath(key)
-          if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
-          val tmp = new Path(dst.getParent, s".tmp-${dst.getName}")
+          val parent = dst.getParent
+          // amortized: one mkdirs the first time a partition sees a dir
+          // (mkdirs is idempotent — no exists pre-check needed)
+          if (knownDirs.add(fs.makeQualified(parent).toString))
+            fs.mkdirs(parent): Unit
+          val tmp = new Path(parent, s".tmp-${dst.getName}")
           val out = fs.create(tmp, true)
           try out.write(value) finally out.close()
-          if (fs.exists(dst)) fs.delete(dst, false)
-          require(fs.rename(tmp, dst), s"object put failed: $key")
+          // the rename's own failure signals "destination exists" — only
+          // the overwrite path pays the delete + retry
+          if (!fs.rename(tmp, dst)) {
+            fs.delete(dst, false)
+            require(fs.rename(tmp, dst), s"object put failed: $key")
+          }
         case Delete(key) =>
           fs.delete(keyPath(key), false): Unit // absent key: no-op
       }
