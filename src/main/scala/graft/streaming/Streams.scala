@@ -19,13 +19,21 @@ import org.apache.spark.sql.types.StructType
   *   - fork multi-sink -> foreachBatch { persist; write each branch }.
   */
 /** A closed activity session: [start, end] of events for one key with
-  * no gap longer than the session timeout. (Package-level: encoder
-  * codegen requires top-level case classes.) */
-final case class Session(key: String, start: java.sql.Timestamp,
+  * no gap longer than the session timeout; `seq` numbers the key's
+  * sessions from 1 in close order — identical to the batch face's
+  * `session_seq` when events arrive per-key in event-time order (the
+  * watermark contract). (Package-level: encoder codegen requires
+  * top-level case classes.) */
+final case class Session(key: String, seq: Long, start: java.sql.Timestamp,
                          end: java.sql.Timestamp, events: Long)
 
-private[streaming] final case class SessionState(start: Long, end: Long,
-                                                 events: Long)
+/** Per-key loop state: how many sessions have closed (drives `seq`), plus
+  * the open session's bounds — `events == 0` means none open. The closed
+  * counter survives timeouts, so a key that goes quiet and returns
+  * continues its numbering (batch parity); the cost is one O(1) state row
+  * per key ever seen — the floor for exact global per-key numbering. */
+private[streaming] final case class SessionState(closed: Long, start: Long,
+                                                 end: Long, events: Long)
 
 object Streams {
 
@@ -118,19 +126,23 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // watermark passed end+gap: the open session is final
+            // watermark passed end+gap: the open session is final; keep
+            // only the closed counter so a returning key numbers on
             val s = state.get
-            state.remove()
-            Iterator(Session(key, new java.sql.Timestamp(s.start),
+            state.update(SessionState(s.closed + 1, 0L, 0L, 0L))
+            Iterator(Session(key, s.closed + 1, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.end), s.events))
           } else {
             // interval merge, NOT materialize+sort: each event either
             // extends an adjacent session or opens its own, so per-key
             // task memory is O(sessions in the batch) — a hot key's
             // dense bot burst folds into ONE interval while a
-            // toSeq.sorted would buffer the entire burst
+            // toSeq.sorted would buffer the entire burst. The map holds
+            // (start -> (end, events)); `closed` rides alongside.
+            val prev = state.getOption
+            val closedBefore = prev.map(_.closed).getOrElse(0L)
             val sessions = new java.util.TreeMap[Long, SessionState]()
-            state.getOption.foreach(s => sessions.put(s.start, s))
+            prev.filter(_.events > 0).foreach(s => sessions.put(s.start, s))
             it.foreach { case (_, tsv) =>
               val t = tsv.getTime
               val fl = sessions.floorEntry(t)
@@ -143,9 +155,9 @@ object Streams {
                 // the extension may bridge into the next session
                 val nx = sessions.higherEntry(fl.getKey)
                 if (nx != null && nx.getKey - ext.end <= gapMillis) {
-                  val u = SessionState(fl.getKey,
-                    math.max(ext.end, nx.getValue.end),
-                    ext.events + nx.getValue.events)
+                  val u = ext.copy(
+                    end = math.max(ext.end, nx.getValue.end),
+                    events = ext.events + nx.getValue.events)
                   sessions.remove(nx.getKey)
                   sessions.put(fl.getKey, u)
                 }
@@ -156,10 +168,11 @@ object Streams {
                   val s = ce.getValue
                   sessions.remove(ce.getKey)
                   sessions.put(t, s.copy(start = t, events = s.events + 1))
-                } else sessions.put(t, SessionState(t, t, 1))
+                } else sessions.put(t, SessionState(0L, t, t, 1))
               }
             }
-            // every session but the newest is final; the newest stays open
+            // every session but the newest is final (numbered in time
+            // order continuing the key's counter); the newest stays open
             val all = sessions.values().iterator()
             val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
             var open: Option[SessionState] = None
@@ -168,13 +181,18 @@ object Streams {
               open.foreach(closed += _)
               open = Some(s)
             }
+            val closedNow = closedBefore + closed.size
             open.foreach { s =>
-              state.update(s)
+              state.update(SessionState(closedNow, s.start, s.end, s.events))
               state.setTimeoutTimestamp(s.end + gapMillis)
             }
-            closed.iterator.map(s => Session(key,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
-              s.events))
+            if (open.isEmpty && prev.isDefined)
+              state.update(SessionState(closedNow, 0L, 0L, 0L))
+            closed.iterator.zipWithIndex.map { case (s, i) =>
+              Session(key, closedBefore + i + 1,
+                new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+                s.events)
+            }
           }
       }
   }

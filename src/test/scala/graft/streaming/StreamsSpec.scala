@@ -61,11 +61,45 @@ class StreamsSpec extends SparkSpec {
       .as[Session].collect().sortBy(s => (s.key, s.start.getTime))
     val u1 = out.filter(_.key == "u1")
     assert(u1.length == 2)
-    assert(u1(0).events == 2 &&
+    assert(u1(0).events == 2 && u1(0).seq == 1 &&
       u1(0).start == Timestamp.valueOf("2024-01-01 10:00:00") &&
       u1(0).end == Timestamp.valueOf("2024-01-01 10:05:00"))
-    assert(u1(1).events == 1)
-    assert(out.exists(s => s.key == "u2" && s.events == 1))
+    assert(u1(1).events == 1 && u1(1).seq == 2)
+    assert(out.exists(s => s.key == "u2" && s.events == 1 && s.seq == 1))
+  }
+
+  test("sessionize parity: streaming rows equal batch gapSessions on full tuples") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Timestamp)]
+    val sessions = Streams.sessionize(
+      src.toDF().toDF("user", "ts"), "user", "ts", gap = "10 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_parity_tbl").outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    val batches = Seq(
+      Seq("u1" -> ts("2024-01-01 10:00:00"), "u1" -> ts("2024-01-01 10:05:00")),
+      Seq("u1" -> ts("2024-01-01 11:00:00"), "u2" -> ts("2024-01-01 11:00:00")),
+      // u1 returns after its open session TIMED OUT (quiet across the
+      // watermark): seq must continue at 3, not restart
+      Seq("u1" -> ts("2024-01-02 09:00:00")),
+      // sentinel key drives the watermark forward so every real session
+      // times out; its own trailing session stays open and is excluded
+      Seq("zz" -> ts("2024-01-02 10:00:00")),
+      Seq("zz" -> ts("2024-01-02 12:00:00")))
+    batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    src.stop(); q.stop()
+    val streamed = spark.table("sess_parity_tbl").as[Session].collect()
+      .filter(_.key != "zz")
+      .map(s => (s.key, s.seq, s.start, s.end, s.events)).toSet
+    val batchDf = batches.flatten.filter(_._1 != "zz").toDF("user", "ts")
+    val batch = graft.operators.Sessionize
+      .gapSessions(batchDf, "user", "ts", "10 minutes")
+      .as[(String, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch session mismatch:\n stream=$streamed\n batch =$batch")
+    assert(streamed.exists(s => s._1 == "u1" && s._2 == 3L),
+      "u1's post-timeout session must continue numbering at 3")
   }
 
   test("streaming dedup: duplicates across micro-batches collapse to one survivor") {
