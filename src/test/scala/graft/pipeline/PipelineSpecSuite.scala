@@ -33,6 +33,83 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spec.rowCountRange.contains(0.0))
   }
 
+  test("pull-config e2e: reference schema dialect drives converters, policies, partitioned publish, watermark") {
+    val dir = tmpDir("pull-e2e")
+    def writeCsv(name: String, rows: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/in")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(name),
+        rows.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    // the reference declares report schemas inline in its .pull files
+    // using the JSON-intermediate dialect (gobblin-example/src/main/
+    // resources/google-web-master.pull:39, GobblinTest1.pull job shape);
+    // this job is that config style end-to-end: headerless CSV + dialect
+    // schema -> transform -> ERR_FILE policy -> partitioned publish ->
+    // watermark committed to the state store, incrementally across runs
+    val schemaJson =
+      """[{"columnName":"Date","isNullable":"false",
+        |  "dataType":{"type":"timestamp"},"waterMark":true},
+        | {"columnName":"Country","isNullable":"true","dataType":{"type":"string"}},
+        | {"columnName":"Page","isNullable":"true","dataType":{"type":"string"}},
+        | {"columnName":"Clicks","isNullable":"false","dataType":{"type":"long"}}]"""
+        .stripMargin
+    def props(out: String) = Map(
+      "job.name" -> "web-master-report",
+      "source.format" -> "csv",
+      "source.path" -> s"$dir/in",
+      "source.option.timestampFormat" -> "yyyy-MM-dd HH:mm:ss",
+      "source.schema.json" -> schemaJson,
+      "source.watermark.column" -> "Date",
+      "source.watermark.default" -> "2023-12-31 00:00:00",
+      "transform.1" -> ("selectExpr:Date;Country;Page;Clicks;" +
+        "date_format(Date, 'yyyy-MM-dd') AS datepartition"),
+      "rowpolicy.1.name" -> "nonNullPage",
+      "rowpolicy.1.predicate" -> "Page IS NOT NULL",
+      "rowpolicy.1.type" -> "ERR_FILE",
+      "qualitychecker.err.dir" -> s"$dir/err",
+      "taskpolicy.rowcount.range" -> "0.0",
+      "fork.1.name" -> "report",
+      "fork.1.out" -> out,
+      "fork.1.format" -> "parquet",
+      "fork.1.partitionBy" -> "datepartition",
+      "state.dir" -> s"$dir/state")
+
+    writeCsv("day12.csv", Seq(
+      "2024-01-01 10:00:00,us,/home,5",
+      "2024-01-01 11:00:00,de,/docs,3",
+      "2024-01-02 09:00:00,us,,7", // null Page -> ERR_FILE divert
+      "2024-01-02 10:00:00,fr,/home,2"))
+    val r1 = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props(s"$dir/out1")), "run1")
+    assert(r1.extracted == 3 && r1.rejected == 1)
+    assert(r1.branchCounts("report") == 3)
+    assert(r1.committedWatermark.exists(_.startsWith("2024-01-02 10:00:00")))
+    val out1 = spark.read.parquet(s"$dir/out1")
+    assert(out1.count() == 3)
+    // partition-column type inference reads the dir values back as dates
+    assert(out1.select(col("datepartition").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("2024-01-01", "2024-01-02"))
+    assert(spark.read.parquet(s"$dir/err/web-master-report").count() == 1,
+      "the diverted row must land in the err file, not the report")
+
+    // run 2: a new day arrives plus a LATE row below the committed
+    // watermark — the incremental scan picks up only the new day
+    writeCsv("day3.csv", Seq(
+      "2024-01-01 12:00:00,uk,/late,9",
+      "2024-01-03 08:00:00,jp,/home,4"))
+    val r2 = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props(s"$dir/out2")), "run2")
+    assert(r2.extracted == 1 && r2.rejected == 0)
+    assert(r2.committedWatermark.exists(_.startsWith("2024-01-03 08:00:00")))
+    val out2 = spark.read.parquet(s"$dir/out2")
+    assert(out2.select("Country").collect().map(_.getString(0)).toSeq == Seq("jp"))
+    // run 3 would resume from the state store's run-2 watermark
+    val store = new StateStore(spark, s"$dir/state")
+    assert(store.highWatermark("web-master-report") == r2.committedWatermark)
+  }
+
   test("end-to-end: source -> transforms -> policies -> fork -> publish -> state") {
     val out = tmpDir("pipe")
     val spec = PipelineSpec(
