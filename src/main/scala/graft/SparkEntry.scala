@@ -6,13 +6,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
-import graft.dedup.{MinHashDedup, SimHash}
+import graft.dedup.{IncrementalDedup, MinHashDedup, SimHash}
 import graft.multimodal.Multimodal
 import graft.operators.{Converters, CopyDiff, Dedup, Fork, Purge, Retention}
 import graft.planning.WatermarkPartitioner
 import graft.sinks.AtomicPublisher.WriteSpec
 import graft.streaming.Streams
-import graft.text.TextStats
+import graft.text.{Redact, TextStats, Tfidf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -836,6 +836,56 @@ object SparkEntry {
         date_trunc("day", _), "ts", "event_id", threshold = 0.75)
     }),
 
+    // incremental corpus dedup (the continuous-ingestion shape): the
+    // committed corpus collapses to a Bloom sketch, the new batch is
+    // prefiltered map-side, and only sketch-positives pay the exact
+    // anti-join shuffle. Batch construction covers all three paths:
+    // %4==0 docs are genuinely new (survive), %8==1 re-arrivals duplicate
+    // committed content (dropped by the store), %8==4 re-submissions
+    // duplicate in-batch content (collapsed to min id).
+    "q67_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val committed = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(TextStats.contentFingerprint(col("text")).as("h"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(8)) === 1)
+          .withColumn("doc_id", col("doc_id") + 100000))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(8)) === 4)
+          .withColumn("doc_id", col("doc_id") + 200000))
+      IncrementalDedup.survivors(batch, committed, "doc_id",
+        TextStats.contentFingerprint(col("text")))
+    }),
+
+    // Gopher-style repetition quality signals: top-bigram fraction and
+    // duplicate-bigram fraction per doc, computed with in-row array
+    // expressions (map-only, no shuffle at any scale).
+    "q68_gopher_repetition" -> ((s, dir) => {
+      val g = MinHashDedup.shingles(col("text"), 2)
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextStats.topNgramFraction(g), 6).as("top_bigram_frac"),
+        round(TextStats.dupNgramFraction(g), 6).as("dup_bigram_frac"))
+    }),
+
+    // PII scrubbing: deterministic synthetic email + IPv4 are appended to
+    // each doc (the generator corpus carries no real PII), then redacted
+    // and counted — one codegen'd regexp pass, RE2-compatible patterns so
+    // the oracle runs the identical regexes.
+    "q69_pii_redact" -> ((s, dir) => {
+      val injected = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com via 10."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit(".0.1"))
+      t(s, dir, "documents").select(col("doc_id"),
+        Redact.redactPii(injected).as("redacted"),
+        Redact.emailCount(injected).cast("bigint").as("n_email"),
+        Redact.ipv4Count(injected).cast("bigint").as("n_ip"))
+    }),
+
+    // per-doc top-3 TF-IDF terms (rational idf: every op IEEE-exact, so
+    // the oracle's recomputed score matches bit-for-bit — see Tfidf)
+    "q70_tfidf_topk" -> ((s, dir) =>
+      Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3,
+        logIdf = false)),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -1200,6 +1250,51 @@ object SparkEntry {
       ("SELECT doc_id, lang, source FROM documents " +
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < " +
         "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 20 ELSE 10 END"),
+    "q67_incremental_dedup" ->
+      ("WITH batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 8 = 1 " +
+        "UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 8 = 4), " +
+        "committed AS (SELECT DISTINCT md5(text) AS h FROM documents " +
+        "WHERE doc_id % 4 <> 0) " +
+        "SELECT md5(text) AS content_hash, min(doc_id) AS doc_id FROM batch " +
+        "WHERE md5(text) NOT IN (SELECT h FROM committed) GROUP BY 1"),
+    "q68_gopher_repetition" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN len(string_split(text,' ')) < 2 " +
+        "THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+1],' ') " +
+        "FOR i IN range(1, len(string_split(text,' ')))] END AS sh " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, unnest(sh) AS g FROM t), " +
+        "cnt AS (SELECT doc_id, g, count(*) AS cnt FROM c GROUP BY 1, 2) " +
+        "SELECT doc_id, " +
+        "round(max(cnt) * 1.0 / sum(cnt), 6) AS top_bigram_frac, " +
+        "round(1.0 - count(*) * 1.0 / sum(cnt), 6) AS dup_bigram_frac " +
+        "FROM cnt GROUP BY doc_id"),
+    "q69_pii_redact" ->
+      ("WITH inj AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com via 10.' || (doc_id % 200) || '.0.1' AS it " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(it, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+?\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS redacted, " +
+        "len(regexp_extract_all(it, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email, " +
+        "len(regexp_extract_all(it, " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip " +
+        "FROM inj"),
+    "q70_tfidf_topk" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) * 1.0 AS n FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, tf.tf * (n.n / dfq.df) AS score " +
+        "FROM tf JOIN dfq USING (term), n) " +
+        "SELECT doc_id, term, round(score, 6) AS score_r, rk FROM " +
+        "(SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 3"),
     "q28_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

@@ -83,6 +83,29 @@ object TextStats {
     }
   }
 
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021, "Scaling
+    * Language Models: … Gopher", §A1.1: duplicate/top n-gram fractions —
+    * the published thresholds drop docs whose top 2-gram exceeds 0.20 of
+    * the text or whose duplicate 3-grams exceed 0.18). Both are pure
+    * higher-order array expressions over the in-row shingle list: map-only,
+    * no explode, no shuffle — the signal costs one scan at any corpus
+    * size. Per-row cost is O(distinct × total) n-grams; for pathological
+    * multi-MB documents compute the same signal via explode + two-level
+    * aggregation instead. */
+
+  /** Fraction of the document's n-grams taken by its single most frequent
+    * n-gram, in (0, 1]. High = looping/boilerplate text. */
+  def topNgramFraction(ngrams: Column): Column =
+    array_max(transform(array_distinct(ngrams),
+      x => size(filter(ngrams, y => y === x)))).cast("double") /
+      size(ngrams).cast("double")
+
+  /** Fraction of the document's n-grams that are repeats of an earlier
+    * one: 1 - distinct/total, in [0, 1). */
+  def dupNgramFraction(ngrams: Column): Column =
+    lit(1.0) - size(array_distinct(ngrams)).cast("double") /
+      size(ngrams).cast("double")
+
   /** Exact-duplicate fingerprint: md5 of the text (portable across
     * engines; used by exact-dedup-by-content). */
   def contentFingerprint(text: Column): Column = md5(text)
