@@ -37,7 +37,10 @@ object Bench {
     "q64_ivf_indexed",      // IVF index build + partition-pruned search
     // appended round 6: the distributed star-contraction loop — planner
     // blowups (plan growth per round) surface here as bench deltas
-    "q65_components_distributed")
+    "q65_components_distributed",
+    "q67_incremental_dedup",  // Bloom-prefiltered batch-vs-corpus dedup
+    "q70_tfidf_topk",         // explode + two-level agg + windowed top-k
+    "q72_decontaminate")      // broadcast semi-join n-gram overlap filter
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,11 +57,25 @@ object Bench {
     // warm up the JVM/codegen paths outside the timed region
     SparkEntry.queries("q01_project")(spark, sfDir).count()
 
-    val results = headline.map { name =>
+    // SPARK_GRAFT_ONLY=q21_minhash_pairs,q43_... narrows the run for
+    // local iteration; the driver never sets it, so recorded rounds
+    // always cover the full stable headline set
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only.fold(headline)(f => headline.filter(f))
+
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Each headline query models an independent job; drop the state it
+      // pinned (persisted frames, shuffle files) OUTSIDE the timed region
+      // so query N's residue doesn't tax query N+1's GC and memory.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -886,6 +886,41 @@ object SparkEntry {
       Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3,
         logIdf = false)),
 
+    // per-language corpus profile: the dataset-card numbers (doc counts,
+    // char volumes, exact median) in one map-side-combined aggregation.
+    // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
+    // 0.5-quantile of integers) so the oracle matches bit-for-bit; means
+    // come from round(sum/count), never a float running average.
+    "q71_corpus_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("percentile(n_chars, 0.5)").as("median_chars"))
+        .withColumn("mean_chars_r",
+          round(col("sum_chars").cast("double") / col("n_docs"), 6))),
+
+    // benchmark decontamination (the train/test-overlap filter): drop
+    // every corpus doc sharing an exact token 4-gram with the held-out
+    // eval set (docs %50==0 stand in for it). The eval side is tiny at
+    // any corpus scale, so its distinct grams BROADCAST and the corpus
+    // pays one map-side semi-join probe — no shuffle of corpus grams.
+    "q72_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = MinHashDedup.shingles(col("text"), 4)
+      val benchGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(explode(grams).as("g")).distinct()
+      val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val contaminated = corpus
+        .select(col("doc_id"), explode(grams).as("g"))
+        .join(broadcast(benchGrams), "g")
+        .select("doc_id").distinct()
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -1295,6 +1330,24 @@ object SparkEntry {
         "SELECT doc_id, term, round(score, 6) AS score_r, rk FROM " +
         "(SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 3"),
+    "q71_corpus_profile" ->
+      ("SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "quantile_cont(n_chars, 0.5) AS median_chars, " +
+        "round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars_r " +
+        "FROM documents GROUP BY lang"),
+    "q72_decontaminate" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN len(string_split(text,' ')) < 4 " +
+        "THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+3],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-2)] END AS sh " +
+        "FROM documents), " +
+        "bench AS (SELECT DISTINCT unnest(sh) AS gr FROM g WHERE doc_id % 50 = 0), " +
+        "corp AS (SELECT doc_id, unnest(sh) AS gr FROM g WHERE doc_id % 50 <> 0), " +
+        "contaminated AS (SELECT DISTINCT doc_id FROM corp JOIN bench USING (gr)) " +
+        "SELECT d.doc_id, d.lang, d.source FROM documents d " +
+        "WHERE d.doc_id % 50 <> 0 " +
+        "AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)"),
     "q28_ann_topk" ->
       ("WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv " +
         "FROM embeddings WHERE vec_id < 5), " +

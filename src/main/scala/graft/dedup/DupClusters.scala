@@ -111,6 +111,9 @@ object DupClusters {
     }
     // orient every undirected edge child>parent: (max, min)
     var (e, freeE) = truncate(sym.filter(col("src") > col("dst")).distinct())
+    var eCount = e.count() // carried across rounds: each round's count job
+    // doubles as next round's "previous count", so convergence costs one
+    // count + one anti-join per round, not two counts
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -137,10 +140,12 @@ object DupClusters {
       // fixpoint when the directed edge set is unchanged; both sides are
       // distinct AND checkpointed, so this compares two materialized sets
       // (equal counts + empty one-sided anti-join <=> set equality)
-      converged = small.count() == e.count() &&
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
         small.join(e, Seq("src", "dst"), "left_anti").isEmpty
       freeE() // round N-1's blocks: the compare above was their last use
       e = small
+      eCount = smallCount
       freeE = freeSmall
       i += 1
     }

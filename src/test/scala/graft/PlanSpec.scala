@@ -160,4 +160,33 @@ class PlanSpec extends SparkSpec {
       s"salt must be part of the join keys:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q68 repetition signals are map-only: zero exchanges") {
+    val p = planOf(q("q68_gopher_repetition"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 0, s"expected a pure map, saw $exchanges shuffles:\n$p")
+  }
+
+  test("q72 decontamination broadcasts the eval grams, anti-joins the verdict") {
+    val p = planOf(q("q72_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set grams must broadcast, never shuffle the corpus grams:\n$p")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q67 incremental dedup verifies sketch positives with an anti-join") {
+    val p = planOf(q("q67_incremental_dedup"))
+    assert(p.contains("LeftAnti"), s"exact verify join missing:\n$p")
+    // one aggregation for the survivor min-id collapse on each union arm
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q70 tfidf plan has no cartesian join and bounded shuffles") {
+    val p = planOf(q("q70_tfidf_topk"))
+    assert(!p.contains("CartesianProduct"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // tf agg, df agg, tf-side re-key to term, window by doc
+    assert(exchanges <= 4, s"expected <=4 shuffles, saw $exchanges:\n$p")
+  }
 }
