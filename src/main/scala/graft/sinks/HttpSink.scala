@@ -1,0 +1,135 @@
+package graft.sinks
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Concrete HTTP record sinks (the reference's network-service writer
+  * family): batched JSON POSTs with bounded retry, and the
+  * Elasticsearch `_bulk` dialect with per-item error checking.
+  *
+  *  - AsyncHttpWriter semantics (gobblin-modules/gobblin-http/.../
+  *    AsyncHttpWriter.java:49): bounded attempts, retry on connect
+  *    errors and retryable statuses (5xx/429), fail fast on other 4xx;
+  *  - ElasticsearchDataWriter semantics (gobblin-modules/
+  *    gobblin-elasticsearch/.../writer/ElasticsearchDataWriterBuilder
+  *    .java + bulk serializers): `_bulk` NDJSON with an index action per
+  *    record and a malformed-doc budget — an HTTP 200 whose body says
+  *    `"errors":true` is still a failure for the items concerned.
+  *
+  * Rows serialize through `df.toJSON` (Tungsten codegen, no per-field
+  * reflection), then batches ride [[RecordSinks.runAsyncBatched]], so
+  * the bounded-in-flight pool and the failure-ratio commit gate are the
+  * same decorators every other service sink uses. One HttpClient per
+  * partition; delivery is at-least-once (Spark task retry replays a
+  * partition), which both target systems tolerate (ES writes are
+  * idempotent by document id — pass `idCol`).
+  */
+object HttpSink {
+
+  final case class HttpConfig(url: String,
+                              headers: Map[String, String] = Map.empty,
+                              maxAttempts: Int = 3,
+                              initialBackoffMs: Long = 50,
+                              timeoutMs: Long = 10000)
+
+  /** Statuses worth a retry: transient server trouble or throttling. */
+  private def retryable(status: Int): Boolean =
+    status >= 500 || status == 429
+
+  /** One POST with bounded retry/backoff; returns the final successful
+    * body, throws after maxAttempts or on a non-retryable status. */
+  private[sinks] def post(client: HttpClient, cfg: HttpConfig,
+                          body: String): String = {
+    val builder = HttpRequest.newBuilder(URI.create(cfg.url))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+      .header("Content-Type", "application/json")
+    cfg.headers.foreach { case (k, v) => builder.header(k, v) }
+    val req = builder.POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    var attempt = 0
+    var backoff = cfg.initialBackoffMs
+    while (true) {
+      attempt += 1
+      val outcome =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() / 100 == 2) Right(resp.body())
+          else Left((retryable(resp.statusCode()),
+            s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}"))
+        } catch { // connect/timeout: always retryable
+          case e: java.io.IOException => Left((true, e.toString))
+        }
+      outcome match {
+        case Right(respBody) => return respBody
+        case Left((canRetry, msg)) =>
+          if (!canRetry || attempt >= cfg.maxAttempts)
+            throw new java.io.IOException(
+              s"POST ${cfg.url} failed after $attempt attempt(s): $msg")
+          Thread.sleep(backoff)
+          backoff = (backoff * 2).max(1L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** POST the frame as JSON-array batches. Each batch is one request;
+    * batch acceptance follows the async failure-ratio gate. */
+  def postJsonBatches(df: DataFrame, cfg: HttpConfig,
+                      async: RecordSinks.AsyncConfig =
+                        RecordSinks.AsyncConfig()): Unit = {
+    val jsonDf = df.toJSON.toDF("json")
+    RecordSinks.runAsyncBatched(jsonDf, () => new RecordSinks.BatchSink[org.apache.spark.sql.Row] {
+      @transient private lazy val client = HttpClient.newHttpClient()
+      def writeBatch(batch: Seq[org.apache.spark.sql.Row]): Unit = {
+        post(client, cfg, batch.map(_.getString(0)).mkString("[", ",", "]"))
+        ()
+      }
+    }, async)
+  }
+
+  final case class EsConfig(baseUrl: String, // e.g. http://host:9200
+                            index: String,
+                            idCol: Option[String] = None,
+                            http: Option[HttpConfig] = None) {
+    def httpConfig: HttpConfig =
+      http.getOrElse(HttpConfig(url = ""))
+        .copy(url = s"${baseUrl.stripSuffix("/")}/_bulk")
+  }
+
+  /** Index the frame into Elasticsearch via `_bulk`: every record is an
+    * `{"index": …}` action line plus its document line. A 2xx response
+    * with `"errors":true` fails the batch with the offending item
+    * statuses — exactly the malformed-doc accounting the reference's
+    * bulk writer does. */
+  def esBulk(df: DataFrame, cfg: EsConfig,
+             async: RecordSinks.AsyncConfig = RecordSinks.AsyncConfig()): Unit = {
+    val action = cfg.idCol match {
+      case Some(id) => concat(
+        lit("{\"index\":{\"_index\":\"" + cfg.index + "\",\"_id\":\""),
+        col(id).cast("string"), lit("\"}}"))
+      case None => lit("{\"index\":{\"_index\":\"" + cfg.index + "\"}}")
+    }
+    val lines = df
+      .withColumn("__action", action)
+      .withColumn("__doc", to_json(struct(df.columns.map(col): _*)))
+      .select(concat(col("__action"), lit("\n"), col("__doc")).as("line"))
+    val httpCfg = cfg.httpConfig
+    RecordSinks.runAsyncBatched(lines, () => new RecordSinks.BatchSink[org.apache.spark.sql.Row] {
+      @transient private lazy val client = HttpClient.newHttpClient()
+      def writeBatch(batch: Seq[org.apache.spark.sql.Row]): Unit = {
+        val body = batch.map(_.getString(0)).mkString("", "\n", "\n")
+        val resp = post(client, httpCfg, body)
+        if (resp.contains("\"errors\":true")) {
+          val bad = "\"status\":\\s*([45]\\d\\d)".r
+            .findAllMatchIn(resp).map(_.group(1)).toSeq
+          throw new java.io.IOException(
+            s"_bulk accepted with ${bad.size} item failure(s): " +
+              bad.groupBy(identity).view.mapValues(_.size).toMap.toString)
+        }
+      }
+    }, async)
+  }
+}
