@@ -40,15 +40,18 @@ object HttpSink {
   private def retryable(status: Int): Boolean =
     status >= 500 || status == 429
 
-  /** One POST with bounded retry/backoff; returns the final successful
-    * body, throws after maxAttempts or on a non-retryable status. */
-  private[sinks] def post(client: HttpClient, cfg: HttpConfig,
-                          body: String): String = {
+  /** One request with bounded retry/backoff; returns the final successful
+    * body, throws after maxAttempts or on a non-retryable status. Shared
+    * by the sinks (POST) and the REST source's fetcher (GET). */
+  private[graft] def send(client: HttpClient, cfg: HttpConfig,
+                          method: String, body: Option[String]): String = {
     val builder = HttpRequest.newBuilder(URI.create(cfg.url))
       .timeout(Duration.ofMillis(cfg.timeoutMs))
       .header("Content-Type", "application/json")
     cfg.headers.foreach { case (k, v) => builder.header(k, v) }
-    val req = builder.POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val req = builder.method(method, body.fold(
+      HttpRequest.BodyPublishers.noBody())(
+      HttpRequest.BodyPublishers.ofString(_))).build()
     var attempt = 0
     var backoff = cfg.initialBackoffMs
     while (true) {
@@ -67,13 +70,20 @@ object HttpSink {
         case Left((canRetry, msg)) =>
           if (!canRetry || attempt >= cfg.maxAttempts)
             throw new java.io.IOException(
-              s"POST ${cfg.url} failed after $attempt attempt(s): $msg")
+              s"$method ${cfg.url} failed after $attempt attempt(s): $msg")
           Thread.sleep(backoff)
           backoff = (backoff * 2).max(1L)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  private[sinks] def post(client: HttpClient, cfg: HttpConfig,
+                          body: String): String =
+    send(client, cfg, "POST", Some(body))
+
+  private[graft] def get(client: HttpClient, cfg: HttpConfig): String =
+    send(client, cfg, "GET", None)
 
   /** POST the frame as JSON-array batches. Each batch is one request;
     * batch acceptance follows the async failure-ratio gate. */

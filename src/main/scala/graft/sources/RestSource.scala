@@ -31,6 +31,46 @@ object RestSource {
   /** One page: raw JSON records + the next cursor (None = done). */
   final case class Page(records: Seq[String], next: Option[Long])
 
+  /** A real HTTP fetcher for [[read]]'s seam: GET `pageUrl(cursor)` with
+    * the sinks' bounded retry (5xx/429/connect errors), then parse the
+    * standard paged-JSON envelope — a records array field plus a
+    * next-cursor field that is a number while pages remain and
+    * null/absent on the last page (the RestApiExtractor.getNextUrl
+    * contract). Auth/header/timeout knobs ride the shared HttpConfig.
+    *
+    * Driver-side by design, like the pagination loop itself: the cursor
+    * chain is a data dependency, so one endpoint = one sequential
+    * fetcher; scale comes from planning many endpoints/chunks. */
+  def httpFetcher(pageUrl: Long => String,
+                  recordsField: String = "records",
+                  nextField: String = "next",
+                  http: graft.sinks.HttpSink.HttpConfig =
+                    graft.sinks.HttpSink.HttpConfig(url = "")): Long => Page = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    cursor => {
+      val body = graft.sinks.HttpSink.get(client,
+        http.copy(url = pageUrl(cursor)))
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(body)
+      def compact(v: JValue): String =
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(v))
+      val records = j \ recordsField match {
+        case JArray(items) => items.map(compact)
+        case JNothing | JNull => Seq.empty
+        case single => Seq(compact(single))
+      }
+      val next = j \ nextField match {
+        case JInt(n) => Some(n.toLong)
+        case JLong(n) => Some(n)
+        case JDecimal(n) => Some(n.toLong)
+        case JDouble(n) => Some(n.toLong)
+        case _ => None
+      }
+      Page(records, next)
+    }
+  }
+
   /** Pull all pages starting at cursor 0, parse as JSON rows.
     *
     * `stagingDir` (default: a fresh dir under java.io.tmpdir) holds the

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.SparkSpec
+import graft.sinks.HttpSink
+
+/** The REST source's pluggable fetch seam, driven by a REAL HTTP
+  * pagination endpoint (in-process JDK server — real sockets, no
+  * egress): cursored pages, retried 503s, chunk-spilled staging. */
+class RestHttpFetcherSpec extends SparkSpec {
+
+  private val pageSize = 7
+  private val total = 53 // 8 pages, last one short
+
+  test("httpFetcher paginates a cursored JSON API to the last page") {
+    val failures = new AtomicInteger(2) // first two requests get a 503
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/api/items", (ex: HttpExchange) => {
+      val resp =
+        if (failures.getAndDecrement() > 0) (503, "{\"err\":\"busy\"}")
+        else {
+          val cursor = ex.getRequestURI.getQuery.stripPrefix("cursor=").toInt
+          val ids = (cursor until math.min(cursor + pageSize, total))
+          val recs = ids.map(i => s"""{"id":$i,"name":"item$i"}""")
+            .mkString("[", ",", "]")
+          val next =
+            if (cursor + pageSize >= total) "null"
+            else (cursor + pageSize).toString
+          (200, s"""{"records":$recs,"next":$next}""")
+        }
+      val bytes = resp._2.getBytes("UTF-8")
+      ex.sendResponseHeaders(resp._1, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/api/items"
+      val fetch = RestSource.httpFetcher(
+        cursor => s"$url?cursor=$cursor",
+        http = HttpSink.HttpConfig(url = "", maxAttempts = 5,
+          initialBackoffMs = 10))
+      val df = RestSource.read(spark, fetch, flushEveryPages = 2)
+      val rows = df.selectExpr("id").collect().map(_.getLong(0)).sorted
+      assert(rows.toSeq == (0L until total.toLong).toSeq)
+      assert(df.columns.sorted.toSeq == Seq("id", "name"))
+    } finally srv.stop(0)
+  }
+
+  test("a last page with an absent next field also terminates") {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/one", (ex: HttpExchange) => {
+      val body = """{"records":[{"id":1}]}""" // no "next" at all
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/one"
+      val fetch = RestSource.httpFetcher(_ => url)
+      assert(RestSource.read(spark, fetch).count() == 1)
+    } finally srv.stop(0)
+  }
+}
