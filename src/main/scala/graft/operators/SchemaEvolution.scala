@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Schema-evolution rules for append-forever tables: decide whether a
+  * new batch's schema can land on an existing table, and align a frame
+  * to the evolved target.
+  *
+  * Mirrors the reference's Avro-compatibility surface — schema checks
+  * before conversion/registration (gobblin-hive-registration/.../
+  * HiveSchemaEvolution.java, gobblin-compaction AvroSchemaCheckStrategy,
+  * and the Avro resolution rules its converters rely on):
+  *
+  *  - numeric promotion only widens: int → long → float → double (and
+  *    float → double), never narrows;
+  *  - decimals may widen precision/scale when no digits are lost;
+  *  - a field the reader adds must be nullable (the Avro "new field
+  *    needs a default" rule — null IS the default here);
+  *  - a field the reader drops is fine (projection);
+  *  - nullability may widen (required → optional), never tighten;
+  *  - structs recurse; arrays/maps evolve element/value-wise (map keys
+  *    must match exactly — key casts reshuffle semantics).
+  */
+object SchemaEvolution {
+
+  /** May a value of `from` be read as `to` without loss? */
+  def canPromote(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f, t) if f == t => true
+    case (IntegerType | ShortType | ByteType, LongType) => true
+    case (IntegerType | ShortType | ByteType | LongType,
+          FloatType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+    case (f: StructType, t: StructType) => incompatibilities(f, t).isEmpty
+    case (ArrayType(fe, fn), ArrayType(te, tn)) =>
+      canPromote(fe, te) && (tn || !fn)
+    case (MapType(fk, fv, fn), MapType(tk, tv, tn)) =>
+      fk == tk && canPromote(fv, tv) && (tn || !fn)
+    case _ => false
+  }
+
+  /** Reasons the evolved `reader` schema cannot consume data written
+    * with `writer`; empty = backward compatible. */
+  def incompatibilities(writer: StructType, reader: StructType,
+                        path: String = ""): Seq[String] = {
+    def at(n: String) = if (path.isEmpty) n else s"$path.$n"
+    reader.fields.toSeq.flatMap { rf =>
+      writer.fields.find(_.name == rf.name) match {
+        case None =>
+          if (rf.nullable) Nil
+          else Seq(s"new field '${at(rf.name)}' must be nullable " +
+            "(no default for existing rows)")
+        case Some(wf) =>
+          val tpe = (wf.dataType, rf.dataType) match {
+            case (w: StructType, r: StructType) =>
+              incompatibilities(w, r, at(rf.name))
+            case (w, r) if canPromote(w, r) => Nil
+            case (w, r) =>
+              Seq(s"field '${at(rf.name)}': cannot promote " +
+                s"${w.simpleString} to ${r.simpleString}")
+          }
+          val nullability =
+            if (!rf.nullable && wf.nullable)
+              Seq(s"field '${at(rf.name)}' tightens nullability " +
+                "(optional -> required)")
+            else Nil
+          tpe ++ nullability
+      }
+    }
+  }
+
+  def backwardCompatible(writer: StructType, reader: StructType): Boolean =
+    incompatibilities(writer, reader).isEmpty
+
+  /** Align a batch to the evolved target schema: add the target's new
+    * nullable columns as nulls, cast promotable columns, drop columns the
+    * target no longer carries, and order columns as the target declares
+    * them. Throws (with every reason) when the batch cannot evolve —
+    * never silently truncates. */
+  def evolve(df: DataFrame, target: StructType): DataFrame = {
+    val problems = incompatibilities(
+      df.schema, target)
+    require(problems.isEmpty,
+      s"schema cannot evolve:\n  ${problems.mkString("\n  ")}")
+    val cols = target.fields.map { tf =>
+      if (df.columns.contains(tf.name)) col(tf.name).cast(tf.dataType).as(tf.name)
+      else lit(null).cast(tf.dataType).as(tf.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}
