@@ -41,4 +41,24 @@ object CatalogRegister {
   /** Drop the registration (data stays — external-table semantics). */
   def deregister(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table"): Unit
+
+  /** Re-registration gate for a table whose published schema moved: the
+    * new schema must be a valid evolution of the registered one
+    * (HiveSchemaEvolution semantics — the reference refuses incompatible
+    * re-registration rather than corrupting readers). Throws with every
+    * incompatibility; on success the table is re-pointed via
+    * deregister + register (external data untouched). */
+  def reregisterEvolved(spark: SparkSession, table: String, dir: String,
+                        format: String = "parquet",
+                        partitionCols: Seq[String] = Nil): Unit = {
+    val existing = spark.table(table).schema
+    val incoming = spark.read.format(format).load(dir).schema
+    val problems = graft.operators.SchemaEvolution
+      .incompatibilities(existing, incoming)
+    require(problems.isEmpty,
+      s"refusing to re-register '$table': published schema is not a " +
+        s"valid evolution:\n  ${problems.mkString("\n  ")}")
+    deregister(spark, table)
+    register(spark, table, dir, format, partitionCols)
+  }
 }

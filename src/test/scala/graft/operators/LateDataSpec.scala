@@ -85,6 +85,31 @@ class LateDataSpec extends SparkSpec {
     } finally CatalogRegister.deregister(spark, "graft_reg_orders")
   }
 
+  test("re-registration accepts evolved schemas, refuses incompatible ones") {
+    val base = tmpDir("reg-evolve")
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    orders.write.parquet(s"$base/v1")
+    CatalogRegister.register(spark, "graft_evolve_t", s"$base/v1")
+    try {
+      // valid evolution: new nullable column appears in the publish
+      orders.withColumn("note", lit("x"))
+        .write.parquet(s"$base/v2")
+      CatalogRegister.reregisterEvolved(spark, "graft_evolve_t", s"$base/v2")
+      assert(spark.table("graft_evolve_t").columns.contains("note"))
+      // invalid: a published type narrowing must be refused loudly
+      orders.withColumn("o_totalprice", col("o_totalprice").cast("int"))
+        .write.parquet(s"$base/v3")
+      val e = intercept[IllegalArgumentException] {
+        CatalogRegister.reregisterEvolved(spark, "graft_evolve_t", s"$base/v3")
+      }
+      assert(e.getMessage.contains("cannot promote"))
+      // the registration is untouched after the refusal
+      assert(spark.table("graft_evolve_t").schema("o_totalprice")
+        .dataType.typeName != "integer")
+    } finally CatalogRegister.deregister(spark, "graft_evolve_t")
+  }
+
   test("avro->orc conversion swaps only affected partitions") {
     import graft.sources.AvroIO
     val base = tmpDir("avro2orc")
