@@ -68,28 +68,45 @@ object FlowDag {
 
   /** Run the flow; returns per-node results keyed by job name. Node
     * runIds are `<runId>_<jobName>` so every job's state/watermark commit
-    * is attributable to the flow execution. */
-  def run(spark: SparkSession, nodes: Seq[FlowNode],
-          runId: String): Map[String, NodeResult] = {
+    * is attributable to the flow execution. With a [[graft.state
+    * .RunLedger]], every node outcome — including failures and
+    * cancellations — lands in the job-history store (JobExecutionInfo
+    * semantics). */
+  def run(spark: SparkSession, nodes: Seq[FlowNode], runId: String,
+          ledger: Option[graft.state.RunLedger] = None)
+      : Map[String, NodeResult] = {
     val ordered = topoOrder(nodes)
     val results = mutable.Map.empty[String, NodeResult]
     ordered.foreach { n =>
       val name = n.spec.name
-      val upstreamBad = n.dependsOn.exists(d =>
-        results(d).status != Succeeded)
-      if (upstreamBad)
-        results(name) = NodeResult(name, Cancelled, None,
-          Some("upstream failed: " + n.dependsOn
-            .filter(d => results(d).status != Succeeded).mkString(", ")))
+      val nodeRunId = s"${runId}_$name"
+      val t0 = System.currentTimeMillis()
+      def finish(res: NodeResult): Unit = {
+        results(name) = res
+        val t1 = System.currentTimeMillis()
+        ledger.foreach { l =>
+          res match {
+            case NodeResult(_, Succeeded, Some(r), _) =>
+              l.recordResult(name, r, t0, t1)
+            case NodeResult(_, status, _, err) =>
+              l.record(name, nodeRunId, status.toString.toUpperCase, t0, t1,
+                detail = err.getOrElse(""))
+          }
+        }
+      }
+      val upstreamBad = n.dependsOn.filter(d => results(d).status != Succeeded)
+      if (upstreamBad.nonEmpty)
+        finish(NodeResult(name, Cancelled, None,
+          Some("upstream failed: " + upstreamBad.mkString(", "))))
       else
-        results(name) =
+        finish(
           try {
-            val r = PipelineRunner.run(spark, n.spec, s"${runId}_$name")
+            val r = PipelineRunner.run(spark, n.spec, nodeRunId)
             NodeResult(name, Succeeded, Some(r), None)
           } catch {
             case e: Exception =>
               NodeResult(name, Failed, None, Some(e.toString))
-          }
+          })
     }
     results.toMap
   }

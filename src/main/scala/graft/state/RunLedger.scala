@@ -1,0 +1,69 @@
+package graft.state
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.PipelineRunner.JobResult
+
+/** Job-execution history: one immutable JSON record per completed run,
+  * queryable as a DataFrame — the reference's JobExecutionInfo store
+  * (gobblin-metastore/.../database/DatabaseJobHistoryStore.java; the
+  * `JobExecutionInfo` records GaaS and the CLI query for status/SLAs).
+  *
+  * Write model matches the snapshot log's manifests: one file per run
+  * created with overwrite=false, so recording is atomic, concurrent
+  * writers never clobber each other, and a duplicate runId — a retried
+  * driver re-recording the same execution — fails loudly instead of
+  * silently double-counting. Rows are O(runs), never O(data).
+  */
+final class RunLedger(spark: SparkSession, dir: String) {
+
+  private def fs = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sanitize(id: String): String =
+    id.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
+
+  /** Record one run outcome; throws if this runId was already recorded. */
+  def record(job: String, runId: String, status: String,
+             startedAtMs: Long, finishedAtMs: Long,
+             extracted: Long = 0, rejected: Long = 0,
+             branchCounts: Map[String, Long] = Map.empty,
+             committedWatermark: Option[String] = None,
+             detail: String = ""): Unit = {
+    fs.mkdirs(new Path(dir))
+    val p = new Path(dir, s"run-${sanitize(runId)}.json")
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val branches = branchCounts.map { case (b, n) =>
+      s"${js(b)}:$n" }.mkString("{", ",", "}")
+    val line =
+      s"""{"run_id":${js(runId)},"job":${js(job)},""" +
+        s""""status":${js(status)},"started_at_ms":$startedAtMs,""" +
+        s""""finished_at_ms":$finishedAtMs,"extracted":$extracted,""" +
+        s""""rejected":$rejected,"branch_counts":$branches,""" +
+        s""""committed_watermark":${committedWatermark.fold("null")(js)},""" +
+        s""""detail":${js(detail)}}"""
+    // overwrite=false: the create itself is the uniqueness check
+    val out = fs.create(p, false)
+    try out.write(line.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Record a successful run from its JobResult. */
+  def recordResult(job: String, r: JobResult,
+                   startedAtMs: Long, finishedAtMs: Long): Unit =
+    record(job, r.runId, "SUCCEEDED", startedAtMs, finishedAtMs,
+      r.extracted, r.rejected, r.branchCounts, r.committedWatermark)
+
+  /** Full history as a DataFrame (empty frame with no runs yet). */
+  def history: DataFrame = {
+    val p = new Path(dir)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) {
+      import spark.implicits._
+      spark.read.json(spark.createDataset(Seq.empty[String]))
+    } else spark.read.json(dir)
+  }
+}

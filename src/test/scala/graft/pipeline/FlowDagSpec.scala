@@ -73,11 +73,20 @@ class FlowDagSpec extends SparkSpec {
       dependsOn = Seq("child"))
     val indep = FlowDag.FlowNode(
       leafSpec("indep", s"$sf/nation.parquet", s"$dir/indep-out"))
-    val res = FlowDag.run(spark, Seq(bad, child, grandchild, indep), "flowrun2")
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val res = FlowDag.run(spark, Seq(bad, child, grandchild, indep),
+      "flowrun2", ledger = Some(ledger))
     assert(res("bad").status == FlowDag.Failed)
     assert(res("child").status == FlowDag.Cancelled)
     assert(res("grandchild").status == FlowDag.Cancelled)
     assert(res("indep").status == FlowDag.Succeeded)
     assert(spark.read.parquet(s"$dir/indep-out").count() > 0)
+    // every node outcome is in the job-history ledger
+    val hist = ledger.history.collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[String]("status")).toMap
+    assert(hist == Map("bad" -> "FAILED", "child" -> "CANCELLED",
+      "grandchild" -> "CANCELLED", "indep" -> "SUCCEEDED"))
+    assert(ledger.history.filter("job = 'bad'").head()
+      .getAs[String]("detail").nonEmpty)
   }
 }

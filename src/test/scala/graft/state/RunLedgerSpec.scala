@@ -1,0 +1,38 @@
+package graft.state
+
+import graft.SparkSpec
+import graft.pipeline.PipelineRunner.JobResult
+
+class RunLedgerSpec extends SparkSpec {
+
+  test("records runs immutably and reads them back as a frame") {
+    val ledger = new RunLedger(spark, tmpDir("ledger"))
+    ledger.recordResult("ingest",
+      JobResult("r1", extracted = 100, rejected = 3,
+        branchCounts = Map("main" -> 97), committedWatermark = Some("42")),
+      startedAtMs = 1000, finishedAtMs = 2000)
+    ledger.record("ingest", "r2", "FAILED", 3000, 3500,
+      detail = "boom: source missing")
+    val h = ledger.history.collect().map(r =>
+      (r.getAs[String]("run_id"), r.getAs[String]("status"))).toSet
+    assert(h == Set(("r1", "SUCCEEDED"), ("r2", "FAILED")))
+    val ok = ledger.history.filter("run_id = 'r1'").head()
+    assert(ok.getAs[Long]("extracted") == 100)
+    assert(ok.getAs[String]("committed_watermark") == "42")
+  }
+
+  test("re-recording a runId fails loudly; ledger keeps the original") {
+    val ledger = new RunLedger(spark, tmpDir("ledger-dup"))
+    ledger.record("j", "run-9", "SUCCEEDED", 1, 2)
+    intercept[java.io.IOException] {
+      ledger.record("j", "run-9", "FAILED", 3, 4)
+    }
+    assert(ledger.history.count() == 1)
+    assert(ledger.history.head().getAs[String]("status") == "SUCCEEDED")
+  }
+
+  test("empty ledger reads as an empty frame") {
+    val ledger = new RunLedger(spark, tmpDir("ledger-empty"))
+    assert(ledger.history.count() == 0)
+  }
+}
