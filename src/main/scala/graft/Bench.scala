@@ -40,7 +40,8 @@ object Bench {
     "q65_components_distributed",
     "q67_incremental_dedup",  // Bloom-prefiltered batch-vs-corpus dedup
     "q70_tfidf_topk",         // explode + two-level agg + windowed top-k
-    "q72_decontaminate")      // broadcast semi-join n-gram overlap filter
+    "q72_decontaminate",      // broadcast semi-join n-gram overlap filter
+    "q73_lsh_index_neardup")  // bucketed LSH index build + batch probe
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -886,6 +886,25 @@ object SparkEntry {
       Tfidf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3,
         logIdf = false)),
 
+    // persisted-LSH-index near-dup (the continuous-ingestion shape, near-
+    // dup edition): corpus signatures live in a bucketed index table, the
+    // batch probes it (index side never shuffles — plan-pinned), and only
+    // candidates touch text for the exact-Jaccard verify. Same %4 split
+    // as q67; DuckDB recomputes the cross pair set all-pairs.
+    "q73_lsh_index_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      graft.dedup.LshIndex.build(s, corpus, "doc_id", "text",
+        "q73_lsh_idx", tmp("q73_lsh_index"))
+      val cands = graft.dedup.LshIndex.probe(s, "q73_lsh_idx", batch,
+        "doc_id", "text")
+      MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard_r"))
+    }),
+
     // per-language corpus profile: the dataset-card numbers (doc counts,
     // char volumes, exact median) in one map-side-combined aggregation.
     // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
@@ -1330,6 +1349,17 @@ object SparkEntry {
         "SELECT doc_id, term, round(score, 6) AS score_r, rk FROM " +
         "(SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id " +
         "ORDER BY score DESC, term) AS rk FROM sc) WHERE rk <= 3"),
+    "q73_lsh_index_neardup" ->
+      ("WITH t AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+2],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-1)] END) AS sh " +
+        "FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.sh,b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh,b.sh))) AS j " +
+        "FROM t a JOIN t b ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0) " +
+        "SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM p WHERE j >= 0.5"),
     "q71_corpus_profile" ->
       ("SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
