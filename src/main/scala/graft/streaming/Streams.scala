@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
+import graft.operators.Quality
+
 /** Streaming-mode pipeline pieces.
   *
   * The reference runs the same task graph in batch and streaming mode
@@ -214,6 +216,42 @@ object Streams {
         graft.sinks.JdbcWriter.writeEpochOnce(batch, spec, streamName, epochId): Unit
       }
       .start()
+
+  /** Streaming row-quality gate: the streaming face of the batch
+    * RowQualityChecker + ERR_FILE route (operators.Quality / the
+    * reference's per-record policy check inside the stream task). Each
+    * micro-batch splits once: rejected rows append to the dead-letter dir
+    * (partitioned by epoch so redelivered batches overwrite their own
+    * slice idempotently — no double-counting on crash-replay), passing
+    * rows go to the delivery function. FAIL-typed policies abort the
+    * query: a contract violation must stop ingestion, not leak rows into
+    * the dead-letter dir. */
+  def qualityGate(stream: DataFrame, policies: Seq[Quality.RowPolicy],
+                  errDir: String, checkpointDir: String,
+                  deliver: DataFrame => Unit,
+                  trigger: Trigger = Trigger.AvailableNow()) = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val checked = Quality.checkRows(batch, policies)
+        checked.passed.persist()
+        try {
+          val failPred = checked.failPolicies.map(_.predicate)
+            .reduceOption(_ && _)
+          failPred.foreach { p =>
+            val violations = batch.filter(!coalesce(p, lit(false))).count()
+            require(violations == 0,
+              s"epoch $epochId: $violations FAIL-policy violation(s)")
+          }
+          checked.rejected
+            .write.mode("overwrite") // idempotent per-epoch slice
+            .parquet(s"$errDir/epoch=$epochId")
+          deliver(checked.passed)
+        } finally { checked.passed.unpersist(); () }
+      }
+      .start()
+  }
 
   /** Streaming fork: one micro-batch persisted, written to N sinks — the
     * streaming equivalent of operators.Fork (per-batch atomicity; sinks see

@@ -142,6 +142,39 @@ class StreamsSpec extends SparkSpec {
       .groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("quality gate routes rejects to the dead-letter dir, delivers the rest") {
+    val dir = tmpDir("qgate")
+    val stream = Tables.loadStream(spark, sf, "events")
+    val policies = Seq(graft.operators.Quality.RowPolicy(
+      "evenIds", col("event_id") % 2 === 0, graft.operators.Quality.Optional))
+    val q = Streams.qualityGate(stream, policies,
+      errDir = s"$dir/err", checkpointDir = s"$dir/ckpt",
+      deliver = b => b.select("event_id")
+        .write.mode("append").parquet(s"$dir/out"))
+    q.awaitTermination()
+    val total = Tables.load(spark, sf, "events").count()
+    val passed = spark.read.parquet(s"$dir/out")
+    val rejected = spark.read.parquet(s"$dir/err")
+    assert(passed.count() + rejected.count() == total)
+    assert(passed.filter(col("event_id") % 2 =!= 0).count() == 0)
+    assert(rejected.filter(col("event_id") % 2 === 0).count() == 0)
+  }
+
+  test("quality gate FAIL policy aborts the stream instead of leaking rows") {
+    val dir = tmpDir("qgate-fail")
+    val stream = Tables.loadStream(spark, sf, "events")
+    val policies = Seq(graft.operators.Quality.RowPolicy(
+      "noOddIds", col("event_id") % 2 === 0, graft.operators.Quality.Fail))
+    val q = Streams.qualityGate(stream, policies,
+      errDir = s"$dir/err", checkpointDir = s"$dir/ckpt",
+      deliver = b => b.select("event_id")
+        .write.mode("append").parquet(s"$dir/out"))
+    val e = intercept[Exception] { q.awaitTermination() }
+    assert(e.getMessage.contains("FAIL-policy") ||
+      Option(e.getCause).exists(_.getMessage.contains("FAIL-policy")))
+    assert(!new java.io.File(s"$dir/out").exists())
+  }
+
   test("exactly-once jdbc sink: epoch ledger dedupes redelivered batches") {
     import graft.sinks.JdbcWriter
     import graft.sinks.JdbcWriter.JdbcSpec
