@@ -61,8 +61,10 @@ object IncrementalDedup {
     // Scalar UDF is deliberate here: Spark exposes no public Bloom
     // membership expression, and the sketch is opaque driver state. The
     // UDF is a map-side PREFILTER only — correctness never depends on it
-    // (false positives are removed by the exact anti-join below).
-    val might = udf((s: String) => bc.value.mightContain(s))
+    // (false positives are removed by the exact anti-join below). Null
+    // fingerprints (null input column) are definitely-new: a null never
+    // equi-matches the committed side, same as in survivorsExact.
+    val might = udf((s: String) => s != null && bc.value.mightContain(s))
     val hashed = batch.withColumn("__h", fingerprint)
     val definitelyNew = hashed.filter(!might(col("__h")))
     val needVerify = hashed.filter(might(col("__h")))

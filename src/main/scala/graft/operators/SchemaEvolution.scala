@@ -28,7 +28,9 @@ object SchemaEvolution {
   /** May a value of `from` be read as `to` without loss? */
   def canPromote(from: DataType, to: DataType): Boolean = (from, to) match {
     case (f, t) if f == t => true
-    case (IntegerType | ShortType | ByteType, LongType) => true
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
     case (IntegerType | ShortType | ByteType | LongType,
           FloatType | DoubleType) => true
     case (FloatType, DoubleType) => true
@@ -75,19 +77,50 @@ object SchemaEvolution {
   def backwardCompatible(writer: StructType, reader: StructType): Boolean =
     incompatibilities(writer, reader).isEmpty
 
+  /** Align one value to its evolved type BY NAME at every nesting level.
+    * A plain `cast` is positional for structs (and demands equal field
+    * counts), so same-named-but-reordered nested fields would silently
+    * swap values and added nested fields would crash — structs are
+    * rebuilt field-by-field instead, arrays/maps element-wise. */
+  private def align(c: org.apache.spark.sql.Column,
+                    from: DataType, to: DataType): org.apache.spark.sql.Column =
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val rebuilt = org.apache.spark.sql.functions.struct(
+          t.fields.toIndexedSeq.map { tf =>
+            f.fields.find(_.name == tf.name) match {
+              case Some(ff) => align(c.getField(tf.name), ff.dataType,
+                tf.dataType).as(tf.name)
+              case None => lit(null).cast(tf.dataType).as(tf.name)
+            }
+          }: _*)
+        // a null struct must stay null, not become a struct of nulls
+        org.apache.spark.sql.functions.when(c.isNull,
+          lit(null).cast(t)).otherwise(rebuilt)
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        org.apache.spark.sql.functions.transform(c, x => align(x, fe, te))
+      case (MapType(_, fv, _), MapType(_, tv, _)) =>
+        org.apache.spark.sql.functions.transform_values(
+          c, (_, v) => align(v, fv, tv))
+      case (_, t) => c.cast(t)
+    }
+
   /** Align a batch to the evolved target schema: add the target's new
-    * nullable columns as nulls, cast promotable columns, drop columns the
-    * target no longer carries, and order columns as the target declares
-    * them. Throws (with every reason) when the batch cannot evolve —
-    * never silently truncates. */
+    * nullable columns as nulls, promote by NAME at every nesting level,
+    * drop columns the target no longer carries, and order columns as the
+    * target declares them. Throws (with every reason) when the batch
+    * cannot evolve — never silently truncates. */
   def evolve(df: DataFrame, target: StructType): DataFrame = {
     val problems = incompatibilities(
       df.schema, target)
     require(problems.isEmpty,
       s"schema cannot evolve:\n  ${problems.mkString("\n  ")}")
     val cols = target.fields.map { tf =>
-      if (df.columns.contains(tf.name)) col(tf.name).cast(tf.dataType).as(tf.name)
-      else lit(null).cast(tf.dataType).as(tf.name)
+      df.schema.fields.find(_.name == tf.name) match {
+        case Some(ff) => align(col(tf.name), ff.dataType, tf.dataType).as(tf.name)
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
     }
     df.select(cols.toIndexedSeq: _*)
   }

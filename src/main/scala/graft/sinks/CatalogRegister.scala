@@ -47,7 +47,10 @@ object CatalogRegister {
     * (HiveSchemaEvolution semantics — the reference refuses incompatible
     * re-registration rather than corrupting readers). Throws with every
     * incompatibility; on success the table is re-pointed via
-    * deregister + register (external data untouched). */
+    * deregister + register (external data untouched). If registering the
+    * new location fails AFTER the drop, the previous registration is
+    * restored before rethrowing — readers never see the table vanish
+    * because of a failed re-point. */
   def reregisterEvolved(spark: SparkSession, table: String, dir: String,
                         format: String = "parquet",
                         partitionCols: Seq[String] = Nil): Unit = {
@@ -58,7 +61,17 @@ object CatalogRegister {
     require(problems.isEmpty,
       s"refusing to re-register '$table': published schema is not a " +
         s"valid evolution:\n  ${problems.mkString("\n  ")}")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val oldDir = meta.location.toString
+    val oldPartCols = meta.partitionColumnNames
     deregister(spark, table)
-    register(spark, table, dir, format, partitionCols)
+    try register(spark, table, dir, format, partitionCols)
+    catch {
+      case e: Exception =>
+        try register(spark, table, oldDir, format, oldPartCols)
+        catch { case restore: Exception => e.addSuppressed(restore) }
+        throw e
+    }
   }
 }

@@ -116,11 +116,15 @@ object HttpSink {
     * bulk writer does. */
   def esBulk(df: DataFrame, cfg: EsConfig,
              async: RecordSinks.AsyncConfig = RecordSinks.AsyncConfig()): Unit = {
+    // to_json produces the whole action object, so _index and _id are
+    // JSON-escaped properly (an id containing quotes/backslashes must not
+    // corrupt the NDJSON and 400-fail the entire bulk request)
     val action = cfg.idCol match {
-      case Some(id) => concat(
-        lit("{\"index\":{\"_index\":\"" + cfg.index + "\",\"_id\":\""),
-        col(id).cast("string"), lit("\"}}"))
-      case None => lit("{\"index\":{\"_index\":\"" + cfg.index + "\"}}")
+      case Some(id) => to_json(struct(
+        struct(lit(cfg.index).as("_index"),
+          col(id).cast("string").as("_id")).as("index")))
+      case None => to_json(struct(
+        struct(lit(cfg.index).as("_index")).as("index")))
     }
     val lines = df
       .withColumn("__action", action)
@@ -132,12 +136,20 @@ object HttpSink {
       def writeBatch(batch: Seq[org.apache.spark.sql.Row]): Unit = {
         val body = batch.map(_.getString(0)).mkString("", "\n", "\n")
         val resp = post(client, httpCfg, body)
-        if (resp.contains("\"errors\":true")) {
-          val bad = "\"status\":\\s*([45]\\d\\d)".r
-            .findAllMatchIn(resp).map(_.group(1)).toSeq
+        // parse, don't substring-match: proxies/gateways reformat JSON
+        import org.json4s._
+        val parsed = org.json4s.jackson.JsonMethods.parse(resp)
+        if ((parsed \ "errors") == JBool(true)) {
+          val bad = (parsed \ "items" \\ "status") match {
+            case JObject(fields) => fields.map(_._2)
+            case v => List(v)
+          }
+          val failedCodes = bad.collect {
+            case JInt(s) if s >= 300 => s.toInt }
           throw new java.io.IOException(
-            s"_bulk accepted with ${bad.size} item failure(s): " +
-              bad.groupBy(identity).view.mapValues(_.size).toMap.toString)
+            s"_bulk accepted with ${failedCodes.size} item failure(s): " +
+              failedCodes.groupBy(identity).view.mapValues(_.size)
+                .toMap.toString)
         }
       }
     }, async)

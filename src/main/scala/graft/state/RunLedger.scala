@@ -58,12 +58,31 @@ final class RunLedger(spark: SparkSession, dir: String) {
     record(job, r.runId, "SUCCEEDED", startedAtMs, finishedAtMs,
       r.extracted, r.rejected, r.branchCounts, r.committedWatermark)
 
-  /** Full history as a DataFrame (empty frame with no runs yet). */
+  /** Full history as a DataFrame. The schema is FIXED (not inferred) so
+    * an empty ledger is still column-addressable — monitoring queries
+    * like `history.filter("status = 'FAILED'")` resolve before the first
+    * run is ever recorded. */
   def history: DataFrame = {
     val p = new Path(dir)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty) {
       import spark.implicits._
-      spark.read.json(spark.createDataset(Seq.empty[String]))
-    } else spark.read.json(dir)
+      spark.read.schema(RunLedger.schema)
+        .json(spark.createDataset(Seq.empty[String]))
+    } else spark.read.schema(RunLedger.schema).json(dir)
   }
+}
+
+object RunLedger {
+  import org.apache.spark.sql.types._
+  val schema: StructType = StructType(Seq(
+    StructField("run_id", StringType),
+    StructField("job", StringType),
+    StructField("status", StringType),
+    StructField("started_at_ms", LongType),
+    StructField("finished_at_ms", LongType),
+    StructField("extracted", LongType),
+    StructField("rejected", LongType),
+    StructField("branch_counts", MapType(StringType, LongType)),
+    StructField("committed_watermark", StringType),
+    StructField("detail", StringType)))
 }

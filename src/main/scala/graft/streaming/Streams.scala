@@ -237,12 +237,12 @@ object Streams {
         val checked = Quality.checkRows(batch, policies)
         checked.passed.persist()
         try {
-          val failPred = checked.failPolicies.map(_.predicate)
-            .reduceOption(_ && _)
-          failPred.foreach { p =>
-            val violations = batch.filter(!coalesce(p, lit(false))).count()
-            require(violations == 0,
-              s"epoch $epochId: $violations FAIL-policy violation(s)")
+          // the batch face's FAIL semantics verbatim (first violating
+          // rejected row aborts — no full-batch scan), epoch-tagged
+          try checked.enforceFail()
+          catch { case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"epoch $epochId: ${e.getMessage}", e)
           }
           checked.rejected
             .write.mode("overwrite") // idempotent per-epoch slice

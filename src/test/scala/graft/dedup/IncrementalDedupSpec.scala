@@ -37,6 +37,16 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(exact.join(fast, Seq("content_hash", "doc_id"), "left_anti").isEmpty)
   }
 
+  test("null fingerprints survive as definitely-new, matching the exact path") {
+    val committed = Seq("aaa").toDF("text").select(md5($"text").as("h"))
+    val batch = Seq((1L, "aaa"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fast = IncrementalDedup.survivors(batch, committed, "doc_id", fp)
+    val exact = IncrementalDedup.survivorsExact(batch, committed, "doc_id", fp)
+    assert(fast.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    assert(exact.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("empty committed store admits the whole (deduped) batch") {
     val committed = Seq.empty[String].toDF("h")
     val batch = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")

@@ -45,6 +45,24 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.backwardCompatible(writer, nestedGood))
   }
 
+  test("evolve aligns nested structs BY NAME: reorders and adds fields safely") {
+    val df = spark.sql(
+      "SELECT named_struct('a', 1, 'b', 'x') AS s UNION ALL " +
+      "SELECT named_struct('a', 2, 'b', 'y')")
+    // target reorders (b, a), widens a to long, adds nullable c
+    val target = st(("s", st(("b", StringType, true), ("a", LongType, true),
+      ("c", DoubleType, true)), true))
+    val out = SchemaEvolution.evolve(df, target).selectExpr(
+      "s.a", "s.b", "s.c").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "x"), (2L, "y"))) // values follow NAMES, not positions
+    assert(out.forall(_.isNullAt(2)))
+    // null structs stay null rather than becoming struct-of-nulls
+    val withNull = spark.sql(
+      "SELECT CAST(NULL AS struct<a:int, b:string>) AS s")
+    assert(SchemaEvolution.evolve(withNull, target).head.isNullAt(0))
+  }
+
   test("evolve aligns, casts, null-fills and orders; rejects loss loudly") {
     val df = Seq((1, "x"), (2, "y")).toDF("a", "b")
     val target = st(("b", StringType, true), ("a", LongType, false),

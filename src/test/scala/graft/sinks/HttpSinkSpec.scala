@@ -91,6 +91,43 @@ class HttpSinkSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("esBulk JSON-escapes document ids and survives reformatted responses") {
+    // the response has whitespace around "errors" : true-style formatting
+    // is NOT used here (errors:false), but ids carry quotes + backslashes
+    val (srv, received, url) = server("/_bulk",
+      respond = "{ \"took\" : 1, \"errors\" : false, \"items\" : [] }")
+    try {
+      val docs = Seq(("""he said "hi"""", "a"), ("""back\slash""", "b"))
+        .toDF("key", "text").coalesce(1)
+      HttpSink.esBulk(docs, HttpSink.EsConfig(
+        baseUrl = url.stripSuffix("/_bulk"), index = "docs",
+        idCol = Some("key")))
+      val lines = received.synchronized(received.mkString)
+        .split('\n').filter(_.nonEmpty)
+      // every line must parse as JSON despite the hostile ids
+      lines.foreach { l =>
+        org.json4s.jackson.JsonMethods.parse(l): Unit
+      }
+      assert(lines.length == 4)
+      assert(lines(0).contains("\\\"hi\\\""))
+    } finally srv.stop(0)
+  }
+
+  test("esBulk fails a batch on reformatted 200-with-item-errors responses") {
+    val (srv, _, url) = server("/_bulk",
+      respond = "{ \"took\" : 1, \"errors\" : true, \"items\" : [ " +
+        "{ \"index\" : { \"status\" : 201 } }, " +
+        "{ \"index\" : { \"status\" : 400 } } ] }")
+    try {
+      val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").coalesce(1)
+      val e = intercept[Exception] {
+        HttpSink.esBulk(docs, HttpSink.EsConfig(
+          baseUrl = url.stripSuffix("/_bulk"), index = "docs"))
+      }
+      assert(e.getMessage.contains("failure ratio") || e.getCause != null)
+    } finally srv.stop(0)
+  }
+
   test("esBulk treats 200-with-item-errors as a failed batch") {
     val (srv, _, url) = server("/_bulk",
       respond = "{\"took\":1,\"errors\":true,\"items\":[" +

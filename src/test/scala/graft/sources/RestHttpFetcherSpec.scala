@@ -51,6 +51,38 @@ class RestHttpFetcherSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("JSON-quoted numeric cursors paginate; opaque cursors fail loudly") {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/quoted", (ex: HttpExchange) => {
+      val cursor = ex.getRequestURI.getQuery.stripPrefix("cursor=").toInt
+      val body = // cursor serialized as a JSON string, as many APIs do
+        if (cursor >= 2) s"""{"records":[{"id":$cursor}],"next":null}"""
+        else s"""{"records":[{"id":$cursor}],"next":"${cursor + 1}"}"""
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.createContext("/opaque", (ex: HttpExchange) => {
+      val body = """{"records":[{"id":1}],"next":"abc-token"}"""
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val quoted = RestSource.httpFetcher(c => s"$base/quoted?cursor=$c")
+      assert(RestSource.read(spark, quoted).count() == 3)
+      val opaque = RestSource.httpFetcher(_ => s"$base/opaque")
+      val e = intercept[IllegalArgumentException] {
+        RestSource.read(spark, opaque)
+      }
+      assert(e.getMessage.contains("non-numeric"))
+    } finally srv.stop(0)
+  }
+
   test("a last page with an absent next field also terminates") {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     srv.createContext("/one", (ex: HttpExchange) => {

@@ -31,8 +31,11 @@ class RunLedgerSpec extends SparkSpec {
     assert(ledger.history.head().getAs[String]("status") == "SUCCEEDED")
   }
 
-  test("empty ledger reads as an empty frame") {
+  test("empty ledger is column-addressable (fixed schema, zero rows)") {
     val ledger = new RunLedger(spark, tmpDir("ledger-empty"))
     assert(ledger.history.count() == 0)
+    // monitoring queries must resolve before the first run is recorded
+    assert(ledger.history.filter("status = 'FAILED'").count() == 0)
+    assert(ledger.history.schema == RunLedger.schema)
   }
 }

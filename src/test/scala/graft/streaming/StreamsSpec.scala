@@ -170,8 +170,11 @@ class StreamsSpec extends SparkSpec {
       deliver = b => b.select("event_id")
         .write.mode("append").parquet(s"$dir/out"))
     val e = intercept[Exception] { q.awaitTermination() }
-    assert(e.getMessage.contains("FAIL-policy") ||
-      Option(e.getCause).exists(_.getMessage.contains("FAIL-policy")))
+    def mentionsFailure(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("row policies") && m.contains("failed")) ||
+        mentionsFailure(t.getCause))
+    assert(mentionsFailure(e), s"unexpected failure: $e")
     assert(!new java.io.File(s"$dir/out").exists())
   }
 
