@@ -44,6 +44,7 @@ object PipelineRunner {
                              committedWatermark: Option[String])
 
   def run(spark: SparkSession, spec: PipelineSpec, runId: String): JobResult = {
+    val startedAt = System.currentTimeMillis()
     val store = spec.stateDir.map(new StateStore(spark, _))
 
     // ---- 1. plan: source + incremental watermark predicate ----
@@ -166,8 +167,16 @@ object PipelineRunner {
       case _ =>
     }
 
-    JobResult(runId, extracted, rejectedCount,
+    val result = JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm)
+    // stateful jobs land in the run-history ledger next to the watermark
+    // store (JobExecutionInfo semantics); a duplicate runId means this
+    // execution was already recorded — surface it, don't double-count
+    spec.stateDir.foreach { sd =>
+      new graft.state.RunLedger(spark, s"$sd/runs")
+        .recordResult(spec.name, result, startedAt, System.currentTimeMillis())
+    }
+    result
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }

@@ -108,6 +108,12 @@ class PipelineSpecSuite extends SparkSpec {
     // run 3 would resume from the state store's run-2 watermark
     val store = new StateStore(spark, s"$dir/state")
     assert(store.highWatermark("web-master-report") == r2.committedWatermark)
+    // stateful runs auto-record in the run-history ledger beside the store
+    val runs = new graft.state.RunLedger(spark, s"$dir/state/runs").history
+    assert(runs.count() == 2)
+    assert(runs.filter("run_id = 'run2'").head()
+      .getAs[String]("committed_watermark")
+      .startsWith("2024-01-03 08:00:00"))
   }
 
   test("end-to-end: source -> transforms -> policies -> fork -> publish -> state") {
