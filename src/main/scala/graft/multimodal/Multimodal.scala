@@ -40,21 +40,43 @@ object Multimodal {
     def decode(r: MediaRecord): MediaFeatures
   }
 
+  /** Resizer contract: one instance per partition (native scalers init
+    * once), record-in record-out so resize chains before decode/write. */
+  trait MediaResizer extends Serializable {
+    def resize(r: MediaRecord, width: Int, height: Int): MediaRecord
+  }
+
   /** STUB decoder — deterministic fake features derived from the payload
     * byte LENGTH, so the decode contract is a documented pure function any
     * engine can recompute (this is what makes the q30 oracle possible).
+    * Records tagged by [[FakeResizer]] report the tag's target dims.
     * Replace with a real decoder for production; the Spark-side plumbing
     * (schema, partitioning, per-partition decoder init) is unchanged. */
   final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = Option(r.payload).map(_.length).getOrElse(0)
+      val (w, h) = Option(r.mime)
+        .filter(_.startsWith("resized/"))
+        .map(_.stripPrefix("resized/").split('x'))
+        .collect { case Array(a, b) => (a.toInt, b.toInt) }
+        .getOrElse((len % 1024 + 16, (len / 7) % 1024 + 16))
       MediaFeatures(r.media_id, r.media_type,
-        width = len % 1024 + 16,
-        height = (len / 7) % 1024 + 16,
+        width = w,
+        height = h,
         n_frames = if (r.media_type == "video") len % 300 + 1 else 1,
         duration_ms = if (r.media_type != "image") (len.toLong * 31L) % 60000L else 0L,
         feature = Array.tabulate(featureDim)(i => ((len * (i + 1)) % 997).toFloat / 997f))
     }
+  }
+
+  /** STUB resizer — pure and deterministic: the payload passes through and
+    * the target dims ride the mime tag (`resized/WxH`), which the stub
+    * decoder honors. A real implementation rescales the payload bytes;
+    * the pipeline contract (schema, chaining, per-partition init) is
+    * identical. */
+  final class FakeResizer extends MediaResizer {
+    def resize(r: MediaRecord, width: Int, height: Int): MediaRecord =
+      r.copy(mime = s"resized/${width}x$height")
   }
 
   /** Decode/feature-extract: typed mapPartitions over the media table. */
@@ -63,6 +85,18 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it => it.map(decoder.decode) }
+  }
+
+  /** Resize images to a uniform target (the standard pre-embedding
+    * normalization pass): typed mapPartitions, one resizer per partition;
+    * non-image records pass through untouched. */
+  def resizeImages(media: DataFrame, width: Int, height: Int,
+                   resizer: MediaResizer = new FakeResizer()): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      if (r.media_type == "image") resizer.resize(r, width, height) else r
+    })
   }
 
   /** Frame sampling plan for video: every nth frame index as rows —

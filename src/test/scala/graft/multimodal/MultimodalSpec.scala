@@ -34,6 +34,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f.filter($"media_type" === "video").count() > 0)
   }
 
+  test("resizeImages retargets images only; decode honors the new dims") {
+    val resized = Multimodal.resizeImages(media, 224, 224)
+    val feats = Multimodal.extractFeatures(resized.toDF()).toDF()
+    val images = feats.filter(col("media_type") === "image")
+    assert(images.count() > 0)
+    assert(images.filter(col("width") =!= 224 || col("height") =!= 224)
+      .count() == 0)
+    // non-images pass through untouched: same dims as the unresized decode
+    val origOther = Multimodal.extractFeatures(media).toDF()
+      .filter(col("media_type") =!= "image")
+      .select("media_id", "width", "height")
+    val newOther = feats.filter(col("media_type") =!= "image")
+      .select("media_id", "width", "height")
+    assert(newOther.exceptAll(origOther).isEmpty)
+    // payload (and so the content-derived feature vector) is unchanged
+    val f0 = Multimodal.extractFeatures(media).toDF()
+      .select("media_id", "feature")
+    val f1 = feats.select("media_id", "feature")
+    assert(f1.exceptAll(f0).isEmpty)
+  }
+
   test("sampleFrames explodes every nth frame for videos only") {
     val f = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(f, every = 10)
