@@ -43,8 +43,44 @@ object PipelineRunner {
                              branchCounts: Map[String, Long],
                              committedWatermark: Option[String])
 
+  /** Run the job lifecycle. Stateful jobs (stateDir set) additionally
+    * land a record in the `<stateDir>/runs` history ledger — for EVERY
+    * outcome, success or failure, so `status = 'FAILED'` monitoring sees
+    * aborted runs. Ledger writes are best-effort (logged, never fatal):
+    * by the time the success record is written the data and watermark are
+    * already committed, and a history-store hiccup must not convert a
+    * committed run into a reported failure (the reference's job-history
+    * store is likewise non-fatal). RunIds must be unique per ATTEMPT —
+    * the ledger refuses duplicates. */
   def run(spark: SparkSession, spec: PipelineSpec, runId: String): JobResult = {
     val startedAt = System.currentTimeMillis()
+    def ledgered(body: => Unit): Unit =
+      try body catch {
+        case e: Exception =>
+          System.err.println(s"[graft] run-ledger write failed for " +
+            s"'${spec.name}' run '$runId' (non-fatal): $e")
+      }
+    try {
+      val result = runInner(spark, spec, runId)
+      spec.stateDir.foreach { sd =>
+        ledgered(new graft.state.RunLedger(spark, s"$sd/runs")
+          .recordResult(spec.name, result, startedAt,
+            System.currentTimeMillis()))
+      }
+      result
+    } catch {
+      case e: Exception =>
+        spec.stateDir.foreach { sd =>
+          ledgered(new graft.state.RunLedger(spark, s"$sd/runs")
+            .record(spec.name, runId, "FAILED", startedAt,
+              System.currentTimeMillis(), detail = e.toString))
+        }
+        throw e
+    }
+  }
+
+  private def runInner(spark: SparkSession, spec: PipelineSpec,
+                       runId: String): JobResult = {
     val store = spec.stateDir.map(new StateStore(spark, _))
 
     // ---- 1. plan: source + incremental watermark predicate ----
@@ -167,16 +203,8 @@ object PipelineRunner {
       case _ =>
     }
 
-    val result = JobResult(runId, extracted, rejectedCount,
+    JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm)
-    // stateful jobs land in the run-history ledger next to the watermark
-    // store (JobExecutionInfo semantics); a duplicate runId means this
-    // execution was already recorded — surface it, don't double-count
-    spec.stateDir.foreach { sd =>
-      new graft.state.RunLedger(spark, s"$sd/runs")
-        .recordResult(spec.name, result, startedAt, System.currentTimeMillis())
-    }
-    result
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }

@@ -65,12 +65,19 @@ object CatalogRegister {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val oldDir = meta.location.toString
     val oldPartCols = meta.partitionColumnNames
+    val oldFormat = meta.provider.getOrElse(format)
     deregister(spark, table)
     try register(spark, table, dir, format, partitionCols)
     catch {
       case e: Exception =>
-        try register(spark, table, oldDir, format, oldPartCols)
-        catch { case restore: Exception => e.addSuppressed(restore) }
+        // register may have half-succeeded (CREATE ok, RECOVER failed), so
+        // DROP before restoring — CREATE IF NOT EXISTS would otherwise
+        // no-op and leave the table pointing at the broken new location.
+        // Restore uses the table's ORIGINAL provider, not the new format.
+        try {
+          deregister(spark, table)
+          register(spark, table, oldDir, oldFormat, oldPartCols)
+        } catch { case restore: Exception => e.addSuppressed(restore) }
         throw e
     }
   }

@@ -118,11 +118,17 @@ object HttpSink {
              async: RecordSinks.AsyncConfig = RecordSinks.AsyncConfig()): Unit = {
     // to_json produces the whole action object, so _index and _id are
     // JSON-escaped properly (an id containing quotes/backslashes must not
-    // corrupt the NDJSON and 400-fail the entire bulk request)
+    // corrupt the NDJSON and 400-fail the entire bulk request). A NULL id
+    // fails LOUDLY: to_json would silently drop the _id field and ES
+    // would auto-generate one, breaking the idempotency-by-id that makes
+    // at-least-once delivery safe.
     val action = cfg.idCol match {
       case Some(id) => to_json(struct(
         struct(lit(cfg.index).as("_index"),
-          col(id).cast("string").as("_id")).as("index")))
+          when(col(id).isNull, raise_error(lit(
+            s"esBulk: null id in column '$id' — ids must be present for " +
+              "idempotent indexing")))
+            .otherwise(col(id).cast("string")).as("_id")).as("index")))
       case None => to_json(struct(
         struct(lit(cfg.index).as("_index")).as("index")))
     }

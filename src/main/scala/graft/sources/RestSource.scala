@@ -65,11 +65,13 @@ object RestSource {
         case JLong(n) => Some(n)
         case JDecimal(n) => Some(n.toLong)
         case JDouble(n) => Some(n.toLong)
+        case JString("") => None // Slack-style "next_cursor": "" terminator
         case JString(s) => // numeric cursors often arrive JSON-quoted;
           // anything else must fail LOUDLY, not truncate to one page
           Some(s.toLongOption.getOrElse(throw new IllegalArgumentException(
             s"non-numeric '$nextField' cursor: '$s' — plug a custom fetcher " +
               "for opaque-cursor APIs")))
+        case JBool(false) => None // "has more" flag style terminator
         case JNothing | JNull => None
         case other => throw new IllegalArgumentException(
           s"unexpected '$nextField' cursor shape: $other")

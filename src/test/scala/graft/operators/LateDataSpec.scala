@@ -107,6 +107,14 @@ class LateDataSpec extends SparkSpec {
       // the registration is untouched after the refusal
       assert(spark.table("graft_evolve_t").schema("o_totalprice")
         .dataType.typeName != "integer")
+      // a re-point that fails AFTER the compat check restores the old
+      // registration (bogus partition column -> CREATE fails mid-way)
+      val rowsBefore = spark.table("graft_evolve_t").count()
+      intercept[Exception] {
+        CatalogRegister.reregisterEvolved(spark, "graft_evolve_t",
+          s"$base/v2", partitionCols = Seq("no_such_col"))
+      }
+      assert(spark.table("graft_evolve_t").count() == rowsBefore)
     } finally CatalogRegister.deregister(spark, "graft_evolve_t")
   }
 

@@ -116,6 +116,24 @@ class PipelineSpecSuite extends SparkSpec {
       .startsWith("2024-01-03 08:00:00"))
   }
 
+  test("aborted stateful runs land in the ledger with status FAILED") {
+    val dir = tmpDir("ledger-fail")
+    val spec = PipelineSpec(
+      name = "doomed",
+      source = SourceSpec(format = "parquet", path = s"$sf/nation.parquet"),
+      rowPolicies = Seq(RowPolicySpec("impossible", "n_nationkey < 0", "FAIL")),
+      errDir = Some(s"$dir/err"),
+      branches = Seq(BranchSpec(name = "main", outDir = s"$dir/out")),
+      stateDir = Some(s"$dir/state"))
+    intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, spec, "failrun1")
+    }
+    val hist = new graft.state.RunLedger(spark, s"$dir/state/runs").history
+    val row = hist.filter("status = 'FAILED'").head()
+    assert(row.getAs[String]("run_id") == "failrun1")
+    assert(row.getAs[String]("detail").contains("impossible"))
+  }
+
   test("end-to-end: source -> transforms -> policies -> fork -> publish -> state") {
     val out = tmpDir("pipe")
     val spec = PipelineSpec(

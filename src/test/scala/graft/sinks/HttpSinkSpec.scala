@@ -113,6 +113,27 @@ class HttpSinkSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("esBulk fails loudly on null ids instead of losing idempotency") {
+    val (srv, received, url) = server("/_bulk",
+      respond = "{\"took\":1,\"errors\":false,\"items\":[]}")
+    try {
+      val docs = Seq((java.lang.Long.valueOf(1L), "a"),
+        (null.asInstanceOf[java.lang.Long], "b"))
+        .toDF("doc_id", "text").coalesce(1)
+      val e = intercept[Exception] {
+        HttpSink.esBulk(docs, HttpSink.EsConfig(
+          baseUrl = url.stripSuffix("/_bulk"), index = "docs",
+          idCol = Some("doc_id")))
+      }
+      def mentions(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("null id")) ||
+          mentions(t.getCause))
+      assert(mentions(e) || e.getMessage.contains("failure ratio"),
+        s"unexpected: $e")
+      assert(received.isEmpty) // the bad batch never reached the wire
+    } finally srv.stop(0)
+  }
+
   test("esBulk fails a batch on reformatted 200-with-item-errors responses") {
     val (srv, _, url) = server("/_bulk",
       respond = "{ \"took\" : 1, \"errors\" : true, \"items\" : [ " +

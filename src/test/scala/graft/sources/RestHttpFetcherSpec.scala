@@ -83,20 +83,26 @@ class RestHttpFetcherSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
-  test("a last page with an absent next field also terminates") {
+  test("absent, empty-string and false 'next' values all terminate cleanly") {
     val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    srv.createContext("/one", (ex: HttpExchange) => {
-      val body = """{"records":[{"id":1}]}""" // no "next" at all
-      val bytes = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(200, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    })
+    def ctx(path: String, body: String): Unit = {
+      srv.createContext(path, (ex: HttpExchange) => {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }): Unit
+    }
+    ctx("/absent", """{"records":[{"id":1}]}""")
+    ctx("/empty", """{"records":[{"id":2}],"next":""}""") // Slack-style
+    ctx("/bool", """{"records":[{"id":3}],"next":false}""") // has-more flag
     srv.start()
     try {
-      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/one"
-      val fetch = RestSource.httpFetcher(_ => url)
-      assert(RestSource.read(spark, fetch).count() == 1)
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      Seq("/absent", "/empty", "/bool").foreach { p =>
+        val fetch = RestSource.httpFetcher(_ => s"$base$p")
+        assert(RestSource.read(spark, fetch).count() == 1, s"path $p")
+      }
     } finally srv.stop(0)
   }
 }
