@@ -905,6 +905,28 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard_r"))
     }),
 
+    // schema evolution end-to-end: a narrow-typed batch (int line number,
+    // float quantity) lands on a widened target (long/double), gains a
+    // nullable column, and comes out in the target's column order — the
+    // oracle recomputes the same casts, so evolve()'s value preservation
+    // and by-name alignment are hash-checked, not just unit-tested.
+    "q74_schema_evolve" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        col("l_linenumber"), // int32 in the testdata
+        col("l_quantity").cast("float").as("l_quantity"))
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_quantity",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("l_linenumber",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      operators.SchemaEvolution.evolve(src, target)
+    }),
+
     // per-language corpus profile: the dataset-card numbers (doc counts,
     // char volumes, exact median) in one map-side-combined aggregation.
     // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
@@ -1360,6 +1382,10 @@ object SparkEntry {
         "len(list_distinct(list_concat(a.sh,b.sh))) AS j " +
         "FROM t a JOIN t b ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0) " +
         "SELECT id_a, id_b, round(j, 6) AS jaccard_r FROM p WHERE j >= 0.5"),
+    "q74_schema_evolve" ->
+      ("SELECT CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS l_quantity, " +
+        "l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
     "q71_corpus_profile" ->
       ("SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
