@@ -1387,7 +1387,7 @@ object SparkEntry {
         "l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
         "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
     "q71_corpus_profile" ->
-      ("SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars, " +
+      ("SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
         "quantile_cont(n_chars, 0.5) AS median_chars, " +
         "round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars_r " +
