@@ -927,6 +927,40 @@ object SparkEntry {
       operators.SchemaEvolution.evolve(src, target)
     }),
 
+    // stage-metric emission end-to-end (gobblin-metrics MetricContext +
+    // the job-history store's TaskExecutionInfo rows): an instrumented
+    // pipeline run lands per-stage record counters — source read/passed/
+    // rejected, per-branch routed/written, each rolled up to the job root
+    // context — in a queryable FS metric store; the oracle recomputes
+    // every counter from the raw table, so the observe() plumbing and the
+    // context-tree rollup are hash-checked. Timings/bytes are emitted too
+    // but excluded here (non-deterministic by nature).
+    "q75_stage_metrics" -> ((s, dir) => {
+      val base = tmp("q75")
+      val runId = s"q75-${java.util.UUID.randomUUID()}"
+      val spec = pipeline.PipelineSpec.fromProperties(Map(
+        "job.name" -> "q75job",
+        "source.format" -> "parquet",
+        "source.path" -> s"$dir/lineitem.parquet",
+        "transform.1" -> "selectExpr:l_orderkey;l_linenumber;l_quantity",
+        "rowpolicy.1.name" -> "qty_cap",
+        "rowpolicy.1.predicate" -> "l_quantity <= 45",
+        "rowpolicy.1.type" -> "ERR_FILE",
+        "qualitychecker.err.dir" -> s"$base/err",
+        "fork.1.name" -> "evens",
+        "fork.1.filter" -> "l_orderkey % 2 = 0",
+        "fork.1.out" -> s"$base/out/evens",
+        "fork.2.name" -> "odds",
+        "fork.2.filter" -> "l_orderkey % 2 = 1",
+        "fork.2.out" -> s"$base/out/odds",
+        "state.dir" -> s"$base/state"))
+      pipeline.PipelineRunner.run(s, spec, runId)
+      new metrics.MetricStore(s, s"$base/state/metrics").table
+        .filter(col("run_id") === runId &&
+          col("metric").startsWith("records."))
+        .select("context", "metric", "value")
+    }),
+
     // per-language corpus profile: the dataset-card numbers (doc counts,
     // char volumes, exact median) in one map-side-combined aggregation.
     // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
@@ -1386,6 +1420,25 @@ object SparkEntry {
       ("SELECT CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS l_quantity, " +
         "l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
         "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
+    "q75_stage_metrics" ->
+      ("WITH c AS (SELECT count(*) AS n_read, " +
+        "count(*) FILTER (WHERE l_quantity <= 45) AS n_passed, " +
+        "count(*) FILTER (WHERE l_quantity > 45) AS n_rejected, " +
+        "count(*) FILTER (WHERE l_quantity <= 45 AND l_orderkey % 2 = 0) AS n_evens, " +
+        "count(*) FILTER (WHERE l_quantity <= 45 AND l_orderkey % 2 = 1) AS n_odds " +
+        "FROM lineitem) " +
+        "SELECT 'q75job' AS context, 'records.read' AS metric, n_read AS value FROM c " +
+        "UNION ALL SELECT 'q75job', 'records.passed', n_passed FROM c " +
+        "UNION ALL SELECT 'q75job', 'records.rejected', n_rejected FROM c " +
+        "UNION ALL SELECT 'q75job', 'records.routed', n_evens + n_odds FROM c " +
+        "UNION ALL SELECT 'q75job', 'records.written', n_evens + n_odds FROM c " +
+        "UNION ALL SELECT 'q75job.source', 'records.read', n_read FROM c " +
+        "UNION ALL SELECT 'q75job.source', 'records.passed', n_passed FROM c " +
+        "UNION ALL SELECT 'q75job.source', 'records.rejected', n_rejected FROM c " +
+        "UNION ALL SELECT 'q75job.branch.evens', 'records.routed', n_evens FROM c " +
+        "UNION ALL SELECT 'q75job.branch.evens', 'records.written', n_evens FROM c " +
+        "UNION ALL SELECT 'q75job.branch.odds', 'records.routed', n_odds FROM c " +
+        "UNION ALL SELECT 'q75job.branch.odds', 'records.written', n_odds FROM c"),
     "q71_corpus_profile" ->
       ("SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +

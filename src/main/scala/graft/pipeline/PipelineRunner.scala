@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.metrics.{MetricContext, MetricRecord, MetricStore}
 import graft.operators.{Fork, Quality}
 import graft.sinks.AtomicPublisher
 import graft.state.StateStore
@@ -41,7 +42,8 @@ object PipelineRunner {
                              extracted: Long,
                              rejected: Long,
                              branchCounts: Map[String, Long],
-                             committedWatermark: Option[String])
+                             committedWatermark: Option[String],
+                             stageMetrics: Seq[MetricRecord] = Nil)
 
   /** Run the job lifecycle. Stateful jobs (stateDir set) additionally
     * land a record in the `<stateDir>/runs` history ledger — for EVERY
@@ -63,9 +65,14 @@ object PipelineRunner {
     try {
       val result = runInner(spark, spec, runId)
       spec.stateDir.foreach { sd =>
+        val finishedAt = System.currentTimeMillis()
         ledgered(new graft.state.RunLedger(spark, s"$sd/runs")
-          .recordResult(spec.name, result, startedAt,
-            System.currentTimeMillis()))
+          .recordResult(spec.name, result, startedAt, finishedAt))
+        // per-stage records/bytes/timings, queryable like the reference's
+        // TaskExecutionInfo rows; best-effort for the same reason the
+        // ledger is (data + watermark are already committed by now)
+        ledgered(new MetricStore(spark, s"$sd/metrics")
+          .record(spec.name, runId, finishedAt, result.stageMetrics))
       }
       result
     } catch {
@@ -82,6 +89,16 @@ object PipelineRunner {
   private def runInner(spark: SparkSession, spec: PipelineSpec,
                        runId: String): JobResult = {
     val store = spec.stateDir.map(new StateStore(spark, _))
+
+    // hierarchical metric contexts (gobblin-metrics MetricContext.java:85):
+    // job root + one child per stage; branch counters recorded at the
+    // branch child ALSO roll up to the job root (ContextAwareCounter),
+    // so `records.written` at the root is the job-wide total. The values
+    // come from the SAME observe() nodes the run already evaluates — the
+    // context tree adds naming + rollup + a queryable history, no extra
+    // scans.
+    val mctx = MetricContext.root(spec.name, Map("run_id" -> runId))
+    val srcCtx = mctx.childContext("source")
 
     // ---- 1. plan: source + incremental watermark predicate ----
     val raw = read(spark, spec.source)
@@ -146,7 +163,7 @@ object PipelineRunner {
     // both the reject count and the FAIL-policy violation count
     val rejectedCount =
       if (!needBoth) 0L
-      else {
+      else srcCtx.timer("time.reject_scan").time {
         val failPred = checked.failPolicies.map(_.predicate).reduceOption(_ && _)
         val obsRej = Observation(s"graft_${runId}_rejected")
         val rejMetrics = Seq(count(lit(1)).as("rows")) ++ failPred.map(p =>
@@ -173,6 +190,8 @@ object PipelineRunner {
       }
 
     // ---- branches: stage all, gate on task policies, then promote ----
+    val writeTimer = mctx.timer("time.branch_write")
+    val tWrite0 = System.nanoTime()
     val branchResults = Fork.run(input,
       spec.branches.map(b => Fork.Branch(b.name, b.predicate, b.transform,
         b.outDir, b.writeSpec)), runId,
@@ -187,10 +206,32 @@ object PipelineRunner {
           }
         })
 
+    writeTimer.update(System.nanoTime() - tWrite0)
+
     // sink-less job (no branches): run one count to materialize metrics
     if (spec.branches.isEmpty) { input.count(); () }
 
     val extracted = obsPassed.get("rows").asInstanceOf[Long]
+
+    // fill the context tree from the observed values; branch output bytes
+    // are an O(metadata) content summary of the published dir (jdbc
+    // branches have no directory — their cost shows as time, not bytes)
+    srcCtx.counter("records.read").inc(
+      obsSrc.get("rows").asInstanceOf[Long])
+    srcCtx.counter("records.passed").inc(extracted)
+    srcCtx.counter("records.rejected").inc(rejectedCount)
+    spec.branches.foreach { b =>
+      val bc = mctx.childContext(s"branch.${b.name}")
+      val r = branchResults(b.name)
+      bc.counter("records.routed").inc(r.routed)
+      bc.counter("records.written").inc(r.written)
+      if (b.writeSpec.format != "jdbc")
+        try {
+          val p = new org.apache.hadoop.fs.Path(b.outDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          bc.counter("bytes.written").inc(fs.getContentSummary(p).getLength)
+        } catch { case _: java.io.IOException => }
+    }
 
     // ---- 3b. state commit ----
     val newWm: Option[String] = spec.source.watermarkColumn.flatMap { _ =>
@@ -198,13 +239,16 @@ object PipelineRunner {
       if (extracted == 0) prevWm
       else Option(obsSrc.get("wm_max")).map(fmtWm)
     }
-    (store, newWm) match {
-      case (Some(s), Some(wm)) => s.commit(Map((spec.name, "") -> wm), runId)
-      case _ =>
+    mctx.timer("time.state_commit").time {
+      (store, newWm) match {
+        case (Some(s), Some(wm)) => s.commit(Map((spec.name, "") -> wm), runId)
+        case _ =>
+      }
     }
 
     JobResult(runId, extracted, rejectedCount,
-      branchResults.map { case (k, v) => k -> v.written }, newWm)
+      branchResults.map { case (k, v) => k -> v.written }, newWm,
+      mctx.snapshotRecursive())
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }
