@@ -961,6 +961,92 @@ object SparkEntry {
         .select("context", "metric", "value")
     }),
 
+    // dataset-scoped config resolution driving retention (the reference's
+    // config-store: one tag subtree governs many datasets): a ConfigStore
+    // resolves per-dataset newest-K — click imports the /tags/hot tag
+    // (K=6), error overrides locally (K=2), everything else inherits the
+    // root default (K=3) — and the resolved policies apply to ALL
+    // datasets in ONE broadcast-join + window pass, never a per-dataset
+    // job loop. The oracle replays the resolved K values as a CASE, so
+    // resolution + application are hash-checked end-to-end.
+    "q76_config_retention" -> ((s, dir) => {
+      val store = config.ConfigStore(
+        "/" -> config.ConfigNode(Map("retention.k" -> "3")),
+        "/tags/hot" -> config.ConfigNode(Map("retention.k" -> "6")),
+        "/datasets/click" -> config.ConfigNode(imports = Seq("/tags/hot")),
+        "/datasets/error" -> config.ConfigNode(Map("retention.k" -> "2")))
+      val policy = config.ConfigPolicies.newestKTable(s,
+        store.resolveAll("/datasets"), "retention.k", default = 3)
+      val versions = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n"))
+      config.ConfigPolicies.newestKPerDataset(
+        policy, "event_type", Seq(col("d").desc), default = 3)(versions)
+    }),
+
+    // retention against a REAL filesystem layout: events land in
+    // hive-style daily dirs, DateTimeDatasetVersionFinder derives the
+    // glob from the datetime pattern and parses each dir into its
+    // version timestamp, newest-5 survive, the delete set is executed as
+    // recursive directory removals, and the SURVIVING DATA is read back —
+    // policy to disk and back, not a synthesized versions table. The
+    // version scan is O(dirs) driver metadata; only survivors' data is
+    // ever read distributed.
+    "q77_fs_retention" -> ((s, dir) => {
+      val root = tmp("q77/events_by_day")
+      t(s, dir, "events")
+        .withColumn("d", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(root)
+      val versions = operators.VersionFinder
+        .dateTimeVersions(s, root, "'d='yyyy-MM-dd")
+        .withColumn("dataset", lit("events"))
+      val survivors = Retention.newestK(
+        Seq("dataset"), Seq(col("version_ts").desc), 5)(versions)
+      operators.VersionFinder.deleteVersions(s,
+        Retention.deleteSet(versions, survivors, Seq("path")))
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try s.read.parquet(root).groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 3).as("sum_value_r"))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
+
+    // COMMIT_SUCCESSFUL_TASKS end-to-end: a two-branch fork where one
+    // branch poisons itself at execution time (assert_true) runs under
+    // the partial-commit policy — the healthy branch's output publishes
+    // anyway and is read back as the result, while the failed branch
+    // publishes nothing and the run ledger records COMMITTED_PARTIAL.
+    // The oracle recomputes the healthy branch directly, proving the
+    // poison branch neither blocked nor contaminated the publish.
+    "q78_partial_commit" -> ((s, dir) => {
+      val base = tmp("q78")
+      val runId = s"q78-${java.util.UUID.randomUUID()}"
+      val spec = pipeline.PipelineSpec.fromProperties(Map(
+        "job.name" -> "q78job",
+        "job.commit.policy" -> "successful",
+        "source.format" -> "parquet",
+        "source.path" -> s"$dir/orders.parquet",
+        "fork.1.name" -> "good",
+        "fork.1.filter" -> "o_orderstatus = 'F'",
+        "fork.1.select" -> "o_orderkey,o_totalprice",
+        "fork.1.out" -> s"$base/out/good",
+        "fork.2.name" -> "bad",
+        "fork.2.filter" -> "assert_true(o_orderkey < 0) IS NULL",
+        "fork.2.out" -> s"$base/out/bad",
+        "state.dir" -> s"$base/state"))
+      val r = pipeline.PipelineRunner.run(s, spec, runId)
+      require(r.failedBranches.keySet == Set("bad"),
+        s"expected exactly the poison branch to fail: ${r.failedBranches}")
+      s.read.parquet(s"$base/out/good")
+    }),
+
     // per-language corpus profile: the dataset-card numbers (doc counts,
     // char volumes, exact median) in one map-side-combined aggregation.
     // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
@@ -1420,6 +1506,22 @@ object SparkEntry {
       ("SELECT CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS l_quantity, " +
         "l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
         "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
+    "q78_partial_commit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "q77_fs_retention" ->
+      ("WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +
+        "value FROM events), " +
+        "top5 AS (SELECT DISTINCT d FROM e ORDER BY d DESC LIMIT 5) " +
+        "SELECT d, count(*) AS n, round(sum(value), 3) AS sum_value_r " +
+        "FROM e WHERE d IN (SELECT d FROM top5) GROUP BY d"),
+    "q76_config_retention" ->
+      ("WITH v AS (SELECT event_type, " +
+        "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY d DESC) AS rn FROM v) " +
+        "SELECT event_type, d, n FROM r WHERE rn <= " +
+        "CASE event_type WHEN 'click' THEN 6 WHEN 'error' THEN 2 ELSE 3 END"),
     "q75_stage_metrics" ->
       ("WITH c AS (SELECT count(*) AS n_read, " +
         "count(*) FILTER (WHERE l_quantity <= 45) AS n_passed, " +

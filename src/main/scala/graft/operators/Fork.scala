@@ -91,6 +91,67 @@ object Fork {
     } finally if (needPersist) { shared.unpersist(); () }
   }
 
+  /** Outcome of a partial-commit fork: per-branch results for published
+    * branches, per-branch error text for the ones that weren't. */
+  final case class PartialOutcome(succeeded: Map[String, BranchResult],
+                                  failed: Map[String, String])
+
+  /** COMMIT_SUCCESSFUL_TASKS (JobCommitPolicy.java:53-58 + task-level
+    * publish): each branch stages, is gated, and promotes INDEPENDENTLY —
+    * a branch that fails to write, fails its gate, or fails its promote
+    * is aborted (its staging removed, its previous output untouched)
+    * while every other branch still publishes. Use when branches feed
+    * independent datasets and holding all of them hostage to one flaky
+    * sink (COMMIT_ON_FULL_SUCCESS, [[run]]) costs more than a re-run of
+    * the failed one. Failure text is captured per branch so the caller
+    * can ledger a COMMITTED_PARTIAL outcome. Only non-fatal branch
+    * errors are contained; fatal JVM errors still propagate. */
+  def runPartial(df: DataFrame, branches: Seq[Branch], runId: String,
+                 storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                 branchGate: (String, BranchResult) => Unit = (_, _) => ())
+      : PartialOutcome = {
+    import scala.util.control.NonFatal
+    val needPersist =
+      branches.size > 1 && df.storageLevel == StorageLevel.NONE
+    val shared = if (needPersist) df.persist(storage) else df
+    try {
+      val outcomes: Seq[Either[(String, String), (String, BranchResult)]] =
+        branches.map { b =>
+          try {
+            val routed = b.predicate.fold(shared)(shared.filter)
+            val obsR = Observation(s"graft_${runId}_${b.name}_routed")
+            val obsW = Observation(s"graft_${runId}_${b.name}_written")
+            val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
+              .observe(obsW, count(lit(1)).as("rows"))
+            val so: AtomicPublisher.StagedOutput =
+              if (b.spec.format == "jdbc")
+                graft.sinks.JdbcWriter.stage(out, graft.sinks.JdbcWriter.JdbcSpec(
+                  url = b.spec.options("url"),
+                  table = b.spec.options.getOrElse("dbtable", b.outDir),
+                  mode = b.spec.mode,
+                  batchSize = b.spec.options.get("batchsize")
+                    .map(_.toInt).getOrElse(1000)), runId)
+              else AtomicPublisher.stage(out, b.outDir, runId, b.spec)
+            // observations completed during the staged write; gate + promote
+            // this branch without reference to any sibling
+            try {
+              val r = BranchResult(
+                obsR.get("rows").asInstanceOf[Long],
+                obsW.get("rows").asInstanceOf[Long])
+              branchGate(b.name, r)
+              so.promote()
+              Right(b.name -> r)
+            } catch {
+              case NonFatal(e) => so.abort(); Left(b.name -> e.toString)
+            }
+          } catch { case NonFatal(e) => Left(b.name -> e.toString) }
+        }
+      PartialOutcome(
+        succeeded = outcomes.collect { case Right(kv) => kv }.toMap,
+        failed = outcomes.collect { case Left(kv) => kv }.toMap)
+    } finally if (needPersist) { shared.unpersist(); () }
+  }
+
   /** Plan-only fork (no writes): per-branch DataFrames over a shared scan. */
   def plan(df: DataFrame, branches: Seq[Branch]): Map[String, DataFrame] =
     branches.map(b => b.name -> b.transform(b.predicate.fold(df)(df.filter))).toMap

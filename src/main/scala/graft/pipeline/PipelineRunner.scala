@@ -43,7 +43,11 @@ object PipelineRunner {
                              rejected: Long,
                              branchCounts: Map[String, Long],
                              committedWatermark: Option[String],
-                             stageMetrics: Seq[MetricRecord] = Nil)
+                             stageMetrics: Seq[MetricRecord] = Nil,
+                             // non-empty only under COMMIT_SUCCESSFUL_TASKS:
+                             // branch name -> error text for branches whose
+                             // output was NOT published this run
+                             failedBranches: Map[String, String] = Map.empty)
 
   /** Run the job lifecycle. Stateful jobs (stateDir set) additionally
     * land a record in the `<stateDir>/runs` history ledger — for EVERY
@@ -192,19 +196,32 @@ object PipelineRunner {
     // ---- branches: stage all, gate on task policies, then promote ----
     val writeTimer = mctx.timer("time.branch_write")
     val tWrite0 = System.nanoTime()
-    val branchResults = Fork.run(input,
-      spec.branches.map(b => Fork.Branch(b.name, b.predicate, b.transform,
-        b.outDir, b.writeSpec)), runId,
-      beforePromote = counts =>
-        // ---- 3a. task policies run BEFORE anything becomes visible ----
-        spec.rowCountRange.foreach { range =>
-          spec.branches.foreach { b =>
-            val c = counts(b.name)
-            require(Quality.rowCountRange(c.routed, c.written, range),
-              s"row-count policy failed for branch ${b.name}: " +
-                s"expected≈${c.routed} written=${c.written}")
-          }
-        })
+    val forkBranches = spec.branches.map(b =>
+      Fork.Branch(b.name, b.predicate, b.transform, b.outDir, b.writeSpec))
+    // ---- 3a. task policies run BEFORE anything becomes visible ----
+    def gate(name: String, c: Fork.BranchResult): Unit =
+      spec.rowCountRange.foreach { range =>
+        require(Quality.rowCountRange(c.routed, c.written, range),
+          s"row-count policy failed for branch $name: " +
+            s"expected≈${c.routed} written=${c.written}")
+      }
+    val (branchResults, failedBranches) = spec.commitPolicy match {
+      case "successful" =>
+        // COMMIT_SUCCESSFUL_TASKS (JobCommitPolicy.java:53): branches
+        // stage/gate/promote independently; the job only fails outright
+        // when NOTHING published
+        val o = Fork.runPartial(input, forkBranches, runId, branchGate = gate)
+        if (o.succeeded.isEmpty && forkBranches.nonEmpty)
+          throw new IllegalStateException(
+            "all branches failed: " + o.failed.map {
+              case (n, e) => s"$n: $e" }.mkString("; "))
+        (o.succeeded, o.failed)
+      case _ => // COMMIT_ON_FULL_SUCCESS (default)
+        (Fork.run(input, forkBranches, runId,
+          beforePromote = counts =>
+            counts.foreach { case (n, c) => gate(n, c) }),
+          Map.empty[String, String])
+    }
 
     writeTimer.update(System.nanoTime() - tWrite0)
 
@@ -222,21 +239,28 @@ object PipelineRunner {
     srcCtx.counter("records.rejected").inc(rejectedCount)
     spec.branches.foreach { b =>
       val bc = mctx.childContext(s"branch.${b.name}")
-      val r = branchResults(b.name)
-      bc.counter("records.routed").inc(r.routed)
-      bc.counter("records.written").inc(r.written)
-      if (b.writeSpec.format != "jdbc")
-        try {
-          val p = new org.apache.hadoop.fs.Path(b.outDir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          bc.counter("bytes.written").inc(fs.getContentSummary(p).getLength)
-        } catch { case _: java.io.IOException => }
+      branchResults.get(b.name) match {
+        case Some(r) =>
+          bc.counter("records.routed").inc(r.routed)
+          bc.counter("records.written").inc(r.written)
+          if (b.writeSpec.format != "jdbc")
+            try {
+              val p = new org.apache.hadoop.fs.Path(b.outDir)
+              val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              bc.counter("bytes.written").inc(fs.getContentSummary(p).getLength)
+            } catch { case _: java.io.IOException => }
+        case None => // partial commit: branch didn't publish this run
+          bc.counter("branch.failed").inc()
+      }
     }
 
     // ---- 3b. state commit ----
     val newWm: Option[String] = spec.source.watermarkColumn.flatMap { _ =>
-      // empty extract preserves the previous watermark (QueryBasedSource.java:195-199)
-      if (extracted == 0) prevWm
+      // empty extract preserves the previous watermark (QueryBasedSource.java:195-199);
+      // so does a partial commit — advancing past rows a failed branch
+      // never published would lose them, while re-extracting them is
+      // idempotent (branch publishes are overwrite-mode)
+      if (extracted == 0 || failedBranches.nonEmpty) prevWm
       else Option(obsSrc.get("wm_max")).map(fmtWm)
     }
     mctx.timer("time.state_commit").time {
@@ -248,7 +272,7 @@ object PipelineRunner {
 
     JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm,
-      mctx.snapshotRecursive())
+      mctx.snapshotRecursive(), failedBranches)
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }

@@ -62,7 +62,11 @@ final case class PipelineSpec(name: String,
                               errDir: Option[String] = None,
                               rowCountRange: Option[Double] = None, // task policy
                               branches: Seq[BranchSpec],
-                              stateDir: Option[String] = None)
+                              stateDir: Option[String] = None,
+                              // "full" = COMMIT_ON_FULL_SUCCESS (default);
+                              // "successful" = COMMIT_SUCCESSFUL_TASKS
+                              // (JobCommitPolicy.java:35,53)
+                              commitPolicy: String = "full")
 
 object PipelineSpec {
 
@@ -140,6 +144,7 @@ object PipelineSpec {
       errDir = props.get("qualitychecker.err.dir"),
       rowCountRange = props.get("taskpolicy.rowcount.range").map(_.toDouble),
       branches = branches,
-      stateDir = props.get("state.dir"))
+      stateDir = props.get("state.dir"),
+      commitPolicy = props.getOrElse("job.commit.policy", "full"))
   }
 }

@@ -102,7 +102,14 @@ object AtomicPublisher {
 
     var w = df.write.mode(spec.mode).format(spec.format).options(spec.options)
     if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
-    w.save(staging.toString)
+    // a write that dies mid-stage must not leave a half-written staging
+    // dir behind — the caller has no StagedOutput to abort yet
+    try w.save(staging.toString)
+    catch { case e: Throwable =>
+      try { if (fs.exists(staging)) fs.delete(staging, true) }
+      catch { case _: java.io.IOException => }
+      throw e
+    }
     Staged(fs, staging, dst, runId)
   }
 

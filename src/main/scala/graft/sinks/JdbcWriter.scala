@@ -105,8 +105,16 @@ object JdbcWriter {
     * the file publisher embeds runId in its staging dir. */
   def stage(df: DataFrame, spec: JdbcSpec, runId: String = "run"): StagedTable = {
     val staging = spec.table + "_stg_" + runId.replaceAll("[^A-Za-z0-9_]", "_")
-    write(df, spec.copy(table = staging, mode = SaveMode.Overwrite))
-    StagedTable(spec, staging)
+    val st = StagedTable(spec, staging)
+    // mirror AtomicPublisher.stage: a write that dies mid-stage drops its
+    // half-written staging table rather than leaving debris the caller
+    // has no handle to abort
+    try write(df, spec.copy(table = staging, mode = SaveMode.Overwrite))
+    catch { case e: Throwable =>
+      try st.abort() catch { case _: java.sql.SQLException => }
+      throw e
+    }
+    st
   }
 
   /** Staged write + immediate publish. */

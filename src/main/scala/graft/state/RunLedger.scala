@@ -52,11 +52,22 @@ final class RunLedger(spark: SparkSession, dir: String) {
     try out.write(line.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Record a successful run from its JobResult. */
+  /** Record a completed run from its JobResult. A run that published
+    * only some branches (COMMIT_SUCCESSFUL_TASKS) lands as
+    * COMMITTED_PARTIAL with the failed branches in `detail`, so
+    * monitoring can distinguish "done" from "done, but branch X needs
+    * the re-run" (the reference records per-task states inside its
+    * JobExecutionInfo the same way). */
   def recordResult(job: String, r: JobResult,
-                   startedAtMs: Long, finishedAtMs: Long): Unit =
-    record(job, r.runId, "SUCCEEDED", startedAtMs, finishedAtMs,
-      r.extracted, r.rejected, r.branchCounts, r.committedWatermark)
+                   startedAtMs: Long, finishedAtMs: Long): Unit = {
+    val partial = r.failedBranches.nonEmpty
+    record(job, r.runId,
+      if (partial) "COMMITTED_PARTIAL" else "SUCCEEDED",
+      startedAtMs, finishedAtMs,
+      r.extracted, r.rejected, r.branchCounts, r.committedWatermark,
+      detail = if (!partial) "" else r.failedBranches.toSeq.sorted
+        .map { case (n, e) => s"$n: $e" }.mkString("failed branches: ", "; ", ""))
+  }
 
   /** Full history as a DataFrame. The schema is FIXED (not inferred) so
     * an empty ledger is still column-addressable — monitoring queries

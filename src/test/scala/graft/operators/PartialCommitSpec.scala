@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.pipeline.{PipelineRunner, PipelineSpec}
+import graft.sinks.AtomicPublisher.WriteSpec
+import graft.state.{RunLedger, StateStore}
+
+class PartialCommitSpec extends SparkSpec {
+
+  private def poison(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("chk", assert_true(col("id") < 0)) // throws at execution
+
+  test("runPartial publishes healthy branches while a poison branch aborts") {
+    val base = tmpDir("partial-fork")
+    val df = spark.range(100).toDF("id")
+    val o = Fork.runPartial(df, Seq(
+      Fork.Branch("good", Some(col("id") % 2 === 0), identity,
+        s"$base/good", WriteSpec()),
+      Fork.Branch("bad", None, poison, s"$base/bad", WriteSpec()),
+      Fork.Branch("alsogood", None, _.select(col("id") * 2 as "id2"),
+        s"$base/alsogood", WriteSpec())), "pr-1")
+    assert(o.succeeded.keySet == Set("good", "alsogood"))
+    assert(o.succeeded("good") == Fork.BranchResult(50, 50))
+    assert(o.failed.keySet == Set("bad"))
+    assert(spark.read.parquet(s"$base/good").count() == 50)
+    assert(spark.read.parquet(s"$base/alsogood").count() == 100)
+    // the failed branch published nothing and left no staging debris
+    val dir = new java.io.File(base)
+    assert(!new java.io.File(base, "bad").exists)
+    assert(dir.listFiles.map(_.getName).forall(!_.startsWith(".staging")))
+  }
+
+  test("a failed branch's PREVIOUS output stays untouched") {
+    val base = tmpDir("partial-prev")
+    val prev = spark.range(7).toDF("id")
+    graft.sinks.AtomicPublisher.publish(prev, s"$base/bad", "seed")
+    val o = Fork.runPartial(spark.range(100).toDF("id"), Seq(
+      Fork.Branch("bad", None, poison, s"$base/bad", WriteSpec()),
+      Fork.Branch("good", None, identity, s"$base/good", WriteSpec())), "pr-2")
+    assert(o.failed.keySet == Set("bad") && o.succeeded.keySet == Set("good"))
+    assert(spark.read.parquet(s"$base/bad").count() == 7) // last good version
+  }
+
+  test("a branch failing its gate aborts alone; siblings still publish") {
+    val base = tmpDir("partial-gate")
+    val o = Fork.runPartial(spark.range(10).toDF("id"), Seq(
+      Fork.Branch("a", None, identity, s"$base/a", WriteSpec()),
+      Fork.Branch("b", None, identity, s"$base/b", WriteSpec())), "pr-3",
+      branchGate = (name, _) =>
+        require(name != "b", s"task policy rejected $name"))
+    assert(o.succeeded.keySet == Set("a"))
+    assert(o.failed.keySet == Set("b"))
+    assert(o.failed("b").contains("task policy rejected b"))
+    assert(!new java.io.File(base, "b").exists)
+  }
+
+  test("pipeline COMMIT_SUCCESSFUL_TASKS: partial ledger row, watermark held back") {
+    val base = tmpDir("partial-pipe")
+    spark.range(50)
+      .selectExpr("id", "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+      .write.parquet(s"$base/in")
+    def props(badOut: String) = Map(
+      "job.name" -> "pjob",
+      "job.commit.policy" -> "successful",
+      "source.format" -> "parquet",
+      "source.path" -> s"$base/in",
+      "source.watermark.column" -> "ts",
+      "source.watermark.default" -> "2024-01-01 00:00:00",
+      "fork.1.name" -> "good",
+      "fork.1.out" -> s"$base/out/good",
+      "fork.2.name" -> "bad",
+      "fork.2.filter" -> "assert_true(id < 0) IS NULL", // throws at execution
+      "fork.2.out" -> badOut,
+      "state.dir" -> s"$base/state")
+    val r = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props(s"$base/out/bad")), "prun-1")
+    assert(r.failedBranches.keySet == Set("bad"))
+    assert(r.branchCounts == Map("good" -> 50L))
+    assert(spark.read.parquet(s"$base/out/good").count() == 50)
+    // watermark must NOT advance past rows the failed branch never wrote
+    val wm = new StateStore(spark, s"$base/state").highWatermark("pjob")
+    assert(wm.contains("2024-01-01 00:00:00")) // still the default
+    // ledger distinguishes partial from full success
+    val row = new RunLedger(spark, s"$base/state/runs").history
+      .filter("run_id = 'prun-1'").collect().head
+    assert(row.getAs[String]("status") == "COMMITTED_PARTIAL")
+    assert(row.getAs[String]("detail").contains("bad:"))
+
+    // the re-run (branch fixed) publishes and advances the watermark
+    val r2 = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props(s"$base/out/bad") +
+        ("fork.2.filter" -> "id >= 0")), "prun-2")
+    assert(r2.failedBranches.isEmpty)
+    assert(r2.committedWatermark.contains("2024-03-01 00:00:49.0"))
+    assert(new StateStore(spark, s"$base/state").highWatermark("pjob")
+      .contains("2024-03-01 00:00:49.0"))
+  }
+
+  test("all branches failing fails the job and ledgers FAILED") {
+    val base = tmpDir("partial-all")
+    spark.range(5).toDF("id").write.parquet(s"$base/in")
+    val spec = PipelineSpec.fromProperties(Map(
+      "job.name" -> "alljob",
+      "job.commit.policy" -> "successful",
+      "source.format" -> "parquet",
+      "source.path" -> s"$base/in",
+      "fork.1.name" -> "b1",
+      "fork.1.filter" -> "assert_true(id < 0) IS NULL",
+      "fork.1.out" -> s"$base/out/b1",
+      "state.dir" -> s"$base/state"))
+    intercept[IllegalStateException] {
+      PipelineRunner.run(spark, spec, "arun-1")
+    }
+    val row = new RunLedger(spark, s"$base/state/runs").history
+      .filter("run_id = 'arun-1'").collect().head
+    assert(row.getAs[String]("status") == "FAILED")
+  }
+}
