@@ -41,7 +41,10 @@ object Bench {
     "q67_incremental_dedup",  // Bloom-prefiltered batch-vs-corpus dedup
     "q70_tfidf_topk",         // explode + two-level agg + windowed top-k
     "q72_decontaminate",      // broadcast semi-join n-gram overlap filter
-    "q73_lsh_index_neardup")  // bucketed LSH index build + batch probe
+    "q73_lsh_index_neardup",  // bucketed LSH index build + batch probe
+    // appended round 8:
+    "q76_config_retention",   // config-store K + broadcast-policy window
+    "q77_fs_retention")       // partitioned write + version-find + delete + read-back
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

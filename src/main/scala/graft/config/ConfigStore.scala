@@ -77,4 +77,52 @@ object ConfigStore {
   /** Build from flat "path -> node" pairs; paths are normalized. */
   def apply(entries: (String, ConfigNode)*): ConfigStore =
     new ConfigStore(entries.map { case (p, n) => normalize(p) -> n }.toMap)
+
+  /** Load a persisted store from a filesystem tree — the reference's
+    * SimpleHadoopFilesystemConfigStore layout
+    * (gobblin-config-core/.../store/hdfs/
+    * SimpleHadoopFilesystemConfigStore.java:127-129): every directory
+    * under `root` is a config node; its own keys live in `main.conf`
+    * (key=value lines, # / // comments), its imports in `includes.conf`
+    * (one path per line, root-relative). The reference REVERSES the
+    * includes list (SimpleHadoopFilesystemConfigStore.java:289: later
+    * lines in the file take precedence), and so does this loader.
+    * One metadata walk of O(nodes) — config trees are small by design. */
+  def fromFs(spark: org.apache.spark.sql.SparkSession,
+             root: String): ConfigStore = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(rootPath).toUri
+
+    def readLines(p: Path): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    def clean(lines: Seq[String]): Seq[String] = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
+
+    def nodeAt(dir: Path): ConfigNode = {
+      val props = clean(readLines(new Path(dir, "main.conf"))).flatMap { l =>
+        val i = l.indexOf('=')
+        if (i <= 0) None else Some(l.take(i).trim -> l.drop(i + 1).trim)
+      }.toMap
+      val imports = clean(readLines(new Path(dir, "includes.conf")))
+        .reverse.map(normalize)
+      ConfigNode(props, imports)
+    }
+
+    def walk(dir: Path): Seq[(String, ConfigNode)] = {
+      val rel = rootUri.relativize(fs.makeQualified(dir).toUri).getPath
+      val key = normalize("/" + rel)
+      val children = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+        .flatMap(st => walk(st.getPath))
+      (key -> nodeAt(dir)) +: children
+    }
+
+    new ConfigStore(walk(rootPath).toMap)
+  }
 }

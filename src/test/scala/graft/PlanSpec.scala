@@ -189,4 +189,18 @@ class PlanSpec extends SparkSpec {
     // tf agg, df agg, tf-side re-key to term, window by doc
     assert(exchanges <= 4, s"expected <=4 shuffles, saw $exchanges:\n$p")
   }
+
+  test("q76 config retention broadcasts the policy table; big shuffle stays on (dataset, version)") {
+    val p = planOf(q("q76_config_retention"))
+    // the O(datasets) policy table must broadcast, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), s"policy join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    // exactly 2 row shuffles: the events aggregation distributes on
+    // (event_type, d) — the well-spread key — and only the already-
+    // aggregated O(datasets × days) rows re-shuffle for the window.
+    // (Re-keying the RAW scan by event_type alone would save one
+    // exchange but concentrate 100 TB onto O(datasets) partitions.)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 shuffles, saw $exchanges:\n$p")
+  }
 }

@@ -61,6 +61,33 @@ class ConfigStoreSpec extends SparkSpec {
     assert(all("click")("retention.k") == "6")
   }
 
+  test("fromFs loads the reference's main.conf/includes.conf tree layout") {
+    import java.nio.file.{Files, Paths}
+    val root = tmpDir("cfg-store")
+    def put(rel: String, name: String, lines: Seq[String]): Unit = {
+      val d = Paths.get(root, rel)
+      Files.createDirectories(d)
+      Files.write(d.resolve(name), lines.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    put("", "main.conf", Seq("retention.k = 3", "# a comment", "owner=infra"))
+    put("tags/hot", "main.conf", Seq("retention.k=6", "tier=ssd"))
+    put("tags/cold", "main.conf", Seq("retention.k=1", "tier=hdd"))
+    put("datasets/click", "includes.conf",
+      // the reference REVERSES includes: the LAST line wins ties
+      Seq("/tags/cold", "", "// trailing comment", "/tags/hot"))
+    put("datasets/logs", "main.conf", Seq("retention.k=9"))
+
+    val fsStore = ConfigStore.fromFs(spark, root)
+    val click = fsStore.resolve("/datasets/click")
+    assert(click("retention.k") == "6")   // hot (last include) beats cold
+    assert(click("tier") == "ssd")
+    assert(fsStore.resolve("/datasets/click")("owner") == "infra")
+    assert(fsStore.resolve("/datasets/logs")("retention.k") == "9")
+    assert(fsStore.resolve("/datasets/unknown")("retention.k") == "3")
+    assert(fsStore.childrenOf("/datasets") ==
+      Seq("/datasets/click", "/datasets/logs"))
+  }
+
   test("newestKPerDataset applies dataset-scoped K in one pass") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
