@@ -37,12 +37,15 @@ final class MetricStore(spark: SparkSession, dir: String) {
              rows: Seq[MetricRecord]): Unit = {
     fs.mkdirs(new Path(dir))
     val p = new Path(dir, s"metrics-${sanitize(runId)}.json")
+    // no-metric runs still create the (empty) file — the runId uniqueness
+    // check must hold — but never a blank line the JSON reader would
+    // surface as an all-null row
     val lines = rows.map { r =>
       s"""{"job":${js(job)},"run_id":${js(runId)},""" +
         s""""context":${js(r.context)},"metric":${js(r.metric)},""" +
         s""""kind":${js(r.kind)},"value":${r.value},""" +
-        s""""recorded_at_ms":$recordedAtMs}"""
-    }.mkString("", "\n", "\n")
+        s""""recorded_at_ms":$recordedAtMs}""" + "\n"
+    }.mkString
     // overwrite=false: the create itself is the per-run uniqueness check
     val out = fs.create(p, false)
     try out.write(lines.getBytes("UTF-8")) finally out.close()

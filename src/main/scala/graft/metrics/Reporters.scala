@@ -140,9 +140,14 @@ final class ScheduledMetricReporter(ctx: MetricContext,
     this
   }
 
-  /** Stop the schedule, push one final snapshot, release the sender. */
+  /** Stop the schedule, push one final snapshot, release the sender.
+    * Waits out any in-flight scheduled report first — reporters hold
+    * single connections and are not safe to call concurrently. */
   override def close(): Unit = {
     exec.shutdownNow(): Unit
+    try exec.awaitTermination(10, TimeUnit.SECONDS)
+    catch { case _: InterruptedException =>
+      Thread.currentThread().interrupt() }
     try reportNow() catch { case _: Exception => }
     reporter.close()
   }

@@ -77,8 +77,15 @@ class MetricsSpec extends SparkSpec {
       store.record("jobA", "run-1", 2000L,
         Seq(MetricRecord("x", "y", "counter", 1)))
     }
+    // a no-metric run still claims its runId but adds no rows (and no
+    // all-null blank-line artifact)
+    store.record("jobA", "run-empty", 3000L, Nil)
+    intercept[Exception] {
+      store.record("jobA", "run-empty", 4000L, Nil)
+    }
     val t = store.table
     assert(t.count() == 2)
+    assert(t.filter("job IS NULL").count() == 0)
     val row = t.filter("metric = 'records.read'").collect().head
     assert(row.getAs[String]("context") == "jobA.source")
     assert(row.getAs[Long]("value") == 42)
