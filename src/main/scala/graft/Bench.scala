@@ -44,7 +44,8 @@ object Bench {
     "q73_lsh_index_neardup",  // bucketed LSH index build + batch probe
     // appended round 8:
     "q76_config_retention",   // config-store K + broadcast-policy window
-    "q77_fs_retention")       // partitioned write + version-find + delete + read-back
+    "q77_fs_retention",       // partitioned write + version-find + delete + read-back
+    "q79_corpus_mix")         // map-only weighted epoch expansion
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

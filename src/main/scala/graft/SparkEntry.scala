@@ -1047,6 +1047,18 @@ object SparkEntry {
       s.read.parquet(s"$base/out/good")
     }),
 
+    // weighted corpus mixing (pretraining "data mixing"): src0 appears
+    // 2.5× (two full epochs + a hash-sampled half), src1 is thinned to
+    // 0.4×, everything else passes once. Map-only — copies is a
+    // row-local expression, the epoch expansion a generator — and the
+    // salted md5 hash makes the fractional sampling bit-reproducible in
+    // DuckDB, so the oracle checks the exact mixed multiset.
+    "q79_corpus_mix" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .transform(graft.text.CorpusMix.mixByWeights(
+          "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.4)))
+        .select("doc_id", "source", "lang", "epoch")),
+
     // per-language corpus profile: the dataset-card numbers (doc counts,
     // char volumes, exact median) in one map-side-combined aggregation.
     // Stats are integer-exact or IEEE-exact (sum/count/min/max, division,
@@ -1508,6 +1520,14 @@ object SparkEntry {
         "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
     "q78_partial_commit" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "q79_corpus_mix" ->
+      ("WITH c AS (SELECT doc_id, source, lang, " +
+        "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END) + " +
+        "(CASE WHEN ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT " +
+        "% 100 < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 40 ELSE 0 END) " +
+        "THEN 1 ELSE 0 END) AS copies FROM documents) " +
+        "SELECT doc_id, source, lang, unnest(range(copies)) AS epoch " +
+        "FROM c WHERE copies > 0"),
     "q77_fs_retention" ->
       ("WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +
         "value FROM events), " +

@@ -51,6 +51,16 @@ final class MetricStore(spark: SparkSession, dir: String) {
     try out.write(lines.getBytes("UTF-8")) finally out.close()
   }
 
+  /** One metric across runs, time-ordered — feed it to a dashboard or a
+    * regression check (is records.rejected trending up?). */
+  def timeSeries(job: String, context: String, metric: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    table.filter(col("job") === job && col("context") === context &&
+        col("metric") === metric)
+      .orderBy("recorded_at_ms", "run_id")
+      .select("run_id", "recorded_at_ms", "value")
+  }
+
   /** Full metric history, fixed schema (empty store still column-addressable). */
   def table: DataFrame = {
     val p = new Path(dir)

@@ -69,6 +69,36 @@ final class RunLedger(spark: SparkSession, dir: String) {
         .map { case (n, e) => s"$n: $e" }.mkString("failed branches: ", "; ", ""))
   }
 
+  /** The monitoring views the reference serves from its job-history
+    * store (`JobExecutionInfo` via the CLI/GaaS): latest state per job,
+    * failure feed, duration outliers. All are plain DataFrames over
+    * [[history]] — compose further with standard operators. */
+  def latestRuns: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("job"))
+      .orderBy(col("finished_at_ms").desc, col("run_id").desc)
+    history.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Runs that did not fully succeed since `sinceMs` (FAILED and
+    * COMMITTED_PARTIAL both need an operator's attention). */
+  def unhealthySince(sinceMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    history.filter(col("finished_at_ms") >= sinceMs &&
+      col("status") =!= "SUCCEEDED")
+  }
+
+  /** Completed runs whose wall time exceeded `maxMs` — the SLA check. */
+  def slaBreaches(maxMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    history
+      .withColumn("duration_ms",
+        col("finished_at_ms") - col("started_at_ms"))
+      .filter(col("duration_ms") > maxMs)
+  }
+
   /** Full history as a DataFrame. The schema is FIXED (not inferred) so
     * an empty ledger is still column-addressable — monitoring queries
     * like `history.filter("status = 'FAILED'")` resolve before the first

@@ -92,6 +92,18 @@ class MetricsSpec extends SparkSpec {
     assert(row.getAs[Long]("recorded_at_ms") == 1000L)
   }
 
+  test("timeSeries orders one metric across runs") {
+    val store = new MetricStore(spark, tmpDir("mstore-ts"))
+    store.record("j", "r1", 1000L,
+      Seq(MetricRecord("j.source", "records.read", "counter", 10)))
+    store.record("j", "r2", 2000L,
+      Seq(MetricRecord("j.source", "records.read", "counter", 25),
+        MetricRecord("j.source", "records.rejected", "counter", 1)))
+    val ts = store.timeSeries("j", "j.source", "records.read").collect()
+    assert(ts.map(r => (r.getAs[String]("run_id"), r.getAs[Long]("value")))
+      .toSeq == Seq(("r1", 10L), ("r2", 25L)))
+  }
+
   test("pipeline run emits queryable per-stage records/bytes/timings") {
     import graft.pipeline.{PipelineRunner, PipelineSpec}
     val dir = tmpDir("metrics-e2e")

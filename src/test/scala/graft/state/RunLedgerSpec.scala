@@ -21,6 +21,24 @@ class RunLedgerSpec extends SparkSpec {
     assert(ok.getAs[String]("committed_watermark") == "42")
   }
 
+  test("monitoring views: latest per job, unhealthy feed, SLA breaches") {
+    val ledger = new RunLedger(spark, tmpDir("ledger-mon"))
+    ledger.record("jobA", "a1", "SUCCEEDED", 1000, 2000)
+    ledger.record("jobA", "a2", "FAILED", 3000, 3100, detail = "x")
+    ledger.record("jobB", "b1", "SUCCEEDED", 1000, 9000)
+    ledger.record("jobB", "b2", "COMMITTED_PARTIAL", 10000, 10500,
+      detail = "failed branches: audit: boom")
+    val latest = ledger.latestRuns.collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[String]("run_id")).toMap
+    assert(latest == Map("jobA" -> "a2", "jobB" -> "b2"))
+    val unhealthy = ledger.unhealthySince(3000).collect()
+      .map(_.getAs[String]("run_id")).toSet
+    assert(unhealthy == Set("a2", "b2")) // partial commits need attention too
+    val slow = ledger.slaBreaches(maxMs = 1000).collect()
+    assert(slow.map(_.getAs[String]("run_id")).toSeq == Seq("b1"))
+    assert(slow.head.getAs[Long]("duration_ms") == 8000)
+  }
+
   test("re-recording a runId fails loudly; ledger keeps the original") {
     val ledger = new RunLedger(spark, tmpDir("ledger-dup"))
     ledger.record("j", "run-9", "SUCCEEDED", 1, 2)
