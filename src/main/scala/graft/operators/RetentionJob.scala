@@ -35,8 +35,12 @@ object RetentionJob {
                                   kept: Long, deleted: Seq[String])
 
   def run(spark: SparkSession, store: ConfigStore, configPrefix: String,
-          dataRoot: String): Seq[DatasetOutcome] = {
-    store.resolveAll(configPrefix).toSeq.sortBy(_._1).map {
+          dataRoot: String, parallelism: Int = 1): Seq[DatasetOutcome] = {
+    val datasets = store.resolveAll(configPrefix).toSeq.sortBy(_._1)
+    // each dataset is pure metadata work (glob + delete list) — at 10k
+    // datasets the wall time is RPC-latency-bound, so run them on a
+    // bounded pool; results come back in dataset order either way
+    val cleanOne: ((String, Map[String, String])) => DatasetOutcome = {
       case (name, props) =>
         val root = props.getOrElse("dataset.root", s"$dataRoot/$name")
         val versions = props.getOrElse("version.finder", "datetime") match {
@@ -61,6 +65,19 @@ object RetentionJob {
         val deleted = VersionFinder.deleteVersions(spark, doomed)
         val found = versions.count()
         DatasetOutcome(name, found, found - deleted.size, deleted)
+    }
+    if (parallelism <= 1 || datasets.size <= 1) datasets.map(cleanOne)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(parallelism.min(datasets.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(
+          datasets.map(d => new java.util.concurrent.Callable[DatasetOutcome] {
+            override def call(): DatasetOutcome = cleanOne(d)
+          }).asJava
+        ).asScala.toSeq.map(_.get()) // rethrows the first dataset failure
+      } finally { pool.shutdown(): Unit }
     }
   }
 

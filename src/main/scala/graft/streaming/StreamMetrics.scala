@@ -61,8 +61,11 @@ final class StreamMetricsListener(ctx: MetricContext,
     val durMs = Option(p.durationMs.get("triggerExecution"))
       .fold(0L)(_.longValue())
     c.timer("time.batch").update(durMs * 1000000L)
+    // first batches report NaN/Infinity rates — a gauge of garbage is
+    // worse than a zero
+    val rate = p.inputRowsPerSecond
     c.gauge("input.rows_per_sec",
-      math.round(p.inputRowsPerSecond).max(0))
+      if (rate.isNaN || rate.isInfinite) 0L else math.round(rate).max(0))
     store.foreach { st =>
       try st.record(name, s"$name-epoch-${p.batchId}",
         System.currentTimeMillis(), c.snapshot())

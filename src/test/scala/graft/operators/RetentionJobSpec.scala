@@ -54,9 +54,13 @@ class RetentionJobSpec extends SparkSpec {
     assert(frame.filter("dataset = 'click'").collect()
       .head.getAs[Long]("deleted") == 5)
 
-    // re-run is a no-op (survivors already satisfy the policies)
-    val again = RetentionJob.run(spark, store, "/datasets", s"$base/data")
+    // re-run is a no-op (survivors already satisfy the policies) — and a
+    // parallel run returns the same outcomes in the same dataset order
+    val again = RetentionJob.run(spark, store, "/datasets", s"$base/data",
+      parallelism = 4)
     assert(again.forall(_.deleted.isEmpty))
+    assert(again.map(_.dataset) == Seq("click", "state"))
+    assert(again.map(o => (o.found, o.kept)) == Seq((3L, 3L), (2L, 2L)))
   }
 
   test("newerthan cutoff policy deletes only older versions") {
