@@ -16,9 +16,11 @@ import graft.config.ConfigStore
   * datasets.
   *
   * Per-dataset keys (own, imported, or inherited):
-  *   version.finder            datetime | modtime      (default datetime)
+  *   version.finder            datetime | modtime | unix | filelevel
+  *                                                     (default datetime)
   *   version.datetime.pattern  e.g. yyyy/MM/dd or 'd='yyyy-MM-dd
-  *   version.globPattern       override/for modtime    (default *)
+  *   version.globPattern       override/for modtime+unix (default *)
+  *   version.timestamp.regex   unix finder: group 1 = epoch millis
   *   retention.policy          newestk | newerthan     (default newestk)
   *   retention.newestk.k       K                       (default 2)
   *   retention.newerthan.cutoff yyyy-MM-dd HH:mm:ss
@@ -46,6 +48,11 @@ object RetentionJob {
         val versions = props.getOrElse("version.finder", "datetime") match {
           case "modtime" => VersionFinder.globModTimeVersions(
             spark, root, props.getOrElse("version.globPattern", "*"))
+          case "unix" => VersionFinder.unixTimestampVersions(
+            spark, root, props.getOrElse("version.globPattern", "*"),
+            regex = props.get("version.timestamp.regex"))
+          case "filelevel" =>
+            VersionFinder.fileLevelModTimeVersions(spark, root)
           case _ => VersionFinder.dateTimeVersions(
             spark, root,
             props.getOrElse("version.datetime.pattern",

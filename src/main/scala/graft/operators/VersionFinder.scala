@@ -84,6 +84,60 @@ object VersionFinder {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Versions from a unix timestamp embedded in each matched path's
+    * NAME: `regex`'s first capture group (or the whole name when None)
+    * parses as epoch millis; non-matching / non-numeric names are
+    * skipped (UnixTimestampVersionFinder.java:45-80 over
+    * WatermarkDatasetVersionFinder's regex extraction). */
+  def unixTimestampVersions(spark: SparkSession, root: String,
+                            glob: String = "*",
+                            regex: Option[String] = None): DataFrame = {
+    val pattern = regex.map(_.r)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(new Path(rootPath, glob)))
+      .getOrElse(Array())
+    val rows = statuses.toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val raw = pattern match {
+        case Some(p) => p.findFirstMatchIn(name)
+          .flatMap(m => Option(m.group(1)))
+        case None => Some(name)
+      }
+      raw.flatMap(_.toLongOption)
+        .map(ms => Row(st.getPath.toString, new Timestamp(ms)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** One version per MOST-NESTED path (leaf file, or empty leaf dir),
+    * versioned by its modification time — the finder for datasets whose
+    * retention unit is individual files rather than version dirs
+    * (FileLevelTimestampVersionFinder.java:49,67 over
+    * listMostNestedPathRecursively). The walk is O(files) driver
+    * metadata; retention datasets are bounded by design. */
+  def fileLevelModTimeVersions(spark: SparkSession,
+                               root: String): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) Seq(st)
+      else {
+        val children = fs.listStatus(p).toSeq
+        if (children.isEmpty) Seq(st) // empty dir is its own leaf
+        else children.flatMap(c => leaves(c.getPath))
+      }
+    }
+    val rows =
+      if (!fs.exists(rootPath)) Nil
+      else leaves(rootPath).map(st =>
+        Row(st.getPath.toString, new Timestamp(st.getModificationTime)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Execute the delete set: remove each doomed version ROOT recursively
     * (the cleaner deletes version directories, not individual files —
     * DatasetCleaner.java:71 via VersionCleaner). The doomed list is

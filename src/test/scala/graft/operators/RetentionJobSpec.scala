@@ -63,6 +63,27 @@ class RetentionJobSpec extends SparkSpec {
     assert(again.map(o => (o.found, o.kept)) == Seq((3L, 3L), (2L, 2L)))
   }
 
+  test("unix-timestamp finder drives retention via the config keys") {
+    val base = tmpDir("retjob-unix")
+    Seq(1000000L, 2000000L, 3000000L).foreach(ts =>
+      Files.createDirectories(Paths.get(s"$base/data/snaps/run-$ts-ok")))
+    def put(lines: Seq[String]): Unit = {
+      val d = Paths.get(s"$base/conf/datasets/snaps")
+      Files.createDirectories(d)
+      Files.write(d.resolve("main.conf"),
+        lines.mkString("\n").getBytes("UTF-8")): Unit
+    }
+    put(Seq("version.finder=unix",
+      "version.globPattern=run-*",
+      "version.timestamp.regex=run-(\\d+)-ok",
+      "retention.newestk.k=1"))
+    val out = RetentionJob.run(spark,
+      ConfigStore.fromFs(spark, s"$base/conf"), "/datasets", s"$base/data")
+    assert(out.head.found == 3 && out.head.kept == 1)
+    assert(Files.exists(Paths.get(s"$base/data/snaps/run-3000000-ok")))
+    assert(!Files.exists(Paths.get(s"$base/data/snaps/run-1000000-ok")))
+  }
+
   test("newerthan cutoff policy deletes only older versions") {
     val base = tmpDir("retjob-cutoff")
     Seq("2024/01/05", "2024/01/15", "2024/02/05").foreach(d =>

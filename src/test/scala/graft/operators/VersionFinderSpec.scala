@@ -61,6 +61,36 @@ class VersionFinderSpec extends SparkSpec {
     assert(v.head.getString(0).endsWith("snap_a"))
   }
 
+  test("unixTimestampVersions parses epoch names, regex group, skips junk") {
+    val root = tmpDir("vf-unix")
+    mkdirs(root, Seq("1700000000000", "1700000100000", "not-a-ts",
+      "backup-1700000200000-v2"))
+    val bare = VersionFinder.unixTimestampVersions(spark, root)
+      .orderBy("version_ts").collect()
+    assert(bare.length == 2) // regexless: whole name must be numeric
+    assert(bare.head.getTimestamp(1).getTime == 1700000000000L)
+    val rex = VersionFinder.unixTimestampVersions(spark, root,
+      regex = Some("backup-(\\d+)-v\\d+"))
+      .collect()
+    assert(rex.length == 1)
+    assert(rex.head.getTimestamp(1).getTime == 1700000200000L)
+  }
+
+  test("fileLevelModTimeVersions finds most-nested paths only") {
+    val root = tmpDir("vf-leaf")
+    mkdirs(root, Seq("a/b", "a/empty"))
+    Files.createFile(Paths.get(root, "a/b/f1.txt"))
+    Files.createFile(Paths.get(root, "a/b/f2.txt"))
+    Files.createFile(Paths.get(root, "top.txt"))
+    val v = VersionFinder.fileLevelModTimeVersions(spark, root)
+      .collect().map(_.getString(0)).sorted
+    assert(v.length == 4)
+    assert(v.exists(_.endsWith("a/b/f1.txt")))
+    assert(v.exists(_.endsWith("a/empty"))) // empty dir is its own leaf
+    assert(v.exists(_.endsWith("top.txt")))
+    assert(!v.exists(_.endsWith("/a"))) // interior dirs are not versions
+  }
+
   test("finder + newestK + deleteVersions is a runnable retention job") {
     val root = tmpDir("vf-retain")
     val days = (1 to 9).map(d => f"2024/01/0$d")
