@@ -77,6 +77,46 @@ object SchemaEvolution {
   def backwardCompatible(writer: StructType, reader: StructType): Boolean =
     incompatibilities(writer, reader).isEmpty
 
+  /** Least widening both `x` and `y` promote into; throws when none
+    * exists (e.g. string vs long). */
+  private def lub(x: DataType, y: DataType, at: String): DataType =
+    (x, y) match {
+      case (x, y) if x == y => x
+      case (x: StructType, y: StructType) => merge(x, y, at)
+      case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
+        ArrayType(lub(xe, ye, at), xn || yn)
+      case (MapType(xk, xv, xn), MapType(yk, yv, yn)) if xk == yk =>
+        MapType(xk, lub(xv, yv, at), xn || yn)
+      case (x, y) if canPromote(x, y) => y
+      case (x, y) if canPromote(y, x) => x
+      case (x, y) => throw new IllegalArgumentException(
+        s"field '$at': no common widening of " +
+          s"${x.simpleString} and ${y.simpleString}")
+    }
+
+  /** Least-upper-bound of two WRITER schemas: the narrowest schema both
+    * promote into — common fields widen ([[canPromote]] either way,
+    * structs recurse), fields present on one side only join as nullable
+    * (their rows on the other side read as null). Field order: `a`'s
+    * fields first, then `b`'s new ones — so a table's column order is
+    * stable as batches evolve it. Throws when any shared field has no
+    * common widening. Post-law (unit-tested): the result is
+    * [[backwardCompatible]] with BOTH inputs. */
+  def merge(a: StructType, b: StructType, path: String = ""): StructType = {
+    def at(n: String) = if (path.isEmpty) n else s"$path.$n"
+    val common = a.fields.map { af =>
+      b.fields.find(_.name == af.name) match {
+        case None => af.copy(nullable = true)
+        case Some(bf) => StructField(af.name,
+          lub(af.dataType, bf.dataType, at(af.name)),
+          af.nullable || bf.nullable)
+      }
+    }
+    val added = b.fields.filterNot(bf => a.fieldNames.contains(bf.name))
+      .map(_.copy(nullable = true))
+    StructType(common ++ added)
+  }
+
   /** Align one value to its evolved type BY NAME at every nesting level.
     * A plain `cast` is positional for structs (and demands equal field
     * counts), so same-named-but-reordered nested fields would silently
