@@ -1094,6 +1094,41 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    // HTTP/ES sink round-trip (AsyncHttpWriter.java:49 +
+    // ElasticsearchDataWriter _bulk): index supplier into an in-process
+    // `_bulk` endpoint that PERSISTS every request body; the result is
+    // the documents parsed back OFF THE WIRE, so the oracle row proves
+    // byte-level sink serialization, not just delivery counts.
+    "q80_es_bulk_roundtrip" -> ((s, dir) => {
+      val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        val resp = "{\"errors\":false}".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      })
+      srv.start()
+      try {
+        val src = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        graft.sinks.HttpSink.esBulk(src, graft.sinks.HttpSink.EsConfig(
+          s"http://127.0.0.1:${srv.getAddress.getPort}", "suppliers",
+          idCol = Some("s_suppkey")))
+        // _bulk bodies alternate action/doc lines; docs are the payload
+        val docLines = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(received).asScala.toSeq
+          .flatMap(_.split('\n')).filterNot(_.startsWith("{\"index\":"))
+        s.read.json(s.createDataset(docLines)(
+            org.apache.spark.sql.Encoders.STRING))
+          .select(col("s_suppkey").cast("bigint").as("s_suppkey"),
+            col("s_name").cast("string").as("s_name"),
+            col("s_acctbal").cast("double").as("s_acctbal"))
+      } finally srv.stop(0)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -1520,6 +1555,8 @@ object SparkEntry {
         "CAST(NULL AS VARCHAR) AS note FROM lineitem"),
     "q78_partial_commit" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
+    "q80_es_bulk_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
     "q79_corpus_mix" ->
       ("WITH c AS (SELECT doc_id, source, lang, " +
         "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END) + " +
