@@ -92,9 +92,11 @@ object Fork {
   }
 
   /** Outcome of a partial-commit fork: per-branch results for published
-    * branches, per-branch error text for the ones that weren't. */
+    * branches, per-branch error text for the ones that weren't, and the
+    * branches whose EMPTY delta left their previous output untouched. */
   final case class PartialOutcome(succeeded: Map[String, BranchResult],
-                                  failed: Map[String, String])
+                                  failed: Map[String, String],
+                                  skipped: Set[String] = Set.empty)
 
   /** COMMIT_SUCCESSFUL_TASKS (JobCommitPolicy.java:53-58 + task-level
     * publish): each branch stages, is gated, and promotes INDEPENDENTLY —
@@ -105,17 +107,26 @@ object Fork {
     * sink (COMMIT_ON_FULL_SUCCESS, [[run]]) costs more than a re-run of
     * the failed one. Failure text is captured per branch so the caller
     * can ledger a COMMITTED_PARTIAL outcome. Only non-fatal branch
-    * errors are contained; fatal JVM errors still propagate. */
+    * errors are contained; fatal JVM errors still propagate.
+    *
+    * `skipEmpty(name)` = true marks a branch whose publish should be
+    * SKIPPED (staging aborted, previous output untouched) when zero rows
+    * route to it — the per-dataset face of "an empty extract publishes
+    * nothing and preserves state" (QueryBasedSource.java:195-199). The
+    * runner enables it for branches that published before under a
+    * per-branch watermark, where an empty delta means "already current",
+    * not "dataset became empty". */
   def runPartial(df: DataFrame, branches: Seq[Branch], runId: String,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-                 branchGate: (String, BranchResult) => Unit = (_, _) => ())
+                 branchGate: (String, BranchResult) => Unit = (_, _) => (),
+                 skipEmpty: String => Boolean = _ => false)
       : PartialOutcome = {
     import scala.util.control.NonFatal
     val needPersist =
       branches.size > 1 && df.storageLevel == StorageLevel.NONE
     val shared = if (needPersist) df.persist(storage) else df
     try {
-      val outcomes: Seq[Either[(String, String), (String, BranchResult)]] =
+      val outcomes: Seq[Either[(String, String), (String, Option[BranchResult])]] =
         branches.map { b =>
           try {
             val routed = b.predicate.fold(shared)(shared.filter)
@@ -138,17 +149,23 @@ object Fork {
               val r = BranchResult(
                 obsR.get("rows").asInstanceOf[Long],
                 obsW.get("rows").asInstanceOf[Long])
-              branchGate(b.name, r)
-              so.promote()
-              Right(b.name -> r)
+              if (r.routed == 0 && skipEmpty(b.name)) {
+                so.abort() // nothing new: keep the published output as-is
+                Right(b.name -> None)
+              } else {
+                branchGate(b.name, r)
+                so.promote()
+                Right(b.name -> Some(r))
+              }
             } catch {
               case NonFatal(e) => so.abort(); Left(b.name -> e.toString)
             }
           } catch { case NonFatal(e) => Left(b.name -> e.toString) }
         }
       PartialOutcome(
-        succeeded = outcomes.collect { case Right(kv) => kv }.toMap,
-        failed = outcomes.collect { case Left(kv) => kv }.toMap)
+        succeeded = outcomes.collect { case Right((n, Some(r))) => n -> r }.toMap,
+        failed = outcomes.collect { case Left(kv) => kv }.toMap,
+        skipped = outcomes.collect { case Right((n, None)) => n }.toSet)
     } finally if (needPersist) { shared.unpersist(); () }
   }
 

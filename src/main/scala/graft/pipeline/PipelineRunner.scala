@@ -47,7 +47,11 @@ object PipelineRunner {
                              // non-empty only under COMMIT_SUCCESSFUL_TASKS:
                              // branch name -> error text for branches whose
                              // output was NOT published this run
-                             failedBranches: Map[String, String] = Map.empty)
+                             failedBranches: Map[String, String] = Map.empty,
+                             // branches already current under their
+                             // per-branch watermark (empty delta, publish
+                             // skipped, previous output untouched)
+                             skippedBranches: Set[String] = Set.empty)
 
   /** Run the job lifecycle. Stateful jobs (stateDir set) additionally
     * land a record in the `<stateDir>/runs` history ledger — for EVERY
@@ -111,7 +115,25 @@ object PipelineRunner {
         s.highWatermark(spec.name).orElse(spec.source.watermarkDefault)
       case _ => None
     }
-    val sourced = (spec.source.watermarkColumn, prevWm) match {
+    // Per-branch committed watermarks (COMMIT_SUCCESSFUL_TASKS only):
+    // each branch is its own dataset with its own state, like the
+    // reference's SafeDatasetCommit — a branch that published while a
+    // sibling failed must not re-publish its window on the repair run.
+    val branchState: Map[String, Option[String]] =
+      (store, spec.source.watermarkColumn) match {
+        case (Some(s), Some(_)) if spec.commitPolicy == "successful" =>
+          spec.branches.map(b => b.name ->
+            s.highWatermark(spec.name, s"branch.${b.name}")).toMap
+        case _ => Map.empty
+      }
+    val branchPrev: Map[String, Option[String]] =
+      branchState.map { case (n, v) => n -> v.orElse(prevWm) }
+    // the scan covers the laggard branch; siblings narrow further below
+    val extractWm: Option[String] =
+      if (branchPrev.isEmpty) prevWm
+      else if (branchPrev.values.exists(_.isEmpty)) None
+      else Some(branchPrev.values.flatten.reduce(minWm))
+    val sourced = (spec.source.watermarkColumn, extractWm) match {
       case (Some(wmCol), Some(wm)) => raw.filter(col(wmCol) > lit(parseWm(wm)))
       case _ => raw
     }
@@ -196,8 +218,20 @@ object PipelineRunner {
     // ---- branches: stage all, gate on task policies, then promote ----
     val writeTimer = mctx.timer("time.branch_write")
     val tWrite0 = System.nanoTime()
-    val forkBranches = spec.branches.map(b =>
-      Fork.Branch(b.name, b.predicate, b.transform, b.outDir, b.writeSpec))
+    val forkBranches = spec.branches.map { b =>
+      // a branch ahead of the extraction watermark filters its own delta
+      val ownWm = branchPrev.getOrElse(b.name, None)
+      val wmPred = (spec.source.watermarkColumn, ownWm) match {
+        case (Some(c), Some(w)) if ownWm != extractWm =>
+          Some(col(c) > lit(parseWm(w)))
+        case _ => None
+      }
+      val pred = (b.predicate, wmPred) match {
+        case (Some(p), Some(w)) => Some(p && w)
+        case (p, w) => p.orElse(w)
+      }
+      Fork.Branch(b.name, pred, b.transform, b.outDir, b.writeSpec)
+    }
     // ---- 3a. task policies run BEFORE anything becomes visible ----
     def gate(name: String, c: Fork.BranchResult): Unit =
       spec.rowCountRange.foreach { range =>
@@ -205,23 +239,29 @@ object PipelineRunner {
           s"row-count policy failed for branch $name: " +
             s"expected≈${c.routed} written=${c.written}")
       }
-    val (branchResults, failedBranches) = spec.commitPolicy match {
-      case "successful" =>
-        // COMMIT_SUCCESSFUL_TASKS (JobCommitPolicy.java:53): branches
-        // stage/gate/promote independently; the job only fails outright
-        // when NOTHING published
-        val o = Fork.runPartial(input, forkBranches, runId, branchGate = gate)
-        if (o.succeeded.isEmpty && forkBranches.nonEmpty)
-          throw new IllegalStateException(
-            "all branches failed: " + o.failed.map {
-              case (n, e) => s"$n: $e" }.mkString("; "))
-        (o.succeeded, o.failed)
-      case _ => // COMMIT_ON_FULL_SUCCESS (default)
-        (Fork.run(input, forkBranches, runId,
-          beforePromote = counts =>
-            counts.foreach { case (n, c) => gate(n, c) }),
-          Map.empty[String, String])
-    }
+    val (branchResults, failedBranches, skippedBranches) =
+      spec.commitPolicy match {
+        case "successful" =>
+          // COMMIT_SUCCESSFUL_TASKS (JobCommitPolicy.java:53): branches
+          // stage/gate/promote independently; the job only fails outright
+          // when NOTHING published. A previously-published branch whose
+          // per-branch delta is empty skips its publish — "already
+          // current", its output stays untouched
+          val publishedBefore = branchState.collect {
+            case (n, Some(_)) => n }.toSet
+          val o = Fork.runPartial(input, forkBranches, runId,
+            branchGate = gate, skipEmpty = publishedBefore)
+          if (o.succeeded.isEmpty && o.skipped.isEmpty && forkBranches.nonEmpty)
+            throw new IllegalStateException(
+              "all branches failed: " + o.failed.map {
+                case (n, e) => s"$n: $e" }.mkString("; "))
+          (o.succeeded, o.failed, o.skipped)
+        case _ => // COMMIT_ON_FULL_SUCCESS (default)
+          (Fork.run(input, forkBranches, runId,
+            beforePromote = counts =>
+              counts.foreach { case (n, c) => gate(n, c) }),
+            Map.empty[String, String], Set.empty[String])
+      }
 
     writeTimer.update(System.nanoTime() - tWrite0)
 
@@ -249,30 +289,41 @@ object PipelineRunner {
               val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
               bc.counter("bytes.written").inc(fs.getContentSummary(p).getLength)
             } catch { case _: java.io.IOException => }
+        case None if skippedBranches(b.name) => // empty delta, output kept
+          bc.counter("branch.skipped").inc()
         case None => // partial commit: branch didn't publish this run
           bc.counter("branch.failed").inc()
       }
     }
 
     // ---- 3b. state commit ----
+    val wmMax: Option[String] = spec.source.watermarkColumn.flatMap(_ =>
+      if (extracted == 0) None else Option(obsSrc.get("wm_max")).map(fmtWm))
     val newWm: Option[String] = spec.source.watermarkColumn.flatMap { _ =>
       // empty extract preserves the previous watermark (QueryBasedSource.java:195-199);
-      // so does a partial commit — advancing past rows a failed branch
-      // never published would lose them, while re-extracting them is
-      // idempotent (branch publishes are overwrite-mode)
-      if (extracted == 0 || failedBranches.nonEmpty) prevWm
-      else Option(obsSrc.get("wm_max")).map(fmtWm)
+      // so does a partial commit — the JOB-level watermark only advances
+      // past rows once every branch has published them
+      if (extracted == 0 || failedBranches.nonEmpty) prevWm else wmMax
     }
+    // per-branch state (COMMIT_SUCCESSFUL_TASKS): published and
+    // already-current branches advance their OWN watermark even when a
+    // sibling failed — the repair run then re-extracts only for the
+    // laggard, and current branches skip
+    val branchEntries: Map[(String, String), String] =
+      if (spec.commitPolicy != "successful") Map.empty
+      else wmMax.fold(Map.empty[(String, String), String])(w =>
+        (branchResults.keySet ++ skippedBranches)
+          .map(n => (spec.name, s"branch.$n") -> w).toMap)
     mctx.timer("time.state_commit").time {
-      (store, newWm) match {
-        case (Some(s), Some(wm)) => s.commit(Map((spec.name, "") -> wm), runId)
-        case _ =>
+      store.foreach { s =>
+        val entries = newWm.map(w => (spec.name, "") -> w).toMap ++ branchEntries
+        if (entries.nonEmpty) s.commit(entries, runId)
       }
     }
 
     JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm,
-      mctx.snapshotRecursive(), failedBranches)
+      mctx.snapshotRecursive(), failedBranches, skippedBranches)
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }
@@ -292,6 +343,13 @@ object PipelineRunner {
     * split, inferred from the stored string. */
   private def parseWm(wm: String): Any =
     wm.toLongOption.getOrElse(parseTs(wm))
+
+  /** The earlier of two watermark strings under [[parseWm]]'s typing. */
+  private def minWm(a: String, b: String): String = (parseWm(a), parseWm(b)) match {
+    case (x: Long, y: Long) => if (x <= y) a else b
+    case (x: Timestamp, y: Timestamp) => if (!x.after(y)) a else b
+    case _ => if (a <= b) a else b // mixed typing: lexical tiebreak
+  }
 
   private def parseTs(wm: String): Timestamp =
     try Timestamp.valueOf(wm)

@@ -98,6 +98,65 @@ class PartialCommitSpec extends SparkSpec {
       .contains("2024-03-01 00:00:49.0"))
   }
 
+  test("runPartial skipEmpty: empty delta keeps previous output intact") {
+    val base = tmpDir("partial-skip")
+    graft.sinks.AtomicPublisher.publish(
+      spark.range(7).toDF("id"), s"$base/a", "seed")
+    val o = Fork.runPartial(
+      spark.range(100).filter("id < 0").toDF("id"),
+      Seq(Fork.Branch("a", None, identity, s"$base/a", WriteSpec()),
+        Fork.Branch("b", None, identity, s"$base/b", WriteSpec())),
+      "pr-skip", skipEmpty = Set("a"))
+    assert(o.skipped == Set("a") && o.succeeded.keySet == Set("b"))
+    assert(spark.read.parquet(s"$base/a").count() == 7) // untouched
+    assert(new java.io.File(base, "b").exists) // no flag -> publishes empty
+  }
+
+  test("per-branch watermarks: repair run re-extracts only for the laggard") {
+    val base = tmpDir("partial-wm")
+    def addBatch(ids: Range, day: String): Unit =
+      spark.range(ids.start, ids.end)
+        .selectExpr("id",
+          s"timestamp'$day' + make_interval(0,0,0,0,0,0,id) AS ts")
+        .write.mode("append").parquet(s"$base/in")
+    addBatch(0 until 10, "2024-03-01 00:00:00")
+    def props(badFilter: String) = Map(
+      "job.name" -> "wjob", "job.commit.policy" -> "successful",
+      "source.format" -> "parquet", "source.path" -> s"$base/in",
+      "source.watermark.column" -> "ts",
+      "fork.1.name" -> "good", "fork.1.out" -> s"$base/out/good",
+      "fork.2.name" -> "bad", "fork.2.filter" -> badFilter,
+      "fork.2.out" -> s"$base/out/bad",
+      "state.dir" -> s"$base/state")
+    // run 1: bad poisons; good publishes batch 1, advancing ITS watermark
+    val r1 = PipelineRunner.run(spark, PipelineSpec.fromProperties(
+      props("assert_true(id < 0) IS NULL")), "w-1")
+    assert(r1.failedBranches.keySet == Set("bad"))
+    val st = new StateStore(spark, s"$base/state")
+    assert(st.highWatermark("wjob", "branch.good")
+      .contains("2024-03-01 00:00:09.0"))
+    assert(st.highWatermark("wjob", "branch.bad").isEmpty)
+    // batch 2 arrives; repair run: bad gets both batches, good only #2
+    addBatch(10 until 15, "2024-03-02 00:00:00")
+    val r2 = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props("id >= 0")), "w-2")
+    assert(r2.failedBranches.isEmpty && r2.skippedBranches.isEmpty)
+    assert(r2.branchCounts == Map("good" -> 5L, "bad" -> 15L))
+    assert(spark.read.parquet(s"$base/out/good").count() == 5) // its delta
+    assert(spark.read.parquet(s"$base/out/bad").count() == 15)
+    assert(st.highWatermark("wjob", "branch.bad")
+      .contains("2024-03-02 00:00:14.0"))
+    // run 3: nothing new — both branches current, both skip, outputs kept
+    val r3 = PipelineRunner.run(spark,
+      PipelineSpec.fromProperties(props("id >= 0")), "w-3")
+    assert(r3.skippedBranches == Set("good", "bad"))
+    assert(r3.branchCounts.isEmpty)
+    assert(spark.read.parquet(s"$base/out/good").count() == 5) // NOT clobbered
+    assert(spark.read.parquet(s"$base/out/bad").count() == 15)
+    assert(st.highWatermark("wjob", "branch.good")
+      .contains("2024-03-02 00:00:14.0"))
+  }
+
   test("all branches failing fails the job and ledgers FAILED") {
     val base = tmpDir("partial-all")
     spark.range(5).toDF("id").write.parquet(s"$base/in")
