@@ -45,7 +45,8 @@ object Bench {
     // appended round 8:
     "q76_config_retention",   // config-store K + broadcast-policy window
     "q77_fs_retention",       // partitioned write + version-find + delete + read-back
-    "q79_corpus_mix")         // map-only weighted epoch expansion
+    "q79_corpus_mix",         // map-only weighted epoch expansion
+    "q81_span_dedup")         // C4 span explode + min-agg + rebuild
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1094,6 +1094,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     }),
 
+    // C4-style span-level exact dedup: cut every doc into 8-word spans,
+    // keep each distinct span's FIRST corpus occurrence (min doc, pos),
+    // rebuild docs from survivors. Winner selection is one map-side-
+    // combined min(struct) aggregation — never a per-span window sort.
+    "q81_span_dedup" -> ((s, dir) =>
+      graft.text.SpanDedup.dedupSpans(
+        t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
+
     // HTTP/ES sink round-trip (AsyncHttpWriter.java:49 +
     // ElasticsearchDataWriter _bulk): index supplier into an in-process
     // `_bulk` endpoint that PERSISTS every request body; the result is
@@ -1557,6 +1565,14 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q81_span_dedup" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "e AS (SELECT doc_id, unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS pos, w FROM s), " +
+        "sp AS (SELECT doc_id, pos, array_to_string(w[pos*8+1 : pos*8+8], ' ') AS span FROM e), " +
+        "k AS (SELECT doc_id, pos, span FROM (SELECT doc_id, pos, span, " +
+        "row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM sp) WHERE rn = 1) " +
+        "SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text_dedup " +
+        "FROM k GROUP BY doc_id"),
     "q79_corpus_mix" ->
       ("WITH c AS (SELECT doc_id, source, lang, " +
         "(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END) + " +
