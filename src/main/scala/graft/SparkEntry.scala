@@ -1102,6 +1102,18 @@ object SparkEntry {
       graft.text.SpanDedup.dedupSpans(
         t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
 
+    // int8 scalar quantization of the embedding corpus (FAISS-SQ8 shape;
+    // the storage-compression step before ANN indexing at scale).
+    // Map-only codegen'd HOFs; double arithmetic end-to-end makes the
+    // coding bit-reproducible, so the oracle checks every code exactly.
+    "q82_embed_quantize" -> ((s, dir) =>
+      graft.ann.Quantize.quantizeInt8(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("mn"), col("mx"),
+          posexplode(col("codes")).as(Seq("i", "q8")))
+        .select(col("vec_id"), col("i").cast("bigint").as("i"), col("q8"),
+          col("mn"), col("mx"))),
+
     // HTTP/ES sink round-trip (AsyncHttpWriter.java:49 +
     // ElasticsearchDataWriter _bulk): index supplier into an in-process
     // `_bulk` endpoint that PERSISTS every request body; the result is
@@ -1565,6 +1577,13 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q82_embed_quantize" ->
+      ("WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx FROM m), " +
+        "c AS (SELECT vec_id, v, mn, mx, (mx - mn)/255.0 AS sc FROM b), " +
+        "c2 AS (SELECT vec_id, mn, mx, list_transform(v, x -> CASE WHEN sc = 0 THEN 0 " +
+        "ELSE CAST(floor((x - mn)/sc + 0.5) AS INTEGER) - 128 END) AS codes FROM c) " +
+        "SELECT vec_id, unnest(range(len(codes))) AS i, unnest(codes) AS q8, mn, mx FROM c2"),
     "q81_span_dedup" ->
       ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
         "e AS (SELECT doc_id, unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS pos, w FROM s), " +
