@@ -122,10 +122,14 @@ object DupClusters {
       val lsym = e.union(swap(e))
       val lmin = lsym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // NOT deduped: two parents hooking the same child to the same min
+      // produce duplicate edges, but small-star's min is dup-blind and
+      // `small`'s distinct cleans the round's output — skipping the
+      // dedup saves a full (src,dst) exchange per round, and the dup
+      // count is bounded by the phase's own incidence count |E|
       val large = lsym.join(lmin, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       // small-star: all edges are child>parent; group by child, hook the
       // smaller neighbors AND the child itself onto their minimum
