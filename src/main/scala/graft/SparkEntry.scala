@@ -1102,6 +1102,30 @@ object SparkEntry {
       graft.text.SpanDedup.dedupSpans(
         t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
 
+    // quality-aware near-dup survivor selection: same deterministic pair
+    // graph as q65, but the cluster's KEEP decision is the longest doc
+    // (keep-best-copy), not the minimum id — the policy real pipelines
+    // want when a boilerplate mirror beats the original into the corpus.
+    "q83_cluster_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val ids = docs.select(col("doc_id").as("d"))
+      val chain = ids
+        .filter(pmod(col("d"), lit(10)) =!= 9 && col("d") < lit(n - 1))
+        .select(col("d").as("id_a"), (col("d") + 1).as("id_b"))
+      val overlay = ids.filter(pmod(col("d"), lit(97)) === 0)
+        .select(col("d").as("id_a"), pmod(col("d") * 31, lit(n)).as("id_b"))
+      graft.dedup.DupClusters.survivorsBy(docs, "doc_id",
+          chain.union(overlay), col("n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    // WITHIN-document repeated-span removal (C4's per-page cleanup before
+    // the corpus pass): row-local indexed filter, zero shuffles.
+    "q84_span_dedup_withindoc" -> ((s, dir) =>
+      graft.text.SpanDedup.dedupSpansWithinDoc(
+        t(s, dir, "documents"), "doc_id", "text", spanWords = 3)),
+
     // int8 scalar quantization of the embedding corpus (FAISS-SQ8 shape;
     // the storage-compression step before ANN indexing at scale).
     // Map-only codegen'd HOFs; double arithmetic end-to-end makes the
@@ -1577,6 +1601,31 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q83_cluster_survivors" ->
+      ("WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM documents), " +
+        "ch AS (SELECT d AS id_a, d + 1 AS id_b FROM ids, n " +
+        "WHERE d % 10 <> 9 AND d < n - 1), " +
+        "ov AS (SELECT d AS id_a, (d * 31) % n AS id_b FROM ids, n " +
+        "WHERE d % 97 = 0), " +
+        "p AS (SELECT * FROM ch UNION ALL SELECT * FROM ov), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p " +
+        "UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e " +
+        "ON e.src = r.b WHERE e.dst <> r.a), " +
+        "cl AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a), " +
+        "lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id, " +
+        "d.lang, d.source, d.n_chars FROM documents d LEFT JOIN cl ON cl.a = d.doc_id) " +
+        "SELECT doc_id, lang, source, n_chars FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM lab) WHERE rn = 1"),
+    "q84_span_dedup_withindoc" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sp AS (SELECT doc_id, [array_to_string(w[i*3+1 : i*3+3], ' ') " +
+        "FOR i IN range(CAST(ceil(len(w)/3.0) AS BIGINT))] AS spans FROM s) " +
+        "SELECT doc_id, array_to_string(list_filter(spans, " +
+        "(x, i) -> list_position(spans, x) = i), ' ') AS text_dedup FROM sp"),
     "q82_embed_quantize" ->
       ("WITH m AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
         "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx FROM m), " +

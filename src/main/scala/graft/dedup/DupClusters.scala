@@ -229,4 +229,24 @@ object DupClusters {
     resolve(docs, idCol, pairs, maxIter, driverMaxEdges)
       .filter(col(idCol) === col("cluster_id"))
       .drop("cluster_id")
+
+  /** One survivor per cluster chosen by QUALITY, not id: the member with
+    * the highest `prefer` value (ties break on minimum id — total order,
+    * so the survivor set is deterministic). The keep-best-copy policy of
+    * near-dup pipelines: boilerplate mirrors lose to the fullest
+    * original. Per-cluster work is a row_number window partitioned by
+    * cluster — cluster sizes are bounded by the candidate generator's
+    * bucket caps, so no partition outgrows an executor. */
+  def survivorsBy(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  prefer: org.apache.spark.sql.Column,
+                  maxIter: Int = 20,
+                  driverMaxEdges: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(prefer.desc, col(idCol).asc)
+    resolve(docs, idCol, pairs, maxIter, driverMaxEdges)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "cluster_id")
+  }
 }

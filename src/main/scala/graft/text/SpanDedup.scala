@@ -41,6 +41,26 @@ object SpanDedup {
     docs.select(col(idCol), posexplode(arr).as(Seq("pos", "span")))
   }
 
+  /** WITHIN-document repeated-span removal (C4 also dedups spans inside
+    * each page before the corpus pass): keep each span's first occurrence
+    * in its own document only. Entirely row-local — a single codegen'd
+    * indexed `filter` over the span array, ZERO shuffles at any corpus
+    * size. */
+  def dedupSpansWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                          spanWords: Int = 3): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val words = split(col(textCol), " ")
+    val nSpans = ceil(size(words).cast("double") / lit(spanWords.toDouble))
+      .cast("int")
+    val arr = transform(sequence(lit(0), nSpans - 1),
+      (i: Column) => array_join(
+        slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    docs.select(col(idCol),
+      array_join(filter(arr, (x: Column, i: Column) =>
+        array_position(arr, x) === i.cast("long") + 1L), " ")
+        .as("text_dedup"))
+  }
+
   /** Dedup to (idCol, text_dedup): documents rebuilt from their
     * surviving spans in original order; a document whose every span
     * first appeared elsewhere disappears entirely (C4 drops it too). */

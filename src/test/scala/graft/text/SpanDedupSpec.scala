@@ -35,6 +35,23 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "only two", 2L -> "a b c d"))
   }
 
+  test("within-doc dedup removes repeats per doc, never across docs") {
+    val docs = Seq(
+      (1L, "a b c a b c x y"),  // spans(3): "a b c","a b c","x y" -> dedup
+      (2L, "a b c")             // doc 1's span does NOT affect doc 2
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a b c x y", 2L -> "a b c"))
+  }
+
+  test("within-doc dedup is shuffle-free") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("plan: no cartesian product; winner agg is hash-aggregated") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = SpanDedup.dedupSpans(docs, "doc_id", "text", 3)

@@ -211,4 +211,17 @@ class TextAndDedupSpec extends SparkSpec {
     val pairs = SimHash.candidatePairs(dup, "doc_id", "text", maxDist = 3)
     assert(pairs.filter($"id_b" === $"id_a" + 500000L).count() == 10)
   }
+
+  test("survivorsBy keeps the highest-quality member per cluster") {
+    val d = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),  // cluster {1,2,3}: 2 wins (tie->min id)
+      (7L, 5L),                          // singleton survives
+      (8L, 1L), (9L, 2L)                 // cluster {8,9}: 9 wins
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = graft.dedup.DupClusters
+      .survivorsBy(d, "doc_id", pairs, $"n_chars")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 7L, 9L))
+  }
 }
