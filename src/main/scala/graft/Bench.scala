@@ -46,7 +46,8 @@ object Bench {
     "q76_config_retention",   // config-store K + broadcast-policy window
     "q77_fs_retention",       // partitioned write + version-find + delete + read-back
     "q79_corpus_mix",         // map-only weighted epoch expansion
-    "q81_span_dedup")         // C4 span explode + min-agg + rebuild
+    "q81_span_dedup",         // C4 span explode + min-agg + rebuild
+    "q85_neardup_keepbest")   // full minhash->verify->components->keep-best
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

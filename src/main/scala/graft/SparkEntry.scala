@@ -1102,6 +1102,23 @@ object SparkEntry {
       graft.text.SpanDedup.dedupSpans(
         t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
 
+    // the COMPLETE near-dup dedup pipeline in one oracle row: minhash
+    // candidates -> exact-Jaccard verify -> connected components ->
+    // keep-best-copy survivor (longest doc, min-id tiebreak). DuckDB
+    // recomputes it from first principles (brute-force true-Jaccard
+    // pairs + recursive components + the same window), so the row proves
+    // the banded LSH path loses NO pair the exact definition requires.
+    "q85_neardup_keepbest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
+        n = 3, k = 64, numBands = 32)
+      val pairs = MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id",
+        "text", n = 3, threshold = 0.5).select("id_a", "id_b")
+      graft.dedup.DupClusters.survivorsBy(docs, "doc_id", pairs,
+          col("n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // quality-aware near-dup survivor selection: same deterministic pair
     // graph as q65, but the cluster's KEEP decision is the longest doc
     // (keep-best-copy), not the minimum id — the policy real pipelines
@@ -1601,6 +1618,27 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q85_neardup_keepbest" ->
+      ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
+        "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+2],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-1)] END) AS sh " +
+        "FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM t a JOIN t b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh,b.sh))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM p " +
+        "UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, dst FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e " +
+        "ON e.src = r.b WHERE e.dst <> r.a), " +
+        "cl AS (SELECT a, least(a, min(b)) AS cluster_id FROM reach GROUP BY a), " +
+        "lab AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id, " +
+        "d.lang, d.source, d.n_chars FROM documents d LEFT JOIN cl ON cl.a = d.doc_id) " +
+        "SELECT doc_id, lang, source, n_chars FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM lab) WHERE rn = 1"),
     "q83_cluster_survivors" ->
       ("WITH RECURSIVE ids AS (SELECT doc_id AS d FROM documents), " +
         "n AS (SELECT count(*) AS n FROM documents), " +
