@@ -56,7 +56,18 @@ object ScaleProbe {
     val clusters = time("cluster resolution")(
       DupClusters.resolve(docs, "doc_id", verified.select("id_a", "id_b"))
         .agg(countDistinct(col("cluster_id"))).head().getLong(0))
-    println(s"[scaleprobe] docs=$n candidates=$nc verified=$nv clusters=$clusters")
+    val keepBest = time("keep-best survivors")(
+      DupClusters.survivorsBy(
+        docs.withColumn("n_chars", length(col("text"))), "doc_id",
+        verified.select("id_a", "id_b"), col("n_chars")).count())
+    val spans = time("C4 span dedup (corpus-wide)")(
+      graft.text.SpanDedup.dedupSpans(docs, "doc_id", "text", 8).count())
+    val inDoc = time("within-doc span dedup (map-only)")(
+      graft.text.SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
+        .count())
+    println(s"[scaleprobe] docs=$n candidates=$nc verified=$nv " +
+      s"clusters=$clusters keep_best=$keepBest span_docs=$spans " +
+      s"indoc_docs=$inDoc")
     spark.stop()
   }
 
@@ -92,8 +103,10 @@ object ScaleProbe {
       Ann.ivfTopK(corpus, corpus.filter(col("vec_id") < 100), "vec_id",
         "embedding", k = 10, numCells = 64, nprobe = 8,
         model = Some(model)).count())
+    val quantized = time("int8 quantize (map-only)")(
+      graft.ann.Quantize.quantizeInt8(corpus, "vec_id", "embedding").count())
     println(s"[scaleprobe] vectors=$n neardup_pairs=$pairs " +
-      s"assigned=$assigned ivf_hits=$hits")
+      s"assigned=$assigned ivf_hits=$hits quantized=$quantized")
     spark.stop()
   }
 }

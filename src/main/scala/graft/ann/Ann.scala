@@ -144,8 +144,15 @@ object Ann {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+    // sort-merge hint: the corpus side must NEVER be auto-broadcast —
+    // Catalyst's size estimate through generate/union undercounts array
+    // columns, and a mis-broadcast of the vector corpus OOMs the driver
+    // (observed in ScaleProbe); SMJ is spillable on both sides at any
+    // scale
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .hint("merge")
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .hint("merge")
     pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)

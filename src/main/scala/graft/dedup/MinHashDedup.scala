@@ -110,11 +110,16 @@ object MinHashDedup {
 
   private def verifySets(pairs: DataFrame, withTokens: DataFrame,
                          idCol: String, threshold: Double): DataFrame =
+    // sort-merge hint: the token-set (corpus) side must never be
+    // auto-broadcast — Catalyst undercounts array columns through
+    // generate/union and a mis-broadcast corpus OOMs the driver (seen in
+    // ScaleProbe's embedding twin, Ann.nearDupPairs); SMJ spills safely
+    // on both sides at any scale
     pairs
       .join(withTokens.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("tokset", "tok_a"), "id_a")
+        .withColumnRenamed("tokset", "tok_a").hint("merge"), "id_a")
       .join(withTokens.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("tokset", "tok_b"), "id_b")
+        .withColumnRenamed("tokset", "tok_b").hint("merge"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("tok_a"), col("tok_b"))).cast("double") /
           size(array_union(col("tok_a"), col("tok_b"))).cast("double"))
