@@ -1102,6 +1102,24 @@ object SparkEntry {
       graft.text.SpanDedup.dedupSpans(
         t(s, dir, "documents"), "doc_id", "text", spanWords = 8)),
 
+    // streaming exact dedup: an at-least-once feed (every event delivered
+    // TWICE, copies split across micro-batches by maxFilesPerTrigger)
+    // collapses to exactly-once rows through the REAL streaming path —
+    // keyed dedup state, the reference's streaming-mode record dedup.
+    // Full state is O(distinct keys); production uses
+    // dropDuplicatesWithinWatermark once the source bounds disorder.
+    "q86_stream_dedup" -> ((s, dir) => {
+      val base = tmp("q86")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      ev.union(ev).repartition(8)
+        .write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/in")
+      Streams.runToCompletionAppend(
+        stream.dropDuplicates("event_id"), "q86_stream_dedup_tbl")
+    }),
+
     // the COMPLETE near-dup dedup pipeline in one oracle row: minhash
     // candidates -> exact-Jaccard verify -> connected components ->
     // keep-best-copy survivor (longest doc, min-id tiebreak). DuckDB
@@ -1618,6 +1636,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q86_stream_dedup" ->
+      "SELECT event_id, user_id, event_type FROM events",
     "q85_neardup_keepbest" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +

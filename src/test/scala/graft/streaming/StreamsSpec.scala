@@ -35,6 +35,22 @@ class StreamsSpec extends SparkSpec {
     assert(counts(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L)
   }
 
+  test("streaming dropDuplicates collapses redelivery across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "v").dropDuplicates("id")
+      .writeStream.format("memory").queryName("dedup_replay_tbl")
+      .outputMode("append").start()
+    src.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    src.addData((2L, "b"), (3L, "c")) // batch 2 redelivers id 2
+    q.processAllAvailable()
+    src.stop(); q.stop()
+    assert(spark.table("dedup_replay_tbl").as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("sessionize: gap-based sessions close on new activity or watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
