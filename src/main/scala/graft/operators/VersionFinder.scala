@@ -101,7 +101,11 @@ object VersionFinder {
       val name = st.getPath.getName
       val raw = pattern match {
         case Some(p) => p.findFirstMatchIn(name)
-          .flatMap(m => Option(m.group(1)))
+          // a regex without a capture group falls back to its whole
+          // match; non-numeric text then fails toLongOption below — the
+          // skip-unparseable contract, never an exception mid-sweep
+          .flatMap(m =>
+            if (m.groupCount >= 1) Option(m.group(1)) else Some(m.matched))
         case None => Some(name)
       }
       raw.flatMap(_.toLongOption)
@@ -121,18 +125,20 @@ object VersionFinder {
                                root: String): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def leaves(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val st = fs.getFileStatus(p)
+    // recurse on the statuses listStatus already returned: one RPC per
+    // directory, and no getFileStatus on a path a concurrent writer may
+    // have deleted between list and stat
+    def leaves(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
       if (!st.isDirectory) Seq(st)
       else {
-        val children = fs.listStatus(p).toSeq
+        val children = fs.listStatus(st.getPath).toSeq
         if (children.isEmpty) Seq(st) // empty dir is its own leaf
-        else children.flatMap(c => leaves(c.getPath))
+        else children.flatMap(leaves)
       }
-    }
     val rows =
       if (!fs.exists(rootPath)) Nil
-      else leaves(rootPath).map(st =>
+      else leaves(fs.getFileStatus(rootPath)).map(st =>
         Row(st.getPath.toString, new Timestamp(st.getModificationTime)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)

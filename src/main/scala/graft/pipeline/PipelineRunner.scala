@@ -246,9 +246,18 @@ object PipelineRunner {
           // stage/gate/promote independently; the job only fails outright
           // when NOTHING published. A previously-published branch whose
           // per-branch delta is empty skips its publish — "already
-          // current", its output stays untouched
-          val publishedBefore = branchState.collect {
-            case (n, Some(_)) => n }.toSet
+          // current", its output stays untouched. A committed JOB-level
+          // watermark (full-success history, or a job predating branch
+          // keys) means every branch published then, so all of them get
+          // the skip protection — an empty overwrite must never clobber
+          // output that a prior run committed.
+          val jobCommitted = (store, spec.source.watermarkColumn) match {
+            case (Some(s), Some(_)) => s.highWatermark(spec.name).isDefined
+            case _ => false
+          }
+          val publishedBefore: Set[String] =
+            if (jobCommitted) spec.branches.map(_.name).toSet
+            else branchState.collect { case (n, Some(_)) => n }.toSet
           val o = Fork.runPartial(input, forkBranches, runId,
             branchGate = gate, skipEmpty = publishedBefore)
           if (o.succeeded.isEmpty && o.skipped.isEmpty && forkBranches.nonEmpty)
@@ -311,9 +320,15 @@ object PipelineRunner {
     // laggard, and current branches skip
     val branchEntries: Map[(String, String), String] =
       if (spec.commitPolicy != "successful") Map.empty
-      else wmMax.fold(Map.empty[(String, String), String])(w =>
-        (branchResults.keySet ++ skippedBranches)
-          .map(n => (spec.name, s"branch.$n") -> w).toMap)
+      else wmMax.fold(Map.empty[(String, String), String]) { w =>
+        (branchResults.keySet ++ skippedBranches).map { n =>
+          // a skipped branch may already be AHEAD of this run's max
+          // (rows near its watermark aged out of the source) — a
+          // watermark only ever moves forward
+          val own = branchPrev.getOrElse(n, None)
+          (spec.name, s"branch.$n") -> own.fold(w)(o => maxWm(o, w))
+        }.toMap
+      }
     mctx.timer("time.state_commit").time {
       store.foreach { s =>
         val entries = newWm.map(w => (spec.name, "") -> w).toMap ++ branchEntries
@@ -350,6 +365,9 @@ object PipelineRunner {
     case (x: Timestamp, y: Timestamp) => if (!x.after(y)) a else b
     case _ => if (a <= b) a else b // mixed typing: lexical tiebreak
   }
+
+  private def maxWm(a: String, b: String): String =
+    if (minWm(a, b) == a) b else a
 
   private def parseTs(wm: String): Timestamp =
     try Timestamp.valueOf(wm)

@@ -58,18 +58,20 @@ object EvolvingSink {
 
   private def writeLog(spark: SparkSession, outDir: String,
                        gens: Seq[Generation]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = logPath(outDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(outDir, s"._schema_log.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(gens.map(g =>
       s"${g.gen}\t${g.sinceEpoch}\t${g.schema.json}").mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, p)) { // first write has no target to replace
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"cannot publish schema log $p")
-    }
+    // overwrite-capable rename: one atomic replace, no delete-then-rename
+    // crash window (a lost log would orphan every committed generation)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** One micro-batch: resolve its generation, align, write its slice.
@@ -119,7 +121,16 @@ object EvolvingSink {
     val gens = schemaLog(spark, outDir)
     require(gens.nonEmpty, s"no schema log under $outDir — nothing committed")
     val target = gens.last.schema
-    gens.map { g =>
+    val fs = new Path(outDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the log commits BEFORE the generation's first data file (crash-safe
+    // for the writer), so a generation may exist on paper only — skip it
+    // rather than fail the whole table on a missing dir
+    val present = gens.filter(g => fs.exists(new Path(outDir, s"gen=${g.gen}")))
+    if (present.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    present.map { g =>
       SchemaEvolution.evolve(
         spark.read.schema(g.schema)
           .option("recursiveFileLookup", "true")

@@ -28,18 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** (id, pos, span) — `spanWords`-word non-overlapping chunks. */
-  def spans(docs: DataFrame, idCol: String, textCol: String,
-            spanWords: Int): DataFrame = {
+  /** The span array for one text value; null text yields an empty array
+    * (size(null) is -1, which would otherwise make sequence(0, -1)
+    * emit garbage [0, -1] spans). ONE definition for both dedup faces so
+    * their tokenization can never diverge. */
+  private def spanArray(textCol: String, spanWords: Int): Column = {
     require(spanWords > 0, "spanWords must be positive")
     val words = split(col(textCol), " ")
     val nSpans = ceil(size(words).cast("double") / lit(spanWords.toDouble))
       .cast("int")
-    val arr = transform(sequence(lit(0), nSpans - 1),
-      (i: Column) => array_join(
-        slice(words, i * spanWords + 1, lit(spanWords)), " "))
-    docs.select(col(idCol), posexplode(arr).as(Seq("pos", "span")))
+    when(col(textCol).isNull, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        (i: Column) => array_join(
+          slice(words, i * spanWords + 1, lit(spanWords)), " ")))
   }
+
+  /** (id, pos, span) — `spanWords`-word non-overlapping chunks. */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            spanWords: Int): DataFrame =
+    docs.select(col(idCol),
+      posexplode(spanArray(textCol, spanWords)).as(Seq("pos", "span")))
 
   /** WITHIN-document repeated-span removal (C4 also dedups spans inside
     * each page before the corpus pass): keep each span's first occurrence
@@ -48,13 +56,7 @@ object SpanDedup {
     * size. */
   def dedupSpansWithinDoc(docs: DataFrame, idCol: String, textCol: String,
                           spanWords: Int = 3): DataFrame = {
-    require(spanWords > 0, "spanWords must be positive")
-    val words = split(col(textCol), " ")
-    val nSpans = ceil(size(words).cast("double") / lit(spanWords.toDouble))
-      .cast("int")
-    val arr = transform(sequence(lit(0), nSpans - 1),
-      (i: Column) => array_join(
-        slice(words, i * spanWords + 1, lit(spanWords)), " "))
+    val arr = spanArray(textCol, spanWords)
     docs.select(col(idCol),
       array_join(filter(arr, (x: Column, i: Column) =>
         array_position(arr, x) === i.cast("long") + 1L), " ")

@@ -157,6 +157,56 @@ class PartialCommitSpec extends SparkSpec {
       .contains("2024-03-02 00:00:14.0"))
   }
 
+  test("a job-level watermark alone grants skip protection (no branch keys)") {
+    val base = tmpDir("partial-jobwm")
+    spark.range(10)
+      .selectExpr("id",
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+      .write.parquet(s"$base/in")
+    // a pre-branch-keys deployment: only the JOB watermark is committed,
+    // already at the data's max — and the branch has published output
+    new StateStore(spark, s"$base/state")
+      .commit(Map(("jjob", "") -> "2024-03-01 00:00:09.0"), "seed")
+    graft.sinks.AtomicPublisher.publish(
+      spark.range(10).toDF("id"), s"$base/out/only", "seed")
+    val r = PipelineRunner.run(spark, PipelineSpec.fromProperties(Map(
+      "job.name" -> "jjob", "job.commit.policy" -> "successful",
+      "source.format" -> "parquet", "source.path" -> s"$base/in",
+      "source.watermark.column" -> "ts",
+      "fork.1.name" -> "only", "fork.1.out" -> s"$base/out/only",
+      "state.dir" -> s"$base/state")), "j-1")
+    assert(r.skippedBranches == Set("only"))
+    // the empty delta must NOT have clobbered the published output
+    assert(spark.read.parquet(s"$base/out/only").count() == 10)
+  }
+
+  test("a skipped branch's watermark never regresses") {
+    val base = tmpDir("partial-regress")
+    spark.range(10)
+      .selectExpr("id",
+        "timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+      .write.parquet(s"$base/in")
+    val st = new StateStore(spark, s"$base/state")
+    // ahead branch: watermark beyond anything in the source (its rows
+    // aged out); behind branch: needs the full window
+    st.commit(Map(("rjob", "branch.ahead") -> "2024-06-01 00:00:00.0",
+      ("rjob", "branch.behind") -> "2024-01-01 00:00:00.0"), "seed")
+    val r = PipelineRunner.run(spark, PipelineSpec.fromProperties(Map(
+      "job.name" -> "rjob", "job.commit.policy" -> "successful",
+      "source.format" -> "parquet", "source.path" -> s"$base/in",
+      "source.watermark.column" -> "ts",
+      "fork.1.name" -> "ahead", "fork.1.out" -> s"$base/out/ahead",
+      "fork.2.name" -> "behind", "fork.2.out" -> s"$base/out/behind",
+      "state.dir" -> s"$base/state")), "r-1")
+    assert(r.skippedBranches == Set("ahead"))
+    assert(r.branchCounts.keySet == Set("behind"))
+    // ahead keeps its own (later) watermark; behind advances to the max
+    assert(st.highWatermark("rjob", "branch.ahead")
+      .contains("2024-06-01 00:00:00.0"))
+    assert(st.highWatermark("rjob", "branch.behind")
+      .contains("2024-03-01 00:00:09.0"))
+  }
+
   test("all branches failing fails the job and ledgers FAILED") {
     val base = tmpDir("partial-all")
     spark.range(5).toDF("id").write.parquet(s"$base/in")

@@ -45,6 +45,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "a b c x y", 2L -> "a b c"))
   }
 
+  test("null text yields no spans, not garbage rows") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = SpanDedup.dedupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(corpus == Map(1L -> "a b c")) // null-text doc has nothing to keep
+    val within = SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(within == Map(1L -> "a b c", 2L -> ""))
+  }
+
   test("within-doc dedup is shuffle-free") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
