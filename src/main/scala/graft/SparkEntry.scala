@@ -1120,6 +1120,17 @@ object SparkEntry {
         stream.dropDuplicates("event_id"), "q86_stream_dedup_tbl")
     }),
 
+    // deterministic token-budget shard packing (the "write the training
+    // shards" step): corpus laid out in salted-portable-hash order, cut
+    // into 25k-char shards via a DISTRIBUTED prefix sum — bucketed by
+    // the hash's top bits, per-bucket windows, broadcast offsets; never
+    // a global single-partition window. Integer arithmetic end-to-end,
+    // so DuckDB's plain global window reproduces the exact assignment.
+    "q87_shard_pack" -> ((s, dir) =>
+      graft.text.ShardPack.packByBudget(
+        t(s, dir, "documents"), "doc_id", "n_chars", budget = 25000L)
+        .select("doc_id", "source", "cum_before", "shard_id")),
+
     // the COMPLETE near-dup dedup pipeline in one oracle row: minhash
     // candidates -> exact-Jaccard verify -> connected components ->
     // keep-best-copy survivor (longest doc, min-id tiebreak). DuckDB
@@ -1638,6 +1649,17 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q87_shard_pack" ->
+      ("WITH k AS (SELECT doc_id, source, n_chars, " +
+        "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
+        "FROM documents), " +
+        // ::BIGINT everywhere a sum appears: DuckDB widens sum(BIGINT)
+        // to HUGEINT, which hash-mismatches Spark's BIGINT (q71 lesson)
+        "c AS (SELECT doc_id, source, COALESCE(sum(n_chars) OVER " +
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT " +
+        "AS cum_before FROM k) " +
+        "SELECT doc_id, source, cum_before, " +
+        "(cum_before // 25000)::BIGINT AS shard_id FROM c"),
     "q85_neardup_keepbest" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
