@@ -1131,6 +1131,25 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "n_chars", budget = 25000L)
         .select("doc_id", "source", "cum_before", "shard_id")),
 
+    // fixed-size token-window chunking with stride (the "make training
+    // sequences" step): sequence/transform/slice HOFs + one posexplode —
+    // a single map-only codegen stage, zero shuffles at any corpus size.
+    "q88_token_chunks" -> ((s, dir) =>
+      graft.text.Chunker.chunkByTokens(
+        t(s, dir, "documents").select("doc_id", "text"), "text",
+        seqLen = 32, stride = 24)
+        .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")),
+
+    // per-source quota capping (domain balancing): keep the 10 docs per
+    // source with the smallest salted hash, via a two-level salted top-n
+    // so a mega-source never sorts in one task. Deterministic hash order
+    // makes the exact kept set oracle-checkable.
+    "q89_quota_cap" -> ((s, dir) =>
+      graft.operators.QuotaCap.capPerKey(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", n = 10)
+        .select("doc_id", "source", "quota_rank")),
+
     // the COMPLETE near-dup dedup pipeline in one oracle row: minhash
     // candidates -> exact-Jaccard verify -> connected components ->
     // keep-best-copy survivor (longest doc, min-id tiebreak). DuckDB
@@ -1660,6 +1679,19 @@ object SparkEntry {
         "AS cum_before FROM k) " +
         "SELECT doc_id, source, cum_before, " +
         "(cum_before // 25000)::BIGINT AS shard_id FROM c"),
+    "q88_token_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "w AS (SELECT doc_id, toks, unnest(range((len(toks)-1)//24 + 1)) AS k FROM t) " +
+        "SELECT doc_id, k::BIGINT AS chunk_idx, " +
+        "array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text, " +
+        "len(toks[k*24+1 : k*24+32])::BIGINT AS n_chunk_tokens FROM w"),
+    "q89_quota_cap" ->
+      ("WITH k AS (SELECT doc_id, source, " +
+        "('0x' || substr(md5('quota' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, source, row_number() OVER " +
+        "(PARTITION BY source ORDER BY h, doc_id) AS rnk FROM k) " +
+        "SELECT doc_id, source, rnk::BIGINT AS quota_rank FROM r WHERE rnk <= 10"),
     "q85_neardup_keepbest" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
