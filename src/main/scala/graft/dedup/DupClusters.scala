@@ -93,12 +93,16 @@ object DupClusters {
     def swap(e: DataFrame): DataFrame =
       e.select(col("dst").as("src"), col("src").as("dst"))
     val reliable = sym.sparkSession.sparkContext.getCheckpointDir.isDefined
-    // eager lineage truncation + a handle that frees the round's pinned
+    // lineage truncation + a handle that frees the round's pinned
     // blocks (no-op for reliable checkpoints: those live as files, and
-    // ContextCleaner removes them with the RDD reference when configured)
+    // ContextCleaner removes them with the RDD reference when configured).
+    // LAZY on purpose: every truncate here is followed immediately by a
+    // count() on the result, and a lazy checkpoint lets that count job
+    // double as the materialization — one job per round, not two. The
+    // plan is a fresh LogicalRDD either way, so lineage stays flat.
     def truncate(df: DataFrame): (DataFrame, () => Unit) = {
-      val cp = if (reliable) df.checkpoint(eager = true)
-               else df.localCheckpoint(eager = true)
+      val cp = if (reliable) df.checkpoint(eager = false)
+               else df.localCheckpoint(eager = false)
       val free: () => Unit =
         if (reliable) () => ()
         else {
