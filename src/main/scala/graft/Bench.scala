@@ -47,7 +47,11 @@ object Bench {
     "q77_fs_retention",       // partitioned write + version-find + delete + read-back
     "q79_corpus_mix",         // map-only weighted epoch expansion
     "q81_span_dedup",         // C4 span explode + min-agg + rebuild
-    "q85_neardup_keepbest")   // full minhash->verify->components->keep-best
+    "q85_neardup_keepbest",   // full minhash->verify->components->keep-best
+    // appended round 8 (cont.):
+    "q87_shard_pack",         // distributed prefix-sum shard assignment
+    "q88_token_chunks",       // map-only strided window explode
+    "q89_quota_cap")          // two-level salted per-key top-n
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.metrics.{MetricContext, MetricRecord, MetricStore}
+import graft.metrics.{DatasetDescriptor, EventStore, LineageCollector, MetricContext, MetricRecord, MetricStore}
 import graft.operators.{Fork, Quality}
 import graft.sinks.AtomicPublisher
 import graft.state.StateStore
@@ -51,7 +51,11 @@ object PipelineRunner {
                              // branches already current under their
                              // per-branch watermark (empty delta, publish
                              // skipped, previous output untouched)
-                             skippedBranches: Set[String] = Set.empty)
+                             skippedBranches: Set[String] = Set.empty,
+                             // one deduped event per (source, destination)
+                             // actually PUBLISHED this run (LineageInfo
+                             // semantics; skipped/failed branches emit none)
+                             lineage: Seq[graft.metrics.TrackingEvent] = Nil)
 
   /** Run the job lifecycle. Stateful jobs (stateDir set) additionally
     * land a record in the `<stateDir>/runs` history ledger — for EVERY
@@ -81,6 +85,13 @@ object PipelineRunner {
         // ledger is (data + watermark are already committed by now)
         ledgered(new MetricStore(spark, s"$sd/metrics")
           .record(spec.name, runId, finishedAt, result.stageMetrics))
+        // lineage events for this run, one atomic duplicate-refusing
+        // file — a retried driver can't double-record the run's lineage
+        if (result.lineage.nonEmpty) ledgered {
+          val es = new EventStore(spark, s"$sd/events")
+          result.lineage.foreach(es.listener)
+          es.flush(s"lineage-$runId"): Unit
+        }
       }
       result
     } catch {
@@ -305,6 +316,24 @@ object PipelineRunner {
       }
     }
 
+    // lineage: the source/extractor sets one dataset descriptor, each
+    // branch that PUBLISHED this run puts its destination (failed and
+    // skipped branches put nothing — lineage records what happened, not
+    // the plan); the deduped event set is submitted through the context
+    // tree like any tracking event and persisted by run()
+    val lineageC = new LineageCollector(spec.name)
+    lineageC.setSource(DatasetDescriptor(spec.source.format, spec.source.path))
+    spec.branches.zipWithIndex.foreach { case (b, i) =>
+      if (branchResults.contains(b.name)) {
+        val md = if (b.partitionBy.isEmpty) Map.empty[String, String]
+                 else Map("partitioned_by" -> b.partitionBy.mkString(","))
+        lineageC.putDestination(i + 1,
+          Seq(DatasetDescriptor(b.format, b.outDir, md)))
+      }
+    }
+    val lineageEvents = lineageC.events(System.currentTimeMillis())
+    lineageEvents.foreach(mctx.submitEvent)
+
     // ---- 3b. state commit ----
     val wmMax: Option[String] = spec.source.watermarkColumn.flatMap(_ =>
       if (extracted == 0) None else Option(obsSrc.get("wm_max")).map(fmtWm))
@@ -338,7 +367,8 @@ object PipelineRunner {
 
     JobResult(runId, extracted, rejectedCount,
       branchResults.map { case (k, v) => k -> v.written }, newWm,
-      mctx.snapshotRecursive(), failedBranches, skippedBranches)
+      mctx.snapshotRecursive(), failedBranches, skippedBranches,
+      lineageEvents)
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
   }
