@@ -100,6 +100,19 @@ object PipelineRunner {
           ledgered(new graft.state.RunLedger(spark, s"$sd/runs")
             .record(spec.name, runId, "FAILED", startedAt,
               System.currentTimeMillis(), detail = e.toString))
+          // troubleshooter: the failure as a structured issue, keyed by
+          // stack shape — the same root cause across retried runs lands
+          // ONE code, so "what broke this week" is a group-by, not a
+          // log dig. Same atomic duplicate-refusing flush as lineage.
+          ledgered {
+            val issue = graft.metrics.Issues.fromThrowable(
+              e, sourceClass = getClass.getName,
+              timeMs = System.currentTimeMillis(),
+              context = s"job '${spec.name}' run '$runId' failed")
+            val es = new EventStore(spark, s"$sd/events")
+            es.listener(graft.metrics.Issues.toEvent(issue))
+            es.flush(s"issues-$runId"): Unit
+          }
         }
         throw e
     }
