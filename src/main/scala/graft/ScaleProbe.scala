@@ -36,7 +36,7 @@ object ScaleProbe {
     val n0 = base.count()
     val docs = (0 until k).map(i =>
       base.select((col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
-        col("text"))).reduce(_ union _)
+        col("text"), col("source"), col("n_chars"))).reduce(_ union _)
       .repartition(cpus.toInt).persist()
     val n = docs.count()
 
@@ -65,9 +65,21 @@ object ScaleProbe {
     val inDoc = time("within-doc span dedup (map-only)")(
       graft.text.SpanDedup.dedupSpansWithinDoc(docs, "doc_id", "text", 3)
         .count())
+    // layout stages: distributed prefix-sum shard packing, two-level
+    // salted quota cap, map-only strided chunking — the post-dedup half
+    // of the pipeline, probed at the same K-times scale
+    val shards = time("shard pack (distributed prefix sum)")(
+      graft.text.ShardPack.packByBudget(docs, "doc_id", "n_chars",
+        budget = 100000L).agg(max(col("shard_id"))).head().getLong(0) + 1)
+    val capped = time("quota cap 1000/source (two-level salted top-n)")(
+      graft.operators.QuotaCap.capPerKey(docs, "source", "doc_id",
+        n = 1000).count())
+    val chunks = time("token chunks seqLen=64 stride=48 (map-only)")(
+      graft.text.Chunker.chunkByTokens(docs, "text", 64, 48).count())
     println(s"[scaleprobe] docs=$n candidates=$nc verified=$nv " +
       s"clusters=$clusters keep_best=$keepBest span_docs=$spans " +
-      s"indoc_docs=$inDoc")
+      s"indoc_docs=$inDoc shards=$shards quota_kept=$capped " +
+      s"chunks=$chunks")
     spark.stop()
   }
 

@@ -1150,6 +1150,24 @@ object SparkEntry {
         "source", "doc_id", n = 10)
         .select("doc_id", "source", "quota_rank")),
 
+    // the composed "export training shards" pipeline in ONE oracle row:
+    // quota-cap per source -> shard-pack by char budget -> strided token
+    // chunks. Every stage is deterministic integer/hash arithmetic, so
+    // DuckDB reproduces the exact (doc, shard, chunk) assignment — the
+    // composition (column threading, hash-order stability across stages)
+    // is what this row checks beyond q87/q88/q89.
+    "q90_training_export" -> ((s, dir) => {
+      val kept = graft.operators.QuotaCap.capPerKey(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars", "text"),
+        "source", "doc_id", n = 10)
+        .drop("quota_rank", "source")
+      val packed = graft.text.ShardPack.packByBudget(
+        kept, "doc_id", "n_chars", budget = 5000L)
+        .select("doc_id", "text", "shard_id")
+      graft.text.Chunker.chunkByTokens(packed, "text", seqLen = 64, stride = 48)
+        .select("doc_id", "shard_id", "chunk_idx", "chunk_text")
+    }),
+
     // the COMPLETE near-dup dedup pipeline in one oracle row: minhash
     // candidates -> exact-Jaccard verify -> connected components ->
     // keep-best-copy survivor (longest doc, min-id tiebreak). DuckDB
@@ -1692,6 +1710,24 @@ object SparkEntry {
         "r AS (SELECT doc_id, source, row_number() OVER " +
         "(PARTITION BY source ORDER BY h, doc_id) AS rnk FROM k) " +
         "SELECT doc_id, source, rnk::BIGINT AS quota_rank FROM r WHERE rnk <= 10"),
+    "q90_training_export" ->
+      ("WITH k AS (SELECT doc_id, source, n_chars, text, " +
+        "('0x' || substr(md5('quota' || doc_id::VARCHAR), 1, 15))::BIGINT AS qh " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, n_chars, text, row_number() OVER " +
+        "(PARTITION BY source ORDER BY qh, doc_id) AS rnk FROM k), " +
+        "s AS (SELECT doc_id, n_chars, text, " +
+        "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS sh " +
+        "FROM r WHERE rnk <= 10), " +
+        "c AS (SELECT doc_id, text, COALESCE(sum(n_chars) OVER " +
+        "(ORDER BY sh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT " +
+        "AS cb FROM s), " +
+        "p AS (SELECT doc_id, text, (cb // 5000)::BIGINT AS shard_id FROM c), " +
+        "t AS (SELECT doc_id, shard_id, string_split(text, ' ') AS toks FROM p), " +
+        "w AS (SELECT doc_id, shard_id, toks, " +
+        "unnest(range((len(toks)-1)//48 + 1)) AS kk FROM t) " +
+        "SELECT doc_id, shard_id, kk::BIGINT AS chunk_idx, " +
+        "array_to_string(toks[kk*48+1 : kk*48+64], ' ') AS chunk_text FROM w"),
     "q85_neardup_keepbest" ->
       ("WITH RECURSIVE t AS (SELECT doc_id, list_distinct(" +
         "CASE WHEN len(string_split(text,' ')) < 3 THEN [text] " +
