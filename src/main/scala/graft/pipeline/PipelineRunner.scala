@@ -74,6 +74,33 @@ object PipelineRunner {
           System.err.println(s"[graft] run-ledger write failed for " +
             s"'${spec.name}' run '$runId' (non-fatal): $e")
       }
+    // automatic troubleshooter scope (the reference attaches its log
+    // appender for the job's duration — AutomaticTroubleshooterImpl
+    // .start/stop): executor task failures during this run, including
+    // retried-then-succeeded attempts a green job would hide, become
+    // WARN issues deduped by stack shape. Stateful runs only — the
+    // issues need an event store to land in.
+    val issueRepo = new graft.metrics.IssueRepository()
+    val issueListener = new graft.metrics.IssueListener(issueRepo)
+    val capture = spec.stateDir.isDefined
+    if (capture) spark.sparkContext.addSparkListener(issueListener)
+    // listener delivery is async; wait for the captured set to go quiet
+    // (diagnostics are best-effort — a straggler event past the settle
+    // window is dropped, never blocks the run)
+    def settledIssues(): Seq[graft.metrics.Issue] = {
+      var prev = -1
+      var cur = issueRepo.getAll.size
+      while (cur != prev) { Thread.sleep(50); prev = cur; cur = issueRepo.getAll.size }
+      issueRepo.getAll
+    }
+    def flushIssues(sd: String, extra: Seq[graft.metrics.Issue]): Unit = ledgered {
+      val all = settledIssues() ++ extra
+      if (all.nonEmpty) {
+        val es = new EventStore(spark, s"$sd/events")
+        all.map(graft.metrics.Issues.toEvent).foreach(es.listener)
+        es.flush(s"issues-$runId"): Unit
+      }
+    }
     try {
       val result = runInner(spark, spec, runId)
       spec.stateDir.foreach { sd =>
@@ -92,6 +119,7 @@ object PipelineRunner {
           result.lineage.foreach(es.listener)
           es.flush(s"lineage-$runId"): Unit
         }
+        flushIssues(sd, Nil)
       }
       result
     } catch {
@@ -100,22 +128,18 @@ object PipelineRunner {
           ledgered(new graft.state.RunLedger(spark, s"$sd/runs")
             .record(spec.name, runId, "FAILED", startedAt,
               System.currentTimeMillis(), detail = e.toString))
-          // troubleshooter: the failure as a structured issue, keyed by
-          // stack shape — the same root cause across retried runs lands
-          // ONE code, so "what broke this week" is a group-by, not a
-          // log dig. Same atomic duplicate-refusing flush as lineage.
-          ledgered {
-            val issue = graft.metrics.Issues.fromThrowable(
-              e, sourceClass = getClass.getName,
-              timeMs = System.currentTimeMillis(),
-              context = s"job '${spec.name}' run '$runId' failed")
-            val es = new EventStore(spark, s"$sd/events")
-            es.listener(graft.metrics.Issues.toEvent(issue))
-            es.flush(s"issues-$runId"): Unit
-          }
+          // troubleshooter: the job failure as a structured ERROR issue,
+          // keyed by stack shape — the same root cause across retried
+          // runs lands ONE code, so "what broke this week" is a
+          // group-by, not a log dig — flushed together with any task
+          // failures the listener caught on the way down
+          flushIssues(sd, Seq(graft.metrics.Issues.fromThrowable(
+            e, sourceClass = getClass.getName,
+            timeMs = System.currentTimeMillis(),
+            context = s"job '${spec.name}' run '$runId' failed")))
         }
         throw e
-    }
+    } finally if (capture) spark.sparkContext.removeSparkListener(issueListener)
   }
 
   private def runInner(spark: SparkSession, spec: PipelineSpec,

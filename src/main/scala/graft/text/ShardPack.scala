@@ -46,13 +46,25 @@ object ShardPack {
     * order) and `shardCol` to `df`. `keyCol` must be unique per row (it
     * is the deterministic tiebreak); null weights count as 0. `buckets`
     * bounds the offset table (tune to ~10× parallelism; output is
-    * invariant to it). */
+    * invariant to it).
+    *
+    * `startOffset` makes packing INCREMENTAL for continuous ingest: pass
+    * the previous run's committed total weight (its max `cum_before` +
+    * that row's weight) and the new batch continues the shard sequence
+    * where the corpus left off — per-batch cost is O(batch), the
+    * already-written shards are never touched, and the last (possibly
+    * underfull) shard keeps filling. The batch is hash-ordered among
+    * ITSELF; a continuously-growing corpus is packed batch-by-batch in
+    * arrival order, which is the training-shard contract (shards are
+    * append-only artifacts, not a global re-sort per batch). */
   def packByBudget(df: DataFrame, keyCol: String, weightCol: String,
                    budget: Long, salt: String = "shard",
                    buckets: Int = 1024,
-                   shardCol: String = "shard_id"): DataFrame = {
+                   shardCol: String = "shard_id",
+                   startOffset: Long = 0L): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
     require(buckets > 0, s"buckets must be positive: $buckets")
+    require(startOffset >= 0, s"startOffset must be non-negative: $startOffset")
     // hash range is [0, 2^60); ceil-divide so bucket ids stay < buckets
     val width = ((1L << 60) + buckets - 1) / buckets
     val hashed = df
@@ -79,7 +91,7 @@ object ShardPack {
     hashed
       .join(broadcast(offsets), "__graft_b")
       .withColumn("cum_before",
-        col("__graft_off") +
+        lit(startOffset) + col("__graft_off") +
           coalesce(sum(col("__graft_w")).over(perBucket), lit(0L)))
       .withColumn(shardCol, expr(s"cum_before div ${budget}L"))
       .drop("__graft_h", "__graft_w", "__graft_b", "__graft_off")

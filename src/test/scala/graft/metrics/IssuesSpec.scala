@@ -89,6 +89,25 @@ class IssuesSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("pipeline e2e: an executor-side failure lands BOTH the WARN task issue and the ERROR job issue") {
+    val dir = tmpDir("issues-exec")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(s"$dir/in")
+    val spec = PipelineSpec.fromProperties(Map(
+      "job.name" -> "exec-fail-job",
+      "source.format" -> "parquet",
+      "source.path" -> s"$dir/in",
+      // raise_error evaluates executor-side -> task failure -> job failure
+      "transform.1" -> "selectExpr:k;CASE WHEN v > 0 THEN raise_error('task boom') ELSE 'x' END AS z",
+      "fork.1.name" -> "out",
+      "fork.1.out" -> s"$dir/out",
+      "state.dir" -> s"$dir/state"))
+    intercept[Exception] { PipelineRunner.run(spark, spec, "erun1") }
+    val sevs = Issues.table(new EventStore(spark, s"$dir/state/events").table)
+      .select("severity").as[String].collect().toSeq.sorted
+    assert(sevs.contains("ERROR"), s"missing job-level issue in $sevs")
+    assert(sevs.contains("WARN"), s"missing task-level issue in $sevs")
+  }
+
   test("pipeline e2e: a failed run lands an ERROR issue event in the state store") {
     val dir = tmpDir("issues-e2e")
     Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$dir/in")

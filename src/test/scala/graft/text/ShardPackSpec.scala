@@ -62,6 +62,36 @@ class ShardPackSpec extends SparkSpec {
     assert(perShard.keys.toSeq.sorted == (0L to last).toSeq)
   }
 
+  test("startOffset continues the shard sequence across batches (incremental append)") {
+    val all = spark.range(400).toDF("id")
+      .withColumn("w", (col("id") % 50 + 1).cast("long"))
+    val batch1 = all.filter(col("id") < 250)
+    val batch2 = all.filter(col("id") >= 250)
+    val p1 = ShardPack.packByBudget(batch1, "id", "w", budget = 700, buckets = 8)
+    // committed total = max cum_before + that row's weight
+    val committed = p1.select(max(col("cum_before") + col("w"))).as[Long].head()
+    val p2 = ShardPack.packByBudget(batch2, "id", "w", budget = 700, buckets = 8,
+      startOffset = committed)
+    // batch 2 continues where batch 1 stopped: its first shard is batch
+    // 1's last (possibly underfull) shard or the next one, never earlier
+    val lastShard1 = p1.agg(max("shard_id")).as[Long].head()
+    val firstShard2 = p2.agg(min("shard_id")).as[Long].head()
+    assert(firstShard2 == lastShard1 || firstShard2 == lastShard1 + 1)
+    // shard ids never collide on CONTENT: the combined weight through any
+    // shared boundary shard still respects the budget law
+    val perShard = p1.groupBy("shard_id").agg(sum("w").as("t"))
+      .union(p2.groupBy("shard_id").agg(sum("w").as("t")))
+      .groupBy("shard_id").agg(sum("t").as("tot"))
+      .as[(Long, Long)].collect().toMap
+    val last = perShard.keys.max
+    var cum = 0L
+    (0L to last).foreach { s =>
+      cum += perShard.getOrElse(s, 0L)
+      if (s != last) assert(cum >= 700 * (s + 1),
+        s"cumulative total through shard $s under budget: $cum")
+    }
+  }
+
   test("null weights count as zero rather than poisoning the prefix sum") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
       .toDF("id", "w")
