@@ -52,7 +52,8 @@ object Bench {
     "q87_shard_pack",         // distributed prefix-sum shard assignment
     "q88_token_chunks",       // map-only strided window explode
     "q89_quota_cap",          // two-level salted per-key top-n
-    "q90_training_export")    // composed quota->shard->chunk export
+    "q90_training_export",    // composed quota->shard->chunk export
+    "q91_quality_filter")     // integer-gated Gopher quality filter
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

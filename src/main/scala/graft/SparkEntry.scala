@@ -1150,6 +1150,36 @@ object SparkEntry {
         "source", "doc_id", n = 10)
         .select("doc_id", "source", "quota_rank")),
 
+    // the composed Gopher-style quality FILTER (Rae et al. 2021 §A1.1
+    // thresholds over the already-oracled signals): token count in
+    // [20, 1000], mean token length in [3, 10], duplicate-bigram
+    // fraction <= 0.18, top-bigram fraction <= 0.20, >= 2 distinct stop
+    // words. Every gate is INTEGER-cross-multiplied (3n <= sum <= 10n,
+    // 100·dups <= 18·total, 5·max <= total) so the survivor set is exact
+    // in both engines — no float threshold edge. Map-only, no shuffle.
+    "q91_quality_filter" -> ((s, dir) => {
+      val toks = graft.text.TextStats.tokens(col("text"))
+      val g = MinHashDedup.shingles(col("text"), 2)
+      val signals = t(s, dir, "documents").select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
+        size(g).cast("long").as("n_bigrams"),
+        size(array_distinct(g)).cast("long").as("n_distinct_bigrams"),
+        array_max(transform(array_distinct(g),
+          x => size(filter(g, y => y === x)))).cast("long").as("max_bigram_cnt"),
+        size(array_intersect(toks,
+          lit(graft.text.TextStats.defaultStopwords.toArray)))
+          .cast("long").as("stop_hits"))
+      signals.filter(
+        col("n_tokens").between(20, 1000) &&
+        col("sum_tok_len") >= col("n_tokens") * 3 &&
+        col("sum_tok_len") <= col("n_tokens") * 10 &&
+        (col("n_bigrams") - col("n_distinct_bigrams")) * 100 <=
+          col("n_bigrams") * 18 &&
+        col("max_bigram_cnt") * 5 <= col("n_bigrams") &&
+        col("stop_hits") >= 2)
+    }),
+
     // the composed "export training shards" pipeline in ONE oracle row:
     // quota-cap per source -> shard-pack by char budget -> strided token
     // chunks. Every stage is deterministic integer/hash arithmetic, so
@@ -1710,6 +1740,29 @@ object SparkEntry {
         "r AS (SELECT doc_id, source, row_number() OVER " +
         "(PARTITION BY source ORDER BY h, doc_id) AS rnk FROM k) " +
         "SELECT doc_id, source, rnk::BIGINT AS quota_rank FROM r WHERE rnk <= 10"),
+    "q91_quality_filter" -> {
+      val stop = graft.text.TextStats.defaultStopwords
+        .map(w => s"'$w'").mkString(",")
+      "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
+        "CASE WHEN len(string_split(text,' ')) < 2 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+1],' ') " +
+        "FOR i IN range(1, len(string_split(text,' ')))] END AS sh " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, unnest(sh) AS g FROM t), " +
+        "cnt AS (SELECT doc_id, g, count(*) AS cnt FROM c GROUP BY 1, 2), " +
+        "bg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, " +
+        "count(*)::BIGINT AS n_distinct_bigrams, " +
+        "max(cnt)::BIGINT AS max_bigram_cnt FROM cnt GROUP BY doc_id), " +
+        "sig AS (SELECT t.doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "(length(text) - (len(toks) - 1))::BIGINT AS sum_tok_len, " +
+        "bg.n_bigrams, bg.n_distinct_bigrams, bg.max_bigram_cnt, " +
+        s"len(list_intersect(toks, [$stop]))::BIGINT AS stop_hits " +
+        "FROM t JOIN bg ON t.doc_id = bg.doc_id) " +
+        "SELECT * FROM sig WHERE n_tokens BETWEEN 20 AND 1000 " +
+        "AND sum_tok_len >= n_tokens * 3 AND sum_tok_len <= n_tokens * 10 " +
+        "AND (n_bigrams - n_distinct_bigrams) * 100 <= n_bigrams * 18 " +
+        "AND max_bigram_cnt * 5 <= n_bigrams AND stop_hits >= 2"
+    },
     "q90_training_export" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, text, " +
         "('0x' || substr(md5('quota' || doc_id::VARCHAR), 1, 15))::BIGINT AS qh " +

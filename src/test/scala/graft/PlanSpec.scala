@@ -167,6 +167,12 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0, s"expected a pure map, saw $exchanges shuffles:\n$p")
   }
 
+  test("q91 quality filter is map-only: zero exchanges") {
+    val p = planOf(q("q91_quality_filter"))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 0, s"expected a pure map, saw $exchanges shuffles:\n$p")
+  }
+
   test("q72 decontamination broadcasts the eval grams, anti-joins the verdict") {
     val p = planOf(q("q72_decontaminate"))
     assert(p.contains("BroadcastHashJoin"),
