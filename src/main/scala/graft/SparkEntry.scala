@@ -1165,8 +1165,7 @@ object SparkEntry {
         (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
         size(g).cast("long").as("n_bigrams"),
         size(array_distinct(g)).cast("long").as("n_distinct_bigrams"),
-        array_max(transform(array_distinct(g),
-          x => size(filter(g, y => y === x)))).cast("long").as("max_bigram_cnt"),
+        graft.text.TextStats.maxNgramCount(g).cast("long").as("max_bigram_cnt"),
         size(array_intersect(toks,
           lit(graft.text.TextStats.defaultStopwords.toArray)))
           .cast("long").as("stop_hits"))
