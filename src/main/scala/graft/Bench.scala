@@ -74,7 +74,9 @@ object Bench {
     // local iteration; the driver never sets it, so recorded rounds
     // always cover the full stable headline set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(headline.toSet).foreach(bad =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY name matches no headline query: $bad")))
     val selected = only.fold(headline)(f => headline.filter(f))
 
     // Sandbox contention has repeatedly inflated single-shot timings by

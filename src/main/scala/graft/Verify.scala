@@ -19,6 +19,9 @@ object Verify {
     // iteration; the driver never sets it, so its runs stay complete.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must not silently dump nothing and exit green
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(bad =>
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY name matches no query: $bad")))
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }

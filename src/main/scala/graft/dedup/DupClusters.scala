@@ -144,11 +144,14 @@ object DupClusters {
           .union(smin.select(col("src"), col("m").as("dst")))
           .filter(col("src") =!= col("dst"))
           .distinct())
-      large.unpersist()
       // fixpoint when the directed edge set is unchanged; both sides are
       // distinct AND checkpointed, so this compares two materialized sets
-      // (equal counts + empty one-sided anti-join <=> set equality)
+      // (equal counts + empty one-sided anti-join <=> set equality).
+      // This count ALSO materializes the lazy checkpoint — so `large`
+      // must stay persisted until after it (unpersisting before the
+      // count would recompute the large-star join twice, uncached)
       val smallCount = small.count()
+      large.unpersist()
       converged = smallCount == eCount &&
         small.join(e, Seq("src", "dst"), "left_anti").isEmpty
       freeE() // round N-1's blocks: the compare above was their last use

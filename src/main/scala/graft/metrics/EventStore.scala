@@ -29,11 +29,7 @@ final class EventStore(spark: SparkSession, dir: String) {
   private def sanitize(id: String): String =
     id.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c else '_')
 
-  private def js(s: String) = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def js(s: String) = EventStore.js(s)
 
   /** Attach to a context (usually the root): every event submitted at
     * or below it lands in the buffer. */
@@ -90,6 +86,16 @@ final class EventStore(spark: SparkSession, dir: String) {
 
 object EventStore {
   import org.apache.spark.sql.types._
+
+  /** The ONE JSON-string escaper for every graft.metrics artifact
+    * (event files, descriptor JSON) — an escaping fix applied here
+    * cannot diverge the descriptor JSON from the event-file JSON. */
+  private[metrics] def js(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   val schema: StructType = StructType(Seq(
     StructField("namespace", StringType),
     StructField("name", StringType),

@@ -69,7 +69,9 @@ object Issues {
                     severity: String = "ERROR",
                     context: String = ""): Issue = {
     var root = t
-    while (root.getCause != null && root.getCause != root) root = root.getCause
+    val seen = scala.collection.mutable.Set[Throwable](root)
+    while (root.getCause != null && seen.add(root.getCause))
+      root = root.getCause
     val rootMsg = Option(root.getMessage).getOrElse(root.getClass.getSimpleName)
       .linesIterator.nextOption().getOrElse("")
     val summary =

@@ -82,11 +82,7 @@ object Lineage {
   val Namespace = "graft.event.lineage"
   val EventType = "LineageEvent"
 
-  private[metrics] def js(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private[metrics] def js(s: String): String = EventStore.js(s)
 
   /** Lineage edge table from a persisted event table ([[EventStore.table]]
     * shape): one row per (dataset, source, destination) event. */

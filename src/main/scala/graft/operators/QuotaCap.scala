@@ -44,6 +44,10 @@ object QuotaCap {
                 salt: String = "quota", subBuckets: Int = 32): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     require(subBuckets > 0, s"subBuckets must be positive: $subBuckets")
+    val clash = df.columns.toSet
+      .intersect(Set("quota_rank", "__graft_h", "__graft_r1"))
+    require(clash.isEmpty,
+      s"input columns collide with quota-cap columns: ${clash.mkString(", ")}")
     val hashed = df.withColumn("__graft_h", TextStats.portableHash60(
       concat(lit(salt), col(idCol).cast("string"))))
     val order = Seq(col("__graft_h"), col(idCol))

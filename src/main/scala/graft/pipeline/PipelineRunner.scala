@@ -79,7 +79,11 @@ object PipelineRunner {
     // .start/stop): executor task failures during this run, including
     // retried-then-succeeded attempts a green job would hide, become
     // WARN issues deduped by stack shape. Stateful runs only — the
-    // issues need an event store to land in.
+    // issues need an event store to land in. SparkListeners are
+    // context-global: CONCURRENT runs on one session would capture each
+    // other's task failures (attribution noise, not data corruption);
+    // schedulers running pipelines in parallel should drive them on
+    // separate sessions or accept cross-attributed WARN issues.
     val issueRepo = new graft.metrics.IssueRepository()
     val issueListener = new graft.metrics.IssueListener(issueRepo)
     val capture = spec.stateDir.isDefined
@@ -94,7 +98,12 @@ object PipelineRunner {
       issueRepo.getAll
     }
     def flushIssues(sd: String, extra: Seq[graft.metrics.Issue]): Unit = ledgered {
-      val all = settledIssues() ++ extra
+      // only pay the settle wait when something was captured or the run
+      // failed; a clean run with an empty repo skips straight through (a
+      // WARN still in flight on the listener bus at that instant is
+      // dropped — best-effort diagnostics, never run latency)
+      val all = (if (issueRepo.getAll.isEmpty && extra.isEmpty) Nil
+                 else settledIssues()) ++ extra
       if (all.nonEmpty) {
         val es = new EventStore(spark, s"$sd/events")
         all.map(graft.metrics.Issues.toEvent).foreach(es.listener)

@@ -36,6 +36,13 @@ object Chunker {
                     minTokens: Int = 1): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     require(stride > 0, s"stride must be positive: $stride")
+    // fail loudly instead of silently overwriting (or tripping an
+    // AMBIGUOUS_REFERENCE later) when the input already carries an
+    // output column — e.g. re-chunking chunked output: rename first
+    val reserved = Seq("chunk_idx", "chunk_text", "n_chunk_tokens", "__graft_win")
+    val clash = df.columns.filter(_ != textCol).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns collide with chunk output columns: ${clash.mkString(", ")}")
     val toks = TextStats.tokens(col(textCol))
     // number of windows = floor((n-1)/stride) + 1; split("", " ") yields
     // [""] so n >= 1 always and sequence() never gets an empty range

@@ -65,6 +65,10 @@ object ShardPack {
     require(budget > 0, s"budget must be positive: $budget")
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(startOffset >= 0, s"startOffset must be non-negative: $startOffset")
+    val clash = df.columns.toSet.intersect(Set("cum_before", shardCol,
+      "__graft_h", "__graft_w", "__graft_b", "__graft_off", "__graft_bt"))
+    require(clash.isEmpty,
+      s"input columns collide with shard-pack columns: ${clash.mkString(", ")}")
     // hash range is [0, 2^60); ceil-divide so bucket ids stay < buckets
     val width = ((1L << 60) + buckets - 1) / buckets
     val hashed = df
@@ -76,6 +80,11 @@ object ShardPack {
     // ≤ buckets rows: total weight per hash slice → exclusive offsets.
     // The empty-partition window here is single-partition BY DESIGN —
     // it runs over the aggregated slice totals, never the corpus.
+    // `hashed` is deliberately NOT persisted even though both this
+    // aggregate and the output join consume it: column pruning cuts the
+    // aggregate's scan to (keyCol, weightCol) — a tiny fraction of a
+    // text corpus — so re-evaluating the hash there is far cheaper than
+    // materializing the full hashed corpus at 100 TB would be.
     val offsets = hashed
       .groupBy(col("__graft_b")).agg(sum(col("__graft_w")).as("__graft_bt"))
       .withColumn("__graft_off", coalesce(
