@@ -1179,6 +1179,19 @@ object SparkEntry {
         col("stop_hits") >= 2)
     }),
 
+    // temperature-scaled mixing end-to-end: corpus mass per source ->
+    // (n_s/N)^alpha sampling targets (the mT5 multilingual-balance rule)
+    // -> integer percent weights -> the broadcast-join mix gate. The one
+    // float region (pow/round) collapses to an integer w_pct inside
+    // temperatureTargets, so the expanded mix is hash-exact in DuckDB.
+    "q92_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.text.CorpusMix.temperatureTargets(
+        docs, "source", "n_chars", alpha = 0.5, budgetFraction = 0.5)
+      docs.transform(graft.text.CorpusMix.mixByWeightTable(w, "source", "doc_id"))
+        .select("doc_id", "source", "epoch")
+    }),
+
     // the composed "export training shards" pipeline in ONE oracle row:
     // quota-cap per source -> shard-pack by char budget -> strided token
     // chunks. Every stage is deterministic integer/hash arithmetic, so
@@ -1848,6 +1861,20 @@ object SparkEntry {
         "% 100 < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 40 ELSE 0 END) " +
         "THEN 1 ELSE 0 END) AS copies FROM documents) " +
         "SELECT doc_id, source, lang, unnest(range(copies)) AS epoch " +
+        "FROM c WHERE copies > 0"),
+    "q92_mix_temperature" ->
+      ("WITH per AS (SELECT source, sum(n_chars)::BIGINT AS n_w " +
+        "FROM documents GROUP BY 1), " +
+        "d AS (SELECT sum(pow(n_w::DOUBLE, 0.5)) AS den, " +
+        "sum(n_w)::BIGINT AS tot FROM per), " +
+        "w AS (SELECT source, CAST(round(100.0 * pow(n_w::DOUBLE, 0.5) " +
+        "/ den * (tot::DOUBLE * 0.5) / n_w::DOUBLE) AS BIGINT) AS w_pct " +
+        "FROM per, d), " +
+        "c AS (SELECT doc_id, doc.source, w_pct // 100 + " +
+        "(CASE WHEN ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT " +
+        "% 100 < w_pct % 100 THEN 1 ELSE 0 END) AS copies " +
+        "FROM documents doc JOIN w ON doc.source = w.source) " +
+        "SELECT doc_id, source, unnest(range(copies)) AS epoch " +
         "FROM c WHERE copies > 0"),
     "q77_fs_retention" ->
       ("WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +

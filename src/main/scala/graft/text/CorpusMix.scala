@@ -67,4 +67,73 @@ object CorpusMix {
         explode(sequence(lit(0L), col("__graft_copies") - 1)))
       .drop("__graft_copies")
   }
+
+  /** Temperature-scaled per-source mix targets — the multilingual /
+    * multi-source balancing rule (mT5, Xue et al. 2021 §3.1): source s
+    * with corpus mass n_s is drawn with probability proportional to
+    * (n_s / N)^alpha. alpha = 1 keeps natural proportions; alpha -> 0
+    * flattens toward uniform, upsampling small sources.
+    *
+    * Input: any corpus frame. Output: ONE row per `sourceCol` value with
+    *   n_w   — the source's total `weightCol` mass (BIGINT),
+    *   w_pct — the epoch weight, in integer percent, that
+    *           [[mixByWeightTable]] must apply so the source contributes
+    *           ~ budgetFraction * N * (n_s^alpha / sum_t n_t^alpha) of
+    *           mass to the mix.
+    * w_pct is the ONLY float-derived value and it is rounded to an
+    * integer here, so everything downstream of this frame is
+    * integer-exact and oracle-checkable.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus into
+    * <= distinct-source rows, then a broadcast of the one-row denominator
+    * back across them — the corpus is scanned once and nothing bigger
+    * than the source list ever moves. */
+  def temperatureTargets(df: DataFrame, sourceCol: String,
+                         weightCol: String, alpha: Double,
+                         budgetFraction: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(budgetFraction > 0, s"budgetFraction must be positive: $budgetFraction")
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("n_w"))
+    val denom = perSource.agg(
+      sum(pow(col("n_w").cast("double"), lit(alpha))).as("__graft_denom"),
+      sum(col("n_w")).as("__graft_total"))
+    perSource.crossJoin(broadcast(denom))
+      .withColumn("w_pct",
+        round(lit(100.0) * pow(col("n_w").cast("double"), lit(alpha)) /
+          col("__graft_denom") *
+          (col("__graft_total").cast("double") * lit(budgetFraction)) /
+          col("n_w").cast("double")).cast("long"))
+      .drop("__graft_denom", "__graft_total")
+  }
+
+  /** [[mixByWeights]] with the weights as a TABLE instead of a driver
+    * Map — the scale path when the cell list is itself data (e.g. the
+    * output of [[temperatureTargets]], or thousands of (source, lang)
+    * cells from a profile). Weights are integer percent (`w_pct`):
+    * copies = w_pct div 100 full epochs + one more iff the salted
+    * portable hash of the key falls under w_pct mod 100 — identical
+    * semantics to [[mixByWeights]]'s (whole, frac) gate, fully integer.
+    * Sources absent from `weights` get `defaultPct`.
+    *
+    * Scale shape: the weights side is broadcast, so the corpus pays a
+    * map-side hash join plus the generator — still no shuffle. */
+  def mixByWeightTable(weights: DataFrame, sourceCol: String,
+                       keyCol: String, epochCol: String = "epoch",
+                       salt: String = "mix", defaultPct: Long = 100L)(
+      df: DataFrame): DataFrame = {
+    require(defaultPct >= 0, s"defaultPct must be non-negative: $defaultPct")
+    val w = weights.select(col(sourceCol), col("w_pct"))
+    val h = pmod(TextStats.portableHash60(
+      concat(lit(salt), col(keyCol).cast("string"))), lit(100L))
+    df.join(broadcast(w), Seq(sourceCol), "left")
+      .withColumn("__graft_wp", coalesce(col("w_pct"), lit(defaultPct)))
+      .withColumn("__graft_copies",
+        expr("__graft_wp div 100L") +
+          when(h < col("__graft_wp") % 100, 1L).otherwise(0L))
+      .filter(col("__graft_copies") > 0)
+      .withColumn(epochCol,
+        explode(sequence(lit(0L), col("__graft_copies") - 1)))
+      .drop("w_pct", "__graft_wp", "__graft_copies")
+  }
 }

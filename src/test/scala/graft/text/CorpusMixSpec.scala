@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 class CorpusMixSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val docs = Tables.load(spark, sf, "documents")
 
@@ -58,5 +59,51 @@ class CorpusMixSpec extends SparkSpec {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("Exchange"), s"mix must not shuffle:\n$p")
     assert(p.contains("Generate"))
+  }
+
+  test("temperature targets: alpha=1 keeps natural proportions") {
+    // at alpha=1 the sampling probability equals the natural share, so
+    // every source's target mass is budgetFraction * its own mass ->
+    // w_pct = round(100 * budgetFraction) for ALL sources
+    val w = CorpusMix.temperatureTargets(docs, "source", "n_chars",
+      alpha = 1.0, budgetFraction = 0.5)
+    val pcts = w.select("w_pct").collect().map(_.getLong(0)).toSet
+    assert(pcts == Set(50L), s"alpha=1 must be uniform thinning: $pcts")
+  }
+
+  test("temperature targets: small alpha upsamples small sources") {
+    val w = CorpusMix.temperatureTargets(docs, "source", "n_chars",
+      alpha = 0.3, budgetFraction = 1.0)
+      .collect().map(r => r.getAs[Long]("n_w") -> r.getAs[Long]("w_pct"))
+    val smallest = w.minBy(_._1)
+    val largest = w.maxBy(_._1)
+    assert(smallest._2 > largest._2,
+      s"flattening must weight the small source harder: $smallest vs $largest")
+    // mass conservation: sum(n_w * w_pct/100) ~ budget = sum(n_w) * 1.0
+    val total = w.map(_._1).sum.toDouble
+    val mixed = w.map { case (n, p) => n.toDouble * p / 100.0 }.sum
+    assert(math.abs(mixed - total) / total < 0.02,
+      s"targets must conserve the budget: $mixed vs $total")
+  }
+
+  test("mixByWeightTable matches mixByWeights for the same integer weights") {
+    val weights = Seq(("src0", 250L), ("src1", 40L)).toDF("source", "w_pct")
+    val viaTable = docs.transform(CorpusMix.mixByWeightTable(
+      weights, "source", "doc_id", defaultPct = 100L))
+      .select("doc_id", "source", "epoch")
+    val viaMap = docs.transform(CorpusMix.mixByWeights(
+      "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.4), default = 1.0))
+      .select("doc_id", "source", "epoch")
+    assert(viaTable.exceptAll(viaMap).isEmpty && viaMap.exceptAll(viaTable).isEmpty)
+  }
+
+  test("the weight-table mix is a broadcast join: no corpus-side exchange") {
+    val weights = Seq(("src0", 250L)).toDF("source", "w_pct")
+    val p = docs.transform(CorpusMix.mixByWeightTable(weights, "source", "doc_id"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus must not shuffle for the mix:\n$p")
   }
 }
