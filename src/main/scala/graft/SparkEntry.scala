@@ -1192,6 +1192,17 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
     }),
 
+    // CCNet-style LM familiarity: train char-trigram counts on the
+    // corpus, score every doc by mean floor-log2 gram frequency. The
+    // log2 quantization is length(bin(cnt))-1 — integer/string ops only,
+    // so train AND score are bit-identical in DuckDB (no float log).
+    "q93_lm_familiarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.NgramLm.train(docs, "text", n = 3, minCount = 2)
+      graft.text.NgramLm.familiarity(docs, model, "doc_id", "text", n = 3)
+        .select("doc_id", "n_grams", "fam_q")
+    }),
+
     // the composed "export training shards" pipeline in ONE oracle row:
     // quota-cap per source -> shard-pack by char budget -> strided token
     // chunks. Every stage is deterministic integer/hash arithmetic, so
@@ -1876,6 +1887,18 @@ object SparkEntry {
         "FROM documents doc JOIN w ON doc.source = w.source) " +
         "SELECT doc_id, source, unnest(range(copies)) AS epoch " +
         "FROM c WHERE copies > 0"),
+    "q93_lm_familiarity" ->
+      ("WITH g AS (SELECT doc_id, unnest([substr(text, i, 3) " +
+        "FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS gram " +
+        "FROM documents), " +
+        "m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1 " +
+        "HAVING count(*) >= 2), " +
+        "s AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams, " +
+        "sum(CASE WHEN m.cnt IS NULL THEN 0 " +
+        "ELSE length(bin(m.cnt)) - 1 END)::BIGINT AS fam_raw " +
+        "FROM g LEFT JOIN m USING (gram) GROUP BY 1) " +
+        "SELECT doc_id, n_grams, (fam_raw * 1000) // n_grams AS fam_q " +
+        "FROM s WHERE n_grams > 0"),
     "q77_fs_retention" ->
       ("WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +
         "value FROM events), " +
