@@ -63,6 +63,50 @@ object MinHashDedup {
       graft.functions.MinHash.bandHashes(col(textCol), n, k, numBands))
       .as(Seq("band_idx", "band_hash")))
 
+  /** The S-curve: P(candidate | jaccard s) for a (bands, rows) banding. */
+  def candidateProb(s: Double, numBands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), numBands)
+
+  /** Pick the (numBands, rowsPerBand) banding of a k-hash signature that
+    * best separates pairs at `threshold`: minimize the weighted area of
+    * the S-curve's false-positive region (below t) plus its false-
+    * negative region (above t), integrated numerically — the standard
+    * LSH parameter optimization (Leskovec/Rajaraman/Ullman, Mining of
+    * Massive Datasets §3.4.3; same objective as datasketch's
+    * _optimal_param). Only exact factorizations b*r = k are considered
+    * so no signature hash is wasted. Driver-side pure math — O(d(k) *
+    * steps) — run once at plan time. */
+  def tuneBands(k: Int, threshold: Double, fpWeight: Double = 0.5,
+                fnWeight: Double = 0.5): (Int, Int) = {
+    require(k >= 2, s"signature size must be >= 2: $k")
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1): $threshold")
+    val steps = 1000
+    def error(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = candidateProb(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    val divisorPairs = (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+    divisorPairs.minBy { case (b, r) => error(b, r) }
+  }
+
+  /** [[candidatePairs]] with the banding derived from a target Jaccard
+    * threshold via [[tuneBands]] instead of a hand-picked band count. */
+  def candidatePairsAtThreshold(df: DataFrame, idCol: String,
+                                textCol: String, threshold: Double,
+                                n: Int = 3, k: Int = 64,
+                                maxBucketSize: Int = 10000): DataFrame = {
+    val (b, _) = tuneBands(k, threshold)
+    candidatePairs(df, idCol, textCol, n, k, numBands = b,
+      maxBucketSize = maxBucketSize)
+  }
+
   /** Near-duplicate candidate pairs (id_a < id_b), distinct.
     *
     * numBands trades recall for candidate volume: rows-per-band r = k/b,

@@ -224,4 +224,42 @@ class TextAndDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(out.toSeq == Seq(2L, 7L, 9L))
   }
+
+  test("tuneBands: optimal among all factorizations, threshold-monotone") {
+    import graft.dedup.MinHashDedup.{candidateProb, tuneBands}
+    val k = 128
+    def err(b: Int, r: Int, t: Double): Double = {
+      val steps = 1000
+      (0 until steps).map { i =>
+        val s = (i + 0.5) / steps
+        val p = candidateProb(s, b, r)
+        if (s < t) 0.5 * p else 0.5 * (1.0 - p)
+      }.sum / steps
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val (b, r) = tuneBands(k, t)
+      assert(b * r == k, s"banding must use the whole signature: ($b, $r)")
+      val best = err(b, r, t)
+      for (cb <- 1 to k if k % cb == 0)
+        assert(best <= err(cb, k / cb, t) + 1e-12,
+          s"t=$t chose ($b,$r) but ($cb,${k / cb}) is better")
+    }
+    // higher threshold -> steeper curve wanted -> more rows, fewer bands
+    assert(tuneBands(k, 0.8)._1 < tuneBands(k, 0.3)._1)
+    // the chosen banding's 50%-candidacy point sits near the threshold:
+    // s50 = (1 - (1/2)^(1/b))^(1/r)
+    val (b5, r5) = tuneBands(k, 0.5)
+    val s50 = math.pow(1.0 - math.pow(0.5, 1.0 / b5), 1.0 / r5)
+    assert(math.abs(s50 - 0.5) < 0.12, s"S-curve midpoint $s50 far from 0.5")
+  }
+
+  test("candidatePairsAtThreshold reproduces candidatePairs at the tuned banding") {
+    val d = Tables.load(spark, sf, "documents").limit(300)
+    val (b, _) = graft.dedup.MinHashDedup.tuneBands(64, 0.7)
+    val auto = graft.dedup.MinHashDedup
+      .candidatePairsAtThreshold(d, "doc_id", "text", 0.7)
+    val manual = graft.dedup.MinHashDedup
+      .candidatePairs(d, "doc_id", "text", numBands = b)
+    assert(auto.exceptAll(manual).isEmpty && manual.exceptAll(auto).isEmpty)
+  }
 }
