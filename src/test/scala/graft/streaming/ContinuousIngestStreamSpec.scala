@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+class ContinuousIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Three arrival files with in-batch dups, cross-batch redelivery, and
+    * one pure-redelivery batch; modtimes pin the pickup order. */
+  private def writeArrivals(inDir: String): Unit = {
+    val files = Seq(
+      Seq(1L -> "aaaa bbbb", 2L -> "cccc dddd", 3L -> "aaaa bbbb"),
+      Seq(4L -> "cccc dddd", 5L -> "eeee ffff", 6L -> "gggg hhhh"),
+      Seq(7L -> "aaaa bbbb", 8L -> "eeee ffff"))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val part = s"$inDir/f$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+  }
+
+  private def runIngest(inDir: String, stateDir: String, outDir: String,
+                        ckpt: String): Unit = {
+    val stream = Streams.fileReplay(spark, s"$inDir/*", schema)
+    val q = ContinuousIngest.start(stream, "doc_id", "text", budget = 40L,
+      stateDir, outDir, ckpt)
+    q.awaitTermination()
+  }
+
+  test("streamed dedup->pack: exactly-once content, contiguous shards") {
+    val in = tmpDir("ci-in"); val state = tmpDir("ci-state")
+    val out = tmpDir("ci-out"); val ckpt = tmpDir("ci-ckpt")
+    writeArrivals(in)
+    runIngest(in, state, out, ckpt)
+
+    val packed = spark.read.parquet(out)
+    // 4 distinct contents exist across all arrivals -> exactly 4 rows
+    assert(packed.count() == 4)
+    assert(packed.select("text").as[String].collect().toSet ==
+      Set("aaaa bbbb", "cccc dddd", "eeee ffff", "gggg hhhh"))
+    // in-batch dup collapsed to min id; redeliveries never re-entered
+    assert(packed.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 5L, 6L))
+    // shard sequence contiguous from 0 across micro-batches
+    val shards = packed.select("shard_id").as[Long].collect().sorted
+    assert(shards.head == 0L && shards.distinct.toSeq == (0L to shards.max))
+    // the pure-redelivery batch emitted nothing but still committed state
+    assert(spark.read.parquet(s"$out/batch_id=2").isEmpty)
+    val off = spark.read.parquet(s"$state/off")
+    assert(off.count() == 3)
+    val offs = off.orderBy("batch_id").select("off").as[Long].collect()
+    assert(offs(1) == offs(2), "an all-dup batch must not advance the offset")
+    assert(offs(2) == packed.agg(sum("w")).as[Long].head())
+  }
+
+  test("restart with the same checkpoint is a no-op; checkpoint loss replays identically") {
+    val in = tmpDir("ci2-in"); val state = tmpDir("ci2-state")
+    val out = tmpDir("ci2-out"); val ckpt = tmpDir("ci2-ckpt")
+    writeArrivals(in)
+    runIngest(in, state, out, ckpt)
+    val first = spark.read.parquet(out)
+      .select("doc_id", "text", "shard_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+
+    // restart, same checkpoint: no new work, nothing changes
+    runIngest(in, state, out, ckpt)
+    val second = spark.read.parquet(out)
+      .select("doc_id", "text", "shard_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(second.sameElements(first))
+
+    // checkpoint lost: every batch replays against the surviving state
+    // dirs and must overwrite batch_id=N with byte-identical rows —
+    // the exactly-once-by-determinism claim, end to end
+    val ckpt2 = tmpDir("ci2-ckpt-b")
+    runIngest(in, state, out, ckpt2)
+    val third = spark.read.parquet(out)
+      .select("doc_id", "text", "shard_id").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(third.sameElements(first))
+    assert(spark.read.parquet(s"$state/off").count() == 3,
+      "replay must overwrite, not append, its state partitions")
+  }
+}
