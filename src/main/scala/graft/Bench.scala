@@ -53,7 +53,9 @@ object Bench {
     "q88_token_chunks",       // map-only strided window explode
     "q89_quota_cap",          // two-level salted per-key top-n
     "q90_training_export",    // composed quota->shard->chunk export
-    "q91_quality_filter")     // integer-gated Gopher quality filter
+    "q91_quality_filter",     // integer-gated Gopher quality filter
+    "q92_mix_temperature",    // (n/N)^alpha targets + weight-table mix
+    "q93_lm_familiarity")     // char-trigram LM train + broadcast score
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
