@@ -1203,6 +1203,18 @@ object SparkEntry {
         .select("doc_id", "n_grams", "fam_q")
     }),
 
+    // semantic decontamination: the embedding face of q72 — flag corpus
+    // vectors whose max cosine vs any eval vector clears the threshold.
+    // Eval set rides inside the expression as a literal; the corpus pays
+    // one codegen map pass (no join, no shuffle). Flag compares rounded
+    // cosine so both engines agree at the threshold edge.
+    "q94_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ann.Ann.semanticContamination(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        threshold = 0.9)
+    }),
+
     // the composed "export training shards" pipeline in ONE oracle row:
     // quota-cap per source -> shard-pack by char budget -> strided token
     // chunks. Every stage is deterministic integer/hash arithmetic, so
@@ -1899,6 +1911,15 @@ object SparkEntry {
         "FROM g LEFT JOIN m USING (gram) GROUP BY 1) " +
         "SELECT doc_id, n_grams, (fam_raw * 1000) // n_grams AS fam_q " +
         "FROM s WHERE n_grams > 0"),
+    "q94_semantic_decontam" ->
+      ("WITH e AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings " +
+        "WHERE vec_id < 20), " +
+        "s AS (SELECT c.vec_id, max(list_dot_product(cv, ev) / " +
+        "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(ev, ev)))) AS mc " +
+        "FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) c, e " +
+        "GROUP BY 1) " +
+        "SELECT vec_id, round(mc, 6) AS max_cos_r, " +
+        "round(mc, 6) >= 0.9 AS contaminated FROM s"),
     "q77_fs_retention" ->
       ("WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d, " +
         "value FROM events), " +

@@ -40,6 +40,33 @@ object Ann {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Semantic decontamination — the embedding face of q72's n-gram
+    * overlap check (benchmark leakage that survives paraphrase): flag
+    * every corpus vector whose max cosine against ANY eval vector
+    * clears `threshold`. The eval set is an eval benchmark, i.e.
+    * BOUNDED, so it ships as a literal array inside the expression and
+    * the corpus pays ONE codegen map pass — zero shuffles, zero joins;
+    * at 100 TB this pipelines straight through the scan. The flag
+    * compares the ROUNDED (6 dp) max cosine so engines sharing the
+    * rounding agree exactly at the threshold edge.
+    * `maxEval` guards the driver/codegen against an unbounded "eval"
+    * set being collected by mistake. */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            maxEval: Int = 4096): DataFrame = {
+    val evalVecs = evalSet.select(asDouble(col(vecCol))).limit(maxEval + 1)
+      .collect().map(_.getSeq[Double](0))
+    require(evalVecs.nonEmpty, "semanticContamination: empty eval set")
+    require(evalVecs.length <= maxEval,
+      s"semanticContamination: eval set exceeds maxEval=$maxEval — " +
+        "an eval benchmark is bounded; for corpus-vs-corpus use nearDupPairs")
+    val refs = typedlit(evalVecs.toSeq)
+    val maxCos = aggregate(refs, lit(-1.0),
+      (acc, rv) => greatest(acc, cosine(rv, col(vecCol))))
+    corpus.select(col(idCol), round(maxCos, 6).as("max_cos_r"))
+      .withColumn("contaminated", col("max_cos_r") >= threshold)
+  }
+
   /** Per-query top-k over ("query_id", "neighbor_id", "cosine") rows —
     * shared tail of every search path (deterministic tie-break on id). */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -127,4 +127,33 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
+
+  test("semanticContamination flags eval members and their near-copies only") {
+    val out = Ann.semanticContamination(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      threshold = 0.999)
+    // every corpus vector gets exactly one verdict
+    assert(out.count() == emb.count())
+    val flagged = out.filter(col("contaminated"))
+      .select("vec_id").as[Long].collect().toSet
+    // the eval vectors themselves are in the corpus: cos=1 with
+    // themselves, so all 10 must be flagged
+    assert((0L until 10L).forall(flagged.contains), s"missed self-matches: $flagged")
+    // at a 0.999 bar, near-nothing else matches in random-ish data
+    assert(flagged.size < emb.count() / 10, s"flag rate implausible: ${flagged.size}")
+  }
+
+  test("semanticContamination: map-only plan, bounded eval enforced") {
+    val plan = Ann.semanticContamination(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 0.9)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"decontam must be one map pass:\n$plan")
+    val err = intercept[IllegalArgumentException] {
+      Ann.semanticContamination(emb, emb, "vec_id", "embedding", 0.9,
+        maxEval = 64)
+    }
+    assert(err.getMessage.contains("maxEval"))
+  }
 }
