@@ -55,7 +55,9 @@ object Bench {
     "q90_training_export",    // composed quota->shard->chunk export
     "q91_quality_filter",     // integer-gated Gopher quality filter
     "q92_mix_temperature",    // (n/N)^alpha targets + weight-table mix
-    "q93_lm_familiarity")     // char-trigram LM train + broadcast score
+    "q93_lm_familiarity",     // char-trigram LM train + broadcast score
+    "q95_asof_join",          // single-shuffle as-of (union + forward fill)
+    "q96_range_join")         // binned point-in-interval hash join
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1215,6 +1215,41 @@ object SparkEntry {
         threshold = 0.9)
     }),
 
+    // as-of join: every event picks up its user's latest purchase
+    // at-or-before the event time. Spark has no ASOF operator — written
+    // as a join it's a theta-join + argmax; TemporalJoin.asOf is the
+    // union + forward-fill shape: ONE shuffle, no join node (plan pinned
+    // in TemporalJoinSpec). The oracle is DuckDB's NATIVE ASOF JOIN.
+    // Right side pre-deduped on (user, ts) so the survivor is total.
+    "q95_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("last_purchase_ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      graft.operators.TemporalJoin.asOf(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "last_purchase_ts")
+        .select("event_id", "user_id", "last_purchase_ts", "last_purchase_value")
+    }),
+
+    // point-in-interval range join: audit the mid-hour core (minutes
+    // 10-50) of the 24 busiest hours — intervals deliberately misaligned
+    // with the 30-min bins so the exact containment post-filter does real
+    // work. Plain Spark plans this as BroadcastNestedLoopJoin (O(points ×
+    // intervals)); TemporalJoin.pointInRange hash-joins on bin instead.
+    "q96_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wins = ev.groupBy(date_trunc("hour", col("ts")).as("ws"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ws")).limit(24)
+        .select((col("ws") + expr("INTERVAL 10 MINUTES")).as("win_start"),
+          (col("ws") + expr("INTERVAL 50 MINUTES")).as("win_end"))
+      graft.operators.TemporalJoin.pointInRange(
+        ev.select("event_id", "ts"), "ts", wins, "win_start", "win_end",
+        binSeconds = 1800)
+        .select("event_id", "win_start")
+    }),
+
     // the composed "export training shards" pipeline in ONE oracle row:
     // quota-cap per source -> shard-pack by char budget -> strided token
     // chunks. Every stage is deterministic integer/hash arithmetic, so
@@ -1911,6 +1946,23 @@ object SparkEntry {
         "FROM g LEFT JOIN m USING (gram) GROUP BY 1) " +
         "SELECT doc_id, n_grams, (fam_raw * 1000) // n_grams AS fam_q " +
         "FROM s WHERE n_grams > 0"),
+    "q95_asof_join" ->
+      ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS last_purchase_ts, " +
+        "max(value) AS last_purchase_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets FROM events) " +
+        "SELECT e.event_id, e.user_id, p.last_purchase_ts, p.last_purchase_value " +
+        "FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id " +
+        "AND e.ets >= p.last_purchase_ts"),
+    "q96_range_join" ->
+      ("WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "top AS (SELECT ws FROM h ORDER BY n DESC, ws LIMIT 24), " +
+        "w AS (SELECT ws + INTERVAL 10 MINUTE AS win_start, " +
+        "ws + INTERVAL 50 MINUTE AS win_end FROM top) " +
+        "SELECT e.event_id, w.win_start FROM events e, w " +
+        "WHERE CAST(e.ts AS TIMESTAMP) >= w.win_start " +
+        "AND CAST(e.ts AS TIMESTAMP) < w.win_end"),
     "q94_semantic_decontam" ->
       ("WITH e AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings " +
         "WHERE vec_id < 20), " +
