@@ -14,6 +14,9 @@ import graft.dedup.{DupClusters, MinHashDedup}
   * just volume). embed mode: replicate embeddings with a small
   * deterministic per-replica perturbation (plants K-sized near-dup
   * groups) and time SRP-banded near-dup pairs + IVF build/search.
+  * events mode: replicate events with UNSHIFTED user ids, so per-key
+  * history deepens K× — the stress profile of the temporal joins
+  * (as-of sort/fill per key) and sessionization, not just row volume.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -31,6 +34,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     if (mode == "embed") { embedProbe(spark, sfDir, k, cpus.toInt); return }
+    if (mode == "events") { eventsProbe(spark, sfDir, k, cpus.toInt); return }
 
     val base = Tables.load(spark, sfDir, "documents")
     val n0 = base.count()
@@ -80,6 +84,48 @@ object ScaleProbe {
       s"clusters=$clusters keep_best=$keepBest span_docs=$spans " +
       s"indoc_docs=$inDoc shards=$shards quota_kept=$capped " +
       s"chunks=$chunks")
+    spark.stop()
+  }
+
+  /** Temporal-join probe: K event replicas with the SAME user ids (per-key
+    * history deepens K×; event ids stay unique). Times the as-of
+    * forward-fill, the binned range join, and gap sessionization. */
+  private def eventsProbe(spark: SparkSession, sfDir: String, k: Int,
+                          cpus: Int): Unit = {
+    import graft.operators.{Sessionize, TemporalJoin}
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scaleprobe] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val base = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val ev = (0 until k).map(i =>
+      base.select((col("event_id") + lit(i.toLong * 100_000_000L)).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value")))
+      .reduce(_ union _).repartition(cpus).persist()
+    val n = ev.count()
+    // replicas share (user, ts): the (key, ts) grouping dedups them, so
+    // the right side stays deterministic at any K
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pval"))
+    val asof = time(s"asOf over $n events (per-key history ${k}x)")(
+      TemporalJoin.asOf(ev.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "pts").count())
+    val wins = ev.groupBy(date_trunc("hour", col("ts")).as("ws"))
+      .agg(count(lit(1)).as("nn"))
+      .orderBy(col("nn").desc, col("ws")).limit(100)
+      .select((col("ws") + expr("INTERVAL 10 MINUTES")).as("win_start"),
+        (col("ws") + expr("INTERVAL 50 MINUTES")).as("win_end"))
+    val ranged = time("pointInRange vs top-100 busy-hour cores")(
+      TemporalJoin.pointInRange(ev.select("event_id", "ts"), "ts",
+        wins, "win_start", "win_end", binSeconds = 1800).count())
+    val sessions = time("gap sessionization 30m")(
+      Sessionize.gapSessions(ev, "user_id", "ts", "30 minutes").count())
+    println(s"[scaleprobe] events=$n asof_rows=$asof range_rows=$ranged " +
+      s"sessions=$sessions")
     spark.stop()
   }
 
