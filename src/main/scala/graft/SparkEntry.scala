@@ -1232,6 +1232,26 @@ object SparkEntry {
         .select("event_id", "user_id", "last_purchase_ts", "last_purchase_value")
     }),
 
+    // the STREAMING face of q95, same oracle: events replayed as a
+    // stream, enriched point-in-time via the SCD-2 validity-interval
+    // rewrite (streams can't window, so the dim side precomputes
+    // [ts, next_ts) and the stream broadcast-joins exactly one interval).
+    // Green here proves batch asOf == streaming asOfEnrich end-to-end.
+    "q97_stream_asof" -> ((s, dir) => {
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("last_purchase_ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      val stream = Tables.loadStream(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      Streams.runToCompletionAppend(
+        Streams.asOfEnrich(stream, purchases, Seq("user_id"),
+          "ts", "last_purchase_ts")
+          .select("event_id", "user_id", "last_purchase_ts",
+            "last_purchase_value"),
+        "q97_asof_tbl")
+    }),
+
     // point-in-interval range join: audit the mid-hour core (minutes
     // 10-50) of the 24 busiest hours — intervals deliberately misaligned
     // with the 30-min bins so the exact containment post-filter does real
@@ -1947,6 +1967,14 @@ object SparkEntry {
         "SELECT doc_id, n_grams, (fam_raw * 1000) // n_grams AS fam_q " +
         "FROM s WHERE n_grams > 0"),
     "q95_asof_join" ->
+      ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS last_purchase_ts, " +
+        "max(value) AS last_purchase_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets FROM events) " +
+        "SELECT e.event_id, e.user_id, p.last_purchase_ts, p.last_purchase_value " +
+        "FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id " +
+        "AND e.ets >= p.last_purchase_ts"),
+    "q97_stream_asof" ->
       ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS last_purchase_ts, " +
         "max(value) AS last_purchase_value FROM events " +
         "WHERE event_type = 'purchase' GROUP BY 1, 2), " +

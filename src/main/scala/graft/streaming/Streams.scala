@@ -99,6 +99,44 @@ object Streams {
              joinCols: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
 
+  /** Streaming as-of enrichment — the temporal face of [[enrich]]: each
+    * streamed row joins the dim row that was CURRENT AT ITS EVENT TIME,
+    * not the latest one. Same semantics as the batch
+    * [[graft.operators.TemporalJoin.asOf]] (inclusive at equal ts,
+    * left-outer before the first dim row), so a backfill and the live
+    * stream enrich identically — the batch/stream parity contract
+    * [[sessionize]] establishes, extended to point-in-time lookup.
+    *
+    * Streams can't run window functions, so the batch union+forward-fill
+    * shape is unavailable; this is the SCD-2 rewrite instead: the STATIC
+    * side (where windows are fine) precomputes each dim row's validity
+    * interval [dimTs, next dimTs), and the stream does a supported
+    * stream-static broadcast left-outer join with exactly one matching
+    * interval per row — zero stream-side state, zero shuffles per batch.
+    * Dim rows sharing an exact (key, ts) make the interval chain
+    * ill-defined — pre-dedup the dim, as with the batch operator. */
+  def asOfEnrich(stream: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                 streamTsCol: String, dimTsCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = dim.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(dimTsCol),
+      s"dimTsCol $dimTsCol must be a non-key column of dim")
+    val clash = payload.toSet intersect stream.columns.toSet
+    require(clash.isEmpty,
+      s"dim payload columns collide with stream: $clash — rename first")
+    val until = "__graft_valid_until"
+    val timeline = dim.withColumn(until,
+      lead(col(dimTsCol), 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col(dimTsCol))))
+    val cond = keyCols.map(k => stream(k) === timeline(k))
+      .reduce(_ && _) &&
+      stream(streamTsCol) >= timeline(dimTsCol) &&
+      (timeline(until).isNull || stream(streamTsCol) < timeline(until))
+    stream.join(broadcast(timeline), cond, "left_outer")
+      .select(stream.columns.map(stream(_)) ++
+        payload.map(timeline(_)): _*)
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * KeyValueGroupedDataset state surface the built-in windows can't
     * express (gap-based sessions close when a key goes quiet, not on a

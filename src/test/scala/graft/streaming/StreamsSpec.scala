@@ -240,6 +240,26 @@ class StreamsSpec extends SparkSpec {
     assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty)
   }
 
+  test("asOfEnrich parity: streamed point-in-time lookup equals batch asOf") {
+    val ev = Tables.load(spark, sf, "events")
+    val dim = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("pts"))
+      .agg(max(col("value")).as("pval"))
+    val stream = Tables.loadStream(spark, sf, "events")
+      .select("event_id", "user_id", "ts")
+    val streamed = Streams.runToCompletionAppend(
+      Streams.asOfEnrich(stream, dim, Seq("user_id"), "ts", "pts"),
+      "asof_parity_tbl")
+      .select("event_id", "pts", "pval")
+    val batch = graft.operators.TemporalJoin.asOf(
+      ev.select("event_id", "user_id", "ts"), dim, Seq("user_id"), "ts", "pts")
+      .select("event_id", "pts", "pval")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream/batch as-of mismatch")
+    // left-outer: every event appears exactly once even with no purchase yet
+    assert(streamed.count() == ev.count())
+  }
+
   test("streaming fork writes each micro-batch to all sinks") {
     val dir = tmpDir("sfork")
     val stream = Tables.loadStream(spark, sf, "events")
