@@ -37,7 +37,15 @@ class StreamMetricsSpec extends SparkSpec {
       assert(ctx.counterValue("records.in") == 3)
       assert(qc.timerSnapshot("time.batch").exists(_.count >= 2))
 
-      // the store has one record-set per epoch, keyed for idempotency
+      // the store has one record-set per epoch, keyed for idempotency.
+      // The listener callback incs counters BEFORE its store write, so
+      // the counter asserts above can pass while epoch 2's file create
+      // is still in flight — poll (bounded) instead of racing it.
+      def storeRows() = store.table.filter("job = 'sm_q'")
+        .filter("metric = 'records.in'").count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (storeRows() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
       val t = store.table.filter("job = 'sm_q'")
       assert(t.filter("metric = 'records.in'").count() >= 2)
       val runIds = t.select("run_id").distinct().collect()
