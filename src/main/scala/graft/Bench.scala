@@ -71,8 +71,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up the JVM/codegen paths outside the timed region
-    SparkEntry.queries("q01_project")(spark, sfDir).count()
+    // warm up the JVM/codegen paths outside the timed region (a warm-up
+    // failure is not fatal — the per-query loop will surface the error)
+    try SparkEntry.queries("q01_project")(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
 
     // SPARK_GRAFT_ONLY=q21_minhash_pairs,q43_... narrows the run for
     // local iteration; the driver never sets it, so recorded rounds
@@ -94,14 +97,26 @@ object Bench {
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(1)
 
-    val results = selected.map { name =>
+    // A failing query must never be recorded as a (fast) time — round 8
+    // published a 0.10 s entry that was an analysis-time failure. Timings
+    // and errors are kept in separate maps; an errored query contributes
+    // no "queries" entry and the whole line carries an "errors" object.
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val dt = (1 to runs).map { _ =>
+      val dts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // the timer covers BOTH DataFrame construction and the action:
         // iterative operators (q65) do their looped jobs eagerly at
         // build time, so timing only the action would under-attribute.
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
+            System.err.println(s"[bench] FAILED $name: $msg")
+            errors(name) = msg
+            false
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // Each headline query models an independent job; drop the state it
         // pinned (persisted frames, shuffle files) OUTSIDE the timed region
@@ -109,14 +124,23 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        t
-      }.min
-      name -> dt
+        if (ok) Some(t) else None
+      }
+      if (dts.nonEmpty) times(name) = dts.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

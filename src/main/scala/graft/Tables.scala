@@ -2,16 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata layout: one parquet file per table
   * under an sf directory (see /root/repo/TESTDATA.md).
   *
-  * The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects; we read it as a nanos-long
-  * (spark.sql.legacy.parquet.nanosAsLong) and convert to a microsecond
-  * timestamp with integer arithmetic (no double round-trip — ns since 2024
-  * exceeds double's 53-bit mantissa).
+  * `events.ts` has shipped in two physical shapes across driver rounds:
+  *  - parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects —
+  *    read as a nanos-long (spark.sql.legacy.parquet.nanosAsLong) and
+  *    convert with integer arithmetic (no double round-trip: ns since
+  *    2024 exceeds double's 53-bit mantissa);
+  *  - parquet timestamp[us] with no timezone, which Spark 4 infers as
+  *    TIMESTAMP_NTZ. Pure comparisons tolerate NTZ, but `withWatermark`
+  *    and `unix_micros` reject it, so it is cast to TIMESTAMP here at the
+  *    source. Every entry point pins spark.sql.session.timeZone=UTC, so
+  *    the cast is lossless and agrees with the DuckDB oracle.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -21,12 +26,18 @@ object Tables {
   private def enableNanos(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Convert any nanos-long "ts" column produced by nanosAsLong. */
+  /** Normalize a "ts" column to TIMESTAMP: nanos-long (nanosAsLong) via
+    * integer division, TIMESTAMP_NTZ via a cast (UTC session → lossless). */
   def normalizeTs(df: DataFrame, cols: Seq[String] = Seq("ts")): DataFrame =
     cols.foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c) && d.schema(c).dataType == LongType)
-        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      else d
+      if (!d.columns.contains(c)) d
+      else d.schema(c).dataType match {
+        case LongType =>
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(c, col(c).cast(TimestampType))
+        case _ => d
+      }
     }
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
