@@ -1120,6 +1120,28 @@ object SparkEntry {
         stream.dropDuplicates("event_id"), "q86_stream_dedup_tbl")
     }),
 
+    // q86's production shape: watermark-BOUNDED streaming dedup
+    // (dropDuplicatesWithinWatermark) — state evicts once the watermark
+    // passes, O(in-flight keys) instead of q86's grow-forever state. The
+    // delay here exceeds the table's full time span, so every redelivery
+    // lands inside the horizon and the output deterministically equals
+    // exact dedup whatever order the file source feeds batches in (the
+    // eviction behavior itself is pinned by the StreamsSpec unit).
+    "q98_stream_dedup_wm" -> ((s, dir) => {
+      val base = tmp("q98")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "ts")
+      ev.union(ev).repartition(8)
+        .write.mode("overwrite").parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$base/in")
+      Streams.runToCompletionAppend(
+        Streams.dedupWithinWatermark(
+          stream, Seq("event_id"), "ts", delay = "3650 days")
+          .select("event_id", "user_id"),
+        "q98_stream_dedup_wm_tbl")
+    }),
+
     // deterministic token-budget shard packing (the "write the training
     // shards" step): corpus laid out in salted-portable-hash order, cut
     // into 25k-char shards via a DISTRIBUTED prefix sum — bucketed by
@@ -1806,6 +1828,8 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q98_stream_dedup_wm" ->
+      "SELECT event_id, user_id FROM events",
     "q87_shard_pack" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, " +
         "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +

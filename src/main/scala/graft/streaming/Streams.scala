@@ -58,6 +58,25 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("cnt"))
 
+  /** Watermark-BOUNDED streaming dedup — the production default once the
+    * source bounds disorder (e.g. a queue with bounded redelivery): a
+    * duplicate arriving within `delay` of its first copy's event time is
+    * dropped, and the key's state is EVICTED when the watermark passes
+    * first-copy-ts + delay. State is O(keys in flight inside the
+    * watermark), not O(every key ever seen) — the unbounded
+    * `dropDuplicates` (q86) grows state forever, which at 100 TB of
+    * stream history is an OOM, not a dedup. The contract's flip side: a
+    * duplicate redelivered LATER than `delay` after the original
+    * re-emits (its state is gone) — size `delay` to the source's actual
+    * redelivery horizon. Mirrors the reference's streaming-mode record
+    * dedup over a bounded window
+    * (gobblin-modules/gobblin-kafka-common/.../KafkaStreamingExtractor.java
+    * resume semantics). */
+  def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
+                           tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run a streaming aggregation to completion over bounded input
     * (Trigger.AvailableNow), returning the final result as a batch
     * DataFrame via the in-memory sink. Exercises the real streaming

@@ -260,6 +260,42 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.count() == ev.count())
   }
 
+  test("dedupWithinWatermark: dups inside the horizon drop, state evicts past it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Streams.dedupWithinWatermark(
+      src.toDF().toDF("id", "ts", "v"), Seq("id"), "ts", delay = "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("wm_dedup_tbl").outputMode("append").start()
+    // batch 1: two keys; watermark after the batch = 10:01 - 10m = 09:51
+    src.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "first"),
+      (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "b"))
+    q.processAllAvailable()
+    // batch 2: id 1 redelivered INSIDE the horizon -> dropped; id 3 at
+    // 11:00 advances the watermark to 10:50, past both keys' expiry
+    // (first-ts + 10m = 10:10 / 10:11) -> their state is evicted
+    src.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00"), "dup-in-window"),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), "c"))
+    q.processAllAvailable()
+    // batch 3: id 1 again, LATER than the horizon — its state is gone, so
+    // it re-emits: the semantic proof the state really was evicted
+    src.addData((1L, Timestamp.valueOf("2024-01-01 11:30:00"), "re-emit"))
+    q.processAllAvailable()
+    val evicted = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsRemoved).sum
+    val finalState = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    src.stop(); q.stop()
+    val rows = spark.table("wm_dedup_tbl").as[(Long, Timestamp, String)]
+      .collect().map(r => (r._1, r._3)).toSeq.sorted
+    assert(rows == Seq((1L, "first"), (1L, "re-emit"), (2L, "b"), (3L, "c")),
+      s"got $rows")
+    assert(evicted >= 2, s"expected ids 1 and 2 evicted, metrics saw $evicted")
+    // ids 1 (re-added) and 3 remain; 4 keys were seen in total
+    assert(finalState.exists(_ <= 2), s"state not bounded: $finalState")
+  }
+
   test("streaming fork writes each micro-batch to all sinks") {
     val dir = tmpDir("sfork")
     val stream = Tables.loadStream(spark, sf, "events")
