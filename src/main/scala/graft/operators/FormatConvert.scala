@@ -62,4 +62,19 @@ object FormatConvert {
       CatalogRegister.register(spark, t, orcDir, "orc", partitionBy))
     swapped
   }
+
+  /** The HiveQL publish script for a completed conversion — CREATE
+    * EXTERNAL TABLE ... STORED AS ORC plus ADD PARTITION per swapped
+    * sub-path — for deployments fronted by a real Hive metastore rather
+    * than the session catalog (the reference's QueryBasedHivePublishEntity;
+    * HiveAvroORCQueryGenerator.java:120,315). The schema is read back
+    * from the published ORC so the DDL always describes what was actually
+    * written, partition columns included. */
+  def publishDdl(spark: SparkSession, orcDir: String, table: String,
+                 partitionBy: Seq[String] = Nil,
+                 swappedPartitions: Seq[String] = Nil,
+                 db: String = "default"): Seq[String] =
+    graft.sinks.HiveDdl.publishScript(
+      spark.read.orc(orcDir).schema, table, orcDir,
+      swappedPartitions, db, partitionBy)
 }
