@@ -1142,6 +1142,26 @@ object SparkEntry {
         "q98_stream_dedup_wm_tbl")
     }),
 
+    // keystore-backed rotating AES field encryption, end-to-end: generate
+    // two keys in a JCEKS store on disk, encrypt every comment under the
+    // newest key, decrypt through header-resolved key lookup — the
+    // reference's JCEKSKeystoreCredentialStore + RotatingAESCodec +
+    // string-field converter chain. The random per-row IV makes the
+    // ciphertext non-deterministic, so the oracle checks the only thing
+    // that IS deterministic: decrypt∘encrypt = identity on real data.
+    "q99_crypto_roundtrip" -> ((s, dir) => {
+      import graft.functions.{JceksCredentialStore, KeyCrypto}
+      val ksPath = s"${tmp("q99")}/creds.jceks"
+      JceksCredentialStore.generateKey(ksPath, "q99-pw")
+      JceksCredentialStore.generateKey(ksPath, "q99-pw")
+      val ring = JceksCredentialStore.loadRing(ksPath, "q99-pw")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        KeyCrypto.decryptStringField(
+          KeyCrypto.encryptStringField(col("text"), ring), ring)
+          .as("text"))
+    }),
+
     // deterministic token-budget shard packing (the "write the training
     // shards" step): corpus laid out in salted-portable-hash order, cut
     // into 25k-char shards via a DISTRIBUTED prefix sum — bucketed by
@@ -1830,6 +1850,8 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
       "SELECT event_id, user_id FROM events",
+    "q99_crypto_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
     "q87_shard_pack" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, " +
         "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
