@@ -158,4 +158,81 @@ object HiveDdl {
     createTableDdl(schema, table, location, db, partitionBy) +:
       swappedPartitions.map(rel =>
         addPartitionDdl(table, specFromPath(rel), s"$location/$rel", db))
+
+  /** ALTER statements evolving a registered table to the new schema —
+    * the reference's generateEvolutionDDL (HiveAvroORCQueryGenerator
+    * .java:665): a field whose type widened becomes CHANGE COLUMN, a new
+    * field becomes ADD COLUMNS, and an incompatible change (narrowing, a
+    * type with no common widening) throws instead of emitting DDL that
+    * would corrupt readers. Widening legality delegates to the engine's
+    * one source of truth, [[graft.operators.SchemaEvolution.canPromote]],
+    * so the catalog face and the frame face can never disagree. */
+  def evolutionDdl(existing: StructType, evolved: StructType, table: String,
+                   db: String = "default",
+                   tableProperties: Map[String, String] = Map.empty): Seq[String] = {
+    import graft.operators.SchemaEvolution.canPromote
+    val byName = existing.fields.map(f => f.name.toLowerCase -> f).toMap
+    val ddl = scala.collection.mutable.ListBuffer.empty[String]
+    evolved.fields.foreach { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(dest) if dest.dataType == f.dataType => () // unchanged
+        case Some(dest) =>
+          require(canPromote(dest.dataType, f.dataType),
+            s"incompatible type evolution for ${qualified(db, table)}.${f.name}: " +
+              s"${hiveType(dest.dataType)} -> ${hiveType(f.dataType)}")
+          ddl += s"ALTER TABLE ${qualified(db, table)} CHANGE COLUMN " +
+            s"${q(f.name)} ${q(f.name)} ${hiveType(f.dataType)}"
+        case None =>
+          ddl += s"ALTER TABLE ${qualified(db, table)} ADD COLUMNS " +
+            s"(${q(f.name)} ${hiveType(f.dataType)})"
+      }
+    }
+    ddl ++= tableProperties.toSeq.sorted.map { case (k, v) =>
+      s"ALTER TABLE ${qualified(db, table)} SET TBLPROPERTIES (${partLit(k)}=${partLit(v)})"
+    }
+    ddl.toSeq
+  }
+
+  /** The two count queries validating a conversion — rows in source and
+    * destination, optionally scoped to one partition — whose results the
+    * caller compares (HiveValidationQueryGenerator
+    * .generateCountValidationQueries). */
+  def countValidationQueries(srcTable: String, dstTable: String,
+                             srcDb: String = "default",
+                             dstDb: String = "default",
+                             partition: Seq[(String, String)] = Nil): Seq[String] = {
+    val where =
+      if (partition.isEmpty) ""
+      else partition.map { case (k, v) => s"${q(k)}=${partLit(v)}" }
+        .mkString(" WHERE ", " AND ", "")
+    Seq(s"SELECT count(*) FROM ${qualified(srcDb, srcTable)}$where",
+      s"SELECT count(*) FROM ${qualified(dstDb, dstTable)}$where")
+  }
+
+  /** Row-match count between source and converted tables: a join on every
+    * comparable column with NULL-SAFE equality (`<=>`), map columns
+    * excluded — Hive cannot join on maps (HiveValidationQueryGenerator
+    * .generateDataValidationQuery). The caller compares the result to the
+    * source count. */
+  def dataValidationQuery(schema: StructType, srcTable: String,
+                          dstTable: String, srcDb: String = "default",
+                          dstDb: String = "default",
+                          partition: Seq[(String, String)] = Nil): String = {
+    def joinable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case StructType(fs) => fs.forall(f => joinable(f.dataType))
+      case ArrayType(e, _) => joinable(e)
+      case _ => true
+    }
+    val cols = schema.fields.filter(f => joinable(f.dataType))
+    require(cols.nonEmpty, "no joinable columns (all map-typed)")
+    val on = cols.map(f => s"s.${q(f.name)}<=>t.${q(f.name)}")
+      .mkString(" AND ")
+    val where =
+      if (partition.isEmpty) ""
+      else partition.map { case (k, v) => s"s.${q(k)}=${partLit(v)}" }
+        .mkString(" WHERE ", " AND ", "")
+    s"SELECT count(*) FROM ${qualified(srcDb, srcTable)} s JOIN " +
+      s"${qualified(dstDb, dstTable)} t ON $on$where"
+  }
 }

@@ -99,6 +99,69 @@ class HiveDdlSpec extends SparkSpec {
     }
   }
 
+  test("evolutionDdl: widen -> CHANGE COLUMN, new -> ADD COLUMNS, narrow -> throw") {
+    val existing = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType)))
+    val evolved = StructType(Seq(
+      StructField("id", LongType),          // widened
+      StructField("name", StringType),      // unchanged
+      StructField("score", DoubleType)))    // new
+    val ddl = HiveDdl.evolutionDdl(existing, evolved, "t", db = "wh",
+      tableProperties = Map("orc.compress" -> "ZLIB"))
+    assert(ddl == Seq(
+      "ALTER TABLE `wh`.`t` CHANGE COLUMN `id` `id` bigint",
+      "ALTER TABLE `wh`.`t` ADD COLUMNS (`score` double)",
+      "ALTER TABLE `wh`.`t` SET TBLPROPERTIES ('orc.compress'='ZLIB')"))
+    // narrowing long -> int must throw, not emit corrupting DDL
+    val e = intercept[IllegalArgumentException] {
+      HiveDdl.evolutionDdl(
+        StructType(Seq(StructField("id", LongType))),
+        StructType(Seq(StructField("id", IntegerType))), "t")
+    }
+    assert(e.getMessage.contains("incompatible type evolution"))
+  }
+
+  test("validation queries run against registered tables and agree") {
+    import spark.implicits._
+    val base = tmpDir("hiveval")
+    val src = Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "z", 3.5))
+      .toDF("id", "v", "score")
+    src.write.mode("overwrite").parquet(s"$base/src")
+    src.write.mode("overwrite").orc(s"$base/dst")
+    CatalogRegister.register(spark, "hv_src", s"$base/src", "parquet")
+    CatalogRegister.register(spark, "hv_dst", s"$base/dst", "orc")
+    try {
+      val Seq(srcQ, dstQ) = HiveDdl.countValidationQueries("hv_src", "hv_dst")
+      val srcN = spark.sql(srcQ).collect()(0).getLong(0)
+      val dstN = spark.sql(dstQ).collect()(0).getLong(0)
+      assert(srcN == 3 && dstN == 3)
+      // null-safe join-match count equals the source count on equal data
+      val matchQ = HiveDdl.dataValidationQuery(src.schema, "hv_src", "hv_dst")
+      assert(matchQ.contains("<=>") && !matchQ.contains("map"))
+      assert(spark.sql(matchQ).collect()(0).getLong(0) == 3)
+    } finally {
+      CatalogRegister.deregister(spark, "hv_src")
+      CatalogRegister.deregister(spark, "hv_dst")
+    }
+  }
+
+  test("dataValidationQuery excludes map columns from the join") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("nested_map", StructType(Seq(
+        StructField("m", MapType(StringType, IntegerType)))))))
+    val qy = HiveDdl.dataValidationQuery(schema, "s", "t")
+    assert(qy.contains("s.`id`<=>t.`id`"))
+    assert(!qy.contains("attrs") && !qy.contains("nested_map"))
+    intercept[IllegalArgumentException] {
+      HiveDdl.dataValidationQuery(
+        StructType(Seq(StructField("m", MapType(StringType, StringType)))),
+        "s", "t")
+    }
+  }
+
   test("publishDdl describes the actually-published ORC, partitions included") {
     import spark.implicits._
     val base = tmpDir("hiveddl")
