@@ -57,7 +57,11 @@ object Bench {
     "q92_mix_temperature",    // (n/N)^alpha targets + weight-table mix
     "q93_lm_familiarity",     // char-trigram LM train + broadcast score
     "q95_asof_join",          // single-shuffle as-of (union + forward fill)
-    "q96_range_join")         // binned point-in-interval hash join
+    "q96_range_join",         // binned point-in-interval hash join
+    // appended round 9:
+    "q98_stream_dedup_wm",    // watermark-bounded streaming dedup (real stream path)
+    "q99_crypto_roundtrip",   // keystore rotating-AES encrypt+decrypt map pass
+    "q100_pq_ann")            // PQ train + byte-encode + ADC top-k
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

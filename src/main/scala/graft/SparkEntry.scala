@@ -780,6 +780,29 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // Product quantization ADC search (Jégou 2011; the FAISS IVF-PQ
+    // compression half): codebooks trained on a bounded deterministic
+    // sample, corpus encoded to m bytes/vector (map-only expression),
+    // queries scored via broadcast lookup tables — m byte-indexed adds
+    // per candidate instead of D multiplies. K-means is not
+    // SQL-expressible, so this row is rows-only (no DuckDB oracle); the
+    // PqSpec unit pins determinism, reconstruction error, planted-cluster
+    // top-1 accuracy, and the map-only plan.
+    "q100_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val derived = emb.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val cb = graft.ann.Pq.train(derived, "vec_id", "embedding",
+        m = 8, k = 16, sampleN = 2000, iters = 8)
+      val enc = graft.ann.Pq.encode(derived, "vec_id", "embedding", cb)
+      graft.ann.Pq.adcTopK(enc, derived.filter(col("vec_id") < 5),
+        "vec_id", "embedding", cb, topK = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 3).as("adc_dist_r"), col("rank"))
+    }),
+
     // IVF over a PERSISTED index: same derived clustered corpus and
     // recall-1.0 contract as q47 (identical deterministic training, so the
     // output must EQUAL the exact top-k), but the corpus is written
