@@ -115,58 +115,89 @@ object Fork {
     * nothing and preserves state" (QueryBasedSource.java:195-199). The
     * runner enables it for branches that published before under a
     * per-branch watermark, where an empty delta means "already current",
-    * not "dataset became empty". */
+    * not "dataset became empty".
+    *
+    * `maxAttempts` > 1 retries a FAILED branch in place before declaring
+    * it failed — the reference's task retry (ConfigurationKeys
+    * .MAX_TASK_RETRIES_KEY `task.maxretries`, default 5, consumed by the
+    * task retry loop in gobblin-runtime TaskExecutor). Safe here by
+    * construction: a failed attempt aborts its staging, so a retry
+    * re-stages from scratch and the published output is only ever
+    * touched by the attempt that promotes. The failure text of the last
+    * attempt is what the outcome carries, prefixed with the attempt
+    * count so a retried-then-failed branch is distinguishable. */
   def runPartial(df: DataFrame, branches: Seq[Branch], runId: String,
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
                  branchGate: (String, BranchResult) => Unit = (_, _) => (),
-                 skipEmpty: String => Boolean = _ => false)
+                 skipEmpty: String => Boolean = _ => false,
+                 maxAttempts: Int = 1)
       : PartialOutcome = {
     import scala.util.control.NonFatal
+    require(maxAttempts >= 1, "maxAttempts must be >= 1")
     val needPersist =
       branches.size > 1 && df.storageLevel == StorageLevel.NONE
     val shared = if (needPersist) df.persist(storage) else df
     try {
       val outcomes: Seq[Either[(String, String), (String, Option[BranchResult])]] =
         branches.map { b =>
-          try {
-            val routed = b.predicate.fold(shared)(shared.filter)
-            val obsR = Observation(s"graft_${runId}_${b.name}_routed")
-            val obsW = Observation(s"graft_${runId}_${b.name}_written")
-            val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
-              .observe(obsW, count(lit(1)).as("rows"))
-            val so: AtomicPublisher.StagedOutput =
-              if (b.spec.format == "jdbc")
-                graft.sinks.JdbcWriter.stage(out, graft.sinks.JdbcWriter.JdbcSpec(
-                  url = b.spec.options("url"),
-                  table = b.spec.options.getOrElse("dbtable", b.outDir),
-                  mode = b.spec.mode,
-                  batchSize = b.spec.options.get("batchsize")
-                    .map(_.toInt).getOrElse(1000)), runId)
-              else AtomicPublisher.stage(out, b.outDir, runId, b.spec)
-            // observations completed during the staged write; gate + promote
-            // this branch without reference to any sibling
-            try {
-              val r = BranchResult(
-                obsR.get("rows").asInstanceOf[Long],
-                obsW.get("rows").asInstanceOf[Long])
-              if (r.routed == 0 && skipEmpty(b.name)) {
-                so.abort() // nothing new: keep the published output as-is
-                Right(b.name -> None)
-              } else {
-                branchGate(b.name, r)
-                so.promote()
-                Right(b.name -> Some(r))
-              }
-            } catch {
-              case NonFatal(e) => so.abort(); Left(b.name -> e.toString)
-            }
-          } catch { case NonFatal(e) => Left(b.name -> e.toString) }
+          var attempt = 0
+          var last: Either[(String, String), (String, Option[BranchResult])] =
+            null
+          while (attempt < maxAttempts && (last == null || last.isLeft)) {
+            attempt += 1
+            last = runBranchOnce(shared, b, s"${runId}_a$attempt",
+              branchGate, skipEmpty)
+          }
+          last.left.map { case (n, e) =>
+            n -> (if (maxAttempts > 1) s"after $attempt attempts: $e" else e)
+          }
         }
       PartialOutcome(
         succeeded = outcomes.collect { case Right((n, Some(r))) => n -> r }.toMap,
         failed = outcomes.collect { case Left(kv) => kv }.toMap,
         skipped = outcomes.collect { case Right((n, None)) => n }.toSet)
     } finally if (needPersist) { shared.unpersist(); () }
+  }
+
+  /** One staged attempt of one branch (the body [[runPartial]] retries). */
+  private def runBranchOnce(shared: DataFrame, b: Branch, runId: String,
+                            branchGate: (String, BranchResult) => Unit,
+                            skipEmpty: String => Boolean)
+      : Either[(String, String), (String, Option[BranchResult])] = {
+    import scala.util.control.NonFatal
+    try {
+      val routed = b.predicate.fold(shared)(shared.filter)
+      val obsR = Observation(s"graft_${runId}_${b.name}_routed")
+      val obsW = Observation(s"graft_${runId}_${b.name}_written")
+      val out = b.transform(routed.observe(obsR, count(lit(1)).as("rows")))
+        .observe(obsW, count(lit(1)).as("rows"))
+      val so: AtomicPublisher.StagedOutput =
+        if (b.spec.format == "jdbc")
+          graft.sinks.JdbcWriter.stage(out, graft.sinks.JdbcWriter.JdbcSpec(
+            url = b.spec.options("url"),
+            table = b.spec.options.getOrElse("dbtable", b.outDir),
+            mode = b.spec.mode,
+            batchSize = b.spec.options.get("batchsize")
+              .map(_.toInt).getOrElse(1000)), runId)
+        else AtomicPublisher.stage(out, b.outDir, runId, b.spec)
+      // observations completed during the staged write; gate + promote
+      // this branch without reference to any sibling
+      try {
+        val r = BranchResult(
+          obsR.get("rows").asInstanceOf[Long],
+          obsW.get("rows").asInstanceOf[Long])
+        if (r.routed == 0 && skipEmpty(b.name)) {
+          so.abort() // nothing new: keep the published output as-is
+          Right(b.name -> None)
+        } else {
+          branchGate(b.name, r)
+          so.promote()
+          Right(b.name -> Some(r))
+        }
+      } catch {
+        case NonFatal(e) => so.abort(); Left(b.name -> e.toString)
+      }
+    } catch { case NonFatal(e) => Left(b.name -> e.toString) }
   }
 
   /** Plan-only fork (no writes): per-branch DataFrames over a shared scan. */

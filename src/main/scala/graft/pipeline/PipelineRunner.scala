@@ -316,7 +316,8 @@ object PipelineRunner {
             if (jobCommitted) spec.branches.map(_.name).toSet
             else branchState.collect { case (n, Some(_)) => n }.toSet
           val o = Fork.runPartial(input, forkBranches, runId,
-            branchGate = gate, skipEmpty = publishedBefore)
+            branchGate = gate, skipEmpty = publishedBefore,
+            maxAttempts = spec.taskMaxRetries)
           if (o.succeeded.isEmpty && o.skipped.isEmpty && forkBranches.nonEmpty)
             throw new IllegalStateException(
               "all branches failed: " + o.failed.map {

@@ -66,7 +66,10 @@ final case class PipelineSpec(name: String,
                               // "full" = COMMIT_ON_FULL_SUCCESS (default);
                               // "successful" = COMMIT_SUCCESSFUL_TASKS
                               // (JobCommitPolicy.java:35,53)
-                              commitPolicy: String = "full")
+                              commitPolicy: String = "full",
+                              // in-place branch retry under "successful"
+                              // (task.maxretries; ConfigurationKeys:257)
+                              taskMaxRetries: Int = 1)
 
 object PipelineSpec {
 
@@ -145,6 +148,7 @@ object PipelineSpec {
       rowCountRange = props.get("taskpolicy.rowcount.range").map(_.toDouble),
       branches = branches,
       stateDir = props.get("state.dir"),
-      commitPolicy = props.getOrElse("job.commit.policy", "full"))
+      commitPolicy = props.getOrElse("job.commit.policy", "full"),
+      taskMaxRetries = props.get("task.maxretries").map(_.toInt).getOrElse(1))
   }
 }

@@ -98,6 +98,53 @@ class PartialCommitSpec extends SparkSpec {
       .contains("2024-03-01 00:00:49.0"))
   }
 
+  test("task retry: a transiently-failing gate succeeds on attempt 2") {
+    val base = tmpDir("retry-transient")
+    // gate fails the FIRST attempt only (flaky sink / transient policy)
+    var calls = 0
+    val flakyGate: (String, Fork.BranchResult) => Unit = (_, _) => {
+      calls += 1
+      if (calls == 1) sys.error("transient: connection reset")
+    }
+    val o = Fork.runPartial(spark.range(10).toDF("id"),
+      Seq(Fork.Branch("a", None, identity, s"$base/a", WriteSpec())),
+      "retry-1", branchGate = flakyGate, maxAttempts = 3)
+    assert(o.succeeded.keySet == Set("a") && o.failed.isEmpty)
+    assert(calls == 2, s"gate must have been retried exactly once, saw $calls")
+    assert(spark.read.parquet(s"$base/a").count() == 10)
+    // no staging debris from the aborted first attempt
+    assert(new java.io.File(base).listFiles
+      .map(_.getName).forall(!_.startsWith(".staging")))
+  }
+
+  test("task retry: a permanent failure exhausts attempts and says so") {
+    val base = tmpDir("retry-perm")
+    val o = Fork.runPartial(spark.range(10).toDF("id"),
+      Seq(Fork.Branch("bad", None, poison, s"$base/bad", WriteSpec()),
+        Fork.Branch("good", None, identity, s"$base/good", WriteSpec())),
+      "retry-2", maxAttempts = 3)
+    assert(o.succeeded.keySet == Set("good"))
+    assert(o.failed("bad").startsWith("after 3 attempts:"),
+      s"failure text must carry the attempt count: ${o.failed("bad")}")
+    assert(!new java.io.File(base, "bad").exists)
+  }
+
+  test("task.maxretries flows from the declarative spec to the branch loop") {
+    val base = tmpDir("retry-spec")
+    spark.range(20).toDF("id").write.mode("overwrite").parquet(s"$base/in")
+    val spec = PipelineSpec.fromProperties(Map(
+      "job.name" -> "retrying",
+      "source.format" -> "parquet",
+      "source.path" -> s"$base/in",
+      "job.commit.policy" -> "successful",
+      "task.maxretries" -> "4",
+      "fork.1.name" -> "main",
+      "fork.1.out" -> s"$base/out"))
+    assert(spec.taskMaxRetries == 4)
+    val res = PipelineRunner.run(spark, spec, runId = "retry-3")
+    assert(res.branchCounts("main") == 20L)
+  }
+
   test("runPartial skipEmpty: empty delta keeps previous output intact") {
     val base = tmpDir("partial-skip")
     graft.sinks.AtomicPublisher.publish(
