@@ -163,8 +163,33 @@ object ScaleProbe {
         model = Some(model)).count())
     val quantized = time("int8 quantize (map-only)")(
       graft.ann.Quantize.quantizeInt8(corpus, "vec_id", "embedding").count())
+    // PQ: train stays O(sampleN·k·D) on the driver regardless of corpus
+    // size; encode and ADC are map-only corpus passes — the probe shows
+    // all three flat-lining against K
+    val cb = time("pq train (bounded driver sample)")(
+      graft.ann.Pq.train(corpus, "vec_id", "embedding", m = 8, k = 64,
+        sampleN = 5000, iters = 8))
+    val encoded = graft.ann.Pq.encode(corpus, "vec_id", "embedding", cb)
+      .persist()
+    val nEnc = time("pq encode (map-only, m bytes/vector)")(encoded.count())
+    val adc = time("pq ADC search 100 queries (broadcast LUTs)")(
+      graft.ann.Pq.adcTopK(encoded, corpus.filter(col("vec_id") < 100),
+        "vec_id", "embedding", cb, topK = 10).count())
+    // composed IVF-ADC: residual codebooks + cell-pruned ADC — the scan
+    // touches nprobe/numCells of the corpus however large K grows
+    val rcb = time("ivfpq train residual codebooks")(
+      graft.ann.IvfPq.trainResiduals(corpus, "vec_id", "embedding", model,
+        m = 8, k = 64, sampleN = 5000, iters = 8))
+    val ivfEnc = graft.ann.IvfPq.encode(corpus, "vec_id", "embedding",
+      model, rcb).persist()
+    val nIvfEnc = time("ivfpq encode (cell + residual code)")(ivfEnc.count())
+    val ivfAdc = time("ivfpq ADC search 100 queries, nprobe=8")(
+      graft.ann.IvfPq.adcTopK(ivfEnc, corpus.filter(col("vec_id") < 100),
+        "vec_id", "embedding", model, rcb, topK = 10, nprobe = 8).count())
     println(s"[scaleprobe] vectors=$n neardup_pairs=$pairs " +
-      s"assigned=$assigned ivf_hits=$hits quantized=$quantized")
+      s"assigned=$assigned ivf_hits=$hits quantized=$quantized " +
+      s"pq_encoded=$nEnc pq_adc_hits=$adc ivfpq_encoded=$nIvfEnc " +
+      s"ivfpq_hits=$ivfAdc")
     spark.stop()
   }
 }

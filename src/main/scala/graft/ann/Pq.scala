@@ -204,6 +204,139 @@ object Pq {
   }
 }
 
+/** IVF-ADC composition (FAISS IVF-PQ with a spherical coarse quantizer):
+  * the coarse quantizer ([[Ann.ivfTrain]], cosine) prunes WHICH cells a
+  * query scans; PQ codes the RESIDUAL (normalized vector − cell
+  * centroid) so one byte budget spends its precision inside a cell, not
+  * across the whole space. On unit vectors L2 and cosine rank
+  * identically (‖a−b‖² = 2 − 2·cos), so the spherical cells and the L2
+  * ADC agree. At 100 TB the encoded corpus is a parquet table
+  * partitioned by cell (same layout as [[Ann.ivfWriteIndex]]): the
+  * probe filter becomes partition pruning and the scan touches
+  * nprobe/numCells of the data, each candidate costing m byte-indexed
+  * adds. */
+object IvfPq {
+  import Pq.Codebooks
+
+  private def normalized(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    transform(v, x => when(n === 0.0d, x).otherwise(x / n))
+  }
+
+  private def centroidAt(model: Ann.IvfModel, cell: Column): Column =
+    element_at(typedlit(model.centroids.map(_.toSeq).toSeq), cell + 1)
+
+  /** (id, cell, residual) — the frame residual codebooks train on and
+    * encode from; map-only. */
+  def residuals(corpus: DataFrame, idCol: String, vecCol: String,
+                model: Ann.IvfModel,
+                residCol: String = "__resid"): DataFrame = {
+    val nv = normalized(col(vecCol))
+    corpus
+      .withColumn("cell", Ann.assignCell(col(vecCol), model))
+      .select(col(idCol), col("cell"),
+        zip_with(nv, centroidAt(model, col("cell")),
+          (a, b) => a - b).as(residCol))
+  }
+
+  /** Train residual codebooks (bounded driver sample, deterministic —
+    * see [[Pq.train]]). */
+  def trainResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                     model: Ann.IvfModel, m: Int = 8, k: Int = 256,
+                     sampleN: Int = 10000, iters: Int = 10,
+                     seed: Long = 42L): Codebooks =
+    Pq.train(residuals(corpus, idCol, vecCol, model), idCol, "__resid",
+      m, k, sampleN, iters, seed)
+
+  /** Build the searchable frame: (id, cell, pq_code). Persist with
+    * `.write.partitionBy("cell")` for the pruned-scan layout. */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: Ann.IvfModel, cb: Codebooks): DataFrame =
+    residuals(corpus, idCol, vecCol, model)
+      .select(col(idCol), col("cell"),
+        Pq.encodeCol(col("__resid"), cb).as("pq_code"))
+
+  /** ADC top-k with cell pruning: each query resolves its `nprobe` probe
+    * cells driver-side, builds ONE LUT per (query, probed cell) — the
+    * residual of the query against that cell's centroid — and only
+    * corpus rows in probed cells are scanned (`cell.isin(...)` becomes
+    * partition pruning over a partitioned index). Scoring is one
+    * primitive eval per (candidate, virtual-query-in-its-cell). */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, model: Ann.IvfModel, cb: Codebooks,
+              topK: Int, nprobe: Int,
+              maxQueries: Int = 1024): DataFrame = {
+    val qRows = queries.select(col(vecCol).cast("array<double>"), col(idCol))
+      .orderBy(col(idCol)).limit(maxQueries + 1).collect()
+    require(qRows.nonEmpty, "ivfpq adcTopK: no queries")
+    require(qRows.length <= maxQueries,
+      s"ivfpq adcTopK: query set exceeds maxQueries=$maxQueries")
+    // driver-side probe planning: normalize, rank cells by cosine
+    val probes = qRows.flatMap { r =>
+      val raw = r.getSeq[Double](0).toArray
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      val qv = if (nrm == 0) raw else raw.map(_ / nrm)
+      val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qv).map { case (a, b) => a * b }.sum, i)
+      }
+      scored.sortBy { case (s, i) => (-s, i) }.take(nprobe).map {
+        case (_, cell) =>
+          val cent = model.centroids(cell)
+          val resid = qv.indices.map(j => (qv(j) - cent(j)).toFloat).toArray
+          (r.get(1), cell, resid)
+      }
+    }
+    // one LUT per (query, cell) "virtual query"
+    val luts = probes.map { case (_, _, resid) =>
+      require(resid.length == cb.dim, s"query dim ${resid.length} != ${cb.dim}")
+      val lut = Array.ofDim[Float](cb.m * cb.k)
+      var s = 0
+      while (s < cb.m) {
+        val off = s * cb.subDim
+        var c = 0
+        while (c < cb.k) {
+          var d = 0.0; var j = 0
+          while (j < cb.subDim) {
+            val diff = resid(off + j) - cb.centers(s)(c)(j); d += diff * diff
+            j += 1
+          }
+          lut(s * cb.k + c) = d.toFloat
+          c += 1
+        }
+        s += 1
+      }
+      lut
+    }
+    val spark = encoded.sparkSession
+    import scala.jdk.CollectionConverters._
+    val vq = broadcast(spark.createDataFrame(
+      probes.zipWithIndex.map { case ((qid, cell, _), i) =>
+        org.apache.spark.sql.Row(i, cell, qid) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__vqi",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        queries.schema(idCol).copy(name = "query_id")))))
+    val probedCells = probes.map(_._2).distinct.toSeq
+    val scored = encoded
+      .filter(col("cell").isin(probedCells: _*)) // partition pruning
+      .join(vq, Seq("cell"))
+      .select(col(idCol).as("neighbor_id"), col("query_id"),
+        GraftColumnShim.column(PqAdcScoreAt(
+          GraftColumnShim.expression(col("pq_code")),
+          GraftColumnShim.expression(col("__vqi")),
+          cb.m, cb.k, luts)).as("adc_dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+}
+
 /** vector → m-byte PQ code; primitive argmin loops, one eval per row. */
 case class PqEncode(child: Expression, cb: Pq.Codebooks)
     extends UnaryExpression with CodegenFallback {
@@ -257,6 +390,27 @@ case class PqDecode(child: Expression, cb: Pq.Codebooks)
   }
   override protected def withNewChildInternal(newChild: Expression): PqDecode =
     copy(child = newChild)
+}
+
+/** (code, virtual-query index) → ADC distance against that query's LUT —
+  * the per-cell scoring kernel of [[IvfPq.adcTopK]]. */
+case class PqAdcScoreAt(left: Expression, right: Expression,
+                        m: Int, k: Int, luts: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "pq_adc_score_at"
+  override protected def nullSafeEval(code0: Any, vqi0: Any): Any = {
+    val code = code0.asInstanceOf[Array[Byte]]
+    val lut = luts(vqi0.asInstanceOf[Int])
+    var d = 0.0f
+    var s = 0
+    while (s < m) { d += lut(s * k + (code(s) & 0xFF)); s += 1 }
+    d
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreAt =
+    copy(left = newLeft, right = newRight)
 }
 
 /** m-byte code → array of ADC distances, one per query LUT — all queries

@@ -98,6 +98,68 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-ADC: residual-coded search stays in probed cells, finds its cluster") {
+    import spark.implicits._
+    val data = clustered(30)
+    val df = data.toDF("id", "emb")
+    val ivf = Ann.ivfTrain(df, "id", "emb", numCells = 8, iters = 4,
+      sampleN = 240)
+    val cb = IvfPq.trainResiduals(df, "id", "emb", ivf, m = 4, k = 16,
+      sampleN = 300, iters = 8)
+    val enc = IvfPq.encode(df, "id", "emb", ivf, cb)
+    assert(enc.columns.toSet == Set("id", "cell", "pq_code"))
+    val queries = data.filter(_._1 % 1000L == 0L).toDF("id", "emb")
+    val top = IvfPq.adcTopK(enc, queries, "id", "emb", ivf, cb,
+      topK = 5, nprobe = 2)
+    assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // planted clusters are well separated: the top-1 neighbor of every
+    // query comes from its own cluster even through coarse cells +
+    // 4-byte residual codes
+    val top1Same = top.filter(col("rank") === 1)
+      .filter(col("neighbor_id").divide(1000).cast("long") ===
+        col("query_id").divide(1000).cast("long")).count()
+    assert(top1Same == 8, s"IVF-ADC lost planted clusters: $top1Same/8")
+    // pruning really limits the scan: with nprobe=1 every neighbor shares
+    // the query's own cell
+    val one = IvfPq.adcTopK(enc, queries, "id", "emb", ivf, cb,
+      topK = 5, nprobe = 1)
+    val cellOf = enc.select(col("id"), col("cell"))
+    val crossCell = one
+      .join(cellOf.withColumnRenamed("id", "neighbor_id")
+        .withColumnRenamed("cell", "ncell"), "neighbor_id")
+      .join(cellOf.withColumnRenamed("id", "query_id")
+        .withColumnRenamed("cell", "qcell"), "query_id")
+      .filter(col("ncell") =!= col("qcell")).count()
+    assert(crossCell == 0, "nprobe=1 must never leave the query's cell")
+  }
+
+  test("IVF-ADC over a cell-partitioned index equals the in-memory path") {
+    import spark.implicits._
+    val data = clustered(20)
+    val df = data.toDF("id", "emb")
+    val ivf = Ann.ivfTrain(df, "id", "emb", numCells = 4, iters = 3,
+      sampleN = 160)
+    val cb = IvfPq.trainResiduals(df, "id", "emb", ivf, m = 4, k = 8,
+      sampleN = 200, iters = 5)
+    val enc = IvfPq.encode(df, "id", "emb", ivf, cb)
+    val dir = tmpDir("ivfpq-index")
+    enc.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val queries = data.filter(_._1 % 1000L == 0L).take(4).toDF("id", "emb")
+    val a = IvfPq.adcTopK(enc, queries, "id", "emb", ivf, cb,
+      topK = 3, nprobe = 2).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = IvfPq.adcTopK(fromDisk, queries, "id", "emb", ivf, cb,
+      topK = 3, nprobe = 2).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, "partitioned-index search must equal the in-memory path")
+    // the probe filter reaches the scan as a partition filter
+    val plan = IvfPq.adcTopK(fromDisk, queries, "id", "emb", ivf, cb,
+      topK = 3, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"probe cells must prune partitions:\n${plan.take(2000)}")
+  }
+
   test("encode + ADC plans are map-only over the corpus (no shuffle)") {
     import spark.implicits._
     val df = clustered(10).toDF("id", "emb")
