@@ -1453,7 +1453,82 @@ object SparkEntry {
           col("height").cast("bigint").as("height"),
           col("n_frames").cast("bigint").as("n_frames"))
     }),
+
+    // Salesforce Bulk API extraction e2e (SalesforceExtractor.java:97):
+    // an in-process server speaks the Bulk v1 dialect over the customer
+    // table's rows (the collect SIMULATES the remote CRM's data, as in
+    // q51/q80) — create job with PK chunking, poll the growing batch
+    // list, stitch 2 batches x 2 CSV result chunks, distributed parse,
+    // cast to the source types. The oracle is the table itself: any
+    // drop/dup/corruption across the wire breaks the multiset hash.
+    "q101_sfdc_bulk" -> ((s, dir) => {
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val lines = src.collect().map(r =>
+        s""""${r.getLong(0)}","${r.getString(1)}","${r.getDouble(2)}"""")
+      val header = "\"c_custkey\",\"c_mktsegment\",\"c_acctbal\""
+      def chunk(rows: Array[String]): Seq[String] = {
+        val half = (rows.length + 1) / 2
+        Seq(rows.take(half), rows.drop(half))
+          .filter(_.nonEmpty).map(c => (header +: c).mkString("\n"))
+      }
+      val half = (lines.length + 1) / 2
+      val byBatch = Map("b1" -> chunk(lines.take(half)),
+        "b2" -> chunk(lines.drop(half)))
+      val srv = sfdcBulkSim(byBatch)
+      try {
+        val cfg = graft.sources.SalesforceBulk.BulkConfig(
+          baseUrl = s"http://127.0.0.1:${srv.getAddress.getPort}/services/async/52.0",
+          sessionToken = "verify-tok", pollIntervalMs = 5)
+        graft.sources.SalesforceBulk.read(s, cfg, "Customer",
+          "SELECT c_custkey, c_mktsegment, c_acctbal FROM Customer",
+          pkChunkSize = Some(half))
+          .select(col("c_custkey").cast("bigint").as("c_custkey"),
+            col("c_mktsegment").cast("string").as("c_mktsegment"),
+            col("c_acctbal").cast("double").as("c_acctbal"))
+      } finally srv.stop(0)
+    }),
   )
+
+  /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
+    * the Salesforce endpoint, like q51's REST endpoint and q80's ES):
+    * PK-chunked job — the submitted batch parks NotProcessed, the given
+    * chunk batches carry the CSV result payloads. */
+  private def sfdcBulkSim(chunks: Map[String, Seq[String]])
+      : com.sun.net.httpserver.HttpServer = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      def respond(status: Int, body: String): Unit = {
+        val bytes = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      val seg = ex.getRequestURI.getPath.split('/')
+        .filter(_.nonEmpty).dropWhile(_ != "job").toList
+      (ex.getRequestMethod, seg) match {
+        case ("POST", "job" :: Nil) => respond(200, """{"id":"j1"}""")
+        case ("POST", "job" :: "j1" :: "batch" :: Nil) =>
+          respond(200, """{"id":"b0","state":"Queued"}""")
+        case ("GET", "job" :: "j1" :: "batch" :: Nil) =>
+          val infos = """{"id":"b0","state":"NotProcessed"}""" +:
+            chunks.keys.toSeq.sorted.map(b =>
+              s"""{"id":"$b","state":"Completed"}""")
+          respond(200, s"""{"batchInfo":[${infos.mkString(",")}]}""")
+        case ("GET", "job" :: "j1" :: "batch" :: bid :: "result" :: Nil) =>
+          respond(200, chunks(bid).indices
+            .map(i => s""""r$i"""").mkString("[", ",", "]"))
+        case ("GET", "job" :: "j1" :: "batch" :: bid :: "result" :: rid :: Nil) =>
+          respond(200, chunks(bid)(rid.stripPrefix("r").toInt))
+        case ("POST", "job" :: "j1" :: Nil) =>
+          respond(200, """{"state":"Closed"}""")
+        case other => respond(404, s"""{"err":"no route: $other"}""")
+      }
+    })
+    srv.start()
+    srv
+  }
 
   /** Synthesized dataset-versions table for retention queries
     * (FIXTURES.md B: versions derived from orders). */
@@ -1875,6 +1950,8 @@ object SparkEntry {
       "SELECT event_id, user_id FROM events",
     "q99_crypto_roundtrip" ->
       "SELECT doc_id, text FROM documents",
+    "q101_sfdc_bulk" ->
+      "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q87_shard_pack" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, " +
         "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
