@@ -1488,6 +1488,19 @@ object SparkEntry {
             col("c_acctbal").cast("double").as("c_acctbal"))
       } finally srv.stop(0)
     }),
+
+    // DSIR importance resampling (Xie et al. 2023): select the 100 raw
+    // documents most like the English target slice under the hashed-
+    // n-gram likelihood-ratio score — the principled target-matching
+    // selector for pretraining data. Float-free (md5 buckets +
+    // floor-log2 counts), so DuckDB re-derives the exact selection.
+    "q102_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.selectLikeTarget(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        k = 100, buckets = 1 << 14)
+        .select("doc_id", "n_grams", "dsir_q")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -1952,6 +1965,30 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents",
     "q101_sfdc_bulk" ->
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
+    "q102_dsir_select" ->
+      // mirrors Dsir.selectLikeTarget exactly: md5-hash word uni+bigrams
+      // into 16384 buckets, lam = flog2(cnt_en+1) - flog2(cnt_all+1)
+      // (+64 shift keeps the integer division non-negative), mean permille,
+      // deterministic top-100. Target ⊆ raw, so raw-side LEFT JOIN covers
+      // every populated bucket.
+      ("WITH tok AS (SELECT doc_id, lang, list_filter(" +
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w " +
+        "FROM documents), " +
+        "g AS (SELECT doc_id, lang, unnest(w || (CASE WHEN len(w) < 2 " +
+        "THEN []::VARCHAR[] ELSE [w[i] || '_' || w[i+1] " +
+        "FOR i IN range(1, len(w))] END)) AS gram FROM tok), " +
+        "b AS (SELECT doc_id, lang, " +
+        "('0x' || substr(md5(gram), 1, 15))::BIGINT % 16384 AS bucket FROM g), " +
+        "tcnt AS (SELECT bucket, count(*) AS cnt_t FROM b WHERE lang = 'en' GROUP BY 1), " +
+        "rcnt AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY 1), " +
+        "lam AS (SELECT r.bucket, (length(bin(COALESCE(t.cnt_t, 0) + 1)) - 1) - " +
+        "(length(bin(r.cnt_r + 1)) - 1) AS lam " +
+        "FROM rcnt r LEFT JOIN tcnt t USING (bucket)), " +
+        "sc AS (SELECT b.doc_id, count(*)::BIGINT AS n_grams, " +
+        "sum(COALESCE(lam.lam, 0) + 64)::BIGINT AS lam_sum " +
+        "FROM b LEFT JOIN lam USING (bucket) GROUP BY 1) " +
+        "SELECT doc_id, n_grams, (lam_sum * 1000 // n_grams)::BIGINT AS dsir_q " +
+        "FROM sc WHERE n_grams > 0 ORDER BY dsir_q DESC, doc_id LIMIT 100"),
     "q87_shard_pack" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, " +
         "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
