@@ -62,7 +62,8 @@ object Bench {
     "q98_stream_dedup_wm",    // watermark-bounded streaming dedup (real stream path)
     "q99_crypto_roundtrip",   // keystore rotating-AES encrypt+decrypt map pass
     "q100_pq_ann",            // PQ train + byte-encode + ADC top-k
-    "q102_dsir_select")       // DSIR hashed-ngram importance top-k
+    "q102_dsir_select",       // DSIR hashed-ngram importance top-k
+    "q103_semdedup")          // k-means cell-confined embedding dedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

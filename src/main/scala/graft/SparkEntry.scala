@@ -1501,6 +1501,31 @@ object SparkEntry {
         k = 100, buckets = 1 << 14)
         .select("doc_id", "n_grams", "dsir_q")
     }),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
+    // within-cell near-duplicates (triangular max-cos, lowest id
+    // survives). k-means isn't SQL-expressible -> rows-only check, like
+    // q100; the operator's semantics are pinned by SemDeDupSpec's
+    // brute-force parity test on this same table.
+    "q103_semdedup" -> ((s, dir) => {
+      // the synthetic embeddings have no natural near-dups (max pair
+      // cosine ~0.51), so plant them exactly as q43 does: a perturbed
+      // copy of every vector at vec_id+1000000 — the survivors must be
+      // (almost) exactly the base ids, caught by the rows-only gate and
+      // pinned semantically by SemDeDupSpec's brute-force parity test
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val near = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0) + lit(0.01) *
+            (pmod(i.cast("bigint"), lit(7L)) - lit(3L)).cast("double")))
+          .as("embedding"))
+      val corpus = base.unionByName(near)
+      val model = graft.ann.Ann.ivfTrain(corpus, "vec_id", "embedding",
+        numCells = 16)
+      graft.ann.SemDeDup.survivors(corpus, "vec_id", "embedding", model,
+        threshold = 0.95).select("vec_id")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for

@@ -1,0 +1,91 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+  * embeddings with k-means and pruning near-duplicate pairs WITHIN each
+  * cluster — the scale trick that makes embedding-level dedup tractable
+  * where global all-pairs (even LSH-banded, cf. [[Ann.nearDupPairs]])
+  * pays for the whole corpus: candidate generation is free (the cluster
+  * assignment), and the quadratic pairing is confined to one cell.
+  *
+  * Dedup rule (the paper's released implementation): within a cluster,
+  * order members and drop every member whose cosine to ANY
+  * earlier-ordered cellmate reaches `threshold` — the upper-triangular
+  * max-similarity test. Ordering here is ascending id, so the survivor
+  * of every duplicate group is its lowest id and the result is
+  * deterministic (the reference engine's keep-one-survivor compaction
+  * contract, RecordKeyDedupReducerBase.java:74).
+  *
+  * Scale shape: assignment is one map pass over the corpus
+  * ([[Ann.assignCell]] broadcast-literal centroids); pairing shuffles
+  * once on cell id, and each cell's join fan-out is capped by
+  * `maxCellSize` (beyond-cap members pass through undeduped and
+  * CAN be flagged via [[shedded]] — the same loud-shed contract as the
+  * LSH index's bucket cap): worst-case work is cells x maxCellSize^2,
+  * never corpus^2. At 100 TB: train the quantizer on a sample
+  * ([[Ann.ivfTrain]]), raise numCells so cells stay ~10^3-10^4 members,
+  * and the pairing remains embarrassingly parallel per cell.
+  */
+object SemDeDup {
+
+  /** Cell-capped membership: (idCol, vecCol, __cell, __rank) with
+    * ascending-id rank inside each cell; rows ranked past `maxCellSize`
+    * are EXCLUDED (they neither drop others nor get dropped). */
+  private def members(corpus: DataFrame, idCol: String, vecCol: String,
+                      model: Ann.IvfModel, maxCellSize: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__cell", Ann.assignCell(col(vecCol), model))
+      .withColumn("__rank",
+        row_number().over(Window.partitionBy(col("__cell"))
+          .orderBy(col(idCol))))
+      .filter(col("__rank") <= maxCellSize)
+
+  /** The duplicate set: one row per DROPPED member — (idCol, dup_of,
+    * cell, cos_sim) where `dup_of` is the lowest-id cellmate whose
+    * cosine reached `threshold`. */
+  def duplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                 model: Ann.IvfModel, threshold: Double,
+                 maxCellSize: Int = 4096): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val m = members(corpus, idCol, vecCol, model, maxCellSize)
+    val a = m.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
+      col("__cell"), col("__rank").as("__rank_a"))
+    val b = m.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
+      col("__cell"), col("__rank").as("__rank_b"))
+    a.join(b, Seq("__cell"))
+      .filter(col("__rank_b") < col("__rank_a"))
+      .withColumn("__cos", Ann.cosine(col("__vec_a"), col("__vec_b")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__id_a").as(idCol))
+      .agg(min(col("__id_b")).as("dup_of"),
+        first(col("__cell")).as("cell"),
+        max(col("__cos")).as("cos_sim"))
+  }
+
+  /** Members that exceeded a cell's `maxCellSize` and passed through
+    * undeduped — surface them rather than letting a mega-cell silently
+    * skip dedup (a giant cell means numCells is too small; retrain). */
+  def shedded(corpus: DataFrame, idCol: String, vecCol: String,
+              model: Ann.IvfModel, maxCellSize: Int = 4096): DataFrame =
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__cell", Ann.assignCell(col(vecCol), model))
+      .withColumn("__rank",
+        row_number().over(Window.partitionBy(col("__cell"))
+          .orderBy(col(idCol))))
+      .filter(col("__rank") > maxCellSize)
+      .select(col(idCol), col("__cell").as("cell"))
+
+  /** Survivors: the corpus minus [[duplicates]], original columns
+    * untouched. */
+  def survivors(corpus: DataFrame, idCol: String, vecCol: String,
+                model: Ann.IvfModel, threshold: Double,
+                maxCellSize: Int = 4096): DataFrame =
+    corpus.join(
+      duplicates(corpus, idCol, vecCol, model, threshold, maxCellSize)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixed orthonormal quantizer: assignment is just "largest coordinate"
+  private val model = Ann.IvfModel(Array(
+    Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 0.0, 1.0)))
+
+  private def df(rows: (Long, Seq[Double])*) =
+    rows.toSeq.toDF("id", "vec")
+
+  test("within-cell duplicate groups keep the lowest id") {
+    val d = df(
+      1L -> Seq(1.0, 0.01, 0.0),   // cell 0, group head
+      2L -> Seq(1.0, 0.012, 0.0),  // ~identical to 1 -> dropped
+      3L -> Seq(0.9, 0.43, 0.0),   // cell 0 but ~cos 0.92 to 1 -> kept
+      10L -> Seq(0.0, 1.0, 0.0),   // cell 1, head
+      11L -> Seq(0.0, 1.0, 1e-4),  // dup of 10 -> dropped
+      20L -> Seq(0.0, 0.0, 1.0))   // cell 2, alone
+    val dups = SemDeDup.duplicates(d, "id", "vec", model, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups == Map(2L -> 1L, 11L -> 10L))
+    val kept = SemDeDup.survivors(d, "id", "vec", model, threshold = 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 10L, 20L))
+  }
+
+  test("chained group: every non-head member drops against the earliest match") {
+    // 1~2, 2~3, and 1~3 also above threshold: 2 and 3 both drop, dup_of=1
+    val d = df(
+      1L -> Seq(1.0, 0.000, 0.0),
+      2L -> Seq(1.0, 0.005, 0.0),
+      3L -> Seq(1.0, 0.010, 0.0))
+    val dups = SemDeDup.duplicates(d, "id", "vec", model, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups == Map(2L -> 1L, 3L -> 1L))
+  }
+
+  test("near-duplicates split across cells do NOT pair (the method's documented recall edge)") {
+    val d = df(
+      1L -> Seq(0.8, 0.6, 0.0),  // cell 0
+      2L -> Seq(0.6, 0.8, 0.0))  // cell 1; cos(1,2)=0.96
+    val dups = SemDeDup.duplicates(d, "id", "vec", model, threshold = 0.95)
+    assert(dups.count() == 0)
+  }
+
+  test("cell cap sheds loudly: beyond-cap members pass through and are reported") {
+    val d = df(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(1.0, 1e-5, 0.0),
+      3L -> Seq(1.0, 2e-5, 0.0)) // rank 3 in cell 0
+    val dups = SemDeDup.duplicates(d, "id", "vec", model,
+      threshold = 0.999, maxCellSize = 2).collect()
+    assert(dups.map(_.getLong(0)).toSet == Set(2L), "capped member must not drop")
+    val shed = SemDeDup.shedded(d, "id", "vec", model, maxCellSize = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(shed == Set(3L))
+  }
+
+  test("parity with a brute-force triangular pass on the real embeddings table") {
+    // plant near-dups (the synthetic table has none naturally): a
+    // perturbed copy of every vector, like q43/q103
+    val base = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val emb = base.unionByName(base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0) + lit(0.01) *
+          (pmod(i.cast("bigint"), lit(7L)) - lit(3L)).cast("double")))
+        .as("embedding")))
+    val trained = Ann.ivfTrain(emb, "vec_id", "embedding", numCells = 8)
+    val thr = 0.9
+    val got = SemDeDup.duplicates(emb, "vec_id", "embedding", trained, thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // brute force: same assignment, ascending-id triangular max-cos test
+    val rows = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("cell", Ann.assignCell(col("v"), trained))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    rows.groupBy(_._3).values.foreach { cell =>
+      for (i <- cell.indices; j <- 0 until i
+           if cos(cell(i)._2, cell(j)._2) >= thr)
+        if (!expect.contains(cell(i)._1) || cell(j)._1 < expect(cell(i)._1))
+          expect(cell(i)._1) = cell(j)._1
+    }
+    assert(expect.nonEmpty, "planted near-dups must produce duplicates")
+    assert(got == expect.toMap,
+      s"operator vs brute force diverge: extra=${got.keySet -- expect.keySet} " +
+        s"missing=${expect.keySet -- got.keySet}")
+  }
+
+  test("survivors + duplicates partition the corpus (no cap in play)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val trained = Ann.ivfTrain(emb, "vec_id", "embedding", numCells = 8)
+    val nDup = SemDeDup.duplicates(emb, "vec_id", "embedding", trained, 0.9).count()
+    val nSurv = SemDeDup.survivors(emb, "vec_id", "embedding", trained, 0.9).count()
+    assert(nDup + nSurv == emb.count())
+  }
+}
