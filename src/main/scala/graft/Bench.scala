@@ -63,7 +63,8 @@ object Bench {
     "q99_crypto_roundtrip",   // keystore rotating-AES encrypt+decrypt map pass
     "q100_pq_ann",            // PQ train + byte-encode + ADC top-k
     "q102_dsir_select",       // DSIR hashed-ngram importance top-k
-    "q103_semdedup")          // k-means cell-confined embedding dedup
+    "q103_semdedup",          // k-means cell-confined embedding dedup
+    "q104_bpe_tokens")        // BPE merge training + map-only encode
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

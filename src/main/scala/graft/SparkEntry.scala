@@ -1526,6 +1526,18 @@ object SparkEntry {
       graft.ann.SemDeDup.survivors(corpus, "vec_id", "embedding", model,
         threshold = 0.95).select("vec_id")
     }),
+
+    // Trained BPE tokenization (Sennrich et al. 2016): learn 200 merges
+    // from the corpus word frequencies, count subword tokens per doc.
+    // The merge loop isn't SQL-expressible -> rows-only, pinned by
+    // BpeSpec (golden merges, losslessness, driver/expression parity).
+    "q104_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.Bpe.train(docs, "text", numMerges = 200)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), model)
+          .cast("bigint").as("n_tokens"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for

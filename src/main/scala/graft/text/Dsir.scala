@@ -119,14 +119,37 @@ object Dsir {
   def selectTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.orderBy(col("dsir_q").desc, col(idCol).asc).limit(k)
 
+  /** Per-document bucket histogram: (idCol, bucket, cnt). The one pass
+    * that pays the gram explode + hash; both the raw model and the
+    * scorer derive from it below, so its exchange is planned ONCE and
+    * reused (Spark's ReuseExchange dedups identical subtrees — the
+    * Tfidf two-level-agg pattern). */
+  def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 1 << 14): DataFrame =
+    df.select(col(idCol), explode(ngramFeatures(col(textCol))).as("gram"))
+      .select(col(idCol), bucket(col("gram"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** End-to-end: fit target + raw bucket models, score `raw`, keep the
-    * top `k` target-most documents. */
+    * top `k` target-most documents. The raw corpus is exploded/hashed
+    * exactly once (its model and its scores both fold the shared
+    * [[docBucketCounts]] frame); the target — small by definition in
+    * DSIR — pays its own explode, so it may be a different corpus
+    * entirely (the canonical Wikipedia-vs-CommonCrawl setup). */
   def selectLikeTarget(raw: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, k: Int,
                        buckets: Int = 1 << 14): DataFrame = {
+    val perDoc = docBucketCounts(raw, idCol, textCol, buckets)
+    val rawCounts = perDoc.groupBy("bucket").agg(sum("cnt").as("cnt"))
     val table = importanceTable(
-      fitBucketCounts(target, textCol, buckets),
-      fitBucketCounts(raw, textCol, buckets))
-    selectTopK(score(raw, table, idCol, textCol, buckets), idCol, k)
+      fitBucketCounts(target, textCol, buckets), rawCounts)
+    val scored = perDoc
+      .join(broadcast(table), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum((coalesce(col("lam"), lit(0L)) + 64L) * col("cnt")).as("lam_sum"))
+      .withColumn("dsir_q", expr("lam_sum * 1000L div n_grams"))
+      .drop("lam_sum")
+    selectTopK(scored, idCol, k)
   }
 }
