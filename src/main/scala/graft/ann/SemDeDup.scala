@@ -51,14 +51,18 @@ object SemDeDup {
                  maxCellSize: Int = 4096): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
+    // norms are per-MEMBER, so hoist them out of the quadratic pairing:
+    // each pair then pays one dot product, not a dot and two norms
     val m = members(corpus, idCol, vecCol, model, maxCellSize)
+      .withColumn("__norm", Ann.norm(col(vecCol).cast("array<double>")))
     val a = m.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
-      col("__cell"), col("__rank").as("__rank_a"))
+      col("__cell"), col("__rank").as("__rank_a"), col("__norm").as("__norm_a"))
     val b = m.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
-      col("__cell"), col("__rank").as("__rank_b"))
+      col("__cell"), col("__rank").as("__rank_b"), col("__norm").as("__norm_b"))
     a.join(b, Seq("__cell"))
       .filter(col("__rank_b") < col("__rank_a"))
-      .withColumn("__cos", Ann.cosine(col("__vec_a"), col("__vec_b")))
+      .withColumn("__cos", Ann.dot(col("__vec_a"), col("__vec_b")) /
+        (col("__norm_a") * col("__norm_b")))
       .filter(col("__cos") >= threshold)
       .groupBy(col("__id_a").as(idCol))
       .agg(min(col("__id_b")).as("dup_of"),
