@@ -1538,6 +1538,26 @@ object SparkEntry {
         graft.text.Bpe.tokenCount(col("text"), model)
           .cast("bigint").as("n_tokens"))
     }),
+
+    // incremental snapshot replication e2e (IcebergDataset.java:72
+    // semantics over our own SnapshotLog): commit a partial snapshot,
+    // replicate, commit the full table, replicate the delta — then read
+    // THROUGH THE REPLICA. Any dropped/duplicated/corrupted file breaks
+    // the multiset hash against the source table.
+    "q105_snapshot_replicate" -> ((s, dir) => {
+      val base = tmp("q105")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val proj = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      val src = new graft.sinks.SnapshotLog(s, s"$base/src")
+      src.commit(Map("events" -> proj.filter(col("event_id") % 2 === 0)))
+      graft.sinks.SnapshotReplicate.replicate(s, s"$base/src", s"$base/dst")
+      src.commit(Map("events" -> proj))
+      graft.sinks.SnapshotReplicate.replicate(s, s"$base/src", s"$base/dst")
+      new graft.sinks.SnapshotLog(s, s"$base/dst").read("events")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2002,6 +2022,8 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents",
     "q101_sfdc_bulk" ->
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
+    "q105_snapshot_replicate" ->
+      "SELECT event_id, user_id, event_type FROM events",
     "q102_dsir_select" ->
       // mirrors Dsir.selectLikeTarget exactly: md5-hash word uni+bigrams
       // into 16384 buckets, lam = flog2(cnt_en+1) - flog2(cnt_all+1)

@@ -192,6 +192,38 @@ final class SnapshotLog(spark: SparkSession, root: String) {
              specs: Map[String, WriteSpec] = Map.empty): Long =
     stage(branches, specs).activate()
 
+  /** Publish an externally-materialized snapshot — the replication commit
+    * ([[SnapshotReplicate]]): every branch data dir of `snap` must
+    * already exist under THIS root (byte-copied from the source log);
+    * this writes the manifest under the SOURCE's id (so `asOf` time
+    * travel addresses the same ids on both sides) re-parented onto the
+    * replica's own live chain (source parents may never have been
+    * replicated), then flips the pointer. Monotonic by id: replaying an
+    * older source snapshot over a newer replica fails loudly. The
+    * manifest write OVERWRITES, unlike [[stage]]'s create-only — a
+    * replicator that crashed between manifest and pointer flip must be
+    * able to retry the same id. */
+  def commitReplicated(snap: Snapshot): Long = {
+    acquireLock()
+    try {
+      val cur = current()
+      require(cur.forall(_.id < snap.id),
+        s"replica is at ${cur.map(_.id).getOrElse(-1L)}, refusing " +
+          s"non-monotonic snapshot ${snap.id}")
+      snap.branches.foreach { case (name, b) =>
+        require(fs.exists(new Path(rootPath, b.path)),
+          s"replicated data dir missing for branch $name: ${b.path}")
+      }
+      val reparented = snap.copy(parent = cur.map(_.id))
+      val mp = manifestPath(snap.id)
+      if (!fs.exists(mp.getParent)) fs.mkdirs(mp.getParent)
+      val out = fs.create(mp, true)
+      try out.write(renderManifest(reparented).getBytes("UTF-8"))
+      finally out.close()
+      new Pending(snap.id).activate()
+    } catch { case e: Throwable => releaseLock(); throw e }
+  }
+
   /** Ancestors of the live snapshot, newest first (the undo/time-travel
     * chain). */
   def history(): Seq[Long] = {

@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CopyDiff, CopyExec}
+
+/** Incremental snapshot-consistent replication between [[SnapshotLog]]
+  * tables — the Iceberg-distcp semantics of the reference's data
+  * management layer (gobblin-data-management/.../copy/iceberg/
+  * IcebergDataset.java:72 + IcebergDatasetFinder: enumerate the files the
+  * CURRENT table metadata references, copy only the ones the target
+  * lacks, then commit matching metadata on the target), composed from
+  * this repo's own primitives: [[CopyDiff]] plans the file delta,
+  * [[CopyExec]] streams the bytes distributed, and
+  * [[SnapshotLog.commitReplicated]] is the atomic metadata flip.
+  *
+  * The incremental win falls out of the log's layout: data dirs are
+  * immutable and named `data/<branch>/snap-<id>`, so a branch carried
+  * forward unchanged between source snapshots resolves to a dir the
+  * replica already has — its files diff to nothing and only genuinely
+  * new dirs ship. Replication is idempotent and crash-safe end to end: a
+  * re-run after a mid-copy crash skips completed files (length match in
+  * [[CopyExec]]), and the replica's readers never see a partial snapshot
+  * because the manifest+pointer flip happens strictly after all bytes
+  * land.
+  *
+  * Scale: planning is one listing per referenced branch dir (metadata
+  * ops proportional to the snapshot's dir count, driver-side exactly
+  * like the reference's dataset finders), the diff is a broadcast
+  * anti-join, and the byte copy is one Spark task per file partition —
+  * a 100 TB replica bootstrap is the same job as a 1 GB catch-up, just
+  * with more copy partitions.
+  */
+object SnapshotReplicate {
+
+  final case class ReplicaStats(srcSnapshot: Long, upToDate: Boolean,
+                                copy: CopyExec.CopyStats)
+
+  private def emptyManifest(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long)].toDF("path", "length")
+  }
+
+  /** (path, length) manifest of `root/rel` with paths relative to `root`
+    * (empty when the dir does not exist — a replica that has never seen
+    * this branch). */
+  private def dirManifest(spark: SparkSession, root: String,
+                          rel: String): DataFrame = {
+    val p = new Path(s"$root/$rel")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) emptyManifest(spark)
+    else CopyDiff.listManifest(spark, p.toString)
+      .select(concat(lit(s"/$rel"), col("path")).as("path"), col("length"))
+  }
+
+  /** Catch the replica at `dstRoot` up to the live snapshot of the log at
+    * `srcRoot`: copy the file delta, then commit the source manifest on
+    * the replica under the same snapshot id. No-op when already current. */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                parallelism: Int = 0): ReplicaStats = {
+    val src = new SnapshotLog(spark, srcRoot)
+    val dst = new SnapshotLog(spark, dstRoot)
+    val snap = src.current().getOrElse(throw new IllegalStateException(
+      s"source log $srcRoot has no committed snapshot"))
+    if (dst.currentId().contains(snap.id))
+      return ReplicaStats(snap.id, upToDate = true, CopyExec.CopyStats(0, 0, 0))
+
+    val rels = snap.branches.values.map(_.path).toSeq.sorted
+    val need = rels.map(dirManifest(spark, srcRoot, _))
+      .reduceOption(_ unionAll _).getOrElse(emptyManifest(spark))
+    val have = rels.map(dirManifest(spark, dstRoot, _))
+      .reduceOption(_ unionAll _).getOrElse(emptyManifest(spark))
+    val todo = CopyDiff.diff(need, have)
+    val stats = CopyExec.execute(
+      CopyExec.planFromManifest(todo, srcRoot, dstRoot), parallelism)
+    dst.commitReplicated(snap)
+    ReplicaStats(snap.id, upToDate = false, stats)
+  }
+}
