@@ -2025,19 +2025,20 @@ object SparkEntry {
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q102_dsir_select" ->
-      // mirrors Dsir.selectLikeTarget exactly: md5-hash word uni+bigrams
-      // into 16384 buckets, lam = flog2(cnt_en+1) - flog2(cnt_all+1)
-      // (+64 shift keeps the integer division non-negative), mean permille,
-      // deterministic top-100. Target ⊆ raw, so raw-side LEFT JOIN covers
-      // every populated bucket.
+      // mirrors Dsir.selectLikeTarget exactly: md5-hash each WORD into
+      // 16384 buckets, bigram bucket = (31*h(a)+h(b)) mod 16384,
+      // lam = flog2(cnt_en+1) - flog2(cnt_all+1) (+64 shift keeps the
+      // integer division non-negative), mean permille, deterministic
+      // top-100. Target ⊆ raw, so raw-side LEFT JOIN covers every
+      // populated bucket.
       ("WITH tok AS (SELECT doc_id, lang, list_filter(" +
         "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w " +
         "FROM documents), " +
-        "g AS (SELECT doc_id, lang, unnest(w || (CASE WHEN len(w) < 2 " +
-        "THEN []::VARCHAR[] ELSE [w[i] || '_' || w[i+1] " +
-        "FOR i IN range(1, len(w))] END)) AS gram FROM tok), " +
-        "b AS (SELECT doc_id, lang, " +
-        "('0x' || substr(md5(gram), 1, 15))::BIGINT % 16384 AS bucket FROM g), " +
+        "wb AS (SELECT doc_id, lang, list_transform(w, x -> " +
+        "('0x' || substr(md5(x), 1, 15))::BIGINT % 16384) AS h FROM tok), " +
+        "b AS (SELECT doc_id, lang, unnest(h || (CASE WHEN len(h) < 2 " +
+        "THEN []::BIGINT[] ELSE [(h[i] * 31 + h[i+1]) % 16384 " +
+        "FOR i IN range(1, len(h))] END)) AS bucket FROM wb), " +
         "tcnt AS (SELECT bucket, count(*) AS cnt_t FROM b WHERE lang = 'en' GROUP BY 1), " +
         "rcnt AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY 1), " +
         "lam AS (SELECT r.bucket, (length(bin(COALESCE(t.cnt_t, 0) + 1)) - 1) - " +

@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   * policies package) — this adds the corpus-trained target-matching
   * selector a 100 TB training-data pipeline needs.
   *
-  * Float-free adaptation (the q93 trick): each gram hashes to one of
+  * Float-free adaptation (the q93 trick): each word hashes to one of
   * `buckets` buckets via the first 15 hex chars of md5 (bit-identical in
-  * any engine with md5), and bucket log-probabilities quantize to
+  * any engine with md5; bigram buckets derive arithmetically from the
+  * word buckets — see [[withWordBuckets]]), and bucket log-probabilities
+  * quantize to
   * floor(log2(count+1)) computed as `length(bin(cnt+1)) - 1` — pure
   * integer/string arithmetic. A doc's importance score is the mean
   * per-gram quantized log-ratio, scaled to integer permille:
@@ -64,12 +66,34 @@ object Dsir {
     pmod(conv(substring(md5(gram), 1, 15), 16, 10).cast("long"), lit(buckets))
   }
 
+  /** Feature buckets of a document, one md5 per WORD: unigram bucket =
+    * h(w); bigram bucket = (31·h(a) + h(b)) mod buckets, derived
+    * arithmetically from the word buckets instead of hashing the joined
+    * string — half the digest work on the hot path (a hashed-feature
+    * model only needs A hash family, not a specific one; 31·x+y is the
+    * classic pair combiner and stays < 2^19 for buckets ≤ 2^14, exact in
+    * any engine). The word-bucket array is materialized in its own
+    * projection so the md5 transform is evaluated once, not re-expanded
+    * per reference (HOF subtrees are not CSE'd — the assignCell lesson). */
+  private def withWordBuckets(df: DataFrame, textCol: String, buckets: Int,
+                              out: String): DataFrame =
+    df.withColumn(out,
+      transform(wordTokens(col(textCol)), w => bucket(w, buckets)))
+
+  private def explodeBuckets(wb: Column, buckets: Int): Column = {
+    val bigrams = when(size(wb) < 2, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(wb) - 1),
+        i => pmod(element_at(wb, i) * 31 + element_at(wb, i + 1),
+          lit(buckets.toLong))))
+    explode(concat(wb, bigrams))
+  }
+
   /** Fit a hashed bucket model: (bucket, cnt) over every feature gram of
     * `textCol`. Output ≤ `buckets` rows regardless of corpus size. */
   def fitBucketCounts(df: DataFrame, textCol: String,
                       buckets: Int = 1 << 14): DataFrame =
-    df.select(explode(ngramFeatures(col(textCol))).as("gram"))
-      .select(bucket(col("gram"), buckets).as("bucket"))
+    withWordBuckets(df, textCol, buckets, "__wb")
+      .select(explodeBuckets(col("__wb"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
   private def floorLog2P1(c: Column): Column =
@@ -102,13 +126,11 @@ object Dsir {
     * therefore 64000, not 0. */
   def score(df: DataFrame, table: DataFrame, idCol: String, textCol: String,
             buckets: Int = 1 << 14): DataFrame =
-    df.select(col(idCol),
-        explode(ngramFeatures(col(textCol))).as("gram"))
-      .select(col(idCol), bucket(col("gram"), buckets).as("bucket"))
+    docBucketCounts(df, idCol, textCol, buckets)
       .join(broadcast(table), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("lam"), lit(0L)) + 64L).as("lam_sum"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum((coalesce(col("lam"), lit(0L)) + 64L) * col("cnt")).as("lam_sum"))
       .withColumn("dsir_q", expr("lam_sum * 1000L div n_grams"))
       .drop("lam_sum")
 
@@ -126,8 +148,8 @@ object Dsir {
     * Tfidf two-level-agg pattern). */
   def docBucketCounts(df: DataFrame, idCol: String, textCol: String,
                       buckets: Int = 1 << 14): DataFrame =
-    df.select(col(idCol), explode(ngramFeatures(col(textCol))).as("gram"))
-      .select(col(idCol), bucket(col("gram"), buckets).as("bucket"))
+    withWordBuckets(df.select(col(idCol), col(textCol)), textCol, buckets, "__wb")
+      .select(col(idCol), explodeBuckets(col("__wb"), buckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** End-to-end: fit target + raw bucket models, score `raw`, keep the
