@@ -1558,6 +1558,19 @@ object SparkEntry {
       graft.sinks.SnapshotReplicate.replicate(s, s"$base/src", s"$base/dst")
       new graft.sinks.SnapshotLog(s, s"$base/dst").read("events")
     }),
+
+    // run-volume drift monitoring (the audit-count percentage gate
+    // applied run-over-run): daily ingest counts per event type vs the
+    // trailing-7 median, float-free via the doubled-median gate.
+    "q106_volume_drift" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n"))
+      graft.state.RunLedger.countDrift(daily, Seq("event_type"), "d", "n",
+        trailing = 7, tolerancePct = 20)
+        .select("event_type", "d", "n", "baseline_med2", "drifted")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2024,6 +2037,17 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q106_volume_drift" ->
+      ("WITH v AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), " +
+        "'%Y-%m-%d') AS d, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, d, n, CAST(round(2 * quantile_cont(n, 0.5) " +
+        "OVER (PARTITION BY event_type ORDER BY d " +
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS BIGINT) AS baseline_med2 " +
+        "FROM v) " +
+        "SELECT event_type, d, n, baseline_med2, " +
+        "CASE WHEN baseline_med2 IS NULL THEN false " +
+        "ELSE abs(2 * n - baseline_med2) * 100 > baseline_med2 * 20 END AS drifted " +
+        "FROM m"),
     "q102_dsir_select" ->
       // mirrors Dsir.selectLikeTarget exactly: md5-hash each WORD into
       // 16384 buckets, bigram bucket = (31*h(a)+h(b)) mod 16384,

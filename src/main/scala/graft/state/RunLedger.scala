@@ -99,6 +99,16 @@ final class RunLedger(spark: SparkSession, dir: String) {
       .filter(col("duration_ms") > maxMs)
   }
 
+  /** Successful runs whose extracted row count drifted from each job's
+    * trailing-median baseline — the volume-anomaly monitoring view
+    * (catches the silently-half-empty upstream that row policies can't:
+    * every row is valid, there are just suddenly far fewer of them). */
+  def volumeDrift(trailing: Int = 7, tolerancePct: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions._
+    RunLedger.countDrift(history.filter(col("status") === "SUCCEEDED"),
+      Seq("job"), "finished_at_ms", "extracted", trailing, tolerancePct)
+  }
+
   /** Full history as a DataFrame. The schema is FIXED (not inferred) so
     * an empty ledger is still column-addressable — monitoring queries
     * like `history.filter("status = 'FAILED'")` resolve before the first
@@ -114,6 +124,43 @@ final class RunLedger(spark: SparkSession, dir: String) {
 }
 
 object RunLedger {
+
+  /** Flag rows whose `valueCol` deviates from the trailing-median
+    * baseline of the previous `trailing` rows (per `keyCols` series,
+    * ordered by `orderCol`) by more than `tolerancePct` percent — the
+    * generic volume/metric drift detector behind [[RunLedger#volumeDrift]]
+    * (the audit-count verifier family's percentage gate —
+    * KafkaAuditCountVerifier — applied run-over-run instead of
+    * source-vs-sink).
+    *
+    * Float-free: the baseline rides DOUBLED (`baseline_med2` =
+    * round(2×median) — a median of integers is integer or half-integer,
+    * so 2× is exact) and the gate cross-multiplies:
+    * |2·value − med2| · 100 > med2 · tolerancePct. Rows with no history
+    * yet (the first row of a series, or fewer than one prior row) carry
+    * a NULL baseline and `drifted` = false — no evidence, no alarm.
+    *
+    * Scale: one window per series key, frame bounded at `trailing` rows;
+    * history frames are O(runs), so this is metadata-sized everywhere. */
+  def countDrift(history: DataFrame, keyCols: Seq[String], orderCol: String,
+                 valueCol: String, trailing: Int,
+                 tolerancePct: Int): DataFrame = {
+    require(trailing >= 1, s"trailing must be >= 1: $trailing")
+    require(tolerancePct >= 0, s"tolerancePct must be >= 0: $tolerancePct")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-trailing, -1)
+    history
+      .withColumn("baseline_med2",
+        round(expr(s"percentile($valueCol, 0.5)").over(w) * 2)
+          .cast("bigint"))
+      .withColumn("drifted",
+        when(col("baseline_med2").isNull, lit(false))
+          .otherwise(abs(col(valueCol) * 2 - col("baseline_med2")) * 100 >
+            col("baseline_med2") * tolerancePct))
+  }
+
   import org.apache.spark.sql.types._
   val schema: StructType = StructType(Seq(
     StructField("run_id", StringType),

@@ -56,4 +56,41 @@ class RunLedgerSpec extends SparkSpec {
     assert(ledger.history.filter("status = 'FAILED'").count() == 0)
     assert(ledger.history.schema == RunLedger.schema)
   }
+
+  test("countDrift flags a spike against the trailing median, spares the rest") {
+    import spark.implicits._
+    val h = Seq(10L, 12L, 11L, 13L, 12L, 50L, 12L, 11L).zipWithIndex
+      .map { case (n, i) => ("j1", i.toLong, n) }
+      .toDF("job", "finished_at_ms", "extracted")
+    val out = RunLedger.countDrift(h, Seq("job"), "finished_at_ms",
+      "extracted", trailing = 4, tolerancePct = 30)
+      .orderBy("finished_at_ms")
+      .collect().map(r => (r.getLong(1), r.getAs[Any]("baseline_med2"),
+        r.getBoolean(r.fieldIndex("drifted"))))
+    assert(out(0)._2 == null && !out(0)._3, "first row has no baseline")
+    assert(out(5)._3, "the 50-row spike must drift vs median ~12")
+    assert(out.count(_._3) == 1, s"only the spike drifts: ${out.toSeq}")
+    // the run AFTER the spike is judged against a window containing the
+    // spike but the MEDIAN absorbs it (that's why it's not a mean)
+    assert(!out(6)._3)
+  }
+
+  test("countDrift series are key-isolated and tolerance is monotonic") {
+    import spark.implicits._
+    val h = (Seq.tabulate(6)(i => ("big", i.toLong, 1000L + i)) ++
+      Seq.tabulate(6)(i => ("small", i.toLong, 10L + i)))
+      .toDF("job", "finished_at_ms", "extracted")
+    // keys don't contaminate each other: neither steady series drifts
+    val tight = RunLedger.countDrift(h, Seq("job"), "finished_at_ms",
+      "extracted", trailing = 3, tolerancePct = 40)
+    assert(tight.filter("drifted").count() == 0)
+    // a spike flagged at 100% tolerance is also flagged at 10%
+    val spiky = h.union(Seq(("small", 6L, 500L)).toDF())
+    def flags(pct: Int) = RunLedger.countDrift(spiky, Seq("job"),
+      "finished_at_ms", "extracted", 3, pct)
+      .filter("drifted").select("finished_at_ms").collect()
+      .map(_.getLong(0)).toSet
+    assert(flags(100).subsetOf(flags(10)))
+    assert(flags(100) == Set(6L))
+  }
 }
