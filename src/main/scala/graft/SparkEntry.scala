@@ -1571,6 +1571,30 @@ object SparkEntry {
         trailing = 7, tolerancePct = 20)
         .select("event_type", "d", "n", "baseline_med2", "drifted")
     }),
+
+    // stream-stream interval join (attribution: purchases within the
+    // hour before each click, both sides live feeds) through the REAL
+    // streaming path — file-replayed micro-batches, watermarked state,
+    // append emission. Oracle = the equivalent batch theta-join.
+    "q107_stream_interval_join" -> ((s, dir) => {
+      val base = tmp("q107")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      ev.repartition(8).write.mode("overwrite").parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      def side(typ: String, idAs: String, tsAs: String) =
+        Streams.fileReplay(s, s"$base/in", schema, maxFilesPerTrigger = 2)
+          .filter(col("event_type") === typ)
+          .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+      Streams.runToCompletionAppend(
+        Streams.intervalJoin(
+          side("click", "click_id", "click_ts"),
+          side("purchase", "purchase_id", "purchase_ts"),
+          Seq("user_id"), "click_ts", "purchase_ts",
+          "-1 hour", "0 seconds", delay = "3650 days"),
+        "q107_ssij_tbl")
+        .select("user_id", "click_id", "purchase_id")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2037,6 +2061,12 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q107_stream_interval_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
+        "FROM events c JOIN events p ON c.user_id = p.user_id " +
+        "AND c.event_type = 'click' AND p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR " +
+        "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)"),
     "q106_volume_drift" ->
       ("WITH v AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), " +
         "'%Y-%m-%d') AS d, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), " +

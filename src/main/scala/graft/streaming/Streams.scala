@@ -58,6 +58,40 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("cnt"))
 
+  /** Stream-stream interval join: pair each left-stream row with the
+    * right-stream rows sharing its keys whose event time falls in
+    * [leftTs + lowerBound, leftTs + upperBound] (bounds are SQL interval
+    * strings, either side may be negative, e.g. `"-1 hour"`/`"0 seconds"`
+    * = right events in the hour BEFORE the left event). This is the
+    * two-live-feeds face of enrichment that [[enrich]] (stream-static)
+    * and [[asOfEnrich]] (stream vs slowly-changing dim) can't express —
+    * attribution-style joins where BOTH sides arrive as events.
+    *
+    * Both sides carry the same watermark `delay`; with an inner join,
+    * matches emit as they form and the watermark exists to EVICT state:
+    * each side buffers only rows inside watermark + interval width, so
+    * state is O(in-flight window), never O(stream history) — Spark
+    * refuses the join entirely without time bounds, and so should you at
+    * 100 TB. Rows arriving later than `delay` out of order miss their
+    * matches (the documented watermark contract, same as
+    * [[dedupWithinWatermark]]).
+    *
+    * Column names must be disjoint apart from `keyCols` (rename before
+    * joining — the condition references both sides by name). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String,
+                   lowerBound: String, upperBound: String,
+                   delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    val cond = (keyCols.map(k => s"$k = __r_$k") :+
+      s"$rightTs >= $leftTs + interval '$lowerBound'" :+
+      s"$rightTs <= $leftTs + interval '$upperBound'").mkString(" AND ")
+    val rKeyed = keyCols.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
+    l.join(rKeyed, expr(cond), "inner")
+      .drop(keyCols.map(k => s"__r_$k"): _*)
+  }
+
   /** Watermark-BOUNDED streaming dedup — the production default once the
     * source bounds disorder (e.g. a queue with bounded redelivery): a
     * duplicate arriving within `delay` of its first copy's event time is

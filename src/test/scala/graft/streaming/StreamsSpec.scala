@@ -311,4 +311,65 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/b").count() ==
       Tables.load(spark, sf, "events").filter(col("event_type") === "error").count())
   }
+
+  test("intervalJoin: stream-stream matches inside the bounds, drops outside") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ls = MemoryStream[(String, Timestamp, String)]
+    val rs = MemoryStream[(String, Timestamp, String)]
+    val joined = Streams.intervalJoin(
+      ls.toDF().toDF("k", "lts", "lv"), rs.toDF().toDF("k", "rts", "rv"),
+      Seq("k"), "lts", "rts",
+      lowerBound = "-1 hour", upperBound = "0 seconds", delay = "2 hours")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssij_tbl").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    ls.addData(("u1", t("10:00:00"), "L1"), ("u2", t("10:00:00"), "L2"))
+    rs.addData(
+      ("u1", t("09:30:00"), "in-window"),
+      ("u1", t("08:30:00"), "too-early"),
+      ("u1", t("10:05:00"), "too-late"),
+      ("u2", t("09:59:00"), "in-window-u2"),
+      ("u3", t("09:30:00"), "wrong-key"))
+    q.processAllAvailable()
+    // a right row arriving in a LATER batch still joins if in-window
+    rs.addData(("u1", t("09:45:00"), "late-batch-in-window"))
+    q.processAllAvailable()
+    q.stop(); ls.stop(); rs.stop()
+    val got = spark.table("ssij_tbl")
+      .select("lv", "rv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("L1", "in-window"), ("L2", "in-window-u2"),
+      ("L1", "late-batch-in-window")))
+  }
+
+  test("intervalJoin: stream parity with the equivalent batch theta-join on real events") {
+    val ev = Tables.load(spark, sf, "events")
+    val base = tmpDir("ssij-parity")
+    ev.select("event_id", "user_id", "event_type", "ts")
+      .repartition(4).write.mode("overwrite").parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    def side(typ: String, idAs: String, tsAs: String) =
+      Streams.fileReplay(spark, s"$base/in", schema, maxFilesPerTrigger = 2)
+        .filter(col("event_type") === typ)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val streamed = Streams.runToCompletionAppend(
+      Streams.intervalJoin(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        Seq("user_id"), "click_ts", "purchase_ts",
+        "-1 hour", "0 seconds", delay = "3650 days"),
+      "ssij_parity_tbl").select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") - org.apache.spark.sql.functions.expr("interval 1 hour") &&
+        col("pts") <= col("cts"))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "parity set must be non-trivial")
+  }
 }
