@@ -1595,6 +1595,18 @@ object SparkEntry {
         "q107_ssij_tbl")
         .select("user_id", "click_id", "purchase_id")
     }),
+
+    // SCD-2 history from a CDC changelog: every version with its
+    // [valid_from, valid_to) window, open current version NULL-ended,
+    // same-(key, ts) duplicates collapsed by event_id-desc delta.
+    "q108_scd2_history" -> ((s, dir) => {
+      val ch = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("event_id"))
+      graft.operators.Scd.scd2(ch, Seq("user_id"), "ts",
+        delta = Seq(col("event_id").desc))
+        .select("user_id", "event_type", "value", "valid_from", "valid_to")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2061,6 +2073,13 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q108_scd2_history" ->
+      ("WITH d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
+        "value, row_number() OVER (PARTITION BY user_id, ts " +
+        "ORDER BY event_id DESC) AS rn FROM events), " +
+        "k AS (SELECT user_id, ts, event_type, value FROM d WHERE rn = 1) " +
+        "SELECT user_id, event_type, value, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to FROM k"),
     "q107_stream_interval_join" ->
       ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
         "FROM events c JOIN events p ON c.user_id = p.user_id " +
