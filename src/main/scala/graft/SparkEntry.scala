@@ -1607,6 +1607,19 @@ object SparkEntry {
         delta = Seq(col("event_id").desc))
         .select("user_id", "event_type", "value", "valid_from", "valid_to")
     }),
+
+    // skew-split join: users with > 75 events take the broadcast hot
+    // path, the rest the plain shuffle; the union must equal the plain
+    // join bit-for-bit (the q49 contract for the split strategy).
+    "q109_split_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("du")).agg(count(lit(1)).as("purchase_cnt"))
+      graft.operators.Skew.splitSkewJoin(
+        ev.select("event_id", "user_id"), dim, "user_id", "du",
+        hotKeyMaxRows = 75, joinType = "left")
+        .select("event_id", "user_id", "purchase_cnt")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2073,6 +2086,11 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q109_split_skew_join" ->
+      ("WITH dim AS (SELECT user_id, count(*)::BIGINT AS purchase_cnt " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT e.event_id, e.user_id, dim.purchase_cnt " +
+        "FROM events e LEFT JOIN dim ON e.user_id = dim.user_id"),
     "q108_scd2_history" ->
       ("WITH d AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, " +
         "value, row_number() OVER (PARTITION BY user_id, ts " +

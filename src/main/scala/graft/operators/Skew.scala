@@ -52,4 +52,54 @@ object Skew {
         f(factKey) === d(dimKey), joinType)
       .drop(d(dimKey)).drop(f("__graft_salt")).drop(d("__graft_salt"))
   }
+
+  /** The keys of `df` carrying more than `maxRows` rows — the straggler
+    * candidates. One combiner-reduced aggregation; output is by
+    * definition small (at most total/maxRows keys). */
+  def hotKeys(df: DataFrame, keyCol: String, maxRows: Long): DataFrame = {
+    require(maxRows > 0, "maxRows must be positive")
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxRows)
+  }
+
+  /** Skew-split join: fact rows on HOT keys (> `hotKeyMaxRows` rows each)
+    * join a broadcast slice of `dim` restricted to those keys; everything
+    * else takes the plain shuffled join; the union is EXACTLY the
+    * unsalted join. This beats [[saltedJoin]] when the dim side is too
+    * big to replicate salts× but the hot SLICE of it is tiny (the usual
+    * case: a handful of mega-keys) — the hot keys never enter the
+    * shuffle at all, so there is no straggler task to split.
+    *
+    * Hot keys are detected with one exact count aggregation and inlined
+    * as a literal set (deterministic, plan-stable); `maxHotKeys` guards
+    * against a threshold so low the "hot set" is half the corpus —
+    * that's not skew, that's the join, and inlining it would blow up the
+    * plan. Eager: the detection aggregation runs when called. */
+  def splitSkewJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                    dimKey: String, hotKeyMaxRows: Long,
+                    joinType: String = "inner",
+                    maxHotKeys: Int = 10000): DataFrame = {
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"split join supports inner/left (fact side preserved), not $joinType")
+    val hot = hotKeys(fact, factKey, hotKeyMaxRows)
+      .limit(maxHotKeys + 1).select(col(factKey)).collect().map(_.get(0))
+    require(hot.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys at threshold $hotKeyMaxRows — " +
+        "this is general cardinality, not skew; raise the threshold")
+    if (hot.isEmpty)
+      fact.join(dim, fact(factKey) === dim(dimKey), joinType).drop(dim(dimKey))
+    else {
+      val hotLit = typedlit(hot.map(String.valueOf).toSeq)
+      def isHot(c: Column) = array_contains(hotLit, c.cast("string"))
+      val (fh, dh) = (fact.filter(isHot(col(factKey))),
+        dim.filter(isHot(col(dimKey))))
+      val hotJoin = fh.join(broadcast(dh),
+        fh(factKey) === dh(dimKey), joinType).drop(dh(dimKey))
+      val (fc, dc) = (fact.filter(!isHot(col(factKey)) || col(factKey).isNull),
+        dim.filter(!isHot(col(dimKey)) || col(dimKey).isNull))
+      val coldJoin = fc.join(dc, fc(factKey) === dc(dimKey), joinType)
+        .drop(dc(dimKey))
+      hotJoin.unionByName(coldJoin)
+    }
+  }
 }

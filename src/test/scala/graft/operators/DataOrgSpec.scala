@@ -225,4 +225,44 @@ class DataOrgSpec extends SparkSpec {
     assert(saltedSame.columns.toSeq == Seq("k", "v", "w"))
     assert(saltedSame.count() == plainInner.count())
   }
+
+  test("splitSkewJoin equals the plain join; hot branch broadcasts") {
+    val fact = (Seq.fill(500)(Option(1L) -> "hot") ++
+      Seq.fill(400)(Option(2L) -> "warm") ++
+      Seq(Option(3L) -> "b", Option(9L) -> "no-dim",
+        (None: Option[Long]) -> "nullk"))
+      .toDF("k", "v")
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "unused"))
+      .toDF("dk", "w")
+    assert(Skew.hotKeys(fact, "k", 100).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    val plainInner = fact.join(dim, col("k") === col("dk")).drop("dk")
+    val split = Skew.splitSkewJoin(fact, dim, "k", "dk", hotKeyMaxRows = 100)
+    assert(split.columns.toSeq == plainInner.columns.toSeq)
+    assert(split.exceptAll(plainInner).count() == 0)
+    assert(plainInner.exceptAll(split).count() == 0)
+
+    // left join keeps the dim-less and null-key fact rows exactly once
+    val plainLeft = fact.join(dim, col("k") === col("dk"), "left").drop("dk")
+    val splitLeft = Skew.splitSkewJoin(fact, dim, "k", "dk", 100, "left")
+    assert(splitLeft.exceptAll(plainLeft).count() == 0)
+    assert(plainLeft.exceptAll(splitLeft).count() == 0)
+
+    // the hot slice must ride a broadcast join
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"hot branch must broadcast:\n$plan")
+
+    // no hot keys at a high threshold: still exactly the plain join
+    val none = Skew.splitSkewJoin(fact, dim, "k", "dk", hotKeyMaxRows = 10000)
+    assert(none.exceptAll(plainInner).count() == 0 &&
+      plainInner.exceptAll(none).count() == 0)
+
+    // a "hot set" that is really the whole key space is refused
+    val e = intercept[IllegalArgumentException] {
+      Skew.splitSkewJoin(fact, dim, "k", "dk", hotKeyMaxRows = 1,
+        maxHotKeys = 1)
+    }
+    assert(e.getMessage.contains("not skew"))
+  }
 }
