@@ -31,17 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
-  /** Cell-capped membership: (idCol, vecCol, __cell, __rank) with
-    * ascending-id rank inside each cell; rows ranked past `maxCellSize`
-    * are EXCLUDED (they neither drop others nor get dropped). */
-  private def members(corpus: DataFrame, idCol: String, vecCol: String,
-                      model: Ann.IvfModel, maxCellSize: Int): DataFrame =
+  /** Cell assignment + ascending-id rank inside each cell — the ONE
+    * frame [[duplicates]] (rank ≤ cap) and [[shedded]] (rank > cap)
+    * filter opposite halves of, so they can never disagree about what
+    * was capped. */
+  private def ranked(corpus: DataFrame, idCol: String, vecCol: String,
+                     model: Ann.IvfModel): DataFrame =
     corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .withColumn("__cell", Ann.assignCell(col(vecCol), model))
       .withColumn("__rank",
         row_number().over(Window.partitionBy(col("__cell"))
           .orderBy(col(idCol))))
-      .filter(col("__rank") <= maxCellSize)
+
+  /** Cell-capped membership: rows ranked past `maxCellSize` are EXCLUDED
+    * (they neither drop others nor get dropped). */
+  private def members(corpus: DataFrame, idCol: String, vecCol: String,
+                      model: Ann.IvfModel, maxCellSize: Int): DataFrame =
+    ranked(corpus, idCol, vecCol, model).filter(col("__rank") <= maxCellSize)
 
   /** The duplicate set: one row per DROPPED member — (idCol, dup_of,
     * cell, cos_sim) where `dup_of` is the lowest-id cellmate whose
@@ -75,11 +81,7 @@ object SemDeDup {
     * skip dedup (a giant cell means numCells is too small; retrain). */
   def shedded(corpus: DataFrame, idCol: String, vecCol: String,
               model: Ann.IvfModel, maxCellSize: Int = 4096): DataFrame =
-    corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .withColumn("__cell", Ann.assignCell(col(vecCol), model))
-      .withColumn("__rank",
-        row_number().over(Window.partitionBy(col("__cell"))
-          .orderBy(col(idCol))))
+    ranked(corpus, idCol, vecCol, model)
       .filter(col("__rank") > maxCellSize)
       .select(col(idCol), col("__cell").as("cell"))
 

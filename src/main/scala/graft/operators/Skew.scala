@@ -71,35 +71,57 @@ object Skew {
     * shuffle at all, so there is no straggler task to split.
     *
     * Hot keys are detected with one exact count aggregation and inlined
-    * as a literal set (deterministic, plan-stable); `maxHotKeys` guards
-    * against a threshold so low the "hot set" is half the corpus —
-    * that's not skew, that's the join, and inlining it would blow up the
-    * plan. Eager: the detection aggregation runs when called. */
+    * as NATIVE-typed `isin` literals (string-casting would diverge from
+    * join equality on floats and mixed types — both key columns must
+    * share one data type, enforced loudly); `maxHotKeys` guards against
+    * a threshold so low the "hot set" is half the corpus — that's not
+    * skew, that's the join, and inlining it would blow up the plan.
+    *
+    * A hot NULL key — the archetypal real-world straggler — never needs
+    * the dim at all (SQL null equals nothing): null fact rows BYPASS
+    * both joins entirely, null-padded into a left join's output and
+    * dropped from an inner join's. They cost a scan, never a shuffle.
+    * Eager: the detection aggregation runs when called. */
   def splitSkewJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                     dimKey: String, hotKeyMaxRows: Long,
                     joinType: String = "inner",
                     maxHotKeys: Int = 10000): DataFrame = {
     require(Set("inner", "left", "left_outer")(joinType),
       s"split join supports inner/left (fact side preserved), not $joinType")
+    val (ft, dt) = (fact.schema(factKey).dataType, dim.schema(dimKey).dataType)
+    require(ft == dt,
+      s"fact.$factKey: $ft and dim.$dimKey: $dt differ — cast one side " +
+        "first so hot-set membership and join equality cannot disagree")
     val hot = hotKeys(fact, factKey, hotKeyMaxRows)
+      .filter(col(factKey).isNotNull) // nulls take the bypass, not a join
       .limit(maxHotKeys + 1).select(col(factKey)).collect().map(_.get(0))
     require(hot.length <= maxHotKeys,
       s"more than $maxHotKeys hot keys at threshold $hotKeyMaxRows — " +
         "this is general cardinality, not skew; raise the threshold")
-    if (hot.isEmpty)
-      fact.join(dim, fact(factKey) === dim(dimKey), joinType).drop(dim(dimKey))
+    val nullRows = fact.filter(col(factKey).isNull)
+    val nonNull = fact.filter(col(factKey).isNotNull)
+    val joined =
+      if (hot.isEmpty)
+        nonNull.join(dim, nonNull(factKey) === dim(dimKey), joinType)
+          .drop(dim(dimKey))
+      else {
+        def isHot(c: Column) = c.isin(hot.toIndexedSeq: _*)
+        val (fh, dh) = (nonNull.filter(isHot(col(factKey))),
+          dim.filter(isHot(col(dimKey))))
+        val hotJoin = fh.join(broadcast(dh),
+          fh(factKey) === dh(dimKey), joinType).drop(dh(dimKey))
+        val (fc, dc) = (nonNull.filter(!isHot(col(factKey))),
+          dim.filter(!isHot(col(dimKey)) || col(dimKey).isNull))
+        val coldJoin = fc.join(dc, fc(factKey) === dc(dimKey), joinType)
+          .drop(dc(dimKey))
+        hotJoin.unionByName(coldJoin)
+      }
+    if (joinType == "inner") joined
     else {
-      val hotLit = typedlit(hot.map(String.valueOf).toSeq)
-      def isHot(c: Column) = array_contains(hotLit, c.cast("string"))
-      val (fh, dh) = (fact.filter(isHot(col(factKey))),
-        dim.filter(isHot(col(dimKey))))
-      val hotJoin = fh.join(broadcast(dh),
-        fh(factKey) === dh(dimKey), joinType).drop(dh(dimKey))
-      val (fc, dc) = (fact.filter(!isHot(col(factKey)) || col(factKey).isNull),
-        dim.filter(!isHot(col(dimKey)) || col(dimKey).isNull))
-      val coldJoin = fc.join(dc, fc(factKey) === dc(dimKey), joinType)
-        .drop(dc(dimKey))
-      hotJoin.unionByName(coldJoin)
+      val padded = dim.columns.filterNot(_ == dimKey).foldLeft(nullRows) {
+        (d, c) => d.withColumn(c, lit(null).cast(dim.schema(c).dataType))
+      }
+      joined.unionByName(padded)
     }
   }
 }

@@ -64,8 +64,14 @@ object SnapshotReplicate {
     val dst = new SnapshotLog(spark, dstRoot)
     val snap = src.current().getOrElse(throw new IllegalStateException(
       s"source log $srcRoot has no committed snapshot"))
-    if (dst.currentId().contains(snap.id))
+    val dstId = dst.currentId()
+    if (dstId.contains(snap.id))
       return ReplicaStats(snap.id, upToDate = true, CopyExec.CopyStats(0, 0, 0))
+    // fail the non-monotonic case BEFORE the byte copy, not after
+    // (commitReplicated re-checks under the lock — this is the cheap gate)
+    require(dstId.forall(_ < snap.id),
+      s"replica $dstRoot is at ${dstId.get}, ahead of source snapshot " +
+        s"${snap.id} — refusing to replicate backwards")
 
     val rels = snap.branches.values.map(_.path).toSeq.sorted
     val need = rels.map(dirManifest(spark, srcRoot, _))

@@ -60,9 +60,16 @@ object SalesforceBulk {
       (if (c.sessionToken.nonEmpty) Map("X-SFDC-Session" -> c.sessionToken)
        else Map.empty))
 
+  /** Job-control POSTs are NOT idempotent (a create/submit whose response
+    * was lost may still have landed server-side; a blind retry would
+    * create a second job or batch and silently double every extracted
+    * row), so they get exactly ONE attempt — a lost response surfaces as
+    * an error and the caller reruns with a FRESH job, leaving the orphan
+    * to the server's job expiry. Result GETs retry freely. */
   private def post(client: java.net.http.HttpClient, c: BulkConfig,
                    url: String, body: String): String =
-    HttpSink.send(client, cfgFor(c, url), "POST", Some(body))
+    HttpSink.send(client,
+      cfgFor(c, url).copy(maxAttempts = 1), "POST", Some(body))
 
   private def get(client: java.net.http.HttpClient, c: BulkConfig,
                   url: String): String =
@@ -79,8 +86,12 @@ object SalesforceBulk {
     * `pkChunkSize` enables server-side PK chunking
     * (`Sforce-Enable-PKChunking: chunkSize=N`) — the fan-out path for
     * large objects. `schema` types the parsed CSV (recommended: the Bulk
-    * API serializes everything as text, so untyped reads come back all-
-    * string); `stagingDir` must outlive the returned lazy DataFrame.
+    * API serializes everything as text, so untyped reads come back
+    * all-string; and a ZERO-result extract without a schema has no
+    * header to name columns from, so it returns a column-less empty
+    * frame). `stagingDir` must be a DEDICATED directory — it is wiped
+    * before staging (the RestSource contract) — and must outlive the
+    * returned lazy DataFrame.
     */
   def read(spark: SparkSession, config: BulkConfig, objectName: String,
            soql: String, pkChunkSize: Option[Int] = None,

@@ -76,9 +76,12 @@ object Bpe {
   }
 
   /** Word tokenization shared with [[Dsir]]: lower-cased alphanumeric
-    * runs — identical on the driver (training/encoding) and in SQL. */
+    * runs — identical on the driver (training/encoding) and in SQL.
+    * Locale.ROOT, NOT the JVM default: a tr-TR default turns "I" into
+    * dotless ı and silently breaks driver/expression parity. */
   private[text] def splitWords(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** Learn `numMerges` merges from the corpus. The word-frequency table
     * is computed distributed and truncated to the `maxWords` most

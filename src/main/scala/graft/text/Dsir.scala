@@ -126,7 +126,15 @@ object Dsir {
     * therefore 64000, not 0. */
   def score(df: DataFrame, table: DataFrame, idCol: String, textCol: String,
             buckets: Int = 1 << 14): DataFrame =
-    docBucketCounts(df, idCol, textCol, buckets)
+    scoreCounts(docBucketCounts(df, idCol, textCol, buckets), table, idCol)
+
+  /** The one scoring implementation (shared by [[score]] and
+    * [[selectLikeTarget]] so the parity-critical shift/division can
+    * never fork): fold a per-doc bucket histogram against the broadcast
+    * lambda table. */
+  private def scoreCounts(perDoc: DataFrame, table: DataFrame,
+                          idCol: String): DataFrame =
+    perDoc
       .join(broadcast(table), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
@@ -165,13 +173,6 @@ object Dsir {
     val rawCounts = perDoc.groupBy("bucket").agg(sum("cnt").as("cnt"))
     val table = importanceTable(
       fitBucketCounts(target, textCol, buckets), rawCounts)
-    val scored = perDoc
-      .join(broadcast(table), Seq("bucket"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(col("cnt")).as("n_grams"),
-        sum((coalesce(col("lam"), lit(0L)) + 64L) * col("cnt")).as("lam_sum"))
-      .withColumn("dsir_q", expr("lam_sum * 1000L div n_grams"))
-      .drop("lam_sum")
-    selectTopK(scored, idCol, k)
+    selectTopK(scoreCounts(perDoc, table, idCol), idCol, k)
   }
 }
