@@ -1174,6 +1174,12 @@ object SparkEntry {
     // that IS deterministic: decrypt∘encrypt = identity on real data.
     "q99_crypto_roundtrip" -> ((s, dir) => {
       import graft.functions.{JceksCredentialStore, KeyCrypto}
+      // fresh store every run: the jceks file persists in tmp, and
+      // re-running would otherwise accumulate 2 keys per invocation
+      // forever (a 500-key ring made this query 6x slower by round 9)
+      val fs = new org.apache.hadoop.fs.Path(tmp("q99"))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp("q99")), true)
       val ksPath = s"${tmp("q99")}/creds.jceks"
       JceksCredentialStore.generateKey(ksPath, "q99-pw")
       JceksCredentialStore.generateKey(ksPath, "q99-pw")
@@ -1619,6 +1625,19 @@ object SparkEntry {
         ev.select("event_id", "user_id"), dim, "user_id", "du",
         hotKeyMaxRows = 75, joinType = "left")
         .select("event_id", "user_id", "purchase_cnt")
+    }),
+
+    // CCNet head/middle/tail bucketing: q93's LM familiarity cut into
+    // value-based equal-count thirds — pure integer arithmetic, ties
+    // never straddle a boundary, corpus never globally sorted.
+    "q110_ccnet_tiers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fam = graft.text.NgramLm.familiarity(docs,
+        graft.text.NgramLm.train(docs, "text", n = 3, minCount = 2),
+        "doc_id", "text", n = 3)
+      graft.text.QualityTiers.tiers(fam, "fam_q", k = 3)
+        .select("doc_id", "fam_q", "tier")
+        .withColumn("tier", col("tier").cast("bigint"))
     }),
   )
 
@@ -2086,6 +2105,27 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q110_ccnet_tiers" ->
+      ("WITH g AS (SELECT doc_id, unnest([substr(text, i, 3) " +
+        "FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS gram " +
+        "FROM documents), " +
+        "m AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1 " +
+        "HAVING count(*) >= 2), " +
+        "sc AS (SELECT doc_id, count(*)::BIGINT AS n_grams, " +
+        "sum(CASE WHEN m.cnt IS NULL THEN 0 " +
+        "ELSE length(bin(m.cnt)) - 1 END)::BIGINT AS fam_raw " +
+        "FROM g LEFT JOIN m USING (gram) GROUP BY 1), " +
+        "s AS (SELECT doc_id, (fam_raw * 1000) // n_grams AS fam_q " +
+        "FROM sc WHERE n_grams > 0), " +
+        "per AS (SELECT fam_q, count(*)::BIGINT AS c FROM s GROUP BY 1), " +
+        "cum AS (SELECT fam_q, COALESCE(sum(c) OVER (ORDER BY fam_q DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT " +
+        "AS before FROM per), " +
+        "n AS (SELECT count(*)::BIGINT AS n FROM s), " +
+        "t AS (SELECT fam_q, (CASE WHEN before < 1 * n // 3 THEN 1 " +
+        "WHEN before < 2 * n // 3 THEN 2 ELSE 3 END)::BIGINT AS tier " +
+        "FROM cum, n) " +
+        "SELECT s.doc_id, s.fam_q, t.tier FROM s JOIN t USING (fam_q)"),
     "q109_split_skew_join" ->
       ("WITH dim AS (SELECT user_id, count(*)::BIGINT AS purchase_cnt " +
         "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +

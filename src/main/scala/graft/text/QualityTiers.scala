@@ -1,0 +1,47 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style quality tiering (Wenzek et al. 2020 split Common Crawl
+  * into head/middle/tail by LM perplexity percentile): cut a scored
+  * corpus into `k` equal-count tiers, tier 1 = best scores.
+  *
+  * Tiers are VALUE-based: every row sharing a score lands in the same
+  * tier (a percentile interpolation or a row_number split would break
+  * ties arbitrarily — and interpolated float boundaries are not
+  * reproducible across engines, so they could never be oracle-checked).
+  * The cut logic is pure integer arithmetic: distinct scores get a
+  * descending cumulative row count, and a score joins tier i when fewer
+  * than i·n/k rows strictly outscore it — ties can make tier SIZES
+  * approximate, never membership ambiguous.
+  *
+  * Scale shape: one combiner-reduced groupBy on the score (output =
+  * distinct scores — for permille-quantized signals like
+  * [[NgramLm.familiarity]]'s fam_q this is bounded in the tens of
+  * thousands regardless of corpus size), a single-partition window over
+  * that TINY frame (the ShardPack bucket-totals justification), and a
+  * broadcast join back. The corpus itself is never globally sorted.
+  * Eager: one count() runs when called. */
+object QualityTiers {
+
+  def tiers(df: DataFrame, scoreCol: String, k: Int = 3,
+            tierCol: String = "tier"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(!df.columns.contains(tierCol),
+      s"column $tierCol already exists — pick another tierCol")
+    val n = df.count()
+    val w = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perScore = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+    // smallest i in 1..k with __before < i*n/k (boundaries are driver
+    // literals, same floor division the oracle does)
+    val tier = (1 until k).reverse.foldLeft(lit(k): Column) { (acc, i) =>
+      when(col("__before") < lit(i.toLong * n / k), lit(i)).otherwise(acc)
+    }
+    df.join(broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
+      Seq(scoreCol))
+  }
+}
