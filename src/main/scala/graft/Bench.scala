@@ -64,7 +64,11 @@ object Bench {
     "q100_pq_ann",            // PQ train + byte-encode + ADC top-k
     "q102_dsir_select",       // DSIR hashed-ngram importance top-k
     "q103_semdedup",          // k-means cell-confined embedding dedup
-    "q104_bpe_tokens")        // BPE merge training + map-only encode
+    "q104_bpe_tokens",        // BPE merge training + map-only encode
+    "q105_snapshot_replicate",// incremental file-delta replication
+    "q107_stream_interval_join", // watermarked stream-stream join
+    "q109_split_skew_join",   // broadcast-hot/shuffle-cold split join
+    "q110_ccnet_tiers")       // LM familiarity + integer tier cut
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

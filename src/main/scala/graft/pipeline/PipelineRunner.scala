@@ -223,6 +223,27 @@ object PipelineRunner {
           }.toMap
           df.transform(graft.operators.Converters.stratifiedSampleByHash(
             parts(0), parts(1), rates, parts(3).toInt))
+        case Array("dedup", spec2) => // k1,k2;delta1.desc,delta2.asc
+          val parts = spec2.split(';').map(_.trim)
+          val keys = parts(0).split(',').map(_.trim).toSeq
+          val delta = parts(1).split(',').map(_.trim).map { d =>
+            d.split('.') match {
+              case Array(c, "desc") => col(c).desc
+              case Array(c, "asc")  => col(c).asc
+              case Array(c)         => col(c).asc
+              case _ => throw new IllegalArgumentException(s"bad delta: $d")
+            }
+          }.toSeq
+          df.transform(graft.operators.Dedup.keyDeltaTop1(keys, delta))
+        case Array("scd2", spec2) => // k1,k2;tsCol (changelog -> history)
+          val parts = spec2.split(';').map(_.trim)
+          graft.operators.Scd.scd2(df,
+            parts(0).split(',').map(_.trim).toSeq, parts(1))
+        case Array("tiers", spec2) => // scoreCol;k (CCNet head/middle/tail)
+          val Array(c, k) = spec2.split(';').map(_.trim)
+          graft.text.QualityTiers.tiers(df, c, k.toInt)
+        case Array("redact", c) => // PII-redact a text column in place
+          df.withColumn(c.trim, graft.text.Redact.redactPii(col(c.trim)))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -284,6 +284,43 @@ class PipelineSpecSuite extends SparkSpec {
     assert(r2.extracted > 0)
   }
 
+  test("declarative dedup + scd2 + tiers + redact transforms") {
+    val out = tmpDir("pipe-cdc")
+    // events as a CDC changelog: dedup same-(user, ts) by event_id desc
+    // happens INSIDE scd2 via its delta; the declarative scd2 (no delta)
+    // composes with an explicit dedup step instead
+    val spec = PipelineSpec(
+      name = "cdc-history",
+      source = SourceSpec(format = "parquet", path = s"$sf/events.parquet"),
+      transformExprs = Seq(
+        "selectExpr:user_id;ts;event_type;event_id",
+        "dedup:user_id,ts;event_id.desc",
+        "scd2:user_id;ts"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    val r = PipelineRunner.run(spark, spec, "runCdc")
+    val back = spark.read.parquet(s"$out/main")
+    assert(back.columns.contains("valid_from") && back.columns.contains("valid_to"))
+    assert(back.filter(col("valid_to").isNull).count() ==
+      back.select("user_id").distinct().count(),
+      "exactly one open version per key")
+    assert(back.count() == r.extracted && r.extracted > 0)
+
+    val spec2 = PipelineSpec(
+      name = "tiered",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "selectExpr:doc_id;n_chars;concat(text, ' mail me at a@b.com') AS text",
+        "redact:text",
+        "tiers:n_chars;3"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/tiers")))
+    val r2 = PipelineRunner.run(spark, spec2, "runTier")
+    val t = spark.read.parquet(s"$out/tiers")
+    assert(t.filter(col("text").contains("a@b.com")).count() == 0,
+      "injected email must be redacted")
+    assert(t.filter(col("text").contains("<EMAIL>")).count() == r2.extracted)
+    assert(t.select("tier").distinct().count() == 3)
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
