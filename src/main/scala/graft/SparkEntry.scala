@@ -1639,6 +1639,22 @@ object SparkEntry {
         .select("doc_id", "fam_q", "tier")
         .withColumn("tier", col("tier").cast("bigint"))
     }),
+
+    // file-level zone-map pruning: publish events range-clustered on ts
+    // with a per-file (min,max) manifest, answer a 5-day probe by
+    // opening only intersecting files — the residual filter makes the
+    // answer layout-independent, so the oracle is the plain range scan.
+    "q111_stats_pruned" -> ((s, dir) => {
+      val base = tmp("q111")
+      graft.sources.StatsPrunedSource.writeWithStats(
+        t(s, dir, "events"), s"$base/events", "ts", numFiles = 16)
+      val (frame, kept, total) = graft.sources.StatsPrunedSource.readRange(
+        s, s"$base/events", "ts",
+        to_timestamp(lit("2024-01-10 00:00:00")),
+        to_timestamp(lit("2024-01-15 00:00:00")))
+      require(kept < total, s"zone maps must prune: kept $kept of $total")
+      frame.select("event_id", "user_id", "event_type")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2105,6 +2121,10 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q111_stats_pruned" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'"),
     "q110_ccnet_tiers" ->
       ("WITH g AS (SELECT doc_id, unnest([substr(text, i, 3) " +
         "FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]) AS gram " +
