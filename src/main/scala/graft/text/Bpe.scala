@@ -35,6 +35,14 @@ object Bpe {
     * `tok tok` and `tokt ok` encode differently, per the paper). */
   val EndOfWord = "</w>"
 
+  /** Words longer than this bypass the merge loop and encode as ONE
+    * atomic token: the loop is O(len²) worst case, so a single
+    * megabyte-long base64 "word" in a crawled document would stall its
+    * task for minutes — production tokenizers cap exactly like this
+    * (no real vocabulary word is 256+ chars; junk that long carries no
+    * subword signal worth quadratic work). */
+  val MaxWordLen = 256
+
   /** An ordered merge table; earlier merges have higher priority. */
   final case class BpeModel(merges: IndexedSeq[(String, String)]) {
     @transient lazy val rank: Map[(String, String), Int] =
@@ -44,6 +52,8 @@ object Bpe {
       * apply the present pair with the best (lowest) rank until none
       * applies. Deterministic; ties cannot arise (ranks are distinct). */
     def encodeWord(word: String): Array[String] = {
+      if (word.length > Bpe.MaxWordLen)
+        return Array(word + Bpe.EndOfWord)
       var syms = new Array[String](word.length + 1)
       var i = 0
       while (i < word.length) { syms(i) = word.charAt(i).toString; i += 1 }
@@ -93,6 +103,9 @@ object Bpe {
     require(numMerges >= 0, s"numMerges must be >= 0: $numMerges")
     val freqs = df
       .select(explode(Dsir.wordTokens(col(textCol))).as("w"))
+      // overlong junk encodes atomically anyway ([[MaxWordLen]]) — keep
+      // it out of the merge-learning table too
+      .filter(length(col("w")) <= MaxWordLen)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w"))
       .limit(maxWords)
