@@ -1655,6 +1655,36 @@ object SparkEntry {
       require(kept < total, s"zone maps must prune: kept $kept of $total")
       frame.select("event_id", "user_id", "event_type")
     }),
+
+    // copy-on-write MERGE: updates (x2 value), deletes, and inserts into
+    // a brand-new partition applied in place; only affected date
+    // partitions rewrite. Oracle = the same merge in plain SQL over the
+    // read-back table — any half-applied change breaks the hash.
+    "q112_merge_cow" -> ((s, dir) => {
+      val base = tmp("q112")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      ev.write.mode("overwrite").partitionBy("dt").parquet(s"$base/tbl")
+      val updates = ev
+        .filter(col("event_id") % 7 === 0 && col("event_id") % 13 =!= 0)
+        .withColumn("value", col("value") * 2).withColumn("op", lit("U"))
+      val deletes = ev.filter(col("event_id") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val inserts = ev.filter(col("event_id") % 17 === 0)
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .withColumn("event_type", lit("insert"))
+        .withColumn("dt", lit("2024-02-01"))
+        .withColumn("op", lit("U"))
+      graft.operators.Merge.mergePartitioned(s, s"$base/tbl", "dt",
+        updates.unionByName(deletes).unionByName(inserts),
+        Seq("event_id"), col("op") === "D")
+      s.read.parquet(s"$base/tbl").select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), col("dt").cast("string").as("dt"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2121,6 +2151,20 @@ object SparkEntry {
       "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer",
     "q105_snapshot_replicate" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q112_merge_cow" ->
+      ("WITH base AS (SELECT event_id, user_id, event_type, value, " +
+        "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt FROM events), " +
+        "chg AS (SELECT event_id, user_id, event_type, value * 2 AS value, " +
+        "dt, 'U' AS op FROM base WHERE event_id % 7 = 0 AND event_id % 13 <> 0 " +
+        "UNION ALL SELECT event_id, user_id, event_type, value, dt, 'D' " +
+        "FROM base WHERE event_id % 13 = 0 " +
+        "UNION ALL SELECT event_id + 1000000, user_id, 'insert', value, " +
+        "'2024-02-01', 'U' FROM base WHERE event_id % 17 = 0), " +
+        "m AS (SELECT b.* FROM base b WHERE b.event_id NOT IN " +
+        "(SELECT event_id FROM chg) " +
+        "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
+        "FROM chg WHERE op <> 'D') " +
+        "SELECT event_id, user_id, event_type, value, dt FROM m"),
     "q111_stats_pruned" ->
       ("SELECT event_id, user_id, event_type FROM events " +
         "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
