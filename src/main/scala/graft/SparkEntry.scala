@@ -1685,6 +1685,26 @@ object SparkEntry {
       s.read.parquet(s"$base/tbl").select(col("event_id"), col("user_id"),
         col("event_type"), col("value"), col("dt").cast("string").as("dt"))
     }),
+
+    // multi-dimensional data skipping: publish events Z-ORDER clustered
+    // on (ts, user_id), probe a (time range AND user range) box; the
+    // runtime guard REQUIRES file pruning, the residual filter makes
+    // the rows layout-independent. q111's 1-dim zone maps cannot prune
+    // the user predicate at all — this is the 2-dim completion.
+    "q113_zorder_box" -> ((s, dir) => {
+      val base = tmp("q113")
+      graft.sources.ZOrderSource.writeZOrdered(
+        t(s, dir, "events"), s"$base/events", Seq("ts", "user_id"),
+        numFiles = 16)
+      val (frame, kept, total) = graft.sources.ZOrderSource.readBox(
+        s, s"$base/events",
+        Seq(("ts", to_timestamp(lit("2024-01-10 00:00:00")),
+          to_timestamp(lit("2024-01-15 00:00:00"))),
+          ("user_id", lit(0L), lit(3L))))
+      require(kept < total,
+        s"z-order box pruning must bite: kept $kept of $total files")
+      frame.select("event_id", "user_id", "event_type")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2165,6 +2185,11 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q113_zorder_box" ->
+      ("SELECT event_id, user_id, event_type FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00' " +
+        "AND user_id BETWEEN 0 AND 3"),
     "q111_stats_pruned" ->
       ("SELECT event_id, user_id, event_type FROM events " +
         "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +
