@@ -68,7 +68,12 @@ object Bench {
     "q105_snapshot_replicate",// incremental file-delta replication
     "q107_stream_interval_join", // watermarked stream-stream join
     "q109_split_skew_join",   // broadcast-hot/shuffle-cold split join
-    "q110_ccnet_tiers")       // LM familiarity + integer tier cut
+    "q110_ccnet_tiers",       // LM familiarity + integer tier cut
+    // appended round 9 (cont.):
+    "q113_zorder_box",        // z-order write + 2-dim file-skipping probe
+    "q114_compact_files",     // small-file audit + salted one-job rewrite
+    "q115_gap_fill",          // bucket agg + grid explode + forward fill
+    "q116_incremental_agg")   // stored partial state + delta merge
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1705,6 +1705,105 @@ object SparkEntry {
         s"z-order box pruning must bite: kept $kept of $total files")
       frame.select("event_id", "user_id", "event_type")
     }),
+
+    // small-file compaction: a streaming-style scattered table (8 files
+    // per date partition) rewrites to target-size files, atomically per
+    // partition; the rows are bit-identical — the guard pins that the
+    // layout actually shrank.
+    "q114_compact_files" -> ((s, dir) => {
+      val base = tmp("q114")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      ev.repartition(8).write.partitionBy("dt").parquet(s"$base/tbl")
+      val st = graft.operators.FileCompaction.compact(
+        s, s"$base/tbl", "dt", targetBytes = 512L * 1024 * 1024)
+      require(st.filesAfter < st.filesBefore,
+        s"compaction must shrink the layout: ${st.filesBefore} -> ${st.filesAfter}")
+      s.read.parquet(s"$base/tbl").select(col("event_id"), col("user_id"),
+        col("event_type"), col("dt").cast("string").as("dt"))
+    }),
+
+    // fixed-interval resample with gap fill: per-user hourly grid from
+    // first to last observation, empty hours forward-filled — the dense
+    // series raw event tables never are.
+    "q115_gap_fill" -> ((s, dir) =>
+      graft.operators.Resample.gridFill(
+        t(s, dir, "events"), Seq("user_id"), "ts", "1 hour",
+        max(col("value")), "hour")
+        .select(col("user_id"), col("bucket").as("hour"), col("value"))),
+
+    // incremental materialized-aggregate maintenance: history before the
+    // cutoff is reduced once and STORED; the delta batch folds in as a
+    // partial aggregate — merge(state(A), state(B)) == state(A ∪ B).
+    // The oracle recomputes from all of history, so any merge drift
+    // (double-count, lost key, wrong combine fn) breaks the hash.
+    "q116_incremental_agg" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg._
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggSpec.count("n"), AggSpec.sum("total", col("value")),
+        AggSpec.min("vmin", col("value")), AggSpec.max("vmax", col("value")))
+      val ev = t(s, dir, "events")
+      val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+      val base = tmp("q116")
+      state(ev.filter(col("ts") < cutoff), keys, specs)
+        .write.mode("overwrite").parquet(s"$base/state")
+      val stored = s.read.parquet(s"$base/state")
+      val delta = state(ev.filter(col("ts") >= cutoff), keys, specs)
+      merge(Seq(stored, delta), keys, specs)
+        .withColumn("avg_value", col("total") / col("n"))
+    }),
+
+    // stream-stream LEFT OUTER interval join through the real
+    // micro-batch path: every click pairs with its purchases in the
+    // preceding hour, and clicks with NO purchase emit null-padded —
+    // but only after the watermark passes their window. Two staggered
+    // sentinel batches (user_id -1, filtered from the result) push the
+    // watermark past all real rows so the outer tail actually flushes;
+    // oracle = the batch LEFT theta-join.
+    "q117_stream_outer_join" -> ((s, dir) => {
+      val base = tmp("q117")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+      ev.repartition(8).write.parquet(s"$base/in")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      def sentinel(idOff: Long, hoursAhead: Int): Unit = {
+        import s.implicits._
+        val ts = new java.sql.Timestamp(
+          maxTs.getTime + hoursAhead * 3600L * 1000L)
+        Seq((-idOff, -1L, "click", ts), (-idOff - 1L, -1L, "purchase", ts))
+          .toDF("event_id", "user_id", "event_type", "ts")
+          .repartition(2) // fills one whole maxFilesPerTrigger=2 batch
+          .write.mode("append").parquet(s"$base/in")
+      }
+      // The file replay is NOT time-ordered (repartition scatters rows
+      // across files), so the delay must exceed the table's whole time
+      // span or "late" rows get dropped mid-replay. Outer emission then
+      // needs the watermark (= max seen ts - delay) past every real
+      // row: sentinels sit at delay + 2h/4h beyond the real max.
+      sentinel(1L, 60 * 24 + 2) // advances the watermark past every real row
+      sentinel(3L, 60 * 24 + 4) // the batch in which held outer rows emit
+      val schema = s.read.parquet(s"$base/in").schema
+      def side(typ: String, idAs: String, tsAs: String) =
+        Streams.fileReplay(s, s"$base/in", schema, maxFilesPerTrigger = 2)
+          .filter(col("event_type") === typ)
+          .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+      Streams.runToCompletionAppend(
+        Streams.intervalJoin(
+          side("click", "click_id", "click_ts"),
+          side("purchase", "purchase_id", "purchase_ts"),
+          Seq("user_id"), "click_ts", "purchase_ts",
+          "-1 hour", "0 seconds", delay = "60 days",
+          joinType = "left_outer"),
+        "q117_ssoj_tbl")
+        .filter(col("user_id") >= 0)
+        .select("user_id", "click_id", "purchase_id")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2185,6 +2284,33 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q117_stream_outer_join" ->
+      ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
+        "FROM events c LEFT JOIN events p ON c.user_id = p.user_id " +
+        "AND p.event_type = 'purchase' " +
+        "AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 1 HOUR " +
+        "AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) " +
+        "WHERE c.event_type = 'click'"),
+    "q116_incremental_agg" ->
+      ("SELECT user_id, event_type, count(*)::BIGINT AS n, " +
+        "sum(value) AS total, min(value) AS vmin, max(value) AS vmax, " +
+        "sum(value) / count(*) AS avg_value FROM events GROUP BY 1, 2"),
+    "q115_gap_fill" ->
+      ("WITH agg AS (SELECT user_id, date_trunc('hour', " +
+        "CAST(ts AS TIMESTAMP)) AS h, max(value) AS v FROM events " +
+        "GROUP BY 1, 2), " +
+        "span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM agg " +
+        "GROUP BY 1), " +
+        "grid AS (SELECT user_id, unnest(generate_series(lo, hi, " +
+        "INTERVAL 1 HOUR)) AS h FROM span) " +
+        "SELECT g.user_id, g.h AS hour, " +
+        "last_value(a.v IGNORE NULLS) OVER (PARTITION BY g.user_id " +
+        "ORDER BY g.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS value FROM grid g " +
+        "LEFT JOIN agg a ON g.user_id = a.user_id AND g.h = a.h"),
+    "q114_compact_files" ->
+      ("SELECT event_id, user_id, event_type, " +
+        "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt FROM events"),
     "q113_zorder_box" ->
       ("SELECT event_id, user_id, event_type FROM events " +
         "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00' " +

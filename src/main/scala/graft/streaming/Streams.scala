@@ -77,18 +77,26 @@ object Streams {
     * [[dedupWithinWatermark]]).
     *
     * Column names must be disjoint apart from `keyCols` (rename before
-    * joining — the condition references both sides by name). */
+    * joining — the condition references both sides by name).
+    *
+    * `joinType` "left_outer" additionally emits every UNMATCHED left row
+    * (right columns null) — but only once the watermark has passed the
+    * row's match window, because until then a matching right row could
+    * still arrive. The flip side: outer rows need the watermark to
+    * actually ADVANCE past them; a replay whose last batch carries the
+    * newest timestamps leaves the tail un-emitted until later data (or
+    * the engine's trailing no-data batch) moves the watermark. */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTs: String, rightTs: String,
                    lowerBound: String, upperBound: String,
-                   delay: String): DataFrame = {
+                   delay: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay)
     val cond = (keyCols.map(k => s"$k = __r_$k") :+
       s"$rightTs >= $leftTs + interval '$lowerBound'" :+
       s"$rightTs <= $leftTs + interval '$upperBound'").mkString(" AND ")
     val rKeyed = keyCols.foldLeft(r)((d, k) => d.withColumnRenamed(k, s"__r_$k"))
-    l.join(rKeyed, expr(cond), "inner")
+    l.join(rKeyed, expr(cond), joinType)
       .drop(keyCols.map(k => s"__r_$k"): _*)
   }
 

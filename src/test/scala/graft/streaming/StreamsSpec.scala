@@ -342,6 +342,36 @@ class StreamsSpec extends SparkSpec {
       ("L1", "late-batch-in-window")))
   }
 
+  test("intervalJoin left_outer: unmatched rows emit once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ls = MemoryStream[(String, Timestamp, String)]
+    val rs = MemoryStream[(String, Timestamp, String)]
+    val joined = Streams.intervalJoin(
+      ls.toDF().toDF("k", "lts", "lv"), rs.toDF().toDF("k", "rts", "rv"),
+      Seq("k"), "lts", "rts",
+      lowerBound = "-1 hour", upperBound = "0 seconds",
+      delay = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssij_outer_tbl").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    ls.addData(("u1", t("10:00:00"), "matched"), ("u2", t("10:00:00"), "lonely"))
+    rs.addData(("u1", t("09:30:00"), "hit"))
+    q.processAllAvailable()
+    def rows() = spark.table("ssij_outer_tbl")
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // watermark still at the 10:00 batch: the unmatched left row is held
+    assert(rows() == Set(("matched", Some("hit"))))
+    // both sides advance to 12:00 -> watermark 11:50 passes 10:00 + 0s
+    ls.addData(("wm", t("12:00:00"), "wm-l"))
+    rs.addData(("wm", t("12:00:00"), "wm-r"))
+    q.processAllAvailable()
+    q.stop(); ls.stop(); rs.stop()
+    assert(rows() == Set(("matched", Some("hit")), ("lonely", None),
+      ("wm-l", Some("wm-r"))))
+  }
+
   test("intervalJoin: stream parity with the equivalent batch theta-join on real events") {
     val ev = Tables.load(spark, sf, "events")
     val base = tmpDir("ssij-parity")
