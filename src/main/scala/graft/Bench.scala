@@ -73,7 +73,9 @@ object Bench {
     "q113_zorder_box",        // z-order write + 2-dim file-skipping probe
     "q114_compact_files",     // small-file audit + salted one-job rewrite
     "q115_gap_fill",          // bucket agg + grid explode + forward fill
-    "q116_incremental_agg")   // stored partial state + delta merge
+    "q116_incremental_agg",   // stored partial state + delta merge
+    "q117_stream_outer_join", // watermark-flushed outer interval join
+    "q118_snapshot_diff")     // full-outer struct-compare CDC extraction
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

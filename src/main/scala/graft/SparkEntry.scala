@@ -1804,6 +1804,37 @@ object SparkEntry {
         .filter(col("user_id") >= 0)
         .select("user_id", "click_id", "purchase_id")
     }),
+
+    // row-level CDC extraction: diff two snapshots of a keyed table and
+    // emit exactly the changelog (I/U/D) that turns old into new —
+    // the inverse of q112's MERGE. One full-outer join on the key,
+    // payload compared as a single struct.
+    "q118_snapshot_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val oldSnap = ev
+      val newSnap = ev.filter(col("event_id") % 13 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") * 2)
+            .otherwise(col("value")))
+        .unionByName(ev.filter(col("event_id") % 17 === 0)
+          .withColumn("event_id", col("event_id") + 1000000L)
+          .withColumn("event_type", lit("insert")))
+      graft.operators.SnapshotDiff.rowDiff(oldSnap, newSnap, Seq("event_id"))
+    }),
+
+    // engine-exact column profiling: (value, count) reduction + integer
+    // cumulative-count percentile cuts — two engines agree bit-for-bit,
+    // so the profile is a cross-system gate, not an estimate. The
+    // continuous price column is quantized first (the operator REFUSES
+    // unbounded domains rather than globally sorting one).
+    "q119_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("l_price_fl", floor(col("l_extendedprice")))
+      graft.operators.Profile.numericProfile(
+        li, Seq("l_quantity", "l_discount", "l_price_fl"),
+        percentiles = Seq(50, 90, 99))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2284,6 +2315,43 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q119_profile" -> {
+      def block(expr: String, name: String): String =
+        s"SELECT '$name' AS colname, max(n) AS n, " +
+          s"(SELECT count(*)::BIGINT FROM lineitem WHERE ($expr) IS NULL) AS nulls, " +
+          "count(*)::BIGINT AS n_distinct, min(v) AS vmin, max(v) AS vmax, " +
+          "min(CASE WHEN cum*100 >= n*50 THEN v END) AS p50, " +
+          "min(CASE WHEN cum*100 >= n*90 THEN v END) AS p90, " +
+          "min(CASE WHEN cum*100 >= n*99 THEN v END) AS p99 " +
+          "FROM (SELECT v, cnt, sum(cnt) OVER (ORDER BY v ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum, " +
+          "sum(cnt) OVER ()::BIGINT AS n " +
+          s"FROM (SELECT CAST($expr AS DOUBLE) AS v, count(*)::BIGINT AS cnt " +
+          s"FROM lineitem WHERE ($expr) IS NOT NULL GROUP BY 1))"
+      Seq(block("l_quantity", "l_quantity"),
+        block("l_discount", "l_discount"),
+        block("floor(l_extendedprice)", "l_price_fl")).mkString(" UNION ALL ")
+    },
+    "q118_snapshot_diff" ->
+      ("WITH oldt AS (SELECT event_id, user_id, event_type, value " +
+        "FROM events), " +
+        "newt AS (SELECT event_id, user_id, event_type, " +
+        "CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value " +
+        "FROM events WHERE event_id % 13 <> 0 " +
+        "UNION ALL SELECT event_id + 1000000, user_id, 'insert', value " +
+        "FROM events WHERE event_id % 17 = 0), " +
+        "d AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id, " +
+        "CASE WHEN o.event_id IS NULL THEN 'I' " +
+        "WHEN n.event_id IS NULL THEN 'D' " +
+        "WHEN NOT (o.user_id IS NOT DISTINCT FROM n.user_id " +
+        "AND o.event_type IS NOT DISTINCT FROM n.event_type " +
+        "AND o.value IS NOT DISTINCT FROM n.value) THEN 'U' END AS op, " +
+        "CASE WHEN n.event_id IS NULL THEN o.user_id ELSE n.user_id END AS user_id, " +
+        "CASE WHEN n.event_id IS NULL THEN o.event_type ELSE n.event_type END AS event_type, " +
+        "CASE WHEN n.event_id IS NULL THEN o.value ELSE n.value END AS value " +
+        "FROM oldt o FULL JOIN newt n ON o.event_id = n.event_id) " +
+        "SELECT event_id, op, user_id, event_type, value FROM d " +
+        "WHERE op IS NOT NULL"),
     "q117_stream_outer_join" ->
       ("SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id " +
         "FROM events c LEFT JOIN events p ON c.user_id = p.user_id " +

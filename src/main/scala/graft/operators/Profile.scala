@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Column profiling with ENGINE-EXACT discrete percentiles: per column
+  * — row count, null count, distinct count, min, max, and the discrete
+  * percentile values (the smallest value v whose cumulative count
+  * reaches p% of the non-null rows: `100·cum(v) >= p·n`, pure integer
+  * comparison). No interpolation, no sketch: two engines computing
+  * this profile agree bit-for-bit, which is what makes a profile
+  * usable as a cross-system quality GATE rather than a dashboard
+  * estimate (the same reproducibility argument as the CCNet tier cuts
+  * in [[graft.text.QualityTiers]]).
+  *
+  * Reference: the reference's quality checkers count rows and compare
+  * schemas (RowCountPolicy, our [[Quality]]) but have no distribution
+  * profile; its audit pipeline ships counts only. This operator is the
+  * distribution face of the same dataset-health story.
+  *
+  * Scale shape: ONE map-side-combined shuffle reduces the column to
+  * (value, count) — every later step (cumulative window, percentile
+  * cuts, min/max/distinct) runs over the DISTINCT VALUES only. The
+  * cumulative window is single-partition BY DESIGN over that reduced
+  * frame, so the contract is: profile bounded-cardinality columns
+  * (enums, quantities, quantized scores). For a continuous column,
+  * quantize first (e.g. `floor(price)`) — refusing unbounded domains
+  * is what keeps the percentiles exact at 100 TB; `maxDistinct`
+  * enforces it loudly instead of silently sorting a corpus.
+  */
+object Profile {
+
+  /** One profile row per requested column:
+    * (colname, n, nulls, n_distinct, vmin, vmax, p<P1>, p<P2>, ...) —
+    * values cast to double for the uniform cross-column schema. */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+                     percentiles: Seq[Int] = Seq(50, 90, 99),
+                     maxDistinct: Long = 1000000L): DataFrame = {
+    require(cols.nonEmpty)
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100))
+    cols.map(c => profileOne(df, c, percentiles, maxDistinct))
+      .reduce(_ unionByName _)
+  }
+
+  private def profileOne(df: DataFrame, c: String, ps: Seq[Int],
+                         maxDistinct: Long): DataFrame = {
+    val v = col(c).cast("double")
+    val per = df.filter(v.isNotNull).groupBy(v.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // loud guard: an unbounded domain must be quantized by the caller,
+    // not silently single-partition-sorted
+    val nDistinct = per.count()
+    require(nDistinct <= maxDistinct,
+      s"$c has $nDistinct distinct values (max $maxDistinct): quantize " +
+        "before profiling — exact percentiles over an unbounded domain " +
+        "would globally sort the corpus")
+    val nulls = df.filter(v.isNull).count()
+    val wOrder = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per.withColumn("cum", sum(col("cnt")).over(wOrder))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pAggs = ps.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
+    val aggs = Seq(max(col("n")).as("n"), min(col("v")).as("vmin"),
+      max(col("v")).as("vmax")) ++ pAggs
+    cum.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(lit(c).as("colname"), col("n"), lit(nulls).as("nulls"),
+        lit(nDistinct).as("n_distinct"), col("vmin"), col("vmax")) ++
+        ps.map(p => col(s"p$p")): _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentile law: smallest value whose cumulative share reaches p") {
+    // 1..10, uniform: p50 = 5 (cum 5/10 = 50%), p90 = 9, p99 = 10
+    val df = (1 to 10).map(_.toLong).toDF("x")
+    val row = Profile.numericProfile(df, Seq("x")).collect()(0)
+    assert(row.getAs[Double]("p50") == 5.0)
+    assert(row.getAs[Double]("p90") == 9.0)
+    assert(row.getAs[Double]("p99") == 10.0)
+    assert(row.getAs[Long]("n") == 10L && row.getAs[Long]("n_distinct") == 10L)
+  }
+
+  test("skewed counts move the cut") {
+    // 97 copies of 1, then 2, 3, 4: p99 lands on 3 (cum 99/100)
+    val df = (Seq.fill(97)(1L) ++ Seq(2L, 3L, 4L)).toDF("x")
+    val row = Profile.numericProfile(df, Seq("x")).collect()(0)
+    assert(row.getAs[Double]("p50") == 1.0)
+    assert(row.getAs[Double]("p99") == 3.0)
+    assert(row.getAs[Double]("vmax") == 4.0)
+  }
+
+  test("nulls are counted but excluded from the distribution") {
+    val df = Seq(Some(1L), None, Some(3L), None).toDF("x")
+    val row = Profile.numericProfile(df, Seq("x")).collect()(0)
+    assert(row.getAs[Long]("n") == 2L)
+    assert(row.getAs[Long]("nulls") == 2L)
+    assert(row.getAs[Double]("vmin") == 1.0 && row.getAs[Double]("vmax") == 3.0)
+  }
+
+  test("unbounded domains are refused loudly") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val e = intercept[IllegalArgumentException] {
+      Profile.numericProfile(li, Seq("l_extendedprice"), maxDistinct = 100L)
+    }
+    assert(e.getMessage.contains("quantize"))
+  }
+
+  test("one row per column over real data") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val out = Profile.numericProfile(li, Seq("l_quantity", "l_discount"))
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("colname")).toSet ==
+      Set("l_quantity", "l_discount"))
+    assert(rows.forall(r => r.getAs[Long]("nulls") == 0L))
+  }
+}
