@@ -75,7 +75,8 @@ object Bench {
     "q115_gap_fill",          // bucket agg + grid explode + forward fill
     "q116_incremental_agg",   // stored partial state + delta merge
     "q117_stream_outer_join", // watermark-flushed outer interval join
-    "q118_snapshot_diff")     // full-outer struct-compare CDC extraction
+    "q118_snapshot_diff",     // full-outer struct-compare CDC extraction
+    "q120_bloom_point")       // per-file bloom build + point-probe skip
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1835,6 +1835,32 @@ object SparkEntry {
         li, Seq("l_quantity", "l_discount", "l_price_fl"),
         percentiles = Seq(50, 90, 99))
     }),
+
+    // point-probe file skipping on a NON-clustered column: the table is
+    // time-clustered, the probe is by event_id — zone maps are useless
+    // here (every file spans every id), the per-file Bloom sidecar
+    // opens only files that might hold a probed key. Residual filter
+    // keeps the answer exact through false positives; the guard
+    // REQUIRES pruning.
+    "q120_bloom_point" -> ((s, dir) => {
+      val base = tmp("q120")
+      graft.sources.BloomIndexedSource.writeWithBloom(
+        t(s, dir, "events"), s"$base/events", keyCol = "event_id",
+        clusterCol = "ts", numFiles = 16)
+      val probes = Seq(7L, 42L, 555L, 900L)
+      val (frame, kept, total) = graft.sources.BloomIndexedSource.readPoints(
+        s, s"$base/events", "event_id", probes)
+      require(kept < total,
+        s"bloom index must prune point probes: kept $kept of $total files")
+      frame.select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // OLAP reporting face: ROLLUP grouping sets (per-flag/status totals,
+    // per-flag subtotals, grand total) — free from Catalyst, parity
+    // pinned against the oracle's native ROLLUP.
+    "q121_rollup_report" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2315,6 +2341,13 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q121_rollup_report" ->
+      ("SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, " +
+        "sum(l_quantity) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q120_bloom_point" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE event_id IN (7, 42, 555, 900)"),
     "q119_profile" -> {
       def block(expr: String, name: String): String =
         s"SELECT '$name' AS colname, max(n) AS n, " +
