@@ -158,7 +158,8 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     * `activate()`/`abort()`. A failure during the stage itself releases
     * the lock before rethrowing (the committer is alive to know). */
   def stage(branches: Map[String, DataFrame],
-            specs: Map[String, WriteSpec] = Map.empty): Pending = {
+            specs: Map[String, WriteSpec] = Map.empty,
+            drop: Set[String] = Set.empty): Pending = {
     acquireLock()
     try {
       val parent = current()
@@ -174,7 +175,11 @@ final class SnapshotLog(spark: SparkSession, root: String) {
         w.save(new Path(rootPath, rel).toString)
         name -> BranchRef(rel, spec.format, spec.options)
       }
-      val carried = parent.map(_.branches).getOrElse(Map.empty) -- branches.keys
+      // `drop` retires branches from THIS snapshot on (their data stays
+      // for older snapshots until expire sweeps it) — the maintenance
+      // seam epoch compaction folds many branches through
+      val carried =
+        parent.map(_.branches).getOrElse(Map.empty) -- branches.keys -- drop
       val snap = Snapshot(id, parent.map(_.id), carried ++ written)
       val mp = manifestPath(id)
       if (!fs.exists(mp.getParent)) fs.mkdirs(mp.getParent)
@@ -189,8 +194,9 @@ final class SnapshotLog(spark: SparkSession, root: String) {
 
   /** Stage + activate: the atomic multi-branch commit. */
   def commit(branches: Map[String, DataFrame],
-             specs: Map[String, WriteSpec] = Map.empty): Long =
-    stage(branches, specs).activate()
+             specs: Map[String, WriteSpec] = Map.empty,
+             drop: Set[String] = Set.empty): Long =
+    stage(branches, specs, drop).activate()
 
   /** Publish an externally-materialized snapshot — the replication commit
     * ([[SnapshotReplicate]]): every branch data dir of `snap` must
