@@ -28,6 +28,22 @@ object SparkEntry {
   private def tmp(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-entry/$name"
 
+  /** The integer Gopher quality signals shared by the q91 gate and the
+    * q124 funnel — one map-only pass over documents. */
+  private def gopherSignals(docs: DataFrame): DataFrame = {
+    val toks = graft.text.TextStats.tokens(col("text"))
+    val g = graft.dedup.MinHashDedup.shingles(col("text"), 2)
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
+      size(g).cast("long").as("n_bigrams"),
+      size(array_distinct(g)).cast("long").as("n_distinct_bigrams"),
+      graft.text.TextStats.maxNgramCount(g).cast("long").as("max_bigram_cnt"),
+      size(array_intersect(toks,
+        lit(graft.text.TextStats.defaultStopwords.toArray)))
+        .cast("long").as("stop_hits"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A compaction-style pipeline: dedup lineitem on its key with delta
     * ordering, then the classic pricing-summary aggregation. */
@@ -1229,17 +1245,7 @@ object SparkEntry {
     // 100·dups <= 18·total, 5·max <= total) so the survivor set is exact
     // in both engines — no float threshold edge. Map-only, no shuffle.
     "q91_quality_filter" -> ((s, dir) => {
-      val toks = graft.text.TextStats.tokens(col("text"))
-      val g = MinHashDedup.shingles(col("text"), 2)
-      val signals = t(s, dir, "documents").select(col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
-        (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
-        size(g).cast("long").as("n_bigrams"),
-        size(array_distinct(g)).cast("long").as("n_distinct_bigrams"),
-        graft.text.TextStats.maxNgramCount(g).cast("long").as("max_bigram_cnt"),
-        size(array_intersect(toks,
-          lit(graft.text.TextStats.defaultStopwords.toArray)))
-          .cast("long").as("stop_hits"))
+      val signals = gopherSignals(t(s, dir, "documents"))
       signals.filter(
         col("n_tokens").between(20, 1000) &&
         col("sum_tok_len") >= col("n_tokens") * 3 &&
@@ -1861,6 +1867,96 @@ object SparkEntry {
     "q121_rollup_report" -> ((s, dir) =>
       t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+
+    // streaming ingest INTO the snapshot log: one atomic snapshot
+    // commit per micro-batch (epoch branch named by batch id, so a
+    // replayed batch is a manifest-level no-op); the read face unions
+    // every visible epoch — reading THROUGH the log must reproduce the
+    // source table exactly.
+    "q122_stream_snapshot_ingest" -> ((s, dir) => {
+      val base = tmp("q122")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ev.repartition(6).write.parquet(s"$base/in")
+      val schema = s.read.parquet(s"$base/in").schema
+      val q = graft.streaming.SnapshotStream.sink(
+        Streams.fileReplay(s, s"$base/in", schema, maxFilesPerTrigger = 2),
+        s"$base/log", "events", s"$base/ckpt")
+      q.awaitTermination()
+      val log = new graft.sinks.SnapshotLog(s, s"$base/log")
+      graft.streaming.SnapshotStream.readTable(log, "events")
+    }),
+
+    // incremental consumption of the snapshot log: a consumer that
+    // remembers its high-water batch id reads ONLY the later epochs —
+    // here epoch 0 holds pre-cutoff history, epoch 1 the delta, and
+    // reading "since batch 0" must return exactly the delta.
+    "q123_snapshot_incremental_read" -> ((s, dir) => {
+      val base = tmp("q123")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val cutoff = to_timestamp(lit("2024-01-20 00:00:00"))
+      val log = new graft.sinks.SnapshotLog(s, s"$base/log")
+      graft.streaming.SnapshotStream.appendEpoch(log, "events", 0L,
+        ev.filter(col("ts") < cutoff))
+      graft.streaming.SnapshotStream.appendEpoch(log, "events", 1L,
+        ev.filter(col("ts") >= cutoff))
+      graft.streaming.SnapshotStream.readAppendsSince(log, "events", 0L)
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // quality-filter FUNNEL: per-rule independent failure counts plus
+    // the survivor count of the full q91 Gopher gate — the audit view a
+    // filtering run ships alongside its output (which rule is doing the
+    // cutting, is one rule silently dropping half the corpus). One agg
+    // over the same map-only signal pass as q91.
+    "q124_filter_funnel" -> ((s, dir) => {
+      val sig = gopherSignals(t(s, dir, "documents"))
+      val okLen = col("n_tokens").between(20, 1000)
+      val okTokLen = col("sum_tok_len") >= col("n_tokens") * 3 &&
+        col("sum_tok_len") <= col("n_tokens") * 10
+      val okRep = (col("n_bigrams") - col("n_distinct_bigrams")) * 100 <=
+        col("n_bigrams") * 18
+      val okTop = col("max_bigram_cnt") * 5 <= col("n_bigrams")
+      val okStop = col("stop_hits") >= 2
+      def fails(ok: org.apache.spark.sql.Column, as: String) =
+        sum(when(!ok, 1L).otherwise(0L)).as(as)
+      sig.agg(count(lit(1)).as("n_docs"),
+        fails(okLen, "fail_len"), fails(okTokLen, "fail_tok_len"),
+        fails(okRep, "fail_rep"), fails(okTop, "fail_top_bigram"),
+        fails(okStop, "fail_stopword"),
+        sum(when(okLen && okTokLen && okRep && okTop && okStop, 1L)
+          .otherwise(0L)).as("survivors"))
+    }),
+
+    // epoch compaction for the snapshot-log stream table: four epoch
+    // branches fold into one (kept under the highest folded id, so
+    // replays stay refused); the read face is unchanged — oracle is the
+    // full table — and the guard pins that the manifest actually shrank.
+    "q125_epoch_compaction" -> ((s, dir) => {
+      val base = tmp("q125")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val log = new graft.sinks.SnapshotLog(s, s"$base/log")
+      (0 until 4).foreach(i =>
+        graft.streaming.SnapshotStream.appendEpoch(log, "events", i.toLong,
+          ev.filter(pmod(col("event_id"), lit(4)) === i)))
+      graft.streaming.SnapshotStream.compactEpochs(log, "events", 2L)
+      val after = graft.streaming.SnapshotStream.epochs(log, "events")
+      require(after == Seq(2L, 3L),
+        s"compaction must fold epochs 0-2 into 2: $after")
+      graft.streaming.SnapshotStream.readTable(log, "events")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2341,6 +2437,43 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q125_epoch_compaction" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "q124_filter_funnel" -> {
+      val stop = graft.text.TextStats.defaultStopwords
+        .map(w => s"'$w'").mkString(",")
+      "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks, " +
+        "CASE WHEN len(string_split(text,' ')) < 2 THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+1],' ') " +
+        "FOR i IN range(1, len(string_split(text,' ')))] END AS sh " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, unnest(sh) AS g FROM t), " +
+        "cnt AS (SELECT doc_id, g, count(*) AS cnt FROM c GROUP BY 1, 2), " +
+        "bg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, " +
+        "count(*)::BIGINT AS n_distinct_bigrams, " +
+        "max(cnt)::BIGINT AS max_bigram_cnt FROM cnt GROUP BY doc_id), " +
+        "sig AS (SELECT t.doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "(length(text) - (len(toks) - 1))::BIGINT AS sum_tok_len, " +
+        "bg.n_bigrams, bg.n_distinct_bigrams, bg.max_bigram_cnt, " +
+        s"len(list_intersect(toks, [$stop]))::BIGINT AS stop_hits " +
+        "FROM t JOIN bg ON t.doc_id = bg.doc_id) " +
+        "SELECT count(*)::BIGINT AS n_docs, " +
+        "sum(CASE WHEN NOT (n_tokens BETWEEN 20 AND 1000) THEN 1 ELSE 0 END)::BIGINT AS fail_len, " +
+        "sum(CASE WHEN NOT (sum_tok_len >= n_tokens * 3 AND sum_tok_len <= n_tokens * 10) THEN 1 ELSE 0 END)::BIGINT AS fail_tok_len, " +
+        "sum(CASE WHEN NOT ((n_bigrams - n_distinct_bigrams) * 100 <= n_bigrams * 18) THEN 1 ELSE 0 END)::BIGINT AS fail_rep, " +
+        "sum(CASE WHEN NOT (max_bigram_cnt * 5 <= n_bigrams) THEN 1 ELSE 0 END)::BIGINT AS fail_top_bigram, " +
+        "sum(CASE WHEN NOT (stop_hits >= 2) THEN 1 ELSE 0 END)::BIGINT AS fail_stopword, " +
+        "sum(CASE WHEN n_tokens BETWEEN 20 AND 1000 " +
+        "AND sum_tok_len >= n_tokens * 3 AND sum_tok_len <= n_tokens * 10 " +
+        "AND (n_bigrams - n_distinct_bigrams) * 100 <= n_bigrams * 18 " +
+        "AND max_bigram_cnt * 5 <= n_bigrams AND stop_hits >= 2 " +
+        "THEN 1 ELSE 0 END)::BIGINT AS survivors FROM sig"
+    },
+    "q123_snapshot_incremental_read" ->
+      ("SELECT event_id, user_id, event_type, value FROM events " +
+        "WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'"),
+    "q122_stream_snapshot_ingest" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "q121_rollup_report" ->
       ("SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, " +
         "sum(l_quantity) AS sum_qty FROM lineitem " +
