@@ -74,6 +74,94 @@ object TemporalJoin {
         payload.map(p => col(s"$pay.$p").as(p)): _*)
   }
 
+  /** Forward as-of: each left row picks up the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` (inclusive) for its key — "the next
+    * observation at or after T" (next maintenance window, next price
+    * tick), the mirror of [[asOf]]'s "latest at or before T". Same
+    * single-shuffle shape: union-tag, one sort, BACKWARD fill (`first`
+    * over the following frame); left rows after their key's last right
+    * row get null payload. Right rows sort AFTER left at equal ts and
+    * the frame starts at the current row, so an exact-ts right row is
+    * matched (inclusive). Same null-key and duplicate-(key, ts) caveats
+    * as [[asOf]]. */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTsCol: String, rightTsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(rightTsCol),
+      s"rightTsCol $rightTsCol must be a non-key column of right")
+    val clash = payload.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left: $clash — rename first")
+    val ts = "__graft_asof_ts"
+    val side = "__graft_asof_side"
+    val pay = "__graft_asof_payload"
+    // left rows sort BEFORE right rows at equal ts (side 0 < 1) so the
+    // [current, following] frame still sees an exact-ts right row
+    val rNorm = right.select(
+      keyCols.map(col) :+ col(rightTsCol).as(ts) :+
+        struct(payload.map(col): _*).as(pay): _*)
+      .withColumn(side, lit(1))
+    val lNorm = left
+      .withColumn(ts, col(leftTsCol))
+      .withColumn(side, lit(0))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ts), col(side))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lNorm.unionByName(rNorm, allowMissingColumns = true)
+      .withColumn(pay, first(col(pay), ignoreNulls = true).over(w))
+      .filter(col(side) === 0)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"$pay.$p").as(p)): _*)
+  }
+
+  /** Nearest as-of: each left row picks up whichever right row is
+    * CLOSER in time — the latest at-or-before or the earliest
+    * at-or-after — with ties (equidistant, including exact-ts dist 0)
+    * going to the backward candidate. Sensor alignment / nearest-tick
+    * semantics. STILL one shuffle and ONE sort: both directional fills
+    * are window frames over the same (ts, side) order, and the
+    * distance arbitration is a row-local struct comparison. */
+  def asOfNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTsCol: String, rightTsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(keyCols.contains).toSeq
+    require(payload.contains(rightTsCol),
+      s"rightTsCol $rightTsCol must be a non-key column of right")
+    val clash = payload.toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right payload columns collide with left: $clash — rename first")
+    val ts = "__graft_asof_ts"
+    val side = "__graft_asof_side"
+    val pay = "__graft_asof_payload"
+    // right before left at equal ts: the backward frame sees exact-ts
+    // rows (dist 0), which win every tie anyway
+    val rNorm = right.select(
+      keyCols.map(col) :+ col(rightTsCol).as(ts) :+
+        struct(payload.map(col): _*).as(pay): _*)
+      .withColumn(side, lit(0))
+    val lNorm = left
+      .withColumn(ts, col(leftTsCol))
+      .withColumn(side, lit(1))
+    val order = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ts), col(side))
+    val wBack = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = "__graft_asof_back"
+    val fwd = "__graft_asof_fwd"
+    val distBack = unix_micros(col(ts)) - unix_micros(col(s"$back.$rightTsCol"))
+    val distFwd = unix_micros(col(s"$fwd.$rightTsCol")) - unix_micros(col(ts))
+    lNorm.unionByName(rNorm, allowMissingColumns = true)
+      .withColumn(back, last(col(pay), ignoreNulls = true).over(wBack))
+      .withColumn(fwd, first(col(pay), ignoreNulls = true).over(wFwd))
+      .filter(col(side) === 1)
+      .withColumn(pay,
+        when(col(back).isNull, col(fwd))
+          .when(col(fwd).isNull, col(back))
+          .when(distFwd < distBack, col(fwd))
+          .otherwise(col(back)))
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"$pay.$p").as(p)): _*)
+  }
+
   /** Point-in-interval range join: `points` rows paired with every
     * `intervals` row whose [startCol, endCol) contains `pTsCol`
     * (half-open; both timestamps). No equality key needed — the bin is
