@@ -76,7 +76,9 @@ object Bench {
     "q116_incremental_agg",   // stored partial state + delta merge
     "q117_stream_outer_join", // watermark-flushed outer interval join
     "q118_snapshot_diff",     // full-outer struct-compare CDC extraction
-    "q120_bloom_point")       // per-file bloom build + point-probe skip
+    "q120_bloom_point",       // per-file bloom build + point-probe skip
+    "q126_sliding_window",    // 4x-overlap hopping-window aggregation
+    "q128_asof_forward")      // forward as-of (one sort, no join node)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

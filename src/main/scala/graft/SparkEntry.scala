@@ -1957,6 +1957,63 @@ object SparkEntry {
         s"compaction must fold epochs 0-2 into 2: $after")
       graft.streaming.SnapshotStream.readTable(log, "events")
     }),
+
+    // SLIDING (hopping) event-time windows — every event lands in
+    // length/slide = 4 overlapping hourly windows; tumbling (q09) is
+    // the degenerate slide==length case. Native window() bucketing,
+    // one map-side-combined aggregation.
+    "q126_sliding_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // referential-integrity audit: orphaned child rows per relationship
+    // (here orders -> a customer dimension with every 10th key removed,
+    // so the orphan set is non-trivial); one broadcast left-anti join.
+    "q127_fk_violations" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customers = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 =!= 0)
+      graft.operators.Quality.fkViolations(
+        orders, customers, Map("o_custkey" -> "c_custkey"))
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // FORWARD as-of: each click pairs with the next purchase at or
+    // after it — q95's mirror, same single-shuffle no-join-node shape
+    // with a backward fill over the following frame. Oracle = DuckDB's
+    // native ASOF with the inequality flipped.
+    "q128_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("next_purchase_ts"))
+        .agg(max("value").as("next_purchase_value"))
+      graft.operators.TemporalJoin.asOfForward(clicks, purchases,
+        Seq("user_id"), "ts", "next_purchase_ts")
+        .select("event_id", "user_id", "next_purchase_ts",
+          "next_purchase_value")
+    }),
+
+    // NEAREST as-of: whichever purchase is closer in time, before or
+    // after, ties to the backward side — sensor-alignment semantics.
+    // Still one sort: both directional fills are frames over the same
+    // (ts, side) order. Oracle = a correlated min-distance subquery.
+    "q129_asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("near_ts"))
+        .agg(max("value").as("near_value"))
+      graft.operators.TemporalJoin.asOfNearest(clicks, purchases,
+        Seq("user_id"), "ts", "near_ts")
+        .select("event_id", "user_id", "near_ts", "near_value")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2437,6 +2494,42 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q129_asof_nearest" ->
+      ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, " +
+        "max(value) AS pval FROM events WHERE event_type = 'purchase' " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT c.event_id, c.user_id, " +
+        "(SELECT p.pts FROM p WHERE p.user_id = c.user_id " +
+        "ORDER BY abs(epoch_us(p.pts - c.cts)), (p.pts > c.cts) LIMIT 1) " +
+        "AS near_ts, " +
+        "(SELECT p.pval FROM p WHERE p.user_id = c.user_id " +
+        "ORDER BY abs(epoch_us(p.pts - c.cts)), (p.pts > c.cts) LIMIT 1) " +
+        "AS near_value FROM c"),
+    "q128_asof_forward" ->
+      ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS next_purchase_ts, " +
+        "max(value) AS next_purchase_value FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT c.event_id, c.user_id, p.next_purchase_ts, " +
+        "p.next_purchase_value FROM c ASOF LEFT JOIN p " +
+        "ON c.user_id = p.user_id AND c.cts <= p.next_purchase_ts"),
+    "q127_fk_violations" ->
+      ("SELECT o_orderkey, o_custkey FROM orders o " +
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c " +
+        "WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 10 <> 0)"),
+    "q126_sliding_window" ->
+      ("WITH j AS (SELECT unnest(range(4)) AS j), " +
+        "w AS (SELECT e.event_type, e.value, " +
+        "time_bucket(INTERVAL '15 minutes', CAST(e.ts AS TIMESTAMP)) " +
+        "- to_minutes(15 * j.j::INT) AS win_start, " +
+        "CAST(e.ts AS TIMESTAMP) AS t FROM events e CROSS JOIN j) " +
+        "SELECT win_start, event_type, count(*)::BIGINT AS n, " +
+        "sum(value) AS sum_value FROM w " +
+        "WHERE t >= win_start AND t < win_start + INTERVAL '1 hour' " +
+        "GROUP BY 1, 2"),
     "q125_epoch_compaction" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "q124_filter_funnel" -> {

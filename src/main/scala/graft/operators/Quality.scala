@@ -110,6 +110,25 @@ object Quality {
           >= threshold).as("passed"))
   }
 
+  /** Referential-integrity audit: child rows whose key tuple has no
+    * matching parent row (FK violations). NULL-keyed child rows are
+    * violations too — SQL's FK semantics would skip them, but a
+    * pipeline gate wants the orphan COUNT to cover every row that
+    * cannot join downstream, whatever the reason (a NULL key equi-joins
+    * to nothing); filter `keys.isNotNull` first for strict-SQL
+    * behavior. One left-anti join on the key (broadcast when the
+    * parent key set is small, shuffle otherwise — Catalyst/AQE picks;
+    * no driver collection). The task-policy face of the same check is
+    * a row count over this frame ([[checkRows]] gates per ROW; this
+    * gates a RELATIONSHIP). */
+  def fkViolations(child: DataFrame, parent: DataFrame,
+                   keys: Map[String, String]): DataFrame = {
+    require(keys.nonEmpty)
+    val cond = keys.map { case (ck, pk) =>
+      child(ck) === parent(pk) }.reduce(_ && _)
+    child.join(parent, cond, "left_anti")
+  }
+
   /** Common row policies from the reference's policy library. */
   object policies {
     /** AvroHeaderGuidPolicy: non-null guid. */
