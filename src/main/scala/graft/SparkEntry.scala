@@ -2014,6 +2014,31 @@ object SparkEntry {
         Seq("user_id"), "ts", "near_ts")
         .select("event_id", "user_id", "near_ts", "near_value")
     }),
+
+    // backfill planning: a date-partitioned table with three day-holes
+    // punched out — the planner diffs the expected daily range against
+    // the partitions on disk and emits one work-unit row per hole.
+    // Driver metadata only; no data read.
+    "q130_backfill_plan" -> ((s, dir) => {
+      val base = tmp("q130")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val holes = Seq("2024-01-05", "2024-01-12", "2024-01-20")
+      t(s, dir, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .filter(!col("dt").isin(holes: _*))
+        .write.partitionBy("dt").parquet(s"$base/tbl")
+      graft.planning.BackfillPlanner.missingDates(s, s"$base/tbl", "dt")
+    }),
+
+    // repetition-LOOP detection: longest run of consecutive identical
+    // tokens per document (generation loops / copy-paste stutter repeat
+    // IN PLACE; the frequency signals of q68 can't see adjacency).
+    // Map-only aggregate-HOF fold in original token order.
+    "q131_repetition_runs" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextStats.maxTokenRun(col("text")).as("max_run"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2494,6 +2519,27 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q131_repetition_runs" ->
+      ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents), " +
+        "t AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, " +
+        "unnest(toks) AS tok FROM s), " +
+        "r AS (SELECT doc_id, tok, i, i - row_number() OVER " +
+        "(PARTITION BY doc_id, tok ORDER BY i) AS grp FROM t), " +
+        "runs AS (SELECT doc_id, count(*)::BIGINT AS run FROM r " +
+        "GROUP BY doc_id, tok, grp) " +
+        "SELECT doc_id, max(run)::BIGINT AS max_run FROM runs GROUP BY 1"),
+    "q130_backfill_plan" ->
+      ("WITH d AS (SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), " +
+        "'%Y-%m-%d') AS dt FROM events), " +
+        "present AS (SELECT dt FROM d WHERE dt NOT IN " +
+        "('2024-01-05', '2024-01-12', '2024-01-20')), " +
+        "bounds AS (SELECT min(dt) AS lo, max(dt) AS hi FROM present), " +
+        "all_days AS (SELECT strftime(unnest(generate_series(" +
+        "CAST(lo AS DATE), CAST(hi AS DATE), INTERVAL 1 DAY)), " +
+        "'%Y-%m-%d') AS dt FROM bounds) " +
+        "SELECT dt FROM all_days " +
+        "WHERE dt NOT IN (SELECT dt FROM present)"),
     "q129_asof_nearest" ->
       ("WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, " +
         "max(value) AS pval FROM events WHERE event_type = 'purchase' " +

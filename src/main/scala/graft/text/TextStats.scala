@@ -112,6 +112,24 @@ object TextStats {
     }).getField("mx")
   }
 
+  /** Longest run of CONSECUTIVE identical tokens ("batch batch batch" →
+    * 3) — the repetition-LOOP signal. The frequency-based signals
+    * ([[maxNgramCount]], [[dupNgramFraction]]) see how often something
+    * repeats anywhere in the document; this sees degenerate generation
+    * loops and copy-paste stutter, which repeat IN PLACE. Same map-only
+    * aggregate-HOF fold, but over the tokens in ORIGINAL order (no
+    * sort — adjacency is the signal). */
+  def maxTokenRun(text: Column): Column = {
+    val st0 = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("mx"))
+    aggregate(tokens(text), st0, (st, x) => {
+      val run = when(st.getField("prev").isNotNull && x === st.getField("prev"),
+        st.getField("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(st.getField("mx"), run).as("mx"))
+    }).getField("mx")
+  }
+
   /** Fraction of the document's n-grams taken by its single most frequent
     * n-gram, in (0, 1]. High = looping/boilerplate text. */
   def topNgramFraction(ngrams: Column): Column =

@@ -16,6 +16,16 @@ class TextAndDedupSpec extends SparkSpec {
       Seq(3, 1))
   }
 
+  test("maxTokenRun measures consecutive repeats only") {
+    val df = Seq(
+      "a b a b a b",        // frequent but never adjacent -> 1
+      "go go go stop go",   // run of 3
+      "x",                  // single token -> 1
+      "y y").toDF("text")   // run of 2
+    assert(df.select(TextStats.maxTokenRun($"text")).as[Long]
+      .collect().toSeq == Seq(1L, 3L, 1L, 2L))
+  }
+
   test("quality columns are populated and sane") {
     val out = TextStats.withQuality(docs, "text")
     val row = out.select("n_tokens", "punct_ratio", "avg_token_len").head
