@@ -198,6 +198,33 @@ final class SnapshotLog(spark: SparkSession, root: String) {
              drop: Set[String] = Set.empty): Long =
     stage(branches, specs, drop).activate()
 
+  /** [[commit]] with bounded lock-contention retry: when a RIVAL commit
+    * holds the lock (streaming sink racing a maintenance fold, two
+    * tables sharing a log), wait and retry instead of failing the
+    * batch. Carried-forward branch pointers re-resolve against the
+    * rival's snapshot on every attempt, so the rival's work is never
+    * clobbered — the optimistic-concurrency behavior of Iceberg's
+    * commit loop over this log's pessimistic lock. Gives up loudly
+    * after `attempts` tries (a STUCK lock — crashed committer — needs
+    * [[breakLock]], not retries; unbounded spinning would hide it). */
+  def commitWithRetry(branches: Map[String, DataFrame],
+                      specs: Map[String, WriteSpec] = Map.empty,
+                      drop: Set[String] = Set.empty,
+                      attempts: Int = 5, backoffMs: Long = 200L): Long = {
+    require(attempts >= 1)
+    var i = 0
+    while (true) {
+      i += 1
+      try return commit(branches, specs, drop)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (i >= attempts) throw e
+          Thread.sleep(backoffMs * i)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Publish an externally-materialized snapshot — the replication commit
     * ([[SnapshotReplicate]]): every branch data dir of `snap` must
     * already exist under THIS root (byte-copied from the source log);

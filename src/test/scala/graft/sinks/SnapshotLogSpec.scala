@@ -69,6 +69,30 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.history().head == id)
   }
 
+  test("commitWithRetry lands once a rival's lock clears, gives up on a stuck one") {
+    val root = tmpDir("snap-retry")
+    val log = new SnapshotLog(spark, root)
+    val pending = log.stage(Map("a" -> Seq(1).toDF("v")))
+    // rival releases the lock after ~0.5 s on another thread
+    val releaser = new Thread(() => { Thread.sleep(500); pending.activate(): Unit })
+    releaser.start()
+    val rival = new SnapshotLog(spark, root)
+    val id = rival.commitWithRetry(Map("b" -> Seq(2).toDF("v")),
+      attempts = 10, backoffMs = 200L)
+    releaser.join()
+    // both commits landed; the rival's carried branch 'a' resolves to
+    // the releaser's snapshot, nothing clobbered
+    assert(rival.read("a").as[Int].collect().toSeq == Seq(1))
+    assert(rival.read("b").as[Int].collect().toSeq == Seq(2))
+    assert(rival.history().head == id)
+    // a STUCK lock (nobody releasing) exhausts attempts loudly
+    val stuck = log.stage(Map("a" -> Seq(9).toDF("v")))
+    intercept[java.util.ConcurrentModificationException](
+      rival.commitWithRetry(Map("b" -> Seq(3).toDF("v")),
+        attempts = 2, backoffMs = 50L))
+    stuck.abort()
+  }
+
   test("writer lock: an aborted pending releases the lock, publishes nothing") {
     val log = new SnapshotLog(spark, tmpDir("snap-abort"))
     log.commit(Map("a" -> Seq(1).toDF("v")))
