@@ -2039,6 +2039,46 @@ object SparkEntry {
     "q131_repetition_runs" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         graft.text.TextStats.maxTokenRun(col("text")).as("max_run"))),
+
+    // contamination REPORT — the audit face of q72's decontamination
+    // filter: for every eval item, how many corpus docs share a 4-gram
+    // with it and how many distinct (doc, gram) hits — "which eval
+    // items leak, and how badly", per-item evidence instead of a
+    // silently smaller corpus. Broadcast eval grams, one agg.
+    "q132_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grams = MinHashDedup.shingles(col("text"), 4)
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("eval_doc_id"), explode(grams).as("g"))
+        .distinct()
+      val corpusGrams = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select(col("doc_id"), explode(grams).as("g")).distinct()
+      val hits = corpusGrams.join(broadcast(evalGrams), "g")
+        .groupBy("eval_doc_id")
+        .agg(countDistinct("doc_id").as("n_contaminated_docs"),
+          count(lit(1)).as("n_gram_hits"))
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("eval_doc_id"))
+        .join(hits, Seq("eval_doc_id"), "left")
+        .na.fill(0L, Seq("n_contaminated_docs", "n_gram_hits"))
+    }),
+
+    // mixture planning: per-source token inventory + integer share and
+    // the per-mille epoch multiplier needed to fill an equal-share
+    // 1M-token budget — the numbers that feed q79/q92's mixing weights.
+    "q133_mixture_plan" -> ((s, dir) => {
+      val perSource = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextStats.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+      val totals = perSource.agg(sum("n_tokens").as("t"),
+        count(lit(1)).as("ns"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 1000) div t").as("share_permille"),
+          expr("((1000000 div ns) * 1000) div n_tokens").as("epochs_milli"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2519,6 +2559,36 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q133_mixture_plan" ->
+      ("WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens " +
+        "FROM documents GROUP BY 1), " +
+        "tot AS (SELECT sum(n_tokens)::BIGINT AS t, count(*)::BIGINT AS ns " +
+        "FROM s) " +
+        "SELECT source, n_docs, n_tokens, " +
+        "((n_tokens * 1000) // t)::BIGINT AS share_permille, " +
+        "(((1000000 // ns) * 1000) // n_tokens)::BIGINT AS epochs_milli " +
+        "FROM s, tot"),
+    "q132_contamination_report" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN len(string_split(text,' ')) < 4 " +
+        "THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+3],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-2)] END AS sh " +
+        "FROM documents), " +
+        "eg AS (SELECT DISTINCT eval_doc_id, gr FROM " +
+        "(SELECT doc_id AS eval_doc_id, unnest(sh) AS gr FROM g " +
+        "WHERE doc_id % 50 = 0)), " +
+        "cg AS (SELECT DISTINCT doc_id, gr FROM " +
+        "(SELECT doc_id, unnest(sh) AS gr FROM g WHERE doc_id % 50 <> 0)), " +
+        "hits AS (SELECT eval_doc_id, " +
+        "count(DISTINCT doc_id)::BIGINT AS n_contaminated_docs, " +
+        "count(*)::BIGINT AS n_gram_hits FROM cg JOIN eg USING (gr) " +
+        "GROUP BY 1) " +
+        "SELECT e.eval_doc_id, " +
+        "COALESCE(h.n_contaminated_docs, 0)::BIGINT AS n_contaminated_docs, " +
+        "COALESCE(h.n_gram_hits, 0)::BIGINT AS n_gram_hits " +
+        "FROM (SELECT doc_id AS eval_doc_id FROM documents " +
+        "WHERE doc_id % 50 = 0) e LEFT JOIN hits h USING (eval_doc_id)"),
     "q131_repetition_runs" ->
       ("WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks " +
         "FROM documents), " +
