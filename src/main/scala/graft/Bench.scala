@@ -79,7 +79,8 @@ object Bench {
     "q120_bloom_point",       // per-file bloom build + point-probe skip
     "q126_sliding_window",    // 4x-overlap hopping-window aggregation
     "q128_asof_forward",      // forward as-of (one sort, no join node)
-    "q131_repetition_runs")   // map-only consecutive-run fold
+    "q131_repetition_runs",   // map-only consecutive-run fold
+    "q134_mv_refresh")        // 3-wave watermark-driven MV refresh
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2079,6 +2079,31 @@ object SparkEntry {
           expr("(n_tokens * 1000) div t").as("share_permille"),
           expr("((1000000 div ns) * 1000) div n_tokens").as("epochs_milli"))
     }),
+
+    // materialized-view REFRESH over three arrival waves: bootstrap,
+    // then two watermark-driven delta folds (each O(delta + state));
+    // the final stored aggregate must equal a full recompute (q116's
+    // oracle) — double-counted or dropped deltas break the hash.
+    "q134_mv_refresh" -> ((s, dir) => {
+      val base = tmp("q134")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      import graft.operators.IncrementalAgg.AggSpec
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggSpec.count("n"), AggSpec.sum("total", col("value")),
+        AggSpec.min("vmin", col("value")), AggSpec.max("vmax", col("value")))
+      val ev = t(s, dir, "events")
+      def asOfDay(d: String) = ev.filter(col("ts") < to_timestamp(lit(d)))
+      graft.operators.MaterializedView.refresh(
+        s, base, asOfDay("2024-01-10"), "ts", keys, specs, "r1")
+      graft.operators.MaterializedView.refresh(
+        s, base, asOfDay("2024-01-20"), "ts", keys, specs, "r2")
+      graft.operators.MaterializedView.refresh(
+        s, base, ev, "ts", keys, specs, "r3")
+      graft.operators.MaterializedView.read(s, base)
+        .withColumn("avg_value", col("total") / col("n"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2559,6 +2584,10 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q134_mv_refresh" ->
+      ("SELECT user_id, event_type, count(*)::BIGINT AS n, " +
+        "sum(value) AS total, min(value) AS vmin, max(value) AS vmax, " +
+        "sum(value) / count(*) AS avg_value FROM events GROUP BY 1, 2"),
     "q133_mixture_plan" ->
       ("WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, " +
         "sum(len(string_split(text, ' ')))::BIGINT AS n_tokens " +

@@ -45,6 +45,22 @@ class AsOfDirectionsSpec extends SparkSpec {
       "2024-01-01 14:00:00" -> Some(2.0)))
   }
 
+  test("forward and nearest plans: ONE exchange each, no join node") {
+    val l = lts((1L, "2024-01-01 10:00:00"))
+    val r = rts((1L, "2024-01-01 11:00:00", 1.0))
+    for ((name, df) <- Seq(
+      "forward" -> TemporalJoin.asOfForward(l, r, Seq("k"), "lt", "rt"),
+      "nearest" -> TemporalJoin.asOfNearest(l, r, Seq("k"), "lt", "rt"))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).size
+      assert(exchanges == 1, s"$name: want exactly 1 shuffle, got $exchanges")
+      assert(!plan.contains("Join"), s"$name must not plan a join:\n$plan")
+      val sorts = """\(\d+\) Sort""".r.findAllIn(plan).size
+      assert(sorts == 1, s"$name: want ONE sort (shared by both frames), got $sorts")
+    }
+  }
+
   test("forward equals the brute-force theta-join on real events") {
     val ev = Tables.load(spark, sf, "events")
     val clicks = ev.filter(col("event_type") === "click")

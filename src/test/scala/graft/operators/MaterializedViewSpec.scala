@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.operators.IncrementalAgg.AggSpec
+import graft.state.StateStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MaterializedViewSpec extends SparkSpec {
+
+  private val keys = Seq("user_id", "event_type")
+  private val specs = Seq(
+    AggSpec.count("n"), AggSpec.sum("total", col("value")),
+    AggSpec.min("vmin", col("value")), AggSpec.max("vmax", col("value")))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.orderBy("user_id", "event_type")
+      .collect().map(_.toSeq.map {
+        case d: Double => f"$d%.9g"
+        case v => String.valueOf(v)
+      }.mkString("|")).toSeq
+
+  test("waves of refresh converge to the full recompute") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = tmpDir("mv") + "/view"
+    def asOf(d: String) = ev.filter(col("ts") < to_timestamp(lit(d)))
+    val s1 = MaterializedView.refresh(spark, dir, asOf("2024-01-08"),
+      "ts", keys, specs, "r1")
+    assert(s1.bootstrapped && s1.deltaRows > 0)
+    val s2 = MaterializedView.refresh(spark, dir, asOf("2024-01-20"),
+      "ts", keys, specs, "r2")
+    assert(!s2.bootstrapped && s2.deltaRows > 0)
+    val s3 = MaterializedView.refresh(spark, dir, ev, "ts", keys, specs, "r3")
+    assert(s3.deltaRows > 0)
+    assert(canon(MaterializedView.read(spark, dir)) ==
+      canon(IncrementalAgg.state(ev, keys, specs)))
+    // delta sizes partition the source: nothing folded twice
+    assert(s1.deltaRows + s2.deltaRows + s3.deltaRows == ev.count())
+  }
+
+  test("refresh with no new rows is a no-op") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = tmpDir("mv-noop") + "/view"
+    MaterializedView.refresh(spark, dir, ev, "ts", keys, specs, "r1")
+    val before = canon(MaterializedView.read(spark, dir))
+    val s = MaterializedView.refresh(spark, dir, ev, "ts", keys, specs, "r2")
+    assert(s.deltaRows == 0)
+    assert(canon(MaterializedView.read(spark, dir)) == before)
+  }
+
+  test("a half-applied refresh is refused, not silently double-counted") {
+    val ev = Tables.load(spark, sf, "events")
+    val dir = tmpDir("mv-crash") + "/view"
+    MaterializedView.refresh(spark, dir, ev, "ts", keys, specs, "r1")
+    // simulate a crash between watermark-read commit and applied commit
+    val store = new StateStore(spark, s"$dir/state")
+    store.commit(Map(("mv-watermark", "") -> "2099-01-01 00:00:00"), "crash")
+    val e = intercept[IllegalArgumentException] {
+      MaterializedView.refresh(spark, dir, ev, "ts", keys, specs, "r2")
+    }
+    assert(e.getMessage.contains("half-refreshed"))
+  }
+}
