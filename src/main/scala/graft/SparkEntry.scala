@@ -2104,6 +2104,41 @@ object SparkEntry {
       graft.operators.MaterializedView.read(s, base)
         .withColumn("avg_value", col("total") / col("n"))
     }),
+
+    // CHANGE DATA FEED between table versions: commit v1, commit v2
+    // (updates + deletes), then diff the two TIME-TRAVEL reads into the
+    // exact I/U/D changelog — "what changed between version 1 and 2"
+    // without any change tracking at write time (Delta-CDF semantics
+    // from immutable snapshots + the row diff).
+    "q135_change_feed" -> ((s, dir) => {
+      val base = tmp("q135")
+      val fsp = new org.apache.hadoop.fs.Path(base)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsp, true)
+      val log = new graft.sinks.SnapshotLog(s, s"$base/log")
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      val v1 = log.commit(Map("events" -> ev))
+      val v2snap = ev.filter(col("event_id") % 11 =!= 0)
+        .withColumn("value", when(col("event_id") % 5 === 0,
+          col("value") + 100).otherwise(col("value")))
+      val v2 = log.commit(Map("events" -> v2snap))
+      graft.operators.SnapshotDiff.rowDiff(
+        log.read("events", asOf = Some(v1)),
+        log.read("events", asOf = Some(v2)), Seq("event_id"))
+    }),
+
+    // native session windows (aggregate face of q44's row-level
+    // sessionize): per-user sessions closed by a 2-hour gap, window end
+    // = last event + gap per Spark's session_window contract.
+    "q136_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2584,6 +2619,36 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q136_session_window" ->
+      ("WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, " +
+        "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL " +
+        "OR CAST(ts AS TIMESTAMP) > lag(CAST(ts AS TIMESTAMP)) OVER w " +
+        "+ INTERVAL 2 HOUR THEN 1 ELSE 0 END AS ns FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "s AS (SELECT user_id, ts, value, sum(ns) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 2 HOUR AS session_end, " +
+        "count(*)::BIGINT AS n_events, sum(value) AS sum_value " +
+        "FROM s GROUP BY user_id, seq"),
+    "q135_change_feed" ->
+      ("WITH oldt AS (SELECT event_id, user_id, event_type, value " +
+        "FROM events), " +
+        "newt AS (SELECT event_id, user_id, event_type, " +
+        "CASE WHEN event_id % 5 = 0 THEN value + 100 ELSE value END AS value " +
+        "FROM events WHERE event_id % 11 <> 0), " +
+        "d AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id, " +
+        "CASE WHEN o.event_id IS NULL THEN 'I' " +
+        "WHEN n.event_id IS NULL THEN 'D' " +
+        "WHEN NOT (o.user_id IS NOT DISTINCT FROM n.user_id " +
+        "AND o.event_type IS NOT DISTINCT FROM n.event_type " +
+        "AND o.value IS NOT DISTINCT FROM n.value) THEN 'U' END AS op, " +
+        "CASE WHEN n.event_id IS NULL THEN o.user_id ELSE n.user_id END AS user_id, " +
+        "CASE WHEN n.event_id IS NULL THEN o.event_type ELSE n.event_type END AS event_type, " +
+        "CASE WHEN n.event_id IS NULL THEN o.value ELSE n.value END AS value " +
+        "FROM oldt o FULL JOIN newt n ON o.event_id = n.event_id) " +
+        "SELECT event_id, op, user_id, event_type, value FROM d " +
+        "WHERE op IS NOT NULL"),
     "q134_mv_refresh" ->
       ("SELECT user_id, event_type, count(*)::BIGINT AS n, " +
         "sum(value) AS total, min(value) AS vmin, max(value) AS vmax, " +

@@ -244,6 +244,15 @@ object PipelineRunner {
           graft.text.QualityTiers.tiers(df, c, k.toInt)
         case Array("redact", c) => // PII-redact a text column in place
           df.withColumn(c.trim, graft.text.Redact.redactPii(col(c.trim)))
+        case Array("gapfill", spec2) => // k1,k2;tsCol;interval;unit;valueCol
+          // dense per-key grid, max(value) per bucket, forward fill
+          val parts = spec2.split(';').map(_.trim)
+          graft.operators.Resample.gridFill(df,
+            parts(0).split(',').map(_.trim).toSeq, parts(1),
+            parts(2), max(col(parts(4))), parts(3))
+        case Array("maxrun", spec2) => // textCol=outCol (repetition signal)
+          val Array(c, out) = spec2.split('=').map(_.trim)
+          df.withColumn(out, graft.text.TextStats.maxTokenRun(col(c)))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -321,6 +321,34 @@ class PipelineSpecSuite extends SparkSpec {
     assert(t.select("tier").distinct().count() == 3)
   }
 
+  test("declarative gapfill + maxrun transforms") {
+    val out = tmpDir("pipe-gap")
+    val spec = PipelineSpec(
+      name = "gapfill",
+      source = SourceSpec(format = "parquet", path = s"$sf/events.parquet"),
+      transformExprs = Seq(
+        "selectExpr:user_id;CAST(ts AS TIMESTAMP) AS ts;value",
+        "gapfill:user_id;ts;1 hour;hour;value"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    val r = PipelineRunner.run(spark, spec, "runGap")
+    val back = spark.read.parquet(s"$out/main")
+    assert(back.filter(col("value").isNull).count() == 0)
+    assert(back.count() == r.extracted && r.extracted > 0)
+
+    val spec2 = PipelineSpec(
+      name = "maxrun",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "maxrun:text=max_run",
+        "filter:max_run < 3"), // drop looping docs declaratively
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/runs")))
+    PipelineRunner.run(spark, spec2, "runMax")
+    val t = spark.read.parquet(s"$out/runs")
+    assert(t.columns.contains("max_run"))
+    assert(t.agg(org.apache.spark.sql.functions.max("max_run")).head.getLong(0) < 3)
+    assert(t.count() > 0)
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
