@@ -2131,6 +2131,28 @@ object SparkEntry {
     // native session windows (aggregate face of q44's row-level
     // sessionize): per-user sessions closed by a 2-hour gap, window end
     // = last event + gap per Spark's session_window contract.
+    // rollup TREE: the raw table is read ONCE (hourly grain); daily
+    // derives from hourly and monthly from daily by re-keying the
+    // already-reduced state and re-combining — associativity of the
+    // algebraic merges, O(finer grain) per coarser level.
+    "q137_rollup_tree" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg._
+      val specs = Seq(AggSpec.count("n"), AggSpec.sum("sum_value", col("value")))
+      val hourly = state(
+        t(s, dir, "events").withColumn("bucket", date_trunc("hour", col("ts"))),
+        Seq("event_type", "bucket"), specs)
+      val daily = rollup(hourly,
+        Seq("bucket" -> date_trunc("day", col("bucket"))),
+        Seq("event_type"), specs)
+      val monthly = rollup(daily,
+        Seq("bucket" -> date_trunc("month", col("bucket"))),
+        Seq("event_type"), specs)
+      hourly.withColumn("grain", lit("hour"))
+        .unionByName(daily.withColumn("grain", lit("day")))
+        .unionByName(monthly.withColumn("grain", lit("month")))
+        .select("grain", "event_type", "bucket", "n", "sum_value")
+    }),
+
     "q136_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
@@ -2619,6 +2641,13 @@ object SparkEntry {
         "UNION ALL SELECT event_id, user_id, event_type, value, dt " +
         "FROM chg WHERE op <> 'D') " +
         "SELECT event_id, user_id, event_type, value, dt FROM m"),
+    "q137_rollup_tree" -> {
+      def grain(g: String): String =
+        s"SELECT '$g' AS grain, event_type, date_trunc('$g', " +
+          "CAST(ts AS TIMESTAMP)) AS bucket, count(*)::BIGINT AS n, " +
+          "sum(value) AS sum_value FROM events GROUP BY 2, 3"
+      Seq("hour", "day", "month").map(grain).mkString(" UNION ALL ")
+    },
     "q136_session_window" ->
       ("WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, " +
         "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL " +

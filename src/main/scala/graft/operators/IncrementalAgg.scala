@@ -64,4 +64,20 @@ object IncrementalAgg {
     val aggs = specs.map(s => s.merge(col(s.out)).as(s.out))
     unioned.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Derive a COARSER aggregate from an already-reduced state: re-key
+    * the state (e.g. hour bucket → its day) and combine with the merge
+    * functions — `rollup(state(df, hour), day) == state(df, day)`
+    * because the merge functions are associative over any regrouping.
+    * This is the rollup-tree maintenance trick: daily totals cost
+    * O(hours), monthly cost O(days) — the raw table is read exactly
+    * once, by the finest grain. `rekey` maps state columns to the new
+    * key columns (e.g. `"day" -> date_trunc("day", col("bucket"))`). */
+  def rollup(state: DataFrame, rekey: Seq[(String, Column)],
+             carryKeys: Seq[String], specs: Seq[AggSpec]): DataFrame = {
+    require(rekey.nonEmpty)
+    val rekeyed = rekey.foldLeft(state) { case (d, (name, c)) =>
+      d.withColumn(name, c) }
+    merge(Seq(rekeyed), rekey.map(_._1) ++ carryKeys, specs)
+  }
 }

@@ -29,6 +29,13 @@ import graft.functions.{Grok, GrokStruct, GzipCompress, GzipDecompress,
   *  - `graft_minhash_bands(text, n, k, bands)` — banded LSH bucket keys
   *  - `graft_srp(vec, bits, tables)` — signed-random-projection sigs
   *  - `graft_grok(line, pattern)` — one-match grok struct (named fields)
+  *  - `graft_zvalue(rank1, ..., rankN, bits)` — Morton z-curve value
+  *
+  * (Column-composition operators like `TextStats.maxTokenRun` are NOT
+  * registrable here — a function builder must return a Catalyst
+  * Expression, and Spark 4's Column is a column node that stays
+  * unresolved inside a registry builder; those ship through the
+  * declarative transform dialect instead, e.g. `maxrun:`.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -91,7 +98,14 @@ object GraftExtensions {
         val compiled = Grok.compile(
           litString(args(1), "graft_grok", "pattern"))
         GrokStruct(args.head, compiled.regex,
-          compiled.fields.map(_.name), compiled.fields.map(_.group)) }))
+          compiled.fields.map(_.name), compiled.fields.map(_.group)) }),
+    ("graft_zvalue", info("graft_zvalue",
+      "graft_zvalue(rank1, ..., rankN, bits) - Morton z-curve interleave of long ranks"),
+      args => {
+        if (args.length < 2) throw new IllegalArgumentException(
+          s"graft_zvalue expects at least 2 arguments, got ${args.length}")
+        graft.functions.ZInterleave(args.init,
+          litInt(args.last, "graft_zvalue", "bits")) }))
 
   /** Register into a LIVE session's function registry (idempotent —
     * re-registration replaces the same name). */

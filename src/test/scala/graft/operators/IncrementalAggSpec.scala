@@ -38,6 +38,26 @@ class IncrementalAggSpec extends SparkSpec {
     assert(canon(m) == canon(state(ev, keys, specs)))
   }
 
+  test("rollup of a finer state equals the direct coarser aggregate") {
+    val ev = Tables.load(spark, sf, "events")
+    val hourSpecs = Seq(AggSpec.count("n"), AggSpec.sum("sv", col("value")))
+    val hourly = state(ev.withColumn("bucket", date_trunc("hour", col("ts"))),
+      Seq("event_type", "bucket"), hourSpecs)
+    val daily = IncrementalAgg.rollup(hourly,
+      Seq("bucket" -> date_trunc("day", col("bucket"))),
+      Seq("event_type"), hourSpecs)
+    val direct = state(ev.withColumn("bucket", date_trunc("day", col("ts"))),
+      Seq("event_type", "bucket"), hourSpecs)
+    def canonB(df: DataFrame): Seq[String] =
+      df.orderBy("event_type", "bucket").collect()
+        .map(_.toSeq.map {
+          case d: Double => f"$d%.9g"
+          case v => String.valueOf(v)
+        }.mkString("|")).toSeq
+    assert(canonB(daily.select("event_type", "bucket", "n", "sv")) ==
+      canonB(direct.select("event_type", "bucket", "n", "sv")))
+  }
+
   test("merging an empty delta is a no-op") {
     val ev = Tables.load(spark, sf, "events")
     val st = state(ev, keys, specs)

@@ -80,6 +80,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out.forall(_._2.length == 4))
   }
 
+  test("graft_zvalue from SQL matches the interleave truth table") {
+    import spark.implicits._
+    val z = spark.sql("SELECT graft_zvalue(1L, 0L, 2) AS z, " +
+      "graft_zvalue(0L, 1L, 2) AS z2, graft_zvalue(3L, 3L, 2) AS z3")
+      .as[(Long, Long, Long)].collect()(0)
+    assert(z == ((1L, 2L, 15L)))
+  }
+
   test("non-literal parameters are refused with a diagnostic") {
     import spark.implicits._
     Seq(("x", 3)).toDF("text", "n").createOrReplaceTempView("ext_bad")
