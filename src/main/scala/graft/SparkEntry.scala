@@ -2128,9 +2128,6 @@ object SparkEntry {
         log.read("events", asOf = Some(v2)), Seq("event_id"))
     }),
 
-    // native session windows (aggregate face of q44's row-level
-    // sessionize): per-user sessions closed by a 2-hour gap, window end
-    // = last event + gap per Spark's session_window contract.
     // rollup TREE: the raw table is read ONCE (hourly grain); daily
     // derives from hourly and monthly from daily by re-keying the
     // already-reduced state and re-combining — associativity of the
@@ -2153,6 +2150,9 @@ object SparkEntry {
         .select("grain", "event_type", "bucket", "n", "sum_value")
     }),
 
+    // native session windows (aggregate face of q44's row-level
+    // sessionize): per-user sessions closed by a 2-hour gap, window end
+    // = last event + gap per Spark's session_window contract.
     "q136_session_window" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
