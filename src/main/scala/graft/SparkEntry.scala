@@ -2161,6 +2161,44 @@ object SparkEntry {
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
           col("n_events"), col("sum_value"))),
+
+    // CUBE grouping sets (q121's ROLLUP widened to every subset):
+    // per-(type, day) cells, per-type and per-day subtotals, grand
+    // total in ONE pass — Catalyst expands the grouping sets before the
+    // shuffle, so it's still a single exchange with map-side combine.
+    // grouping_id() disambiguates a NULL key from a subtotal row.
+    "q138_cube_report" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum("value").as("sum_value"))),
+
+    // PIVOT long→wide with an EXPLICIT value list: Spark skips the
+    // extra distinct-values job and compiles to one map-only
+    // conditional aggregate — a single shuffle on user_id, no second
+    // pass over the fact table. (Open-ended pivot on a high-cardinality
+    // column is the anti-pattern: a driver-side distinct + one output
+    // column per value; the fixed list is the 100 TB shape.)
+    "q139_pivot_wide" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum("value"))),
+
+    // UNPIVOT wide→long (melt): the inverse face over the SAME pivoted
+    // frame — ids=user_id, the five per-type columns fold back into
+    // (event_type, sum_value) rows; absent cells (NULL) are dropped so
+    // the long shape equals the direct groupBy aggregate. Map-only on
+    // top of the pivot's single shuffle.
+    "q140_unpivot_long" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = t(s, dir, "events")
+        .groupBy("user_id").pivot("event_type", types).agg(sum("value"))
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "sum_value")
+        .filter(col("sum_value").isNotNull)
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2648,6 +2686,25 @@ object SparkEntry {
           "sum(value) AS sum_value FROM events GROUP BY 2, 3"
       Seq("hour", "day", "month").map(grain).mkString(" UNION ALL ")
     },
+    "q138_cube_report" ->
+      ("WITH e AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), " +
+        "'%Y-%m-%d') AS day, value FROM events) " +
+        "SELECT event_type, day, GROUPING(event_type, day)::BIGINT AS gid, " +
+        "count(*)::BIGINT AS n, sum(value) AS sum_value FROM e " +
+        "GROUP BY CUBE (event_type, day)"),
+    "q139_pivot_wide" ->
+      ("SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'click' THEN value END) AS click, " +
+        "sum(CASE WHEN event_type = 'view' THEN value END) AS view, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN value END) AS purchase, " +
+        "sum(CASE WHEN event_type = 'signup' THEN value END) AS signup, " +
+        "sum(CASE WHEN event_type = 'error' THEN value END) AS error " +
+        "FROM events GROUP BY user_id"),
+    "q140_unpivot_long" ->
+      ("SELECT user_id, event_type, sum(value) AS sum_value " +
+        "FROM events WHERE event_type IN " +
+        "('click', 'view', 'purchase', 'signup', 'error') " +
+        "GROUP BY user_id, event_type"),
     "q136_session_window" ->
       ("WITH g AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, " +
         "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL " +
