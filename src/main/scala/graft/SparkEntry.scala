@@ -2199,6 +2199,18 @@ object SparkEntry {
           "event_type", "sum_value")
         .filter(col("sum_value").isNotNull)
     }),
+
+    // EXACT top-25 corpus words through bounded-state Misra-Gries
+    // summaries: the map side never holds more than k=64 counters no
+    // matter how many words stream through, the shuffle carries only
+    // candidate rows, and one recount pass confined to the candidates
+    // yields true counts — the runtime certificate (inside topExact)
+    // refuses any answer the sketch cannot prove complete.
+    "q141_heavy_hitters" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+      graft.operators.HeavyHitters.topExact(words, "word", m = 25, k = 64)
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2686,6 +2698,10 @@ object SparkEntry {
           "sum(value) AS sum_value FROM events GROUP BY 2, 3"
       Seq("hour", "day", "month").map(grain).mkString(" UNION ALL ")
     },
+    "q141_heavy_hitters" ->
+      ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
+        "unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
     "q138_cube_report" ->
       ("WITH e AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), " +
         "'%Y-%m-%d') AS day, value FROM events) " +
