@@ -2211,6 +2211,41 @@ object SparkEntry {
         .select(explode(split(col("text"), " ")).as("word"))
       graft.operators.HeavyHitters.topExact(words, "word", m = 25, k = 64)
     }),
+
+    // deterministic train/val/test split: band assignment over the
+    // portable keyed hash — map-only, layout-independent, and stable
+    // under corpus growth (a doc's split never flips when other docs
+    // arrive), which is what keeps eval data out of training across
+    // re-cuts.
+    "q142_hash_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .transform(Converters.hashSplit("doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .select("doc_id", "lang", "source", "split")),
+
+    // ordered funnel: view → click → purchase per user, stage k counts
+    // only at-or-after the earliest certified stage k-1. One exchange +
+    // ONE sort carry all three running-min window passes; no self-joins,
+    // no per-user collect_list.
+    "q143_funnel_depth" -> ((s, dir) =>
+      graft.operators.Funnel.depth(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), tieCol = "event_id")),
+
+    // cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort, days-since) cell. The per-user min-day agg
+    // and the join back are co-partitioned on user_id (exchange reuse),
+    // then one cell-level agg — the standard retention matrix at any
+    // scale.
+    "q144_cohort_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort"))
+      e.join(cohort, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("bigint").as("days_since"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2702,6 +2737,35 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q142_hash_split" ->
+      ("SELECT doc_id, lang, source, CASE " +
+        "WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END " +
+        "AS split FROM (SELECT doc_id, lang, source, " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h " +
+        "FROM documents)"),
+    "q143_funnel_depth" ->
+      ("WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type FROM events), " +
+        "s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) " +
+        "OVER w AS r0 FROM o WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), " +
+        "s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= r0 " +
+        "THEN ts END) OVER w AS r1 FROM s0 WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)), " +
+        "s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= r1 " +
+        "THEN ts END) OVER w AS r2 FROM s1 WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT user_id, max(CASE WHEN r2 IS NOT NULL THEN 3 " +
+        "WHEN r1 IS NOT NULL THEN 2 WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)" +
+        "::BIGINT AS depth FROM s2 GROUP BY user_id"),
+    "q144_cohort_retention" ->
+      ("WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) " +
+        "AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id) " +
+        "SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, " +
+        "date_diff('day', c.cohort, e.day)::BIGINT AS days_since, " +
+        "count(DISTINCT e.user_id)::BIGINT AS n_users " +
+        "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
     "q138_cube_report" ->
       ("WITH e AS (SELECT event_type, strftime(CAST(ts AS TIMESTAMP), " +
         "'%Y-%m-%d') AS day, value FROM events) " +

@@ -95,6 +95,29 @@ object Converters {
       col(keyCol).cast("string")), lit(mod.toLong)) < rate)
   }
 
+  /** Deterministic train/val/test assignment: label each row by the
+    * band of a portable keyed hash it falls in. Layout-independent and
+    * engine-reproducible (same md5 trick as [[stratifiedSampleByHash]]),
+    * and STABLE under corpus growth — a row's split never changes when
+    * other rows arrive or the corpus is re-cut, which is what keeps a
+    * held-out eval set from leaking into training across re-runs.
+    * `bands` = (label, width out of `mod`) in order, widths summing to
+    * `mod`. Map-only, zero shuffles. */
+  def hashSplit(keyCol: String, bands: Seq[(String, Int)],
+                outCol: String = "split", mod: Int = 100)
+               (df: DataFrame): DataFrame = {
+    require(bands.nonEmpty && bands.forall(_._2 > 0) && bands.map(_._2).sum == mod,
+      s"band widths must be positive and sum to $mod: $bands")
+    val h = pmod(graft.text.TextStats.portableHash60(
+      col(keyCol).cast("string")), lit(mod.toLong))
+    val cuts = bands.scanLeft(0)(_ + _._2).tail
+    val first = when(h < lit(cuts.head.toLong), lit(bands.head._1))
+    val label = bands.tail.zip(cuts.tail).foldLeft(first) {
+      case (acc, ((name, _), cut)) => acc.when(h < lit(cut.toLong), lit(name))
+    }
+    df.withColumn(outCol, label)
+  }
+
   /** Parse a JSON string column into typed columns.
     * Ref: JsonStringToJsonIntermediateConverter.java:48 +
     * JsonIntermediateToAvroConverter.java:50 — the two-step JSON pipeline is

@@ -103,4 +103,30 @@ class ConvertersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sampled.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("hashSplit: total partition, stable under growth, near target fractions") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val bands = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val split = docs.transform(Converters.hashSplit("doc_id", bands))
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byLabel.values.sum.toDouble
+    // every row labeled, fractions near the band widths
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLabel("train") / n - 0.80) < 0.10)
+    assert(math.abs(byLabel("val") / n - 0.10) < 0.08)
+    // growth stability: the assignment on a SUBSET matches the full
+    // corpus assignment row-for-row — adding docs never flips a split
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+      .transform(Converters.hashSplit("doc_id", bands))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val full = split.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // widths must sum to mod
+    intercept[IllegalArgumentException] {
+      Converters.hashSplit("doc_id", Seq("a" -> 50, "b" -> 20))(docs)
+    }
+  }
 }
