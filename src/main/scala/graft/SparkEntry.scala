@@ -2246,6 +2246,24 @@ object SparkEntry {
           datediff(col("day"), col("cohort")).cast("bigint").as("days_since"))
         .agg(countDistinct("user_id").as("n_users"))
     }),
+
+    // fastText/CCNet-shaped corpus quality classifier: logistic
+    // regression over hashed bag-of-words, trained full-batch with
+    // momentum on a bounded sample, scored corpus-wide via one
+    // broadcast weight join. The planted label (more 'slow' than
+    // 'fast' mentions) is linearly separable, so the learned filter
+    // must recover it — pinned by the unit suite; float scores make
+    // this rows-only for the oracle.
+    "q145_quality_classifier" -> ((s, dir) => {
+      import graft.text.QualityClassifier
+      val docs = t(s, dir, "documents").withColumn("label",
+        (size(split(col("text"), "slow")) >
+          size(split(col("text"), "fast"))).cast("int"))
+      val m = QualityClassifier.train(docs, "doc_id", "text", "label",
+        buckets = 512, epochs = 40)
+      QualityClassifier.score(docs, m, "doc_id", "text")
+        .select("doc_id", "label", "quality_score", "quality_pred")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
