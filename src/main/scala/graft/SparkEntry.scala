@@ -2264,6 +2264,34 @@ object SparkEntry {
       QualityClassifier.score(docs, m, "doc_id", "text")
         .select("doc_id", "label", "quality_score", "quality_pred")
     }),
+
+    // cross-document training-sequence packing (the GPT dataloader
+    // layout): the deterministic token stream cut into 512-token
+    // sequences crossing doc boundaries — every token in exactly one
+    // slot, assignment emitted as integer (doc, seq, offsets, length)
+    // slices over ShardPack's DISTRIBUTED prefix sum, so the whole
+    // layout is oracle-exact and no window ever sees the full corpus.
+    "q146_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      graft.text.SeqPack.packSequences(docs, "doc_id", "n_toks", seqLen = 512L)
+        .select("doc_id", "cum_before", "seq_id", "seq_pos", "doc_off",
+          "n_tokens")
+    }),
+
+    // event-transition matrix (first-order Markov counts): next event
+    // per user via ONE lead window (single shuffle + sort), then a
+    // map-side-combined pair count — the "what do users do next"
+    // report behind session analysis and anomaly baselines.
+    "q147_transition_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2755,6 +2783,26 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q147_transition_matrix" ->
+      ("WITH n AS (SELECT event_type, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events) SELECT event_type, next_type, count(*)::BIGINT AS n " +
+        "FROM n WHERE next_type IS NOT NULL GROUP BY 1, 2"),
+    "q146_seq_pack" ->
+      ("WITH k AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS w, " +
+        "('0x' || substr(md5('seq' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, w, COALESCE(sum(w) OVER (ORDER BY h, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT " +
+        "AS cum_before FROM k), " +
+        "e AS (SELECT doc_id, w, cum_before, unnest(generate_series(" +
+        "cum_before // 512, (cum_before + w - 1) // 512)) AS seq_id " +
+        "FROM c WHERE w > 0) " +
+        "SELECT doc_id, cum_before, seq_id::BIGINT AS seq_id, " +
+        "greatest(0, cum_before - seq_id * 512)::BIGINT AS seq_pos, " +
+        "greatest(0, seq_id * 512 - cum_before)::BIGINT AS doc_off, " +
+        "(least((seq_id + 1) * 512, cum_before + w) - " +
+        "greatest(seq_id * 512, cum_before))::BIGINT AS n_tokens FROM e"),
     "q142_hash_split" ->
       ("SELECT doc_id, lang, source, CASE " +
         "WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END " +

@@ -253,6 +253,12 @@ object PipelineRunner {
         case Array("maxrun", spec2) => // textCol=outCol (repetition signal)
           val Array(c, out) = spec2.split('=').map(_.trim)
           df.withColumn(out, graft.text.TextStats.maxTokenRun(col(c)))
+        case Array("hashsplit", spec2) => // keyCol;train=80,val=10,test=10
+          val parts = spec2.split(';').map(_.trim)
+          val bands = parts(1).split(',').filter(_.nonEmpty).map { kv =>
+            val Array(k, v) = kv.split('=').map(_.trim); k -> v.toInt
+          }.toSeq
+          df.transform(graft.operators.Converters.hashSplit(parts(0), bands))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

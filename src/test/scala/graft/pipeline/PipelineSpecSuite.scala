@@ -349,6 +349,26 @@ class PipelineSpecSuite extends SparkSpec {
     assert(t.count() > 0)
   }
 
+  test("declarative hashsplit transform cuts a train/val/test corpus") {
+    val out = tmpDir("pipe-split")
+    val spec = PipelineSpec(
+      name = "split",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "hashsplit:doc_id;train=80,val=10,test=10",
+        "filter:split = 'train'"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/train")))
+    val r = PipelineRunner.run(spark, spec, "runSplit")
+    val back = spark.read.parquet(s"$out/train")
+    assert(back.count() == r.extracted && r.extracted > 0)
+    // matches the library call exactly
+    val want = graft.Tables.load(spark, sf, "documents")
+      .transform(graft.operators.Converters.hashSplit("doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .filter(col("split") === "train").count()
+    assert(back.count() == want)
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
