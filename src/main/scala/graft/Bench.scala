@@ -80,7 +80,12 @@ object Bench {
     "q126_sliding_window",    // 4x-overlap hopping-window aggregation
     "q128_asof_forward",      // forward as-of (one sort, no join node)
     "q131_repetition_runs",   // map-only consecutive-run fold
-    "q134_mv_refresh")        // 3-wave watermark-driven MV refresh
+    "q134_mv_refresh",        // 3-wave watermark-driven MV refresh
+    // appended round 9:
+    "q138_cube_report",       // CUBE grouping sets in one exchange
+    "q141_heavy_hitters",     // bounded-state Misra-Gries + exact recount
+    "q143_funnel_depth",      // 3-stage funnel through one window sort
+    "q146_seq_pack")          // distributed prefix sum + sequence explode
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
