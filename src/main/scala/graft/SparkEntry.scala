@@ -2292,6 +2292,18 @@ object SparkEntry {
         .groupBy("event_type", "next_type")
         .agg(count(lit(1)).as("n"))
     }),
+
+    // winsorize: clamp into the exact [p5, p95] percentile band using
+    // the profile's integer-cut percentile math — the clip bounds are
+    // engine-reproducible (no sketch drift), computed once over the
+    // reduced (value, count) frame; the clip itself is map-only.
+    // Quantized (floor) per the profile's bounded-domain contract.
+    "q148_winsorize" -> ((s, dir) =>
+      graft.operators.Profile.winsorize(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_id"),
+            floor(col("value")).cast("double").as("v")),
+        "v", pLo = 5, pHi = 95, outCol = "v_clipped")),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2783,6 +2795,16 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q148_winsorize" ->
+      ("WITH q AS (SELECT event_id, floor(value) AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "pc AS (SELECT v, count(*)::BIGINT AS cnt FROM q GROUP BY v), " +
+        "c AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED " +
+        "PRECEDING)::BIGINT AS cum, sum(cnt) OVER ()::BIGINT AS n FROM pc), " +
+        "cut AS (SELECT min(CASE WHEN cum * 100 >= n * 5 THEN v END) AS lo, " +
+        "min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS hi FROM c) " +
+        "SELECT q.event_id, q.v, least(greatest(q.v, cut.lo), cut.hi) " +
+        "AS v_clipped FROM q, cut"),
     "q147_transition_matrix" ->
       ("WITH n AS (SELECT event_type, lead(event_type) OVER (" +
         "PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +

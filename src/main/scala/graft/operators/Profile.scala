@@ -44,6 +44,30 @@ object Profile {
       .reduce(_ unionByName _)
   }
 
+  /** Winsorize: clamp `c` into its exact [pLo, pHi] discrete
+    * percentile band — the outlier-clipping cleanup step, using the
+    * SAME integer-cut percentile math as the profile so the clip
+    * bounds are engine-reproducible (a sketch-based clip moves with
+    * partitioning; this one never does). The two cuts are computed
+    * once over the reduced (value, count) frame; the clip itself is
+    * map-only. NULLs pass through as NULL. Same quantize-first
+    * contract as [[numericProfile]] for unbounded domains. */
+  def winsorize(df: DataFrame, c: String, pLo: Int, pHi: Int,
+                outCol: String = "clipped",
+                maxDistinct: Long = 1000000L): DataFrame = {
+    require(1 <= pLo && pLo < pHi && pHi <= 100,
+      s"need 1 <= pLo < pHi <= 100, got ($pLo, $pHi)")
+    val row = profileOne(df, c, Seq(pLo, pHi), maxDistinct)
+      .select(col(s"p$pLo"), col(s"p$pHi")).collect()(0)
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"cannot winsorize $c: no non-null values")
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    // greatest/least SKIP nulls (a NULL would clamp to lo) — pass
+    // NULL through explicitly
+    df.withColumn(outCol, when(col(c).isNull, lit(null).cast("double"))
+      .otherwise(least(greatest(col(c).cast("double"), lit(lo)), lit(hi))))
+  }
+
   private def profileOne(df: DataFrame, c: String, ps: Seq[Int],
                          maxDistinct: Long): DataFrame = {
     val v = col(c).cast("double")

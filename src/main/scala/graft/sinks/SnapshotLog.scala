@@ -257,6 +257,36 @@ final class SnapshotLog(spark: SparkSession, root: String) {
     } catch { case e: Throwable => releaseLock(); throw e }
   }
 
+  /** Roll the table back to snapshot `asOf` by committing a NEW
+    * snapshot that re-references the old snapshot's immutable data dirs
+    * — history only moves FORWARD (the rolled-past snapshots stay
+    * time-travelable until [[expire]]), nothing is rewritten or
+    * deleted, and a crash mid-rollback leaves the table untouched
+    * (the pointer flip is the only commit point). The Delta/Iceberg
+    * RESTORE verb over our own log. Refuses if any of the target's
+    * data dirs were already expired. */
+  def rollbackTo(asOf: Long): Long = {
+    acquireLock()
+    try {
+      val cur = current().getOrElse(
+        throw new IllegalStateException(s"$root has no snapshot"))
+      require(asOf != cur.id, s"already at snapshot $asOf")
+      val target = snapshot(asOf)
+      target.branches.foreach { case (name, b) =>
+        require(fs.exists(new Path(rootPath, b.path)),
+          s"cannot roll back to $asOf: branch $name data expired (${b.path})")
+      }
+      val id = nextId(Some(cur.id))
+      val rolled = target.copy(id = id, parent = Some(cur.id))
+      val mp = manifestPath(id)
+      if (!fs.exists(mp.getParent)) fs.mkdirs(mp.getParent)
+      val out = fs.create(mp, true)
+      try out.write(renderManifest(rolled).getBytes("UTF-8"))
+      finally out.close()
+      new Pending(id).activate()
+    } catch { case e: Throwable => releaseLock(); throw e }
+  }
+
   /** Ancestors of the live snapshot, newest first (the undo/time-travel
     * chain). */
   def history(): Seq[Long] = {

@@ -49,4 +49,27 @@ class ProfileSpec extends SparkSpec {
       Set("l_quantity", "l_discount"))
     assert(rows.forall(r => r.getAs[Long]("nulls") == 0L))
   }
+
+  test("winsorize clamps into the exact percentile band, nulls pass") {
+    // 1..100 uniform: p5 = 5, p95 = 95
+    val df = ((1 to 100).map(i => Some(i.toLong)) :+ None)
+      .toDF("x")
+    val out = Profile.winsorize(df, "x", 5, 95, "c")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(Some(1L)) == Some(5.0))
+    assert(out(Some(4L)) == Some(5.0))
+    assert(out(Some(5L)) == Some(5.0))
+    assert(out(Some(50L)) == Some(50.0))
+    assert(out(Some(95L)) == Some(95.0))
+    assert(out(Some(99L)) == Some(95.0))
+    assert(out(None).isEmpty, "NULL input stays NULL")
+    // degenerate inputs refused loudly
+    intercept[IllegalArgumentException] {
+      Profile.winsorize(Seq.empty[Option[Long]].toDF("x"), "x", 5, 95)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.winsorize(df, "x", 95, 5)
+    }
+  }
 }

@@ -119,6 +119,28 @@ class SnapshotLogSpec extends SparkSpec {
     assert(log.history() == Seq(2L, 1L))
   }
 
+  test("rollbackTo restores an old snapshot as a NEW commit, forward-only") {
+    val log = new SnapshotLog(spark, tmpDir("snap-rollback"))
+    log.commit(Map("a" -> Seq("good").toDF("v")))
+    log.commit(Map("a" -> Seq("bad").toDF("v")))
+    val id3 = log.rollbackTo(1L)
+    assert(id3 == 3L, "rollback must mint a new id, never rewind the chain")
+    assert(log.read("a").as[String].collect().toSeq == Seq("good"))
+    // the bad snapshot stays time-travelable (forensics) until expire
+    assert(log.read("a", asOf = Some(2L)).as[String].collect().toSeq ==
+      Seq("bad"))
+    assert(log.history() == Seq(3L, 2L, 1L))
+    // rolling back to the live snapshot is refused
+    intercept[IllegalArgumentException] { log.rollbackTo(3L) }
+    // a later commit continues normally and the lock was released
+    val id4 = log.commit(Map("a" -> Seq("new").toDF("v")))
+    assert(id4 == 4L)
+    assert(log.read("a").as[String].collect().toSeq == Seq("new"))
+    // rollback to an EXPIRED snapshot is refused loudly
+    log.expire(keepLast = 2)
+    intercept[IllegalArgumentException] { log.rollbackTo(1L) }
+  }
+
   test("expire keeps the recent chain and sweeps unreferenced + orphan data dirs") {
     val root = tmpDir("snap-expire")
     val log = new SnapshotLog(spark, root)
