@@ -2304,6 +2304,27 @@ object SparkEntry {
           .select(col("event_id"),
             floor(col("value")).cast("double").as("v")),
         "v", pLo = 5, pHi = 95, outCol = "v_clipped")),
+
+    // grouped engine-exact percentiles: the cumulative window runs
+    // PARTITIONED BY GROUP (as parallel as there are groups), over the
+    // already-reduced (group, value, count) frame — per-type value
+    // distribution report with integer-cut reproducible percentiles.
+    "q149_grouped_percentiles" -> ((s, dir) =>
+      graft.operators.Profile.groupedPercentiles(
+        t(s, dir, "events")
+          .select(col("event_type"), floor(col("value")).as("v")),
+        "event_type", "v", ps = Seq(25, 50, 75, 95))),
+
+    // label-centroid cosine (embedding outlier / label-noise detector):
+    // integer-quantized vectors make the per-label sum vector exact,
+    // and the 1/n of the mean cancels in the cosine — so the score is
+    // bit-reproducible in any IEEE engine. One (label,pos) shuffle;
+    // scoring is map-only HOFs behind a broadcast sum-vector join.
+    "q150_centroid_cosine" -> ((s, dir) =>
+      graft.ann.Centroids.centroidCosine(
+        t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("vec_id"), col("label").cast("bigint").as("label"),
+          col("cos_c"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2795,6 +2816,30 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q149_grouped_percentiles" ->
+      ("WITH q AS (SELECT event_type, floor(value) AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "pc AS (SELECT event_type, v, count(*)::BIGINT AS cnt FROM q " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, v, sum(cnt) OVER (PARTITION BY event_type " +
+        "ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cum, " +
+        "sum(cnt) OVER (PARTITION BY event_type)::BIGINT AS n FROM pc) " +
+        "SELECT event_type, max(n) AS n, " +
+        "min(CASE WHEN cum * 100 >= n * 25 THEN v END) AS p25, " +
+        "min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50, " +
+        "min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS p75, " +
+        "min(CASE WHEN cum * 100 >= n * 95 THEN v END) AS p95 " +
+        "FROM c GROUP BY event_type"),
+    "q150_centroid_cosine" ->
+      ("WITH e AS (SELECT vec_id, label::BIGINT AS label, " +
+        "[round(x * 1000) for x in embedding::DOUBLE[]] AS v " +
+        "FROM embeddings), " +
+        "s AS (SELECT label, i, sum(v[i]) AS sv FROM e CROSS JOIN " +
+        "(SELECT unnest(generate_series(1, 64)) AS i) t GROUP BY 1, 2), " +
+        "sv AS (SELECT label, list(sv ORDER BY i) AS c FROM s GROUP BY 1) " +
+        "SELECT e.vec_id, e.label, round(list_dot_product(e.v, sv.c) / " +
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(sv.c, " +
+        "sv.c))), 6) AS cos_c FROM e JOIN sv USING (label)"),
     "q148_winsorize" ->
       ("WITH q AS (SELECT event_id, floor(value) AS v FROM events " +
         "WHERE value IS NOT NULL), " +

@@ -44,6 +44,39 @@ object Profile {
       .reduce(_ unionByName _)
   }
 
+  /** Per-GROUP engine-exact discrete percentiles — the grouped face of
+    * [[numericProfile]] (per-source length p50/p95 reports, per-type
+    * value distributions): one map-side-combined reduction to
+    * (group, value, count), then the cumulative window runs PARTITIONED
+    * BY GROUP — as many-way parallel as there are groups, never the
+    * single-partition window of the ungrouped profile. Same integer-cut
+    * semantics, same quantize-first contract; the guard bounds the
+    * distinct values of the LARGEST group. */
+  def groupedPercentiles(df: DataFrame, groupCol: String, c: String,
+                         ps: Seq[Int] = Seq(50, 90, 99),
+                         maxDistinctPerGroup: Long = 1000000L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val v = col(c).cast("double")
+    val per = df.filter(v.isNotNull)
+      .groupBy(col(groupCol), v.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val worst = per.groupBy(col(groupCol)).agg(count(lit(1)).as("nd"))
+      .agg(max("nd")).collect()(0).getLong(0)
+    require(worst <= maxDistinctPerGroup,
+      s"largest group has $worst distinct $c values " +
+        s"(max $maxDistinctPerGroup): quantize before profiling")
+    val wOrder = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = per
+      .withColumn("cum", sum(col("cnt")).over(wOrder))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val pAggs = ps.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
+    cum.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), pAggs: _*)
+  }
+
   /** Winsorize: clamp `c` into its exact [pLo, pHi] discrete
     * percentile band — the outlier-clipping cleanup step, using the
     * SAME integer-cut percentile math as the profile so the clip

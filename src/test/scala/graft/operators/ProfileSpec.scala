@@ -72,4 +72,26 @@ class ProfileSpec extends SparkSpec {
       Profile.winsorize(df, "x", 95, 5)
     }
   }
+
+  test("groupedPercentiles: per-group cuts equal per-group ungrouped profiles") {
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), floor(col("value")).as("v"))
+    val grouped = Profile.groupedPercentiles(ev, "event_type", "v",
+        ps = Seq(50, 90))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0))
+    types.foreach { ty =>
+      val one = Profile.numericProfile(ev.filter(col("event_type") === ty),
+        Seq("v"), Seq(50, 90)).collect()(0)
+      assert(grouped(ty) == ((one.getAs[Double]("p50"),
+        one.getAs[Double]("p90"))), s"group $ty")
+    }
+    // per-group distinct guard fires on oversized domains
+    intercept[IllegalArgumentException] {
+      Profile.groupedPercentiles(ev, "event_type", "v",
+        maxDistinctPerGroup = 3)
+    }
+  }
 }
