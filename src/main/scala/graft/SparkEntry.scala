@@ -2325,6 +2325,37 @@ object SparkEntry {
         t(s, dir, "embeddings"), "label", "embedding")
         .select(col("vec_id"), col("label").cast("bigint").as("label"),
           col("cos_c"))),
+
+    // the FULL corpus-to-training-data pipeline in one deterministic
+    // composition: quality gate (token floor + repetition-loop cut) →
+    // exact content dedup (min-id survivor) → train split (hash bands)
+    // → per-source quota cap → cross-document sequence packing. Every
+    // stage is the already-oracle-checked operator; this row proves
+    // they COMPOSE — column threading, hash-order stability, and the
+    // end-to-end (doc, sequence, offsets) assignment are all pinned
+    // against one SQL derivation of the same pipeline.
+    "q151_training_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("max_run", graft.text.TextStats.maxTokenRun(col("text")))
+        .filter(col("n_toks") >= 30 && col("max_run") < 3)
+      val deduped = gated
+        .withColumn("__h", md5(col("text")))
+        .transform(graft.operators.Dedup.keyDeltaTop1(
+          Seq("__h"), Seq(col("doc_id").asc)))
+        .drop("__h")
+      val train = deduped
+        .transform(Converters.hashSplit("doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .filter(col("split") === "train")
+      val capped = graft.operators.QuotaCap
+        .capPerKey(train, "source", "doc_id", n = 15)
+      graft.text.SeqPack.packSequences(capped, "doc_id", "n_toks",
+          seqLen = 256L)
+        .select("doc_id", "source", "seq_id", "seq_pos", "doc_off",
+          "n_tokens")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2816,6 +2847,41 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q151_training_pipeline" ->
+      ("WITH d0 AS (SELECT doc_id, source, text, " +
+        "len(string_split(text, ' '))::BIGINT AS n_toks FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(range(1, " +
+        "len(string_split(text, ' ')) + 1)) AS i, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "r AS (SELECT doc_id, tok, i, i - row_number() OVER " +
+        "(PARTITION BY doc_id, tok ORDER BY i) AS grp FROM tok), " +
+        "runs AS (SELECT doc_id, max(cnt) AS max_run FROM (SELECT doc_id, " +
+        "count(*) AS cnt FROM r GROUP BY doc_id, tok, grp) GROUP BY doc_id), " +
+        "gated AS (SELECT d0.* FROM d0 JOIN runs USING (doc_id) " +
+        "WHERE n_toks >= 30 AND max_run < 3), " +
+        "dd AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated) " +
+        "WHERE rn = 1), " +
+        "tr AS (SELECT doc_id, source, n_toks FROM dd WHERE " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80), " +
+        "qk AS (SELECT doc_id, source, n_toks, ('0x' || " +
+        "substr(md5('quota' || doc_id::VARCHAR), 1, 15))::BIGINT AS qh " +
+        "FROM tr), " +
+        "cap AS (SELECT doc_id, source, n_toks FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY source ORDER BY qh, doc_id) AS rnk " +
+        "FROM qk) WHERE rnk <= 15), " +
+        "k AS (SELECT doc_id, source, n_toks AS w, ('0x' || " +
+        "substr(md5('seq' || doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM cap), " +
+        "c AS (SELECT doc_id, source, w, COALESCE(sum(w) OVER (ORDER BY h, " +
+        "doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT " +
+        "AS cum FROM k), " +
+        "e AS (SELECT doc_id, source, w, cum, unnest(generate_series(" +
+        "cum // 256, (cum + w - 1) // 256)) AS seq_id FROM c WHERE w > 0) " +
+        "SELECT doc_id, source, seq_id::BIGINT AS seq_id, " +
+        "greatest(0, cum - seq_id * 256)::BIGINT AS seq_pos, " +
+        "greatest(0, seq_id * 256 - cum)::BIGINT AS doc_off, " +
+        "(least((seq_id + 1) * 256, cum + w) - " +
+        "greatest(seq_id * 256, cum))::BIGINT AS n_tokens FROM e"),
     "q149_grouped_percentiles" ->
       ("WITH q AS (SELECT event_type, floor(value) AS v FROM events " +
         "WHERE value IS NOT NULL), " +
