@@ -2175,11 +2175,13 @@ object SparkEntry {
           sum("value").as("sum_value"))),
 
     // PIVOT long→wide with an EXPLICIT value list: Spark skips the
-    // extra distinct-values job and compiles to one map-only
-    // conditional aggregate — a single shuffle on user_id, no second
-    // pass over the fact table. (Open-ended pivot on a high-cardinality
-    // column is the anti-pattern: a driver-side distinct + one output
-    // column per value; the fixed list is the 100 TB shape.)
+    // extra distinct-values job and compiles to a two-stage aggregate —
+    // a partial reduce on (user_id, type) cuts the fact table to
+    // ≤ users×|values| rows BEFORE the wide-row shuffle, so the second
+    // exchange moves only the reduced frame. (Open-ended pivot on a
+    // high-cardinality column is the anti-pattern: a driver-side
+    // distinct + one output column per value; the fixed list is the
+    // 100 TB shape.)
     "q139_pivot_wide" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("user_id")
@@ -2351,8 +2353,17 @@ object SparkEntry {
         .filter(col("split") === "train")
       val capped = graft.operators.QuotaCap
         .capPerKey(train, "source", "doc_id", n = 15)
-      graft.text.SeqPack.packSequences(capped, "doc_id", "n_toks",
-          seqLen = 256L)
+      // stage boundary MATERIALIZED before packing: SeqPack's prefix
+      // sum evaluates its input twice (documented in ShardPack — cheap
+      // against a raw table's pruned columns, 2x the work against a
+      // five-stage pipeline), so the selected corpus is written once
+      // and packed from disk — the checkpointed-stage shape a 100 TB
+      // pipeline uses between selection and layout anyway.
+      val staged = tmp("q151")
+      capped.select("doc_id", "source", "n_toks")
+        .write.mode("overwrite").parquet(staged)
+      graft.text.SeqPack.packSequences(
+          s.read.parquet(staged), "doc_id", "n_toks", seqLen = 256L)
         .select("doc_id", "source", "seq_id", "seq_pos", "doc_off",
           "n_tokens")
     }),
