@@ -118,6 +118,34 @@ object Converters {
     df.withColumn(outCol, label)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis & Spirakis 2006 A-ES): give every row the priority
+    * u^(1/w) for a uniform u derived from a portable keyed hash, and
+    * keep the global top-n — inclusion probability is proportional to
+    * weight, the sample is reproducible run-to-run (no RNG state), and
+    * selection is a TakeOrderedAndProject (per-partition top-n heaps +
+    * one n-row merge), never a global sort. Weights must be positive;
+    * zero/negative/null-weight rows are excluded (they cannot win a
+    * weighted draw). Ties in priority are broken by the key for full
+    * determinism. */
+  def weightedSample(keyCol: String, weightCol: String, n: Int,
+                     salt: String = "wsample")(df: DataFrame): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    // u in (0, 1]: (h + 1) / 2^60 over the 60-bit portable hash —
+    // strictly positive so ln(u)/w is finite
+    val u = (graft.text.TextStats.portableHash60(
+      concat(lit(salt), col(keyCol).cast("string"))).cast("double") + 1.0d) /
+      lit(math.pow(2.0, 60))
+    // log-domain priority: ln(u)/w is monotone in u^(1/w) and avoids
+    // pow underflow for large weights
+    val priority = log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__graft_pri", priority)
+      .orderBy(col("__graft_pri").desc, col(keyCol))
+      .limit(n)
+      .drop("__graft_pri")
+  }
+
   /** Parse a JSON string column into typed columns.
     * Ref: JsonStringToJsonIntermediateConverter.java:48 +
     * JsonIntermediateToAvroConverter.java:50 — the two-step JSON pipeline is

@@ -259,6 +259,22 @@ object PipelineRunner {
             val Array(k, v) = kv.split('=').map(_.trim); k -> v.toInt
           }.toSeq
           df.transform(graft.operators.Converters.hashSplit(parts(0), bands))
+        case Array("winsorize", spec2) => // col;pLo;pHi;outCol
+          val parts = spec2.split(';').map(_.trim)
+          graft.operators.Profile.winsorize(df, parts(0),
+            parts(1).toInt, parts(2).toInt, parts(3))
+        case Array("wsample", spec2) => // keyCol;weightCol;n
+          val parts = spec2.split(';').map(_.trim)
+          df.transform(graft.operators.Converters.weightedSample(
+            parts(0), parts(1), parts(2).toInt))
+        case Array("urlcanon", spec2) => // urlCol=outCol
+          val Array(c, out) = spec2.split('=').map(_.trim)
+          df.withColumn(out, graft.text.UrlOps.canonicalizeUrl(col(c)))
+        case Array("blockdomains", spec2) => // urlCol;evil.com,bad.org
+          val parts = spec2.split(';').map(_.trim)
+          val doms = parts(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          df.filter(graft.text.UrlOps.domain(col(parts(0))).isNull ||
+            !graft.text.UrlOps.isBlockedDomain(col(parts(0)), doms))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -129,4 +129,32 @@ class ConvertersSpec extends SparkSpec {
       Converters.hashSplit("doc_id", Seq("a" -> 50, "b" -> 20))(docs)
     }
   }
+
+  test("weightedSample: deterministic, weight-proportional, no global sort") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .withColumn("w", when(col("doc_id") % 10 === 0, 10.0).otherwise(1.0))
+    val s1 = docs.transform(Converters.weightedSample("doc_id", "w", 100))
+      .select("doc_id").as[Long].collect().toSet
+    // layout-independent: identical sample from a different partitioning
+    val s2 = docs.repartition(13)
+      .transform(Converters.weightedSample("doc_id", "w", 100))
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 100)
+    // inclusion tracks weight: heavy rows (w=10, 10% of corpus) must be
+    // sampled at a much higher RATE than light rows
+    val heavyRate = s1.count(_ % 10 == 0) / 50.0
+    val lightRate = s1.count(_ % 10 != 0) / 450.0
+    assert(heavyRate > 3 * lightRate,
+      s"heavy $heavyRate vs light $lightRate")
+    // zero/negative/null weights can never win a weighted draw
+    val withBad = docs.withColumn("w",
+      when(col("doc_id") % 2 === 0, lit(null).cast("double")).otherwise(lit(-1.0)))
+    assert(withBad.transform(Converters.weightedSample("doc_id", "w", 10))
+      .count() == 0)
+    // selection is a top-n, not a global sort
+    val plan = docs.transform(Converters.weightedSample("doc_id", "w", 100))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
 }

@@ -369,6 +369,39 @@ class PipelineSpecSuite extends SparkSpec {
     assert(back.count() == want)
   }
 
+  test("declarative winsorize, wsample, urlcanon and blockdomains transforms") {
+    val out = tmpDir("pipe-w9")
+    val spec = PipelineSpec(
+      name = "clean",
+      source = SourceSpec(format = "parquet", path = s"$sf/events.parquet"),
+      transformExprs = Seq(
+        "selectExpr:event_id;floor(value) AS v",
+        "winsorize:v;5;95;vc",
+        "selectExpr:event_id;vc;abs(vc) + 1 AS w",
+        "wsample:event_id;w;200"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    PipelineRunner.run(spark, spec, "runW9")
+    val back = spark.read.parquet(s"$out/main")
+    assert(back.count() == 200)
+    assert(back.columns.contains("vc"))
+
+    val spec2 = PipelineSpec(
+      name = "urls",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "selectExpr:doc_id;source;concat('http://', source, '.example.com/d?utm_source=x&id=', doc_id) AS url",
+        "blockdomains:url;src1.example.com,src2.example.com",
+        "urlcanon:url=curl"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/urls")))
+    PipelineRunner.run(spark, spec2, "runW9u")
+    val urls = spark.read.parquet(s"$out/urls")
+    assert(urls.filter(col("source").isin("src1", "src2")).count() == 0,
+      "blocked domains must be gone")
+    assert(urls.count() > 0)
+    assert(urls.filter(col("curl").contains("utm_source")).count() == 0,
+      "canonical URLs must drop tracking params")
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
