@@ -126,9 +126,11 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(1)
 
     // A failing query must never be recorded as a (fast) time — round 8
-    // published a 0.10 s entry that was an analysis-time failure. Timings
-    // and errors are kept in separate maps; an errored query contributes
-    // no "queries" entry and the whole line carries an "errors" object.
+    // published a 0.10 s entry that was an analysis-time failure.
+    // Invariant: a query appears in "errors" with NO "queries" entry iff
+    // every run failed; a flaky query (some runs failed, some passed)
+    // keeps its best successful time and carries an explicitly-marked
+    // "flaky" error entry, so consumers never read an ambiguous record.
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { name =>
@@ -154,13 +156,14 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         if (ok) Some(t) else None
       }
-      if (dts.nonEmpty) times(name) = dts.min
+      if (dts.nonEmpty) {
+        times(name) = dts.min
+        if (errors.contains(name))
+          errors(name) = s"flaky: ${runs - dts.size}/$runs runs failed, " +
+            s"timed from a successful run — ${errors(name)}"
+      }
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String): String = JsonUtil.jstr(s)
     val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }

@@ -149,7 +149,7 @@ object Fork {
               branchGate, skipEmpty)
           }
           last.left.map { case (n, e) =>
-            n -> (if (maxAttempts > 1) s"after $attempt attempts: $e" else e)
+            n -> s"after $attempt attempts: $e"
           }
         }
       PartialOutcome(

@@ -82,6 +82,13 @@ object HeavyHitters {
     * (count DESC, key ASC) order. String and integral key columns
     * (integrals are widened to BIGINT). Output: (keyCol, cnt).
     *
+    * NULL is absence, not a key: rows with a NULL key are EXCLUDED
+    * before counting (they would otherwise corrupt the typed summary —
+    * a null long decodes as 0 — and vanish from the recount's IN
+    * filter, silently dropping what might be the most frequent
+    * "value"). Count nulls separately if NULL frequency is the signal
+    * you are after.
+    *
     * `maxCandidates` bounds the driver-side candidate pull — if the
     * merged candidate set exceeds it the data is telling you `k` is
     * far too large for its skew (or the key is near-uniform and a
@@ -93,10 +100,11 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val dt = df.schema(keyCol).dataType
+    val nonNull = df.filter(col(keyCol).isNotNull)
     val keyed = dt match {
-      case StringType => df.select(col(keyCol))
-      case LongType => df.select(col(keyCol))
-      case IntegerType => df.select(col(keyCol).cast("bigint").as(keyCol))
+      case StringType => nonNull.select(col(keyCol))
+      case LongType => nonNull.select(col(keyCol))
+      case IntegerType => nonNull.select(col(keyCol).cast("bigint").as(keyCol))
       case other => throw new IllegalArgumentException(
         s"heavy-hitter key must be string or integral, $keyCol is $other")
     }

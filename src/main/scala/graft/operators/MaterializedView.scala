@@ -64,11 +64,14 @@ object MaterializedView {
       case Some(w) => src.filter(col(tsCol) > lit(w).cast(src.schema(tsCol).dataType))
       case None => src
     }
-    val newWmRow = delta.agg(max(col(tsCol)).cast("string")).collect()(0)
-    val deltaRows = delta.count()
-    if (newWmRow.isNullAt(0)) // empty delta: nothing to fold
+    // ONE pass computes the watermark and the stats row count — a
+    // separate count() would re-scan the delta just for reporting
+    val probe = delta.agg(max(col(tsCol)).cast("string"),
+      count(lit(1))).collect()(0)
+    val deltaRows = probe.getLong(1)
+    if (probe.isNullAt(0)) // empty delta: nothing to fold
       return RefreshStats(wm.isEmpty, 0L, wm.getOrElse(""))
-    val newWm = newWmRow.getString(0)
+    val newWm = probe.getString(0)
     val folded = wm match {
       case None => IncrementalAgg.state(delta, keyCols, specs)
       case Some(_) =>

@@ -98,8 +98,13 @@ object Merge {
       }
       fs.delete(staging, true)
 
-      // post-swap verification: deletes gone, upserts present
-      val after = spark.read.format(format).load(dir)
+      // post-swap verification: deletes gone, upserts present — scoped
+      // to the AFFECTED partitions (partition pruning applies): the
+      // merge's contract only touches those, so scanning the whole
+      // table would cost O(table) on an O(delta) operation AND fail
+      // spuriously when the same key legitimately lives in an
+      // untouched partition
+      val after = spark.read.format(format).load(dir).filter(inAffected)
       val delKeys = ch.filter(deleteWhen).select(keyCols.map(col): _*)
       require(after.join(broadcast(delKeys), keyCols, "left_semi").isEmpty,
         s"merge verification failed: deleted keys remain in $dir")

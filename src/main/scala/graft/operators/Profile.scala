@@ -103,29 +103,44 @@ object Profile {
 
   private def profileOne(df: DataFrame, c: String, ps: Seq[Int],
                          maxDistinct: Long): DataFrame = {
+    val spark = df.sparkSession
     val v = col(c).cast("double")
-    val per = df.filter(v.isNotNull).groupBy(v.as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    // loud guard: an unbounded domain must be quantized by the caller,
-    // not silently single-partition-sorted
-    val nDistinct = per.count()
-    require(nDistinct <= maxDistinct,
-      s"$c has $nDistinct distinct values (max $maxDistinct): quantize " +
-        "before profiling — exact percentiles over an unbounded domain " +
-        "would globally sort the corpus")
-    val nulls = df.filter(v.isNull).count()
-    val wOrder = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = per.withColumn("cum", sum(col("cnt")).over(wOrder))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val pAggs = ps.map(p =>
-      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
-    val aggs = Seq(max(col("n")).as("n"), min(col("v")).as("vmin"),
-      max(col("v")).as("vmax")) ++ pAggs
-    cum.agg(aggs.head, aggs.tail: _*)
-      .select(Seq(lit(c).as("colname"), col("n"), lit(nulls).as("nulls"),
-        lit(nDistinct).as("n_distinct"), col("vmin"), col("vmax")) ++
-        ps.map(p => col(s"p$p")): _*)
+    // ONE scan of the table: the reduction keeps the NULL group so the
+    // null count comes from the reduced frame, and the frame is cached
+    // so the guard probe and the final aggregate never re-read the
+    // input (the profile previously cost 3 full scans per column)
+    val per = df.groupBy(v.as("v")).agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val meta = per.agg(
+        count(when(col("v").isNotNull, 1)).as("nd"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("nulls"))
+        .collect()(0)
+      val (nDistinct, nulls) = (meta.getLong(0), meta.getLong(1))
+      // loud guard: an unbounded domain must be quantized by the
+      // caller, not silently single-partition-sorted
+      require(nDistinct <= maxDistinct,
+        s"$c has $nDistinct distinct values (max $maxDistinct): quantize " +
+          "before profiling — exact percentiles over an unbounded domain " +
+          "would globally sort the corpus")
+      val wOrder = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per.filter(col("v").isNotNull)
+        .withColumn("cum", sum(col("cnt")).over(wOrder))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val pAggs = ps.map(p =>
+        min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
+      val aggs = Seq(max(col("n")).as("n"), min(col("v")).as("vmin"),
+        max(col("v")).as("vmax")) ++ pAggs
+      val result = cum.agg(aggs.head, aggs.tail: _*)
+        .select(Seq(lit(c).as("colname"), col("n"), lit(nulls).as("nulls"),
+          lit(nDistinct).as("n_distinct"), col("vmin"), col("vmax")) ++
+          ps.map(p => col(s"p$p")): _*)
+      // ≤ 1 row: materialize off the cached reduction so the frame this
+      // returns holds no reference to the unpersisted cache
+      val rows = result.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), result.schema)
+    } finally { per.unpersist(); () }
   }
 }

@@ -367,9 +367,11 @@ object PipelineRunner {
           val publishedBefore: Set[String] =
             if (jobCommitted) spec.branches.map(_.name).toSet
             else branchState.collect { case (n, Some(_)) => n }.toSet
+          // reference semantics: maxretries counts RETRIES, so a task
+          // gets retries+1 attempts (LocalTaskStateTracker.java:94)
           val o = Fork.runPartial(input, forkBranches, runId,
             branchGate = gate, skipEmpty = publishedBefore,
-            maxAttempts = spec.taskMaxRetries)
+            maxAttempts = spec.taskMaxRetries + 1)
           if (o.succeeded.isEmpty && o.skipped.isEmpty && forkBranches.nonEmpty)
             throw new IllegalStateException(
               "all branches failed: " + o.failed.map {

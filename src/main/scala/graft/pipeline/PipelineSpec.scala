@@ -67,8 +67,13 @@ final case class PipelineSpec(name: String,
                               // "successful" = COMMIT_SUCCESSFUL_TASKS
                               // (JobCommitPolicy.java:35,53)
                               commitPolicy: String = "full",
-                              // in-place branch retry under "successful"
-                              // (task.maxretries; ConfigurationKeys:257)
+                              // in-place branch RETRIES (not attempts)
+                              // under "successful" — the reference's
+                              // semantics: a task runs up to retries+1
+                              // times (task.maxretries;
+                              // ConfigurationKeys:257-258 default 5,
+                              // LocalTaskStateTracker.java:94
+                              // `retryCount < maxTaskRetries`)
                               taskMaxRetries: Int = 1)
 
 object PipelineSpec {

@@ -41,8 +41,12 @@ object BloomIndexedSource {
     val spark = df.sparkSession
     df.repartitionByRange(numFiles, col(clusterCol))
       .write.mode("overwrite").parquet(dir)
+    // NULL keys can never match a point probe — and Row.getLong on a
+    // null would NPE the index build AFTER the data landed, leaving a
+    // half-published table (data without its sidecar)
     val written = spark.read.parquet(dir)
       .select(input_file_name().as("file"), col(keyCol).cast("long").as("k"))
+      .filter(col("k").isNotNull)
     // expected insertions per file with headroom; a tighter file just
     // saturates toward fpp, never loses a key
     val perFile = math.max(64L, 2L * written.count() / math.max(1, numFiles))

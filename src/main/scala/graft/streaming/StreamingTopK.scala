@@ -45,7 +45,10 @@ object StreamingTopK {
                                  k: Int): Array[(Int, String, Long, Long, Long)] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    batch.select(col(keyCol).cast("string")).as[String]
+    // NULL is absence, not a key (same contract as HeavyHitters) — and
+    // a null state row is reserved for the meta sentinel below
+    batch.select(col(keyCol).cast("string"))
+      .filter(col(keyCol).isNotNull).as[String]
       .mapPartitions { it =>
         val counters = mutable.HashMap.empty[String, Long]
         var dec = 0L
@@ -103,7 +106,7 @@ object StreamingTopK {
     val rows = spark.read.schema(stateSchema)
       .parquet(s"$stateDir/batch_id=$latest").collect()
     val counts = rows.iterator
-      .filter(r => !r.isNullAt(1) && r.getLong(1) > 0)
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) > 0)
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (d, n) =
       if (rows.isEmpty) (0L, 0L) else (rows(0).getLong(2), rows(0).getLong(3))
@@ -128,8 +131,16 @@ object StreamingTopK {
     val v = mgReduce(combined, k)
     val d = prevD + dBatch + v
     val n = prevN + nBatch
+    // the (d, n) meta is denormalized on every row — a state that
+    // decremented to EMPTY must still persist it (losing d would make
+    // a later estimates() claim "exact, any unlisted key ≤ 0" after
+    // the very overflow that decremented keys away), so an empty
+    // state writes one NULL-key meta sentinel
     val out = combined.toSeq.sortBy(r => (-r._2, r._1))
-      .map { case (kk, c) => (kk, c, d, n) }
+      .map { case (kk, c) => (kk, c, d, n) } match {
+      case Seq() => Seq((null.asInstanceOf[String], 0L, d, n))
+      case rows => rows
+    }
     import spark.implicits._
     out.toDF("key", "est", "d", "n").coalesce(1)
       .write.mode(SaveMode.Overwrite)

@@ -31,17 +31,23 @@ object QualityTiers {
     require(k >= 2, s"k must be >= 2: $k")
     require(!df.columns.contains(tierCol),
       s"column $tierCol already exists — pick another tierCol")
-    val n = df.count()
+    // NULL scores are EXCLUDED, not tiered: an equi-join on the score
+    // would silently drop them anyway while still counting them in n,
+    // skewing every boundary — excluding them from BOTH sides keeps the
+    // total-membership contract exact over the scored rows. Callers
+    // tier unscored rows separately if they want them.
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val n = scored.count()
     val w = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val perScore = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
+    val perScore = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
       .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
     // smallest i in 1..k with __before < i*n/k (boundaries are driver
     // literals, same floor division the oracle does)
     val tier = (1 until k).reverse.foldLeft(lit(k): Column) { (acc, i) =>
       when(col("__before") < lit(i.toLong * n / k), lit(i)).otherwise(acc)
     }
-    df.join(broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
+    scored.join(broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
       Seq(scoreCol))
   }
 }

@@ -145,6 +145,20 @@ class PartialCommitSpec extends SparkSpec {
     assert(res.branchCounts("main") == 20L)
   }
 
+  test("task.maxretries counts RETRIES like the reference: 0 = one attempt") {
+    val base = tmpDir("retry-zero")
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(s"$base/in")
+    val spec = PipelineSpec.fromProperties(Map(
+      "job.name" -> "r0", "source.format" -> "parquet",
+      "source.path" -> s"$base/in", "job.commit.policy" -> "successful",
+      "task.maxretries" -> "0",
+      "fork.1.name" -> "bad", "fork.1.filter" -> "no_such_column > 0",
+      "fork.1.out" -> s"$base/out"))
+    val e = intercept[Exception] { PipelineRunner.run(spark, spec, "r0") }
+    assert(e.getMessage.contains("after 1 attempts:"),
+      s"0 retries must mean exactly one attempt: ${e.getMessage}")
+  }
+
   test("runPartial skipEmpty: empty delta keeps previous output intact") {
     val base = tmpDir("partial-skip")
     graft.sinks.AtomicPublisher.publish(

@@ -79,6 +79,28 @@ class StreamingTopKSpec extends SparkSpec {
     assert(dirs == Set("batch_id=0", "batch_id=1"))
   }
 
+  test("a state that decrements to empty still preserves the d bound") {
+    val state = tmpDir("tk5-state")
+    // k=2: batch 0 leaves {a:2, b:2}; batch 1 adds {c:2, d:2} → merged
+    // 4 equal counts, MG-reduce subtracts the 3rd largest (2) and the
+    // state wipes to EMPTY — d must still accumulate to 2, not reset
+    StreamingTopK.step(spark,
+      Seq("a", "a", "b", "b").toDF("key").coalesce(1), 0L, "key", 2, state)
+    StreamingTopK.step(spark,
+      Seq("c", "c", "d", "d").toDF("key").coalesce(1), 1L, "key", 2, state)
+    val afterWipe = StreamingTopK.estimates(spark, state).collect()
+    assert(afterWipe.isEmpty, "no key can be listed after the wipe")
+    // the meta survived: a later batch reports d=2, not d=0
+    StreamingTopK.step(spark,
+      Seq("z").toDF("key").coalesce(1), 2L, "key", 2, state)
+    val rows = StreamingTopK.estimates(spark, state).collect()
+    assert(rows.length == 1)
+    val (est, d, n) = (rows(0).getLong(1), rows(0).getLong(3),
+      rows(0).getLong(4))
+    assert(est == 1L && d == 2L && n == 9L,
+      s"est=$est d=$d n=$n — the wipe's subtraction must persist in d")
+  }
+
   test("undercount bound is honored against exact truth on skew") {
     val state = tmpDir("tk4-state")
     val data = Seq.fill(200)("h1") ++ Seq.fill(120)("h2") ++
