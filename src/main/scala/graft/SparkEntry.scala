@@ -2367,6 +2367,22 @@ object SparkEntry {
         .select("doc_id", "source", "seq_id", "seq_pos", "doc_off",
           "n_tokens")
     }),
+
+    // per-source dataset card: the one-row-per-source summary a corpus
+    // release ships (doc/token counts, language spread, size envelope,
+    // repetition-clean rate) — one map-side-combined aggregate over
+    // map-only signals, integer-exact end to end.
+    "q152_dataset_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("max_run", graft.text.TextStats.maxTokenRun(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_tokens"),
+          countDistinct("lang").as("n_langs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum(when(col("max_run") < 3, 1L).otherwise(0L)).as("clean_docs"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2858,6 +2874,20 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q152_dataset_card" ->
+      ("WITH tok AS (SELECT doc_id, unnest(range(1, " +
+        "len(string_split(text, ' ')) + 1)) AS i, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "r AS (SELECT doc_id, tok, i, i - row_number() OVER " +
+        "(PARTITION BY doc_id, tok ORDER BY i) AS grp FROM tok), " +
+        "runs AS (SELECT doc_id, max(cnt) AS max_run FROM (SELECT doc_id, " +
+        "count(*) AS cnt FROM r GROUP BY doc_id, tok, grp) GROUP BY doc_id) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS total_tokens, " +
+        "count(DISTINCT lang)::BIGINT AS n_langs, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "sum(CASE WHEN max_run < 3 THEN 1 ELSE 0 END)::BIGINT AS clean_docs " +
+        "FROM documents JOIN runs USING (doc_id) GROUP BY source"),
     "q151_training_pipeline" ->
       ("WITH d0 AS (SELECT doc_id, source, text, " +
         "len(string_split(text, ' '))::BIGINT AS n_toks FROM documents), " +

@@ -50,6 +50,29 @@ object MaterializedView {
     * `tsCol` must be monotone-complete in the source (everything up to
     * max(ts) has arrived — the same assumption every watermark-based
     * incremental pull makes). */
+  /** Streaming face: fold every micro-batch into the stored aggregate
+    * through [[refresh]] — the persisted event-time watermark is the
+    * exactly-once mechanism (a replayed batch's rows sit at or below
+    * the committed watermark and filter to an empty delta, so replay
+    * is a no-op), under the same monotone-complete contract as any
+    * watermark-incremental pull: a key's rows must arrive in event-time
+    * order across batches. The half-applied-refresh refusal applies
+    * per micro-batch exactly as in batch mode. */
+  def sink(stream: DataFrame, viewDir: String, tsCol: String,
+           keyCols: Seq[String], specs: Seq[AggSpec],
+           checkpointDir: String,
+           trigger: org.apache.spark.sql.streaming.Trigger =
+             org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refresh(batch.sparkSession, viewDir, batch, tsCol, keyCols, specs,
+          s"epoch-$batchId"): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   def refresh(spark: SparkSession, viewDir: String, src: DataFrame,
               tsCol: String, keyCols: Seq[String],
               specs: Seq[AggSpec], runId: String): RefreshStats = {

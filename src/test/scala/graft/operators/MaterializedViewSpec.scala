@@ -48,6 +48,38 @@ class MaterializedViewSpec extends SparkSpec {
     assert(canon(MaterializedView.read(spark, dir)) == before)
   }
 
+  test("streaming sink: micro-batch folds equal the full recompute; replay no-op") {
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val in = tmpDir("mv-stream-in")
+    val dir = tmpDir("mv-stream") + "/view"
+    // three event-time-ordered arrival files
+    val ordered = ev.orderBy("ts", "event_id")
+    Seq(ordered.limit(300),
+      ordered.limit(700).exceptAll(ordered.limit(300)),
+      ev.exceptAll(ordered.limit(700))).zipWithIndex.foreach { case (p, i) =>
+      val d = s"$in/f$i"
+      p.coalesce(1).write.parquet(d)
+      new java.io.File(d).listFiles()
+        .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val schema = ev.schema
+    def run(ckpt: String): Unit = {
+      val q = MaterializedView.sink(
+        graft.streaming.Streams.fileReplay(spark, s"$in/*", schema),
+        dir, "ts", keys, specs, ckpt)
+      q.awaitTermination()
+    }
+    run(tmpDir("mv-stream-ck"))
+    val streamed = canon(MaterializedView.read(spark, dir))
+    val full = canon(IncrementalAgg.state(ev, keys, specs))
+    assert(streamed == full)
+    // checkpoint loss: the files replay from scratch, the watermark
+    // filters every row out — state unchanged
+    run(tmpDir("mv-stream-ck2"))
+    assert(canon(MaterializedView.read(spark, dir)) == streamed)
+  }
+
   test("a half-applied refresh is refused, not silently double-counted") {
     val ev = Tables.load(spark, sf, "events")
     val dir = tmpDir("mv-crash") + "/view"
