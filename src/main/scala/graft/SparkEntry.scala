@@ -2383,6 +2383,29 @@ object SparkEntry {
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"),
           sum(when(col("max_run") < 3, 1L).otherwise(0L)).as("clean_docs"))),
+
+    // edit-distance fuzzy join (entity resolution): part names matched
+    // against a corrupted copy (last char dropped) — blocked equi-join
+    // on the 4-char prefix + levenshtein verify inside blocks, never
+    // all-pairs; the block-degeneracy guard refuses a non-selective key.
+    "q153_fuzzy_join" -> ((s, dir) => {
+      val names = t(s, dir, "part").select("p_name")
+      val mutated = names.distinct()
+        .select(expr("substring(p_name, 1, length(p_name) - 1)").as("mut"))
+      graft.operators.FuzzyJoin.join(names, mutated, "p_name", "mut",
+        maxDist = 2, blockLen = 4)
+    }),
+
+    // EXACT set-similarity self-join (PPJoin prefix filtering): every
+    // document pair with token-set Jaccard >= 0.95 — no false
+    // negatives (the deterministic complement of MinHash-LSH), verify
+    // integer-exact via cross-multiplication, candidates only from
+    // rarest-first prefix tokens so hot tokens never explode the join.
+    "q154_setsim_join" -> ((s, dir) =>
+      graft.text.SetSimJoin.selfJoin(
+        t(s, dir, "documents"), "doc_id", "text", thresholdPermille = 950)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("inter"), col("uni"))),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2874,6 +2897,24 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q153_fuzzy_join" ->
+      ("WITH n AS (SELECT DISTINCT p_name FROM part), " +
+        "m AS (SELECT DISTINCT substr(p_name, 1, len(p_name) - 1) AS mut " +
+        "FROM part) " +
+        "SELECT a.p_name, b.mut, levenshtein(a.p_name, b.mut)::BIGINT " +
+        "AS dist FROM n a JOIN m b ON substr(a.p_name, 1, 4) = " +
+        "substr(b.mut, 1, 4) WHERE levenshtein(a.p_name, b.mut) <= 2"),
+    "q154_setsim_join" ->
+      ("WITH w AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "WHERE len(w) > 0), " +
+        "s AS (SELECT doc_id, list(DISTINCT w) AS toks FROM w GROUP BY 1) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "len(list_intersect(a.toks, b.toks))::BIGINT AS inter, " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))" +
+        "::BIGINT AS uni FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.toks, b.toks)) * 1000 >= 950 * " +
+        "(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))"),
     "q152_dataset_card" ->
       ("WITH tok AS (SELECT doc_id, unnest(range(1, " +
         "len(string_split(text, ' ')) + 1)) AS i, " +
