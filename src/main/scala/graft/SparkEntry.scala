@@ -2406,6 +2406,26 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", thresholdPermille = 950)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("inter"), col("uni"))),
+
+    // WITHIN-SESSION funnel (conversion inside one visit): 30-min gap
+    // sessions assigned row-level by the sessionize lag/cumsum, then
+    // the funnel recursion runs per (user, session) through the
+    // composite-key window — both passes share one hash partitioning
+    // on user_id.
+    "q155_session_funnel" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(byUser)
+      val withSess = t(s, dir, "events")
+        .withColumn("__opens", when(prev.isNull ||
+          col("ts") > prev + expr("INTERVAL 30 MINUTE"), 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("__opens")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      graft.operators.Funnel.depth(withSess, Seq("user_id", "session_seq"),
+        "ts", "event_type", Seq("view", "click", "purchase"), "event_id")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2897,6 +2917,27 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q155_session_funnel" -> {
+      val w = "PARTITION BY user_id, session_seq ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING"
+      "WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, " +
+        "event_type FROM events), " +
+        "g AS (SELECT *, CASE WHEN lag(ts) OVER uw IS NULL OR ts > " +
+        "lag(ts) OVER uw + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+        "FROM o WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sg AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, " +
+        "event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM g), " +
+        s"s0 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) " +
+        s"OVER ($w) AS r0 FROM sg), " +
+        s"s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= r0 " +
+        s"THEN ts END) OVER ($w) AS r1 FROM s0), " +
+        s"s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND " +
+        s"ts >= r1 THEN ts END) OVER ($w) AS r2 FROM s1) " +
+        "SELECT user_id, session_seq::BIGINT AS session_seq, " +
+        "max(CASE WHEN r2 IS NOT NULL THEN 3 WHEN r1 IS NOT NULL THEN 2 " +
+        "WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS depth " +
+        "FROM s2 GROUP BY user_id, session_seq"
+    },
     "q153_fuzzy_join" ->
       ("WITH n AS (SELECT DISTINCT p_name FROM part), " +
         "m AS (SELECT DISTINCT substr(p_name, 1, len(p_name) - 1) AS mut " +

@@ -28,10 +28,19 @@ object Funnel {
   /** Per-user funnel depth: (userCol, depth) with depth in 0..stages.n.
     * Users present in `df` but never reaching stage₀ report depth 0. */
   def depth(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
-            stages: Seq[String], tieCol: String): DataFrame = {
+            stages: Seq[String], tieCol: String): DataFrame =
+    depth(df, Seq(userCol), tsCol, typeCol, stages, tieCol)
+
+  /** Composite-key face (e.g. per (user, session) for within-session
+    * conversion): same recursion, the window partitions on every key. */
+  def depth(df: DataFrame, userCols: Seq[String], tsCol: String,
+            typeCol: String, stages: Seq[String],
+            tieCol: String): DataFrame = {
+    require(userCols.nonEmpty, "funnel needs at least one key column")
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, s"stages must be distinct: $stages")
-    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val w = Window.partitionBy(userCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withReach = stages.zipWithIndex.foldLeft(df) {
       case (d, (stage, 0)) =>
@@ -48,7 +57,7 @@ object Funnel {
       case (els, k) => when(col(reachCol(k)).isNotNull, lit(k + 1)).otherwise(els)
     }
     withReach
-      .groupBy(col(userCol))
+      .groupBy(userCols.map(col): _*)
       .agg(max(rowDepth).cast("bigint").as("depth"))
   }
 
