@@ -196,6 +196,20 @@ object PipelineRunner {
     }
 
     // ---- 2. transforms (the Converter chain, declaratively) ----
+    // keys for the encrypt:/decrypt: transforms load ONCE here on the
+    // driver (a JSON credential store path in the transform spec); the
+    // per-row work stays a map-only expression
+    def jsonRing(parts: Array[String]): graft.functions.KeyCrypto.KeyRing = {
+      val codec = parts.lift(2).getOrElse("hex") match {
+        case "hex" => graft.functions.JsonCredentialStore.Hex
+        case "b64" => graft.functions.JsonCredentialStore.B64
+        case bad => throw new IllegalArgumentException(
+          s"key codec must be hex or b64: $bad")
+      }
+      graft.functions.JsonCredentialStore.loadRing(parts(1), codec,
+        spark.sparkContext.hadoopConfiguration)
+    }
+
     val transformed = spec.transformExprs.foldLeft(sourced) { (df, t) =>
       t.split(":", 2) match {
         case Array("selectExpr", exprs) => df.selectExpr(exprs.split(';').map(_.trim).toIndexedSeq: _*)
@@ -275,6 +289,20 @@ object PipelineRunner {
           val doms = parts(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           df.filter(graft.text.UrlOps.domain(col(parts(0))).isNull ||
             !graft.text.UrlOps.isBlockedDomain(col(parts(0)), doms))
+        // field-level crypto in the converter chain — the reference's
+        // encryption IS a converter (gobblin-crypto EncryptionFactory);
+        // keys load once on the driver from a JSON credential store,
+        // the per-row work is the map-only rotating-AES expression
+        case Array("encrypt", spec2) => // col;/path/to/keys.json[;hex|b64]
+          val parts = spec2.split(';').map(_.trim)
+          val ring = jsonRing(parts)
+          df.withColumn(parts(0),
+            graft.functions.KeyCrypto.encryptStringField(col(parts(0)), ring))
+        case Array("decrypt", spec2) => // col;/path/to/keys.json[;hex|b64]
+          val parts = spec2.split(';').map(_.trim)
+          val ring = jsonRing(parts)
+          df.withColumn(parts(0),
+            graft.functions.KeyCrypto.decryptStringField(col(parts(0)), ring))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -402,6 +402,39 @@ class PipelineSpecSuite extends SparkSpec {
       "canonical URLs must drop tracking params")
   }
 
+  test("declarative encrypt/decrypt transforms round-trip through a key store") {
+    val out = tmpDir("pipe-crypto")
+    // 16-byte AES-128 key, hex JSON credential store
+    val key = (0 until 16).map(i => f"${(i * 7 + 3) % 256}%02x").mkString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/keys.json"), s"""{"1": "$key"}""")
+    val spec = PipelineSpec(
+      name = "enc",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "selectExpr:doc_id;text",
+        s"encrypt:text;$out/keys.json"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/enc")))
+    PipelineRunner.run(spark, spec, "runEnc")
+    val enc = spark.read.parquet(s"$out/enc")
+    val plain = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    assert(enc.join(plain.withColumnRenamed("text", "orig"), "doc_id")
+      .filter(col("text") === col("orig")).count() == 0,
+      "ciphertext must differ from every plaintext")
+    val spec2 = PipelineSpec(
+      name = "dec",
+      source = SourceSpec(format = "parquet", path = s"$out/enc"),
+      transformExprs = Seq(s"decrypt:text;$out/keys.json"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/dec")))
+    PipelineRunner.run(spark, spec2, "runDec")
+    val roundTrip = spark.read.parquet(s"$out/dec")
+      .withColumnRenamed("text", "rt")
+    assert(roundTrip.join(plain, "doc_id")
+      .filter(col("rt") =!= col("text")).count() == 0,
+      "decrypt∘encrypt must be identity")
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
