@@ -2426,6 +2426,19 @@ object SparkEntry {
       graft.operators.Funnel.depth(withSess, Seq("user_id", "session_seq"),
         "ts", "event_type", Seq("view", "click", "purchase"), "event_id")
     }),
+
+    // distribution drift between two time windows as EXACT
+    // total-variation distance: integer/decimal-only cross-multiplied
+    // permille — a drift gate that cannot flicker across engines or
+    // partition orders (the shape complement to q106's volume drift).
+    "q156_distribution_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_type"), col("ts"), floor(col("value")).as("bin"))
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      graft.operators.DriftCheck.tvDrift(
+        ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+        "bin", Seq("event_type"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2917,6 +2930,24 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q156_distribution_drift" ->
+      ("WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, " +
+        "floor(value) AS bin FROM events WHERE value IS NOT NULL), " +
+        "ca AS (SELECT event_type, bin, count(*)::BIGINT AS c FROM e " +
+        "WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2), " +
+        "cb AS (SELECT event_type, bin, count(*)::BIGINT AS c FROM e " +
+        "WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1, 2), " +
+        "j AS (SELECT COALESCE(ca.event_type, cb.event_type) AS event_type, " +
+        "COALESCE(ca.bin, cb.bin) AS bin, COALESCE(ca.c, 0) AS ca, " +
+        "COALESCE(cb.c, 0) AS cb FROM ca FULL JOIN cb " +
+        "ON ca.event_type = cb.event_type AND ca.bin = cb.bin), " +
+        "t AS (SELECT event_type, ca, cb, " +
+        "sum(ca) OVER (PARTITION BY event_type) AS na, " +
+        "sum(cb) OVER (PARTITION BY event_type) AS nb FROM j) " +
+        "SELECT event_type, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b, " +
+        "(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN 1000 " +
+        "ELSE 500 * sum(abs(ca * nb - cb * na)) // (max(na) * max(nb)) " +
+        "END)::BIGINT AS tv_permille FROM t GROUP BY event_type"),
     "q155_session_funnel" -> {
       val w = "PARTITION BY user_id, session_seq ORDER BY ts, event_id " +
         "ROWS UNBOUNDED PRECEDING"
