@@ -370,12 +370,31 @@ object PipelineRunner {
       Fork.Branch(b.name, pred, b.transform, b.outDir, b.writeSpec)
     }
     // ---- 3a. task policies run BEFORE anything becomes visible ----
-    def gate(name: String, c: Fork.BranchResult): Unit =
+    def gate(name: String, c: Fork.BranchResult): Unit = {
       spec.rowCountRange.foreach { range =>
         require(Quality.rowCountRange(c.routed, c.written, range),
           s"row-count policy failed for branch $name: " +
             s"expected≈${c.routed} written=${c.written}")
       }
+      // drift gate: recompute the branch's LOGICAL output (column
+      // pruning cuts it to the bin expression — no staged-file read)
+      // and measure exact total-variation against the reference
+      spec.driftPolicy.foreach { dp =>
+        val fb = forkBranches.find(_.name == name).getOrElse(
+          throw new IllegalStateException(s"no branch named $name"))
+        val outFrame = fb.transform(
+          fb.predicate.map(input.filter).getOrElse(input))
+        val ref = spark.read.parquet(dp.refPath)
+        val tv = graft.operators.DriftCheck.tvDrift(
+            outFrame.selectExpr(s"${dp.binExpr} AS __graft_drift_bin"),
+            ref.selectExpr(s"${dp.binExpr} AS __graft_drift_bin"),
+            "__graft_drift_bin")
+          .collect()(0).getAs[Long]("tv_permille")
+        require(tv <= dp.maxPermille,
+          s"drift policy failed for branch $name: TV=$tv permille vs " +
+            s"reference ${dp.refPath} (max ${dp.maxPermille})")
+      }
+    }
     val (branchResults, failedBranches, skippedBranches) =
       spec.commitPolicy match {
         case "successful" =>

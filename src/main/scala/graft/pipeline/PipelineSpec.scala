@@ -55,12 +55,21 @@ final case class RowPolicySpec(name: String, predicateExpr: String,
     })
 }
 
+/** Distribution-drift task policy: before ANY branch becomes visible,
+  * bin the branch output with `binExpr`, compare against the reference
+  * dataset at `refPath` (same schema, binned the same way) via the
+  * exact total-variation gate, refuse the commit past `maxPermille`.
+  * The shape-drift complement to the row-count range policy. */
+final case class DriftPolicySpec(binExpr: String, refPath: String,
+                                 maxPermille: Long)
+
 final case class PipelineSpec(name: String,
                               source: SourceSpec,
                               transformExprs: Seq[String] = Nil, // SQL select-exprs, chained
                               rowPolicies: Seq[RowPolicySpec] = Nil,
                               errDir: Option[String] = None,
                               rowCountRange: Option[Double] = None, // task policy
+                              driftPolicy: Option[DriftPolicySpec] = None,
                               branches: Seq[BranchSpec],
                               stateDir: Option[String] = None,
                               // "full" = COMMIT_ON_FULL_SUCCESS (default);
@@ -151,6 +160,14 @@ object PipelineSpec {
       rowPolicies = rowPolicies,
       errDir = props.get("qualitychecker.err.dir"),
       rowCountRange = props.get("taskpolicy.rowcount.range").map(_.toDouble),
+      driftPolicy = props.get("taskpolicy.drift.ref").map(ref =>
+        DriftPolicySpec(
+          binExpr = props.getOrElse("taskpolicy.drift.bin",
+            throw new IllegalArgumentException(
+              "taskpolicy.drift.ref needs taskpolicy.drift.bin")),
+          refPath = ref,
+          maxPermille = props.getOrElse("taskpolicy.drift.max.permille", "200")
+            .toLong)),
       branches = branches,
       stateDir = props.get("state.dir"),
       commitPolicy = props.getOrElse("job.commit.policy", "full"),

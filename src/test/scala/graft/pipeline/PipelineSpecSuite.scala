@@ -435,6 +435,38 @@ class PipelineSpecSuite extends SparkSpec {
       "decrypt∘encrypt must be identity")
   }
 
+  test("drift task policy: a shape-shifted publish is refused before visibility") {
+    val out = tmpDir("pipe-drift")
+    graft.Tables.load(spark, sf, "events").select("event_id", "value")
+      .write.parquet(s"$out/ref")
+    // dropping everything below the median halves the value mass →
+    // TV far beyond the 200-permille gate
+    val drifty = PipelineSpec(
+      name = "drifty",
+      source = SourceSpec(format = "parquet", path = s"$sf/events.parquet"),
+      transformExprs = Seq("selectExpr:event_id;value", "filter:value > 35"),
+      driftPolicy = Some(DriftPolicySpec("floor(value)", s"$out/ref", 200L)),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    val e = intercept[Exception] { PipelineRunner.run(spark, drifty, "runDr") }
+    assert(e.getMessage.contains("drift policy failed"), e.getMessage)
+    assert(!new java.io.File(s"$out/main").exists, "nothing may publish")
+    // the un-skewed pipeline passes the same gate and publishes
+    val clean = drifty.copy(name = "clean",
+      transformExprs = Seq("selectExpr:event_id;value"))
+    PipelineRunner.run(spark, clean, "runDr2")
+    assert(spark.read.parquet(s"$out/main").count() > 0)
+    // properties face parses the policy
+    val parsed = PipelineSpec.fromProperties(Map(
+      "job.name" -> "p", "source.format" -> "parquet",
+      "source.path" -> s"$sf/events.parquet",
+      "taskpolicy.drift.bin" -> "floor(value)",
+      "taskpolicy.drift.ref" -> s"$out/ref",
+      "taskpolicy.drift.max.permille" -> "150",
+      "fork.1.name" -> "main", "fork.1.out" -> s"$out/x"))
+    assert(parsed.driftPolicy.contains(
+      DriftPolicySpec("floor(value)", s"$out/ref", 150L)))
+  }
+
   test("numeric (SIMPLE) watermark advances and is honored on re-run") {
     val out = tmpDir("pipe-numwm")
     val spec = PipelineSpec(
