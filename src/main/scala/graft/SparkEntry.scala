@@ -2439,6 +2439,23 @@ object SparkEntry {
         ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
         "bin", Seq("event_type"))
     }),
+
+    // day-over-day drift TIME SERIES: each day's value distribution
+    // TV-gated against the previous day's, all days in ONE tvDrift
+    // call — side A keyed by its own day, side B re-keyed to day+1, so
+    // the per-group machinery compares consecutive days; first/last
+    // one-sided groups filter out. The monitoring feed a drift alert
+    // subscribes to.
+    "q157_drift_series" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"), floor(col("value")).as("bin"))
+      val a = ev.withColumn("pair", col("day")).drop("day")
+      val b = ev.withColumn("pair", date_add(col("day"), 1)).drop("day")
+      graft.operators.DriftCheck.tvDrift(a, b, "bin", Seq("pair"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(date_format(col("pair"), "yyyy-MM-dd").as("day"),
+          col("n_a"), col("n_b"), col("tv_permille"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2930,6 +2947,24 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q157_drift_series" ->
+      ("WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+        "floor(value) AS bin FROM events WHERE value IS NOT NULL), " +
+        "ca AS (SELECT day AS pair, bin, count(*)::BIGINT AS c FROM e " +
+        "GROUP BY 1, 2), " +
+        "cb AS (SELECT day + 1 AS pair, bin, count(*)::BIGINT AS c FROM e " +
+        "GROUP BY 1, 2), " +
+        "j AS (SELECT COALESCE(ca.pair, cb.pair) AS pair, " +
+        "COALESCE(ca.bin, cb.bin) AS bin, COALESCE(ca.c, 0) AS ca, " +
+        "COALESCE(cb.c, 0) AS cb FROM ca FULL JOIN cb " +
+        "ON ca.pair = cb.pair AND ca.bin = cb.bin), " +
+        "t AS (SELECT pair, ca, cb, sum(ca) OVER (PARTITION BY pair) AS na, " +
+        "sum(cb) OVER (PARTITION BY pair) AS nb FROM j), " +
+        "g AS (SELECT pair, max(na) AS na, max(nb) AS nb, " +
+        "sum(abs(ca * nb - cb * na)) AS s FROM t GROUP BY pair) " +
+        "SELECT strftime(pair, '%Y-%m-%d') AS day, na::BIGINT AS n_a, " +
+        "nb::BIGINT AS n_b, (500 * s // (na * nb))::BIGINT AS tv_permille " +
+        "FROM g WHERE na > 0 AND nb > 0"),
     "q156_distribution_drift" ->
       ("WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, " +
         "floor(value) AS bin FROM events WHERE value IS NOT NULL), " +
