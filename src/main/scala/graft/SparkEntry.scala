@@ -2456,6 +2456,48 @@ object SparkEntry {
         .select(date_format(col("pair"), "yyyy-MM-dd").as("day"),
           col("n_a"), col("n_b"), col("tv_permille"))
     }),
+
+    // COUNT DISTINCT through the rollup tree: plain counts re-merge
+    // (q137), distinct counts can't — unless the stored partial state
+    // is a SKETCH. Daily HLL sketches union into weekly estimates
+    // without re-touching raw data (Datasketches hll_union_agg), and
+    // the row SELF-CERTIFIES: the query recomputes the exact weekly
+    // distinct and requires the estimate within 2%, so the oracle row
+    // witnesses the sketch's accuracy, not just its existence.
+    "q158_hll_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("week", date_trunc("week", col("ts")))
+      val daily = ev.groupBy("week", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily.groupBy("week")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+      val exact = ev.groupBy("week")
+        .agg(countDistinct("user_id").as("exact_users"))
+      exact.join(weekly, "week")
+        .withColumn("ok",
+          abs(col("approx") - col("exact_users")) * 50 <= col("exact_users"))
+        .withColumn("ok", when(col("ok"), col("ok")).otherwise(
+          raise_error(concat(lit("HLL rollup off by >2%: "),
+            col("approx"), lit(" vs "), col("exact_users")))))
+        .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+          col("exact_users"), col("ok"))
+    }),
+
+    // SCD-2 point-in-time read: the dimension AS OF a date via the
+    // validity intervals alone — map-only filter, no snapshot store;
+    // must equal the latest-per-key compaction of the changelog
+    // truncated at that date (the oracle recomputes it that way).
+    "q159_scd2_asof" -> ((s, dir) => {
+      val ch = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("event_id"))
+      val hist = graft.operators.Scd.scd2(ch, Seq("user_id"), "ts",
+        delta = Seq(col("event_id").desc))
+      graft.operators.Scd.asOf(hist,
+          to_timestamp(lit("2024-01-15 00:00:00")))
+        .select("user_id", "event_type", "value", "valid_from")
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2947,6 +2989,18 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q158_hll_rollup" ->
+      ("SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), " +
+        "'%Y-%m-%d') AS week, count(DISTINCT user_id)::BIGINT " +
+        "AS exact_users, true AS ok FROM events GROUP BY 1"),
+    "q159_scd2_asof" ->
+      ("WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "event_type, value, event_id FROM events WHERE " +
+        "CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM c) " +
+        "SELECT user_id, event_type, value, ts AS valid_from FROM r " +
+        "WHERE rn = 1"),
     "q157_drift_series" ->
       ("WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
         "floor(value) AS bin FROM events WHERE value IS NOT NULL), " +

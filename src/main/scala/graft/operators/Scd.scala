@@ -49,4 +49,16 @@ object Scd {
     * compaction, derived from the history instead of recomputed). */
   def current(history: DataFrame, validTo: String = "valid_to"): DataFrame =
     history.filter(col(validTo).isNull)
+
+  /** Point-in-time read: the version of each key valid AT `ts` —
+    * `valid_from <= ts < valid_to` (open version catches everything
+    * since its start). A map-only filter over the history: time travel
+    * on a dimension without a snapshot store, because the validity
+    * intervals ARE the version index. Keys first seen after `ts`
+    * simply have no row. */
+  def asOf(history: DataFrame, ts: Column,
+           validFrom: String = "valid_from",
+           validTo: String = "valid_to"): DataFrame =
+    history.filter(col(validFrom) <= ts &&
+      (col(validTo).isNull || ts < col(validTo)))
 }

@@ -82,6 +82,23 @@ class ScdSpec extends SparkSpec {
     assert(viaIntervals.values.exists(_.nonEmpty))
   }
 
+  test("asOf reads the version valid at the point, boundaries inclusive-exclusive") {
+    val ch = Seq(
+      ("k1", ts("10:00:00"), "v1"),
+      ("k1", ts("12:00:00"), "v2"),
+      ("k2", ts("13:00:00"), "w1")).toDF("k", "ts", "p")
+    val h = Scd.scd2(ch, Seq("k"), "ts")
+    def at(t: String): Set[(String, String)] =
+      Scd.asOf(h, lit(ts(t))).select("k", "p")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(at("09:00:00") == Set.empty)
+    assert(at("10:00:00") == Set("k1" -> "v1"), "valid_from is inclusive")
+    assert(at("11:59:59") == Set("k1" -> "v1"))
+    assert(at("12:00:00") == Set("k1" -> "v2"), "valid_to is exclusive")
+    assert(at("14:00:00") == Set("k1" -> "v2", "k2" -> "w1"),
+      "open versions catch everything after their start")
+  }
+
   test("clashing interval column names are refused") {
     val ch = Seq(("k", ts("10:00:00"), "x")).toDF("k", "ts", "valid_from")
     val e = intercept[IllegalArgumentException] {
