@@ -38,8 +38,17 @@ object DriftCheck {
       df.filter(col(binCol).isNotNull)
         .groupBy((byCols :+ binCol).map(col): _*)
         .agg(count(lit(1)).as(out))
-    val joined = reduce(a, "__ca")
-      .join(reduce(b, "__cb"), byCols :+ binCol, "full")
+    tvDriftCounts(reduce(a, "ca"), reduce(b, "cb"), binCol, byCols)
+  }
+
+  /** Counts-based core for callers that already hold reduced
+    * (bin, count) frames — the streaming monitor folds cumulative
+    * counts and compares WITHOUT re-touching raw rows. `a`/`b` carry
+    * (byCols…, binCol, ca) and (byCols…, binCol, cb). */
+  def tvDriftCounts(a: DataFrame, b: DataFrame, binCol: String,
+                    byCols: Seq[String] = Nil): DataFrame = {
+    val joined = a.withColumnRenamed("ca", "__ca")
+      .join(b.withColumnRenamed("cb", "__cb"), byCols :+ binCol, "full")
       .na.fill(0L, Seq("__ca", "__cb"))
     val w =
       if (byCols.isEmpty) Window.partitionBy()
