@@ -2498,6 +2498,27 @@ object SparkEntry {
           to_timestamp(lit("2024-01-15 00:00:00")))
         .select("user_id", "event_type", "value", "valid_from")
     }),
+
+    // corpus concentration: Gini coefficient of token contribution
+    // across sources, permille-exact by cross-multiplied integers —
+    // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending totals. The
+    // ranking window runs over the ≤|sources| REDUCED totals (one
+    // map-side-combined agg reduces the corpus first), so "how
+    // dominated is the corpus by few sources" costs one aggregate.
+    "q160_corpus_gini" -> ((s, dir) => {
+      val perSource = t(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .groupBy("source").agg(sum("n_toks").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("x"), col("source"))
+      perSource
+        .withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum("x").as("total"),
+          sum(col("i") * col("x")).as("iw"))
+        .select(col("n"), col("total"),
+          expr("(1000 * (2 * iw - (n + 1) * total)) div (n * total)")
+            .cast("bigint").as("gini_permille"))
+    }),
   )
 
   /** In-process Bulk API v1 simulator for q101 (zero-egress stand-in for
@@ -2989,6 +3010,14 @@ object SparkEntry {
       ("SELECT word, count(*)::BIGINT AS cnt FROM (SELECT " +
         "unnest(string_split(text, ' ')) AS word FROM documents) " +
         "GROUP BY word ORDER BY cnt DESC, word LIMIT 25"),
+    "q160_corpus_gini" ->
+      ("WITH s AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT " +
+        "AS x FROM documents GROUP BY source), " +
+        "r AS (SELECT x, row_number() OVER (ORDER BY x, source)::BIGINT " +
+        "AS i FROM s) " +
+        "SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS total, " +
+        "((1000 * (2 * sum(i * x) - (count(*) + 1) * sum(x))) // " +
+        "(count(*) * sum(x)))::BIGINT AS gini_permille FROM r"),
     "q158_hll_rollup" ->
       ("SELECT strftime(date_trunc('week', CAST(ts AS TIMESTAMP)), " +
         "'%Y-%m-%d') AS week, count(DISTINCT user_id)::BIGINT " +
