@@ -800,10 +800,16 @@ object SparkEntry {
     // compression half): codebooks trained on a bounded deterministic
     // sample, corpus encoded to m bytes/vector (map-only expression),
     // queries scored via broadcast lookup tables — m byte-indexed adds
-    // per candidate instead of D multiplies. K-means is not
-    // SQL-expressible, so this row is rows-only (no DuckDB oracle); the
-    // PqSpec unit pins determinism, reconstruction error, planted-cluster
-    // top-1 accuracy, and the map-only plan.
+    // per candidate instead of D multiplies. K-means itself is not
+    // SQL-expressible, so the query SELF-CERTIFIES the lossy half
+    // in-query (the q158 raise_error pattern): (a) the mean squared
+    // reconstruction error of the codes stays under 15% of the mean
+    // squared vector norm (measured ≤ 7% at every test SF — a 2×
+    // margin), and (b) the exact nearest neighbor of every query is IN
+    // the ADC candidate set and survives the exact re-rank at rank 1 —
+    // planted-cluster top-1 recovery. The certified output is the exact
+    // top-1, which a DuckDB oracle recomputes (q64's cosine SQL);
+    // PqSpec still pins determinism and the map-only encode plan.
     "q100_pq_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val derived = emb.select(col("vec_id"),
@@ -813,10 +819,57 @@ object SparkEntry {
       val cb = graft.ann.Pq.train(derived, "vec_id", "embedding",
         m = 8, k = 16, sampleN = 2000, iters = 8)
       val enc = graft.ann.Pq.encode(derived, "vec_id", "embedding", cb)
-      graft.ann.Pq.adcTopK(enc, derived.filter(col("vec_id") < 5),
-        "vec_id", "embedding", cb, topK = 5)
+      val queries = derived.filter(col("vec_id") < 5)
+      // ADC candidates (64-deep over-fetch), then exact re-rank — the
+      // standard IVF-PQ + re-rank serving layout
+      val cand = graft.ann.Pq.adcTopK(enc, queries, "vec_id", "embedding",
+        cb, topK = 64)
+      val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val cv = derived.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val reranked = cand.select("query_id", "neighbor_id")
+        .join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine", Ann.dot(col("__qv"), col("__cv")) /
+          (Ann.norm(col("__qv")) * Ann.norm(col("__cv"))))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+      // brute-force exact top-1 (5 queries × corpus, one broadcast map
+      // pass) — the certification target
+      val brute = cv.crossJoin(broadcast(qv))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", Ann.dot(col("__qv"), col("__cv")) /
+          (Ann.norm(col("__qv")) * Ann.norm(col("__cv"))))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") === 1)
+        .select("query_id", "neighbor_id")
+      val missed = brute.join(reranked.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+        .agg(count(lit(1)).as("__missed"))
+      // (a) reconstruction-error bound over the whole encoded corpus
+      val recon = derived.select(col("embedding"),
+        graft.ann.Pq.decodeCol(graft.ann.Pq.encodeCol(col("embedding"), cb), cb)
+          .cast("array<double>").as("__dv"))
+        .agg(
+          avg(aggregate(zip_with(col("embedding"), col("__dv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+            .as("__mse"),
+          avg(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x * x)).as("__msq"))
+      val cert = broadcast(missed.crossJoin(recon))
+      reranked.crossJoin(cert)
+        .withColumn("ok", when(col("__missed") === 0 &&
+          col("__mse") * 100 <= col("__msq") * 15, lit(true)).otherwise(
+          raise_error(concat(lit("PQ certification failed: missed top-1 for "),
+            col("__missed"), lit(" queries; recon MSE "), col("__mse"),
+            lit(" vs mean sq norm "), col("__msq")))))
         .select(col("query_id"), col("neighbor_id"),
-          round(col("adc_dist"), 3).as("adc_dist_r"), col("rank"))
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"), col("ok"))
     }),
 
     // IVF over a PERSISTED index: same derived clustered corpus and
@@ -1516,39 +1569,87 @@ object SparkEntry {
 
     // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
     // within-cell near-duplicates (triangular max-cos, lowest id
-    // survives). k-means isn't SQL-expressible -> rows-only check, like
-    // q100; the operator's semantics are pinned by SemDeDupSpec's
-    // brute-force parity test on this same table.
+    // survives). k-means isn't SQL-expressible, so the query
+    // SELF-CERTIFIES (the q158 raise_error pattern): (a) re-running the
+    // duplicate finder over the survivor set with the same cells finds
+    // NOTHING — no surviving within-cell pair reaches the threshold;
+    // (b) no cell shed members (the loud mega-cell contract — numCells
+    // is sized so cells stay under maxCellSize at every test SF); and
+    // (c) every planted near-copy was caught and every base vector
+    // survived, which makes the certified survivor set exactly the base
+    // ids — the DuckDB-checkable output. SemDeDupSpec's brute-force
+    // parity unit still pins the pairing semantics.
     "q103_semdedup" -> ((s, dir) => {
       // the synthetic embeddings have no natural near-dups (max pair
       // cosine ~0.51), so plant them exactly as q43 does: a perturbed
-      // copy of every vector at vec_id+1000000 — the survivors must be
-      // (almost) exactly the base ids, caught by the rows-only gate and
-      // pinned semantically by SemDeDupSpec's brute-force parity test
+      // copy of every vector at vec_id+1000000
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      // 1e-6-scale perturbation: cosine to the base stays ≈ 1 (well
+      // over the 0.95 threshold) while the k-means cell assignment
+      // cannot flip unless a base vector sits within a ~1e-6 relative
+      // margin of a cell boundary — none does at any test SF, which
+      // certification (c) checks loudly
       val near = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
-          x * (lit(1.0) + lit(0.01) *
+          x * (lit(1.0) + lit(1e-6) *
             (pmod(i.cast("bigint"), lit(7L)) - lit(3L)).cast("double")))
           .as("embedding"))
       val corpus = base.unionByName(near)
       val model = graft.ann.Ann.ivfTrain(corpus, "vec_id", "embedding",
-        numCells = 16)
-      graft.ann.SemDeDup.survivors(corpus, "vec_id", "embedding", model,
-        threshold = 0.95).select("vec_id")
+        numCells = 64)
+      // certs (a)+(b) live in certifiedSurvivors (one ranked pass, two
+      // cell-confined pairings, shared via persist)
+      val surv = graft.ann.SemDeDup.certifiedSurvivors(corpus, "vec_id",
+        "embedding", model, threshold = 0.95)
+      // (c) planted recovery: survivors == base ids (both directions)
+      val sIds = surv.select("vec_id", "sem_ok")
+      val bIds = base.select("vec_id")
+      val uncaught = sIds.join(bIds, Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__uncaught"))
+      val overdrop = bIds.join(sIds.select("vec_id"), Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__overdropped"))
+      val cert = broadcast(uncaught.crossJoin(overdrop))
+      sIds.crossJoin(cert)
+        .withColumn("ok", when(col("__uncaught") === 0 &&
+          col("__overdropped") === 0, col("sem_ok"))
+          .otherwise(raise_error(concat(
+            lit("SemDeDup planted-recovery failed: surviving planted dups="),
+            col("__uncaught"), lit(", dropped base vectors="),
+            col("__overdropped")))))
+        .select(col("vec_id"), col("ok"))
     }),
 
     // Trained BPE tokenization (Sennrich et al. 2016): learn 200 merges
     // from the corpus word frequencies, count subword tokens per doc.
-    // The merge loop isn't SQL-expressible -> rows-only, pinned by
-    // BpeSpec (golden merges, losslessness, driver/expression parity).
+    // The merge loop isn't SQL-expressible, so the query SELF-CERTIFIES
+    // losslessness in-query (the q158 raise_error pattern): for EVERY
+    // row, the subword tokens concatenated back together must equal the
+    // normalized word sequence — decode∘encode identity — and the token
+    // count must be bounded by [n_words, n_chars + n_words] (each word
+    // yields ≥1 token, each token ≥1 symbol). The certified word count
+    // is the DuckDB-checkable output; BpeSpec still pins golden merges
+    // and driver/expression parity.
     "q104_bpe_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = graft.text.Bpe.train(docs, "text", numMerges = 200)
-      docs.select(col("doc_id"),
-        graft.text.Bpe.tokenCount(col("text"), model)
-          .cast("bigint").as("n_tokens"))
+      val eow = graft.text.Bpe.EndOfWord
+      docs.select(col("doc_id"), col("text"),
+        graft.text.Bpe.encode(col("text"), model).as("__toks"),
+        graft.text.Dsir.wordTokens(col("text")).as("__words"))
+        .withColumn("__n_tokens", size(col("__toks")).cast("bigint"))
+        .withColumn("n_words", size(col("__words")).cast("bigint"))
+        .withColumn("__decoded", array_join(col("__toks"), ""))
+        .withColumn("__expected", when(col("n_words") === 0, lit(""))
+          .otherwise(concat(array_join(col("__words"), eow), lit(eow))))
+        .withColumn("ok", when(col("__decoded") === col("__expected") &&
+          col("__n_tokens") >= col("n_words") &&
+          col("__n_tokens") <= col("n_words") +
+            length(array_join(col("__words"), "")), lit(true))
+          .otherwise(raise_error(concat(
+            lit("BPE decode∘encode identity failed for doc_id="),
+            col("doc_id")))))
+        .select(col("doc_id"), col("n_words"), col("ok"))
     }),
 
     // incremental snapshot replication e2e (IcebergDataset.java:72
@@ -2254,17 +2355,32 @@ object SparkEntry {
     // momentum on a bounded sample, scored corpus-wide via one
     // broadcast weight join. The planted label (more 'slow' than
     // 'fast' mentions) is linearly separable, so the learned filter
-    // must recover it — pinned by the unit suite; float scores make
-    // this rows-only for the oracle.
+    // must recover it — the query SELF-CERTIFIES that in-query (the
+    // q158 raise_error pattern): corpus-wide accuracy of the learned
+    // predictions against the planted rule must reach 95% (an
+    // integer-exact 100·correct ≥ 95·n gate) or the row errors loudly.
+    // The float scores stay out of the certified output; the planted
+    // label itself is the DuckDB-checkable column.
     "q145_quality_classifier" -> ((s, dir) => {
       import graft.text.QualityClassifier
       val docs = t(s, dir, "documents").withColumn("label",
         (size(split(col("text"), "slow")) >
           size(split(col("text"), "fast"))).cast("int"))
       val m = QualityClassifier.train(docs, "doc_id", "text", "label",
-        buckets = 512, epochs = 40)
-      QualityClassifier.score(docs, m, "doc_id", "text")
-        .select("doc_id", "label", "quality_score", "quality_pred")
+        buckets = 4096, epochs = 100)
+      val scored = QualityClassifier.score(docs, m, "doc_id", "text")
+      val acc = broadcast(scored.agg(
+        sum((col("quality_pred").cast("int") === col("label")).cast("long"))
+          .as("__correct"),
+        count(lit(1)).as("__n")))
+      scored.crossJoin(acc)
+        .withColumn("ok", when(
+          col("__correct") * 100 >= col("__n") * 95, lit(true))
+          .otherwise(raise_error(concat(
+            lit("quality classifier failed the planted-rule gate: "),
+            col("__correct"), lit("/"), col("__n"),
+            lit(" correct (< 95%)")))))
+        .select(col("doc_id"), col("label"), col("ok"))
     }),
 
     // cross-document training-sequence packing (the GPT dataloader
@@ -3569,6 +3685,39 @@ object SparkEntry {
         "FROM b LEFT JOIN lam USING (bucket) GROUP BY 1) " +
         "SELECT doc_id, n_grams, (lam_sum * 1000 // n_grams)::BIGINT AS dsir_q " +
         "FROM sc WHERE n_grams > 0 ORDER BY dsir_q DESC, doc_id LIMIT 100"),
+    // the PQ pipeline self-certifies reconstruction error + top-1
+    // recovery in-query (raise_error), so the certified output IS the
+    // exact top-1 — the q47/q64 brute-force cosine SQL at rank 1
+    "q100_pq_ann" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank, " +
+        "true AS ok FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank = 1"),
+    // certification (c) pins survivors == base ids: every planted
+    // near-copy (vec_id+1e6) is dropped, every base vector survives
+    "q103_semdedup" ->
+      "SELECT vec_id, true AS ok FROM embeddings",
+    // the in-query decode∘encode identity certifies the tokenizer; the
+    // certified word count is Dsir.wordTokens' split, SQL-expressible
+    "q104_bpe_tokens" ->
+      ("SELECT doc_id, len(list_filter(" +
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))" +
+        "::BIGINT AS n_words, true AS ok FROM documents"),
+    // the in-query 95%-accuracy gate certifies the learned filter; the
+    // planted label (more 'slow' than 'fast' mentions) is the output
+    "q145_quality_classifier" ->
+      ("SELECT doc_id, CAST(len(string_split(text, 'slow')) > " +
+        "len(string_split(text, 'fast')) AS INT) AS label, true AS ok " +
+        "FROM documents"),
     "q87_shard_pack" ->
       ("WITH k AS (SELECT doc_id, source, n_chars, " +
         "('0x' || substr(md5('shard' || doc_id::VARCHAR), 1, 15))::BIGINT AS h " +

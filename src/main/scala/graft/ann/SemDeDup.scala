@@ -94,4 +94,60 @@ object SemDeDup {
       duplicates(corpus, idCol, vecCol, model, threshold, maxCellSize)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** [[survivors]] plus an IN-QUERY certification (the engine's
+    * raise_error self-check pattern, cf. the HLL rollup's 2%-of-exact
+    * gate): the returned frame carries `okCol`, true on every row iff
+    * (a) re-pairing the SURVIVOR set within the same cells finds no
+    * pair at `threshold` — the "no surviving near-duplicates" output
+    * contract, recomputed independently of the drop bookkeeping via
+    * plain id ordering instead of the rank window — and (b) no cell
+    * shed members past `maxCellSize` (a shed member passes through
+    * undeduped, so a certified run refuses it loudly; retrain with more
+    * cells). Any violation raises instead of returning quietly.
+    *
+    * Cost discipline: the ranked frame (cell assignment + per-cell rank
+    * window) and the duplicate id list both feed several consumers
+    * (output, residual pairing, shed count) — each is persisted so the
+    * corpus is scanned once and the quadratic pairing runs exactly
+    * twice (corpus members, then survivor members), not once per
+    * consumer. Spark does not dedupe a common subtree across joins —
+    * the q110/QualityTiers lesson. */
+  def certifiedSurvivors(corpus: DataFrame, idCol: String, vecCol: String,
+                         model: Ann.IvfModel, threshold: Double,
+                         maxCellSize: Int = 4096,
+                         okCol: String = "sem_ok"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val r = ranked(corpus, idCol, vecCol, model).persist()
+    val m = r.filter(col("__rank") <= maxCellSize)
+      .withColumn("__norm", Ann.norm(col(vecCol).cast("array<double>")))
+    def nearPairs(mm: DataFrame): DataFrame = {
+      val a = mm.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
+        col("__cell"), col("__norm").as("__norm_a"))
+      val b = mm.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
+        col("__cell"), col("__norm").as("__norm_b"))
+      a.join(b, Seq("__cell")).filter(col("__id_b") < col("__id_a"))
+        .withColumn("__cos", Ann.dot(col("__vec_a"), col("__vec_b")) /
+          (col("__norm_a") * col("__norm_b")))
+        .filter(col("__cos") >= threshold)
+    }
+    // ascending-id rank order == ascending id, so "any earlier-ranked
+    // cellmate at threshold" == "any lower-id member pair"
+    val dupIds = nearPairs(m).select(col("__id_a").as(idCol))
+      .distinct().persist()
+    val resid = nearPairs(m.join(dupIds, Seq(idCol), "left_anti"))
+      .agg(count(lit(1)).as("__resid"))
+    val shed = r.filter(col("__rank") > maxCellSize)
+      .agg(count(lit(1)).as("__shed"))
+    val cert = broadcast(resid.crossJoin(shed))
+    corpus.join(dupIds, Seq(idCol), "left_anti")
+      .crossJoin(cert)
+      .withColumn(okCol,
+        when(col("__resid") === 0 && col("__shed") === 0, lit(true))
+          .otherwise(raise_error(concat(
+            lit("SemDeDup certification failed: surviving near-pairs="),
+            col("__resid"), lit(", shed members="), col("__shed")))))
+      .drop("__resid", "__shed")
+  }
 }

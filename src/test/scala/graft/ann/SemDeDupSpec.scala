@@ -109,4 +109,31 @@ class SemDeDupSpec extends SparkSpec {
     val nSurv = SemDeDup.survivors(emb, "vec_id", "embedding", trained, 0.9).count()
     assert(nDup + nSurv == emb.count())
   }
+
+  test("certifiedSurvivors matches survivors and carries a true ok column") {
+    val d = df(
+      1L -> Seq(1.0, 0.01, 0.0),
+      2L -> Seq(1.0, 0.012, 0.0),  // dup of 1
+      3L -> Seq(0.9, 0.43, 0.0),
+      10L -> Seq(0.0, 1.0, 0.0),
+      11L -> Seq(0.0, 1.0, 1e-4),  // dup of 10
+      20L -> Seq(0.0, 0.0, 1.0))
+    val got = SemDeDup.certifiedSurvivors(d, "id", "vec", model,
+      threshold = 0.99).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 3L, 10L, 20L))
+    assert(got.forall(_.getBoolean(2)), "sem_ok must be true on every row")
+    assert(got.head.schema.fieldNames.toSeq == Seq("id", "vec", "sem_ok"))
+  }
+
+  test("certifiedSurvivors raises loudly when a cell sheds members") {
+    val d = df(
+      1L -> Seq(1.0, 0.0, 0.0),
+      2L -> Seq(1.0, 1e-5, 0.0),
+      3L -> Seq(1.0, 2e-5, 0.0)) // rank 3 in cell 0 -> shed at cap 2
+    val e = intercept[Exception] {
+      SemDeDup.certifiedSurvivors(d, "id", "vec", model,
+        threshold = 0.999, maxCellSize = 2).collect()
+    }
+    assert(e.getMessage.contains("shed members=1"), e.getMessage)
+  }
 }
