@@ -87,54 +87,51 @@ object Bench {
     "q143_funnel_depth",      // 3-stage funnel through one window sort
     "q146_seq_pack")          // distributed prefix sum + sequence explode
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Driver-side per-batch capture for the streaming headline queries:
+    * trigger machinery + sentinel batches dominate their WALL time, so a
+    * 2x regression in the join itself would vanish inside it — the
+    * per-batch triggerExecution durations are the plan-sensitive
+    * number. Events arrive async on the listener bus; [[drain]] is
+    * called outside the timed region after the query terminated. */
+  private final class BatchCapture
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val d = e.progress.durationMs.get("triggerExecution")
+      if (d != null) { buf.add(d.longValue()); () }
+    }
+    def drain(): Seq[Long] = {
+      Thread.sleep(150) // let the async bus settle
+      val out = Seq.newBuilder[Long]
+      var d = buf.poll()
+      while (d != null) { out += d.longValue(); d = buf.poll() }
+      out.result()
+    }
+  }
 
-    // warm up the JVM/codegen paths outside the timed region (a warm-up
-    // failure is not fatal — the per-query loop will surface the error)
-    try SparkEntry.queries("q01_project")(spark, sfDir).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
-
-    // SPARK_GRAFT_ONLY=q21_minhash_pairs,q43_... narrows the run for
-    // local iteration; the driver never sets it, so recorded rounds
-    // always cover the full stable headline set
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach(_.diff(headline.toSet).foreach(bad =>
-      System.err.println(s"[bench] SPARK_GRAFT_ONLY name matches no headline query: $bad")))
-    val selected = only.fold(headline)(f => headline.filter(f))
-
-    // Sandbox contention has repeatedly inflated single-shot timings by
-    // 2-4x (BENCH_r04/r06/r07 all recorded one-off spikes that re-ran at
-    // a fraction of the recorded time in isolation). Run each query
-    // SPARK_GRAFT_BENCH_RUNS times (default 2) and record the minimum:
-    // the min is the contention-free estimate of plan cost, which is what
-    // round-over-round comparison needs. Spark state is cleared between
-    // runs so each re-executes the full plan (only OS page cache stays
-    // warm, same as run 1 after the warm-up query).
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(1)
-
-    // A failing query must never be recorded as a (fast) time — round 8
-    // published a 0.10 s entry that was an analysis-time failure.
-    // Invariant: a query appears in "errors" with NO "queries" entry iff
-    // every run failed; a flaky query (some runs failed, some passed)
-    // keeps its best successful time and carries an explicitly-marked
-    // "flaky" error entry, so consumers never read an ambiguous record.
+  /** One timed pass of `selected` over `sfDir` with min-of-`runs`
+    * discipline. A failing query must never be recorded as a (fast)
+    * time — round 8 published a 0.10 s entry that was an analysis-time
+    * failure. Invariant: a query appears in `errors` with NO `times`
+    * entry iff every run failed; a flaky query (some runs failed, some
+    * passed) keeps its best successful time and carries an explicitly
+    * marked "flaky" error entry, so consumers never read an ambiguous
+    * record. */
+  private def runSet(spark: SparkSession, sfDir: String,
+                     selected: Seq[String], runs: Int,
+                     capture: BatchCapture)
+      : (collection.Map[String, Double], collection.Map[String, String],
+         collection.Map[String, Seq[Long]]) = {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val perBatch = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     selected.foreach { name =>
       val fn = SparkEntry.queries(name)
+      capture.drain() // discard anything attributed to earlier queries
       val dts = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // the timer covers BOTH DataFrame construction and the action:
@@ -156,6 +153,8 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         if (ok) Some(t) else None
       }
+      val batches = capture.drain()
+      if (batches.nonEmpty) perBatch(name) = batches
       if (dts.nonEmpty) {
         times(name) = dts.min
         if (errors.contains(name))
@@ -163,13 +162,106 @@ object Bench {
             s"timed from a successful run — ${errors(name)}"
       }
     }
+    (times, errors, perBatch)
+  }
+
+  /** Queries whose per-query scaling exponent is allowed past the
+    * ~linear bound, with the documented reason (the sweep flags any
+    * OTHER super-linear query as a scale regression). */
+  val superlinearAllowed: Map[String, String] = Map(
+    "q103_semdedup" -> "cell-confined quadratic pairing (by design)",
+    "q65_components_distributed" -> "star-contraction rounds grow with diameter")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val capture = new BatchCapture
+    spark.streams.addListener(capture)
+
+    // warm up the JVM/codegen paths outside the timed region (a warm-up
+    // failure is not fatal — the per-query loop will surface the error)
+    try SparkEntry.queries("q01_project")(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+
+    // SPARK_GRAFT_ONLY=q21_minhash_pairs,q43_... narrows the run for
+    // local iteration; the driver never sets it, so recorded rounds
+    // always cover the full stable headline set
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(headline.toSet).foreach(bad =>
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY name matches no headline query: $bad")))
+    val selected = only.fold(headline)(f => headline.filter(f))
+
+    // Sandbox contention has repeatedly inflated single-shot timings by
+    // 2-4x (BENCH_r04/r06/r07 all recorded one-off spikes that re-ran at
+    // a fraction of the recorded time in isolation). Run each query
+    // SPARK_GRAFT_BENCH_RUNS times (default 2) and record the minimum:
+    // the min is the contention-free estimate of plan cost, which is what
+    // round-over-round comparison needs.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2).max(1)
+
+    val (times, errors, perBatch) = runSet(spark, sfDir, selected, runs, capture)
+
+    // Scale sweep: a 2x-of-first-light bound cannot catch super-linear
+    // growth. When benching sf0.1, also time the set at sf0.01 and emit
+    // each query's scaling exponent log10(t_0.1 / t_0.01) — the closest
+    // in-sandbox proxy for "would this survive 100x". ~1.0 = linear in
+    // data; markedly above (> 1.3) without a documented reason
+    // (superlinearAllowed) is flagged. Small sf0.01 times carry fixed
+    // per-job overhead, which UNDERstates exponents — a flagged query
+    // is therefore all the more real. SPARK_GRAFT_SCALE_SWEEP=0 skips.
+    val sweepDir = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
+    val doSweep = sys.env.getOrElse("SPARK_GRAFT_SCALE_SWEEP", "1") != "0" &&
+      sweepDir != sfDir && new java.io.File(sweepDir).isDirectory
+    val (sweepTimes, exponents) = if (doSweep) {
+      val (st, serr, _) = runSet(spark, sweepDir, selected, runs, capture)
+      if (serr.nonEmpty)
+        System.err.println(s"[bench] sweep failures (exponent omitted): ${serr.keys.mkString(", ")}")
+      val ex = times.flatMap { case (q, t1) =>
+        st.get(q).filter(_ > 0).map(t01 => q -> math.log10(t1 / t01))
+      }
+      (st, ex)
+    } else (Map.empty[String, Double], Map.empty[String, Double])
+    val superlinear = exponents.collect {
+      case (q, e) if e > 1.3 && !superlinearAllowed.contains(q) => q
+    }.toSeq.sorted
+    if (superlinear.nonEmpty)
+      System.err.println(s"[bench] SUPER-LINEAR without documented reason: ${superlinear.mkString(", ")}")
+
     def jstr(s: String): String = JsonUtil.jstr(s)
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def numMap(m: collection.Map[String, Double], fmt: Double => String): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = numMap(times, _.toString)
     val errs = errors.map { case (k, v) => "\"" + k + "\":" + jstr(v) }
       .mkString("{", ",", "}")
+    val exps = numMap(exponents, e => f"$e%.3f")
+    val sweeps = numMap(sweepTimes, _.toString)
+    val batches = perBatch.map { case (k, ds) =>
+      "\"" + k + "\":{\"batches\":" + ds.size + ",\"sumMs\":" + ds.sum +
+        ",\"maxMs\":" + (if (ds.isEmpty) 0L else ds.max) + "}"
+    }.mkString("{", ",", "}")
+    val superJson = superlinear.map(jstr).mkString("[", ",", "]")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
+      (if (doSweep) s""","sweep_sf":${jstr(sweepDir)},"sweep_queries":$sweeps,"exponents":$exps,"superlinear":$superJson""" else "") +
+      s""","perBatchMs":$batches}"""
+    println(line)
+    // the full artifact also lands in a file: round 9's driver capture
+    // truncated the stdout JSON (q01-q06 timings lost, parsed: null)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -30,14 +30,21 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   *
   * Spark-first: the store is read ONCE on the driver and the (small) key
   * map travels inside the expression to executors — no per-row or
-  * per-partition keystore I/O, no driver round-trips. AES-CBC with a
-  * fresh random IV per row, like the reference; the expressions are
-  * marked nondeterministic so the optimizer never merges or reorders two
-  * encryptions into one.
+  * per-partition keystore I/O, no driver round-trips. Encryption is
+  * AES-GCM (authenticated: a tampered ciphertext FAILS decryption
+  * instead of silently decrypting to garbage or flipping plaintext
+  * bits, which the reference's CBC construction permits) with a fresh
+  * random 12-byte IV per row and the same self-describing
+  * [keyId][ivLen][iv] header; decryption dispatches on ivLen, so
+  * 16-byte-IV rows written by the reference's CBC codec still read.
+  * The expressions are marked nondeterministic so the optimizer never
+  * merges or reorders two encryptions into one.
   */
 object KeyCrypto {
 
   val AesKeyBytes = 16
+  val GcmIvBytes = 12
+  val GcmTagBits = 128
 
   /** A resolved set of numbered AES keys (the in-memory face every store
     * loads into; only 16-byte keys with numeric ids participate, matching
@@ -175,9 +182,12 @@ object JsonCredentialStore {
   }
 }
 
-/** binary → [keyId][ivLen][iv][AES-CBC ciphertext]; fresh random IV per
-  * row, newest key. Nondeterministic (the IV), so the optimizer never
-  * collapses two encryptions of the same plaintext. */
+/** binary → [keyId][ivLen=12][iv][AES-GCM ciphertext||tag]; fresh random
+  * IV per row, newest key. GCM authenticates: flipping any ciphertext
+  * bit fails the tag check at decrypt instead of silently corrupting
+  * the plaintext (CBC's malleability). Nondeterministic (the IV), so
+  * the optimizer never collapses two encryptions of the same
+  * plaintext. */
 case class RotatingAesEncrypt(child: Expression, ring: KeyCrypto.KeyRing)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -188,10 +198,11 @@ case class RotatingAesEncrypt(child: Expression, ring: KeyCrypto.KeyRing)
   @transient private lazy val rng = new SecureRandom()
   override protected def nullSafeEval(input: Any): Any = {
     val plain = input.asInstanceOf[Array[Byte]]
-    val iv = new Array[Byte](16)
+    val iv = new Array[Byte](KeyCrypto.GcmIvBytes)
     rng.nextBytes(iv)
-    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
-    cipher.init(Cipher.ENCRYPT_MODE, key, new IvParameterSpec(iv))
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, key,
+      new javax.crypto.spec.GCMParameterSpec(KeyCrypto.GcmTagBits, iv))
     val ct = cipher.doFinal(plain)
     val buf = java.nio.ByteBuffer.allocate(8 + iv.length + ct.length)
     buf.putInt(keyId).putInt(iv.length).put(iv).put(ct)
@@ -203,7 +214,10 @@ case class RotatingAesEncrypt(child: Expression, ring: KeyCrypto.KeyRing)
 
 /** Inverse of [[RotatingAesEncrypt]]: header names the key that wrote the
   * row; an id missing from the ring fails loudly (unreadable data must
-  * never pass as nulls). */
+  * never pass as nulls), and so does a tampered GCM ciphertext (bad
+  * tag). ivLen dispatches the mode — 12 = our GCM rows, 16 = CBC rows
+  * written by the reference's RotatingAESCodec (readable for migration,
+  * integrity-unchecked by construction). */
 case class RotatingAesDecrypt(child: Expression, ring: KeyCrypto.KeyRing)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -212,15 +226,23 @@ case class RotatingAesDecrypt(child: Expression, ring: KeyCrypto.KeyRing)
     val buf = java.nio.ByteBuffer.wrap(input.asInstanceOf[Array[Byte]])
     val keyId = buf.getInt
     val ivLen = buf.getInt
-    require(ivLen == 16, s"corrupt ciphertext header: ivLen=$ivLen")
+    require(ivLen == KeyCrypto.GcmIvBytes || ivLen == 16,
+      s"corrupt ciphertext header: ivLen=$ivLen")
     val iv = new Array[Byte](ivLen); buf.get(iv)
     val ct = new Array[Byte](buf.remaining()); buf.get(ct)
     val keyBytes = ring.keys.getOrElse(keyId, throw new IllegalStateException(
       s"ciphertext written with key $keyId, which is not in the credential store"))
-    val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
-    cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(keyBytes, "AES"),
-      new IvParameterSpec(iv))
-    cipher.doFinal(ct)
+    if (ivLen == KeyCrypto.GcmIvBytes) {
+      val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(keyBytes, "AES"),
+        new javax.crypto.spec.GCMParameterSpec(KeyCrypto.GcmTagBits, iv))
+      cipher.doFinal(ct)
+    } else {
+      val cipher = Cipher.getInstance("AES/CBC/PKCS5Padding")
+      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(keyBytes, "AES"),
+        new IvParameterSpec(iv))
+      cipher.doFinal(ct)
+    }
   }
   override protected def withNewChildInternal(newChild: Expression): RotatingAesDecrypt =
     copy(child = newChild)

@@ -27,20 +27,30 @@ object FuzzyJoin {
            rightCol: String, maxDist: Int, blockLen: Int,
            maxBlockRows: Long = 100000L): DataFrame = {
     require(maxDist >= 0 && blockLen > 0)
+    val blkWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_blk")
     val l = left.select(col(leftCol)).filter(col(leftCol).isNotNull)
       .distinct()
       .withColumn("__graft_blk", substring(col(leftCol), 1, blockLen))
+      .withColumn("__graft_cl", count(lit(1)).over(blkWindow))
     val r = right.select(col(rightCol)).filter(col(rightCol).isNotNull)
       .distinct()
       .withColumn("__graft_blk", substring(col(rightCol), 1, blockLen))
-    // loud degeneracy guard: the hottest block must stay bounded, or
-    // the equi-join is all-pairs wearing a costume
-    val worst = l.groupBy("__graft_blk").agg(count(lit(1)).as("c"))
-      .agg(max("c")).collect()(0).getLong(0)
-    require(worst <= maxBlockRows,
-      s"hottest block has $worst rows (max $maxBlockRows): blockLen=" +
-        s"$blockLen is not selective on this data — lengthen the key")
+      .withColumn("__graft_cr", count(lit(1)).over(blkWindow))
+    // loud degeneracy guard on BOTH sides (a hot block on either makes
+    // the equi-join all-pairs wearing a costume): each side carries its
+    // per-block count through the join, and the first joined row from
+    // an over-cap block raises — tasks die before the explosion
+    // completes, and no extra scan of either input is spent on a probe
     l.join(r, "__graft_blk")
+      .filter(when(
+        col("__graft_cl") <= maxBlockRows && col("__graft_cr") <= maxBlockRows,
+        lit(true))
+        .otherwise(raise_error(concat(
+          lit("fuzzy-join block degeneracy: a block has "),
+          greatest(col("__graft_cl"), col("__graft_cr")),
+          lit(s" rows on one side (max $maxBlockRows): blockLen=$blockLen " +
+            "is not selective on this data — lengthen the key")))))
       .withColumn("dist", levenshtein(col(leftCol), col(rightCol)))
       .filter(col("dist") <= maxDist)
       .select(col(leftCol), col(rightCol), col("dist").cast("bigint").as("dist"))

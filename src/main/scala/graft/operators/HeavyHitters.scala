@@ -122,18 +122,44 @@ object HeavyHitters {
         s"k=$k is oversized for this key's skew; lower k or use a plain groupBy")
     val anyOverflow = rows.exists(_.getBoolean(1))
     val candidates = rows.map(_.get(0))
-    // exact recount confined to the candidates: broadcast-sized IN
-    // literal keeps the big side map-only before its one shuffle.
-    val counted = keyed
-      .filter(col(keyCol).isin(candidates: _*))
-      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(keyCol).asc)
-      .limit(m)
-    val top = counted.collect()
+    // Exact recount pass. Candidate membership: an IN literal for small
+    // sets (codegen'd, analysis-cheap); a broadcast join above that — a
+    // 100k-element In expression blows up analysis/codegen time and
+    // driver memory long before any data moves. Non-candidate rows fold
+    // into one NULL-key group so the SAME scan yields N for the
+    // exactness certificate (map-side combine reduces the NULL group to
+    // one row per task — no skewed shuffle key); this pass and the
+    // summary pass are the operator's only two scans of the input, the
+    // Misra-Gries minimum.
+    val isInThreshold = 2048
+    val marked =
+      if (candidates.length <= isInThreshold)
+        keyed.withColumn("__k",
+          when(col(keyCol).isin(candidates: _*), col(keyCol)))
+      else {
+        val candDf = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            candidates.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            keyed.schema(keyCol).copy(name = "__cand")))))
+        keyed.join(candDf, col(keyCol) === col("__cand"), "left")
+          .withColumn("__k", col("__cand"))
+      }
+    val grouped = marked.groupBy(col("__k").as(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    val all = grouped.collect()
+    val n = all.map(_.getLong(1)).sum
+    val keyOrd: Any => (Long, String, Long) = key => key match {
+      case s: String => (0L, s, 0L)
+      case l: Long => (0L, "", l)
+      case other => throw new IllegalStateException(s"unexpected key $other")
+    }
+    val top = all.filter(!_.isNullAt(0))
+      .sortBy(r => { val (_, s, l) = keyOrd(r.get(0)); (-r.getLong(1), s, l) })
+      .take(m)
     if (anyOverflow) {
       // certificate: the m-th exact count must beat the maximum
       // frequency a non-candidate key could hide at.
-      val n = keyed.count()
       val mth = if (top.length >= m) top(m - 1).getLong(1) else 0L
       require(mth > n / (k + 1),
         s"top-$m not certifiable: m-th count $mth ≤ N/(k+1) = ${n / (k + 1)} " +
@@ -142,6 +168,6 @@ object HeavyHitters {
     // ≤ m rows, already materialized for the certificate — hand them
     // back without re-running the recount.
     spark.createDataFrame(
-      spark.sparkContext.parallelize(top.toIndexedSeq, 1), counted.schema)
+      spark.sparkContext.parallelize(top.toIndexedSeq, 1), grouped.schema)
   }
 }

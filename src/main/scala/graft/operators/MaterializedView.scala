@@ -46,32 +46,98 @@ object MaterializedView {
   def read(spark: SparkSession, viewDir: String): DataFrame =
     spark.read.parquet(aggDir(viewDir))
 
-  /** Fold rows of `src` newer than the stored watermark into the view.
-    * `tsCol` must be monotone-complete in the source (everything up to
-    * max(ts) has arrived — the same assumption every watermark-based
-    * incremental pull makes). */
-  /** Streaming face: fold every micro-batch into the stored aggregate
-    * through [[refresh]] — the persisted event-time watermark is the
-    * exactly-once mechanism (a replayed batch's rows sit at or below
-    * the committed watermark and filter to an empty delta, so replay
-    * is a no-op), under the same monotone-complete contract as any
-    * watermark-incremental pull: a key's rows must arrive in event-time
-    * order across batches. The half-applied-refresh refusal applies
-    * per micro-batch exactly as in batch mode. */
+  /** Streaming face: fold every micro-batch into the stored aggregate.
+    *
+    * Exactly-once is keyed on the BATCH ID within a run, not on event
+    * time (the SnapshotStream pattern): Spark chooses micro-batch
+    * boundaries, so a batch cut between two rows sharing an event
+    * timestamp would silently drop the later rows if replay filtered on
+    * `ts > watermark` — with coarse (second-granularity) timestamps no
+    * sink() caller could honor that contract. Instead: a batch whose id
+    * is at or below the per-checkpoint applied marker is a replay and
+    * skips; a new batch folds EVERY row newer than the watermark frozen
+    * at RUN START (`runWm`), so equal-timestamp rows split across
+    * batches of one run all land exactly once. The stored event-time
+    * watermark still provides cross-run idempotence: a fresh checkpoint
+    * replaying the source from scratch filters everything at or below
+    * the previous run's final watermark. The one unguardable window is
+    * an equal-timestamp group split across RUNS (stop + restart with a
+    * NEW checkpoint exactly between the two halves) — that is the
+    * monotone-complete contract this operator retains, now only at run
+    * boundaries. The half-applied refusal applies per micro-batch
+    * exactly as in batch mode. */
   def sink(stream: DataFrame, viewDir: String, tsCol: String,
            keyCols: Seq[String], specs: Seq[AggSpec],
            checkpointDir: String,
            trigger: org.apache.spark.sql.streaming.Trigger =
              org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // batch ids are monotone PER CHECKPOINT — scope the applied marker
+    // to this checkpoint so a rebuilt checkpoint starts a fresh ledger
+    val ckptTag = Integer.toHexString(checkpointDir.hashCode)
+    // frozen at the first batch of this run (foreachBatch runs its
+    // closure sequentially on the driver, so a var is safe here)
+    var runWm: Option[Option[String]] = None
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        refresh(batch.sparkSession, viewDir, batch, tsCol, keyCols, specs,
-          s"epoch-$batchId"): Unit
+        val spark = batch.sparkSession
+        val store = new StateStore(spark, stateDir(viewDir))
+        if (runWm.isEmpty) runWm = Some(store.highWatermark(WmKey))
+        streamBatch(spark, viewDir, store, batch, tsCol, keyCols, specs,
+          ckptTag, batchId, runWm.get)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  private def streamBatch(spark: SparkSession, viewDir: String,
+                          store: StateStore, batch: DataFrame, tsCol: String,
+                          keyCols: Seq[String], specs: Seq[AggSpec],
+                          ckptTag: String, batchId: Long,
+                          runWm: Option[String]): Unit = {
+    val bRead = s"mv-batch-read-$ckptTag"
+    val bApplied = s"mv-batch-applied-$ckptTag"
+    val readMark = store.highWatermark(bRead).map(_.toLong)
+    val applied = store.highWatermark(bApplied).map(_.toLong)
+    require(readMark == applied,
+      s"view $viewDir is half-refreshed (batch read=$readMark applied=$applied): " +
+        "a crash landed between swap and batch commit — restore the parked " +
+        "aggregate dir or rebuild before streaming into it")
+    if (applied.exists(batchId <= _)) return // replayed batch: already folded
+    val delta = runWm match {
+      case Some(w) =>
+        batch.filter(col(tsCol) > lit(w).cast(batch.schema(tsCol).dataType))
+      case None => batch
+    }
+    val probe = delta.agg(max(col(tsCol)).cast("string"),
+      count(lit(1))).collect()(0)
+    if (probe.isNullAt(0)) {
+      // empty delta: still record the batch as applied (one commit, no
+      // swap in between, so no crash window needs the two-phase marks)
+      store.commit(Map((bRead, "") -> batchId.toString,
+        (bApplied, "") -> batchId.toString), s"epoch-$batchId")
+      return
+    }
+    val newWm = (store.highWatermark(WmKey).toSeq :+ probe.getString(0)).max
+    val folded =
+      if (!new org.apache.hadoop.fs.Path(aggDir(viewDir)).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(aggDir(viewDir))))
+        IncrementalAgg.state(delta, keyCols, specs)
+      else IncrementalAgg.merge(
+        Seq(read(spark, viewDir), IncrementalAgg.state(delta, keyCols, specs)),
+        keyCols, specs)
+    val staged = graft.sinks.AtomicPublisher.stage(folded, aggDir(viewDir),
+      s"epoch-$batchId")
+    // record what this batch READ, then swap, then record applied: any
+    // crash window leaves read != applied and the next replay refuses
+    store.commit(Map((bRead, "") -> batchId.toString,
+      (WmKey, "") -> newWm), s"epoch-$batchId")
+    staged.promote()
+    store.commit(Map((bApplied, "") -> batchId.toString,
+      (AppliedKey, "") -> newWm), s"epoch-$batchId")
+  }
 
   def refresh(spark: SparkSession, viewDir: String, src: DataFrame,
               tsCol: String, keyCols: Seq[String],

@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * protocol ([[graft.sinks.AtomicPublisher]] staged rename, all-or-
   * nothing per partition, idempotent re-run after a crash).
   *
-  * Scale shape: affected-partition discovery is one semi-join (change
-  * keys broadcast — the changelog is small relative to 100 TB of base by
-  * definition of incremental); the rewrite reads ONLY the affected
-  * slice. An upsert may move a row across partitions: the old partition
+  * Scale shape: affected-partition discovery is one semi-join — change
+  * keys broadcast when the changelog is CDC-sized (counted, not
+  * assumed: past `maxBroadcastKeys` the joins fall back LOUDLY to
+  * shuffle, so a backfill-sized changelog cannot blow the broadcast);
+  * the rewrite reads ONLY the affected slice. An upsert may move a row across partitions: the old partition
   * is affected via the key match, the new one via the upsert's own
   * partition value, so both rewrite and the move is atomic per
   * partition. Brand-new partitions (insert-only) appear via the staged
@@ -38,12 +39,19 @@ object Merge {
 
   /** The merged table as a frame: base rows with no change, plus every
     * upsert row (deletes simply vanish). `changes` must carry base's
-    * columns plus whatever `deleteWhen` reads. */
+    * columns plus whatever `deleteWhen` reads. `broadcastChangeKeys`
+    * hints the anti-join: right for CDC-sized changelogs (the normal
+    * case); pass false for a bulk backfill-sized changelog so the
+    * anti-join shuffles instead of blowing the broadcast —
+    * [[mergePartitioned]] decides from an actual count. */
   def merged(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
-             deleteWhen: Column, delta: Seq[Column] = Seq.empty): DataFrame = {
+             deleteWhen: Column, delta: Seq[Column] = Seq.empty,
+             broadcastChangeKeys: Boolean = true): DataFrame = {
     val ch = normalized(changes, keyCols, delta)
+    val hint: DataFrame => DataFrame =
+      if (broadcastChangeKeys) broadcast(_: DataFrame) else identity
     val untouched = base.join(
-      broadcast(ch.select(keyCols.map(col): _*).distinct()),
+      hint(ch.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
     val upserts = ch.filter(!deleteWhen)
       .select(base.columns.map(col).toIndexedSeq: _*)
@@ -60,19 +68,32 @@ object Merge {
   def mergePartitioned(spark: SparkSession, dir: String, partitionCol: String,
                        changes: DataFrame, keyCols: Seq[String],
                        deleteWhen: Column, delta: Seq[Column] = Seq.empty,
-                       format: String = "parquet"): MergeStats = {
+                       format: String = "parquet",
+                       maxBroadcastKeys: Long = 5000000L): MergeStats = {
     val ch = normalized(changes, keyCols, delta).persist()
     try {
       val base = spark.read.format(format).load(dir)
+      // broadcast guard: "the changelog is small relative to the base"
+      // is the NORMAL CDC case, not a law — a backfill-sized changelog
+      // would blow the broadcast. Count the (persisted) changelog and
+      // fall back LOUDLY to shuffle joins past the threshold; results
+      // are identical either way (MergeSpec pins bit-equality).
+      val nCh = ch.count()
+      val small = nCh <= maxBroadcastKeys
+      if (!small)
+        System.err.println(s"[merge] changelog has $nCh rows " +
+          s"(> maxBroadcastKeys=$maxBroadcastKeys): joining via shuffle " +
+          "instead of broadcast — expected for backfills, not CDC")
+      def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       val chKeys = ch.select(keyCols.map(col): _*).distinct()
       // partitions holding a matched base row + partitions upserts target
       val affected = (base
-        .join(broadcast(chKeys), keyCols, "left_semi")
+        .join(hint(chKeys), keyCols, "left_semi")
         .select(col(partitionCol))
         .unionByName(ch.filter(!deleteWhen).select(col(partitionCol))))
         .distinct().collect().map(_.get(0)).toSeq
       if (affected.isEmpty)
-        return MergeStats(Nil, Nil, 0L, ch.count())
+        return MergeStats(Nil, Nil, 0L, nCh)
       val (nullAffected, valAffected) = affected.partition(_ == null)
       val inAffected = {
         val byVal =
@@ -80,7 +101,8 @@ object Merge {
           else lit(false)
         if (nullAffected.nonEmpty) byVal || col(partitionCol).isNull else byVal
       }
-      val survivors = merged(base.filter(inAffected), ch, keyCols, deleteWhen)
+      val survivors = merged(base.filter(inAffected), ch, keyCols, deleteWhen,
+        broadcastChangeKeys = small)
       val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val staging = new Path(dir, ".merge-staging")
       if (fs.exists(staging)) fs.delete(staging, true)
@@ -106,12 +128,12 @@ object Merge {
       // untouched partition
       val after = spark.read.format(format).load(dir).filter(inAffected)
       val delKeys = ch.filter(deleteWhen).select(keyCols.map(col): _*)
-      require(after.join(broadcast(delKeys), keyCols, "left_semi").isEmpty,
+      require(after.join(hint(delKeys), keyCols, "left_semi").isEmpty,
         s"merge verification failed: deleted keys remain in $dir")
       val upsKeys = ch.filter(!deleteWhen)
         .select(keyCols.map(col): _*).distinct()
       val nUps = upsKeys.count()
-      val landed = after.join(broadcast(upsKeys), keyCols, "left_semi")
+      val landed = after.join(hint(upsKeys), keyCols, "left_semi")
         .select(keyCols.map(col): _*).distinct().count()
       require(landed == nUps,
         s"merge verification failed: $landed of $nUps upsert keys present in $dir")

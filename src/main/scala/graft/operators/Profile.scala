@@ -60,17 +60,23 @@ object Profile {
     val per = df.filter(v.isNotNull)
       .groupBy(col(groupCol), v.as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val worst = per.groupBy(col(groupCol)).agg(count(lit(1)).as("nd"))
-      .agg(max("nd")).collect()(0).getLong(0)
-    require(worst <= maxDistinctPerGroup,
-      s"largest group has $worst distinct $c values " +
-        s"(max $maxDistinctPerGroup): quantize before profiling")
     val wOrder = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(groupCol))
+    // the unbounded-domain guard rides the plan (raise_error on the
+    // per-group distinct count) instead of running a separate eager
+    // aggregate — one raw scan total, same loud refusal. It gates the
+    // CONSUMED `n` column: a free-standing guard column would be
+    // column-pruned away, raise_error included.
     val cum = per
       .withColumn("cum", sum(col("cnt")).over(wOrder))
-      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("n",
+        when(count(lit(1)).over(wAll) <= maxDistinctPerGroup,
+          sum(col("cnt")).over(wAll))
+        .otherwise(raise_error(concat(
+          lit(s"a group has more than $maxDistinctPerGroup distinct $c "),
+          lit("values: quantize before profiling — exact percentiles over "),
+          lit("an unbounded domain would sort the whole group")))))
     val pAggs = ps.map(p =>
       min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p$p"))
     cum.groupBy(col(groupCol))

@@ -32,12 +32,18 @@ object Vacuum {
 
   final case class VacuumStats(removed: Seq[String], kept: Seq[String])
 
+  /** Default grace period (6 h): a staging dir younger than this may
+    * belong to a LIVE job mid-publish — deleting it fails that job. The
+    * conservative call must be the easy call; pass 0 explicitly for a
+    * sweep-everything cleanup of an estate known to be idle. */
+  val DefaultGraceMs: Long = 6L * 3600 * 1000
+
   /** Sweep `dir` and its (arbitrarily nested) partition subdirectories
-    * for protocol leftovers older than `olderThanMs` (default: 0 —
-    * sweep everything; pass a grace period when live jobs may be
-    * publishing). */
+    * for protocol leftovers older than `olderThanMs` (default
+    * [[DefaultGraceMs]] — a younger dir may be a live publish in
+    * flight, the reference's skip-if-locked reasoning). */
   def sweepStaging(spark: SparkSession, dir: String,
-                   olderThanMs: Long = 0L): VacuumStats = {
+                   olderThanMs: Long = DefaultGraceMs): VacuumStats = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return VacuumStats(Nil, Nil)

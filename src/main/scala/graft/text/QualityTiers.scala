@@ -23,11 +23,21 @@ import org.apache.spark.sql.functions._
   * thousands regardless of corpus size), a single-partition window over
   * that TINY frame (the ShardPack bucket-totals justification), and a
   * broadcast join back. The corpus itself is never globally sorted.
-  * Eager: one count() runs when called. */
+  *
+  * Lineage discipline (the round-9 finding: this operator once ran its
+  * input's lineage THREE times — an eager count plus the two plan
+  * subtrees): the total row count is now a window aggregate over the
+  * same tiny per-score frame (no separate action at all), and the
+  * scored input feeds exactly two plan consumers — the per-score
+  * aggregate and the output join. With `cacheScored` (default) the
+  * input lineage is persisted so it computes ONCE; disable it for
+  * corpora too large to pin, which costs one recompute of the input
+  * lineage instead. */
 object QualityTiers {
 
   def tiers(df: DataFrame, scoreCol: String, k: Int = 3,
-            tierCol: String = "tier"): DataFrame = {
+            tierCol: String = "tier",
+            cacheScored: Boolean = true): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     require(!df.columns.contains(tierCol),
       s"column $tierCol already exists — pick another tierCol")
@@ -36,16 +46,20 @@ object QualityTiers {
     // skewing every boundary — excluding them from BOTH sides keeps the
     // total-membership contract exact over the scored rows. Callers
     // tier unscored rows separately if they want them.
-    val scored = df.filter(col(scoreCol).isNotNull)
-    val n = scored.count()
+    val scored0 = df.filter(col(scoreCol).isNotNull)
+    val scored = if (cacheScored) scored0.persist() else scored0
     val w = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val perScore = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__cnt"))
       .withColumn("__before", coalesce(sum(col("__cnt")).over(w), lit(0L)))
-    // smallest i in 1..k with __before < i*n/k (boundaries are driver
-    // literals, same floor division the oracle does)
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    // smallest i in 1..k with __before < i*n/k (same floor division the
+    // oracle does; n rides the frame, so no eager count() action)
     val tier = (1 until k).reverse.foldLeft(lit(k): Column) { (acc, i) =>
-      when(col("__before") < lit(i.toLong * n / k), lit(i)).otherwise(acc)
+      when(col("__before") < expr(s"(${i}L * __n) div ${k}L"), lit(i))
+        .otherwise(acc)
     }
     scored.join(broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
       Seq(scoreCol))

@@ -98,6 +98,49 @@ class KeyCryptoSpec extends SparkSpec {
     assert(msgs.exists(_.contains("not in the credential store")), s"got $msgs")
   }
 
+  test("a tampered ciphertext FAILS decryption (GCM tag), never silently corrupts") {
+    import spark.implicits._
+    val (path, pw) = newStore()
+    JceksCredentialStore.generateKey(path, pw)
+    val ring = JceksCredentialStore.loadRing(path, pw)
+    val ct = Seq("payload-to-protect").toDF("s")
+      .select(KeyCrypto.aesEncryptRotating($"s".cast("binary"), ring).as("ct"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.nio.ByteBuffer.wrap(ct).getInt(4) == KeyCrypto.GcmIvBytes,
+      "header must carry the 12-byte GCM iv length")
+    val tampered = ct.clone()
+    tampered(tampered.length - 20) = (tampered(tampered.length - 20) ^ 0x01).toByte
+    val e = intercept[Exception] {
+      spark.createDataset(Seq(tampered)).toDF("ct")
+        .select(KeyCrypto.aesDecryptRotating($"ct", ring)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => t.getClass.getName + ": " + String.valueOf(t.getMessage)).toSeq
+    assert(msgs.exists(m => m.contains("AEADBadTagException") ||
+      m.toLowerCase.contains("tag mismatch")), s"got $msgs")
+  }
+
+  test("legacy 16-byte-IV CBC ciphertexts (the reference's codec) still decrypt") {
+    import spark.implicits._
+    val (path, pw) = newStore()
+    JceksCredentialStore.generateKey(path, pw)
+    val ring = JceksCredentialStore.loadRing(path, pw)
+    // hand-build a CBC row in the self-describing layout
+    val iv = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(iv)
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ring.keys(1), "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val body = cipher.doFinal("legacy row".getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(8 + iv.length + body.length)
+    buf.putInt(1).putInt(iv.length).put(iv).put(body)
+    val got = spark.createDataset(Seq(buf.array())).toDF("ct")
+      .select(KeyCrypto.aesDecryptRotating($"ct", ring).cast("string"))
+      .collect()(0).getString(0)
+    assert(got == "legacy row")
+  }
+
   test("JSON credential store parses hex and base64 rings") {
     val dir = tmpDir("jsoncreds")
     val keyHex = "000102030405060708090a0b0c0d0e0f"

@@ -41,9 +41,22 @@ class FuzzyJoinSpec extends SparkSpec {
 
   test("degenerate block key is refused loudly") {
     val same = (1 to 50).map(i => s"prefix-common-$i").toDF("n")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       FuzzyJoin.join(same, same.withColumnRenamed("n", "m"),
-        "n", "m", maxDist = 1, blockLen = 6, maxBlockRows = 10)
+        "n", "m", maxDist = 1, blockLen = 6, maxBlockRows = 10).count()
+    }
+    assert(e.getMessage.contains("not selective"))
+  }
+
+  test("a hot block on the RIGHT side alone is also refused") {
+    // left has one row per block; right piles 50 rows into one block —
+    // the pre-round-10 guard audited only the left side and let this
+    // near-all-pairs join run silently
+    val l = Seq("prefix-a").toDF("n")
+    val r = (1 to 50).map(i => s"prefix-$i").toDF("m")
+    val e = intercept[Exception] {
+      FuzzyJoin.join(l, r, "n", "m", maxDist = 2, blockLen = 6,
+        maxBlockRows = 10).count()
     }
     assert(e.getMessage.contains("not selective"))
   }

@@ -80,6 +80,33 @@ class MaterializedViewSpec extends SparkSpec {
     assert(canon(MaterializedView.read(spark, dir)) == streamed)
   }
 
+  test("an equal-timestamp group split across micro-batches folds exactly once") {
+    // the round-9 advice finding: with event-time-keyed exactly-once, a
+    // batch cut between two rows sharing ts silently dropped the later
+    // rows. Batch-id keying folds both halves. Two files, one batch
+    // each (maxFilesPerTrigger=1): file B continues file A's final
+    // second-granularity timestamp.
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").limit(40)
+      .withColumn("ts", to_timestamp(lit("2024-03-01 12:00:00"))) // all tied
+    val in = tmpDir("mv-tie-in")
+    val dir = tmpDir("mv-tie") + "/view"
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    a.coalesce(1).write.parquet(s"$in/fa")
+    b.coalesce(1).write.parquet(s"$in/fb")
+    new java.io.File(s"$in/fa").listFiles().foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$in/fb").listFiles().foreach(_.setLastModified(2000000L))
+    val q = MaterializedView.sink(
+      graft.streaming.Streams.fileReplay(spark, s"$in/*", ev.schema),
+      dir, "ts", keys, specs, tmpDir("mv-tie-ck"))
+    q.awaitTermination()
+    assert(canon(MaterializedView.read(spark, dir)) ==
+      canon(IncrementalAgg.state(ev, keys, specs)),
+      "both halves of the tied-timestamp group must be folded")
+  }
+
   test("a half-applied refresh is refused, not silently double-counted") {
     val ev = Tables.load(spark, sf, "events")
     val dir = tmpDir("mv-crash") + "/view"

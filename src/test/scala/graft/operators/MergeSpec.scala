@@ -95,4 +95,31 @@ class MergeSpec extends SparkSpec {
     assert(got.getLong(0) == want.getLong(0))
     assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6)
   }
+
+  test("an oversized changelog takes the shuffle path bit-identically") {
+    // maxBroadcastKeys=1 forces every join onto the shuffle fallback —
+    // the result must equal the broadcast path's row for row
+    def runWith(dir: String, maxKeys: Long): Set[String] = {
+      writeBase(dir)
+      val changes = Seq(
+        (2L, "B2", "p1", "U"), (3L, "x", "p2", "D"), (9L, "new", "p3", "U"))
+        .toDF("k", "v", "p", "op")
+      Merge.mergePartitioned(spark, dir, "p", changes, Seq("k"),
+        col("op") === "D", maxBroadcastKeys = maxKeys)
+      spark.read.parquet(dir).collect()
+        .map(r => s"${r.getAs[Long]("k")}|${r.getAs[String]("v")}|${r.getAs[String]("p")}")
+        .toSet
+    }
+    val shuffleDir = tmpDir("merge-shuffle")
+    val viaBroadcast = runWith(tmpDir("merge-bcast"), maxKeys = 5000000L)
+    val viaShuffle = runWith(shuffleDir, maxKeys = 1L)
+    assert(viaShuffle == viaBroadcast, "fallback path must not change results")
+    // and the hint really is absent: the anti-join plan under the tiny
+    // threshold must not carry a broadcast exchange on the change side
+    val base = spark.read.parquet(shuffleDir)
+    val ch = Seq((2L, "B2", "p1", "U")).toDF("k", "v", "p", "op")
+    val plan = Merge.merged(base, ch, Seq("k"), col("op") === "D",
+      broadcastChangeKeys = false).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("broadcast"), s"no broadcast hint expected:\n$plan")
+  }
 }

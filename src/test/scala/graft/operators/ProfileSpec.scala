@@ -88,10 +88,12 @@ class ProfileSpec extends SparkSpec {
       assert(grouped(ty) == ((one.getAs[Double]("p50"),
         one.getAs[Double]("p90"))), s"group $ty")
     }
-    // per-group distinct guard fires on oversized domains
-    intercept[IllegalArgumentException] {
+    // per-group distinct guard fires on oversized domains — in-plan
+    // (raise_error) so the probe costs no extra scan of the input
+    val e = intercept[Exception] {
       Profile.groupedPercentiles(ev, "event_type", "v",
-        maxDistinctPerGroup = 3)
+        maxDistinctPerGroup = 3).collect()
     }
+    assert(e.getMessage.contains("quantize before profiling"), e.getMessage)
   }
 }

@@ -52,4 +52,27 @@ class QualityTiersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"tier table must broadcast back:\n$plan")
   }
+
+  test("input lineage runs once: no eager action, cached scan under both consumers") {
+    // the round-9 finding: tiers() ran its input lineage 3x (an eager
+    // count plus two uncached plan subtrees). Pin the fix structurally:
+    // building the frame must launch NO job, and the executed plan must
+    // read the expensive input through InMemoryTableScan on both
+    // consumers (per-score aggregate + output join).
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val docs = Tables.load(spark, sf, "documents")
+    val model = NgramLm.train(docs, "text") // trains eagerly, outside tiers
+    val fam = NgramLm.familiarity(docs, model, "doc_id", "text")
+    val mid = sc.statusTracker.getJobIdsForGroup(null).length
+    val out = QualityTiers.tiers(fam, "fam_q", k = 3)
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == mid,
+      s"tiers() must not run an eager action (jobs before=$before mid=$mid after=$after)")
+    val plan = out.queryExecution.executedPlan.toString
+    val cachedScans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cachedScans >= 2,
+      s"both consumers must read the scored input from cache:\n$plan")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
