@@ -1506,6 +1506,103 @@ object SparkEntry {
       } finally srv.stop(0)
     }),
 
+    // Event Hubs publish round-trip (EventhubDataWriter.java:75): SAS-
+    // signed, byte-capped JSON batches into an in-process endpoint that
+    // VERIFIES the HMAC signature off the wire (a bad key 401s) and
+    // unwraps the {"Body": ...} envelopes; the result is the records
+    // parsed back off the wire — protocol + serialization proven, not
+    // just delivery counts.
+    "q161_eventhub_publish" -> ((s, dir) => {
+      import graft.sinks.EventHubSink
+      val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val key = "graft-test-shared-key"
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/hub/messages",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val auth = String.valueOf(
+            ex.getRequestHeaders.getFirst("Authorization"))
+          val parts = auth.stripPrefix("SharedAccessSignature ")
+            .split('&').map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+          val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+          mac.init(new javax.crypto.spec.SecretKeySpec(
+            key.getBytes("UTF-8"), "HmacSHA256"))
+          val want = java.util.Base64.getEncoder.encodeToString(mac.doFinal(
+            (parts("sr") + "\n" + parts("se")).getBytes("UTF-8")))
+          val ok = java.net.URLDecoder
+            .decode(parts("sig"), "UTF-8") == want
+          if (ok) received.add(body)
+          ex.sendResponseHeaders(if (ok) 201 else 401, -1)
+          ex.close()
+        })
+      srv.start()
+      try {
+        val src = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        EventHubSink.postRows(src, EventHubSink.EventHubConfig(
+          "graftns", "hub", "graft-key", key,
+          endpointOverride = Some(
+            s"http://127.0.0.1:${srv.getAddress.getPort}/hub/messages")))
+        val bodies = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(received).asScala.toSeq
+          .flatMap { batch =>
+            org.json4s.jackson.JsonMethods.parse(batch) match {
+              case org.json4s.JArray(items) => items.map(o =>
+                (o \ "Body").asInstanceOf[org.json4s.JString].s)
+              case other => sys.error(s"bad eventhub batch: $other")
+            }
+          }
+        s.read.json(s.createDataset(bodies)(
+            org.apache.spark.sql.Encoders.STRING))
+          .select(col("s_suppkey").cast("bigint").as("s_suppkey"),
+            col("s_name").cast("string").as("s_name"),
+            col("s_acctbal").cast("double").as("s_acctbal"))
+      } finally srv.stop(0)
+    }),
+
+    // Couchbase KV upsert round-trip (CouchbaseWriter.java:72 +
+    // AnyToCouchbaseJsonConverter): json docs keyed by nation key into
+    // an in-process bulk-upsert store — written TWICE so the oracle row
+    // also proves upsert-replace semantics (duplicated publishes land
+    // one doc per key).
+    "q162_couchbase_upsert" -> ((s, dir) => {
+      import graft.sinks.CouchbaseSink
+      val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/pools/default/buckets/graft/docs",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          org.json4s.jackson.JsonMethods.parse(body) match {
+            case org.json4s.JArray(items) => items.foreach { doc =>
+              store.put((doc \ "id").asInstanceOf[org.json4s.JString].s,
+                (doc \ "content").asInstanceOf[org.json4s.JString].s)
+            }
+            case other => sys.error(s"bad couchbase bulk: $other")
+          }
+          ex.sendResponseHeaders(200, -1)
+          ex.close()
+        })
+      srv.start()
+      try {
+        val cfg = CouchbaseSink.CouchbaseConfig(
+          s"http://127.0.0.1:${srv.getAddress.getPort}", "graft")
+        val src = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        CouchbaseSink.upsert(CouchbaseSink.jsonDocs(src, "n_nationkey", cfg), cfg)
+        CouchbaseSink.upsert(CouchbaseSink.jsonDocs(src, "n_nationkey", cfg), cfg)
+        val docs = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(store.values()).asScala.toSeq
+        s.read.json(s.createDataset(docs)(
+            org.apache.spark.sql.Encoders.STRING))
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+            col("n_name").cast("string").as("n_name"),
+            col("n_regionkey").cast("bigint").as("n_regionkey"))
+      } finally srv.stop(0)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3091,6 +3188,12 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",
     "q80_es_bulk_roundtrip" ->
       "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    // the records parsed back off the Event Hubs wire must equal the source
+    "q161_eventhub_publish" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    // double-published KV upserts land exactly one doc per key
+    "q162_couchbase_upsert" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->

@@ -26,7 +26,25 @@ import org.apache.spark.sql.SparkSession
   */
 object FlowDag {
 
+  /** A schedulable DAG node: an ETL pipeline ([[FlowNode]]) or a
+    * maintenance job ([[MaintenanceNode]] — compaction, vacuum, merge,
+    * snapshot expire, backfill planning), dependency-ordered and
+    * ledger-recorded identically. */
+  sealed trait DagNode {
+    def name: String
+    def dependsOn: Seq[String]
+  }
+
   final case class FlowNode(spec: PipelineSpec, dependsOn: Seq[String] = Nil)
+      extends DagNode {
+    def name: String = spec.name
+  }
+
+  final case class MaintenanceNode(spec: MaintenanceSpec,
+                                   dependsOn: Seq[String] = Nil)
+      extends DagNode {
+    def name: String = spec.name
+  }
 
   sealed trait Status
   case object Succeeded extends Status
@@ -36,31 +54,32 @@ object FlowDag {
 
   final case class NodeResult(name: String, status: Status,
                               result: Option[PipelineRunner.JobResult],
-                              error: Option[String])
+                              error: Option[String],
+                              detail: Option[String] = None)
 
   /** Validate + topologically order the flow; throws on duplicate names,
     * unknown dependencies, or cycles. Deterministic: among ready nodes,
     * declaration order wins. */
-  def topoOrder(nodes: Seq[FlowNode]): Seq[FlowNode] = {
-    val byName = nodes.map(n => n.spec.name -> n).toMap
+  def topoOrder(nodes: Seq[DagNode]): Seq[DagNode] = {
+    val byName = nodes.map(n => n.name -> n).toMap
     require(byName.size == nodes.size,
-      s"duplicate job names: ${nodes.groupBy(_.spec.name).collect {
+      s"duplicate job names: ${nodes.groupBy(_.name).collect {
         case (n, g) if g.size > 1 => n }.mkString(", ")}")
     nodes.foreach(n => n.dependsOn.foreach(d => require(byName.contains(d),
-      s"job '${n.spec.name}' depends on unknown job '$d'")))
-    val indeg = mutable.Map(nodes.map(n => n.spec.name -> n.dependsOn.size): _*)
-    val out = mutable.ArrayBuffer.empty[FlowNode]
+      s"job '${n.name}' depends on unknown job '$d'")))
+    val indeg = mutable.Map(nodes.map(n => n.name -> n.dependsOn.size): _*)
+    val out = mutable.ArrayBuffer.empty[DagNode]
     val done = mutable.Set.empty[String]
     while (out.size < nodes.size) {
       val ready = nodes.find(n =>
-        !done.contains(n.spec.name) && indeg(n.spec.name) == 0)
+        !done.contains(n.name) && indeg(n.name) == 0)
       require(ready.isDefined, "flow graph has a cycle among: " +
-        nodes.map(_.spec.name).filterNot(done.contains).mkString(", "))
+        nodes.map(_.name).filterNot(done.contains).mkString(", "))
       val n = ready.get
-      out += n; done += n.spec.name
+      out += n; done += n.name
       nodes.foreach { m =>
-        if (m.dependsOn.contains(n.spec.name))
-          indeg(m.spec.name) = indeg(m.spec.name) - 1
+        if (m.dependsOn.contains(n.name))
+          indeg(m.name) = indeg(m.name) - 1
       }
     }
     out.toSeq
@@ -72,13 +91,13 @@ object FlowDag {
     * .RunLedger]], every node outcome — including failures and
     * cancellations — lands in the job-history store (JobExecutionInfo
     * semantics). */
-  def run(spark: SparkSession, nodes: Seq[FlowNode], runId: String,
+  def run(spark: SparkSession, nodes: Seq[DagNode], runId: String,
           ledger: Option[graft.state.RunLedger] = None)
       : Map[String, NodeResult] = {
     val ordered = topoOrder(nodes)
     val results = mutable.Map.empty[String, NodeResult]
     ordered.foreach { n =>
-      val name = n.spec.name
+      val name = n.name
       val nodeRunId = s"${runId}_$name"
       val t0 = System.currentTimeMillis()
       def finish(res: NodeResult): Unit = {
@@ -86,11 +105,11 @@ object FlowDag {
         val t1 = System.currentTimeMillis()
         ledger.foreach { l =>
           res match {
-            case NodeResult(_, Succeeded, Some(r), _) =>
+            case NodeResult(_, Succeeded, Some(r), _, _) =>
               l.recordResult(name, r, t0, t1)
-            case NodeResult(_, status, _, err) =>
+            case NodeResult(_, status, _, err, detail) =>
               l.record(name, nodeRunId, status.toString.toUpperCase, t0, t1,
-                detail = err.getOrElse(""))
+                detail = err.orElse(detail).getOrElse(""))
           }
         }
       }
@@ -100,9 +119,13 @@ object FlowDag {
           Some("upstream failed: " + upstreamBad.mkString(", "))))
       else
         finish(
-          try {
-            val r = PipelineRunner.run(spark, n.spec, nodeRunId)
-            NodeResult(name, Succeeded, Some(r), None)
+          try n match {
+            case f: FlowNode =>
+              val r = PipelineRunner.run(spark, f.spec, nodeRunId)
+              NodeResult(name, Succeeded, Some(r), None)
+            case m: MaintenanceNode =>
+              val summary = MaintenanceRunner.run(spark, m.spec, nodeRunId)
+              NodeResult(name, Succeeded, None, None, Some(summary))
           } catch {
             case e: Exception =>
               NodeResult(name, Failed, None, Some(e.toString))
@@ -114,17 +137,23 @@ object FlowDag {
   /** Parse a multi-job flow from the reference's flat property style:
     * every `job.<i>.<key>=v` line feeds job i's [[PipelineSpec
     * .fromProperties]] as `<key>=v`, plus `job.<i>.dependsOn=nameA,nameB`.
+    * A node with `job.<i>.job.type=<maintenance kind>` becomes a
+    * [[MaintenanceNode]] instead (vacuum, compact-files, merge,
+    * snapshot-expire, backfill-plan — [[MaintenanceRunner.kinds]]), so
+    * maintenance hops schedule exactly like ETL hops.
     * {{{
     * flow.name=demo
     * job.1.job.name=extract
     * job.1.source.path=/data/in.parquet
     * job.1.fork.1.out=/out/hop1
-    * job.2.job.name=load
+    * job.2.job.name=compact
+    * job.2.job.type=compact-files
     * job.2.dependsOn=extract
-    * job.2.source.path=/out/hop1
-    * job.2.fork.1.out=/out/hop2
+    * job.2.dir=/out/hop1
+    * job.2.partition.col=dt
+    * job.2.target.bytes=134217728
     * }}} */
-  def fromProperties(props: Map[String, String]): Seq[FlowNode] = {
+  def fromProperties(props: Map[String, String]): Seq[DagNode] = {
     val jobIdx = props.keys.collect {
       case k if k.startsWith("job.") =>
         k.stripPrefix("job.").split('.').head.toIntOption
@@ -133,8 +162,17 @@ object FlowDag {
       val sub = props.collect {
         case (k, v) if k.startsWith(s"job.$i.") => k.stripPrefix(s"job.$i.") -> v
       }
-      FlowNode(PipelineSpec.fromProperties(sub),
-        sub.get("dependsOn").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil))
+      val deps = sub.get("dependsOn")
+        .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+      sub.get("job.type") match {
+        case Some(kind) if MaintenanceRunner.kinds.contains(kind) =>
+          MaintenanceNode(MaintenanceSpec.fromProperties(sub), deps)
+        case Some(other) => throw new IllegalArgumentException(
+          s"job.$i.job.type='$other' is not a maintenance kind " +
+            s"(known: ${MaintenanceRunner.kinds.toSeq.sorted.mkString(", ")}); " +
+            "omit job.type for an ETL pipeline node")
+        case None => FlowNode(PipelineSpec.fromProperties(sub), deps)
+      }
     }
   }
 }

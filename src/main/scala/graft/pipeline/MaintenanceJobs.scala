@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.operators.{FileCompaction, Merge, Vacuum}
+import graft.planning.BackfillPlanner
+import graft.sinks.SnapshotLog
+
+/** Lakehouse maintenance jobs as SCHEDULABLE flow nodes. The operators
+  * (merge, small-file compaction, staging vacuum, snapshot expire,
+  * backfill planning) are library calls; the reference runs their
+  * equivalents as job configs a scheduler owns (CompactionSource.java:99
+  * builds compaction work units from a job config, HivePurgerSource
+  * .java:66 the purge ones) — this gives a config-driven deployment the
+  * same: a `job.type=<kind>` node in a flow's properties, ordered and
+  * ledger-recorded like every ETL hop.
+  *
+  * Kinds and their properties (all values strings, reference
+  * flat-property style):
+  *   - `vacuum`: `dir`, optional `grace.ms` (default
+  *     [[Vacuum.DefaultGraceMs]])
+  *   - `compact-files`: `dir`, `partition.col`, `target.bytes`,
+  *     optional `format`
+  *   - `merge`: `dir`, `partition.col`, `changes.path`, `keys` (csv),
+  *     `delete.when` (SQL predicate over the changelog), optional
+  *     `delta.col` (latest-change-wins ordering), `changes.format`,
+  *     `format`, `max.broadcast.keys`
+  *   - `snapshot-expire`: `dir`, `keep`
+  *   - `backfill-plan`: `dir`, `partition.col`, optional `pattern`,
+  *     `from`, `to`, `out` (write the holes as parquet for a downstream
+  *     backfill hop to consume)
+  */
+final case class MaintenanceSpec(name: String, kind: String,
+                                 props: Map[String, String])
+
+object MaintenanceSpec {
+  /** Kind keyed under `job.type`; everything else passes through as the
+    * kind's properties (same flat style as [[PipelineSpec]]). */
+  def fromProperties(props: Map[String, String]): MaintenanceSpec =
+    MaintenanceSpec(
+      name = props.getOrElse("job.name", "graft-maintenance"),
+      kind = props.getOrElse("job.type",
+        throw new IllegalArgumentException("maintenance job needs job.type")),
+      props = props)
+}
+
+object MaintenanceRunner {
+
+  val kinds: Set[String] =
+    Set("vacuum", "compact-files", "merge", "snapshot-expire", "backfill-plan")
+
+  /** Run one maintenance job; returns a human-readable stats summary
+    * (recorded as the flow ledger's detail). Throws loudly on missing
+    * properties or operator refusals — a maintenance node fails its
+    * flow descendants exactly like an ETL node. */
+  def run(spark: SparkSession, spec: MaintenanceSpec, runId: String): String = {
+    def p(k: String): String = spec.props.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"maintenance job '${spec.name}' (${spec.kind}) needs property '$k'"))
+    spec.kind match {
+      case "vacuum" =>
+        val st = Vacuum.sweepStaging(spark, p("dir"),
+          spec.props.get("grace.ms").map(_.toLong)
+            .getOrElse(Vacuum.DefaultGraceMs))
+        s"vacuum: removed=${st.removed.size} kept=${st.kept.size}"
+      case "compact-files" =>
+        val st = FileCompaction.compact(spark, p("dir"), p("partition.col"),
+          p("target.bytes").toLong, spec.props.getOrElse("format", "parquet"))
+        s"compact-files: rewritten=${st.rewritten.size} " +
+          s"files=${st.filesBefore}->${st.filesAfter}"
+      case "merge" =>
+        val changes = spark.read
+          .format(spec.props.getOrElse("changes.format", "parquet"))
+          .load(p("changes.path"))
+        val delta = spec.props.get("delta.col")
+          .map(c => Seq(col(c).desc)).getOrElse(Seq.empty)
+        val st = Merge.mergePartitioned(spark, p("dir"), p("partition.col"),
+          changes, p("keys").split(',').map(_.trim).toSeq,
+          expr(p("delete.when")), delta,
+          format = spec.props.getOrElse("format", "parquet"),
+          maxBroadcastKeys = spec.props.get("max.broadcast.keys")
+            .map(_.toLong).getOrElse(5000000L))
+        s"merge: affected=${st.affected.size} upserted=${st.upserted} " +
+          s"deleted=${st.deleted}"
+      case "snapshot-expire" =>
+        new SnapshotLog(spark, p("dir")).expire(p("keep").toInt)
+        s"snapshot-expire: keep=${p("keep")}"
+      case "backfill-plan" =>
+        val holes = BackfillPlanner.missingDates(spark, p("dir"),
+          p("partition.col"), spec.props.getOrElse("pattern", "yyyy-MM-dd"),
+          spec.props.get("from"), spec.props.get("to"))
+        val out = spec.props.get("out")
+        val n = holes.count()
+        out.foreach(o =>
+          holes.coalesce(1).write.mode("overwrite").parquet(o))
+        s"backfill-plan: holes=$n" + out.fold("")(o => s" -> $o")
+      case other => throw new IllegalArgumentException(
+        s"unknown maintenance kind '$other' for job '${spec.name}' " +
+          s"(known: ${kinds.toSeq.sorted.mkString(", ")})")
+    }
+  }
+}

@@ -47,7 +47,11 @@ object HttpSink {
                           method: String, body: Option[String]): String = {
     val builder = HttpRequest.newBuilder(URI.create(cfg.url))
       .timeout(Duration.ofMillis(cfg.timeoutMs))
-      .header("Content-Type", "application/json")
+    // default content type only when the caller sets none — header()
+    // APPENDS, so an unconditional default would ride along with a
+    // caller's vendor content type as a second value
+    if (!cfg.headers.keysIterator.exists(_.equalsIgnoreCase("Content-Type")))
+      builder.header("Content-Type", "application/json")
     cfg.headers.foreach { case (k, v) => builder.header(k, v) }
     val req = builder.method(method, body.fold(
       HttpRequest.BodyPublishers.noBody())(

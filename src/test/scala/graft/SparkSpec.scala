@@ -17,12 +17,24 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Hive-enabled with an embedded derby metastore in a throwaway dir:
+    // the HiveDdl/CatalogRegister suites exercise a REAL metastore
+    // round-trip (the reference registers against one —
+    // HiveRegister.java:62), and every other suite behaves identically
+    // on the hive catalog. catalogImplementation is a static conf, so
+    // the one shared test session is where this must live.
+    val meta = java.nio.file.Files.createTempDirectory("graft-metastore")
+    meta.toFile.deleteOnExit()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", s"$meta/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -18,7 +18,7 @@ class FlowDagSpec extends SparkSpec {
     val d = FlowDag.FlowNode(leafSpec("d", "/i", "/o"), dependsOn = Seq("b", "c"))
     // declaration order (d, c, b, a) breaks the b/c tie: c was declared
     // before b, so it runs first
-    val order = FlowDag.topoOrder(Seq(d, c, b, a)).map(_.spec.name)
+    val order = FlowDag.topoOrder(Seq(d, c, b, a)).map(_.name)
     assert(order == Seq("a", "c", "b", "d"))
   }
 
@@ -49,7 +49,7 @@ class FlowDagSpec extends SparkSpec {
       "job.2.fork.1.name" -> "main",
       "job.2.fork.1.filter" -> "o_orderstatus = 'F'",
       "job.2.fork.1.out" -> s"$dir/hop2"))
-    assert(nodes.map(_.spec.name) == Seq("extract", "load"))
+    assert(nodes.map(_.name) == Seq("extract", "load"))
     assert(nodes(1).dependsOn == Seq("extract"))
 
     val res = FlowDag.run(spark, nodes, "flowrun1")
@@ -59,6 +59,63 @@ class FlowDagSpec extends SparkSpec {
       .filter("o_orderstatus = 'F'").count()
     assert(spark.read.parquet(s"$dir/hop2").count() == expected)
     assert(res("load").result.get.branchCounts("main") == expected)
+  }
+
+  test("maintenance hops (compact-files, vacuum) schedule from properties like ETL hops") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-maint")
+    val tbl = s"$dir/tbl"
+    // a small-file-heavy partitioned table + crash debris to sweep
+    graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .repartition(8)
+      .write.partitionBy("dt").parquet(tbl)
+    val fsys = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(tbl, ".staging-dead-run"))
+    val before = spark.read.parquet(tbl).count()
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tbl)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles()
+    assert(filesBefore > 10, s"need a small-file table, got $filesBefore")
+
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val nodes = FlowDag.fromProperties(Map(
+      "flow.name" -> "nightly-maintenance",
+      "job.1.job.name" -> "compact",
+      "job.1.job.type" -> "compact-files",
+      "job.1.dir" -> tbl,
+      "job.1.partition.col" -> "dt",
+      "job.1.target.bytes" -> (64L * 1024 * 1024).toString,
+      "job.2.job.name" -> "sweep",
+      "job.2.job.type" -> "vacuum",
+      "job.2.dependsOn" -> "compact",
+      "job.2.dir" -> tbl,
+      "job.2.grace.ms" -> "0"))
+    assert(nodes.map(_.name) == Seq("compact", "sweep"))
+    val res = FlowDag.run(spark, nodes, "maintrun", ledger = Some(ledger))
+    assert(res("compact").status == FlowDag.Succeeded)
+    assert(res("sweep").status == FlowDag.Succeeded)
+    // compaction shrank the file count without changing the data
+    assert(dataFiles() < filesBefore, s"$filesBefore -> ${dataFiles()}")
+    assert(spark.read.parquet(tbl).count() == before)
+    // vacuum removed the crash debris
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(tbl, ".staging-dead-run")))
+    // both outcomes + their stats summaries are in the job-history ledger
+    val hist = ledger.history.collect()
+      .map(r => r.getAs[String]("job") -> r.getAs[String]("detail")).toMap
+    assert(hist("compact").contains("compact-files:"), hist.toString)
+    assert(hist("sweep").contains("vacuum: removed=1"), hist.toString)
+    // an unknown maintenance kind is rejected at parse time
+    val e = intercept[IllegalArgumentException] {
+      FlowDag.fromProperties(Map("job.1.job.name" -> "x",
+        "job.1.job.type" -> "defragment"))
+    }
+    assert(e.getMessage.contains("not a maintenance kind"))
   }
 
   test("a failed node cancels descendants but independent branches run") {
