@@ -1603,6 +1603,70 @@ object SparkEntry {
       } finally srv.stop(0)
     }),
 
+    // Search-Console-shaped ingestion (GoogleWebmasterDataFetcherImpl
+    // .java:87): the full page inventory discovered by RECURSIVE
+    // REQUEST-SPACE PARTITIONING against a row-capped, clicks-ranked
+    // in-process endpoint (rowLimit 40 forces several expansion
+    // rounds), then analytics extracted DISTRIBUTED in page batches.
+    // The site derives every page + metric from the documents table,
+    // so the oracle recomputes the whole result — any page the
+    // partitioner misses or double-fetches breaks the multiset hash.
+    "q163_webmaster_pages" -> ((s, dir) => {
+      import graft.sources.{GoogleWebmaster, HttpWebmasterClient}
+      val docs = t(s, dir, "documents").select("doc_id", "lang").collect()
+        .map(r => s"g/${r.getString(1)}/${r.getLong(0)}" -> r.getLong(0))
+      val byPage = docs.toMap
+      def clicks(id: Long) = id % 97
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/pages",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val q = ex.getRequestURI.getRawQuery.split('&')
+            .map(_.split("=", 2)).collect { case Array(k, v) =>
+              k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
+          val hits =
+            if (q("op") == "equals") docs.filter(_._1 == q("prefix"))
+            else docs.filter(_._1.startsWith(q("prefix")))
+          val out = hits.sortBy { case (p, id) => (-clicks(id), p) }
+            .take(q("limit").toInt)
+            .map(p => "\"" + p._1 + "\"").mkString("[", ",", "]")
+          val b = out.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        })
+      srv.createContext("/analytics",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          import org.json4s._
+          val ps = org.json4s.jackson.JsonMethods.parse(body) match {
+            case JArray(items) => items.map(_.asInstanceOf[JString].s)
+            case other => sys.error(s"bad analytics request: $other")
+          }
+          val out = ps.map { p =>
+            val id = byPage(p)
+            s"""{"page":"$p","clicks":${clicks(id)},""" +
+              s""""impressions":${id % 1009 + 1},"position":${(id % 500) / 10.0}}"""
+          }.mkString("[", ",", "]")
+          val b = out.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        })
+      srv.start()
+      try {
+        val client = HttpWebmasterClient(
+          s"http://127.0.0.1:${srv.getAddress.getPort}")
+        val found = GoogleWebmaster.allPages(client, rootPrefix = "g/",
+          rowLimit = 40)
+        val res = GoogleWebmaster.extract(s, client, found.pages,
+          batchSize = 64)
+        // the distributed fetch must run while the endpoint lives; the
+        // (small: one row per page) result re-wraps like q80 does
+        val rows = res.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows.toIndexedSeq, 1), res.schema)
+      } finally srv.stop(0)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3194,6 +3258,13 @@ object SparkEntry {
     // double-published KV upserts land exactly one doc per key
     "q162_couchbase_upsert" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // every page the recursive partitioner must discover + the
+    // deterministic metrics the endpoint serves for it
+    "q163_webmaster_pages" ->
+      ("SELECT 'g/' || lang || '/' || doc_id AS page, " +
+        "(doc_id % 97)::BIGINT AS clicks, " +
+        "(doc_id % 1009 + 1)::BIGINT AS impressions, " +
+        "(doc_id % 500) / 10.0 AS position FROM documents"),
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
