@@ -44,13 +44,44 @@ object NgramLm {
   }
 
   /** Train the gram-frequency model: (gram, cnt) for every char n-gram
-    * occurring at least `minCount` times in `textCol`. */
+    * occurring at least `minCount` times in `textCol`. LAZY — the
+    * returned frame carries the corpus aggregate as its lineage, so a
+    * consumer that references the model twice (or caches a plan built
+    * on it) pays the corpus scan per reference. Single-consumer
+    * pipelines (q93's one-shot scoring) are fine; anything that fans
+    * the model out should use [[trainCollected]]. */
   def train(df: DataFrame, textCol: String, n: Int = 3,
             minCount: Long = 2L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     df.select(explode(charGrams(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+  }
+
+  /** [[train]] MATERIALIZED to a small driver-built table — the
+    * bounded-trainer pattern every other trainer in this repo uses
+    * (ivfTrain, PQ, BPE): the (gram, cnt) vocab is bounded (charset^n
+    * at most, minCount prunes the tail), so collecting it once means
+    * downstream plans embed a literal-sized table instead of the
+    * corpus aggregate. Round-10 finding: leaving the model lazy made
+    * CCNet tiering recompute the corpus trigram aggregate under its
+    * cache and DOUBLED q110's wall time. `maxGrams` guards the pull —
+    * a blown guard means minCount (or n) is wrong for the corpus. */
+  def trainCollected(df: DataFrame, textCol: String, n: Int = 3,
+                     minCount: Long = 2L,
+                     maxGrams: Int = 2000000): DataFrame = {
+    val spark = df.sparkSession
+    val rows = train(df, textCol, n, minCount).limit(maxGrams + 1).collect()
+    require(rows.length <= maxGrams,
+      s"n-gram model exceeds maxGrams=$maxGrams — raise minCount " +
+        "or train on a sample")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** floor(log2(c)) for a positive BIGINT column, via the binary-string

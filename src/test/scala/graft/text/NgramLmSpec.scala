@@ -55,6 +55,24 @@ class NgramLmSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("trainCollected equals the lazy model; oversized vocab refused loudly") {
+    val lazyRows = NgramLm.train(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val collected = NgramLm.trainCollected(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(collected == lazyRows)
+    // scoring through the collected model is row-identical
+    val a = NgramLm.familiarity(docs, NgramLm.train(docs, "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    val b = NgramLm.familiarity(docs, NgramLm.trainCollected(docs, "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.trainCollected(docs, "text", maxGrams = 3)
+    }
+    assert(e.getMessage.contains("maxGrams"))
+  }
+
   test("scoring plan: model broadcast, one combiner-reduced doc shuffle") {
     val model = NgramLm.train(docs, "text")
     val p = NgramLm.familiarity(docs, model, "doc_id", "text")
