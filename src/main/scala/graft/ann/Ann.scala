@@ -30,8 +30,13 @@ object Ann {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Native fused multiply-add loop ([[graft.functions.DotProduct]]) —
+    * bit-identical to the HOF spelling but with no per-row intermediate
+    * array; the pairing joins evaluate this ~10^8 times. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnShim.column(graft.functions.DotProduct(
+      org.apache.spark.sql.GraftColumnShim.expression(asDouble(a)),
+      org.apache.spark.sql.GraftColumnShim.expression(asDouble(b))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
