@@ -98,56 +98,84 @@ object SemDeDup {
   /** [[survivors]] plus an IN-QUERY certification (the engine's
     * raise_error self-check pattern, cf. the HLL rollup's 2%-of-exact
     * gate): the returned frame carries `okCol`, true on every row iff
-    * (a) re-pairing the SURVIVOR set within the same cells finds no
-    * pair at `threshold` — the "no surviving near-duplicates" output
-    * contract, recomputed independently of the drop bookkeeping via
-    * plain id ordering instead of the rank window — and (b) no cell
-    * shed members past `maxCellSize` (a shed member passes through
-    * undeduped, so a certified run refuses it loudly; retrain with more
-    * cells). Any violation raises instead of returning quietly.
+    * (a) no near pair from the cell pairing has BOTH endpoints in the
+    * survivor id set — the "no surviving near-duplicates" output
+    * contract, derived from the pairing's persisted pair set (a pair
+    * survives iff neither endpoint was dropped, so no second quadratic
+    * pass is needed); (b) the bookkeeping partitions exactly —
+    * survivors + dropped == members (catching a broken anti-join or
+    * distinct, the failure modes (a) alone cannot see); and (c) no
+    * cell shed members past `maxCellSize` (a shed member passes
+    * through undeduped, so a certified run refuses it loudly; retrain
+    * with more cells). Any violation raises instead of returning
+    * quietly.
     *
-    * Cost discipline: the ranked frame (cell assignment + per-cell rank
-    * window) and the duplicate id list both feed several consumers
-    * (output, residual pairing, shed count) — each is persisted so the
-    * corpus is scanned once and the quadratic pairing runs exactly
-    * twice (corpus members, then survivor members), not once per
-    * consumer. Spark does not dedupe a common subtree across joins —
-    * the q110/QualityTiers lesson. */
+    * Cost discipline: the quadratic cell pairing runs exactly ONCE —
+    * the certification re-reads its persisted pair set (two semi joins
+    * + counts), keeping the certified face within noise of plain
+    * [[survivors]] instead of 2x. The checks evaluate eagerly here, so
+    * the ranked/pair caches are released before returning; only the
+    * duplicate-id list (ids of dropped rows, the smallest frame in
+    * play) stays persisted for the returned anti-join — long-lived
+    * sessions doing many certified runs can reclaim it with
+    * `spark.catalog.clearCache()` once the output is materialized. */
   def certifiedSurvivors(corpus: DataFrame, idCol: String, vecCol: String,
                          model: Ann.IvfModel, threshold: Double,
                          maxCellSize: Int = 4096,
                          okCol: String = "sem_ok"): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
+    val spark = corpus.sparkSession
     val r = ranked(corpus, idCol, vecCol, model).persist()
     val m = r.filter(col("__rank") <= maxCellSize)
       .withColumn("__norm", Ann.norm(col(vecCol).cast("array<double>")))
-    def nearPairs(mm: DataFrame): DataFrame = {
-      val a = mm.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
-        col("__cell"), col("__norm").as("__norm_a"))
-      val b = mm.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
-        col("__cell"), col("__norm").as("__norm_b"))
-      a.join(b, Seq("__cell")).filter(col("__id_b") < col("__id_a"))
-        .withColumn("__cos", Ann.dot(col("__vec_a"), col("__vec_b")) /
-          (col("__norm_a") * col("__norm_b")))
-        .filter(col("__cos") >= threshold)
-    }
     // ascending-id rank order == ascending id, so "any earlier-ranked
     // cellmate at threshold" == "any lower-id member pair"
-    val dupIds = nearPairs(m).select(col("__id_a").as(idCol))
-      .distinct().persist()
-    val resid = nearPairs(m.join(dupIds, Seq(idCol), "left_anti"))
-      .agg(count(lit(1)).as("__resid"))
-    val shed = r.filter(col("__rank") > maxCellSize)
-      .agg(count(lit(1)).as("__shed"))
-    val cert = broadcast(resid.crossJoin(shed))
+    val a = m.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
+      col("__cell"), col("__norm").as("__norm_a"))
+    val b = m.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
+      col("__cell"), col("__norm").as("__norm_b"))
+    val pairs = a.join(b, Seq("__cell")).filter(col("__id_b") < col("__id_a"))
+      .withColumn("__cos", Ann.dot(col("__vec_a"), col("__vec_b")) /
+        (col("__norm_a") * col("__norm_b")))
+      .filter(col("__cos") >= threshold)
+      .select("__id_a", "__id_b").persist()
+    val dupIds = pairs.select(col("__id_a").as(idCol)).distinct().persist()
+    // (a) residual: a first-pass near pair both of whose endpoints
+    // escaped the drop set would survive into the output
+    val survMemberIds = m.select(col(idCol))
+      .join(dupIds, Seq(idCol), "left_anti")
+    val resid = pairs
+      .join(survMemberIds.select(col(idCol).as("__id_a")), Seq("__id_a"), "left_semi")
+      .join(survMemberIds.select(col(idCol).as("__id_b")), Seq("__id_b"), "left_semi")
+      .count()
+    // (b) partition bookkeeping over the cached frames
+    val nMembers = r.filter(col("__rank") <= maxCellSize).count()
+    val nDropped = dupIds.count()
+    val nSurvMembers = survMemberIds.count()
+    // (c) shed members passed through undeduped
+    val shed = r.filter(col("__rank") > maxCellSize).count()
+    r.unpersist()
+    pairs.unpersist()
+    val cert = broadcast(spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        resid, nSurvMembers + nDropped - nMembers, shed)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__resid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__shed",
+          org.apache.spark.sql.types.LongType)))))
     corpus.join(dupIds, Seq(idCol), "left_anti")
       .crossJoin(cert)
       .withColumn(okCol,
-        when(col("__resid") === 0 && col("__shed") === 0, lit(true))
+        when(col("__resid") === 0 && col("__part") === 0 &&
+            col("__shed") === 0, lit(true))
           .otherwise(raise_error(concat(
             lit("SemDeDup certification failed: surviving near-pairs="),
-            col("__resid"), lit(", shed members="), col("__shed")))))
-      .drop("__resid", "__shed")
+            col("__resid"), lit(", partition imbalance="), col("__part"),
+            lit(", shed members="), col("__shed")))))
+      .drop("__resid", "__part", "__shed")
   }
 }

@@ -41,6 +41,7 @@ object MaterializedView {
   private def stateDir(viewDir: String) = s"$viewDir/state"
   private val WmKey = "mv-watermark"
   private val AppliedKey = "mv-applied"
+  private val CkptWmPrefix = "mv-ckpt-wm-"
 
   /** The current materialized aggregate (must exist). */
   def read(spark: SparkSession, viewDir: String): DataFrame =
@@ -56,14 +57,20 @@ object MaterializedView {
     * sink() caller could honor that contract. Instead: a batch whose id
     * is at or below the per-checkpoint applied marker is a replay and
     * skips; a new batch folds EVERY row newer than the watermark frozen
-    * at RUN START (`runWm`), so equal-timestamp rows split across
-    * batches of one run all land exactly once. The stored event-time
-    * watermark still provides cross-run idempotence: a fresh checkpoint
-    * replaying the source from scratch filters everything at or below
-    * the previous run's final watermark. The one unguardable window is
-    * an equal-timestamp group split across RUNS (stop + restart with a
-    * NEW checkpoint exactly between the two halves) — that is the
-    * monotone-complete contract this operator retains, now only at run
+    * when this CHECKPOINT first touched the view (its "birth
+    * watermark", persisted per checkpoint), so equal-timestamp rows
+    * split across batches — or across a crash/restart — of one
+    * checkpoint all land exactly once. The birth watermark provides
+    * cross-checkpoint idempotence: a fresh checkpoint replaying the
+    * source from scratch filters everything at or below the previous
+    * checkpoint's final watermark, and because the cut is frozen at
+    * checkpoint birth (not re-read per run), a replay spanning many
+    * batches or interrupted by crashes filters consistently, while a
+    * continuing checkpoint never loses rows at the mid-run-advanced
+    * watermark. The one unguardable window is an equal-timestamp group
+    * split across CHECKPOINTS (stop + restart with a NEW checkpoint
+    * exactly between the two halves) — that is the monotone-complete
+    * contract this operator retains, now only at checkpoint
     * boundaries. The half-applied refusal applies per micro-batch
     * exactly as in batch mode. */
   def sink(stream: DataFrame, viewDir: String, tsCol: String,
@@ -75,16 +82,22 @@ object MaterializedView {
     // batch ids are monotone PER CHECKPOINT — scope the applied marker
     // to this checkpoint so a rebuilt checkpoint starts a fresh ledger
     val ckptTag = Integer.toHexString(checkpointDir.hashCode)
-    // frozen at the first batch of this run (foreachBatch runs its
-    // closure sequentially on the driver, so a var is safe here)
-    var runWm: Option[Option[String]] = None
+    // the checkpoint's birth watermark, cached per run (foreachBatch
+    // runs its closure sequentially on the driver, so a var is safe)
+    var birthWm: Option[Option[String]] = None
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val store = new StateStore(spark, stateDir(viewDir))
-        if (runWm.isEmpty) runWm = Some(store.highWatermark(WmKey))
+        if (birthWm.isEmpty) birthWm = Some(
+          store.highWatermark(s"$CkptWmPrefix$ckptTag") match {
+            // recorded at this checkpoint's first commit; "" = the view
+            // had no state when this checkpoint was born
+            case Some(s) => if (s.isEmpty) None else Some(s)
+            case None    => store.highWatermark(WmKey)
+          })
         streamBatch(spark, viewDir, store, batch, tsCol, keyCols, specs,
-          ckptTag, batchId, runWm.get)
+          ckptTag, batchId, birthWm.get)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -95,9 +108,10 @@ object MaterializedView {
                           store: StateStore, batch: DataFrame, tsCol: String,
                           keyCols: Seq[String], specs: Seq[AggSpec],
                           ckptTag: String, batchId: Long,
-                          runWm: Option[String]): Unit = {
+                          birthWm: Option[String]): Unit = {
     val bRead = s"mv-batch-read-$ckptTag"
     val bApplied = s"mv-batch-applied-$ckptTag"
+    val ckptWmKey = s"$CkptWmPrefix$ckptTag"
     val readMark = store.highWatermark(bRead).map(_.toLong)
     val applied = store.highWatermark(bApplied).map(_.toLong)
     require(readMark == applied,
@@ -105,21 +119,37 @@ object MaterializedView {
         "a crash landed between swap and batch commit — restore the parked " +
         "aggregate dir or rebuild before streaming into it")
     if (applied.exists(batchId <= _)) return // replayed batch: already folded
-    val delta = runWm match {
-      case Some(w) =>
-        batch.filter(col(tsCol) > lit(w).cast(batch.schema(tsCol).dataType))
-      case None => batch
+    // pin the birth watermark on the checkpoint's FIRST commit, so a
+    // later run of this checkpoint filters on the same frozen cut even
+    // after WmKey advances ("" encodes born-with-no-state)
+    val birthEntry: Map[(String, String), String] =
+      if (store.highWatermark(ckptWmKey).isEmpty)
+        Map((ckptWmKey, "") -> birthWm.getOrElse(""))
+      else Map.empty
+    val tsType = batch.schema(tsCol).dataType
+    val delta = birthWm match {
+      case Some(w) => batch.filter(col(tsCol) > lit(w).cast(tsType))
+      case None    => batch
     }
-    val probe = delta.agg(max(col(tsCol)).cast("string"),
-      count(lit(1))).collect()(0)
-    if (probe.isNullAt(0)) {
+    // the committed watermark must be monotone even when a later batch's
+    // max ts is smaller (out-of-order sources), so take the max against
+    // the stored watermark IN THE COLUMN'S TYPE — a lexicographic string
+    // max would order epoch "9" above "10" (greatest() ignores the null
+    // max of an empty delta; count disambiguates that case)
+    val storedWm = store.highWatermark(WmKey)
+    val wmAgg = storedWm match {
+      case Some(w) => greatest(max(col(tsCol)), lit(w).cast(tsType)).cast("string")
+      case None    => max(col(tsCol)).cast("string")
+    }
+    val probe = delta.agg(wmAgg, count(lit(1))).collect()(0)
+    if (probe.getLong(1) == 0L) {
       // empty delta: still record the batch as applied (one commit, no
       // swap in between, so no crash window needs the two-phase marks)
-      store.commit(Map((bRead, "") -> batchId.toString,
+      store.commit(birthEntry ++ Map((bRead, "") -> batchId.toString,
         (bApplied, "") -> batchId.toString), s"epoch-$batchId")
       return
     }
-    val newWm = (store.highWatermark(WmKey).toSeq :+ probe.getString(0)).max
+    val newWm = probe.getString(0)
     val folded =
       if (!new org.apache.hadoop.fs.Path(aggDir(viewDir)).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
@@ -132,7 +162,7 @@ object MaterializedView {
       s"epoch-$batchId")
     // record what this batch READ, then swap, then record applied: any
     // crash window leaves read != applied and the next replay refuses
-    store.commit(Map((bRead, "") -> batchId.toString,
+    store.commit(birthEntry ++ Map((bRead, "") -> batchId.toString,
       (WmKey, "") -> newWm), s"epoch-$batchId")
     staged.promote()
     store.commit(Map((bApplied, "") -> batchId.toString,

@@ -77,7 +77,10 @@ object FlowService {
   }
 
   /** Execute a stored flow now: compile properties → DAG → run, every
-    * node outcome in the ledger under `<flow>-<runId>`. */
+    * node outcome in the ledger under `<flow>@<runId>`. The separator
+    * is "@" because flow names admit only `[A-Za-z0-9_.-]` — a "-"
+    * separator made flow "foo"'s status query match flow "foo-bar"'s
+    * runs. */
   def execute(spark: SparkSession, store: FlowConfigStore,
               ledger: RunLedger, name: String,
               runId: String): Map[String, FlowDag.NodeResult] = {
@@ -85,7 +88,7 @@ object FlowService {
       throw new IllegalArgumentException(s"no such flow: $name"))
     val nodes = FlowDag.fromProperties(cfg.props)
     require(nodes.nonEmpty, s"flow $name compiles to zero jobs")
-    FlowDag.run(spark, nodes, s"$name-$runId", ledger = Some(ledger))
+    FlowDag.run(spark, nodes, s"$name@$runId", ledger = Some(ledger))
   }
 
   /** Interval scheduler over the catalog: `flow.schedule=every:<sec>`.
@@ -195,7 +198,7 @@ object FlowService {
         case ("GET", Some(n)) =>
           val rows = ledger.history
             .filter(org.apache.spark.sql.functions
-              .col("run_id").startsWith(s"$n-"))
+              .col("run_id").startsWith(s"$n@"))
             .select("job", "run_id", "status").collect()
           respond(ex, 200, rows.toSeq.map(r =>
             s"""{"job":${jstr(r.getString(0))},"run":${jstr(r.getString(1))},""" +

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-import graft.functions.{Grok, GrokStruct, GzipCompress, GzipDecompress,
-  MinHashBandHashes, MinHashSignature, SrpSignatures}
+import graft.functions.{DotProduct, Grok, GrokStruct, GzipCompress,
+  GzipDecompress, MinHashBandHashes, MinHashSignature, SrpSignatures}
 
 /** SQL-registry face of the engine's custom Catalyst expressions — the
   * reference's class-name plug-in surface (§2.9; `converter.classes`,
@@ -30,6 +30,7 @@ import graft.functions.{Grok, GrokStruct, GzipCompress, GzipDecompress,
   *  - `graft_srp(vec, bits, tables)` — signed-random-projection sigs
   *  - `graft_grok(line, pattern)` — one-match grok struct (named fields)
   *  - `graft_zvalue(rank1, ..., rankN, bits)` — Morton z-curve value
+  *  - `graft_vec_dot(a, b)` — fused dot product of two array<double>
   *
   * (Column-composition operators like `TextStats.maxTokenRun` are NOT
   * registrable here — a function builder must return a Catalyst
@@ -105,7 +106,11 @@ object GraftExtensions {
         if (args.length < 2) throw new IllegalArgumentException(
           s"graft_zvalue expects at least 2 arguments, got ${args.length}")
         graft.functions.ZInterleave(args.init,
-          litInt(args.last, "graft_zvalue", "bits")) }))
+          litInt(args.last, "graft_zvalue", "bits")) }),
+    ("graft_vec_dot", info("graft_vec_dot",
+      "graft_vec_dot(a, b) - fused single-loop dot product of two array<double>"),
+      args => { arity("graft_vec_dot", args, 2)
+        DotProduct(args.head, args(1)) }))
 
   /** Register into a LIVE session's function registry (idempotent —
     * re-registration replaces the same name). */

@@ -91,14 +91,21 @@ object EventHubSink {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var n = 0
-    def flush(): Unit = if (n > 0) { out += s"[$cur]"; cur.clear(); n = 0 }
+    var curBytes = 0L
+    def flush(): Unit =
+      if (n > 0) { out += s"[$cur]"; cur.clear(); n = 0; curBytes = 0L }
     enveloped.foreach { e =>
-      require(e.length + 2 <= maxBytes,
-        s"a single record encodes to ${e.length} bytes — over the " +
+      // the cap is on WIRE bytes: envelope() passes non-ASCII through
+      // raw, so measure the UTF-8 encoding, not UTF-16 code units —
+      // String.length undercounts multi-byte characters and a real
+      // endpoint would 413 the oversized batch
+      val eBytes = e.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      require(eBytes + 2 <= maxBytes,
+        s"a single record encodes to $eBytes bytes — over the " +
           s"$maxBytes-byte Event Hubs batch cap; shrink the record")
-      if (cur.length + e.length + 3 > maxBytes) flush()
+      if (curBytes + eBytes + 3 > maxBytes) flush()
       if (n > 0) cur.append(',')
-      cur.append(e); n += 1
+      cur.append(e); n += 1; curBytes += eBytes + 1
     }
     flush()
     out.result()

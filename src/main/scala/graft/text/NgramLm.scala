@@ -66,12 +66,22 @@ object NgramLm {
     * corpus aggregate. Round-10 finding: leaving the model lazy made
     * CCNet tiering recompute the corpus trigram aggregate under its
     * cache and DOUBLED q110's wall time. `maxGrams` guards the pull —
-    * a blown guard means minCount (or n) is wrong for the corpus. */
+    * a blown guard means minCount (or n) is wrong for the corpus. The
+    * default is 200k, an order of magnitude over the ~50k trigrams a
+    * real tiering model carries but far under a driver pull (or a
+    * downstream embedded local relation) anyone would want silently;
+    * raising it is a deliberate caller act. Pass `metrics` to gauge
+    * the collected size (`ngram_lm.collected_grams`) so a near-blown
+    * guard is diagnosable from the stage metrics, not just the
+    * refusal. */
   def trainCollected(df: DataFrame, textCol: String, n: Int = 3,
                      minCount: Long = 2L,
-                     maxGrams: Int = 2000000): DataFrame = {
+                     maxGrams: Int = 200000,
+                     metrics: Option[graft.metrics.MetricContext] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     val rows = train(df, textCol, n, minCount).limit(maxGrams + 1).collect()
+    metrics.foreach(_.gauge("ngram_lm.collected_grams", rows.length.toLong))
     require(rows.length <= maxGrams,
       s"n-gram model exceeds maxGrams=$maxGrams — raise minCount " +
         "or train on a sample")

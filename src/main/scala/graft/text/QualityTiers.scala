@@ -35,9 +35,29 @@ import org.apache.spark.sql.functions._
   * lineage instead. */
 object QualityTiers {
 
+  /** [[tiers]] plus a `release` handle that unpersists the scored-input
+    * cache once the caller has materialized the frame — long-lived
+    * sessions calling the library repeatedly should use this face so
+    * cache blocks don't accumulate until LRU pressure (plain [[tiers]]
+    * leaves release to the ContextCleaner, i.e. whenever the frame is
+    * garbage collected). */
+  final case class Tiered(frame: DataFrame, release: () => Unit)
+
+  def tiersReleasable(df: DataFrame, scoreCol: String, k: Int = 3,
+                      tierCol: String = "tier",
+                      cacheScored: Boolean = true): Tiered = {
+    val (out, cached) = build(df, scoreCol, k, tierCol, cacheScored)
+    Tiered(out, () => cached.foreach(_.unpersist()))
+  }
+
   def tiers(df: DataFrame, scoreCol: String, k: Int = 3,
             tierCol: String = "tier",
-            cacheScored: Boolean = true): DataFrame = {
+            cacheScored: Boolean = true): DataFrame =
+    build(df, scoreCol, k, tierCol, cacheScored)._1
+
+  private def build(df: DataFrame, scoreCol: String, k: Int,
+                    tierCol: String,
+                    cacheScored: Boolean): (DataFrame, Option[DataFrame]) = {
     require(k >= 2, s"k must be >= 2: $k")
     require(!df.columns.contains(tierCol),
       s"column $tierCol already exists — pick another tierCol")
@@ -61,7 +81,9 @@ object QualityTiers {
       when(col("__before") < expr(s"(${i}L * __n) div ${k}L"), lit(i))
         .otherwise(acc)
     }
-    scored.join(broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
+    val out = scored.join(
+      broadcast(perScore.select(col(scoreCol), tier.as(tierCol))),
       Seq(scoreCol))
+    (out, if (cacheScored) Some(scored) else None)
   }
 }

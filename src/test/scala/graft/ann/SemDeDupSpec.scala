@@ -125,6 +125,23 @@ class SemDeDupSpec extends SparkSpec {
     assert(got.head.schema.fieldNames.toSeq == Seq("id", "vec", "sem_ok"))
   }
 
+  test("certifiedSurvivors raises on broken bookkeeping (non-unique ids)") {
+    // a duplicated id makes the drop anti-join remove BOTH rows bearing
+    // it — survivors + dropped no longer partition the members, which
+    // the partition-count certification must refuse (the old
+    // re-pairing-only certification passed this silently)
+    val d = df(
+      1L -> Seq(1.0, 1e-5, 0.0),
+      2L -> Seq(1.0, 2e-5, 0.0), // dup of 1 -> id 2 dropped
+      20L -> Seq(0.0, 0.0, 1.0))
+      .union(df(2L -> Seq(0.0, 1.0, 0.0))) // second row with id 2
+    val e = intercept[Exception] {
+      SemDeDup.certifiedSurvivors(d, "id", "vec", model,
+        threshold = 0.999).collect()
+    }
+    assert(e.getMessage.contains("partition imbalance"), e.getMessage)
+  }
+
   test("certifiedSurvivors raises loudly when a cell sheds members") {
     val d = df(
       1L -> Seq(1.0, 0.0, 0.0),

@@ -107,6 +107,62 @@ class MaterializedViewSpec extends SparkSpec {
       "both halves of the tied-timestamp group must be folded")
   }
 
+  test("numeric watermarks compare in the column's type, not as strings") {
+    // epoch-long ts: batch A maxes at 9, batch B at 12. A lexicographic
+    // string max keeps the stored watermark at "9" (since "9" > "12"),
+    // so a fresh-checkpoint replay would re-fold batch B — double count.
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(12)
+      .withColumn("ts", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("event_id"))).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val in = tmpDir("mv-long-in")
+    val dir = tmpDir("mv-long") + "/view"
+    ev.filter(col("ts") <= 9).coalesce(1).write.parquet(s"$in/fa")
+    ev.filter(col("ts") > 9).coalesce(1).write.parquet(s"$in/fb")
+    new java.io.File(s"$in/fa").listFiles().foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$in/fb").listFiles().foreach(_.setLastModified(2000000L))
+    def run(ckpt: String): Unit = MaterializedView.sink(
+      graft.streaming.Streams.fileReplay(spark, s"$in/*", ev.schema),
+      dir, "ts", keys, specs, ckpt).awaitTermination()
+    run(tmpDir("mv-long-ck"))
+    val once = canon(MaterializedView.read(spark, dir))
+    assert(once == canon(IncrementalAgg.state(ev, keys, specs)))
+    // fresh checkpoint replays everything; watermark must be 12, not 9
+    run(tmpDir("mv-long-ck2"))
+    assert(canon(MaterializedView.read(spark, dir)) == once,
+      "replay re-folded rows above a lexicographically-compared watermark")
+  }
+
+  test("same-checkpoint restart folds new rows AT the committed watermark") {
+    // the round-10 advice finding: on restart of the SAME checkpoint the
+    // event-time filter re-froze at the last committed watermark and
+    // dropped never-folded rows tied with it. The birth watermark (frozen
+    // when the checkpoint first touched the view) must not move.
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("ts", "event_id").limit(40)
+      .withColumn("ts", to_timestamp(lit("2024-03-01 12:00:00"))) // all tied
+    val in = tmpDir("mv-restart-in")
+    val dir = tmpDir("mv-restart") + "/view"
+    val ckpt = tmpDir("mv-restart-ck")
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    a.coalesce(1).write.parquet(s"$in/fa")
+    new java.io.File(s"$in/fa").listFiles().foreach(_.setLastModified(1000000L))
+    def run(): Unit = MaterializedView.sink(
+      graft.streaming.Streams.fileReplay(spark, s"$in/*", ev.schema),
+      dir, "ts", keys, specs, ckpt).awaitTermination()
+    run() // first run folds file A; committed watermark == the tied ts
+    b.coalesce(1).write.parquet(s"$in/fb")
+    new java.io.File(s"$in/fb").listFiles().foreach(_.setLastModified(2000000L))
+    run() // restart, SAME checkpoint: file B's rows tie the watermark
+    assert(canon(MaterializedView.read(spark, dir)) ==
+      canon(IncrementalAgg.state(ev, keys, specs)),
+      "rows at the committed watermark were dropped on same-checkpoint restart")
+  }
+
   test("a half-applied refresh is refused, not silently double-counted") {
     val ev = Tables.load(spark, sf, "events")
     val dir = tmpDir("mv-crash") + "/view"

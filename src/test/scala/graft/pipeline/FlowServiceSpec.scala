@@ -81,6 +81,19 @@ class FlowServiceSpec extends SparkSpec {
         case other => sys.error(s"$other")
       }
       assert(rows.toSet == Set("extract" -> "SUCCEEDED", "load" -> "SUCCEEDED"))
+      // a flow whose name extends another's ("nightly-eu") must not
+      // leak into "nightly"'s statuses — the run-id separator ("@",
+      // illegal in flow names) keeps the prefix filter unambiguous
+      req("PUT", s"$base/flowconfigs/nightly-eu",
+        Some(flowJson(s"$sf/nation.parquet", s"$dir/eu")))
+      assert(req("POST", s"$base/flowexecutions/nightly-eu")._1 == 200)
+      val (_, stEu) = req("GET", s"$base/flowstatuses/nightly")
+      val euRuns = JsonMethods.parse(stEu) match {
+        case JArray(items) => items.map(o => (o \ "run").asInstanceOf[JString].s)
+        case other => sys.error(s"$other")
+      }
+      assert(euRuns.nonEmpty && euRuns.forall(_.startsWith("nightly@")),
+        s"flowstatuses/nightly leaked other flows' runs: $euRuns")
       // unknown flow: loud 400 on execute, 404 on get; delete works
       val (c5, _) = req("POST", s"$base/flowexecutions/nope")
       assert(c5 == 400)
@@ -112,7 +125,7 @@ class FlowServiceSpec extends SparkSpec {
     // two recorded runs in the ledger
     val runs = ledger.history
       .filter("job = 'copy'").select("run_id").collect().map(_.getString(0))
-    assert(runs.length == 2 && runs.forall(_.startsWith("pulse-sched-")), runs.toSeq.toString)
+    assert(runs.length == 2 && runs.forall(_.startsWith("pulse@sched-")), runs.toSeq.toString)
     // malformed schedules refuse loudly
     store.put(FlowService.FlowConfig("bad", props, Some("cron:* * * * *")))
     val e = intercept[IllegalArgumentException] { sched.intervalSec("cron:* * * * *") }

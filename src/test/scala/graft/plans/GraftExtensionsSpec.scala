@@ -99,6 +99,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(msgs.contains("integer literal"), s"got $msgs")
   }
 
+  test("graft_vec_dot from SQL equals the Scala column API; bad types refuse") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.5, -1.0, 2.0), Seq(2.0, 0.0, 0.25))).toDF("a", "b")
+    df.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql("SELECT graft_vec_dot(a, b) AS d FROM ext_vecs")
+      .as[Double].collect().toSeq
+    val viaApi = df.select(graft.ann.Ann.dot($"a", $"b").as("d"))
+      .as[Double].collect().toSeq
+    assert(viaSql == viaApi && viaSql == Seq(32.0, 1.5))
+    // the type check (not a mixin) still refuses non-array<double> input
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_vec_dot('x', 'y')").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("; ")
+    assert(msgs.contains("array<double>"), s"got $msgs")
+  }
+
   test("constructor injection applies every registration to an extensions set") {
     // the spark.sql.extensions path: the class must apply cleanly to a
     // SparkSessionExtensions (the suite can't build a second session in

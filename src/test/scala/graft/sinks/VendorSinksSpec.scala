@@ -134,6 +134,15 @@ class VendorSinksSpec extends SparkSpec {
     val tricky = "a\"b\\c\nd\te"
     val rt = JsonMethods.parse(EventHubSink.envelope(tricky)) \ "Body"
     assert(rt == JString(tricky))
+    // the cap is on WIRE (UTF-8) bytes: "漢" is 1 UTF-16 code unit
+    // but 3 encoded bytes, so char-count packing ships ~3x-over batches
+    val wide = (1 to 10).map(_ => EventHubSink.envelope("漢" * 8))
+    val widePacked = EventHubSink.packBatches(wide, maxBytes = 80)
+    assert(widePacked.size > 1)
+    widePacked.foreach { b =>
+      assert(b.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 80,
+        s"batch exceeds the byte cap on the wire: $b")
+    }
   }
 
   // ---- Couchbase ----

@@ -73,6 +73,27 @@ class NgramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("maxGrams"))
   }
 
+  test("trainCollected: 200k default cap, size gauged into stage metrics") {
+    // the default guard is a deliberate bound on the driver pull AND the
+    // local relation embedded in every downstream plan (~50k trigrams is
+    // a realistic tiering model; 2M was an order of magnitude too lax) —
+    // pin it so a loosened default is a conscious API change
+    val m = NgramLm.getClass.getMethods
+      .find(_.getName == "trainCollected$default$5").get
+      .invoke(NgramLm)
+    assert(m == 200000, s"default maxGrams changed: $m")
+    val ctx = graft.metrics.MetricContext.root("lm-train")
+    NgramLm.trainCollected(docs, "text", metrics = Some(ctx))
+    val gauged = ctx.gaugeValue("ngram_lm.collected_grams")
+    assert(gauged.exists(_ > 0), s"collected size must be gauged: $gauged")
+    // the gauge lands even when the guard refuses (that is its point)
+    val ctx2 = graft.metrics.MetricContext.root("lm-train-blown")
+    intercept[IllegalArgumentException] {
+      NgramLm.trainCollected(docs, "text", maxGrams = 3, metrics = Some(ctx2))
+    }
+    assert(ctx2.gaugeValue("ngram_lm.collected_grams").exists(_ > 3))
+  }
+
   test("scoring plan: model broadcast, one combiner-reduced doc shuffle") {
     val model = NgramLm.train(docs, "text")
     val p = NgramLm.familiarity(docs, model, "doc_id", "text")

@@ -75,4 +75,18 @@ class QualityTiersSpec extends SparkSpec {
       s"both consumers must read the scored input from cache:\n$plan")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("tiersReleasable: release() drops the scored-input cache") {
+    // the round-10 advice finding: tiers() persisted the scored input
+    // with no way for a long-lived session to release it
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars")
+    val t = QualityTiers.tiersReleasable(docs, "n_chars", k = 3)
+    t.frame.count() // materialize: the scored input is now cached
+    assert(!spark.sharedState.cacheManager.isEmpty, "input should be cached")
+    t.release()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must unpersist the scored-input cache")
+  }
 }
