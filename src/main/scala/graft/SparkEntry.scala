@@ -1667,6 +1667,56 @@ object SparkEntry {
       } finally srv.stop(0)
     }),
 
+    // SFTP file-drop ingestion e2e (SftpSource.java:29 /
+    // SftpFsHelper.java:63): an in-process server speaks the SFTPv3
+    // packet dialect over a 3-file CSV drop of the part table (the
+    // collect SIMULATES the remote server's disk, as in q101/q163);
+    // the planner lists the drop, snapshot-diffs against the committed
+    // manifest, fetches the delta with per-task connections, and the
+    // query CERTIFIES incrementality in-line: a second plan after
+    // commit must extract nothing. The oracle is the table itself —
+    // any drop/dup/corruption across the wire breaks the hash.
+    "q164_sftp_drop" -> ((s, dir) => {
+      import java.nio.file.Files
+      val src = t(s, dir, "part").select("p_partkey", "p_name", "p_retailprice")
+      val rows = src.collect()
+      val root = Files.createTempDirectory("graft-sftp-drop")
+      val header = "\"p_partkey\",\"p_name\",\"p_retailprice\""
+      rows.zipWithIndex.groupBy(_._2 % 3).toSeq.foreach { case (i, g) =>
+        val body = (header +: g.map(_._1).map(r =>
+          s""""${r.getLong(0)}","${r.getString(1)}","${r.getDouble(2)}""""))
+          .mkString("\n")
+        val f = root.resolve(s"daily/drop-$i.csv")
+        Files.createDirectories(f.getParent)
+        Files.write(f, body.getBytes("UTF-8"))
+      }
+      val srv = graft.sources.SftpServer.serve(root, "loader", "verify-pw")
+      try {
+        val cfg = graft.sources.SftpConfig(
+          "127.0.0.1", srv.port, "loader", "verify-pw")
+        val state = Files.createTempDirectory("graft-sftp-state").toString
+        val staging = Files.createTempDirectory("graft-sftp-staging").toString
+        def planOnce() = graft.sources.SftpFileSource.plan(s, cfg, state,
+          "daily", "/daily", staging, format = "csv",
+          options = Map("header" -> "true"))
+        val p = planOnce()
+        require(p.newFiles.length == 3,
+          s"expected the 3-file drop, planned ${p.newFiles.length}")
+        val out = p.df.select(
+          col("p_partkey").cast("bigint").as("p_partkey"),
+          col("p_name").cast("string").as("p_name"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        // materialize while the endpoint lives; re-wrap like q101/q163
+        val got = out.collect()
+        p.commit()
+        val second = planOnce()
+        require(second.newFiles.isEmpty && second.df.count() == 0,
+          s"second run must be an empty delta, got ${second.newFiles}")
+        s.createDataFrame(
+          s.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+      } finally srv.close()
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3273,6 +3323,10 @@ object SparkEntry {
         "(doc_id % 97)::BIGINT AS clicks, " +
         "(doc_id % 1009 + 1)::BIGINT AS impressions, " +
         "(doc_id % 500) / 10.0 AS position FROM documents"),
+    // the 3-file SFTP drop parsed back losslessly (incrementality is
+    // certified in-query: the post-commit re-plan must be empty)
+    "q164_sftp_drop" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
