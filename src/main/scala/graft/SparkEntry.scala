@@ -1717,6 +1717,97 @@ object SparkEntry {
       } finally srv.close()
     }),
 
+    // Google Drive FileBasedSource e2e (GoogleDriveSource.java:45 /
+    // GoogleDriveFsHelper.java:45): an in-process Drive v3 endpoint
+    // serves a two-folder CSV drop of the orders slice (paged
+    // listings, alt=media downloads, Bearer auth — the collect
+    // SIMULATES the remote drive, as in q101/q163/q164); the planner
+    // lists recursively (folders excluded), snapshot-diffs, fetches
+    // the delta distributed, and certifies in-query that the
+    // post-commit re-plan is empty.
+    "q165_gdrive_drop" -> ((s, dir) => {
+      import graft.sources.{GoogleApiSim, GoogleIngestion}
+      val src = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val rows = src.collect()
+      val sim = new GoogleApiSim("verify-tok", _ => "")
+      try {
+        sim.addFolder("d-drop", "drop")
+        sim.addFolder("d-inner", "inner", parent = "d-drop")
+        val header = "\"o_orderkey\",\"o_custkey\",\"o_totalprice\""
+        rows.zipWithIndex.groupBy(_._2 % 4).toSeq.foreach { case (i, g) =>
+          val body = (header +: g.map(_._1).map(r =>
+            s""""${r.getLong(0)}","${r.getLong(1)}","${r.getDouble(2)}""""))
+            .mkString("\n")
+          // half the files nest one folder down — the recursive ls path
+          sim.addFile(s"f$i", s"drop-$i.csv", body,
+            if (i % 2 == 0) "d-drop" else "d-inner", 1000L * (i + 1))
+        }
+        val cfg = GoogleIngestion.DriveConfig(sim.baseUrl, "verify-tok",
+          pageSize = 3) // forces paged listings
+        val state = java.nio.file.Files
+          .createTempDirectory("graft-gdrive-state").toString
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-gdrive-staging").toString
+        def planOnce() = GoogleIngestion.GoogleDriveSource.plan(s, cfg,
+          "d-drop", state, "drop", staging, format = "csv",
+          options = Map("header" -> "true"))
+        val p = planOnce()
+        require(p.newFiles.length == 4,
+          s"expected the 4-file drop, planned ${p.newFiles.length}")
+        val out = p.df.select(
+          col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_custkey").cast("bigint").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        val got = out.collect()
+        p.commit()
+        val second = planOnce()
+        require(second.newFiles.isEmpty,
+          s"second run must be an empty delta, got ${second.newFiles}")
+        s.createDataFrame(
+          s.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+      } finally sim.stop()
+    }),
+
+    // Google Analytics unsampled-report e2e
+    // (GoogleAnalyticsUnsampledExtractor.java:94): insert the async
+    // report request, poll through PENDING to COMPLETED, download the
+    // finished CSV from the Drive side of the same endpoint, parse it
+    // distributed, and certify the lifecycle in-query — the temp Drive
+    // report must be deleted after staging and the next watermark must
+    // be endDate + 1 day in yyyyMMddHHmmss.
+    "q166_ga_unsampled" -> ((s, dir) => {
+      import graft.sources.{GoogleApiSim, GoogleIngestion}
+      val src = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val header = "\"c_custkey\",\"c_name\",\"c_nationkey\""
+      val csv = (header +: src.collect().map(r =>
+        s""""${r.get(0)}","${r.getString(1)}","${r.get(2)}""""))
+        .mkString("\n")
+      val sim = new GoogleApiSim("verify-tok", _ => csv, pollsUntilDone = 3)
+      try {
+        val res = GoogleIngestion.GoogleAnalyticsUnsampled.extract(s,
+          GoogleIngestion.GaConfig(sim.baseUrl, "verify-tok",
+            pollIntervalMs = 5),
+          GoogleIngestion.DriveConfig(sim.baseUrl, "verify-tok"),
+          GoogleIngestion.GaRequest("a1", "w1", "v1", "customers",
+            "2024-01-01", "2024-01-31", metrics = "ga:sessions"),
+          stagingDir = java.nio.file.Files
+            .createTempDirectory("graft-ga-staging").toString)
+        val out = res.df.select(
+          col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name").cast("string").as("c_name"),
+          col("c_nationkey").cast("bigint").as("c_nationkey"))
+        val got = out.collect()
+        require(res.nextWatermark == 20240201000000L,
+          s"wrong next watermark: ${res.nextWatermark}")
+        require(!sim.hasFile(res.driveFileId),
+          "temp unsampled report must be deleted from Drive after staging")
+        s.createDataFrame(
+          s.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+      } finally sim.stop()
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3327,6 +3418,14 @@ object SparkEntry {
     // certified in-query: the post-commit re-plan must be empty)
     "q164_sftp_drop" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part",
+    // the 4-file two-folder Drive drop, recursively listed and parsed
+    // back losslessly (paged listings; post-commit re-plan empty)
+    "q165_gdrive_drop" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // the async GA unsampled report downloaded from Drive and parsed
+    // back losslessly (lifecycle certified in-query)
+    "q166_ga_unsampled" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
