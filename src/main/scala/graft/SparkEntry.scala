@@ -1808,6 +1808,39 @@ object SparkEntry {
       } finally sim.stop()
     }),
 
+    // Zuora AQuA export e2e (ZuoraClientImpl.java:72): an in-process
+    // endpoint speaks the batch-query dialect over the part slice
+    // (Basic auth, poll countdown through 'executing', per-query
+    // batches, file/<id> downloads — the collect SIMULATES the remote
+    // billing system, as in q101); lossless round-trip is the oracle.
+    "q167_zuora_aqua" -> ((s, dir) => {
+      import graft.sources.{ZuoraAqua, ZuoraSim}
+      val src = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val header = "\"p_partkey\",\"p_brand\",\"p_size\""
+      val csv = (header +: src.collect().map(r =>
+        s""""${r.get(0)}","${r.getString(1)}","${r.get(2)}""""))
+        .mkString("\n")
+      val sim = new ZuoraSim("verify-user", "verify-pw", _ => csv,
+        pollsUntilDone = 3)
+      try {
+        val out = ZuoraAqua.export(s,
+          ZuoraAqua.ZuoraConfig(sim.baseUrl, "verify-user", "verify-pw",
+            partner = "graft", project = "verify", pollIntervalMs = 5),
+          Seq(ZuoraAqua.ZuoraQuerySpec("parts",
+            ZuoraAqua.withPredicate("SELECT PartKey, Brand, Size FROM Part",
+              "UpdatedDate > '2024-01-01'"))),
+          stagingDir = java.nio.file.Files
+            .createTempDirectory("graft-zuora-staging").toString)
+        val res = out("parts").select(
+          col("p_partkey").cast("bigint").as("p_partkey"),
+          col("p_brand").cast("string").as("p_brand"),
+          col("p_size").cast("bigint").as("p_size"))
+        val got = res.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(got.toIndexedSeq, 1), res.schema)
+      } finally sim.stop()
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3426,6 +3459,9 @@ object SparkEntry {
     // back losslessly (lifecycle certified in-query)
     "q166_ga_unsampled" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer",
+    // the AQuA batch-query export parsed back losslessly
+    "q167_zuora_aqua" ->
+      "SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM part",
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
