@@ -85,7 +85,9 @@ object Bench {
     "q138_cube_report",       // CUBE grouping sets in one exchange
     "q141_heavy_hitters",     // bounded-state Misra-Gries + exact recount
     "q143_funnel_depth",      // 3-stage funnel through one window sort
-    "q146_seq_pack")          // distributed prefix sum + sequence explode
+    "q146_seq_pack",          // distributed prefix sum + sequence explode
+    // appended round 11:
+    "q168_substring_dedup")   // cross-doc 20-gram fingerprint dedup
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a

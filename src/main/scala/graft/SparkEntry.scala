@@ -1841,6 +1841,24 @@ object SparkEntry {
       } finally sim.stop()
     }),
 
+    // cross-document EXACT substring dedup (Lee et al. 2022): every
+    // 20-token window shared with a lower doc id is a duplicated
+    // passage — the boilerplate remover MinHash (doc-level) and C4
+    // span dedup (within-doc) both miss. Copies of the first 30 tokens
+    // of every 5th doc are planted at doc_id+1000000 (the q43/q103
+    // pattern); the corpus's own natural sentence reuse is reported
+    // identically by both engines since the fingerprint (md5-based
+    // portable hash of the window text) is DuckDB-exact.
+    "q168_substring_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(size(split(col("text"), " ")) >= 40)
+      val planted = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
+      graft.text.SubstringDedup.stats(base.unionByName(planted),
+        "doc_id", "text", w = 20)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3462,6 +3480,34 @@ object SparkEntry {
     // the AQuA batch-query export parsed back losslessly
     "q167_zuora_aqua" ->
       "SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM part",
+    // mirrors SubstringDedup.stats exactly: plant prefix copies, hash
+    // every 20-token window with the portable md5 fingerprint, keeper =
+    // min(doc) per fingerprint, merged-span coverage via the lag gap
+    "q168_substring_dedup" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "WHERE len(string_split(text, ' ')) >= 40), " +
+        "corpus AS (SELECT doc_id, text FROM base UNION ALL " +
+        "SELECT doc_id + 1000000, " +
+        "array_to_string((string_split(text, ' '))[1:30], ' ') " +
+        "FROM base WHERE doc_id % 5 = 0), " +
+        "tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus), " +
+        "g AS (SELECT doc_id, i AS pos, ('0x' || substr(md5(" +
+        "array_to_string(w[i:i+19], ' ')), 1, 15))::BIGINT AS h " +
+        "FROM tok, UNNEST(CASE WHEN len(w) >= 20 THEN " +
+        "range(1, len(w) - 18) ELSE []::BIGINT[] END) AS t(i)), " +
+        "keep AS (SELECT h, min(doc_id) AS keeper FROM g GROUP BY 1), " +
+        "dup AS (SELECT g.doc_id, g.pos FROM g JOIN keep USING (h) " +
+        "WHERE g.doc_id > keep.keeper), " +
+        "cov AS (SELECT doc_id, pos, pos - lag(pos) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS gap FROM dup), " +
+        "agg AS (SELECT doc_id, count(*)::BIGINT AS dup_windows, " +
+        "sum(least(COALESCE(gap, 20), 20))::BIGINT AS dup_tokens " +
+        "FROM cov GROUP BY 1), " +
+        "n AS (SELECT doc_id, greatest(len(string_split(text, ' ')) - 19, 0)::BIGINT " +
+        "AS n_grams FROM corpus) " +
+        "SELECT n.doc_id, n_grams, COALESCE(dup_windows, 0)::BIGINT AS dup_windows, " +
+        "COALESCE(dup_tokens, 0)::BIGINT AS dup_tokens " +
+        "FROM n LEFT JOIN agg USING (doc_id) WHERE n_grams > 0"),
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->

@@ -91,33 +91,62 @@ object FlowService {
     FlowDag.run(spark, nodes, s"$name@$runId", ledger = Some(ledger))
   }
 
-  /** Interval scheduler over the catalog: `flow.schedule=every:<sec>`.
-    * [[FlowScheduler.tick]] is pure bookkeeping + execute — the caller
-    * owns the timer (a test injects the clock). */
+  /** Scheduler over the catalog: `flow.schedule=every:<sec>` fires on
+    * elapsed intervals; `flow.schedule=cron:<quartz-expr>` fires when a
+    * [[CronSchedule]] match time passes (the reference's `job.schedule`
+    * Quartz registration, JobScheduler.java:595 — a cron flow fires at
+    * its match times, never immediately on startup). [[FlowScheduler
+    * .tick]] is pure bookkeeping + execute — the caller owns the timer
+    * (a test injects the clock); cron times are interpreted in the
+    * system zone, as Quartz defaults to. */
   final class FlowScheduler(spark: SparkSession, store: FlowConfigStore,
                             ledger: RunLedger) {
     private val lastStart = scala.collection.mutable.Map.empty[String, Long]
+    // cron flows track the last MATCH fired (or the first-seen tick),
+    // so one fire per match time even with jittery tick cadence
+    private val cronMark = scala.collection.mutable.Map.empty[String, Long]
 
     private[pipeline] def intervalSec(schedule: String): Long = {
       require(schedule.startsWith("every:"),
-        s"unsupported schedule '$schedule' (supported: every:<seconds>)")
+        s"unsupported schedule '$schedule' (supported: every:<seconds>, " +
+          "cron:<quartz-expr>)")
       val s = schedule.stripPrefix("every:").toLong
       require(s > 0, s"schedule interval must be positive: $s")
       s
     }
 
-    /** Run every flow whose interval has elapsed at `nowMs`; returns
-      * the names that fired. A failing flow does not stop the tick —
-      * its node failures are already in the ledger. */
+    private def toLdt(ms: Long): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), java.time.ZoneId.systemDefault())
+
+    private def toMs(t: java.time.LocalDateTime): Long =
+      t.atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
+
+    /** Is the flow due at `nowMs`, updating its bookkeeping if so. */
+    private def due(name: String, schedule: String, nowMs: Long): Boolean =
+      if (schedule.startsWith("cron:")) {
+        val cron = CronSchedule.parse(schedule.stripPrefix("cron:"))
+        val mark = cronMark.getOrElseUpdate(name, nowMs)
+        cron.next(toLdt(mark)) match {
+          case Some(t) if toMs(t) <= nowMs => cronMark(name) = toMs(t); true
+          case _ => false
+        }
+      } else {
+        val fire = lastStart.get(name)
+          .forall(last => nowMs - last >= intervalSec(schedule) * 1000)
+        if (fire) lastStart(name) = nowMs
+        fire
+      }
+
+    /** Run every flow due at `nowMs`; returns the names that fired. A
+      * failing flow does not stop the tick — its node failures are
+      * already in the ledger. */
     def tick(nowMs: Long): Seq[String] = {
       val fired = Seq.newBuilder[String]
       store.list().foreach { name =>
         store.get(name).foreach { cfg =>
           cfg.schedule.foreach { sch =>
-            val due = lastStart.get(name)
-              .forall(last => nowMs - last >= intervalSec(sch) * 1000)
-            if (due) {
-              lastStart(name) = nowMs
+            if (due(name, sch, nowMs)) {
               fired += name
               try { execute(spark, store, ledger, name, s"sched-$nowMs"); () }
               catch { case e: Exception =>

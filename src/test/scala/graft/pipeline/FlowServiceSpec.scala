@@ -127,8 +127,37 @@ class FlowServiceSpec extends SparkSpec {
       .filter("job = 'copy'").select("run_id").collect().map(_.getString(0))
     assert(runs.length == 2 && runs.forall(_.startsWith("pulse@sched-")), runs.toSeq.toString)
     // malformed schedules refuse loudly
-    store.put(FlowService.FlowConfig("bad", props, Some("cron:* * * * *")))
-    val e = intercept[IllegalArgumentException] { sched.intervalSec("cron:* * * * *") }
+    val e = intercept[IllegalArgumentException] { sched.intervalSec("hourly") }
     assert(e.getMessage.contains("unsupported schedule"))
+  }
+
+  test("cron-scheduled flows fire at match times, once per match, never at startup") {
+    val dir = tmpDir("flowcron")
+    val store = new FlowService.FlowConfigStore(spark, s"$dir/catalog")
+    val ledger = new RunLedger(spark, s"$dir/ledger")
+    val props = Map(
+      "job.1.job.name" -> "copy",
+      "job.1.source.format" -> "parquet",
+      "job.1.source.path" -> s"$sf/region.parquet",
+      "job.1.fork.1.name" -> "main",
+      "job.1.fork.1.out" -> s"$dir/out")
+    // hourly on the hour (seconds-aware Quartz shape)
+    store.put(FlowService.FlowConfig("tick", props, Some("cron:0 0 * * * ?")))
+    val sched = new FlowService.FlowScheduler(spark, store, ledger)
+    val zone = java.time.ZoneId.systemDefault()
+    def ms(s: String) = java.time.LocalDateTime.parse(s).atZone(zone)
+      .toInstant.toEpochMilli
+    // startup mid-hour: nothing due yet (cron fires at matches, not now)
+    assert(sched.tick(ms("2024-03-01T10:20:00")).isEmpty, "no startup fire")
+    assert(sched.tick(ms("2024-03-01T10:50:00")).isEmpty, "still mid-hour")
+    // the 11:00 match passed -> exactly one fire, even on a late tick
+    assert(sched.tick(ms("2024-03-01T11:03:00")) == Seq("tick"))
+    assert(sched.tick(ms("2024-03-01T11:04:00")).isEmpty, "one fire per match")
+    // next hour fires again
+    assert(sched.tick(ms("2024-03-01T12:00:30")) == Seq("tick"))
+    // a malformed cron surfaces as a loud refusal at parse
+    intercept[IllegalArgumentException] {
+      CronSchedule.parse("not a cron")
+    }
   }
 }
