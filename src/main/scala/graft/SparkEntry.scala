@@ -1859,6 +1859,28 @@ object SparkEntry {
         "doc_id", "text", w = 20)
     }),
 
+    // GlobalMetadata envelope round-trip (gobblin-metadata:
+    // RecordWithMetadataToEnvelopedRecordWithMetadata.java:47): each
+    // doc rides an {"mId","rMd","r"} envelope stamped with the
+    // content-addressed metadata id (md5 of the canonical metadata
+    // JSON — DuckDB recomputes the SAME id from the same canonical
+    // string), then decodes back byte-exactly. Column-native
+    // to_json/from_json both ways, map-only.
+    "q169_meta_envelope" -> ((s, dir) => {
+      import graft.metadata.{GlobalMeta, MetaEnvelope}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val meta = MetaEnvelope.envelopeMeta(GlobalMeta(
+        dataset = Map(GlobalMeta.DatasetUrnKey -> "urn:graft:documents",
+          GlobalMeta.ContentTypeKey -> "text/plain"),
+        transferEncodings = Seq("identity")))
+      val env = docs.select(col("doc_id"), MetaEnvelope.envelope(
+        col("text"), map(lit("docId"), col("doc_id").cast("string")),
+        meta.id).as("env"))
+      env.select(col("doc_id"), MetaEnvelope.decode(col("env")).as("d"))
+        .select(col("doc_id"), col("d.r").as("text"),
+          col("d.mId").as("m_id"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3508,6 +3530,16 @@ object SparkEntry {
         "SELECT n.doc_id, n_grams, COALESCE(dup_windows, 0)::BIGINT AS dup_windows, " +
         "COALESCE(dup_tokens, 0)::BIGINT AS dup_tokens " +
         "FROM n LEFT JOIN agg USING (doc_id) WHERE n_grams > 0"),
+    // the enveloped record decodes back byte-exactly and the embedded
+    // metadata id is the md5 of the canonical metadata JSON — DuckDB
+    // recomputes it from the same canonical string
+    "q169_meta_envelope" ->
+      ("SELECT doc_id, text, md5('{\"dataset-level\":{" +
+        "\"Content-Type\":\"graft+recordWithMetadata\"," +
+        "\"Dataset-URN\":\"urn:graft:documents\"," +
+        "\"Inner-Content-Type\":\"text/plain\"," +
+        "\"Transfer-Encoding\":[\"identity\"]},\"file-level\":{}}') " +
+        "AS m_id FROM documents"),
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
