@@ -69,12 +69,16 @@ object SubstringDedup {
     * the token count covered by the MERGED duplicated spans. Docs
     * shorter than w tokens carry no signal and are excluded. */
   def stats(df: DataFrame, idCol: String, textCol: String,
-            w: Int = 50): DataFrame = {
+            w: Int = 50): DataFrame =
+    statsOf(df, dupPositions(df, idCol, textCol, w), idCol, textCol, w)
+
+  private def statsOf(df: DataFrame, dup: DataFrame, idCol: String,
+                      textCol: String, w: Int): DataFrame = {
     val nG = greatest(size(toks(col(textCol))) - (w - 1), lit(0)).cast("long")
     val base = df.select(col(idCol), nG.as("n_grams"))
       .filter(col("n_grams") > 0)
     val lagW = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val cov = dupPositions(df, idCol, textCol, w)
+    val cov = dup
       .withColumn("__gap", col("pos") - lag(col("pos"), 1).over(lagW))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("dup_windows"),
@@ -85,6 +89,59 @@ object SubstringDedup {
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
+
+  /** The gram index an ingestion pipeline COMMITS after each batch: the
+    * distinct window fingerprints (`h`) of the accepted docs. The
+    * committed corpus participates in future dedup only through this
+    * index — it is never re-tokenized. */
+  def gramIndex(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 50): DataFrame =
+    gramTable(df, idCol, textCol, w).select(col("h")).distinct()
+
+  /** Incremental face — the continuously-ingesting shape (same Bloom
+    * discipline as [[graft.dedup.IncrementalDedup]]): a batch position
+    * is duplicated when its window is in the COMMITTED gram index (any
+    * committed doc keeps priority) or when a lower-id batch doc carries
+    * it (batch-internal keeper rule). The committed side collapses to a
+    * Bloom sketch: bloom negatives are DEFINITELY novel and skip the
+    * join, so the shuffled volume is `dup_rate + fpp` of the batch's
+    * positions, never the index — ingestion cost stays O(batch), not
+    * O(corpus), and the result is byte-identical to the exact join
+    * (the sketch only prunes). */
+  def incrementalDupPositions(batch: DataFrame, idCol: String,
+                              textCol: String, committedGrams: DataFrame,
+                              w: Int = 50, fpp: Double = 0.01): DataFrame = {
+    val g = gramTable(batch, idCol, textCol, w)
+    val keeper = g.groupBy("h").agg(min(col(idCol)).as("__keeper"))
+    val internal = g.join(keeper, Seq("h"))
+      .filter(col(idCol) > col("__keeper"))
+      .select(col(idCol), col("pos"))
+    val committed = committedGrams.select(col("h")).distinct()
+    val n = committed.count()
+    val vsCommitted =
+      if (n == 0) internal.limit(0)
+      else {
+        val bloom = committed.stat.bloomFilter("h", n, fpp)
+        val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+        // scalar UDF deliberate (the IncrementalDedup rationale): no
+        // public Bloom membership expression exists, the sketch is
+        // opaque driver state, and it is a PREFILTER only — the exact
+        // semi join below removes the fpp sliver
+        val mightMatch = udf((h: Long) => bc.value.mightContainLong(h))
+        g.filter(mightMatch(col("h"))) // map-side: skip definite-novel
+          .join(committed, Seq("h"), "left_semi") // exact: drop fpp sliver
+          .select(col(idCol), col("pos"))
+      }
+    internal.unionByName(vsCommitted).distinct()
+  }
+
+  /** [[stats]] for an incremental batch against the committed index. */
+  def incrementalStats(batch: DataFrame, idCol: String, textCol: String,
+                       committedGrams: DataFrame, w: Int = 50,
+                       fpp: Double = 0.01): DataFrame =
+    statsOf(batch,
+      incrementalDupPositions(batch, idCol, textCol, committedGrams, w, fpp),
+      idCol, textCol, w)
 
   /** The scrubbing face: every token covered by a duplicated window is
     * removed (keeper occurrences survive untouched); returns

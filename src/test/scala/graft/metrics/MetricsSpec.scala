@@ -143,4 +143,34 @@ class MetricsSpec extends SparkSpec {
     assert(v("mjob", "time.branch_write.count") == 1)
     assert(v("mjob", "time.branch_write.total_nanos") > 0)
   }
+
+  test("counter update throughput scales with depth like the reference's numbers") {
+    // BASELINE.md's only non-sink figures: the reference's metric tree
+    // sustains 76M counter updates/s at root and 24M/s at depth 3
+    // (single thread, Gobblin-Metrics-Performance.md:29-37). The
+    // propagation design here is the same O(depth) ancestor walk over
+    // LongAdders, so the shape must hold: depth-3 updates cost more
+    // than root updates but stay within the same order of magnitude.
+    // Floors are ~20x under the reference's figures — this is a
+    // regression tripwire for an accidental O(tree) or lock-bound
+    // implementation, not a hardware race.
+    def qps(ctx: MetricContext, n: Int): Double = {
+      val c = ctx.counter("hot")
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < n) { c.inc(); i += 1 }
+      n * 1e9 / (System.nanoTime() - t0)
+    }
+    val root = MetricContext.root("perf")
+    val d3 = root.childContext("a").childContext("b").childContext("c")
+    qps(root, 2000000); qps(d3, 2000000) // JIT warm-up
+    val rootQps = qps(root, 8000000)
+    val d3Qps = qps(d3, 8000000)
+    info(f"root ${rootQps / 1e6}%.0f M/s, depth-3 ${d3Qps / 1e6}%.0f M/s " +
+      "(reference: 76 / 24)")
+    assert(rootQps > 4e6, f"root counter throughput collapsed: $rootQps%.0f/s")
+    assert(d3Qps > 1e6, f"depth-3 counter throughput collapsed: $d3Qps%.0f/s")
+    assert(d3Qps > rootQps / 30,
+      "depth scaling should be O(depth), not orders-of-magnitude worse")
+  }
 }

@@ -63,6 +63,36 @@ class SubstringDedupSpec extends SparkSpec {
     assert(s(2L) == 0L)
   }
 
+  test("incremental: batch vs committed gram index equals full recompute") {
+    val committed = docs(
+      1L -> "the quick brown fox jumps over lazy dogs",
+      2L -> "some other committed content entirely here today")
+    val batch = docs(
+      10L -> "intro words the quick brown fox jumps closing", // hits doc 1
+      11L -> "fresh new content nobody committed before now",
+      12L -> "fresh new content nobody committed before also") // hits 11 in-batch
+    val idx = SubstringDedup.gramIndex(committed, "id", "text", W)
+    val inc = SubstringDedup.incrementalDupPositions(batch, "id", "text",
+      idx, W).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // reference: run the FULL dedup over committed ∪ batch, keep batch rows
+    val full = SubstringDedup.dupPositions(
+      committed.unionByName(batch), "id", "text", W)
+      .filter(col("id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc.exists(_._1 == 10L), "committed hit must flag")
+    assert(inc.exists(_._1 == 12L), "batch-internal dup must flag")
+    assert(!inc.exists(_._1 == 11L), "the batch keeper survives")
+    // empty index: only batch-internal dups remain
+    val cold = SubstringDedup.incrementalDupPositions(batch, "id", "text",
+      idx.limit(0), W).collect().map(_.getLong(0)).distinct.sorted.toSeq
+    assert(cold == Seq(12L))
+    // stats face rides the same positions
+    val s = SubstringDedup.incrementalStats(batch, "id", "text", idx, W)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(10L) == 3L && s(11L) == 0L && s(12L) > 0L)
+  }
+
   test("real documents corpus: planted copies found, originals clean") {
     val base = Tables.load(spark, sf, "documents")
       .select(col("doc_id").as("id"), col("text"))
