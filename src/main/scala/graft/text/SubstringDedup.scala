@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * Overlapping duplicated windows merge into spans via the lag/gap
   * trick (one window per doc), exactly like sessionization.
   *
-  * Scale shape: two shuffles, both on the 8-byte fingerprint — the
-  * min(doc) aggregate is map-side combined, and the join back to
-  * positions reuses the same key. Work is O(total tokens) rows; no
-  * driver state, no per-doc quadratic anywhere. At 100 TB, raise
+  * Scale shape: two shuffles on the 8-byte fingerprint — the min(doc)
+  * aggregate is map-side combined, and the join back to positions
+  * reuses the same key — plus one doc-keyed window for the span merge
+  * (over the DUPLICATED positions only, a small fraction of the
+  * corpus). Work is O(total tokens) rows; no driver state, no per-doc
+  * quadratic anywhere. At 100 TB, raise
   * `spark.sql.shuffle.partitions` with corpus size and the plan is
   * unchanged — the fingerprint space (2^60) keeps collision-driven
   * over-deletion negligible (expected collisions ~ (positions)^2 /
