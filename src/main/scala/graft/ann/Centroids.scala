@@ -42,8 +42,10 @@ object Centroids {
       .groupBy(col(labelCol))
       .agg(transform(array_sort(collect_list(struct(col("__p"), col("__s")))),
         e => e.getField("__s")).as("__graft_sv"))
+    // the fused single-loop expression (graft.functions.DotProduct) —
+    // same semantics as the HOF spelling, no intermediate array
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+      Ann.dot(a, b)
     val normProd = sqrt(dot(col("__graft_vq"), col("__graft_vq"))) *
       sqrt(dot(col("__graft_sv"), col("__graft_sv")))
     q.join(broadcast(sums), Seq(labelCol), "left")

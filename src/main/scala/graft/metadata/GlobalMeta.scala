@@ -173,6 +173,37 @@ object MetaEnvelope {
     from_json(envelopeCol, org.apache.spark.sql.types.StructType.fromDDL(schema))
 }
 
+/** The Transfer-Encoding undo side: apply/undo a metadata-declared
+  * codec chain over a binary column. Encodings apply in LIST ORDER on
+  * write and undo in REVERSE on read (the chain contract the
+  * reference's converters honor via the same header); unknown codec
+  * names refuse at PLAN time — silently passing encoded bytes through
+  * is how corrupted corpora happen. Key-based codecs (the AES field
+  * crypto) intentionally do NOT ride this face: keys come from the
+  * keystore ([[graft.functions.KeyCrypto]]), not from metadata. */
+object TransferEncoding {
+  import graft.functions.Codecs
+
+  val Known: Set[String] = Set("identity", "gzip")
+
+  private def one(c: Column, codec: String, encode: Boolean): Column =
+    codec match {
+      case "identity" => c
+      case "gzip" => if (encode) Codecs.gzip(c) else Codecs.gunzip(c)
+      case other => throw new IllegalArgumentException(
+        s"unknown Transfer-Encoding '$other' (known: ${Known.mkString(", ")})")
+    }
+
+  /** Encode `bin` through the chain, first to last. */
+  def encode(bin: Column, encodings: Seq[String]): Column =
+    encodings.foldLeft(bin)((c, e) => one(c, e, encode = true))
+
+  /** Undo a metadata-declared chain: last encoding undone first. */
+  def decode(bin: Column, meta: GlobalMeta): Column =
+    meta.transferEncodings.reverse.foldLeft(bin)((c, e) =>
+      one(c, e, encode = false))
+}
+
 /** Published metadata sidecar — the metadata-aware publisher face: the
   * merged dataset metadata lands as `.metadata.json` NEXT TO the data
   * (dot-prefixed, so every reader's listing skips it — an `_metadata`

@@ -85,6 +85,24 @@ class GlobalMetaSpec extends SparkSpec {
       r.getMap[String, String](2).get("docId").contains(r.getLong(0).toString)))
   }
 
+  test("Transfer-Encoding chain encodes in order, decodes in reverse; unknown refuses") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val meta = GlobalMeta(transferEncodings = Seq("identity", "gzip"))
+    val enc = docs.select(col("doc_id"), TransferEncoding.encode(
+      col("text").cast("binary"), meta.transferEncodings).as("payload"))
+    val back = enc.select(col("doc_id"),
+      TransferEncoding.decode(col("payload"), meta).cast("string").as("text"))
+    assert(back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // a codec this engine cannot undo refuses at plan time, loudly
+    val e = intercept[IllegalArgumentException] {
+      TransferEncoding.decode(col("payload"),
+        GlobalMeta(transferEncodings = Seq("zstd")))
+    }
+    assert(e.getMessage.contains("unknown Transfer-Encoding"), e.getMessage)
+  }
+
   test("sidecar publishes .metadata.json atomically next to the data") {
     val dir = tmpDir("meta-sidecar")
     Tables.load(spark, sf, "region").write.mode("overwrite").parquet(dir)

@@ -93,6 +93,16 @@ class SubstringDedupSpec extends SparkSpec {
     assert(s(10L) == 3L && s(11L) == 0L && s(12L) > 0L)
   }
 
+  test("plan: no cartesian, keeper aggregate map-side combined") {
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+    val plan = SubstringDedup.stats(d, "id", "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"the keeper min(doc) aggregate must map-side combine:\n$plan")
+  }
+
   test("real documents corpus: planted copies found, originals clean") {
     val base = Tables.load(spark, sf, "documents")
       .select(col("doc_id").as("id"), col("text"))
