@@ -216,12 +216,17 @@ object MetaSidecar {
   def publish(spark: org.apache.spark.sql.SparkSession, dir: String,
               meta: GlobalMeta): Unit = {
     require(!meta.isEmpty, "refusing to publish empty metadata")
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
     val tmp = new Path(dir, ".metadata.json.tmp")
     val dst = new Path(dir, ".metadata.json")
     val out = fs.create(tmp, true)
     try out.write(meta.canonicalJson.getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, dst)
+    // overwrite-capable rename (the StateStore.commit protocol):
+    // FileSystem.rename returns FALSE on HDFS when dst exists, which
+    // would silently keep a STALE sidecar on re-publish
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def read(spark: org.apache.spark.sql.SparkSession, dir: String)

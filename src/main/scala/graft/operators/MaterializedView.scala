@@ -142,7 +142,10 @@ object MaterializedView {
       case None    => max(col(tsCol)).cast("string")
     }
     val probe = delta.agg(wmAgg, count(lit(1))).collect()(0)
-    if (probe.getLong(1) == 0L) {
+    // isNullAt(0): a non-empty bootstrap batch whose ts values are ALL
+    // NULL has no usable watermark — treat as empty (the batch-mode
+    // refresh() contract) instead of committing a null watermark
+    if (probe.getLong(1) == 0L || probe.isNullAt(0)) {
       // empty delta: still record the batch as applied (one commit, no
       // swap in between, so no crash window needs the two-phase marks)
       store.commit(birthEntry ++ Map((bRead, "") -> batchId.toString,

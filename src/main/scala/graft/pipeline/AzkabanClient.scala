@@ -95,6 +95,21 @@ object AzkabanClient {
     ()
   }
 
+  /** The reference's createAzkabanProjectIfNotExists: Azkaban answers
+    * an error for a duplicate name, but re-pushing an updated flow IS
+    * the normal lifecycle (updates are an upload to the existing
+    * project) — tolerate exactly that error and proceed. */
+  def createProjectIfNotExists(c: AzkabanConfig,
+                               client: java.net.http.HttpClient,
+                               session: String, name: String,
+                               description: String): Unit =
+    try createProject(c, client, session, name, description)
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("already exists") => ()
+    }
+
   /** Multipart `ajax=upload` of the project zip; returns (projectId,
     * version). The multipart body is assembled by hand — four text
     * parts and one application/zip file part, exactly the shape the
@@ -217,7 +232,8 @@ object AzkabanOrchestrator {
     val files = jobFiles(flowName, nodes, runnerCommand)
     val client = java.net.http.HttpClient.newHttpClient()
     val session = login(c, client)
-    createProject(c, client, session, flowName, s"graft flow $flowName")
+    createProjectIfNotExists(c, client, session, flowName,
+      s"graft flow $flowName")
     val (pid, version) = uploadZip(c, client, session, flowName,
       AzkabanClient.zip(files))
     val sched = cfg.schedule.filter(_.startsWith("cron:")).map(s =>

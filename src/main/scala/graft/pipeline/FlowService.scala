@@ -128,7 +128,17 @@ object FlowService {
         val cron = CronSchedule.parse(schedule.stripPrefix("cron:"))
         val mark = cronMark.getOrElseUpdate(name, nowMs)
         cron.next(toLdt(mark)) match {
-          case Some(t) if toMs(t) <= nowMs => cronMark(name) = toMs(t); true
+          case Some(t) if toMs(t) <= nowMs =>
+            // collapse any downtime backlog: fire ONCE and continue
+            // from the LATEST elapsed match (Quartz's fire-once misfire
+            // policy) — advancing one match per tick would replay every
+            // missed hour as a stale extra run
+            var last = t
+            var more = cron.next(last)
+            while (more.exists(m => toMs(m) <= nowMs)) {
+              last = more.get; more = cron.next(last)
+            }
+            cronMark(name) = toMs(last); true
           case _ => false
         }
       } else {

@@ -133,10 +133,28 @@ object GoogleIngestion {
         if (f.isFolder) lsRecursive(client, c, f.id) else Seq(f)
       }
 
-    /** File content (`alt=media`). */
+    /** File content (`alt=media`) as a STRING — only for content known
+      * to be UTF-8 text (the GA CSV report path). Binary-safe staging
+      * goes through [[downloadBytes]]. */
     def download(client: java.net.http.HttpClient, c: DriveConfig,
                  fileId: String): String =
       get(client, c, s"${c.baseUrl}/drive/v3/files/$fileId?alt=media")
+
+    /** File content (`alt=media`) as raw bytes — a parquet/gzip Drive
+      * file round-tripped through a String decode would corrupt on the
+      * first invalid-UTF-8 sequence. */
+    def downloadBytes(client: java.net.http.HttpClient, c: DriveConfig,
+                      fileId: String): Array[Byte] = {
+      val url = s"${c.baseUrl}/drive/v3/files/$fileId?alt=media"
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Authorization", s"Bearer ${c.accessToken}")
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      if (resp.statusCode() / 100 != 2) throw new java.io.IOException(
+        s"GET $url failed: HTTP ${resp.statusCode()}")
+      resp.body()
+    }
 
     def delete(client: java.net.http.HttpClient, c: DriveConfig,
                fileId: String): Unit = {
@@ -168,9 +186,8 @@ object GoogleIngestion {
       val client = java.net.http.HttpClient.newHttpClient()
       val current = DriveClient.lsRecursive(client, cfg, folderId)
       val committed = store.read(dataset)
-      val fresh = current.filterNot(f => committed.get(f.id).exists {
-        case (len, mod) => len == f.size && (mod == 0L || mod == f.modifiedMs)
-      })
+      val fresh = current.filterNot(f =>
+        ManifestSource.committedCovers(committed, f.id, f.size, f.modifiedMs))
       val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
       val staged = fresh.map(f => s"$stagingDir/${f.id}")
@@ -183,16 +200,16 @@ object GoogleIngestion {
             val c = java.net.http.HttpClient.newHttpClient()
             val fs = new Path(stagingRoot).getFileSystem(hadoopConf.value)
             it.foreach { id =>
-              val body = DriveClient.download(c, cfg, id)
+              val body = DriveClient.downloadBytes(c, cfg, id)
               val os = fs.create(new Path(s"$stagingRoot/$id"), true)
-              try os.write(body.getBytes(UTF_8)) finally os.close()
+              try os.write(body) finally os.close()
             }
           }
       }
       val reader = spark.read.format(format).options(options)
       val df =
         if (staged.nonEmpty) reader.load(staged: _*)
-        else reader.load(stagingDir).limit(0)
+        else ManifestSource.emptyDelta(spark, reader, stagingDir)
       Plan(fresh, df,
         () => store.commit(dataset,
           current.map(f => ManifestSource.FileMeta(f.id, f.size, f.modifiedMs))))
@@ -307,7 +324,8 @@ final class GoogleApiSim(token: String, reportCsv: String => String,
   import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
   final case class SimFile(id: String, name: String, mime: String,
-                           content: String, modifiedMs: Long, parent: String)
+                           content: Array[Byte], modifiedMs: Long,
+                           parent: String)
 
   private val files = new java.util.concurrent.ConcurrentHashMap[String, SimFile]()
   private val pending = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
@@ -316,10 +334,17 @@ final class GoogleApiSim(token: String, reportCsv: String => String,
 
   def addFolder(id: String, name: String, parent: String = "root"): Unit =
     files.put(id, SimFile(id, name, GoogleIngestion.DriveClient.FolderMime,
-      "", 0L, parent))
+      Array.empty, 0L, parent))
   def addFile(id: String, name: String, content: String, parent: String,
               modifiedMs: Long): Unit =
-    files.put(id, SimFile(id, name, "text/csv", content, modifiedMs, parent))
+    addBinaryFile(id, name, content.getBytes(UTF_8), parent, modifiedMs,
+      "text/csv")
+  /** Raw bytes — a real Drive serves parquet/gzip faithfully, so the
+    * sim must too (this is what proves the binary staging path). */
+  def addBinaryFile(id: String, name: String, content: Array[Byte],
+                    parent: String, modifiedMs: Long,
+                    mime: String = "application/octet-stream"): Unit =
+    files.put(id, SimFile(id, name, mime, content, modifiedMs, parent))
   def hasFile(id: String): Boolean = files.containsKey(id)
 
   private val srv = HttpServer.create(
@@ -368,7 +393,7 @@ final class GoogleApiSim(token: String, reportCsv: String => String,
               else ""
             val items = page.map { f =>
               s"""{"id":"${f.id}","name":"${f.name}","mimeType":"${f.mime}",""" +
-                s""""size":"${f.content.getBytes(UTF_8).length}",""" +
+                s""""size":"${f.content.length}",""" +
                 s""""modifiedTime":"${java.time.Instant.ofEpochMilli(f.modifiedMs)}"}"""
             }.mkString(",")
             respond(ex, 200, s"""{"files":[$items]$next}""")
@@ -376,7 +401,11 @@ final class GoogleApiSim(token: String, reportCsv: String => String,
         case ("GET", List("drive", "v3", "files", id)) =>
           Option(files.get(id)) match {
             case Some(f) if query(ex).get("alt").contains("media") =>
-              respond(ex, 200, f.content)
+              // bytes verbatim — alt=media is a binary route
+              ex.sendResponseHeaders(200,
+                if (f.content.isEmpty) -1 else f.content.length)
+              if (f.content.nonEmpty) ex.getResponseBody.write(f.content)
+              ex.close()
             case Some(_) => respond(ex, 400, """{"error":"only alt=media"}""")
             case None => respond(ex, 404, """{"error":"no such file"}""")
           }

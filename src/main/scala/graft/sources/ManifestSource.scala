@@ -42,19 +42,39 @@ object ManifestSource {
     val store = new ManifestStore(spark, stateDir)
     val current = listFiles(spark, root)
     val committed = store.read(dataset)
-    // mod_time 0 = committed by a build that didn't record it: match on
-    // length alone so an upgrade stays incremental instead of re-ingesting
-    // the full corpus (a genuine epoch-0 mtime is indistinguishable but
-    // not produced by real filesystems)
-    val fresh = current.filterNot(f => committed.get(f.path).exists {
-      case (len, mod) => len == f.length && (mod == 0L || mod == f.modTime)
-    })
+    val fresh = current.filterNot(f =>
+      committedCovers(committed, f.path, f.length, f.modTime))
     val reader = spark.read.format(format).options(options)
     val df =
       if (fresh.nonEmpty) reader.load(fresh.map(_.path): _*)
-      else reader.load(root).limit(0) // empty delta, schema preserved
+      else emptyDelta(spark, reader, root) // empty delta, schema preserved
     Plan(fresh, df, () => store.commit(dataset, current))
   }
+
+  /** THE snapshot-diff predicate every incremental file source shares
+    * (here, [[SftpFileSource]], [[GoogleIngestion.GoogleDriveSource]] —
+    * one authoritative implementation so the sources cannot diverge): a
+    * committed entry covers a file when the length matches and the mod
+    * time matches. mod_time 0 = committed by a build that didn't record
+    * it: match on length alone so an upgrade stays incremental instead
+    * of re-ingesting the full corpus (a genuine epoch-0 mtime is
+    * indistinguishable but not produced by real filesystems). */
+  private[sources] def committedCovers(committed: Map[String, (Long, Long)],
+                                       path: String, length: Long,
+                                       modTime: Long): Boolean =
+    committed.get(path).exists {
+      case (len, mod) => len == length && (mod == 0L || mod == modTime)
+    }
+
+  /** Schema-preserving empty delta: read the source/staging dir when it
+    * holds any visible file (schema from previous runs), else a
+    * zero-column empty frame — loading an EMPTY dir for schema throws
+    * `Unable to infer schema`. */
+  private[sources] def emptyDelta(spark: SparkSession,
+                                  reader: org.apache.spark.sql.DataFrameReader,
+                                  dir: String): DataFrame =
+    if (listFiles(spark, dir).nonEmpty) reader.load(dir).limit(0)
+    else spark.emptyDataFrame
 
   /** Recursive driver-side listing (the reference's FileBasedHelper). */
   def listFiles(spark: SparkSession, root: String): Seq[FileMeta] = {

@@ -75,6 +75,19 @@ object SftpWire {
 
   final case class Attrs(size: Long, mtimeSec: Long, isDir: Boolean)
 
+  /** CR-stripping line reader shared by every cleartext handshake in
+    * this package (SFTP transport preamble both sides, the tunnel's
+    * CONNECT response) — one implementation, one EOF convention. */
+  private[sources] def readAsciiLine(in: InputStream,
+                                     eofOk: Boolean = true): String = {
+    val b = new ByteArrayOutputStream()
+    var c = in.read()
+    while (c != -1 && c != '\n') { if (c != '\r') b.write(c); c = in.read() }
+    if (!eofOk && c == -1 && b.size() == 0)
+      throw new EOFException("peer closed")
+    new String(b.toByteArray, UTF_8)
+  }
+
   final class PacketOut(val tpe: Int) {
     private val buf = new ByteArrayOutputStream()
     private val d = new DataOutputStream(buf)
@@ -162,12 +175,12 @@ final class SftpFsHelper(cfg: SftpConfig) extends AutoCloseable {
     // protocol-version exchange (RFC 4253 §4.2), then the cleartext
     // userauth line standing in for the SSH auth layer
     rawOut.write(s"SSH-2.0-graftSFTP_1.0\r\n".getBytes(UTF_8)); rawOut.flush()
-    val banner = readLine(rawIn)
+    val banner = SftpWire.readAsciiLine(rawIn, eofOk = false)
     require(banner.startsWith("SSH-2.0-"),
       s"peer is not an SSH-2.0 endpoint: $banner")
     rawOut.write(s"userauth password ${cfg.user} ${cfg.password}\r\n"
       .getBytes(UTF_8)); rawOut.flush()
-    val auth = readLine(rawIn)
+    val auth = SftpWire.readAsciiLine(rawIn, eofOk = false)
     require(auth == "auth-ok",
       s"SFTP authentication failed for user ${cfg.user}: $auth")
     in = new DataInputStream(rawIn)
@@ -177,14 +190,6 @@ final class SftpFsHelper(cfg: SftpConfig) extends AutoCloseable {
     require(v.tpe == FXP_VERSION && v.u32() == ProtocolVersion,
       "SFTP version negotiation failed")
     this
-  }
-
-  private def readLine(is: InputStream): String = {
-    val b = new ByteArrayOutputStream()
-    var c = is.read()
-    while (c != -1 && c != '\n') { if (c != '\r') b.write(c); c = is.read() }
-    if (c == -1 && b.size() == 0) throw new EOFException("peer closed")
-    new String(b.toByteArray, UTF_8)
   }
 
   private def nextId(): Long = { reqId += 1; reqId }
@@ -313,10 +318,24 @@ object SftpFileSource {
   }
 
   // leading "/" must not become a leading "_" — Spark (and our own
-  // listings) treat "_"/"."-prefixed files as hidden metadata
-  private def stagedName(remote: String): String =
-    remote.dropWhile(c => c == '/' || c == '.' || c == '_')
+  // listings) treat "_"/"."-prefixed files as hidden metadata. The
+  // md5-suffix keeps distinct remote paths distinct after sanitizing
+  // ("/a/x.csv" and "/a_x.csv" would otherwise collide on one staging
+  // file and silently lose one file's rows while duplicating the
+  // other's).
+  private def stagedName(remote: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(remote.getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    val base = remote.dropWhile(c => c == '/' || c == '.' || c == '_')
       .replaceAll("[^A-Za-z0-9._-]", "_")
+    // tag BEFORE the extension: Spark keys compression codecs (.gz,
+    // .bz2, ...) off the file suffix
+    base.lastIndexOf('.') match {
+      case -1 => s"$base-$tag"
+      case i => s"${base.take(i)}-$tag${base.drop(i)}"
+    }
+  }
 
   /** Plan an incremental extract: list the drop, diff against the
     * committed manifest ([[ManifestStore]] — byte-identical semantics
@@ -334,9 +353,8 @@ object SftpFileSource {
     val store = new ManifestStore(spark, stateDir)
     val current = listRemote(cfg, remoteRoot)
     val committed = store.read(dataset)
-    val fresh = current.filterNot(f => committed.get(f.path).exists {
-      case (len, mod) => len == f.length && (mod == 0L || mod == f.modTime)
-    })
+    val fresh = current.filterNot(f =>
+      ManifestSource.committedCovers(committed, f.path, f.length, f.modTime))
     val stagingPath = new Path(stagingDir)
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -366,7 +384,7 @@ object SftpFileSource {
     val reader = spark.read.format(format).options(options)
     val df =
       if (staged.nonEmpty) reader.load(staged: _*)
-      else reader.load(stagingDir).limit(0) // empty delta, schema preserved
+      else ManifestSource.emptyDelta(spark, reader, stagingDir)
     Plan(fresh, staged, df, () => store.commit(dataset, current))
   }
 }
@@ -406,12 +424,7 @@ object SftpServer {
     try {
       val rawIn = new BufferedInputStream(sock.getInputStream)
       val rawOut = new BufferedOutputStream(sock.getOutputStream)
-      def line(): String = {
-        val b = new ByteArrayOutputStream()
-        var c = rawIn.read()
-        while (c != -1 && c != '\n') { if (c != '\r') b.write(c); c = rawIn.read() }
-        new String(b.toByteArray, UTF_8)
-      }
+      def line(): String = SftpWire.readAsciiLine(rawIn)
       rawOut.write("SSH-2.0-graftSftpd_1.0\r\n".getBytes(UTF_8)); rawOut.flush()
       val client = line()
       if (!client.startsWith("SSH-2.0-")) { sock.close(); return }

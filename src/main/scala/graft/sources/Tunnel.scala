@@ -60,10 +60,10 @@ final class Tunnel private (remoteHost: String, remotePort: Int,
         s"User-Agent: GraftTunnel\r\nConnection: keep-alive\r\n" +
         s"Host: $remoteHost:$remotePort\r\n\r\n").getBytes(UTF_8))
       pOut.flush()
-      val status = readLine(pIn)
+      val status = SftpWire.readAsciiLine(pIn)
       // drain the remaining response headers up to the blank line so
       // relayed bytes start clean
-      while (readLine(pIn).nonEmpty) ()
+      while (SftpWire.readAsciiLine(pIn).nonEmpty) ()
       if (!status.startsWith("HTTP/1.1 200") &&
           !status.startsWith("HTTP/1.0 200")) {
         client.close(); proxy.close(); return
@@ -77,13 +77,6 @@ final class Tunnel private (remoteHost: String, remotePort: Int,
       try client.close() catch { case _: Throwable => () }
       try proxy.close() catch { case _: Throwable => () }
     }
-  }
-
-  private def readLine(in: InputStream): String = {
-    val b = new java.io.ByteArrayOutputStream()
-    var c = in.read()
-    while (c != -1 && c != '\n') { if (c != '\r') b.write(c); c = in.read() }
-    new String(b.toByteArray, UTF_8)
   }
 
   private def relay(in: InputStream, out: OutputStream,

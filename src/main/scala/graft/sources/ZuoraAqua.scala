@@ -65,7 +65,9 @@ object ZuoraAqua {
     * ZOQL (WHERE if none, AND otherwise) — the QueryBasedSource
     * incremental face. */
   def withPredicate(zoql: String, condition: String): String =
-    if (zoql.toLowerCase.contains(" where ")) s"$zoql AND $condition"
+    // word-boundary match so newline-formatted ZOQL ("...\nWHERE x")
+    // still takes the AND branch (a substring " where " test misses it)
+    if ("(?is).*\\bwhere\\b.*".r.matches(zoql)) s"$zoql AND $condition"
     else s"$zoql WHERE $condition"
 
   private def strField(v: JValue, f: String): String = v \ f match {

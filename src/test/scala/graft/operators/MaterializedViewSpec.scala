@@ -163,6 +163,24 @@ class MaterializedViewSpec extends SparkSpec {
       "rows at the committed watermark were dropped on same-checkpoint restart")
   }
 
+  test("a bootstrap batch of all-null timestamps is skipped, not a null watermark") {
+    // review finding: the count-based empty-delta check let an all-null
+    // ts batch commit a NULL watermark (NPE in the state store)
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id").limit(10)
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val in = tmpDir("mv-nullts-in")
+    val dir = tmpDir("mv-nullts") + "/view"
+    ev.coalesce(1).write.parquet(s"$in/fa")
+    val q = MaterializedView.sink(
+      graft.streaming.Streams.fileReplay(spark, s"$in/*", ev.schema),
+      dir, "ts", keys, specs, tmpDir("mv-nullts-ck"))
+    q.awaitTermination() // must not throw; batch treated as empty
+    assert(!new java.io.File(s"$dir/agg").exists,
+      "an all-null-ts batch folds nothing")
+  }
+
   test("a half-applied refresh is refused, not silently double-counted") {
     val ev = Tables.load(spark, sf, "events")
     val dir = tmpDir("mv-crash") + "/view"

@@ -80,6 +80,9 @@ class AzkabanClientSpec extends SparkSpec {
       } else if (q.contains("action=create")) {
         val p = formOf(new String(ex.getRequestBody.readAllBytes(), UTF_8))
         if (!sessionOk(p)) respond(ex, """{"error":"session expired"}""")
+        else if (projects.containsKey(p("name")))
+          // real Azkaban refuses duplicate names — re-push must tolerate
+          respond(ex, s"""{"error":"Project ${p("name")} already exists."}""")
         else {
           projects.put(p("name"), seq.incrementAndGet())
           respond(ex, """{"status":"success"}""")
@@ -200,6 +203,14 @@ class AzkabanClientSpec extends SparkSpec {
       // the cron schedule landed on the terminal job's flow
       assert(pushed.scheduleId.isDefined)
       assert(sim.schedules.get("nightly/load") == "0 30 1 * * ?")
+      // re-pushing an UPDATED flow is the normal lifecycle: the
+      // duplicate-name create error is tolerated and the new zip lands
+      val pushed2 = AzkabanOrchestrator.push(
+        AzkabanConfig(sim.baseUrl, "ops", "pw1"), store, "nightly",
+        "graft-run-v2")
+      assert(pushed2.jobFiles == pushed.jobFiles)
+      assert(sim.uploads.get("nightly")("extract.job")
+        .contains("command=graft-run-v2"), "the updated project must land")
     } finally sim.stop()
   }
 }

@@ -155,6 +155,13 @@ class FlowServiceSpec extends SparkSpec {
     assert(sched.tick(ms("2024-03-01T11:04:00")).isEmpty, "one fire per match")
     // next hour fires again
     assert(sched.tick(ms("2024-03-01T12:00:30")) == Seq("tick"))
+    // 6 hours of downtime: the backlog COLLAPSES to one fire (Quartz's
+    // fire-once misfire policy), not six stale replays over six ticks
+    assert(sched.tick(ms("2024-03-01T18:10:00")) == Seq("tick"))
+    assert(sched.tick(ms("2024-03-01T18:11:00")).isEmpty,
+      "missed matches must not replay one-per-tick")
+    assert(sched.tick(ms("2024-03-01T19:00:05")) == Seq("tick"),
+      "the schedule continues from now")
     // a malformed cron surfaces as a loud refusal at parse
     intercept[IllegalArgumentException] {
       CronSchedule.parse("not a cron")

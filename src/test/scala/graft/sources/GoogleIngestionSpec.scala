@@ -68,6 +68,39 @@ class GoogleIngestionSpec extends SparkSpec {
     } finally sim.stop()
   }
 
+  test("Drive staging is byte-exact for binary (non-UTF-8) files") {
+    // review finding: download-as-String UTF-8-decoded the payload,
+    // corrupting any invalid sequence (parquet, gzip). A gzip member
+    // with high bytes must round-trip bit-for-bit.
+    val sim = newSim()
+    try {
+      sim.addFolder("d1", "drop")
+      val bytes = Array.tabulate[Byte](512)(i => ((i * 31 + 7) % 256).toByte)
+      sim.addBinaryFile("fbin", "blob.bin", bytes, "d1", 1000L)
+      val got = DriveClient.downloadBytes(http, driveCfg(sim), "fbin")
+      assert(java.util.Arrays.equals(got, bytes),
+        "binary content must survive the wire byte-exactly")
+      // and the planner stages it byte-exactly too
+      val staging = tmpDir("gdrive-bin-staging")
+      GoogleDriveSource.plan(spark, driveCfg(sim), "d1",
+        tmpDir("gdrive-bin-state"), "bin", staging, format = "binaryFile")
+      val staged = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(staging, "fbin"))
+      assert(java.util.Arrays.equals(staged, bytes))
+    } finally sim.stop()
+  }
+
+  test("an empty Drive folder plans an empty delta instead of crashing") {
+    val sim = newSim()
+    try {
+      sim.addFolder("d1", "drop")
+      val p = GoogleDriveSource.plan(spark, driveCfg(sim), "d1",
+        tmpDir("gdrive-empty-state"), "e", tmpDir("gdrive-empty-staging"),
+        format = "csv")
+      assert(p.newFiles.isEmpty && p.df.count() == 0)
+    } finally sim.stop()
+  }
+
   test("GA unsampled: insert -> PENDING polls -> COMPLETED -> Drive CSV; " +
       "temp report deleted; watermark = endDate + 1 day") {
     val sim = newSim(title => s"ga_date,sessions\n20240101,$title-7\n", polls = 3)

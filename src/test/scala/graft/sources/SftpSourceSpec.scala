@@ -85,6 +85,36 @@ class SftpSourceSpec extends SparkSpec {
     }
   }
 
+  test("remote paths that sanitize identically stage to DISTINCT files") {
+    // review finding: /drop/a/x.csv and /drop/a_x.csv both sanitized to
+    // drop_a_x.csv, one overwriting the other — rows silently lost AND
+    // duplicated. The staged names carry a path hash now.
+    val root = tmpDir("sftp-collide")
+    writeDrop(root, Map(
+      "drop/a/x.csv" -> "k,v\n1,nested\n",
+      "drop/a_x.csv" -> "k,v\n2,flat\n"))
+    withServer(root) { cfg =>
+      val p = SftpFileSource.plan(spark, cfg, tmpDir("sftp-collide-state"),
+        "d", "/drop", tmpDir("sftp-collide-staging"), format = "csv",
+        options = Map("header" -> "true"))
+      assert(p.stagedPaths.distinct.length == 2,
+        s"staged paths must be distinct: ${p.stagedPaths}")
+      val rows = p.df.collect().map(_.getString(1)).sorted.toSeq
+      assert(rows == Seq("flat", "nested"), rows.toString)
+    }
+  }
+
+  test("an empty drop plans an empty delta instead of crashing on schema") {
+    val root = tmpDir("sftp-empty")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "drop"))
+    withServer(root) { cfg =>
+      val p = SftpFileSource.plan(spark, cfg, tmpDir("sftp-empty-state"),
+        "d", "/drop", tmpDir("sftp-empty-staging"), format = "csv")
+      assert(p.newFiles.isEmpty && p.df.count() == 0)
+    }
+  }
+
   test("incremental plan: first run fetches the drop, second run is empty, " +
       "a changed file re-extracts") {
     val root = tmpDir("sftp-inc")

@@ -78,5 +78,9 @@ class ZuoraAquaSpec extends SparkSpec {
     assert(withPredicate("SELECT Id FROM Account WHERE Status = 'Active'",
       "UpdatedDate > '2024-01-01'")
       == "SELECT Id FROM Account WHERE Status = 'Active' AND UpdatedDate > '2024-01-01'")
+    // newline-formatted ZOQL still takes the AND branch (word-boundary
+    // match, not a " where " substring test)
+    assert(withPredicate("SELECT Id FROM Account\nWHERE Status = 'Active'",
+      "d > 1").endsWith("AND d > 1"))
   }
 }
