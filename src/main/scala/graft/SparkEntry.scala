@@ -1881,6 +1881,44 @@ object SparkEntry {
           col("d.mId").as("m_id"))
     }),
 
+    // HTTP join-enrichment e2e (HttpJoinConverter.java:57): every
+    // customer row issues a GET built from its own fields against an
+    // in-process lookup endpoint (lowercasing the segment — a pure
+    // function DuckDB recomputes), and the response joins onto the
+    // record with its status. Bounded async pipelining per task.
+    "q170_http_enrich" -> ((s, dir) => {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      // the pool must be shut down with the server: HttpServer.stop
+      // does NOT stop a user-provided executor, and its non-daemon
+      // threads would pin the JVM open after the query finishes
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      srv.setExecutor(pool)
+      srv.createContext("/seg", (ex: com.sun.net.httpserver.HttpExchange) => {
+        val name = java.net.URLDecoder.decode(
+          Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            .stripPrefix("name="), "UTF-8")
+        val b = name.toLowerCase.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+      srv.start()
+      try {
+        val src = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        val out = graft.operators.HttpEnrich.enrich(src.coalesce(4),
+          graft.operators.HttpEnrich.EnrichConfig(
+            s"http://127.0.0.1:${srv.getAddress.getPort}/seg?name=$${c_mktsegment}",
+            maxInFlight = 16))
+          .select(col("c_custkey"),
+            col("http_status").cast("bigint").as("http_status"),
+            col("http_response"))
+        // materialize while the endpoint lives; re-wrap like q101/q163
+        val got = out.collect()
+        s.createDataFrame(
+          s.sparkContext.parallelize(got.toIndexedSeq, 1), out.schema)
+      } finally { srv.stop(0); pool.shutdownNow(); () }
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3540,6 +3578,11 @@ object SparkEntry {
         "\"Inner-Content-Type\":\"text/plain\"," +
         "\"Transfer-Encoding\":[\"identity\"]},\"file-level\":{}}') " +
         "AS m_id FROM documents"),
+    // per-record lookup enrichment: the endpoint lowercases the
+    // segment, a pure function DuckDB recomputes
+    "q170_http_enrich" ->
+      ("SELECT c_custkey, CAST(200 AS BIGINT) AS http_status, " +
+        "lower(c_mktsegment) AS http_response FROM customer"),
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->
