@@ -47,10 +47,20 @@ object Purge {
     * re-run (the purge is idempotent). A fully-purged partition has no
     * staged dir and is deleted outright. After the swap the semi-join is
     * re-run and the call FAILS LOUDLY if any deleted key survived — a
-    * GDPR purge must never silently partial-delete. */
+    * GDPR purge must never silently partial-delete.
+    *
+    * `keepBackup` retains each displaced partition as `.old-<partdir>`
+    * (and parks fully-purged partitions instead of deleting them) — the
+    * compliance purger's backup-per-partition, restorable via
+    * [[graft.sinks.AtomicPublisher.restoreBackup]] until the next
+    * publish or a Vacuum sweep reclaims it. The backup of course still
+    * CONTAINS the purged subjects — compliance deletion completes only
+    * when the backups age out, exactly as the reference's versioned
+    * purge documents. */
   def purgePartitioned(spark: SparkSession, dir: String, partitionCol: String,
                        deleteKeys: DataFrame, keyCols: Seq[String],
-                       format: String = "parquet"): PartitionPurgeStats = {
+                       format: String = "parquet",
+                       keepBackup: Boolean = false): PartitionPurgeStats = {
     val data = spark.read.format(format).load(dir)
     val affected = purged(data, deleteKeys, keyCols)
       .select(partitionCol).distinct().collect().map(_.get(0)).toSeq
@@ -77,8 +87,16 @@ object Purge {
       val src = new Path(staging, dirName)
       val dst = new Path(dir, dirName)
       if (fs.exists(src))
-        graft.sinks.AtomicPublisher.Staged(fs, src, dst, "purge").promote()
-      else { fs.delete(dst, true); removed += v }
+        graft.sinks.AtomicPublisher.Staged(fs, src, dst, "purge",
+          keepBackup).promote()
+      else {
+        if (keepBackup && fs.exists(dst)) {
+          val park = new Path(dir, s".old-$dirName")
+          if (fs.exists(park)) fs.delete(park, true)
+          require(fs.rename(dst, park), s"purge: cannot park $dst")
+        } else fs.delete(dst, true)
+        removed += v
+      }
     }
     fs.delete(staging, true)
     val leftover = purged(spark.read.format(format).load(dir), deleteKeys, keyCols)

@@ -36,10 +36,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object AtomicPublisher {
 
+  /** `keepBackup` retains the displaced previous output as
+    * `.old-<name>` after a SUCCESSFUL promote (normally the park only
+    * survives crashes) — the compliance-restore backup
+    * (gobblin-compliance restore/: a purge keeps the pre-purge
+    * version so AdhocRestorePolicy/ComplianceRestoreJob can swap it
+    * back). The backup lives until the next publish replaces it or
+    * [[graft.operators.Vacuum]]'s grace-period sweep reclaims it. */
   final case class WriteSpec(format: String = "parquet",
                              partitionBy: Seq[String] = Nil,
                              options: Map[String, String] = Map.empty,
-                             mode: SaveMode = SaveMode.Overwrite)
+                             mode: SaveMode = SaveMode.Overwrite,
+                             keepBackup: Boolean = false)
 
   /** Anything written-but-not-yet-visible: promote makes it visible
     * atomically, abort discards it. Directories (this file) and staging
@@ -51,14 +59,18 @@ object AtomicPublisher {
   }
 
   /** A written-but-not-yet-visible output directory. */
-  final case class Staged(fs: FileSystem, staging: Path, dst: Path, runId: String)
+  final case class Staged(fs: FileSystem, staging: Path, dst: Path,
+                          runId: String, keepBackup: Boolean = false)
       extends StagedOutput {
-    /** Swap staged data into the final path (old aside -> new in -> drop old). */
+    /** Swap staged data into the final path (old aside -> new in ->
+      * drop old — or KEEP old as the restore backup). */
     def promote(): Unit = {
       recoverDangling(fs, dst)
       val old = new Path(dst.getParent, s".old-${dst.getName}")
-      // after recovery, a park that still coexists with dst is stale (a
-      // prior promote crashed after its swap, before the final delete)
+      // after recovery, a park that still coexists with dst is either
+      // stale (a prior promote crashed after its swap, before the final
+      // delete) or the previous publish's retained backup — either way
+      // this publish's displaced output replaces it
       if (fs.exists(old)) fs.delete(old, true)
       val hadOld = fs.exists(dst)
       if (hadOld) require(fs.rename(dst, old), s"promote: cannot set aside $dst")
@@ -67,7 +79,7 @@ object AtomicPublisher {
         if (hadOld) fs.rename(old, dst) // restore previous output
         throw new IllegalStateException(s"promote rename failed: $staging -> $dst")
       }
-      if (hadOld) fs.delete(old, true)
+      if (hadOld && !keepBackup) fs.delete(old, true)
     }
 
     /** Drop the staged data (nothing was ever visible). */
@@ -110,11 +122,46 @@ object AtomicPublisher {
       catch { case _: java.io.IOException => }
       throw e
     }
-    Staged(fs, staging, dst, runId)
+    Staged(fs, staging, dst, runId, spec.keepBackup)
   }
 
   /** Single-branch convenience: stage then promote immediately. */
   def publish(df: DataFrame, finalDir: String, runId: String,
               spec: WriteSpec = WriteSpec()): Unit =
     stage(df, finalDir, runId, spec).promote()
+
+  /** The deliberate restore (AdhocRestorePolicy/ComplianceRestoreJob
+    * semantics): swap the retained `.old-<name>` backup back into the
+    * destination, parking the damaged current output as
+    * `.undone-<name>` for forensics. Refuses loudly when no backup
+    * survives — a publish without `keepBackup` (or a Vacuum sweep)
+    * consumed it, and pretending to restore would be worse than
+    * failing. One restore consumes the backup (the park becomes
+    * current), so a second call refuses. */
+  def restoreBackup(spark: org.apache.spark.sql.SparkSession,
+                    finalDir: String): Unit = {
+    val dst = new Path(finalDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val park = new Path(dst.getParent, s".old-${dst.getName}")
+    if (!fs.exists(dst) && fs.exists(park)) {
+      // destination absent (crash-dangling park, or a fully-purged
+      // partition whose backup is the only copy): the recovery rename
+      // IS the restore
+      recoverDangling(fs, dst)
+      return
+    }
+    require(fs.exists(park),
+      s"no backup to restore for $finalDir — publish with keepBackup " +
+        "(or before a Vacuum sweep) to retain one")
+    val undone = new Path(dst.getParent, s".undone-${dst.getName}")
+    if (fs.exists(undone)) fs.delete(undone, true)
+    if (fs.exists(dst))
+      require(fs.rename(dst, undone), s"restore: cannot park damaged $dst")
+    if (!fs.rename(park, dst)) {
+      // the park is the only good copy — put the damaged dir back so the
+      // dataset is at least readable, then fail loudly
+      if (fs.exists(undone)) fs.rename(undone, dst)
+      throw new IllegalStateException(s"restore rename failed: $park -> $dst")
+    }
+  }
 }

@@ -187,6 +187,31 @@ class DataOrgSpec extends SparkSpec {
     assert(filesOf("P3") == untouchedBefore, "unaffected partition was rewritten")
   }
 
+  test("purgePartitioned keepBackup parks displaced partitions; restore undoes one") {
+    import graft.sinks.AtomicPublisher
+    val dir = tmpDir("purge-backup")
+    Seq((1L, "a", "P1"), (2L, "b", "P1"), (3L, "c", "P2"))
+      .toDF("k", "v", "part").write.mode("overwrite")
+      .partitionBy("part").parquet(dir)
+    val deletes = Seq(1L, 3L).toDF("k") // row from P1; ALL of P2
+    Purge.purgePartitioned(spark, dir, "part", deletes, Seq("k"),
+      keepBackup = true)
+    // purge took effect and backups exist (including the emptied P2)
+    assert(spark.read.parquet(dir).select("k").collect().map(_.getLong(0))
+      .toSeq == Seq(2L))
+    assert(new java.io.File(s"$dir/.old-part=P1").exists)
+    assert(new java.io.File(s"$dir/.old-part=P2").exists)
+    // the purge was wrong: restore P1 to its pre-purge content
+    AtomicPublisher.restoreBackup(spark, s"$dir/part=P1")
+    assert(spark.read.parquet(dir).select("k").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L))
+    // the backup still contains the purged subject — compliance deletion
+    // completes only when backups age out (the documented contract)
+    AtomicPublisher.restoreBackup(spark, s"$dir/part=P2")
+    assert(spark.read.parquet(dir).select("k").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("purgePartitioned handles escaped and null partition values") {
     val dir = tmpDir("purge-esc")
     // 'A:B' is stored Hive-escaped (part=A%3AB); null lands in

@@ -45,4 +45,27 @@ class PublisherSpec extends SparkSpec {
     AtomicPublisher.recoverDangling(fs, new Path(s"$out/raw-events"))
     assert(spark.read.parquet(s"$out/raw-events").count() == 1)
   }
+
+  test("keepBackup retains the displaced output; restoreBackup swaps it back once") {
+    val dir = tmpDir("pub-backup") + "/ds"
+    AtomicPublisher.publish(Seq(1, 2, 3).toDF("v"), dir, "r1")
+    // a bad publish (the purge-gone-wrong shape) with the backup kept
+    AtomicPublisher.publish(Seq(99).toDF("v"), dir, "r2",
+      AtomicPublisher.WriteSpec(keepBackup = true))
+    assert(spark.read.parquet(dir).count() == 1)
+    // the deliberate restore: last-known-good comes back
+    AtomicPublisher.restoreBackup(spark, dir)
+    assert(spark.read.parquet(dir).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 2, 3))
+    // one restore consumes the backup — a second refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublisher.restoreBackup(spark, dir)
+    }
+    assert(e.getMessage.contains("no backup"), e.getMessage)
+    // a publish WITHOUT keepBackup leaves nothing to restore
+    AtomicPublisher.publish(Seq(5).toDF("v"), dir, "r3")
+    intercept[IllegalArgumentException] {
+      AtomicPublisher.restoreBackup(spark, dir)
+    }
+  }
 }
