@@ -60,53 +60,79 @@ object HttpEnrich {
         if (urlEncode) URLEncoder.encode(v, "UTF-8") else v)
     })
 
+  /** Any referenced column NULL? Such a record has no lookup key — it
+    * null-joins instead of querying the endpoint with the literal
+    * string "null" (a plausible-looking wrong enrichment). */
+  private def anyRefNull(row: Row, refIdx: Seq[Int]): Boolean =
+    refIdx.exists(row.isNullAt)
+
   /** Columns a template references — validated against the input
     * schema at PLAN time, not per row on an executor. */
   private[operators] def refs(template: String): Seq[String] =
     Placeholder.findAllMatchIn(template).map(_.group(1)).toSeq.distinct
 
+  // one client per executor JVM: the JDK client owns a selector thread
+  // and a connection pool, so a client per TASK leaks both until GC
+  private lazy val sharedClient = HttpClient.newHttpClient()
+
   def enrich(df: DataFrame, cfg: EnrichConfig): DataFrame = {
     val cols = df.columns.toSet
-    val wanted = (refs(cfg.urlTemplate) ++
-      cfg.bodyTemplate.toSeq.flatMap(refs)).distinct
+    val templates = cfg.urlTemplate +: cfg.bodyTemplate.toSeq
+    val wanted = templates.flatMap(refs).distinct
     val missing = wanted.filterNot(cols.contains)
     require(missing.isEmpty,
       s"template references unknown column(s): ${missing.mkString(", ")} " +
         s"(have: ${df.columns.mkString(", ")})")
+    // a ${...} the placeholder grammar does NOT match would survive
+    // render() literally and explode per-record on executors — refuse
+    // it here, where the contract says refusals happen
+    templates.foreach { t =>
+      require(!Placeholder.replaceAllIn(t, "").contains("${"),
+        s"malformed placeholder in template '$t' — names are [A-Za-z0-9_]+")
+    }
+    Seq(cfg.statusCol, cfg.responseCol).foreach(c => require(!cols.contains(c),
+      s"output column '$c' already exists in the input — rename it " +
+        "(statusCol/responseCol) or drop the old one before re-enriching"))
     require(cfg.maxInFlight >= 1, s"maxInFlight must be >= 1: ${cfg.maxInFlight}")
     val outSchema = StructType(df.schema.fields)
       .add(cfg.statusCol, IntegerType)
       .add(cfg.responseCol, StringType, nullable = true)
     val idx = df.columns.zipWithIndex.toMap
+    val refIdx = wanted.map(idx)
     val c = cfg // stable reference for the closure
     df.mapPartitions { it: Iterator[Row] =>
-      val client = HttpClient.newHttpClient()
+      val client = sharedClient
       // FIFO pipeline of bounded depth: issue up to maxInFlight async
-      // requests ahead of the await point
+      // requests ahead of the await point; a null-keyed row rides the
+      // window with no request (None) so output order is preserved
       val window = new java.util.ArrayDeque[(Row,
-        java.util.concurrent.CompletableFuture[HttpResponse[String]])]()
-      def issue(row: Row): Unit = {
-        val url = render(c.urlTemplate, row, idx, urlEncode = true)
-        val b = HttpRequest.newBuilder(URI.create(url))
-          .timeout(Duration.ofMillis(c.timeoutMs))
-        c.headers.foreach { case (k, v) => b.header(k, v) }
-        val req = b.method(c.verb, c.bodyTemplate.fold(
-          HttpRequest.BodyPublishers.noBody())(t =>
-          HttpRequest.BodyPublishers.ofString(
-            render(t, row, idx, urlEncode = false)))).build()
-        window.addLast((row,
-          client.sendAsync(req, HttpResponse.BodyHandlers.ofString())))
-      }
-      def await(): Row = {
-        val (row, fut) = window.removeFirst()
-        val resp = fut.join()
-        if (c.failOnStatus(resp.statusCode()))
-          throw new java.io.IOException(
-            s"enrichment ${c.verb} answered HTTP ${resp.statusCode()}: " +
-              resp.body().take(200))
-        val body =
-          if (resp.statusCode() / 100 == 2) resp.body() else null
-        Row.fromSeq(row.toSeq :+ Integer.valueOf(resp.statusCode()) :+ body)
+        Option[java.util.concurrent.CompletableFuture[HttpResponse[String]]])]()
+      def issue(row: Row): Unit =
+        if (anyRefNull(row, refIdx)) window.addLast((row, None))
+        else {
+          val url = render(c.urlTemplate, row, idx, urlEncode = true)
+          val b = HttpRequest.newBuilder(URI.create(url))
+            .timeout(Duration.ofMillis(c.timeoutMs))
+          c.headers.foreach { case (k, v) => b.header(k, v) }
+          val req = b.method(c.verb, c.bodyTemplate.fold(
+            HttpRequest.BodyPublishers.noBody())(t =>
+            HttpRequest.BodyPublishers.ofString(
+              render(t, row, idx, urlEncode = false)))).build()
+          window.addLast((row,
+            Some(client.sendAsync(req, HttpResponse.BodyHandlers.ofString()))))
+        }
+      def await(): Row = window.removeFirst() match {
+        case (row, None) => // no lookup key: null status, null body
+          Row.fromSeq(row.toSeq :+ null :+ null)
+        case (row, Some(fut)) =>
+          val resp = fut.join()
+          if (c.failOnStatus(resp.statusCode()))
+            throw new java.io.IOException(
+              s"enrichment ${c.verb} answered HTTP ${resp.statusCode()}: " +
+                resp.body().take(200))
+          val body =
+            if (resp.statusCode() / 100 == 2) resp.body() else null
+          Row.fromSeq(row.toSeq :+ Integer.valueOf(resp.statusCode()) :+ body)
       }
       new Iterator[Row] {
         override def hasNext: Boolean = it.hasNext || !window.isEmpty

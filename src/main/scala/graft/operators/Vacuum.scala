@@ -28,7 +28,8 @@ import org.apache.spark.sql.SparkSession
 object Vacuum {
 
   val protocolPrefixes: Seq[String] =
-    Seq(".staging-", ".old-", ".merge-staging", ".compact-staging")
+    Seq(".staging-", ".old-", ".merge-staging", ".compact-staging",
+      ".undone-") // restoreBackup's forensic park of the displaced output
 
   final case class VacuumStats(removed: Seq[String], kept: Seq[String])
 

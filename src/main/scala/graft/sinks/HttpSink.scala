@@ -82,6 +82,42 @@ object HttpSink {
     throw new IllegalStateException("unreachable")
   }
 
+  /** [[send]]'s binary-response twin (same timeout/retry/backoff/header
+    * discipline, byte-array body handler) — for downloads whose payload
+    * a String decode would corrupt. */
+  private[graft] def sendBytes(client: HttpClient, cfg: HttpConfig,
+                               method: String = "GET"): Array[Byte] = {
+    val builder = HttpRequest.newBuilder(URI.create(cfg.url))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+    cfg.headers.foreach { case (k, v) => builder.header(k, v) }
+    val req = builder.method(method,
+      HttpRequest.BodyPublishers.noBody()).build()
+    var attempt = 0
+    var backoff = cfg.initialBackoffMs
+    while (true) {
+      attempt += 1
+      val outcome =
+        try {
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          if (resp.statusCode() / 100 == 2) Right(resp.body())
+          else Left((retryable(resp.statusCode()),
+            s"HTTP ${resp.statusCode()}"))
+        } catch {
+          case e: java.io.IOException => Left((true, e.toString))
+        }
+      outcome match {
+        case Right(bytes) => return bytes
+        case Left((canRetry, msg)) =>
+          if (!canRetry || attempt >= cfg.maxAttempts)
+            throw new java.io.IOException(
+              s"$method ${cfg.url} failed after $attempt attempt(s): $msg")
+          Thread.sleep(backoff)
+          backoff = (backoff * 2).max(1L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[sinks] def post(client: HttpClient, cfg: HttpConfig,
                           body: String): String =
     send(client, cfg, "POST", Some(body))

@@ -142,19 +142,15 @@ object GoogleIngestion {
 
     /** File content (`alt=media`) as raw bytes — a parquet/gzip Drive
       * file round-tripped through a String decode would corrupt on the
-      * first invalid-UTF-8 sequence. */
+      * first invalid-UTF-8 sequence. Same timeout/retry/backoff/header
+      * discipline as every other call (a hand-built request here cost
+      * staging its hang-protection — a stalled connection froze the
+      * executor task with no timeout and one transient 503 killed the
+      * whole job). */
     def downloadBytes(client: java.net.http.HttpClient, c: DriveConfig,
-                      fileId: String): Array[Byte] = {
-      val url = s"${c.baseUrl}/drive/v3/files/$fileId?alt=media"
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .header("Authorization", s"Bearer ${c.accessToken}")
-        .GET().build()
-      val resp = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-      if (resp.statusCode() / 100 != 2) throw new java.io.IOException(
-        s"GET $url failed: HTTP ${resp.statusCode()}")
-      resp.body()
-    }
+                      fileId: String): Array[Byte] =
+      HttpSink.sendBytes(client,
+        cfgFor(c, s"${c.baseUrl}/drive/v3/files/$fileId?alt=media"))
 
     def delete(client: java.net.http.HttpClient, c: DriveConfig,
                fileId: String): Unit = {

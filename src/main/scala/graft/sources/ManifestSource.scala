@@ -47,7 +47,11 @@ object ManifestSource {
     val reader = spark.read.format(format).options(options)
     val df =
       if (fresh.nonEmpty) reader.load(fresh.map(_.path): _*)
-      else emptyDelta(spark, reader, root) // empty delta, schema preserved
+      // `current` IS the root listing — deciding the schema-preserving
+      // branch from it avoids a second full recursive walk of the
+      // source tree on every steady-state (empty-delta) run
+      else if (current.nonEmpty) reader.load(root).limit(0)
+      else spark.emptyDataFrame
     Plan(fresh, df, () => store.commit(dataset, current))
   }
 

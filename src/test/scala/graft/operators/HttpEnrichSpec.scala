@@ -108,5 +108,32 @@ class HttpEnrichSpec extends SparkSpec {
       HttpEnrich.enrich(df, EnrichConfig("http://h/${nope}/${seg}"))
     }
     assert(e.getMessage.contains("nope"), e.getMessage)
+    // a ${...} the grammar can't match would survive render literally —
+    // refuse at plan time, not per-record on executors
+    val e2 = intercept[IllegalArgumentException] {
+      HttpEnrich.enrich(df, EnrichConfig("http://h/${bad-name}"))
+    }
+    assert(e2.getMessage.contains("malformed placeholder"), e2.getMessage)
+    // pre-existing output columns would produce a duplicate-name schema
+    val e3 = intercept[IllegalArgumentException] {
+      HttpEnrich.enrich(df.withColumn("http_status", lit(1)),
+        EnrichConfig("http://h/${seg}"))
+    }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+  }
+
+  test("a NULL lookup key null-joins instead of querying for the string 'null'") {
+    import spark.implicits._
+    val sim = new LookupSim
+    try {
+      val df = Seq((1L, "REAL"), (2L, null.asInstanceOf[String]))
+        .toDF("id", "seg")
+      val out = HttpEnrich.enrich(df, EnrichConfig(
+        s"${sim.baseUrl}/seg?name=$${seg}"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) null else r.getInt(2).toString,
+          r.getString(3))).toSet
+      assert(out == Set((1L, "200", "real"), (2L, null, null)), out.toString)
+    } finally sim.close()
   }
 }

@@ -18,16 +18,18 @@ class VacuumSpec extends SparkSpec {
     fs.mkdirs(new Path(dir, ".compact-staging"))
     fs.mkdirs(new Path(dir, "dt=2024-01-01/.staging-run1-part"))
     fs.mkdirs(new Path(dir, "dt=2024-01-01/.old-part"))
+    fs.mkdirs(new Path(dir, ".undone-tbl")) // restoreBackup forensic park
     fs.mkdirs(new Path(dir, "_graft_stats")) // sidecar: must survive
     // the DEFAULT must keep these just-created dirs (live-job grace) —
     // sweep-everything needs the explicit 0
     val graceStats = Vacuum.sweepStaging(spark, dir)
-    assert(graceStats.removed.isEmpty && graceStats.kept.size == 4,
+    assert(graceStats.removed.isEmpty && graceStats.kept.size == 5,
       s"default grace must protect fresh staging dirs: $graceStats")
     val stats = Vacuum.sweepStaging(spark, dir, olderThanMs = 0L)
-    assert(stats.removed.size == 4, stats.removed.mkString(","))
+    assert(stats.removed.size == 5, stats.removed.mkString(","))
     assert(fs.exists(new Path(dir, "_graft_stats")))
     assert(!fs.exists(new Path(dir, ".merge-staging")))
+    assert(!fs.exists(new Path(dir, ".undone-tbl")))
     assert(!fs.exists(new Path(dir, "dt=2024-01-01/.staging-run1-part")))
     // table still reads
     assert(spark.read.parquet(dir).count() == 2)
