@@ -264,6 +264,19 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // Capture-proof FINAL line: the driver keeps only a bounded tail of
+    // stdout, and the full artifact above (63 queries x several maps) has
+    // overflowed it two rounds running (BENCH_r10/r11 `parsed: null`).
+    // Emit a compact summary — same core schema (metric/value/unit/
+    // queries/sf) so the driver's parser accepts it, but `queries`
+    // restricted to the top-10 by time — guaranteed well under 2 KB.
+    // The complete record stays in `line` (stdout above + bench.json).
+    val top10 = times.toSeq.sortBy(-_._2).take(10)
+    val maxBatchMs = perBatch.values.flatten.foldLeft(0L)(_ max _)
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+        numMap(collection.mutable.LinkedHashMap(top10: _*), t => f"$t%.3f")
+      },"sf":"$sfDir","n_queries":${times.size},"n_errors":${errors.size},"superlinear":$superJson,"maxPerBatchMs":$maxBatchMs,"full_artifact":${jstr(outPath)}}"""
+    println(compact)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
