@@ -1919,6 +1919,58 @@ object SparkEntry {
       } finally { srv.stop(0); pool.shutdownNow(); () }
     }),
 
+    // Hive-table-aware copy (HiveCopyEntityHelper.java:98): replicate a
+    // partitioned catalog table with a metastore partition filter, then
+    // certify the full lifecycle in-query — run 1 full filtered copy,
+    // run 2 incremental (a new source partition appears and ONLY it is
+    // copied+registered), run 3 deregister (the partition dropped at the
+    // source is dropped from the target catalog and its files removed).
+    // The output is the replica read THROUGH the target catalog.
+    "q171_hive_copy" -> ((s, dir) => {
+      import graft.operators.HiveCopy
+      val base = tmp("q171")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      s.sql("CREATE DATABASE IF NOT EXISTS q171_src")
+      s.sql("CREATE DATABASE IF NOT EXISTS q171_tgt")
+      s.sql("DROP TABLE IF EXISTS q171_src.events_rep")
+      s.sql("DROP TABLE IF EXISTS q171_tgt.events_rep")
+      val srcLoc = s"$base/src/events_rep"
+      val df = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      df.repartition(col("dt")).write.partitionBy("dt").parquet(srcLoc)
+      HiveCopy.registerExternal(s, "q171_src", "events_rep", df.schema,
+        Seq("dt"), srcLoc, recoverPartitions = true)
+      val minDt = df.agg(min("dt")).head().getString(0)
+      val cfg = HiveCopy.Config("q171_tgt", s"$base/replica",
+        partitionFilter = Some(s"dt > '$minDt'"),
+        existingPolicy = HiveCopy.ExistingTablePolicy.Update,
+        deregisterDelete = HiveCopy.DeregisterDelete.Recursive)
+      val r1 = HiveCopy.copyTable(s, "q171_src.events_rep", cfg)
+      require(r1.partitions.nonEmpty && r1.partitions.forall(p =>
+        p.action == "copied" && p.filesCopied > 0), s"run1 not a full copy: $r1")
+      require(r1.partitions.forall(_.spec("dt") > minDt),
+        s"partition filter leaked dt <= $minDt: ${r1.partitions}")
+      val newDt = "2099-12-31"
+      df.where(col("event_id") % 101 === 0).drop("dt")
+        .write.parquet(s"$srcLoc/dt=$newDt")
+      s.sql("ALTER TABLE q171_src.events_rep RECOVER PARTITIONS")
+      val r2 = HiveCopy.copyTable(s, "q171_src.events_rep", cfg)
+      val touched = r2.partitions.filter(_.action == "copied")
+      require(touched.map(_.spec("dt")) == Seq(newDt) &&
+        r2.partitionsRegistered == 1,
+        s"run2 was not incremental: ${r2.partitions}")
+      s.sql(s"ALTER TABLE q171_src.events_rep DROP IF EXISTS PARTITION (dt='$newDt')")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$srcLoc/dt=$newDt"), true)
+      val r3 = HiveCopy.copyTable(s, "q171_src.events_rep", cfg)
+      require(r3.partitionsDeregistered == 1 && r3.filesCopied == 0,
+        s"run3 did not deregister exactly the dropped partition: $r3")
+      s.table("q171_tgt.events_rep").groupBy("dt")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("user_id")).cast("bigint").as("sum_uid"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3583,6 +3635,14 @@ object SparkEntry {
     "q170_http_enrich" ->
       ("SELECT c_custkey, CAST(200 AS BIGINT) AS http_status, " +
         "lower(c_mktsegment) AS http_response FROM customer"),
+    // the replica equals the partition-filtered source: lifecycle
+    // (incremental + deregister) is certified in-query by require()s
+    "q171_hive_copy" ->
+      ("SELECT dt, count(*)::BIGINT AS n, sum(user_id)::BIGINT AS sum_uid " +
+        "FROM (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, " +
+        "user_id FROM events) " +
+        "WHERE dt > (SELECT min(strftime(CAST(ts AS TIMESTAMP), " +
+        "'%Y-%m-%d')) FROM events) GROUP BY dt"),
     "q86_stream_dedup" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q98_stream_dedup_wm" ->

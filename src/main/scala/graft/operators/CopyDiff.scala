@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object CopyDiff {
 
-  /** Files present in src whose (relPath, length) is absent at the target. */
+  /** Files present in src whose (relPath, length) is absent at the target.
+    * `broadcastDst = false` for replica-sync diffs where the target
+    * manifest is source-sized (HiveCopy): a broadcast of millions of
+    * target rows would OOM the driver — the shuffle anti-join is the
+    * right plan there. */
   def diff(src: DataFrame, dst: DataFrame,
-           on: Seq[String] = Seq("path", "length")): DataFrame =
-    src.join(broadcast(dst.select(on.map(col): _*).distinct()), on, "left_anti")
+           on: Seq[String] = Seq("path", "length"),
+           broadcastDst: Boolean = true): DataFrame = {
+    val d = dst.select(on.map(col): _*).distinct()
+    src.join(if (broadcastDst) broadcast(d) else d, on, "left_anti")
+  }
 
   /** Allocate highest-priority files under a total byte budget
     * (CopySource prioritization): order by priority, keep the prefix whose
