@@ -1971,6 +1971,30 @@ object SparkEntry {
           sum(col("user_id")).cast("bigint").as("sum_uid"))
     }),
 
+    // value-based audit (ValueAuditGenerator.java:47): key+delta column
+    // projection over a deterministic key-hash row sample, published
+    // through the atomic publisher under the FsAuditSink path contract,
+    // read back from the published audit dir. DuckDB recomputes the
+    // portable key hash, so a drop/dup/misprojection breaks the hash.
+    "q172_value_audit" -> ((s, dir) => {
+      import graft.operators.ValueAudit
+      val base = tmp("q172")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val meta = ValueAudit.TableMeta("tpch", "orders",
+        keyFields = Seq("o_orderkey"),
+        deltaFields = Seq("o_orderstatus", "o_totalprice"))
+      val auditDir = ValueAudit.auditToFs(t(s, dir, "orders"), base, meta,
+        ValueAudit.RuntimeMeta(phase = ValueAudit.Phase.SS_PUB,
+          snapshotId = "s1"),
+        projection = ValueAudit.ColumnProjection.KeyAndDelta,
+        selection = ValueAudit.RowSelection.KeyHashSample(0.25))
+      require(auditDir.endsWith("tpch/orders/P=SS_PUB_C=NA_E=NA_S=s1_D=NA"),
+        s"audit dir violates the FsAuditSink path contract: $auditDir")
+      s.read.parquet(auditDir)
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3635,6 +3659,10 @@ object SparkEntry {
     "q170_http_enrich" ->
       ("SELECT c_custkey, CAST(200 AS BIGINT) AS http_status, " +
         "lower(c_mktsegment) AS http_response FROM customer"),
+    "q172_value_audit" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+        "WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))" +
+        "::BIGINT % 1000000 < 250000"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->
