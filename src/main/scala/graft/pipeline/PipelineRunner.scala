@@ -303,6 +303,41 @@ object PipelineRunner {
           val ring = jsonRing(parts)
           df.withColumn(parts(0),
             graft.functions.KeyCrypto.decryptStringField(col(parts(0)), ring))
+        // per-record HTTP join enrichment in the converter chain — the
+        // reference's HttpJoinConverter IS config-driven
+        // (converter.classes + gobblin.converter.http.* properties);
+        // first segment is the ${col} url template, the rest k=v options
+        case Array("enrich", spec2) =>
+          // enrich:http://h/p?k=${col}[;verb=POST;body=tmpl;header.K=V;
+          //   maxInFlight=8;timeoutMs=10000;failGe=500;statusCol=..;
+          //   responseCol=..]  (option values may not contain ';')
+          val segs = spec2.split(';').map(_.trim)
+          val opts = segs.drop(1).filter(_.nonEmpty).map { o =>
+            val i = o.indexOf('=')
+            require(i > 0, s"enrich option is not key=value: '$o'")
+            o.substring(0, i) -> o.substring(i + 1)
+          }
+          val known = Set("verb", "body", "statusCol", "responseCol",
+            "maxInFlight", "timeoutMs", "failGe")
+          val bad = opts.map(_._1)
+            .filterNot(k => known(k) || k.startsWith("header."))
+          require(bad.isEmpty,
+            s"unknown enrich option(s): ${bad.mkString(", ")} " +
+              s"(known: ${known.toSeq.sorted.mkString(", ")}, header.*)")
+          val m = opts.toMap
+          val failGe = m.get("failGe").map(_.toInt).getOrElse(500)
+          graft.operators.HttpEnrich.enrich(df,
+            graft.operators.HttpEnrich.EnrichConfig(
+              urlTemplate = segs(0),
+              verb = m.getOrElse("verb", "GET"),
+              bodyTemplate = m.get("body"),
+              headers = opts.collect { case (k, v) if k.startsWith("header.") =>
+                k.stripPrefix("header.") -> v }.toMap,
+              statusCol = m.getOrElse("statusCol", "http_status"),
+              responseCol = m.getOrElse("responseCol", "http_response"),
+              maxInFlight = m.getOrElse("maxInFlight", "8").toInt,
+              timeoutMs = m.getOrElse("timeoutMs", "10000").toLong,
+              failOnStatus = _ >= failGe))
         case other => throw new IllegalArgumentException(s"bad transform: ${other.mkString(":")}")
       }
     }

@@ -498,4 +498,65 @@ class PipelineSpecSuite extends SparkSpec {
     // the abort path must unpersist the MEMORY_AND_DISK source cache
     assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(cachedBefore))
   }
+
+  test("declarative enrich: pull-config pipeline joins an HTTP endpoint") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    srv.setExecutor(pool)
+    srv.createContext("/seg", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      val name = java.net.URLDecoder.decode(
+        Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .stripPrefix("name="), "UTF-8")
+      val b = (if (auth == "Bearer tok") name.toLowerCase else "DENIED")
+        .getBytes("UTF-8")
+      ex.sendResponseHeaders(if (auth == "Bearer tok") 200 else 403, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    srv.start()
+    try {
+      val out = tmpDir("pipe-enrich")
+      val port = srv.getAddress.getPort
+      // the whole pipeline from PROPERTIES, the reference's config shape
+      val spec = PipelineSpec.fromProperties(Map(
+        "job.name" -> "enriched",
+        "source.path" -> s"$sf/customer.parquet",
+        "transform.1" -> "selectExpr:c_custkey;c_mktsegment",
+        "transform.2" -> (s"enrich:http://127.0.0.1:$port/seg?name=$${c_mktsegment};" +
+          "maxInFlight=8;header.Authorization=Bearer tok;responseCol=segment_lc"),
+        "transform.3" -> "drop:http_status",
+        "fork.1.name" -> "main",
+        "fork.1.out" -> s"$out/main"))
+      val r = PipelineRunner.run(spark, spec, "runEnrich")
+      val back = spark.read.parquet(s"$out/main")
+      assert(back.columns.toSeq ==
+        Seq("c_custkey", "c_mktsegment", "segment_lc"))
+      assert(back.filter(lower(col("c_mktsegment")) =!= col("segment_lc"))
+        .count() == 0)
+      assert(r.extracted > 0 && back.count() == r.extracted)
+
+      // a template referencing an unknown column is a SPEC error,
+      // surfaced at plan time before any request is issued
+      val badSpec = PipelineSpec.fromProperties(Map(
+        "job.name" -> "enrich-bad",
+        "source.path" -> s"$sf/customer.parquet",
+        "transform.1" -> "selectExpr:c_custkey",
+        "transform.2" -> s"enrich:http://127.0.0.1:$port/seg?name=$${nope}",
+        "fork.1.name" -> "main",
+        "fork.1.out" -> s"$out/bad"))
+      val e = intercept[IllegalArgumentException] {
+        PipelineRunner.run(spark, badSpec, "runEnrichBad")
+      }
+      assert(e.getMessage.contains("unknown column"), e.getMessage)
+
+      // a typo'd option key refuses instead of being silently ignored
+      val typoSpec = badSpec.copy(transformExprs = Seq(
+        s"enrich:http://127.0.0.1:$port/seg?name=$${c_custkey};maxInflight=4"))
+      val e2 = intercept[IllegalArgumentException] {
+        PipelineRunner.run(spark, typoSpec, "runEnrichTypo")
+      }
+      assert(e2.getMessage.contains("unknown enrich option"), e2.getMessage)
+    } finally { srv.stop(0); pool.shutdownNow(); () }
+  }
 }
