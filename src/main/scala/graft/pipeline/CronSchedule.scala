@@ -10,29 +10,38 @@ import java.time.LocalDateTime
   * day-of-month month day-of-week` (a 7th year field is accepted and
   * must be `*`), with `*`, `?` (dom/dow no-preference), lists `a,b`,
   * ranges `a-b`, step syntax `/n` over `*` or a range, month names
-  * JAN..DEC and day
-  * names SUN..SAT (Quartz numbering: 1 = SUN). The calendar-juggling
-  * specials `L W #` are refused loudly rather than approximated. When
-  * both day-of-month and day-of-week are restricted, a date matching
-  * EITHER fires (classic-cron union; Quartz itself refuses that
-  * combination). All evaluation is driver-side wall-clock in the
-  * caller's zone — scheduling is control-plane bookkeeping, never a
-  * data-plane concern. */
+  * JAN..DEC and day names SUN..SAT (Quartz numbering: 1 = SUN), and
+  * the calendar specials with Quartz semantics: `L` / `L-n` (last day
+  * of month, offset), `LW` (last weekday), `nW` (nearest weekday to
+  * day n, never crossing the month boundary), `dL` (last given
+  * weekday of the month) and `d#n` (nth given weekday; a month with
+  * no nth occurrence does not fire). A special must stand alone in
+  * its field with `?`/`*` in the other, as in Quartz; specials inside
+  * lists/ranges refuse loudly. When both day-of-month and day-of-week
+  * are restricted, a date matching EITHER fires (classic-cron union;
+  * Quartz itself refuses that combination). All evaluation is
+  * driver-side wall-clock in the caller's zone — scheduling is
+  * control-plane bookkeeping, never a data-plane concern. */
 final case class CronSchedule(seconds: Set[Int], minutes: Set[Int],
                               hours: Set[Int], daysOfMonth: Option[Set[Int]],
                               months: Set[Int], daysOfWeek: Option[Set[Int]],
-                              expr: String) {
+                              expr: String,
+                              special: Option[CronSchedule.DaySpecial] = None) {
 
   private def dayMatches(t: LocalDateTime): Boolean = {
     if (!months.contains(t.getMonthValue)) return false
     // java DayOfWeek: MON=1..SUN=7 -> Quartz: SUN=1..SAT=7
     val quartzDow = t.getDayOfWeek.getValue % 7 + 1
-    (daysOfMonth, daysOfWeek) match {
-      case (None, None) => true
-      case (Some(dom), None) => dom.contains(t.getDayOfMonth)
-      case (None, Some(dow)) => dow.contains(quartzDow)
-      case (Some(dom), Some(dow)) => // classic-cron union
-        dom.contains(t.getDayOfMonth) || dow.contains(quartzDow)
+    special match {
+      case Some(sp) =>
+        t.getDayOfMonth == CronSchedule.specialDom(sp, t.toLocalDate)
+      case None => (daysOfMonth, daysOfWeek) match {
+        case (None, None) => true
+        case (Some(dom), None) => dom.contains(t.getDayOfMonth)
+        case (None, Some(dow)) => dow.contains(quartzDow)
+        case (Some(dom), Some(dow)) => // classic-cron union
+          dom.contains(t.getDayOfMonth) || dow.contains(quartzDow)
+      }
     }
   }
 
@@ -94,6 +103,56 @@ object CronSchedule {
     "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
   private val DayNames = Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")
 
+  /** The Quartz calendar-juggling day tokens (CronExpression's
+    * L / W / # handling, surfaced through JobScheduler.java:595's
+    * CronScheduleBuilder). Each resolves, per (year, month), to at most
+    * one day of month. */
+  sealed trait DaySpecial
+  /** `L` / `L-n` in day-of-month: last day of the month, minus n. */
+  final case class LastDayOfMonth(offset: Int) extends DaySpecial
+  /** `LW` in day-of-month: last weekday (Mon-Fri) of the month. */
+  case object LastWeekday extends DaySpecial
+  /** `nW` in day-of-month: the weekday nearest day n, never leaving
+    * the month (Sat -> preceding Fri, unless n=1 -> following Mon;
+    * Sun -> following Mon, unless n = last day -> preceding Fri). */
+  final case class NearestWeekday(day: Int) extends DaySpecial
+  /** `dL` in day-of-week: the last d-weekday of the month (Quartz
+    * numbering, 1 = SUN). */
+  final case class LastDowOfMonth(dow: Int) extends DaySpecial
+  /** `d#n` in day-of-week: the nth d-weekday of the month; months
+    * without an nth occurrence do not fire. */
+  final case class NthDowOfMonth(dow: Int, n: Int) extends DaySpecial
+
+  /** The day-of-month `sp` resolves to in `date`'s month, or 0 (never
+    * a valid dom) when the month has no such day. */
+  private[pipeline] def specialDom(sp: DaySpecial,
+                                   date: java.time.LocalDate): Int = {
+    val last = date.lengthOfMonth
+    def quartzDow(d: java.time.LocalDate) = d.getDayOfWeek.getValue % 7 + 1
+    def weekdayNear(n: Int): Int = {
+      val d = date.withDayOfMonth(math.min(n, last))
+      d.getDayOfWeek match {
+        case java.time.DayOfWeek.SATURDAY =>
+          if (d.getDayOfMonth == 1) 3 else d.getDayOfMonth - 1
+        case java.time.DayOfWeek.SUNDAY =>
+          if (d.getDayOfMonth == last) last - 2 else d.getDayOfMonth + 1
+        case _ => d.getDayOfMonth
+      }
+    }
+    sp match {
+      case LastDayOfMonth(off) => math.max(last - off, 0)
+      case LastWeekday => weekdayNear(last)
+      case NearestWeekday(n) => weekdayNear(n)
+      case LastDowOfMonth(dow) =>
+        (last to 1 by -1)
+          .find(d => quartzDow(date.withDayOfMonth(d)) == dow).getOrElse(0)
+      case NthDowOfMonth(dow, n) =>
+        val hits = (1 to last)
+          .filter(d => quartzDow(date.withDayOfMonth(d)) == dow)
+        if (n <= hits.size) hits(n - 1) else 0
+    }
+  }
+
   private def parseField(raw: String, lo: Int, hi: Int,
                          names: Seq[String] = Nil, nameBase: Int = 1)
       : Set[Int] = {
@@ -110,8 +169,8 @@ object CronSchedule {
       val up = part.toUpperCase
       require(!up.contains('#') && up != "L" && up != "W" && up != "LW" &&
           !up.matches(".*\\d[LW].*"),
-        s"cron special '$part' (L/W/#) is not supported — use an " +
-          "explicit day set")
+        s"cron special '$part' (L/W/#) must stand alone in its field " +
+          "with '?' in the other day field, as in Quartz")
       val (rangePart, step) = part.split('/') match {
         case Array(r) => (r, 1)
         case Array(r, s) => (r, s.toInt)
@@ -140,11 +199,53 @@ object CronSchedule {
         s"dow [year]': '$expr'")
     if (f.length == 7) require(f(6) == "*",
       s"year field must be '*' (got ${f(6)}): '$expr'")
+
+    val LOff = "L-(\\d{1,2})".r
+    val NW = "(\\d{1,2})W".r
+    val DowLast = "([A-Z]{3}|\\d)L".r
+    val DowNth = "([A-Z]{3}|\\d)#(\\d)".r
+    def free(field: String) = field == "?" || field == "*"
+    def dowAtom(s: String): Int = {
+      val i = DayNames.indexWhere(_.equalsIgnoreCase(s))
+      val v = if (i >= 0) i + 1 else s.toInt
+      require(v >= 1 && v <= 7, s"day-of-week value $v outside [1,7]")
+      v
+    }
+    // a special owns its whole field and needs ?/* opposite — exactly
+    // Quartz's rule; 'L' inside a list still refuses via parseField
+    val domSpecial: Option[DaySpecial] = f(3).toUpperCase match {
+      case "L" => Some(LastDayOfMonth(0))
+      case LOff(n) =>
+        require(n.toInt <= 30, s"L-${n} offset outside [0,30]")
+        Some(LastDayOfMonth(n.toInt))
+      case "LW" => Some(LastWeekday)
+      case NW(n) =>
+        require(n.toInt >= 1 && n.toInt <= 31, s"${n}W outside [1,31]")
+        Some(NearestWeekday(n.toInt))
+      case _ => None
+    }
+    val dowSpecial: Option[DaySpecial] = f(5).toUpperCase match {
+      case DowLast(d) => Some(LastDowOfMonth(dowAtom(d)))
+      case DowNth(d, n) =>
+        require(n.toInt >= 1 && n.toInt <= 5, s"#$n outside [1,5]")
+        Some(NthDowOfMonth(dowAtom(d), n.toInt))
+      case _ => None
+    }
+    (domSpecial, dowSpecial) match {
+      case (Some(_), _) => require(free(f(5)),
+        s"day-of-month special '${f(3)}' needs '?' in day-of-week: '$expr'")
+      case (_, Some(_)) => require(free(f(3)),
+        s"day-of-week special '${f(5)}' needs '?' in day-of-month: '$expr'")
+      case _ => ()
+    }
+    val special = domSpecial.orElse(dowSpecial)
     val dom = f(3) match {
+      case _ if domSpecial.isDefined => None
       case "?" | "*" => None
       case other => Some(parseField(other, 1, 31))
     }
     val dow = f(5) match {
+      case _ if dowSpecial.isDefined => None
       case "?" | "*" => None
       case other => Some(parseField(other, 1, 7, DayNames))
     }
@@ -155,6 +256,7 @@ object CronSchedule {
       dom,
       parseField(f(4), 1, 12, MonthNames),
       dow,
-      expr)
+      expr,
+      special)
   }
 }

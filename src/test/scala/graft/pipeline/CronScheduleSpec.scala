@@ -56,11 +56,62 @@ class CronScheduleSpec extends AnyFunSuite {
   test("malformed and unsupported expressions refuse loudly") {
     intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 * *") }
     intercept[IllegalArgumentException] { CronSchedule.parse("0 0 25 * * ?") }
-    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 L * ?") }
-    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 ? * 6#3") }
     intercept[IllegalArgumentException] {
       CronSchedule.parse("0 0 2 * * ? 2024")
     }
+    // specials must stand alone with '?' opposite, exactly as in Quartz
+    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 1,L * ?") }
+    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 L * MON") }
+    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 15 * 6#3") }
+    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 ? * 6#6") }
+    intercept[IllegalArgumentException] { CronSchedule.parse("0 0 2 33W * ?") }
+  }
+
+  test("L: last day of month, with offset") {
+    val c = CronSchedule.parse("0 0 12 L * ?")
+    assert(c.next(t("2024-02-01T00:00:00")) == Some(t("2024-02-29T12:00:00")),
+      "leap February")
+    assert(c.next(t("2024-02-29T12:00:00")) == Some(t("2024-03-31T12:00:00")))
+    assert(c.matches(t("2025-02-28T12:00:00")))
+    val off = CronSchedule.parse("0 0 12 L-2 * ?")
+    assert(off.next(t("2024-02-01T00:00:00")) == Some(t("2024-02-27T12:00:00")))
+    assert(off.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
+  }
+
+  test("LW and nW: nearest-weekday resolution never leaves the month") {
+    val lw = CronSchedule.parse("0 0 12 LW * ?")
+    // 2024-03-31 is a Sunday -> last weekday is Friday the 29th
+    assert(lw.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
+    // 2024-11-30 is a Saturday -> Friday the 29th
+    assert(lw.next(t("2024-11-01T00:00:00")) == Some(t("2024-11-29T12:00:00")))
+    // 2024-07-31 is a Wednesday -> itself
+    assert(lw.next(t("2024-07-01T00:00:00")) == Some(t("2024-07-31T12:00:00")))
+    val w15 = CronSchedule.parse("0 0 12 15W * ?")
+    // 2024-06-15 Saturday -> Friday the 14th
+    assert(w15.next(t("2024-06-01T00:00:00")) == Some(t("2024-06-14T12:00:00")))
+    // 2024-09-15 Sunday -> Monday the 16th
+    assert(w15.next(t("2024-09-01T00:00:00")) == Some(t("2024-09-16T12:00:00")))
+    // 2024-03-15 Friday -> itself
+    assert(w15.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-15T12:00:00")))
+    val w1 = CronSchedule.parse("0 0 12 1W * ?")
+    // 2024-06-01 Saturday: may not cross into May -> Monday the 3rd
+    assert(w1.next(t("2024-06-01T00:00:00")) == Some(t("2024-06-03T12:00:00")))
+    // 2024-09-01 Sunday -> Monday the 2nd
+    assert(w1.next(t("2024-09-01T00:00:00")) == Some(t("2024-09-02T12:00:00")))
+  }
+
+  test("dL and d#n: last / nth weekday of the month") {
+    val friL = CronSchedule.parse("0 0 12 ? * 6L")
+    assert(friL.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
+    val named = CronSchedule.parse("0 0 12 ? * FRIL")
+    assert(named.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
+    val fri3 = CronSchedule.parse("0 0 12 ? * 6#3")
+    // Fridays of March 2024: 1, 8, 15, 22, 29 -> third is the 15th
+    assert(fri3.next(t("2024-03-01T12:00:00")) == Some(t("2024-03-15T12:00:00")))
+    // a month WITHOUT an nth occurrence skips: Mondays of March 2024 are
+    // 4, 11, 18, 25 (no 5th) -> first 5th Monday is April 29
+    val mon5 = CronSchedule.parse("0 0 12 ? * 2#5")
+    assert(mon5.next(t("2024-03-01T00:00:00")) == Some(t("2024-04-29T12:00:00")))
   }
 
   test("seconds field is honored (Quartz, not classic 5-field)") {
