@@ -44,13 +44,22 @@ object ContinuousIngest {
   }
 
   /** One micro-batch step — also directly usable as the batch-mode loop
-    * body (stream/batch parity by construction). */
+    * body (stream/batch parity by construction). `substringW = Some(w)`
+    * additionally scrubs PASSAGES (w-token windows, Lee et al. 2022)
+    * duplicated against the committed gram index or a lower-id doc of
+    * the same batch — whole-doc dedup drops re-arrivals, the substring
+    * pass removes quoted/boilerplate spans inside otherwise-novel docs.
+    * The gram index is committed per batch (stateDir/grams/batch_id=N,
+    * grams of the PUBLISHED post-scrub text) with the same strictly-
+    * earlier-partitions replay rule as the fingerprints. */
   private[streaming] def step(spark: SparkSession, batch: DataFrame,
                               batchId: Long, idCol: String, textCol: String,
                               budget: Long, stateDir: String,
-                              outDir: String): Unit = {
+                              outDir: String,
+                              substringW: Option[Int] = None): Unit = {
     val fpDir = s"$stateDir/fp"
     val offDir = s"$stateDir/off"
+    val gramsDir = s"$stateDir/grams"
     // state BEFORE this batch: strictly earlier partitions only, so a
     // replay of batch N never sees N's own partial writes
     val committed =
@@ -64,12 +73,27 @@ object ContinuousIngest {
         else prior.orderBy(col("batch_id").desc).select("off").head().getLong(0)
       } else 0L
 
-    val fresh = IncrementalDedup.survivors(
+    // whole-content dedup keys on the ARRIVING text (a re-arrival of an
+    // already-scrubbed doc's original must still drop), so the content
+    // fingerprint is taken before any scrubbing
+    val exact = IncrementalDedup.survivors(
         batch, committed, idCol, TextStats.contentFingerprint(col(textCol)))
       .join(batch, idCol)
-      .withColumn("w", length(col(textCol)).cast("long"))
+    val fresh = substringW match {
+      case Some(w) =>
+        val committedGrams =
+          if (dirNonEmpty(spark, gramsDir))
+            spark.read.parquet(gramsDir)
+              .filter(col("batch_id") < batchId).select("h")
+          else spark.emptyDataFrame.select(lit(0L).as("h")).limit(0)
+        val scrubbed = graft.text.SubstringDedup.cleanIncremental(
+          exact, idCol, textCol, committedGrams, w)
+        exact.drop(textCol).join(scrubbed, Seq(idCol))
+      case None => exact
+    }
     val packed = ShardPack.packByBudget(
-        fresh, idCol, "w", budget, startOffset = offset)
+        fresh.withColumn("w", length(col(textCol)).cast("long")),
+        idCol, "w", budget, startOffset = offset)
       .persist()
     try {
       val newWeight = packed.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
@@ -78,6 +102,13 @@ object ContinuousIngest {
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch_id=$batchId")
       packed.select(col("content_hash").as("h"))
         .write.mode(SaveMode.Overwrite).parquet(s"$fpDir/batch_id=$batchId")
+      substringW.foreach { w =>
+        // the committed corpus participates in future passage dedup
+        // only through this index — published (post-scrub) text, so a
+        // scrubbed span is owned by the batch that first kept it
+        graft.text.SubstringDedup.gramIndex(packed, idCol, textCol, w)
+          .write.mode(SaveMode.Overwrite).parquet(s"$gramsDir/batch_id=$batchId")
+      }
       spark.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row(offset + newWeight)),
           org.apache.spark.sql.types.StructType(Seq(
@@ -91,11 +122,12 @@ object ContinuousIngest {
     * survivors land in outDir/batch_id=N with their shard_id. */
   def start(stream: DataFrame, idCol: String, textCol: String, budget: Long,
             stateDir: String, outDir: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            substringW: Option[Int] = None): StreamingQuery = {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         step(batch.sparkSession, batch, batchId, idCol, textCol, budget,
-          stateDir, outDir)
+          stateDir, outDir, substringW)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

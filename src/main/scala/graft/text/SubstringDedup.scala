@@ -151,8 +151,24 @@ object SubstringDedup {
     * was duplicated comes back EMPTY rather than dropped, so the caller
     * sees the scrub, not a vanished row. */
   def clean(df: DataFrame, idCol: String, textCol: String,
-            w: Int = 50): DataFrame = {
-    val covered = dupPositions(df, idCol, textCol, w)
+            w: Int = 50): DataFrame =
+    cleanFrom(df, dupPositions(df, idCol, textCol, w), idCol, textCol, w)
+
+  /** [[clean]] for an incremental batch: scrub passages duplicated
+    * against the COMMITTED gram index (committed docs keep priority)
+    * or against a lower-id doc of the same batch. The continuously-
+    * ingesting counterpart of [[clean]], O(batch) by the same Bloom
+    * discipline as [[incrementalDupPositions]]. */
+  def cleanIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       committedGrams: DataFrame, w: Int = 50,
+                       fpp: Double = 0.01): DataFrame =
+    cleanFrom(batch,
+      incrementalDupPositions(batch, idCol, textCol, committedGrams, w, fpp),
+      idCol, textCol, w)
+
+  private def cleanFrom(df: DataFrame, dup: DataFrame, idCol: String,
+                        textCol: String, w: Int): DataFrame = {
+    val covered = dup
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("__t"))
       .distinct()

@@ -89,4 +89,47 @@ class ContinuousIngestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/off").count() == 3,
       "replay must overwrite, not append, its state partitions")
   }
+
+  test("substring pass: batch N scrubs passages committed in batch N-1, replay-idempotent") {
+    val in = tmpDir("ci3-in"); val state = tmpDir("ci3-state")
+    val out = tmpDir("ci3-out"); val ckpt = tmpDir("ci3-ckpt")
+    // b0: doc 1 novel. b1: doc 11 quotes doc 1's "p q r s t" passage
+    // (cross-BATCH, via the committed gram index); doc 13 shares a
+    // window with lower-id doc 12 (within-batch keeper rule). b2:
+    // doc 21 quotes "k1 k2 k3" — a passage first COMMITTED by batch 1
+    // (doc 12's published text), proving the index advances per batch.
+    val files = Seq(
+      Seq(1L -> "p q r s t u v w x y"),
+      Seq(11L -> "m n o p q r s t z1 z2", 12L -> "k1 k2 k3 k4",
+        13L -> "h1 k2 k3 k4"),
+      Seq(21L -> "a1 a2 k1 k2 k3 b1"))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val part = s"$in/f$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    def run(ck: String): Unit = {
+      val stream = Streams.fileReplay(spark, s"$in/*", schema)
+      val q = ContinuousIngest.start(stream, "doc_id", "text", budget = 60L,
+        state, out, ck, substringW = Some(3))
+      q.awaitTermination()
+    }
+    run(ckpt)
+    def published = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val first = published
+    assert(first == Map(
+      1L -> "p q r s t u v w x y",  // keeper: untouched
+      11L -> "m n o z1 z2",         // committed passage scrubbed
+      12L -> "k1 k2 k3 k4",         // within-batch keeper: untouched
+      13L -> "h1",                  // within-batch dup window scrubbed
+      21L -> "a1 a2 b1"),           // passage committed by batch 1 scrubbed
+      first)
+    // the gram index advanced once per batch
+    assert(spark.read.parquet(s"$state/grams")
+      .select("batch_id").distinct().count() == 3)
+    // checkpoint loss: replay against surviving state is byte-identical
+    run(tmpDir("ci3-ckpt-b"))
+    assert(published == first, "replay must be idempotent")
+  }
 }
