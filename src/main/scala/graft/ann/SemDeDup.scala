@@ -112,7 +112,8 @@ object SemDeDup {
     *
     * Cost discipline: the quadratic cell pairing runs exactly ONCE —
     * the certification re-reads its persisted pair set (two semi joins
-    * + counts), keeping the certified face within noise of plain
+    * + counts) and independently re-pairs only a ~5% hash sample of
+    * the survivors, keeping the certified face within noise of plain
     * [[survivors]] instead of 2x. The checks evaluate eagerly here, so
     * the ranked/pair caches are released before returning; only the
     * duplicate-id list (ids of dropped rows, the smallest frame in
@@ -141,8 +142,12 @@ object SemDeDup {
       .filter(col("__cos") >= threshold)
       .select("__id_a", "__id_b").persist()
     val dupIds = pairs.select(col("__id_a").as(idCol)).distinct().persist()
-    // (a) residual: a first-pass near pair both of whose endpoints
-    // escaped the drop set would survive into the output
+    // (a) residual over the persisted pair set. NOTE: because dupIds is
+    // by construction the distinct __id_a of `pairs`, every pair always
+    // has one endpoint in the drop set — this check can only fire if the
+    // anti-join/distinct machinery itself is broken, which is exactly
+    // what it guards; it is NOT an independent proof of the output
+    // contract (check (d) below is).
     val survMemberIds = m.select(col(idCol))
       .join(dupIds, Seq(idCol), "left_anti")
     val resid = pairs
@@ -155,27 +160,49 @@ object SemDeDup {
     val nSurvMembers = survMemberIds.count()
     // (c) shed members passed through undeduped
     val shed = r.filter(col("__rank") > maxCellSize).count()
+    // (d) INDEPENDENT probe of the output contract: re-pair a
+    // deterministic ~5% hash sample of the survivors against ALL their
+    // surviving cellmates, recomputing cosines from the vectors — zero
+    // near pairs may survive. Derived from the corpus, not from
+    // `pairs`, so a wrong first pass cannot vouch for itself; costs
+    // ~5% of one pairing pass, keeping the single-quadratic-pass
+    // budget intact.
+    val mSurv = m.join(dupIds, Seq(idCol), "left_anti")
+    val probeA = mSurv
+      .filter(pmod(xxhash64(col(idCol)), lit(20)) === 0)
+      .select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
+        col("__cell"), col("__norm").as("__norm_a"))
+    val probeB = mSurv.select(col(idCol).as("__id_b"),
+      col(vecCol).as("__vec_b"), col("__cell"), col("__norm").as("__norm_b"))
+    val probed = probeA.join(probeB, Seq("__cell"))
+      .filter(col("__id_b") =!= col("__id_a"))
+      .filter(Ann.dot(col("__vec_a"), col("__vec_b")) /
+        (col("__norm_a") * col("__norm_b")) >= threshold)
+      .count()
     r.unpersist()
     pairs.unpersist()
     val cert = broadcast(spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        resid, nSurvMembers + nDropped - nMembers, shed)),
+        resid, nSurvMembers + nDropped - nMembers, shed, probed)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__resid",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("__part",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("__shed",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__probe",
           org.apache.spark.sql.types.LongType)))))
     corpus.join(dupIds, Seq(idCol), "left_anti")
       .crossJoin(cert)
       .withColumn(okCol,
         when(col("__resid") === 0 && col("__part") === 0 &&
-            col("__shed") === 0, lit(true))
+            col("__shed") === 0 && col("__probe") === 0, lit(true))
           .otherwise(raise_error(concat(
             lit("SemDeDup certification failed: surviving near-pairs="),
             col("__resid"), lit(", partition imbalance="), col("__part"),
-            lit(", shed members="), col("__shed")))))
-      .drop("__resid", "__part", "__shed")
+            lit(", shed members="), col("__shed"),
+            lit(", probed survivor near-pairs="), col("__probe")))))
+      .drop("__resid", "__part", "__shed", "__probe")
   }
 }

@@ -186,7 +186,12 @@ object GoogleIngestion {
         ManifestSource.committedCovers(committed, f.id, f.size, f.modifiedMs))
       val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration)
-      val staged = fresh.map(f => s"$stagingDir/${f.id}")
+      // ids draw from [A-Za-z0-9_-]: one starting '_' (or a future '.')
+      // would stage as a file Spark's listing treats as hidden metadata
+      // and silently drops — the SftpSource.stagedName hazard class. A
+      // constant safe prefix fixes it; ids are already unique, so no
+      // disambiguating hash is needed.
+      val staged = fresh.map(f => s"$stagingDir/d-${f.id}")
       if (fresh.nonEmpty) {
         val ids = fresh.map(_.id)
         val stagingRoot = stagingDir
@@ -197,7 +202,7 @@ object GoogleIngestion {
             val fs = new Path(stagingRoot).getFileSystem(hadoopConf.value)
             it.foreach { id =>
               val body = DriveClient.downloadBytes(c, cfg, id)
-              val os = fs.create(new Path(s"$stagingRoot/$id"), true)
+              val os = fs.create(new Path(s"$stagingRoot/d-$id"), true)
               try os.write(body) finally os.close()
             }
           }
@@ -296,7 +301,9 @@ object GoogleIngestion {
         "only GOOGLE_DRIVE downloadType is supported (as the reference)")
       val fileId = strField(last \ "driveDownloadDetails", "documentId")
       val csv = DriveClient.download(client, drive, fileId)
-      val staged = new Path(s"$stagingDir/$reportId.csv")
+      // same hidden-prefix hazard as the Drive staging above: the
+      // reportId is server-assigned, so give it a constant safe prefix
+      val staged = new Path(s"$stagingDir/ga-$reportId.csv")
       val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val os = fs.create(staged, true)
       try os.write(csv.getBytes(UTF_8)) finally os.close()

@@ -439,7 +439,10 @@ object SftpServer {
 
       // handle table: opaque 8-byte ids -> open dir iterators / channels
       var nextHandle = 0L
-      val dirs = scala.collection.mutable.Map[String, Iterator[java.io.File]]()
+      // per-handle remaining entries held as a concrete buffer — using
+      // an Iterator again after take() on it is undefined by the Scala
+      // collection contract, so READDIR slices the buffer explicitly
+      val dirs = scala.collection.mutable.Map[String, scala.collection.mutable.Buffer[java.io.File]]()
       val files = scala.collection.mutable.Map[String, java.io.RandomAccessFile]()
       def newHandle(): String = { nextHandle += 1; f"h$nextHandle%07d" }
 
@@ -464,7 +467,7 @@ object SftpServer {
             resolve(path) match {
               case Some(d) if d.isDirectory =>
                 val h = newHandle()
-                dirs(h) = d.listFiles().sortBy(_.getName).iterator
+                dirs(h) = d.listFiles().sortBy(_.getName).toBuffer
                 new PacketOut(FXP_HANDLE).u32(id).str(h).writeTo(out)
               case Some(_) => sendStatus(id, FX_NO_SUCH_FILE, s"not a directory: $path")
               case None => sendStatus(id, FX_PERMISSION_DENIED, s"outside root: $path")
@@ -472,8 +475,9 @@ object SftpServer {
           case FXP_READDIR =>
             val id = p.u32(); val h = p.str()
             dirs.get(h) match {
-              case Some(it) if it.hasNext =>
-                val batch = it.take(64).toSeq
+              case Some(buf) if buf.nonEmpty =>
+                val batch = buf.take(64).toSeq
+                buf.remove(0, batch.length)
                 val pk = new PacketOut(FXP_NAME).u32(id).u32(batch.length.toLong)
                 batch.foreach { f =>
                   pk.str(f.getName).str(f.getName).attrs(attrsOf(f))

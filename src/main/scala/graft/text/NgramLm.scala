@@ -73,7 +73,12 @@ object NgramLm {
     * raising it is a deliberate caller act. Pass `metrics` to gauge
     * the collected size (`ngram_lm.collected_grams`) so a near-blown
     * guard is diagnosable from the stage metrics, not just the
-    * refusal. */
+    * refusal.
+    *
+    * BREAKING DEFAULT CHANGE (round 11): `maxGrams` dropped
+    * 2,000,000 -> 200,000. A caller whose model lands between the two
+    * bounds now fails at the refusal below on upgrade — deliberately:
+    * pass `maxGrams` explicitly to accept a model that large. */
   def trainCollected(df: DataFrame, textCol: String, n: Int = 3,
                      minCount: Long = 2L,
                      maxGrams: Int = 200000,

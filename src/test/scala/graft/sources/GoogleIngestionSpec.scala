@@ -84,8 +84,10 @@ class GoogleIngestionSpec extends SparkSpec {
       val staging = tmpDir("gdrive-bin-staging")
       GoogleDriveSource.plan(spark, driveCfg(sim), "d1",
         tmpDir("gdrive-bin-state"), "bin", staging, format = "binaryFile")
+      // staged under the constant safe prefix (hidden-file hazard: a
+      // Drive id may begin with '_')
       val staged = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(staging, "fbin"))
+        java.nio.file.Paths.get(staging, "d-fbin"))
       assert(java.util.Arrays.equals(staged, bytes))
     } finally sim.stop()
   }
