@@ -110,7 +110,12 @@ object HiveCopy {
 
   /** Enumerate `db.table` identifiers from the catalog with
     * whitelist/blacklist patterns — HiveDatasetFinder.java:212 semantics:
-    * blacklist wins; an empty whitelist accepts everything. */
+    * blacklist wins; an empty whitelist accepts everything. Session temp
+    * views are NOT tables: `listTables(db)` would return them alongside
+    * the database's real tables, and a "discovered" temp view is not a
+    * copyable dataset (and could shadow a same-named permanent table),
+    * so discovery asks the catalog to exclude them and drops any
+    * unqualified identifier that slips through. */
   def discover(spark: SparkSession, whitelist: Seq[String],
                blacklist: Seq[String] = Nil): Seq[TableIdentifier] = {
     val cat = spark.sessionState.catalog
@@ -122,7 +127,9 @@ object HiveCopy {
     cat.listDatabases()
       .filter(db => white.isEmpty || white.exists(_.matchesDb(db)))
       .flatMap { db =>
-        cat.listTables(db).map(_.table).filter(t => accepted(db, t))
+        cat.listTables(db, "*", includeLocalTempViews = false)
+          .filter(_.database.isDefined)
+          .map(_.table).filter(t => accepted(db, t))
           .map(t => TableIdentifier(t, Some(db)))
       }
   }
@@ -271,8 +278,6 @@ object HiveCopy {
     require(tgtRoot != srcRoot,
       s"target location equals source location ($srcRoot): refusing to " +
         "copy a table onto itself")
-    registerExternal(spark, cfg.targetDb, tgtId.table, meta.schema, partCols,
-      tgtRoot, format)
 
     // -- partition enumeration, filter pushed to the catalog
     val filterExpr = cfg.partitionFilter
@@ -283,7 +288,12 @@ object HiveCopy {
       case None => Nil
     }
     val srcParts = if (partCols.isEmpty) Nil else partsOf(srcId)
-    val tgtParts = if (partCols.isEmpty) Nil else partsOf(tgtId)
+    // registration is deferred until the byte copy succeeds (reference:
+    // register steps are post-publish), so a failed first run leaves NO
+    // readable-but-empty replica table; on a first run the target table
+    // does not exist yet and has no partitions to enumerate
+    val tgtParts =
+      if (partCols.isEmpty || !cat.tableExists(tgtId)) Nil else partsOf(tgtId)
 
     /** spec -> the partition's path relative to its table root; falls
       * back to the canonical col=value layout for exotic locations. */
@@ -353,7 +363,10 @@ object HiveCopy {
     }
     toCopy.unpersist(); toDelete.unpersist(): Unit
 
-    // -- target metastore registration
+    // -- target metastore registration (post-publish: only reached once
+    // every byte landed, so a crashed run never registers a half-replica)
+    registerExternal(spark, cfg.targetDb, tgtId.table, meta.schema, partCols,
+      tgtRoot, format)
     val tgtSpecs = tgtParts.map(_.spec).toSet
     var registered = 0
     if (partCols.nonEmpty) units.foreach { case (_, spec, _, dstDir) =>

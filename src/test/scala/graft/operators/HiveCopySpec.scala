@@ -195,13 +195,21 @@ class HiveCopySpec extends SparkSpec {
     spark.sql("CREATE DATABASE IF NOT EXISTS hcp_disc_a")
     spark.sql("CREATE DATABASE IF NOT EXISTS hcp_disc_b")
     import spark.implicits._
+    // session temp views are NOT discoverable datasets: this one's name
+    // matches every whitelist below, and other suites sharing the session
+    // leave their own temp views around — none may leak into discovery
+    Seq(1).toDF("x").createOrReplaceTempView("t_tempview_not_a_table")
     Seq(1).toDF("x").write.mode("overwrite").saveAsTable("hcp_disc_a.t_one")
     Seq(1).toDF("x").write.mode("overwrite").saveAsTable("hcp_disc_a.t_two")
     Seq(1).toDF("x").write.mode("overwrite").saveAsTable("hcp_disc_a.other")
     Seq(1).toDF("x").write.mode("overwrite").saveAsTable("hcp_disc_b.t_one")
-    def names(ws: Seq[String], bs: Seq[String] = Nil) =
-      HiveCopy.discover(spark, ws, bs)
-        .map(t => s"${t.database.get}.${t.table}").sorted
+    def names(ws: Seq[String], bs: Seq[String] = Nil) = {
+      val ids = HiveCopy.discover(spark, ws, bs)
+      // every discovered identifier is db-qualified (a temp view is not)
+      assert(ids.forall(_.database.isDefined), ids)
+      assert(!ids.exists(_.table.contains("tempview")), ids)
+      ids.map(t => s"${t.database.get}.${t.table}").sorted
+    }
     // whole-db whitelist
     assert(names(Seq("hcp_disc_a")) ==
       Seq("hcp_disc_a.other", "hcp_disc_a.t_one", "hcp_disc_a.t_two"))
@@ -217,5 +225,28 @@ class HiveCopySpec extends SparkSpec {
     // whole-db blacklist
     assert(names(Seq("hcp_disc_*.t_one"), Seq("hcp_disc_b")) ==
       Seq("hcp_disc_a.t_one"))
+  }
+
+  test("a failed first copy leaves NO replica table registered (post-publish registration)") {
+    makeSource("ev_crash")
+    val root = tmpDir("hcp-crash-tgt")
+    // sabotage: the table's would-be location is a plain FILE, so every
+    // staging create fails and CopyExec throws mid-copy
+    val tblPath = new org.apache.hadoop.fs.Path(s"$root/$tgtDb/ev_crash")
+    val fs = tblPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tblPath, true); out.write(1); out.close()
+    intercept[Exception] {
+      HiveCopy.copyTable(spark, s"$srcDb.ev_crash", Config(tgtDb, root))
+    }: Unit
+    // the crash happened before registration: the target metastore has no
+    // empty-but-readable ev_crash (reference registers post-publish)
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("ev_crash", Some(tgtDb))))
+    // clean up the sabotage and re-run: the copy now succeeds end-to-end
+    fs.delete(tblPath, false)
+    val r = HiveCopy.copyTable(spark, s"$srcDb.ev_crash", Config(tgtDb, root))
+    assert(r.filesCopied > 0)
+    assert(spark.table(s"$tgtDb.ev_crash").count() ==
+      spark.table(s"$srcDb.ev_crash").count())
   }
 }
