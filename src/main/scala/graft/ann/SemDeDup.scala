@@ -112,8 +112,10 @@ object SemDeDup {
     *
     * Cost discipline: the quadratic cell pairing runs exactly ONCE —
     * the certification re-reads its persisted pair set (two semi joins
-    * + counts) and independently re-pairs only a ~5% hash sample of
-    * the survivors, keeping the certified face within noise of plain
+    * + counts) and independently re-pairs survivors only inside a
+    * 1-in-`probeCells` hash sample of CELLS (cell-sampled, so both the
+    * probe's shuffle and its pairing are ~1/probeCells of the main
+    * pass), keeping the certified face within noise of plain
     * [[survivors]] instead of 2x. The checks evaluate eagerly here, so
     * the ranked/pair caches are released before returning; only the
     * duplicate-id list (ids of dropped rows, the smallest frame in
@@ -123,9 +125,11 @@ object SemDeDup {
   def certifiedSurvivors(corpus: DataFrame, idCol: String, vecCol: String,
                          model: Ann.IvfModel, threshold: Double,
                          maxCellSize: Int = 4096,
-                         okCol: String = "sem_ok"): DataFrame = {
+                         okCol: String = "sem_ok",
+                         probeCells: Int = 20): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
+    require(probeCells >= 1, s"probeCells must be >= 1: $probeCells")
     val spark = corpus.sparkSession
     val r = ranked(corpus, idCol, vecCol, model).persist()
     val m = r.filter(col("__rank") <= maxCellSize)
@@ -142,14 +146,17 @@ object SemDeDup {
       .filter(col("__cos") >= threshold)
       .select("__id_a", "__id_b").persist()
     val dupIds = pairs.select(col("__id_a").as(idCol)).distinct().persist()
+    // survivor members, persisted: the residual semi-joins, the
+    // partition count AND the probe all read it (round-12 shape
+    // recomputed the anti-join per use)
+    val mSurv = m.join(dupIds, Seq(idCol), "left_anti").persist()
     // (a) residual over the persisted pair set. NOTE: because dupIds is
     // by construction the distinct __id_a of `pairs`, every pair always
     // has one endpoint in the drop set — this check can only fire if the
     // anti-join/distinct machinery itself is broken, which is exactly
     // what it guards; it is NOT an independent proof of the output
     // contract (check (d) below is).
-    val survMemberIds = m.select(col(idCol))
-      .join(dupIds, Seq(idCol), "left_anti")
+    val survMemberIds = mSurv.select(col(idCol))
     val resid = pairs
       .join(survMemberIds.select(col(idCol).as("__id_a")), Seq("__id_a"), "left_semi")
       .join(survMemberIds.select(col(idCol).as("__id_b")), Seq("__id_b"), "left_semi")
@@ -160,27 +167,20 @@ object SemDeDup {
     val nSurvMembers = survMemberIds.count()
     // (c) shed members passed through undeduped
     val shed = r.filter(col("__rank") > maxCellSize).count()
-    // (d) INDEPENDENT probe of the output contract: re-pair a
-    // deterministic ~5% hash sample of the survivors against ALL their
-    // surviving cellmates, recomputing cosines from the vectors — zero
-    // near pairs may survive. Derived from the corpus, not from
-    // `pairs`, so a wrong first pass cannot vouch for itself; costs
-    // ~5% of one pairing pass, keeping the single-quadratic-pass
-    // budget intact.
-    val mSurv = m.join(dupIds, Seq(idCol), "left_anti")
-    val probeA = mSurv
-      .filter(pmod(xxhash64(col(idCol)), lit(20)) === 0)
-      .select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
-        col("__cell"), col("__norm").as("__norm_a"))
-    val probeB = mSurv.select(col(idCol).as("__id_b"),
-      col(vecCol).as("__vec_b"), col("__cell"), col("__norm").as("__norm_b"))
-    val probed = probeA.join(probeB, Seq("__cell"))
-      .filter(col("__id_b") =!= col("__id_a"))
-      .filter(Ann.dot(col("__vec_a"), col("__vec_b")) /
-        (col("__norm_a") * col("__norm_b")) >= threshold)
-      .count()
+    // (d) INDEPENDENT probe of the output contract: re-pair ALL
+    // survivors inside a deterministic ~1/probeCells hash sample of
+    // CELLS, recomputing cosines from the vectors — zero near pairs may
+    // survive. Cells, not rows: a row sample's cell set covers nearly
+    // every cell once cells hold ~20+ members (1-(19/20)^k), which
+    // would re-shuffle the whole survivor set for a "5%" probe; a cell
+    // sample bounds the probe's shuffle AND pairing to 1/probeCells of
+    // the main pass, and is a complete triangular check within every
+    // probed cell. Derived from the corpus, not from `pairs`, so a
+    // wrong first pass cannot vouch for itself.
+    val probed = probeSurvivorPairs(mSurv, idCol, vecCol, threshold, probeCells)
     r.unpersist()
     pairs.unpersist()
+    mSurv.unpersist()
     val cert = broadcast(spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
         resid, nSurvMembers + nDropped - nMembers, shed, probed)),
@@ -204,5 +204,29 @@ object SemDeDup {
             lit(", shed members="), col("__shed"),
             lit(", probed survivor near-pairs="), col("__probe")))))
       .drop("__resid", "__part", "__shed", "__probe")
+  }
+
+  /** Certification check (d)'s engine, separated so a planted violation
+    * can be driven directly: count near pairs (cosine ≥ threshold)
+    * among `mSurv` rows — schema (id, vec, __cell, __norm, ...) — whose
+    * cell falls in a deterministic 1-in-`probeCells` hash sample of
+    * cells. `probeCells = 1` probes every cell (full triangular
+    * re-pair of the survivor set). A correct dedup yields 0. */
+  private[ann] def probeSurvivorPairs(mSurv: DataFrame, idCol: String,
+                                      vecCol: String, threshold: Double,
+                                      probeCells: Int): Long = {
+    val s =
+      if (probeCells == 1) mSurv
+      else mSurv.filter(
+        pmod(xxhash64(col("__cell")), lit(probeCells)) === lit(0))
+    val pa = s.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
+      col("__cell"), col("__norm").as("__norm_a"))
+    val pb = s.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),
+      col("__cell"), col("__norm").as("__norm_b"))
+    pa.join(pb, Seq("__cell"))
+      .filter(col("__id_b") < col("__id_a"))
+      .filter(Ann.dot(col("__vec_a"), col("__vec_b")) /
+        (col("__norm_a") * col("__norm_b")) >= threshold)
+      .count()
   }
 }

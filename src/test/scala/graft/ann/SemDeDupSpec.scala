@@ -142,6 +142,44 @@ class SemDeDupSpec extends SparkSpec {
     assert(e.getMessage.contains("partition imbalance"), e.getMessage)
   }
 
+  test("probe (cert d) fires on a planted surviving near-pair, silent on a clean set") {
+    // mSurv-shaped frame: (id, vec, __cell, __norm). Plant a broken
+    // "survivor" set where ids 1 and 2 are near-identical cellmates —
+    // exactly what a wrong first pass would hand the probe.
+    def msurv(rows: (Long, Seq[Double], Int)*) =
+      rows.toSeq.toDF("id", "vec", "__cell")
+        .withColumn("__norm", Ann.norm(col("vec")))
+    val broken = msurv(
+      (1L, Seq(1.0, 0.001, 0.0), 0),
+      (2L, Seq(1.0, 0.002, 0.0), 0),  // cos(1,2) ≈ 1 — must be caught
+      (10L, Seq(0.0, 1.0, 0.0), 1))
+    assert(SemDeDup.probeSurvivorPairs(broken, "id", "vec",
+      threshold = 0.99, probeCells = 1) == 1L)
+    val clean = msurv(
+      (1L, Seq(1.0, 0.001, 0.0), 0),
+      (3L, Seq(0.9, 0.43, 0.0), 0),   // cos ≈ 0.92 < 0.99
+      (10L, Seq(0.0, 1.0, 0.0), 1))
+    assert(SemDeDup.probeSurvivorPairs(clean, "id", "vec",
+      threshold = 0.99, probeCells = 1) == 0L)
+    // cell sampling is deterministic: a near pair in an UNsampled cell
+    // is invisible to that probe slice (the 1/probeCells contract)
+    val sliced = SemDeDup.probeSurvivorPairs(broken, "id", "vec",
+      threshold = 0.99, probeCells = 1000000)
+    assert(sliced == 0L || sliced == 1L)
+    // end-to-end: a full-coverage probe (probeCells = 1) still certifies
+    // a correct run — the probe agrees with the main pass everywhere
+    val d = df(
+      1L -> Seq(1.0, 0.01, 0.0),
+      2L -> Seq(1.0, 0.012, 0.0),
+      10L -> Seq(0.0, 1.0, 0.0),
+      11L -> Seq(0.0, 1.0, 1e-4),
+      20L -> Seq(0.0, 0.0, 1.0))
+    val got = SemDeDup.certifiedSurvivors(d, "id", "vec", model,
+      threshold = 0.99, probeCells = 1).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 10L, 20L))
+    assert(got.forall(_.getBoolean(2)))
+  }
+
   test("certifiedSurvivors raises loudly when a cell sheds members") {
     val d = df(
       1L -> Seq(1.0, 0.0, 0.0),
