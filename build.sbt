@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked main's FINAL stdout line as
+// bare JSON. sbt's default output strategy relays forked stdout through
+// its logger ("[info] " prefix) and appends a "[success] Total time"
+// trailer — both defeat a last-line JSON parser (BENCH r10-r12
+// `parsed: null`). Send forked run output straight through, unprefixed,
+// and drop the success trailer so the program's last line IS the
+// process's last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
