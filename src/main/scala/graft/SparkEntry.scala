@@ -2237,7 +2237,8 @@ object SparkEntry {
         concat(lit("ngram:"), col("doc_id").cast("string"))), lit(5L)) === 0L)
       val fam = graft.text.NgramLm.familiarity(docs,
         graft.text.NgramLm.trainCollected(trainDocs, "text",
-          n = 3, minCount = 2),
+          n = 3, minCount = 2,
+          maxGrams = graft.text.NgramLm.RecommendedMaxGrams),
         "doc_id", "text", n = 3)
       graft.text.QualityTiers.tiers(fam, "fam_q", k = 3)
         .select("doc_id", "fam_q", "tier")

@@ -142,7 +142,10 @@ object CronSchedule {
     sp match {
       case LastDayOfMonth(off) => math.max(last - off, 0)
       case LastWeekday => weekdayNear(last)
-      case NearestWeekday(n) => weekdayNear(n)
+      // Quartz: nW in a month with no day n does not fire at all
+      // (CronExpression refuses to slide '31W' to a 30-day month's
+      // last weekday), rather than clamping to the month length
+      case NearestWeekday(n) => if (n > last) 0 else weekdayNear(n)
       case LastDowOfMonth(dow) =>
         (last to 1 by -1)
           .find(d => quartzDow(date.withDayOfMonth(d)) == dow).getOrElse(0)
@@ -225,6 +228,8 @@ object CronSchedule {
       case _ => None
     }
     val dowSpecial: Option[DaySpecial] = f(5).toUpperCase match {
+      // bare 'L' in day-of-week is valid Quartz: shorthand for 7L (SAT)
+      case "L" => Some(LastDowOfMonth(7))
       case DowLast(d) => Some(LastDowOfMonth(dowAtom(d)))
       case DowNth(d, n) =>
         require(n.toInt >= 1 && n.toInt <= 5, s"#$n outside [1,5]")

@@ -50,8 +50,10 @@ object ContinuousIngest {
     * the same batch — whole-doc dedup drops re-arrivals, the substring
     * pass removes quoted/boilerplate spans inside otherwise-novel docs.
     * The gram index is committed per batch (stateDir/grams/batch_id=N,
-    * grams of the PUBLISHED post-scrub text) with the same strictly-
-    * earlier-partitions replay rule as the fingerprints. */
+    * grams of the ORIGINAL pre-scrub text of kept docs — post-scrub
+    * grams would manufacture seam-spanning windows that never existed)
+    * with the same strictly-earlier-partitions replay rule as the
+    * fingerprints. */
   private[streaming] def step(spark: SparkSession, batch: DataFrame,
                               batchId: Long, idCol: String, textCol: String,
                               budget: Long, stateDir: String,
@@ -103,10 +105,16 @@ object ContinuousIngest {
       packed.select(col("content_hash").as("h"))
         .write.mode(SaveMode.Overwrite).parquet(s"$fpDir/batch_id=$batchId")
       substringW.foreach { w =>
-        // the committed corpus participates in future passage dedup
-        // only through this index — published (post-scrub) text, so a
-        // scrubbed span is owned by the batch that first kept it
-        graft.text.SubstringDedup.gramIndex(packed, idCol, textCol, w)
+        // the committed corpus participates in future passage dedup only
+        // through this index. Index the ORIGINAL (pre-scrub) text of the
+        // kept docs, not the published text: grams of post-scrub text
+        // include windows spanning a scrub seam that never co-occurred
+        // in any source document, and such phantom grams would scrub
+        // legitimate novel text in later batches (and diverge from
+        // batch-mode SubstringDedup.clean, which grams original text)
+        val keptOriginal = exact.join(
+          packed.select(col(idCol)), Seq(idCol), "left_semi")
+        graft.text.SubstringDedup.gramIndex(keptOriginal, idCol, textCol, w)
           .write.mode(SaveMode.Overwrite).parquet(s"$gramsDir/batch_id=$batchId")
       }
       spark.createDataFrame(

@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object NgramLm {
 
+  /** The stricter [[trainCollected]] `maxGrams` bound new pipelines
+    * should opt into explicitly (the compatible default remains 2M). */
+  val RecommendedMaxGrams: Int = 200000
+
   /** All char n-grams of `text` in order (length-n windows, step 1);
     * empty array when the text is shorter than n. */
   def charGrams(text: Column, n: Int): Column = {
@@ -67,21 +71,18 @@ object NgramLm {
     * CCNet tiering recompute the corpus trigram aggregate under its
     * cache and DOUBLED q110's wall time. `maxGrams` guards the pull —
     * a blown guard means minCount (or n) is wrong for the corpus. The
-    * default is 200k, an order of magnitude over the ~50k trigrams a
-    * real tiering model carries but far under a driver pull (or a
-    * downstream embedded local relation) anyone would want silently;
-    * raising it is a deliberate caller act. Pass `metrics` to gauge
-    * the collected size (`ngram_lm.collected_grams`) so a near-blown
-    * guard is diagnosable from the stage metrics, not just the
-    * refusal.
-    *
-    * BREAKING DEFAULT CHANGE (round 11): `maxGrams` dropped
-    * 2,000,000 -> 200,000. A caller whose model lands between the two
-    * bounds now fails at the refusal below on upgrade — deliberately:
-    * pass `maxGrams` explicitly to accept a model that large. */
+    * default stays at the original 2,000,000 so no existing caller's
+    * model is refused by an upgrade; [[RecommendedMaxGrams]] (200k, an
+    * order of magnitude over the ~50k trigrams a real tiering model
+    * carries) is the stricter OPT-IN bound new pipelines should pass
+    * explicitly — a driver pull (and the local relation embedded in
+    * every downstream plan) past that size is rarely what anyone
+    * wants. Pass `metrics` to gauge the collected size
+    * (`ngram_lm.collected_grams`) so a near-blown guard is diagnosable
+    * from the stage metrics, not just the refusal. */
   def trainCollected(df: DataFrame, textCol: String, n: Int = 3,
                      minCount: Long = 2L,
-                     maxGrams: Int = 200000,
+                     maxGrams: Int = 2000000,
                      metrics: Option[graft.metrics.MetricContext] = None)
       : DataFrame = {
     val spark = df.sparkSession

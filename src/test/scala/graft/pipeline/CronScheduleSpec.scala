@@ -100,6 +100,24 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(w1.next(t("2024-09-01T00:00:00")) == Some(t("2024-09-02T12:00:00")))
   }
 
+  test("nW in a month without day n does not fire (Quartz, no clamping)") {
+    val w31 = CronSchedule.parse("0 0 12 31W * ?")
+    // April 2024 has 30 days: '31W' must NOT slide to April's last
+    // weekday — the next fire is May 31 (a Friday, so itself)
+    assert(w31.next(t("2024-04-01T00:00:00")) == Some(t("2024-05-31T12:00:00")))
+    // February never fires: from Feb 1 the next fire skips to March
+    // (2024-03-31 is a Sunday -> preceding Friday the 29th)
+    assert(w31.next(t("2024-02-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
+  }
+
+  test("bare L in day-of-week is shorthand for 7L (last Saturday)") {
+    val c = CronSchedule.parse("0 0 12 ? * L")
+    // Saturdays of March 2024: 2, 9, 16, 23, 30 -> last is the 30th
+    assert(c.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-30T12:00:00")))
+    val sat = CronSchedule.parse("0 0 12 ? * 7L")
+    assert(sat.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-30T12:00:00")))
+  }
+
   test("dL and d#n: last / nth weekday of the month") {
     val friL = CronSchedule.parse("0 0 12 ? * 6L")
     assert(friL.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))

@@ -132,4 +132,36 @@ class ContinuousIngestStreamSpec extends SparkSpec {
     run(tmpDir("ci3-ckpt-b"))
     assert(published == first, "replay must be idempotent")
   }
+
+  test("scrub seams create no phantom grams: the index carries pre-scrub text") {
+    val in = tmpDir("ci4-in"); val state = tmpDir("ci4-state")
+    val out = tmpDir("ci4-out"); val ckpt = tmpDir("ci4-ckpt")
+    // b0 commits doc 1. b1's doc 11 quotes its "a b c d e f" passage,
+    // which is scrubbed out, publishing "x y z q r s" — a seam between
+    // 'z' and 'q'. Indexing the PUBLISHED text would mint phantom grams
+    // ("y z q", "z q r") that never co-occurred in any source document.
+    // b2's doc 21 legitimately contains "y z q": it must survive intact,
+    // matching what batch-mode SubstringDedup.clean would do (where
+    // "y z q" is globally unique).
+    val files = Seq(
+      Seq(1L -> "a b c d e f"),
+      Seq(11L -> "x y z a b c d e f q r s"),
+      Seq(21L -> "m1 y z q m2"))
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val part = s"$in/f$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val stream = Streams.fileReplay(spark, s"$in/*", schema)
+    val q = ContinuousIngest.start(stream, "doc_id", "text", budget = 60L,
+      state, out, ckpt, substringW = Some(3))
+    q.awaitTermination()
+    val published = spark.read.parquet(out)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(published == Map(
+      1L -> "a b c d e f",
+      11L -> "x y z q r s",   // the committed passage scrubbed
+      21L -> "m1 y z q m2"),  // NOT scrubbed by a phantom seam gram
+      published)
+  }
 }

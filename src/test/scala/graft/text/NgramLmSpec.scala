@@ -73,15 +73,16 @@ class NgramLmSpec extends SparkSpec {
     assert(e.getMessage.contains("maxGrams"))
   }
 
-  test("trainCollected: 200k default cap, size gauged into stage metrics") {
-    // the default guard is a deliberate bound on the driver pull AND the
-    // local relation embedded in every downstream plan (~50k trigrams is
-    // a realistic tiering model; 2M was an order of magnitude too lax) —
-    // pin it so a loosened default is a conscious API change
+  test("trainCollected: compatible 2M default, strict opt-in, size gauged into metrics") {
+    // the DEFAULT stays at the original 2,000,000 so an upgrade never
+    // silently refuses an existing caller's model; the stricter bound is
+    // an explicit opt-in (RecommendedMaxGrams) — pin both so a change to
+    // either is a conscious API decision
     val m = NgramLm.getClass.getMethods
       .find(_.getName == "trainCollected$default$5").get
       .invoke(NgramLm)
-    assert(m == 200000, s"default maxGrams changed: $m")
+    assert(m == 2000000, s"default maxGrams changed: $m")
+    assert(NgramLm.RecommendedMaxGrams == 200000)
     val ctx = graft.metrics.MetricContext.root("lm-train")
     NgramLm.trainCollected(docs, "text", metrics = Some(ctx))
     val gauged = ctx.gaugeValue("ngram_lm.collected_grams")
