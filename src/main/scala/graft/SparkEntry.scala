@@ -1995,6 +1995,38 @@ object SparkEntry {
       s.read.parquet(auditDir)
     }),
 
+    // value-audit DIFF (the module's purpose: compare what two pipeline
+    // PHASES saw — ValueAuditRuntimeMetadata.Phase): a PULL-phase audit
+    // of orders vs an SS_PUB-phase audit where keys %101==0 were lost
+    // and o_totalprice was corrupted (+1) for keys %97==0. The diff is
+    // keyed on o_orderkey; DuckDB recomputes the per-column mismatch
+    // and only-in-one-phase counts from the same planted functions.
+    "q173_value_audit_diff" -> ((s, dir) => {
+      import graft.operators.ValueAudit
+      val base = tmp("q173")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val meta = ValueAudit.TableMeta("tpch", "orders",
+        keyFields = Seq("o_orderkey"),
+        deltaFields = Seq("o_orderstatus", "o_totalprice"))
+      val orders = t(s, dir, "orders")
+      val dirA = ValueAudit.auditToFs(orders, base, meta,
+        ValueAudit.RuntimeMeta(phase = ValueAudit.Phase.PULL,
+          snapshotId = "s1"),
+        projection = ValueAudit.ColumnProjection.KeyAndDelta)
+      val corrupted = orders
+        .filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val dirB = ValueAudit.auditToFs(corrupted, base, meta,
+        ValueAudit.RuntimeMeta(phase = ValueAudit.Phase.SS_PUB,
+          snapshotId = "s1"),
+        projection = ValueAudit.ColumnProjection.KeyAndDelta)
+      ValueAudit.diff(s, dirA, dirB, Seq("o_orderkey"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3664,6 +3696,18 @@ object SparkEntry {
       ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
         "WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))" +
         "::BIGINT % 1000000 < 250000"),
+    // the diff's planted corruption is a pure function of o_orderkey,
+    // so DuckDB recomputes every count: keys %101==0 exist only in the
+    // PULL-phase audit; o_totalprice mismatches are the %97==0 keys
+    // that survived; o_orderstatus was never corrupted
+    "q173_value_audit_diff" ->
+      ("WITH m AS (SELECT " +
+        "count(*) FILTER (WHERE o_orderkey % 101 = 0)::BIGINT AS only_a, " +
+        "count(*) FILTER (WHERE o_orderkey % 97 = 0 " +
+        "AND o_orderkey % 101 <> 0)::BIGINT AS tp_mism FROM orders) " +
+        "SELECT 'o_orderstatus' AS col_name, 0::BIGINT AS mismatches, " +
+        "only_a AS only_in_a, 0::BIGINT AS only_in_b FROM m " +
+        "UNION ALL SELECT 'o_totalprice', tp_mism, only_a, 0::BIGINT FROM m"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.sinks.AtomicPublisher
 
@@ -131,6 +132,62 @@ object ValueAudit {
     s"${outRoot.stripSuffix("/")}/${meta.database}/${meta.table}/" +
       s"P=${rt.phase}_C=${rt.cluster}_E=${rt.extractId}" +
       s"_S=${rt.snapshotId}_D=${rt.deltaId}"
+
+  /** Compare two published audits of the same table keyed on
+    * `keyCols` — the module's raison d'être: the audits exist so a
+    * downstream job can diff what two PHASES of a pipeline actually saw
+    * (ValueAuditRuntimeMetadata.Phase — e.g. PULL vs SS_PUB). One row
+    * per non-key audited column:
+    * `(col_name, mismatches, only_in_a, only_in_b)` where `mismatches`
+    * counts keys present in both audits whose value differs
+    * (null-safe), and the `only_*` counts (identical on every row)
+    * are keys seen by exactly one phase. An empty result means the
+    * audits project different column sets — refused loudly instead.
+    *
+    * Scale shape: ONE shuffle (the full-outer key join) + one aggregate
+    * with map-side combine; the melt to per-column rows is over a
+    * single collected aggregate row, bounded by the column count.
+    * Audits are keyed snapshots: a duplicated key compares pairwise
+    * through the join (2 dup rows vs 1 → 2 comparisons), as any
+    * key-based differ must. */
+  def diff(spark: SparkSession, auditDirA: String, auditDirB: String,
+           keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    val a = spark.read.parquet(auditDirA)
+    val b = spark.read.parquet(auditDirB)
+    require(a.columns.sorted.toSeq == b.columns.sorted.toSeq,
+      s"audits project different column sets: " +
+        s"A=${a.columns.sorted.mkString(",")} vs " +
+        s"B=${b.columns.sorted.mkString(",")} — diff would be meaningless")
+    keyCols.foreach(k => require(a.columns.contains(k),
+      s"key column '$k' not in the audit projection " +
+        s"(${a.columns.mkString(", ")})"))
+    val valCols = a.columns.filterNot(keyCols.contains).toSeq
+    val aT = a.select(keyCols.map(col) ++ Seq(lit(true).as("__in_a")) ++
+      valCols.map(c => col(c).as(s"__a_$c")): _*)
+    val bT = b.select(keyCols.map(col) ++ Seq(lit(true).as("__in_b")) ++
+      valCols.map(c => col(c).as(s"__b_$c")): _*)
+    val joined = aT.join(bT, keyCols, "full_outer")
+    def cnt(pred: Column) =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+    val aggs =
+      Seq(cnt(col("__in_a").isNotNull && col("__in_b").isNull).as("__only_a"),
+        cnt(col("__in_b").isNotNull && col("__in_a").isNull).as("__only_b")) ++
+      valCols.map(c => cnt(col("__in_a").isNotNull &&
+        col("__in_b").isNotNull &&
+        !(col(s"__a_$c") <=> col(s"__b_$c"))).as(s"__m_$c"))
+    val r = joined.agg(aggs.head, aggs.tail: _*).head()
+    val onlyA = r.getAs[Long]("__only_a")
+    val onlyB = r.getAs[Long]("__only_b")
+    val rows = valCols.map(c =>
+      Row(c, r.getAs[Long](s"__m_$c"), onlyA, onlyB))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("col_name", StringType, nullable = false),
+        StructField("mismatches", LongType, nullable = false),
+        StructField("only_in_a", LongType, nullable = false),
+        StructField("only_in_b", LongType, nullable = false))))
+  }
 
   /** Generate and PUBLISH the audit records through the atomic
     * publisher; returns the audit directory. A re-run of the same

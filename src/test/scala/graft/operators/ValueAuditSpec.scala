@@ -89,4 +89,64 @@ class ValueAuditSpec extends SparkSpec {
     val parent = new org.apache.hadoop.fs.Path(dir).getParent
     assert(!fs.listStatus(parent).exists(_.getPath.getName.startsWith(".staging")))
   }
+
+  test("diff: identical audits produce an all-zero diff") {
+    val root = tmpDir("va-diff-same")
+    val a = auditToFs(orders.limit(100), root, meta,
+      RuntimeMeta(phase = Phase.PULL, snapshotId = "s1"),
+      projection = ColumnProjection.KeyAndDelta)
+    val b = auditToFs(orders.limit(100), root, meta,
+      RuntimeMeta(phase = Phase.SS_PUB, snapshotId = "s1"),
+      projection = ColumnProjection.KeyAndDelta)
+    val d = ValueAudit.diff(spark, a, b, Seq("o_orderkey")).collect()
+    assert(d.map(_.getString(0)).sorted.toSeq ==
+      Seq("o_orderstatus", "o_totalprice"))
+    assert(d.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0), d.mkString("; "))
+  }
+
+  test("diff: planted corruption, missing keys, and extra keys all surface") {
+    val root = tmpDir("va-diff-bad")
+    val base = orders.limit(200)
+    val a = auditToFs(base, root, meta,
+      RuntimeMeta(phase = Phase.PULL, snapshotId = "s2"),
+      projection = ColumnProjection.KeyAndDelta)
+    // phase B: drops keys %11==0, corrupts o_orderstatus for %7==0
+    // survivors, and gains synthetic keys the PULL phase never saw
+    val corrupt = base.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 7 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val extra = base.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+    val b = auditToFs(corrupt.unionByName(extra), root, meta,
+      RuntimeMeta(phase = Phase.SS_PUB, snapshotId = "s2"),
+      projection = ColumnProjection.KeyAndDelta)
+    val rows = base.select("o_orderkey").collect().map(_.getLong(0))
+    val expOnlyA = rows.count(_ % 11 == 0)
+    val expMism = rows.count(k => k % 11 != 0 && k % 7 == 0)
+    val d = ValueAudit.diff(spark, a, b, Seq("o_orderkey")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(d("o_orderstatus") == ((expMism, expOnlyA, 5L)), d)
+    assert(d("o_totalprice") == ((0L, expOnlyA, 5L)), d)
+  }
+
+  test("diff: mismatched projections and unknown keys refuse loudly") {
+    val root = tmpDir("va-diff-refuse")
+    val a = auditToFs(orders.limit(10), root, meta,
+      RuntimeMeta(phase = Phase.PULL, snapshotId = "s3"),
+      projection = ColumnProjection.KeyAndDelta)
+    val b = auditToFs(orders.limit(10), root, meta,
+      RuntimeMeta(phase = Phase.SS_PUB, snapshotId = "s3"),
+      projection = ColumnProjection.Fields(Seq("o_orderkey", "o_custkey")))
+    val e1 = intercept[IllegalArgumentException] {
+      ValueAudit.diff(spark, a, b, Seq("o_orderkey"))
+    }
+    assert(e1.getMessage.contains("different column sets"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ValueAudit.diff(spark, a, a, Seq("nope"))
+    }
+    assert(e2.getMessage.contains("key column 'nope'"), e2.getMessage)
+  }
 }
