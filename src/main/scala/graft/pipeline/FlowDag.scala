@@ -139,7 +139,8 @@ object FlowDag {
     * .fromProperties]] as `<key>=v`, plus `job.<i>.dependsOn=nameA,nameB`.
     * A node with `job.<i>.job.type=<maintenance kind>` becomes a
     * [[MaintenanceNode]] instead (vacuum, compact-files, merge,
-    * snapshot-expire, backfill-plan — [[MaintenanceRunner.kinds]]), so
+    * snapshot-expire, backfill-plan, hive-copy —
+    * [[MaintenanceRunner.kinds]]), so
     * maintenance hops schedule exactly like ETL hops.
     * {{{
     * flow.name=demo

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.operators.{FileCompaction, Merge, Vacuum}
+import graft.operators.{FileCompaction, HiveCopy, Merge, Vacuum}
 import graft.planning.BackfillPlanner
 import graft.sinks.SnapshotLog
 
@@ -30,6 +30,15 @@ import graft.sinks.SnapshotLog
   *   - `backfill-plan`: `dir`, `partition.col`, optional `pattern`,
   *     `from`, `to`, `out` (write the holes as parquet for a downstream
   *     backfill hop to consume)
+  *   - `hive-copy`: `whitelist` (csv of `db[.table|table2]` patterns),
+  *     `target.db`, `target.root`, optional `blacklist`,
+  *     `partition.filter` (HiveCopyEntityHelper
+  *     .COPY_PARTITIONS_FILTER_CONSTANT semantics: a predicate over
+  *     partition columns pushed to the metastore), `existing.policy`
+  *     (`ABORT`|`UPDATE_TABLE`|`REPLACE_TABLE` — the reference's
+  *     EXISTING_ENTITY_POLICY_KEY values), `deregister.delete`
+  *     (`NO_DELETE`|`RECURSIVE` — DELETE_FILES_ON_DEREGISTER),
+  *     `copy.parallelism`
   */
 final case class MaintenanceSpec(name: String, kind: String,
                                  props: Map[String, String])
@@ -48,7 +57,8 @@ object MaintenanceSpec {
 object MaintenanceRunner {
 
   val kinds: Set[String] =
-    Set("vacuum", "compact-files", "merge", "snapshot-expire", "backfill-plan")
+    Set("vacuum", "compact-files", "merge", "snapshot-expire",
+      "backfill-plan", "hive-copy")
 
   /** Run one maintenance job; returns a human-readable stats summary
     * (recorded as the flow ledger's detail). Throws loudly on missing
@@ -95,6 +105,48 @@ object MaintenanceRunner {
         out.foreach(o =>
           holes.coalesce(1).write.mode("overwrite").parquet(o))
         s"backfill-plan: holes=$n" + out.fold("")(o => s" -> $o")
+      case "hive-copy" =>
+        // the reference runs Hive replication as a job config owned by a
+        // scheduler (HiveDatasetFinder discovers from hive.dataset.whitelist
+        // / blacklist; HiveCopyEntityHelper.EXISTING_ENTITY_POLICY_KEY and
+        // DELETE_FILES_ON_DEREGISTER drive conflict handling) — same here,
+        // with the policy VALUES mirroring the reference's enum names
+        val policy = spec.props.getOrElse("existing.policy", "ABORT") match {
+          case "ABORT" => HiveCopy.ExistingTablePolicy.Abort
+          case "UPDATE_TABLE" => HiveCopy.ExistingTablePolicy.Update
+          case "REPLACE_TABLE" => HiveCopy.ExistingTablePolicy.Replace
+          case other => throw new IllegalArgumentException(
+            s"hive-copy job '${spec.name}': unknown existing.policy " +
+              s"'$other' (ABORT, UPDATE_TABLE, REPLACE_TABLE)")
+        }
+        val delete = spec.props.getOrElse("deregister.delete", "NO_DELETE") match {
+          case "NO_DELETE" => HiveCopy.DeregisterDelete.NoDelete
+          case "RECURSIVE" => HiveCopy.DeregisterDelete.Recursive
+          case other => throw new IllegalArgumentException(
+            s"hive-copy job '${spec.name}': unknown deregister.delete " +
+              s"'$other' (NO_DELETE, RECURSIVE)")
+        }
+        val cfg = HiveCopy.Config(
+          targetDb = p("target.db"),
+          targetRoot = p("target.root"),
+          partitionFilter = spec.props.get("partition.filter"),
+          existingPolicy = policy,
+          deregisterDelete = delete,
+          copyParallelism = spec.props.get("copy.parallelism")
+            .map(_.toInt).getOrElse(0))
+        val tables = HiveCopy.discover(spark,
+          p("whitelist").split(',').map(_.trim).toSeq.filter(_.nonEmpty),
+          spec.props.get("blacklist")
+            .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+            .getOrElse(Nil))
+        val reports = tables.map(t =>
+          HiveCopy.copyTable(spark, t.unquotedString, cfg))
+        s"hive-copy: tables=${reports.size} " +
+          s"copied=${reports.map(_.filesCopied).sum} " +
+          s"bytes=${reports.map(_.bytesCopied).sum} " +
+          s"deleted=${reports.map(_.filesDeleted).sum} " +
+          s"registered=${reports.map(_.partitionsRegistered).sum} " +
+          s"deregistered=${reports.map(_.partitionsDeregistered).sum}"
       case other => throw new IllegalArgumentException(
         s"unknown maintenance kind '$other' for job '${spec.name}' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

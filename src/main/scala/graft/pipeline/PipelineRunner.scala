@@ -163,6 +163,10 @@ object PipelineRunner {
     // context tree adds naming + rollup + a queryable history, no extra
     // scans.
     val mctx = MetricContext.root(spec.name, Map("run_id" -> runId))
+    // exported through the Spark-plugin metric face for the duration of
+    // the run (a no-op unless spark.plugins carries GraftSparkPlugin)
+    graft.metrics.SparkMetricsBridge.register(mctx)
+    try {
     val srcCtx = mctx.childContext("source")
 
     // ---- 1. plan: source + incremental watermark predicate ----
@@ -554,6 +558,8 @@ object PipelineRunner {
       lineageEvents)
     // a FAIL-policy abort or branch failure must not leak the cached source
     } finally if (needBoth) { input.unpersist(); () }
+    // the plugin face stops exporting this run's tree on ANY exit path
+    } finally graft.metrics.SparkMetricsBridge.deregister(mctx)
   }
 
   /** Canonical "yyyy-MM-dd HH:mm:ss[.f...]" watermark string from whatever
@@ -590,6 +596,16 @@ object PipelineRunner {
         Timestamp.valueOf(java.time.LocalDateTime.parse(wm)) } }
 
   private def read(spark: SparkSession, s: SourceSpec): DataFrame = {
+    // catalog-table source: `source.path` is a (qualified) table name,
+    // so a hop can read what an upstream hive-copy hop registered —
+    // through the metastore, partition pruning and all. A schema spec
+    // is refused: the catalog owns a table's schema.
+    if (s.format == "table") {
+      require(s.schemaDDL.isEmpty && s.schemaJson.isEmpty,
+        s"source.format=table reads the catalog's schema for " +
+          s"'${s.path}'; drop source.schema / source.schema.json")
+      return spark.read.options(s.options).table(s.path)
+    }
     var r = spark.read.format(s.format).options(s.options)
     s.schemaDDL.foreach(ddl => r = r.schema(ddl))
     s.schemaJson.foreach(j =>

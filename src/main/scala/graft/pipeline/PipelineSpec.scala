@@ -19,7 +19,9 @@ import graft.sinks.AtomicPublisher.WriteSpec
   * Specs are plain case classes; `PipelineSpec.fromProperties` parses the
   * reference's flat key=value style so jobs stay declarative/configurable.
   */
-final case class SourceSpec(format: String, // parquet | csv | json | text
+final case class SourceSpec(format: String, // parquet | csv | json | text |
+                                            // jdbc | table (catalog table;
+                                            // `path` is the table name)
                             path: String,
                             options: Map[String, String] = Map.empty,
                             schemaDDL: Option[String] = None,

@@ -146,4 +146,77 @@ class FlowDagSpec extends SparkSpec {
     assert(ledger.history.filter("job = 'bad'").head()
       .getAs[String]("detail").nonEmpty)
   }
+
+  test("scheduled flow: hive-copy hop then a validation hop reading the replica via the target catalog") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-hcp")
+    spark.sql("CREATE DATABASE IF NOT EXISTS fdh_src")
+    spark.sql("CREATE DATABASE IF NOT EXISTS fdh_tgt")
+    // a dt-partitioned source table registered in the source "metastore"
+    val srcLoc = s"$dir/src/ev_flow"
+    val src = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+    src.repartition(col("dt")).write.partitionBy("dt").parquet(srcLoc)
+    spark.sql("DROP TABLE IF EXISTS fdh_src.ev_flow")
+    graft.operators.HiveCopy.registerExternal(spark, "fdh_src", "ev_flow",
+      src.schema, Seq("dt"), srcLoc, recoverPartitions = true)
+    val srcCount = spark.table("fdh_src.ev_flow").count()
+
+    // the reference runs Hive replication as a scheduler-owned job
+    // config; here: a stored flow whose first hop is the hive-copy and
+    // whose second hop VALIDATES the replica by reading it back through
+    // the TARGET catalog (source.format=table) under a FAIL row policy
+    val store = new FlowService.FlowConfigStore(spark, s"$dir/catalog")
+    store.put(FlowService.FlowConfig("hive-repl", Map(
+      "job.1.job.name" -> "replicate",
+      "job.1.job.type" -> "hive-copy",
+      "job.1.whitelist" -> "fdh_src.ev_flow",
+      "job.1.target.db" -> "fdh_tgt",
+      "job.1.target.root" -> s"$dir/tgt",
+      "job.1.existing.policy" -> "UPDATE_TABLE",
+      "job.2.job.name" -> "validate",
+      "job.2.dependsOn" -> "replicate",
+      "job.2.source.format" -> "table",
+      "job.2.source.path" -> "fdh_tgt.ev_flow",
+      "job.2.rowpolicy.1.name" -> "partitionKeyPresent",
+      "job.2.rowpolicy.1.predicate" -> "dt IS NOT NULL",
+      "job.2.rowpolicy.1.type" -> "FAIL",
+      "job.2.fork.1.out" -> s"$dir/validated"),
+      schedule = Some("every:3600")))
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val sched = new FlowService.FlowScheduler(spark, store, ledger)
+    assert(sched.tick(1700000000000L) == Seq("hive-repl"))
+
+    // replica registered + partitioned in the target catalog
+    val srcParts = spark.sql("SHOW PARTITIONS fdh_src.ev_flow").count()
+    assert(spark.sql("SHOW PARTITIONS fdh_tgt.ev_flow").count() == srcParts)
+    assert(spark.table("fdh_tgt.ev_flow").count() == srcCount)
+    // the validation hop consumed the replica THROUGH the catalog and
+    // published every row (the FAIL policy held)
+    assert(spark.read.parquet(s"$dir/validated").count() == srcCount)
+    val hist = ledger.history.collect()
+      .map(r => r.getAs[String]("job") ->
+        (r.getAs[String]("status"), r.getAs[String]("detail"))).toMap
+    assert(hist("replicate")._1 == "SUCCEEDED", hist)
+    assert(hist("replicate")._2.contains("hive-copy: tables=1"), hist)
+    assert(hist("validate")._1 == "SUCCEEDED", hist)
+
+    // second tick inside the hour: nothing due; forced re-execute is an
+    // incremental no-op copy (zero files moved, replica still green)
+    assert(sched.tick(1700000000000L + 60000).isEmpty)
+    val res2 = FlowService.execute(spark, store, ledger, "hive-repl", "run2")
+    assert(res2("replicate").status == FlowDag.Succeeded)
+    assert(res2("replicate").detail.exists(_.contains("copied=0")), res2)
+
+    // a schema spec alongside source.format=table refuses at read time
+    val e = intercept[Exception] {
+      PipelineRunner.run(spark, PipelineSpec(name = "bad-table-src",
+        source = SourceSpec(format = "table", path = "fdh_tgt.ev_flow",
+          schemaDDL = Some("event_id BIGINT")),
+        branches = Seq(BranchSpec(name = "main", outDir = s"$dir/never"))),
+        "run3")
+    }
+    assert(e.getMessage.contains("catalog's schema"), e.getMessage)
+  }
 }
