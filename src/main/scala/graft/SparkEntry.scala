@@ -2027,6 +2027,43 @@ object SparkEntry {
       ValueAudit.diff(s, dirA, dirB, Seq("o_orderkey"))
     }),
 
+    // leakage-safe train/val/test split: splits assigned by DUP-CLUSTER
+    // so near-duplicates never straddle the train/eval cut. Clusters
+    // come from deterministic star pairs (doc -> its decade head), so
+    // DuckDB recomputes cluster ids + the banded portable hash exactly;
+    // the in-query gate runs the leakage audit (must be empty).
+    "q174_leaksafe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10L))).as("id_b"))
+      val assigned = graft.text.LeakSafeSplit.byCluster(docs, "doc_id",
+        pairs, Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      require(graft.text.LeakSafeSplit.leakage(assigned, "cluster_id")
+        .isEmpty, "leak-safe split straddled a cluster")
+      assigned.select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
+    // classifier calibration: confusion counts over a threshold grid in
+    // ONE aggregate pass (how a quality cut is chosen before filtering
+    // the corpus). Score/label are planted pure functions so DuckDB
+    // recomputes every cell; the in-query gate checks the four cells of
+    // every grid point sum to the corpus size (a dropped/double-counted
+    // row breaks it).
+    "q175_calibration_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").cast("double").as("score"),
+          (col("doc_id") % 3 === 0).as("label"))
+      val ths = Seq(0.0, 100.0, 500.0, 1000.0, 5000.0)
+      val curve = graft.text.Calibration.confusionAt(
+        docs, "score", "label", ths)
+      val n = docs.count()
+      val cells = curve.collect()
+      require(cells.length == ths.size && cells.forall(r =>
+        r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n),
+        s"confusion cells do not partition the corpus (n=$n)")
+      curve
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3708,6 +3745,27 @@ object SparkEntry {
         "SELECT 'o_orderstatus' AS col_name, 0::BIGINT AS mismatches, " +
         "only_a AS only_in_a, 0::BIGINT AS only_in_b FROM m " +
         "UNION ALL SELECT 'o_totalprice', tp_mism, only_a, 0::BIGINT FROM m"),
+    // the decade-star components resolve to cluster = decade head, and
+    // the split is the banded portable hash OF THE CLUSTER id — DuckDB
+    // recomputes both, so any per-doc (leaky) assignment hash-mismatches
+    "q174_leaksafe_split" ->
+      ("SELECT doc_id, cluster_id, CASE WHEN h < 80 THEN 'train' " +
+        "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, doc_id - doc_id % 10 AS cluster_id, " +
+        "('0x' || substr(md5(CAST(doc_id - doc_id % 10 AS VARCHAR)),1,15))" +
+        "::BIGINT % 100 AS h FROM documents)"),
+    // planted score (n_chars) and label (doc_id%3==0) are pure SQL, so
+    // DuckDB recomputes all four confusion cells at every grid point
+    "q175_calibration_curve" ->
+      ("WITH g AS (SELECT CAST(n_chars AS DOUBLE) AS s, " +
+        "(doc_id % 3 = 0) AS y FROM documents), " +
+        "t(threshold) AS (VALUES (0.0),(100.0),(500.0),(1000.0),(5000.0)) " +
+        "SELECT threshold, " +
+        "count(*) FILTER (WHERE s >= threshold AND y)::BIGINT AS tp, " +
+        "count(*) FILTER (WHERE s >= threshold AND NOT y)::BIGINT AS fp, " +
+        "count(*) FILTER (WHERE s < threshold AND y)::BIGINT AS fn, " +
+        "count(*) FILTER (WHERE s < threshold AND NOT y)::BIGINT AS tn " +
+        "FROM g, t GROUP BY threshold"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->
