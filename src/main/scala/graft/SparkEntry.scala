@@ -2064,6 +2064,28 @@ object SparkEntry {
       curve
     }),
 
+    // k-NN GRAPH (corpus vs itself — nothing broadcast): IVF-confined
+    // cell-bucketed pairing over the q47-style derived clustered corpus,
+    // where confinement recovers the EXACT graph (DuckDB recomputes
+    // brute-force top-5). In-query gate: the independent brute probe on
+    // a hash-sample must report full recall.
+    "q176_knn_graph" -> ((s, dir) => {
+      import graft.ann.KnnGraph
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val graph = KnnGraph.build(derived, "vec_id", "embedding", k = 5,
+        numCells = 16, nprobe = 2)
+      val (matched, total) = KnnGraph.recallVsBrute(derived, graph,
+        "vec_id", "embedding", k = 5, samplePermille = 100)
+      require(total > 0 && matched == total,
+        s"knn graph probe recall $matched/$total < 1.0 on separable data")
+      graph.select(col("src_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_r"),
+        col("rank").cast("bigint").as("rank"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3766,6 +3788,21 @@ object SparkEntry {
         "count(*) FILTER (WHERE s < threshold AND y)::BIGINT AS fn, " +
         "count(*) FILTER (WHERE s < threshold AND NOT y)::BIGINT AS tn " +
         "FROM g, t GROUP BY threshold"),
+    // exact brute-force top-5 over the same derived clustered corpus —
+    // the IVF-confined graph must equal it (q47's recall-1.0 contract,
+    // extended to every vector as a source)
+    "q176_knn_graph" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "scored AS (SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id, " +
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+        "sqrt(list_dot_product(b.v, b.v))) AS cosine " +
+        "FROM e a, e b WHERE a.vec_id <> b.vec_id) " +
+        "SELECT src_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY src_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) " +
+        "WHERE rank <= 5"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

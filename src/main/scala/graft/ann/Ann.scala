@@ -295,7 +295,7 @@ object Ann {
 
   /** Per-query top-`nprobe` probe cells: descending (score, cell) structs
     * — shared by the inline and persisted-index search paths. */
-  private def probeCells(vec: Column, model: IvfModel, nprobe: Int): Column =
+  private[ann] def probeCells(vec: Column, model: IvfModel, nprobe: Int): Column =
     slice(reverse(array_sort(zip_with(
       cellScores(vec, model),
       sequence(lit(0), lit(model.numCells - 1)),

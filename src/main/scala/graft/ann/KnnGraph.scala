@@ -1,0 +1,128 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-NN GRAPH construction: top-k cosine neighbors for EVERY corpus
+  * vector (dedup clustering, semantic-coverage analysis, graph-based
+  * label propagation all start here). Different problem from ANN
+  * *search* ([[Ann.ivfTopK]]): there the query set is small and
+  * broadcast; here the corpus queries itself, so NOTHING may be
+  * broadcast and the pairing must be confined — the all-pairs join is
+  * O(n²) and fatal at corpus scale.
+  *
+  * Scale shape of [[build]]: one IVF assignment pass, then ONE shuffle
+  * join keyed by cell (probe side explodes to nprobe rows per vector),
+  * candidates per cell ≈ (n/numCells)·nprobe·(n/numCells) — quadratic
+  * only WITHIN a cell, like [[SemDeDup]]'s pairing; top-k per source is
+  * a rank window over the candidate set. Oversized cells (a degenerate
+  * centroid attracting everything) are SHED LOUDLY, never ground
+  * through: their sizes come from a counts-only aggregate (shuffles
+  * (cell, 1) pairs, map-side combined — not vectors).
+  *
+  * [[brute]] is the exact baseline (guarded cartesian — refuses past
+  * `maxRows`); [[recallVsBrute]] is the independent certification
+  * probe: exact top-k for a hash-sample of sources vs the graph's
+  * edges, the caller gates on the returned counts.
+  */
+object KnnGraph {
+
+  /** Exact graph by guarded all-pairs: REFUSES corpora past `maxRows`
+    * (the cartesian is O(n²); past the bound use [[build]]). Output
+    * `(src_id, neighbor_id, cosine, rank)`, rank 1..k by (cosine desc,
+    * neighbor asc). */
+  def brute(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+            maxRows: Long = 1L << 16): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"brute kNN graph over $n rows is O(n²)=${n * n} pairs — past " +
+        s"maxRows=$maxRows; use KnnGraph.build (IVF-confined) instead")
+    val a = corpus.select(col(idCol).as("src_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val b = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    topK(a.crossJoin(b).filter(col("neighbor_id") =!= col("src_id")), k)
+  }
+
+  /** IVF-confined approximate graph. Each vector probes its `nprobe`
+    * nearest cells and pairs only against vectors ASSIGNED to those
+    * cells. Recall is 1.0 when clusters are tighter than cells (the
+    * separable case) and degrades gracefully with cluster overlap —
+    * measure with [[recallVsBrute]] before trusting the graph.
+    * `maxCellSize` sheds degenerate cells loudly (stderr + optional
+    * metrics gauge `knn_graph.shed_cells`/`knn_graph.shed_vectors`). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+            numCells: Int = 64, nprobe: Int = 2,
+            maxCellSize: Long = 100000L,
+            model: Option[Ann.IvfModel] = None,
+            metrics: Option[graft.metrics.MetricContext] = None): DataFrame = {
+    val m = model.getOrElse(Ann.ivfTrain(corpus, idCol, vecCol, numCells))
+    val vec = col(vecCol).cast("array<double>")
+    val c = corpus.select(col(idCol).as("neighbor_id"), vec.as("__cv"),
+      Ann.assignCell(vec, m).as("cell"))
+    // counts-only pass: (cell, 1) pairs, map-side combined — cheap next
+    // to the vector shuffle it protects against
+    val oversized = c.groupBy("cell").count()
+      .filter(col("count") > maxCellSize)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val shedCells = oversized.map(_._1).toSet
+    if (shedCells.nonEmpty) {
+      System.err.println(s"[knn-graph] shedding ${shedCells.size} " +
+        s"oversized cells (> $maxCellSize): " +
+        oversized.map { case (c0, n0) => s"$c0($n0)" }.mkString(", "))
+      metrics.foreach { mc =>
+        mc.gauge("knn_graph.shed_cells", shedCells.size.toLong)
+        mc.gauge("knn_graph.shed_vectors", oversized.map(_._2).sum)
+      }
+    }
+    val cKept = if (shedCells.isEmpty) c
+      else c.filter(!col("cell").isInCollection(shedCells))
+    val q = corpus.select(col(idCol).as("src_id"), vec.as("__qv"),
+      explode(Ann.probeCells(vec, m, nprobe)).as("probe"))
+      .select(col("src_id"), col("__qv"),
+        col("probe.cell").cast("int").as("cell"))
+    val qKept = if (shedCells.isEmpty) q
+      else q.filter(!col("cell").isInCollection(shedCells))
+    // a neighbor is assigned to exactly ONE cell and each (src, cell)
+    // probe appears once, so candidates cannot repeat — no distinct
+    val cand = qKept.join(cKept, "cell")
+      .filter(col("neighbor_id") =!= col("src_id"))
+    topK(cand, k)
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("cosine", Ann.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Certification probe: exact top-k (via [[Ann.bruteForceTopK]] —
+    * the SAMPLE broadcasts, never the corpus) for a deterministic
+    * hash-sample of sources, compared against the graph's edges.
+    * Returns (matchedEdges, truthEdges); recall = matched/truth. The
+    * caller gates: `require(matched * 1000 >= minPermille * truth)`. */
+  def recallVsBrute(corpus: DataFrame, graph: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    samplePermille: Int = 50): (Long, Long) = {
+    require(samplePermille > 0 && samplePermille <= 1000,
+      s"samplePermille $samplePermille not in (0,1000]")
+    val sample = corpus.filter(pmod(graft.text.TextStats.portableHash60(
+      concat(lit("knn:"), col(idCol).cast("string"))), lit(1000L))
+      < samplePermille)
+    // persisted: the truth set is sample-sized, but recomputing it
+    // would re-run the exact scoring pass over the WHOLE corpus
+    val truth = Ann.bruteForceTopK(corpus, sample, idCol, vecCol, k)
+      .select(col("query_id").as("src_id"), col("neighbor_id"))
+      .persist()
+    try {
+      val total = truth.count()
+      val matched = truth.join(graph.select("src_id", "neighbor_id"),
+        Seq("src_id", "neighbor_id"), "left_semi").count()
+      (matched, total)
+    } finally { truth.unpersist(); () }
+  }
+}

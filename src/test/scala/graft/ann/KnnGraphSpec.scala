@@ -1,0 +1,60 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class KnnGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** q47-style separable corpus: a +10 spike at dim (vec_id % 16). */
+  private def clustered = Tables.load(spark, sf, "embeddings")
+    .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+      (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+        lit(10.0)).otherwise(lit(0.0))).as("v"))
+
+  test("build equals brute on separable data; probe reports full recall") {
+    val g = KnnGraph.build(clustered, "vec_id", "v", k = 3,
+      numCells = 16, nprobe = 2)
+    val b = KnnGraph.brute(clustered, "vec_id", "v", k = 3)
+    assert(g.select("src_id", "neighbor_id", "rank")
+      .except(b.select("src_id", "neighbor_id", "rank")).isEmpty)
+    assert(b.select("src_id", "neighbor_id", "rank")
+      .except(g.select("src_id", "neighbor_id", "rank")).isEmpty)
+    val (m, t) = KnnGraph.recallVsBrute(clustered, g, "vec_id", "v",
+      k = 3, samplePermille = 200)
+    assert(t > 0 && m == t, s"recall $m/$t")
+    // every source has exactly k edges, ranks 1..k
+    val perSrc = g.groupBy("src_id").count().select("count").distinct()
+    assert(perSrc.as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("the recall probe CATCHES a truncated graph") {
+    val g = KnnGraph.build(clustered, "vec_id", "v", k = 3,
+      numCells = 16, nprobe = 2)
+    val broken = g.filter($"rank" < 3) // drop every 3rd neighbor
+    val (m, t) = KnnGraph.recallVsBrute(clustered, broken, "vec_id", "v",
+      k = 3, samplePermille = 200)
+    assert(m < t, "probe must notice missing edges")
+  }
+
+  test("oversized cells shed loudly and are reported in metrics") {
+    // all-equal vectors: everything lands in ONE cell of size 500
+    val degenerate = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        _ => lit(1.0)).as("v"))
+    val mc = graft.metrics.MetricContext.root("knn-shed")
+    val g = KnnGraph.build(degenerate, "vec_id", "v", k = 3,
+      numCells = 4, nprobe = 1, maxCellSize = 100L, metrics = Some(mc))
+    assert(g.isEmpty, "every cell shed: no edges may be ground through")
+    assert(mc.gaugeValue("knn_graph.shed_cells").exists(_ >= 1))
+    assert(mc.gaugeValue("knn_graph.shed_vectors").contains(500L))
+  }
+
+  test("brute refuses corpora past the O(n²) guard") {
+    val e = intercept[IllegalArgumentException] {
+      KnnGraph.brute(clustered, "vec_id", "v", k = 3, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("IVF-confined"), e.getMessage)
+  }
+}
