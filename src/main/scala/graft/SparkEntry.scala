@@ -2086,6 +2086,50 @@ object SparkEntry {
         col("rank").cast("bigint").as("rank"))
     }),
 
+    // semantic clustering: connected components of the MUTUAL kNN graph
+    // recover the 16 planted classes exactly on the separable corpus —
+    // cluster id = the component's min vec_id = the class index (DuckDB
+    // recomputes it as vec_id % 16).
+    "q177_semantic_clusters" -> ((s, dir) => {
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      graft.ann.KnnGraph.clusters(derived, "vec_id", "embedding", k = 10,
+        numCells = 16, nprobe = 2)
+        .select(col("vec_id"), col("cluster_id"))
+    }),
+
+    // embedding-distribution drift: TV distance between the reference
+    // corpus's cell histogram and a snapshot missing 4 of the 16
+    // classes. Cell ids are arbitrary (centroid order) but TV is
+    // permutation-invariant, and the model assigns each planted class
+    // its own cell, so DuckDB recomputes the exact permille from the
+    // class counts.
+    "q178_embedding_drift" -> ((s, dir) => {
+      import graft.ann.Ann
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val m = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      // the model must separate the classes for the histogram to be the
+      // class histogram — certify bijectivity before comparing
+      val assign = derived
+        .select(pmod(col("vec_id"), lit(16L)).as("cls"),
+          Ann.assignCell(col("embedding"), m).as("cell"))
+        .groupBy("cls").agg(countDistinct("cell").as("nc"),
+          min(col("cell")).as("cell"))
+      val straddled = assign.filter(col("nc") =!= 1).count()
+      val distinctCells = assign.select("cell").distinct().count()
+      require(straddled == 0 && distinctCells == 16,
+        s"class↔cell not bijective (straddled=$straddled, " +
+          s"cells=$distinctCells) — the TV would not be the class TV")
+      val cur = derived.filter(pmod(col("vec_id"), lit(16L)) >= 4)
+      Ann.cellDrift(derived, cur, "embedding", m)
+        .select(col("n_a"), col("n_b"), col("tv_permille"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3803,6 +3847,22 @@ object SparkEntry {
         "(SELECT *, row_number() OVER (PARTITION BY src_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) " +
         "WHERE rank <= 5"),
+    // components of the mutual kNN graph = the planted classes, whose
+    // min vec_id is the class index
+    "q177_semantic_clusters" ->
+      "SELECT vec_id, vec_id % 16 AS cluster_id FROM embeddings",
+    // exact integer TV over the class histogram (bins = classes, since
+    // the in-query gate certified the class<->cell bijection)
+    "q178_embedding_drift" ->
+      ("WITH c AS (SELECT vec_id % 16 AS cls, count(*)::BIGINT AS ca " +
+        "FROM embeddings GROUP BY cls), " +
+        "t AS (SELECT sum(ca)::BIGINT AS na, " +
+        "sum(CASE WHEN cls >= 4 THEN ca ELSE 0 END)::BIGINT AS nb FROM c), " +
+        "s AS (SELECT sum(abs(ca * (SELECT nb FROM t) - " +
+        "(CASE WHEN cls >= 4 THEN ca ELSE 0 END) * (SELECT na FROM t)))" +
+        "::BIGINT AS d FROM c) " +
+        "SELECT na AS n_a, nb AS n_b, (500 * d) // (na * nb) AS tv_permille " +
+        "FROM t, s"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

@@ -346,6 +346,29 @@ object Ann {
     * At 100 TB build the index once with [[ivfWriteIndex]] and search with
     * [[ivfTopKIndexed]] (partition-pruned reads); the per-query work is
     * O(corpus x nprobe / cells) instead of O(corpus). */
+  /** Per-cell population histogram under `model` — the bounded summary
+    * of WHERE a corpus's embeddings live (numCells rows from one
+    * map-side-combined aggregate; vectors never shuffle). */
+  def cellHistogram(df: DataFrame, vecCol: String,
+                    model: IvfModel): DataFrame =
+    df.groupBy(assignCell(col(vecCol).cast("array<double>"), model)
+        .as("cell"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Embedding-distribution drift: exact total-variation distance
+    * between two corpora's cell histograms under the SAME model (a
+    * different model would make the bins incomparable — train once on
+    * the reference, reuse for every monitored snapshot). One row
+    * `(n_a, n_b, tv_permille)` via [[graft.operators.DriftCheck]]'s
+    * integer-exact TV; gate ingest on the permille like any other
+    * drift policy. */
+  def cellDrift(ref: DataFrame, cur: DataFrame, vecCol: String,
+                model: IvfModel): DataFrame =
+    graft.operators.DriftCheck.tvDriftCounts(
+      cellHistogram(ref, vecCol, model).withColumnRenamed("n", "ca"),
+      cellHistogram(cur, vecCol, model).withColumnRenamed("n", "cb"),
+      "cell")
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numCells: Int = 16, nprobe: Int = 2,
               model: Option[IvfModel] = None): DataFrame = {

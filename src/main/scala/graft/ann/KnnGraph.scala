@@ -91,6 +91,33 @@ object KnnGraph {
     topK(cand, k)
   }
 
+  /** Semantic clusters: connected components of the (optionally
+    * MUTUAL) kNN graph — the SemDeDup-style "what topical groups does
+    * the corpus contain" pass, at graph scale. Mutual filtering (keep
+    * an edge only when BOTH endpoints rank each other) is the standard
+    * noise guard: a hub vector ranking into everyone's top-k cannot
+    * chain unrelated clusters unless they rank it back. Output
+    * `(idCol, cluster_id)` for every corpus vector; singletons are
+    * their own cluster ([[graft.dedup.DupClusters.resolve]] semantics,
+    * including its driver/distributed hybrid execution). */
+  def clusters(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               numCells: Int = 64, nprobe: Int = 2, mutual: Boolean = true,
+               maxCellSize: Long = 100000L,
+               model: Option[Ann.IvfModel] = None): DataFrame = {
+    val g = build(corpus, idCol, vecCol, k, numCells, nprobe,
+      maxCellSize, model)
+    val e = g.select(col("src_id"), col("neighbor_id"))
+    val kept = if (!mutual) e
+      else e.join(e.select(col("neighbor_id").as("src_id"),
+          col("src_id").as("neighbor_id")),
+        Seq("src_id", "neighbor_id"), "left_semi")
+    val pairs = kept.select(
+        least(col("src_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("src_id"), col("neighbor_id")).as("id_b"))
+      .distinct()
+    graft.dedup.DupClusters.resolve(corpus.select(col(idCol)), idCol, pairs)
+  }
+
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

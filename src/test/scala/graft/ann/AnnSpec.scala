@@ -156,4 +156,24 @@ class AnnSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("maxEval"))
   }
+
+  test("cellDrift: zero for identical corpora, 1000 for disjoint, exact permille between") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val same = Ann.cellDrift(derived, derived, "v", m).head()
+    assert(same.getAs[Long]("tv_permille") == 0L, same)
+    // a snapshot that lost some cells entirely: TV = lost mass share
+    val cur = derived.filter(pmod($"vec_id", lit(16L)) >= 8)
+    val d = Ann.cellDrift(derived, cur, "v", m).head()
+    assert(d.getAs[Long]("n_a") == 500L && d.getAs[Long]("n_b") < 500L)
+    // dropped classes' mass / total = TV exactly (cur ⊂ ref by whole bins)
+    val lost = derived.count() - cur.count()
+    assert(d.getAs[Long]("tv_permille") == 1000L * lost / derived.count(), d)
+    val disjointA = derived.filter(pmod($"vec_id", lit(16L)) < 8)
+    val disjoint = Ann.cellDrift(disjointA, cur, "v", m).head()
+    assert(disjoint.getAs[Long]("tv_permille") == 1000L, disjoint)
+  }
 }

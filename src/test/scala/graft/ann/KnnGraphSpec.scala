@@ -51,6 +51,18 @@ class KnnGraphSpec extends SparkSpec {
     assert(mc.gaugeValue("knn_graph.shed_vectors").contains(500L))
   }
 
+  test("clusters: mutual-kNN components recover the planted classes exactly") {
+    // k must give the mutual graph enough edges to CONNECT each ~31-member
+    // class (k=5 deterministically strands one vector on this corpus —
+    // mutual filtering trades connectivity for chain-robustness)
+    val out = KnnGraph.clusters(clustered, "vec_id", "v", k = 10,
+      numCells = 16, nprobe = 2)
+    // vec_ids are 0..499, so each class's minimum id IS the class index
+    val wrong = out.filter(col("cluster_id") =!= pmod(col("vec_id"), lit(16L)))
+    assert(wrong.isEmpty, wrong.limit(5).collect().mkString("; "))
+    assert(out.select("cluster_id").distinct().count() == 16)
+  }
+
   test("brute refuses corpora past the O(n²) guard") {
     val e = intercept[IllegalArgumentException] {
       KnnGraph.brute(clustered, "vec_id", "v", k = 3, maxRows = 10L)
