@@ -2130,6 +2130,40 @@ object SparkEntry {
         .select(col("n_a"), col("n_b"), col("tv_permille"))
     }),
 
+    // incremental IVF lifecycle: init with half the corpus, append the
+    // rest (separate atomic batch partition), REPLAY the append (must
+    // not duplicate — certified in-query), then search through the
+    // persisted per-batch index. Exact top-k on the separable corpus,
+    // so DuckDB recomputes the q64 contract through the incremental
+    // path.
+    "q179_ivf_incremental" -> ((s, dir) => {
+      import graft.ann.Ann
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val m = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      val path = tmp("q179") + "/index"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Ann.ivfInitIndex(derived.filter(col("vec_id") < 250),
+        "vec_id", "embedding", m, path)
+      Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 1L)
+      // replayed append: the batch partition republishes, no duplicates
+      Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 1L)
+      require(s.read.parquet(path).count() == derived.count(),
+        "replayed append duplicated index rows")
+      Ann.ivfTopKIndexed(path, derived.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        Ann.loadModel(s, path))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3863,6 +3897,21 @@ object SparkEntry {
         "::BIGINT AS d FROM c) " +
         "SELECT na AS n_a, nb AS n_b, (500 * d) // (na * nb) AS tv_permille " +
         "FROM t, s"),
+    // the q64 exact-top-k contract, reached through the incremental
+    // init/append/replay lifecycle instead of one static build
+    "q179_ivf_incremental" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

@@ -312,6 +312,92 @@ object Ann {
       assignCell(col(vecCol), model).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  // ------------------------------------------------- incremental index
+
+  /** Persist the coarse quantizer beside its index (`_model.json`,
+    * underscore-prefixed so parquet discovery never sees it): appends
+    * MUST assign with the index's own model — a retrained model would
+    * scatter the same vector to a different cell than its siblings. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: IvfModel,
+                indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = model.centroids
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                indexPath: String): IvfModel = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _model.json under $indexPath — not an " +
+      "incremental IVF index (build one with ivfInitIndex)")
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val rows = json.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.replaceAll("[\\[\\]]", ""))
+      .map(_.split(',').map(_.toDouble))
+    IvfModel(rows)
+  }
+
+  /** Initialize an INCREMENTAL index: layout
+    * `path/batch=<id>/cell=<c>/…` so each append is one atomic
+    * directory (an overwrite of its own batch partition — a replayed
+    * batch id republishes byte-identically instead of duplicating),
+    * while searches still prune on `cell` (Spark discovers batch and
+    * cell as partition columns together). The model is persisted
+    * beside the data. */
+  def ivfInitIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   model: IvfModel, path: String,
+                   batchId: Long = 0L): Unit = {
+    saveModel(corpus.sparkSession, model, path)
+    modelCache.put(path, model): Unit // a re-init replaces any cached model
+    ivfAppendIndex(corpus, idCol, vecCol, path, batchId)
+  }
+
+  /** Append one batch to an incremental index WITHOUT retraining:
+    * assign with the index's persisted model, publish as the batch's
+    * own partition. O(batch) — the existing index is never read or
+    * rewritten. As the corpus drifts away from the trained centroids,
+    * probe recall decays: watch [[appendDrift]] and retrain (a fresh
+    * ivfInitIndex at a new path) past your bound. */
+  def ivfAppendIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     path: String, batchId: Long): Unit = {
+    val model = loadModelCached(batch.sparkSession, path)
+    batch.select(col(idCol), col(vecCol),
+      assignCell(col(vecCol), model).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+  }
+
+  // one load per (session, path): appends in a loop must not re-read
+  // the model file per batch
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+  private def loadModelCached(spark: org.apache.spark.sql.SparkSession,
+                              path: String): IvfModel =
+    modelCache.computeIfAbsent(path, p => loadModel(spark, p))
+
+  /** Retrain signal for an incremental index: exact TV between the
+    * INDEX's cell histogram (partition-column-only scan) and the
+    * incoming batch's — a batch living in cells the index barely uses
+    * means the trained centroids no longer describe the data. */
+  def appendDrift(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String, batch: DataFrame,
+                  vecCol: String): DataFrame = {
+    val model = loadModelCached(spark, indexPath)
+    val idx = spark.read.parquet(indexPath)
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("ca"))
+    graft.operators.DriftCheck.tvDriftCounts(idx,
+      cellHistogram(batch, vecCol, model).withColumnRenamed("n", "cb"),
+      "cell")
+  }
+
   /** IVF top-k over a persisted index. The distinct probe cells of the
     * (small, broadcastable) query set are resolved driver-side — bounded
     * by queries x nprobe, the same planning budget the reference spends

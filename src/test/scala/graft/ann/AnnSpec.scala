@@ -157,6 +157,61 @@ class AnnSpec extends SparkSpec {
     assert(err.getMessage.contains("maxEval"))
   }
 
+  test("incremental IVF: init + appends answer exactly like one inline build") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-incr") + "/index"
+    Ann.ivfInitIndex(derived.filter($"vec_id" < 250), "vec_id", "v", m, path)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 1L)
+    val queries = derived.filter($"vec_id" < 5)
+    val viaIndex = Ann.ivfTopKIndexed(path, queries, "vec_id", "v",
+      k = 10, nprobe = 2, Ann.loadModel(spark, path))
+    val inline = Ann.ivfTopK(derived, queries, "vec_id", "v",
+      k = 10, numCells = 16, nprobe = 2, model = Some(m))
+    assert(viaIndex.select("query_id", "neighbor_id", "rank")
+      .except(inline.select("query_id", "neighbor_id", "rank")).isEmpty)
+    assert(inline.select("query_id", "neighbor_id", "rank")
+      .except(viaIndex.select("query_id", "neighbor_id", "rank")).isEmpty)
+    // a REPLAYED append republishes its batch partition, never duplicates
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 1L)
+    assert(spark.read.parquet(path).count() == 500)
+    // the persisted model round-trips exactly
+    val loaded = Ann.loadModel(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      m.centroids.map(_.toSeq).toSeq)
+    // appending without a model refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfAppendIndex(derived, "vec_id", "v",
+        tmpDir("ivf-nomodel"), batchId = 0L)
+    }
+    assert(e.getMessage.contains("_model.json"), e.getMessage)
+  }
+
+  test("appendDrift flags a batch the trained centroids no longer describe") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-drift") + "/index"
+    Ann.ivfInitIndex(derived, "vec_id", "v", m, path)
+    // a batch drawn from the same distribution: low drift
+    val sameDist = derived.filter($"vec_id" % 7 === 0)
+    val low = Ann.appendDrift(spark, path, sameDist, "v").head()
+      .getAs[Long]("tv_permille")
+    assert(low < 200, s"same-distribution batch drifted $low")
+    // a batch confined to 2 of 16 classes: high drift, retrain signal
+    val narrow = derived.filter(pmod($"vec_id", lit(16L)) < 2)
+    val high = Ann.appendDrift(spark, path, narrow, "v").head()
+      .getAs[Long]("tv_permille")
+    assert(high > 700, s"narrow batch only drifted $high")
+  }
+
   test("cellDrift: zero for identical corpora, 1000 for disjoint, exact permille between") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),
