@@ -350,10 +350,13 @@ object Ann {
     * batch id republishes byte-identically instead of duplicating),
     * while searches still prune on `cell` (Spark discovers batch and
     * cell as partition columns together). The model is persisted
-    * beside the data. */
+    * beside the data. The bootstrap defaults to batch -1: streaming
+    * appenders ([[graft.streaming.VectorIndexIngest]]) use micro-batch
+    * ids starting at 0, and a colliding id would OVERWRITE the
+    * bootstrap partition. */
   def ivfInitIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    model: IvfModel, path: String,
-                   batchId: Long = 0L): Unit = {
+                   batchId: Long = -1L): Unit = {
     saveModel(corpus.sparkSession, model, path)
     modelCache.put(path, model): Unit // a re-init replaces any cached model
     ivfAppendIndex(corpus, idCol, vecCol, path, batchId)

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+import graft.{SparkSpec, Tables}
+import graft.ann.Ann
+
+class VectorIndexIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(FloatType))))
+
+  /** q47-style separable corpus split into a bootstrap + 2 arrivals. */
+  private def derived = Tables.load(spark, sf, "embeddings")
+    .select($"vec_id", transform($"embedding".cast("array<double>"),
+      (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+        lit(10.0)).otherwise(lit(0.0))).as("vd"))
+    .select($"vec_id", $"vd".cast("array<float>").as("v"))
+
+  private def writeArrivals(inDir: String): Unit =
+    Seq(($"vec_id" >= 200L && $"vec_id" < 350L, 0),
+        ($"vec_id" >= 350L, 1)).foreach { case (pred, i) =>
+      val part = s"$inDir/f$i"
+      derived.filter(pred).coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+
+  test("streamed appends = one inline build; checkpoint-loss replay never duplicates") {
+    val in = tmpDir("vii-in"); val idx = tmpDir("vii-idx") + "/index"
+    writeArrivals(in)
+    // bootstrap: model trained on the head, persisted with batch -1
+    val boot = derived.filter($"vec_id" < 200L)
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    Ann.ivfInitIndex(boot, "vec_id", "v", m, idx)
+
+    def run(ckpt: String): Unit = {
+      val q = VectorIndexIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema),
+        "vec_id", "v", idx, ckpt)
+      q.awaitTermination()
+    }
+    run(tmpDir("vii-ckpt-a"))
+    assert(spark.read.parquet(idx).count() == 500)
+    // streamed batches landed in their own partitions, bootstrap intact
+    val batches = spark.read.parquet(idx).select("batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches == Seq(-1L, 0L, 1L), batches)
+
+    // mid-stream search answers EXACTLY like an inline build
+    val queries = derived.filter($"vec_id" < 5)
+    val viaIndex = Ann.ivfTopKIndexed(idx, queries, "vec_id", "v",
+      k = 10, nprobe = 2, Ann.loadModel(spark, idx))
+    val inline = Ann.ivfTopK(derived, queries, "vec_id", "v",
+      k = 10, numCells = 16, nprobe = 2, model = Some(m))
+    assert(viaIndex.select("query_id", "neighbor_id", "rank")
+      .except(inline.select("query_id", "neighbor_id", "rank")).isEmpty)
+    assert(inline.select("query_id", "neighbor_id", "rank")
+      .except(viaIndex.select("query_id", "neighbor_id", "rank")).isEmpty)
+
+    // checkpoint LOSS: the replay re-delivers the same files under the
+    // same batch ids — partitions republish, nothing duplicates
+    run(tmpDir("vii-ckpt-b"))
+    assert(spark.read.parquet(idx).count() == 500)
+  }
+}
