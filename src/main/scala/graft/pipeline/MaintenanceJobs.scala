@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.operators.{FileCompaction, HiveCopy, Merge, Vacuum}
+import graft.operators.{FileCompaction, HiveCopy, Merge, Vacuum, ValueAudit}
 import graft.planning.BackfillPlanner
 import graft.sinks.SnapshotLog
 
@@ -39,6 +39,16 @@ import graft.sinks.SnapshotLog
   *     EXISTING_ENTITY_POLICY_KEY values), `deregister.delete`
   *     (`NO_DELETE`|`RECURSIVE` — DELETE_FILES_ON_DEREGISTER),
   *     `copy.parallelism`
+  *   - `value-audit`: `path` (+ optional `format`), `db`, `table`,
+  *     `out.root`, optional `key.fields`/`delta.fields` (csv dotted
+  *     paths), `projection` (`ALL` | `KEY_DELTA` | csv of paths),
+  *     `selection` (`ALL` | `sample:<permille>` | `where:<sql>`),
+  *     `phase`/`cluster`/`extract`/`snapshot`/`delta.id` (the
+  *     FsAuditSink coordinates, "NA" defaults)
+  *   - `value-audit-diff`: `dir.a`, `dir.b`, `keys` (csv), optional
+  *     `out` (persist the diff as parquet), `fail.on.diff` (default
+  *     `true`: any mismatch or one-sided key FAILS the node, so the
+  *     flow's descendants never run over diverged phases)
   */
 final case class MaintenanceSpec(name: String, kind: String,
                                  props: Map[String, String])
@@ -58,7 +68,7 @@ object MaintenanceRunner {
 
   val kinds: Set[String] =
     Set("vacuum", "compact-files", "merge", "snapshot-expire",
-      "backfill-plan", "hive-copy")
+      "backfill-plan", "hive-copy", "value-audit", "value-audit-diff")
 
   /** Run one maintenance job; returns a human-readable stats summary
     * (recorded as the flow ledger's detail). Throws loudly on missing
@@ -147,6 +157,61 @@ object MaintenanceRunner {
           s"deleted=${reports.map(_.filesDeleted).sum} " +
           s"registered=${reports.map(_.partitionsRegistered).sum} " +
           s"deregistered=${reports.map(_.partitionsDeregistered).sum}"
+      case "value-audit" =>
+        def csv(k: String): Seq[String] = spec.props.get(k)
+          .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val meta = ValueAudit.TableMeta(p("db"), p("table"),
+          keyFields = csv("key.fields"), deltaFields = csv("delta.fields"))
+        val projection = spec.props.getOrElse("projection", "ALL") match {
+          case "ALL" => ValueAudit.ColumnProjection.ProjectAll
+          case "KEY_DELTA" => ValueAudit.ColumnProjection.KeyAndDelta
+          case paths => ValueAudit.ColumnProjection.Fields(
+            paths.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+        }
+        val selection = spec.props.getOrElse("selection", "ALL") match {
+          case "ALL" => ValueAudit.RowSelection.SelectAll
+          case s if s.startsWith("sample:") =>
+            ValueAudit.RowSelection.KeyHashSample(
+              s.stripPrefix("sample:").toDouble / 1000.0)
+          case s if s.startsWith("where:") =>
+            ValueAudit.RowSelection.Where(expr(s.stripPrefix("where:")))
+          case bad => throw new IllegalArgumentException(
+            s"value-audit job '${spec.name}': selection '$bad' " +
+              "(ALL, sample:<permille>, where:<sql>)")
+        }
+        val rt = ValueAudit.RuntimeMeta(
+          phase = ValueAudit.Phase.withName(
+            spec.props.getOrElse("phase", "NA")),
+          cluster = spec.props.getOrElse("cluster", "NA"),
+          extractId = spec.props.getOrElse("extract", "NA"),
+          snapshotId = spec.props.getOrElse("snapshot", "NA"),
+          deltaId = spec.props.getOrElse("delta.id", "NA"))
+        val df = spark.read
+          .format(spec.props.getOrElse("format", "parquet")).load(p("path"))
+        val dir = ValueAudit.auditToFs(df, p("out.root"), meta, rt,
+          projection, selection)
+        s"value-audit: dir=$dir"
+      case "value-audit-diff" =>
+        val keys = p("keys").split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+        val diff = ValueAudit.diff(spark, p("dir.a"), p("dir.b"), keys)
+          .persist()
+        try {
+          spec.props.get("out").foreach(o =>
+            diff.coalesce(1).write.mode("overwrite").parquet(o))
+          val rows = diff.collect()
+          val mism = rows.map(_.getAs[Long]("mismatches")).sum
+          val onlyA = rows.headOption.fold(0L)(_.getAs[Long]("only_in_a"))
+          val onlyB = rows.headOption.fold(0L)(_.getAs[Long]("only_in_b"))
+          val summary = s"value-audit-diff: mismatches=$mism " +
+            s"only_in_a=$onlyA only_in_b=$onlyB cols=${rows.length}"
+          if (spec.props.getOrElse("fail.on.diff", "true").toBoolean &&
+              (mism > 0 || onlyA > 0 || onlyB > 0))
+            throw new IllegalStateException(
+              s"audited phases diverged — $summary (dir.a=${p("dir.a")}, " +
+                s"dir.b=${p("dir.b")})")
+          summary
+        } finally { diff.unpersist(); () }
       case other => throw new IllegalArgumentException(
         s"unknown maintenance kind '$other' for job '${spec.name}' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

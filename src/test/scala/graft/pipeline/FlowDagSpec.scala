@@ -219,4 +219,69 @@ class FlowDagSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("catalog's schema"), e.getMessage)
   }
+
+  test("value-audit hops: two phases audited, the diff hop gates the flow") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-va")
+    val src = graft.Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    src.write.parquet(s"$dir/pull")
+    // the published phase silently lost a row and corrupted another
+    src.filter(col("o_orderkey") =!= 7L)
+      .withColumn("o_totalprice", when(col("o_orderkey") === 32L,
+        col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      .write.parquet(s"$dir/pub")
+    def auditProps(i: Int, name: String, path: String, phase: String) = Map(
+      s"job.$i.job.name" -> name, s"job.$i.job.type" -> "value-audit",
+      s"job.$i.path" -> path, s"job.$i.db" -> "tpch",
+      s"job.$i.table" -> "orders", s"job.$i.out.root" -> s"$dir/audits",
+      s"job.$i.key.fields" -> "o_orderkey",
+      s"job.$i.delta.fields" -> "o_orderstatus,o_totalprice",
+      s"job.$i.projection" -> "KEY_DELTA",
+      s"job.$i.phase" -> phase, s"job.$i.snapshot" -> "s9")
+    val auditDir = (phase: String) =>
+      s"$dir/audits/tpch/orders/P=${phase}_C=NA_E=NA_S=s9_D=NA"
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val nodes = FlowDag.fromProperties(
+      auditProps(1, "audit-pull", s"$dir/pull", "PULL") ++
+      auditProps(2, "audit-pub", s"$dir/pub", "SS_PUB") ++ Map(
+        "job.3.job.name" -> "gate", "job.3.job.type" -> "value-audit-diff",
+        "job.3.dependsOn" -> "audit-pull,audit-pub",
+        "job.3.dir.a" -> auditDir("PULL"), "job.3.dir.b" -> auditDir("SS_PUB"),
+        "job.3.keys" -> "o_orderkey", "job.3.out" -> s"$dir/diff",
+        "job.4.job.name" -> "downstream", "job.4.dependsOn" -> "gate",
+        "job.4.source.path" -> s"$dir/pub",
+        "job.4.fork.1.out" -> s"$dir/published"))
+    val res = FlowDag.run(spark, nodes, "va-run", ledger = Some(ledger))
+    assert(res("audit-pull").status == FlowDag.Succeeded)
+    assert(res("audit-pub").status == FlowDag.Succeeded)
+    // the gate FAILED the flow: phases diverged, descendants cancelled
+    assert(res("gate").status == FlowDag.Failed)
+    assert(res("gate").error.exists(_.contains("diverged")), res("gate"))
+    assert(res("downstream").status == FlowDag.Cancelled)
+    // the persisted diff carries the planted divergence exactly
+    val d = spark.read.parquet(s"$dir/diff").collect()
+      .map(r => r.getAs[String]("col_name") ->
+        (r.getAs[Long]("mismatches"), r.getAs[Long]("only_in_a"),
+          r.getAs[Long]("only_in_b"))).toMap
+    assert(d("o_totalprice") == ((1L, 1L, 0L)), d)
+    assert(d("o_orderstatus") == ((0L, 1L, 0L)), d)
+
+    // identical phases: the gate passes and downstream publishes
+    val nodes2 = FlowDag.fromProperties(
+      auditProps(1, "audit-pull2", s"$dir/pull", "AVRO_CONV") ++
+      auditProps(2, "audit-pub2", s"$dir/pull", "SS_MAT") ++ Map(
+        "job.3.job.name" -> "gate2", "job.3.job.type" -> "value-audit-diff",
+        "job.3.dependsOn" -> "audit-pull2,audit-pub2",
+        "job.3.dir.a" -> auditDir("AVRO_CONV"),
+        "job.3.dir.b" -> auditDir("SS_MAT"),
+        "job.3.keys" -> "o_orderkey",
+        "job.4.job.name" -> "downstream2", "job.4.dependsOn" -> "gate2",
+        "job.4.source.path" -> s"$dir/pull",
+        "job.4.fork.1.out" -> s"$dir/published2"))
+    val res2 = FlowDag.run(spark, nodes2, "va-run2")
+    assert(res2.values.forall(_.status == FlowDag.Succeeded), res2)
+    assert(res2("gate2").detail.exists(_.contains("mismatches=0")), res2)
+    assert(spark.read.parquet(s"$dir/published2").count() == src.count())
+  }
 }
