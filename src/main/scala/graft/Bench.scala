@@ -87,7 +87,9 @@ object Bench {
     "q143_funnel_depth",      // 3-stage funnel through one window sort
     "q146_seq_pack",          // distributed prefix sum + sequence explode
     // appended round 11:
-    "q168_substring_dedup")   // cross-doc 20-gram fingerprint dedup
+    "q168_substring_dedup",   // cross-doc 20-gram fingerprint dedup
+    // appended round 13:
+    "q176_knn_graph")         // IVF cell-confined all-nodes top-k + probe
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a
