@@ -2164,6 +2164,31 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
+    // multi-line pages with planted boilerplate: javascript/short lines
+    // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
+    // the page pass. Every rule is a string pure function DuckDB
+    // replays on the same constructed pages.
+    "q180_c4_line_clean" -> ((s, dir) => {
+      val multi = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("A first proper sentence line.\n"),
+          col("text"), lit("\n"),
+          lit("enable javascript to continue.\n"),
+          lit("Too short.\n"),
+          lit("Another perfectly fine line!\n"),
+          when(col("doc_id") % 7 === 0, lit("sprinkled lorem ipsum here."))
+            .otherwise(lit("A clean closing line?")),
+          when(col("doc_id") % 11 === 0, lit("\ncode { brace."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\nThis mentions contraband openly."))
+            .otherwise(lit(""))).as("text"))
+      graft.text.LineClean.clean(multi, "text", minLineWords = 3,
+        minSentences = 3, badWords = Seq("contraband"))
+        .select("doc_id", "text")
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3912,6 +3937,32 @@ object SparkEntry {
         "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
+    // the same constructed pages, the same line/page rules as string
+    // pure functions (DuckDB lambdas; 'g' flag = Spark's global replace)
+    "q180_c4_line_clean" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "'A first proper sentence line.' || chr(10) || text || chr(10) || " +
+        "'enable javascript to continue.' || chr(10) || " +
+        "'Too short.' || chr(10) || " +
+        "'Another perfectly fine line!' || chr(10) || " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'sprinkled lorem ipsum here.' " +
+        "ELSE 'A clean closing line?' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'code { brace.' " +
+        "ELSE '' END || " +
+        "CASE WHEN doc_id % 13 = 0 THEN chr(10) || " +
+        "'This mentions contraband openly.' ELSE '' END AS t " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, array_to_string(list_filter(" +
+        "string_split(t, chr(10)), x -> " +
+        "regexp_matches(trim(x), '[.!?]\"?$') AND " +
+        "len(regexp_split_to_array(trim(x), '\\s+')) >= 3 AND " +
+        "NOT contains(lower(trim(x)), 'javascript')), chr(10)) AS text " +
+        "FROM m) " +
+        "SELECT doc_id, text FROM c WHERE " +
+        "length(regexp_replace(text, '[^.!?]', '', 'g')) >= 3 AND " +
+        "NOT contains(lower(text), 'lorem ipsum') AND " +
+        "NOT contains(text, '{') AND " +
+        "NOT regexp_matches(lower(text), '\\b(?:contraband)\\b')"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->
