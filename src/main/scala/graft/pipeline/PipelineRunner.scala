@@ -271,6 +271,13 @@ object PipelineRunner {
         case Array("maxrun", spec2) => // textCol=outCol (repetition signal)
           val Array(c, out) = spec2.split('=').map(_.trim)
           df.withColumn(out, graft.text.TextStats.maxTokenRun(col(c)))
+        case Array("lineclean", spec2) => // textCol[;minWords;minSent;bad1,bad2]
+          val parts = spec2.split(';').map(_.trim)
+          graft.text.LineClean.clean(df, parts(0),
+            parts.lift(1).map(_.toInt).getOrElse(3),
+            parts.lift(2).map(_.toInt).getOrElse(5),
+            parts.lift(3).map(_.split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq).getOrElse(Nil))
         case Array("hashsplit", spec2) => // keyCol;train=80,val=10,test=10
           val parts = spec2.split(';').map(_.trim)
           val bands = parts(1).split(',').filter(_.nonEmpty).map { kv =>

@@ -63,6 +63,20 @@ class KnnGraphSpec extends SparkSpec {
     assert(out.select("cluster_id").distinct().count() == 16)
   }
 
+  test("scale pin: build is cell-confined — never a cartesian/nested-loop pairing") {
+    // the whole point of the cell join: pairing must stay an equi-join
+    // on cell, whatever sizes the optimizer sees. brute IS the
+    // nested-loop shape — pin both so a regression is unambiguous.
+    val buildPlan = KnnGraph.build(clustered, "vec_id", "v", k = 3,
+      numCells = 16, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!buildPlan.contains("CartesianProduct") &&
+      !buildPlan.contains("BroadcastNestedLoopJoin"), buildPlan.take(500))
+    val brutePlan = KnnGraph.brute(clustered, "vec_id", "v", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(brutePlan.contains("CartesianProduct") ||
+      brutePlan.contains("BroadcastNestedLoopJoin"), brutePlan.take(500))
+  }
+
   test("brute refuses corpora past the O(n²) guard") {
     val e = intercept[IllegalArgumentException] {
       KnnGraph.brute(clustered, "vec_id", "v", k = 3, maxRows = 10L)

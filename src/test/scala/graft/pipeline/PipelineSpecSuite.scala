@@ -559,4 +559,24 @@ class PipelineSpecSuite extends SparkSpec {
       assert(e2.getMessage.contains("unknown enrich option"), e2.getMessage)
     } finally { srv.stop(0); pool.shutdownNow(); () }
   }
+
+  test("declarative lineclean transform applies the C4 line + page rules") {
+    val out = tmpDir("pipe-lineclean")
+    val spec = PipelineSpec(
+      name = "c4",
+      source = SourceSpec(format = "parquet", path = s"$sf/documents.parquet"),
+      transformExprs = Seq(
+        "selectExpr:doc_id;concat('A good line one.\\n', text, " +
+          "'\\nenable javascript now.', " +
+          "CASE WHEN doc_id % 2 = 0 THEN '\\nSecond fine line here!' " +
+          "ELSE '\\nbrace { page.' END) AS text",
+        "lineclean:text;3;2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/main")))
+    PipelineRunner.run(spark, spec, "runLineClean")
+    val back = spark.read.parquet(s"$out/main")
+    // odd doc_ids carry a surviving brace line -> their pages dropped
+    assert(back.count() > 0)
+    assert(back.filter(col("doc_id") % 2 =!= 0).count() == 0, "brace pages kept")
+    assert(back.filter(lower(col("text")).contains("javascript")).count() == 0)
+  }
 }

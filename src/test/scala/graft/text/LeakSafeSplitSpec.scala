@@ -69,6 +69,14 @@ class LeakSafeSplitSpec extends SparkSpec {
     } else assert(audit.isEmpty)
   }
 
+  test("scale pin: byGroup over a parquet table is map-only — zero exchanges") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", ($"doc_id" % 97).as("grp"))
+    val plan = LeakSafeSplit.byGroup(docs, "grp",
+      Seq("train" -> 90, "test" -> 10)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("band widths must sum to mod (hashSplit contract)") {
     val docs = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
     val e = intercept[IllegalArgumentException] {
