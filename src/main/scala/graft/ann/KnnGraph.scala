@@ -99,7 +99,11 @@ object KnnGraph {
     * chain unrelated clusters unless they rank it back. Output
     * `(idCol, cluster_id)` for every corpus vector; singletons are
     * their own cluster ([[graft.dedup.DupClusters.resolve]] semantics,
-    * including its driver/distributed hybrid execution). */
+    * including its driver/distributed hybrid execution — and its cache
+    * contract: the component map stays persisted for re-derivability;
+    * eager unpersist would be unsafe on the checkpointed distributed
+    * path, so sessions running MANY clusterings should clear it
+    * between runs). */
   def clusters(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                numCells: Int = 64, nprobe: Int = 2, mutual: Boolean = true,
                maxCellSize: Long = 100000L,

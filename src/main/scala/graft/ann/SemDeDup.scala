@@ -209,16 +209,30 @@ object SemDeDup {
   /** Certification check (d)'s engine, separated so a planted violation
     * can be driven directly: count near pairs (cosine ≥ threshold)
     * among `mSurv` rows — schema (id, vec, __cell, __norm, ...) — whose
-    * cell falls in a deterministic 1-in-`probeCells` hash sample of
-    * cells. `probeCells = 1` probes every cell (full triangular
-    * re-pair of the survivor set). A correct dedup yields 0. */
+    * cell falls in a deterministic 1-in-`probeCells` sample of cells
+    * chosen by HASH RANK over the survivors' distinct cells (never
+    * modulo: with few cells a modulo sample can deterministically
+    * select ZERO of them, and a zero-cell probe would certify output
+    * it never examined — same model, every run). At least one cell is
+    * always probed. `probeCells = 1` probes every cell (full
+    * triangular re-pair of the survivor set). A correct dedup
+    * yields 0. */
   private[ann] def probeSurvivorPairs(mSurv: DataFrame, idCol: String,
                                       vecCol: String, threshold: Double,
                                       probeCells: Int): Long = {
     val s =
       if (probeCells == 1) mSurv
-      else mSurv.filter(
-        pmod(xxhash64(col("__cell")), lit(probeCells)) === lit(0))
+      else {
+        // distinct survivor cells are bounded by the model's cell count
+        val ranked = mSurv.select(col("__cell")).distinct()
+          .select(col("__cell"), xxhash64(col("__cell")).as("__h"))
+          .collect()
+          .sortBy(r => (r.getLong(1), r.get(0).toString))
+        val chosen = ranked
+          .take(math.max(1, ranked.length / probeCells))
+          .map(_.get(0)).toSeq
+        mSurv.filter(col("__cell").isInCollection(chosen))
+      }
     val pa = s.select(col(idCol).as("__id_a"), col(vecCol).as("__vec_a"),
       col("__cell"), col("__norm").as("__norm_a"))
     val pb = s.select(col(idCol).as("__id_b"), col(vecCol).as("__vec_b"),

@@ -152,15 +152,23 @@ final class GraftDriverPlugin extends DriverPlugin {
   * root (ContextAwareCounter semantics) and land in every attached
   * reporter/store beside the engine's semantic metrics. */
 final class TaskMetricsRecorder(root: MetricContext) extends SparkListener {
-  // stageId -> jobId, bounded by live stages (cleared as stages finish)
-  private val stageJob = new ConcurrentHashMap[Int, Int]()
+  // stageId -> jobId; boxed values so a missing stage maps to null ->
+  // None (an Int-valued map would unbox null to 0 and attribute unknown
+  // stages to a phantom job 0). Entries for stages that never complete
+  // (SKIPPED via shuffle/cache reuse) are purged at job end, so the map
+  // stays bounded on long-running drivers.
+  private val stageJob = new ConcurrentHashMap[Int, java.lang.Integer]()
 
   override def onJobStart(js: SparkListenerJobStart): Unit =
-    js.stageIds.foreach(sid => stageJob.put(sid, js.jobId): Unit)
+    js.stageIds.foreach(sid =>
+      stageJob.put(sid, java.lang.Integer.valueOf(js.jobId)): Unit)
+
+  override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+    stageJob.entrySet.removeIf(e => e.getValue.intValue() == je.jobId): Unit
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val info = sc.stageInfo
-    val jobId = Option(stageJob.remove(info.stageId))
+    val jobId = Option(stageJob.remove(info.stageId)).map(_.intValue())
     val ctx = jobId.fold(root)(j => root.childContext(s"spark_job_$j"))
     val m = info.taskMetrics
     if (m != null) {

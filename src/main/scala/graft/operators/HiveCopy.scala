@@ -256,7 +256,10 @@ object HiveCopy {
       val samePartCols = t.partitionColumnNames == partCols
       cfg.existingPolicy match {
         case ExistingTablePolicy.Replace =>
-          spark.sql(s"DROP TABLE IF EXISTS ${q(cfg.targetDb)}.${q(tgtId.table)}"): Unit
+          // the DROP is deferred to the post-publish step: dropping here
+          // would leave readers without a table for the whole byte copy,
+          // and a crashed copy would have deregistered a healthy replica
+          ()
         case ExistingTablePolicy.Update =>
           require(samePartCols,
             s"${tgtId}: existing target partition keys " +
@@ -291,9 +294,14 @@ object HiveCopy {
     // registration is deferred until the byte copy succeeds (reference:
     // register steps are post-publish), so a failed first run leaves NO
     // readable-but-empty replica table; on a first run the target table
-    // does not exist yet and has no partitions to enumerate
+    // does not exist yet and has no partitions to enumerate. Under a
+    // pending REPLACE the old registration is about to be dropped —
+    // its partitions go with the table, so none count as pre-registered
+    val replacing = existing.isDefined &&
+      cfg.existingPolicy == ExistingTablePolicy.Replace
     val tgtParts =
-      if (partCols.isEmpty || !cat.tableExists(tgtId)) Nil else partsOf(tgtId)
+      if (partCols.isEmpty || replacing || !cat.tableExists(tgtId)) Nil
+      else partsOf(tgtId)
 
     /** spec -> the partition's path relative to its table root; falls
       * back to the canonical col=value layout for exotic locations. */
@@ -364,7 +372,11 @@ object HiveCopy {
     toCopy.unpersist(); toDelete.unpersist(): Unit
 
     // -- target metastore registration (post-publish: only reached once
-    // every byte landed, so a crashed run never registers a half-replica)
+    // every byte landed, so a crashed run never registers a half-replica
+    // AND a pending REPLACE never deregisters a healthy one mid-copy —
+    // the drop-and-re-register swap happens here, after the bytes)
+    if (replacing)
+      spark.sql(s"DROP TABLE IF EXISTS ${q(cfg.targetDb)}.${q(tgtId.table)}"): Unit
     registerExternal(spark, cfg.targetDb, tgtId.table, meta.schema, partCols,
       tgtRoot, format)
     val tgtSpecs = tgtParts.map(_.spec).toSet

@@ -141,8 +141,10 @@ object ValueAudit {
     * `(col_name, mismatches, only_in_a, only_in_b)` where `mismatches`
     * counts keys present in both audits whose value differs
     * (null-safe), and the `only_*` counts (identical on every row)
-    * are keys seen by exactly one phase. An empty result means the
-    * audits project different column sets — refused loudly instead.
+    * are keys seen by exactly one phase. Key-only audits (no value
+    * columns) emit ONE `__key_set__` row carrying the `only_*` counts,
+    * so a gate on the diff still catches lost/gained keys. Audits
+    * projecting different column sets are refused loudly.
     *
     * Scale shape: ONE shuffle (the full-outer key join) + one aggregate
     * with map-side combine; the melt to per-column rows is over a
@@ -179,8 +181,9 @@ object ValueAudit {
     val r = joined.agg(aggs.head, aggs.tail: _*).head()
     val onlyA = r.getAs[Long]("__only_a")
     val onlyB = r.getAs[Long]("__only_b")
-    val rows = valCols.map(c =>
-      Row(c, r.getAs[Long](s"__m_$c"), onlyA, onlyB))
+    val rows =
+      if (valCols.isEmpty) Seq(Row("__key_set__", 0L, onlyA, onlyB))
+      else valCols.map(c => Row(c, r.getAs[Long](s"__m_$c"), onlyA, onlyB))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("col_name", StringType, nullable = false),

@@ -228,8 +228,6 @@ object CronSchedule {
       case _ => None
     }
     val dowSpecial: Option[DaySpecial] = f(5).toUpperCase match {
-      // bare 'L' in day-of-week is valid Quartz: shorthand for 7L (SAT)
-      case "L" => Some(LastDowOfMonth(7))
       case DowLast(d) => Some(LastDowOfMonth(dowAtom(d)))
       case DowNth(d, n) =>
         require(n.toInt >= 1 && n.toInt <= 5, s"#$n outside [1,5]")
@@ -252,6 +250,10 @@ object CronSchedule {
     val dow = f(5) match {
       case _ if dowSpecial.isDefined => None
       case "?" | "*" => None
+      // bare 'L' in day-of-week "simply means 7 or SAT" (Quartz
+      // CronExpression docs) — EVERY Saturday, not the month's last
+      // (that is '7L'); only a trailing L after a day number means last
+      case l if l.toUpperCase == "L" => Some(Set(7))
       case other => Some(parseField(other, 1, 7, DayNames))
     }
     CronSchedule(

@@ -38,7 +38,11 @@ object LeakSafeSplit {
     * exact-hash groups, MinHash-verified near-dups, SemDeDup cells…)
     * and split by the CLUSTER id. Singletons (docs in no pair) are
     * their own cluster, so they split by their own id. The cluster id
-    * is kept in `clusterCol` for audit joins. */
+    * is kept in `clusterCol` for audit joins. Shares
+    * [[DupClusters.resolve]]'s cache contract: the resolved component
+    * map stays persisted (required for re-derivability on the
+    * checkpointed distributed path) — clear it between many
+    * resolutions in one session. */
   def byCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
                 bands: Seq[(String, Int)],
                 outCol: String = "split", clusterCol: String = "cluster_id",

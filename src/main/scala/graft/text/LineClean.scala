@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 — the rules
-  * that produced C4 from Common Crawl): keep only lines that end in a
+  * that produced C4 from Common Crawl; the paper's exact wording:
+  * "only retained lines that contained at least 3 words" and
+  * "discarded any page with fewer than 5 sentences", hence the 3/5
+  * defaults): keep only lines that end in a
   * terminal punctuation mark, carry at least `minLineWords` words and
   * don't mention "javascript"; then drop whole PAGES that end up with
   * fewer than `minSentences` sentences, contain "lorem ipsum" or a
@@ -67,19 +70,24 @@ object LineClean {
     * aggregate pass: how much each rule costs before committing to it. */
   def funnel(docs: DataFrame, textCol: String, minLineWords: Int = 3,
              minSentences: Int = 5, badWords: Seq[String] = Nil): DataFrame = {
-    val cleaned = cleanedText(col(textCol), minLineWords)
+    // the line pass is PROJECTED once per row before aggregating —
+    // Catalyst does not common-subexpression-eliminate higher-order
+    // functions, so referencing cleanedText in all six predicates would
+    // split+filter+regex every row six times
+    val cleaned = col("__cleaned")
     def cnt(pred: Column, name: String) =
       coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(name)
     val badPred =
       if (badWords.isEmpty) lit(false)
       else lower(cleaned).rlike("\\b(?:" +
         badWords.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b")
-    docs.agg(
-      cnt(lit(true), "pages"),
-      cnt(sentenceCount(cleaned) < minSentences, "too_few_sentences"),
-      cnt(lower(cleaned).contains("lorem ipsum"), "lorem_ipsum"),
-      cnt(cleaned.contains("{"), "curly_brace"),
-      cnt(badPred, "bad_words"),
-      cnt(pageKeep(cleaned, minSentences, badWords), "pages_kept"))
+    docs.select(cleanedText(col(textCol), minLineWords).as("__cleaned"))
+      .agg(
+        cnt(lit(true), "pages"),
+        cnt(sentenceCount(cleaned) < minSentences, "too_few_sentences"),
+        cnt(lower(cleaned).contains("lorem ipsum"), "lorem_ipsum"),
+        cnt(cleaned.contains("{"), "curly_brace"),
+        cnt(badPred, "bad_words"),
+        cnt(pageKeep(cleaned, minSentences, badWords), "pages_kept"))
   }
 }

@@ -166,6 +166,14 @@ class SemDeDupSpec extends SparkSpec {
     val sliced = SemDeDup.probeSurvivorPairs(broken, "id", "vec",
       threshold = 0.99, probeCells = 1000000)
     assert(sliced == 0L || sliced == 1L)
+    // …but the slice is NEVER empty (hash-rank, not modulo): with a
+    // near pair planted in EVERY cell, any probe setting must fire
+    val everywhere = msurv(
+      (1L, Seq(1.0, 0.001, 0.0), 0), (2L, Seq(1.0, 0.002, 0.0), 0),
+      (10L, Seq(0.0, 1.0, 0.0), 1), (11L, Seq(0.0, 1.0, 0.001), 1))
+    assert(SemDeDup.probeSurvivorPairs(everywhere, "id", "vec",
+      threshold = 0.99, probeCells = 1000000) >= 1L,
+      "a zero-cell probe would certify output it never examined")
     // end-to-end: a full-coverage probe (probeCells = 1) still certifies
     // a correct run — the probe agrees with the main pass everywhere
     val d = df(

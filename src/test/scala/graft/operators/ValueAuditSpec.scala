@@ -132,6 +132,19 @@ class ValueAuditSpec extends SparkSpec {
     assert(d("o_totalprice") == ((0L, expOnlyA, 5L)), d)
   }
 
+  test("diff: key-only audits still surface lost/gained keys via __key_set__") {
+    val root = tmpDir("va-diff-keys")
+    val a = auditToFs(orders.limit(50), root, meta,
+      RuntimeMeta(phase = Phase.PULL, snapshotId = "k1"),
+      projection = ColumnProjection.Fields(Seq("o_orderkey")))
+    val b = auditToFs(orders.limit(50).filter(col("o_orderkey") % 5 =!= 0),
+      root, meta, RuntimeMeta(phase = Phase.SS_PUB, snapshotId = "k1"),
+      projection = ColumnProjection.Fields(Seq("o_orderkey")))
+    val d = ValueAudit.diff(spark, a, b, Seq("o_orderkey")).collect()
+    assert(d.length == 1 && d.head.getString(0) == "__key_set__", d.toSeq)
+    assert(d.head.getLong(2) > 0 && d.head.getLong(3) == 0, d.toSeq)
+  }
+
   test("diff: mismatched projections and unknown keys refuse loudly") {
     val root = tmpDir("va-diff-refuse")
     val a = auditToFs(orders.limit(10), root, meta,

@@ -110,12 +110,15 @@ class CronScheduleSpec extends AnyFunSuite {
     assert(w31.next(t("2024-02-01T00:00:00")) == Some(t("2024-03-29T12:00:00")))
   }
 
-  test("bare L in day-of-week is shorthand for 7L (last Saturday)") {
-    val c = CronSchedule.parse("0 0 12 ? * L")
+  test("bare L in day-of-week means plain SAT (every Saturday); 7L is the last one") {
+    // Quartz CronExpression: bare 'L' in dow "simply means 7 or SAT" —
+    // it fires EVERY Saturday, unlike '7L' (the month's last Saturday)
+    val every = CronSchedule.parse("0 0 12 ? * L")
+    assert(every.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-02T12:00:00")))
+    assert(every.next(t("2024-03-02T13:00:00")) == Some(t("2024-03-09T12:00:00")))
+    val last = CronSchedule.parse("0 0 12 ? * 7L")
     // Saturdays of March 2024: 2, 9, 16, 23, 30 -> last is the 30th
-    assert(c.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-30T12:00:00")))
-    val sat = CronSchedule.parse("0 0 12 ? * 7L")
-    assert(sat.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-30T12:00:00")))
+    assert(last.next(t("2024-03-01T00:00:00")) == Some(t("2024-03-30T12:00:00")))
   }
 
   test("dL and d#n: last / nth weekday of the month") {
