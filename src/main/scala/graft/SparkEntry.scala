@@ -2189,6 +2189,31 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
+    // Gopher duplicate-LINE signals (§A1.1's document-structure half):
+    // planted boilerplate repeats on every third page; all four signals
+    // are integers and the keep gate cross-multiplies the paper's
+    // 0.30/0.20 fractions, so DuckDB recomputes the exact survivor set.
+    "q181_dup_segments" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("A recurring boilerplate footer line\n"),
+          col("text"), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("A recurring boilerplate footer line\n" +
+              "A recurring boilerplate footer line"))
+            .otherwise(concat(lit("unique tail "),
+              col("doc_id").cast("string")))).as("text"))
+      val withStats = graft.text.TextStats.segmentStats(col("text"), "\n")
+        .foldLeft(pages) { case (d, (n, c)) => d.withColumn(n, c) }
+      withStats.select(col("doc_id"), col("n_segments"),
+        col("n_distinct_segments"), col("seg_chars"),
+        col("distinct_seg_chars"),
+        (((col("n_segments") - col("n_distinct_segments")) * 100 <=
+            col("n_segments") * 30) &&
+          ((col("seg_chars") - col("distinct_seg_chars")) * 100 <=
+            col("seg_chars") * 20)).as("kept"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -3963,6 +3988,29 @@ object SparkEntry {
         "NOT contains(lower(text), 'lorem ipsum') AND " +
         "NOT contains(text, '{') AND " +
         "NOT regexp_matches(lower(text), '\\b(?:contraband)\\b')"),
+    // identical list pipeline: split -> trim -> drop empties ->
+    // distinct; every signal integer, gate cross-multiplied
+    "q181_dup_segments" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "'A recurring boilerplate footer line' || chr(10) || text || " +
+        "chr(10) || CASE WHEN doc_id % 3 = 0 THEN " +
+        "'A recurring boilerplate footer line' || chr(10) || " +
+        "'A recurring boilerplate footer line' " +
+        "ELSE 'unique tail ' || doc_id END AS t FROM documents), " +
+        "s AS (SELECT doc_id, list_filter(list_transform(" +
+        "string_split(t, chr(10)), x -> trim(x)), x -> length(x) > 0) " +
+        "AS segs FROM m), " +
+        "v AS (SELECT doc_id, len(segs)::BIGINT AS n_segments, " +
+        "len(list_distinct(segs))::BIGINT AS n_distinct_segments, " +
+        "list_sum(list_transform(segs, x -> length(x)))::BIGINT " +
+        "AS seg_chars, " +
+        "list_sum(list_transform(list_distinct(segs), x -> length(x)))" +
+        "::BIGINT AS distinct_seg_chars FROM s) " +
+        "SELECT doc_id, n_segments, n_distinct_segments, seg_chars, " +
+        "distinct_seg_chars, " +
+        "((n_segments - n_distinct_segments) * 100 <= n_segments * 30 " +
+        "AND (seg_chars - distinct_seg_chars) * 100 <= seg_chars * 20) " +
+        "AS kept FROM v"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

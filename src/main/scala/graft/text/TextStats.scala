@@ -141,6 +141,31 @@ object TextStats {
     lit(1.0) - size(array_distinct(ngrams)).cast("double") /
       size(ngrams).cast("double")
 
+  /** Gopher duplicate-SEGMENT signals — the document-structure half of
+    * §A1.1 next to the n-gram fractions: over segments = non-empty
+    * trimmed splits of `text` by `sep` ("\n" for lines, "\n{2,}" for
+    * paragraphs),
+    *   duplicate segments  = n_segments − n_distinct_segments
+    *   duplicate chars     = seg_chars − distinct_seg_chars
+    * (every repeat beyond the first counts its FULL length, matching
+    * the paper's "fraction of characters contained within duplicate
+    * lines/paragraphs"; Gopher drops docs past 0.30 / 0.20). All four
+    * outputs are integers so thresholds cross-multiply exactly in any
+    * engine. Map-only column expressions. */
+  def segmentStats(text: Column, sep: String): Seq[(String, Column)] = {
+    val segs = filter(transform(split(text, sep), s => trim(s)),
+      s => length(s) > 0)
+    val dist = array_distinct(segs)
+    def chars(a: Column) =
+      aggregate(transform(a, s => length(s).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    Seq(
+      "n_segments" -> size(segs).cast("bigint"),
+      "n_distinct_segments" -> size(dist).cast("bigint"),
+      "seg_chars" -> chars(segs),
+      "distinct_seg_chars" -> chars(dist))
+  }
+
   /** Exact-duplicate fingerprint: md5 of the text (portable across
     * engines; used by exact-dedup-by-content). */
   def contentFingerprint(text: Column): Column = md5(text)

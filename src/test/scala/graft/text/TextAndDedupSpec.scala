@@ -272,4 +272,25 @@ class TextAndDedupSpec extends SparkSpec {
       .candidatePairs(d, "doc_id", "text", numBands = b)
     assert(auto.exceptAll(manual).isEmpty && manual.exceptAll(auto).isEmpty)
   }
+
+  test("segmentStats: duplicate lines and paragraphs, trims and drops empties") {
+    import org.apache.spark.sql.functions.col
+    // 4 lines, "dup me" twice (7 chars each); blank + padded lines noise
+    val text = "dup me\n  dup me  \n\nunique one\nanother"
+    val df = Seq(text).toDF("text")
+    val byLine = graft.text.TextStats.segmentStats(col("text"), "\n")
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }.head()
+    assert(byLine.getAs[Long]("n_segments") == 4)
+    assert(byLine.getAs[Long]("n_distinct_segments") == 3)
+    assert(byLine.getAs[Long]("seg_chars") == 6 + 6 + 10 + 7)
+    assert(byLine.getAs[Long]("distinct_seg_chars") == 6 + 10 + 7)
+    // paragraphs: split on blank lines
+    val paras = "para one\nstill para one\n\npara two\n\npara two"
+    val byPara = graft.text.TextStats
+      .segmentStats(col("text"), "\n{2,}")
+      .foldLeft(Seq(paras).toDF("text")) {
+        case (d, (n, c)) => d.withColumn(n, c) }.head()
+    assert(byPara.getAs[Long]("n_segments") == 3)
+    assert(byPara.getAs[Long]("n_distinct_segments") == 2)
+  }
 }
