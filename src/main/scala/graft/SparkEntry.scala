@@ -2214,6 +2214,20 @@ object SparkEntry {
             col("seg_chars") * 20)).as("kept"))
     }),
 
+    // fixed-size eval carving with cluster QUARANTINE: per language, the
+    // 5 lowest-hash docs become eval and their unselected dup-cluster
+    // mates leave train entirely. Decade-star clusters + the portable
+    // hash make every role DuckDB-recomputable.
+    "q182_eval_carve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") - pmod(col("doc_id"), lit(10L))).as("id_b"))
+      val clustered = graft.dedup.DupClusters.resolve(docs, "doc_id", pairs)
+      graft.text.LeakSafeSplit.carveEval(clustered, "doc_id",
+        "cluster_id", "lang", perStratum = 5)
+        .select("doc_id", "lang", "cluster_id", "role")
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -4011,6 +4025,19 @@ object SparkEntry {
         "((n_segments - n_distinct_segments) * 100 <= n_segments * 30 " +
         "AND (seg_chars - distinct_seg_chars) * 100 <= seg_chars * 20) " +
         "AS kept FROM v"),
+    // same portable doc hash, same per-stratum rank, same cluster
+    // quarantine — every role recomputed
+    "q182_eval_carve" ->
+      ("WITH c AS (SELECT doc_id, lang, doc_id - doc_id % 10 AS cluster_id, " +
+        "('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)),1,15))" +
+        "::BIGINT AS h FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY h, doc_id) AS rn FROM c), " +
+        "ec AS (SELECT DISTINCT cluster_id FROM r WHERE rn <= 5) " +
+        "SELECT doc_id, lang, cluster_id, " +
+        "CASE WHEN rn <= 5 THEN 'eval' WHEN cluster_id IN " +
+        "(SELECT cluster_id FROM ec) THEN 'quarantine' " +
+        "ELSE 'train' END AS role FROM r"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

@@ -53,6 +53,44 @@ object LeakSafeSplit {
     byGroup(named, clusterCol, bands, outCol, mod)
   }
 
+  /** Carve a FIXED-SIZE eval set with cluster quarantine: per stratum
+    * (language, source, …), the `perStratum` docs with the smallest
+    * portable doc-hash become `eval`; every unselected doc sharing a
+    * dup-cluster with an eval doc becomes `quarantine` (it may appear
+    * in NEITHER side — near-dups of eval members leaking into train is
+    * the contamination this exists to stop, and putting them in eval
+    * would double-count); everything else is `train`. Deterministic:
+    * re-runs pick the same eval set, and a grown corpus can only add
+    * eval docs, never swap... strictly: a new doc hashing under a
+    * selected one displaces it, so PIN the eval set by persisting it —
+    * this builder is for the initial carve.
+    *
+    * Scale: one rank window per stratum (shuffle by stratum) + one
+    * semi-join of clusters against the eval clusters (eval is
+    * perStratum·strata rows — broadcastable). */
+  def carveEval(docs: DataFrame, idCol: String, clusterCol: String,
+                stratumCol: String, perStratum: Int,
+                roleCol: String = "role"): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive: $perStratum")
+    val h = graft.text.TextStats.portableHash60(
+      concat(lit("eval:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    val ranked = docs.withColumn("__r", row_number().over(w))
+    val isEval = col("__r") <= perStratum
+    val evalClusters = ranked.filter(isEval)
+      .select(col(clusterCol)).distinct()
+    ranked
+      .join(broadcast(evalClusters
+          .withColumn("__in_eval_cluster", lit(true))),
+        Seq(clusterCol), "left")
+      .withColumn(roleCol,
+        when(isEval, lit("eval"))
+          .when(col("__in_eval_cluster"), lit("quarantine"))
+          .otherwise(lit("train")))
+      .drop("__r", "__in_eval_cluster")
+  }
+
   /** The leakage audit: groups whose members carry MORE than one
     * distinct split label — rows `(group, n_splits, splits)`, empty
     * iff the split is leakage-free. [[byGroup]]/[[byCluster]] output

@@ -69,6 +69,34 @@ class LeakSafeSplitSpec extends SparkSpec {
     } else assert(audit.isEmpty)
   }
 
+  test("carveEval: per-stratum quota, cluster mates quarantined out of train") {
+    val docs = (1L to 300L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", i / 10)) // clusters of ~10
+      .toDF("doc_id", "lang", "cluster_id")
+    val out = LeakSafeSplit.carveEval(docs, "doc_id", "cluster_id",
+      "lang", perStratum = 4)
+    val roles = out.groupBy("lang", "role").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(roles(("en", "eval")) == 4 && roles(("de", "eval")) == 4, roles)
+    // no train doc shares a cluster with any eval doc (the guarantee)
+    val evalClusters = out.filter($"role" === "eval")
+      .select("cluster_id").distinct()
+    assert(out.filter($"role" === "train")
+      .join(evalClusters, Seq("cluster_id"), "left_semi").isEmpty)
+    // quarantine = exactly the unselected members of eval clusters
+    assert(out.filter($"role" === "quarantine")
+      .join(evalClusters, Seq("cluster_id"), "left_anti").isEmpty)
+    // deterministic: same carve on a re-run
+    val again = LeakSafeSplit.carveEval(docs, "doc_id", "cluster_id",
+      "lang", perStratum = 4)
+    assert(out.select("doc_id", "role").except(
+      again.select("doc_id", "role")).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      LeakSafeSplit.carveEval(docs, "doc_id", "cluster_id", "lang", 0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("scale pin: byGroup over a parquet table is map-only — zero exchanges") {
     val docs = Tables.load(spark, sf, "documents")
       .select($"doc_id", ($"doc_id" % 97).as("grp"))
