@@ -180,6 +180,11 @@ class AnnSpec extends SparkSpec {
     Ann.ivfAppendIndex(derived.filter($"vec_id" >= 250), "vec_id", "v",
       path, batchId = 1L)
     assert(spark.read.parquet(path).count() == 500)
+    // the batch=/cell= nested layout still prunes unprobed cells
+    val scan = viaIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"incremental index scan must prune on cell:\n${scan.take(500)}")
     // the persisted model round-trips exactly
     val loaded = Ann.loadModel(spark, path)
     assert(loaded.centroids.map(_.toSeq).toSeq ==

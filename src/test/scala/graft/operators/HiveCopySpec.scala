@@ -117,6 +117,16 @@ class HiveCopySpec extends SparkSpec {
     assert(changed.head.filesDeleted > 0, "stale target files not deleted")
     assert(spark.table(s"$tgtDb.ev_incr").where(col("dt") === firstDt)
       .count() == n)
+
+    // the replica registration carries the partition scheme: a dt
+    // filter through the TARGET catalog prunes at the scan (a DDL
+    // missing PARTITIONED BY would silently full-scan every read)
+    val pruned = spark.table(s"$tgtDb.ev_incr")
+      .where(col("dt") === firstDt)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(pruned.contains("PartitionFilters") && pruned.contains("dt"),
+      s"replica reads must partition-prune on dt:\n${pruned.take(500)}")
   }
 
   test("partition dropped at source is deregistered at target (files per policy)") {
