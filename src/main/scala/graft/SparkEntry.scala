@@ -2228,6 +2228,12 @@ object SparkEntry {
         .select("doc_id", "lang", "cluster_id", "role")
     }),
 
+    // the corpus data card: per-source masses + exact permille shares,
+    // one scan — every number an integer DuckDB recomputes directly.
+    "q183_corpus_report" -> ((s, dir) =>
+      graft.text.CorpusReport.byStratum(
+        t(s, dir, "documents"), "source", "text", "lang")),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -4038,6 +4044,17 @@ object SparkEntry {
         "CASE WHEN rn <= 5 THEN 'eval' WHEN cluster_id IN " +
         "(SELECT cluster_id FROM ec) THEN 'quarantine' " +
         "ELSE 'train' END AS role FROM r"),
+    "q183_corpus_report" ->
+      ("WITH a AS (SELECT source, count(*)::BIGINT AS n_docs, " +
+        "sum(length(text))::BIGINT AS chars, " +
+        "sum(len(string_split(text, ' ')))::BIGINT AS tokens, " +
+        "sum(CAST(ceil(length(text) / 4.0) AS BIGINT))::BIGINT " +
+        "AS tokens_bpe_est, " +
+        "count(DISTINCT lang)::BIGINT AS n_langs " +
+        "FROM documents GROUP BY source) " +
+        "SELECT source, n_docs, chars, tokens, tokens_bpe_est, n_langs, " +
+        "(chars * 1000) // (SELECT sum(chars) FROM a) " +
+        "AS char_share_permille FROM a"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->
