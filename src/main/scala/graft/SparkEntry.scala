@@ -2234,6 +2234,37 @@ object SparkEntry {
       graft.text.CorpusReport.byStratum(
         t(s, dir, "documents"), "source", "text", "lang")),
 
+    // SQ8-compressed incremental index: init/append/replay through the
+    // same atomic batch layout, search dequantizes at scan time. The
+    // affine coding is double-exact, so DuckDB replays quantize ->
+    // dequantize -> cosine -> rank and the search must match it.
+    "q184_ivf_sq8" -> ((s, dir) => {
+      import graft.ann.Ann
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val m = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      val path = tmp("q184") + "/index"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Ann.ivfInitIndexSq8(derived.filter(col("vec_id") < 250),
+        "vec_id", "embedding", m, path)
+      Ann.ivfAppendIndexSq8(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 1L)
+      Ann.ivfAppendIndexSq8(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 1L) // replay: no dup
+      require(s.read.parquet(path).count() == derived.count(),
+        "replayed SQ8 append duplicated index rows")
+      Ann.ivfTopKIndexedSq8(path, derived.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        Ann.loadModel(s, path))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -4055,6 +4086,32 @@ object SparkEntry {
         "SELECT source, n_docs, chars, tokens, tokens_bpe_est, n_langs, " +
         "(chars * 1000) // (SELECT sum(chars) FROM a) " +
         "AS char_share_permille FROM a"),
+    // replay the affine int8 coding (q82's expressions), reconstruct,
+    // then the q47 exact-top-k contract over the RECONSTRUCTED corpus
+    "q184_ivf_sq8" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS mn, " +
+        "list_aggregate(v, 'max') AS mx FROM e), " +
+        "c AS (SELECT vec_id, v, mn, mx, (mx - mn)/255.0 AS sc FROM b), " +
+        "d AS (SELECT vec_id, mn, mx, sc, list_transform(v, x -> " +
+        "CASE WHEN sc = 0 THEN 0 " +
+        "ELSE CAST(floor((x - mn)/sc + 0.5) AS INTEGER) - 128 END) " +
+        "AS codes FROM c), " +
+        "r AS (SELECT vec_id, list_transform(codes, q -> " +
+        "(CAST(q AS DOUBLE) + 128) * sc + mn) AS rv FROM d), " +
+        "qs AS (SELECT e.vec_id AS query_id, e.v AS qv FROM e " +
+        "WHERE e.vec_id < 5), " +
+        "cs AS (SELECT vec_id AS neighbor_id, rv AS cv FROM r), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM qs, cs " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) " +
+        "WHERE rank <= 10"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

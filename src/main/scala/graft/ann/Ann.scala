@@ -385,6 +385,60 @@ object Ann {
                               path: String): IvfModel =
     modelCache.computeIfAbsent(path, p => loadModel(spark, p))
 
+  /** SQ8-COMPRESSED incremental index: same `batch=/cell=` layout and
+    * replay contract as [[ivfAppendIndex]], but rows store per-vector
+    * int8 codes + (mn, mx) instead of float vectors — ~4× the vectors
+    * per byte of index. Cell assignment uses the ORIGINAL vector (an
+    * assignment degraded by coding error would be permanent; the coding
+    * error only touches SEARCH scores, where it is bounded by the
+    * affine scheme — see [[Quantize]]). Search with
+    * [[ivfTopKIndexedSq8]], which dequantizes at scan time. */
+  def ivfInitIndexSq8(corpus: DataFrame, idCol: String, vecCol: String,
+                      model: IvfModel, path: String,
+                      batchId: Long = -1L): Unit = {
+    saveModel(corpus.sparkSession, model, path)
+    modelCache.put(path, model): Unit
+    ivfAppendIndexSq8(corpus, idCol, vecCol, path, batchId)
+  }
+
+  def ivfAppendIndexSq8(batch: DataFrame, idCol: String, vecCol: String,
+                        path: String, batchId: Long): Unit = {
+    val model = loadModelCached(batch.sparkSession, path)
+    val v = col(vecCol).cast("array<double>")
+    val (codes, mn, mx) = Quantize.int8Columns(v)
+    batch.select(col(idCol), codes.as("codes"), mn.as("mn"), mx.as("mx"),
+        assignCell(v, model).as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+  }
+
+  /** IVF top-k over an SQ8 index: probed cells partition-prune exactly
+    * like [[ivfTopKIndexed]]; candidate vectors are dequantized at scan
+    * time (map-only HOF over the pruned cells only), scored by exact
+    * cosine over the reconstruction. Ranking differs from
+    * full-precision search only within the coding error bound. */
+  def ivfTopKIndexedSq8(indexPath: String, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, nprobe: Int,
+                        model: IvfModel): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"),
+      explode(probeCells(col(vecCol), model, nprobe)).as("probe"))
+      .select(col("query_id"), col("__qv"),
+        col("probe.cell").cast("int").as("cell"))
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol).as("neighbor_id"),
+        Quantize.dequantizeInt8Cols(col("codes"), col("mn"), col("mx"))
+          .as("__cv"), col("cell"))
+    val cand = c.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+    rankTopK(cand.withColumn("cosine",
+      cosine(col("__qv"), col("__cv"))), k)
+  }
+
   /** Retrain signal for an incremental index: exact TV between the
     * INDEX's cell histogram (partition-column-only scan) and the
     * incoming batch's — a batch living in cells the index barely uses

@@ -23,27 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** (idCol, codes array<int> in [-128,127], mn, mx). A constant vector
-    * (mx == mn) codes to all-zeros and dequantizes back to mn exactly. */
-  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+  /** The coding columns `(codes, mn, mx)` for a vector column —
+    * composable into wider projections (an index row that also carries
+    * a cell, a batch id, …). */
+  def int8Columns(vec: Column): (Column, Column, Column) = {
+    val v = vec.cast("array<double>")
     val mn = array_min(v)
     val mx = array_max(v)
     val scale = (mx - mn) / lit(255.0)
-    df.select(
-      col(idCol),
-      transform(v, (x: Column) =>
-        when(scale === 0d, lit(0))
-          .otherwise(floor((x - mn) / scale + 0.5d).cast("int") - 128))
-        .as("codes"),
-      mn.as("mn"), mx.as("mx"))
+    val codes = transform(v, (x: Column) =>
+      when(scale === 0d, lit(0))
+        .otherwise(floor((x - mn) / scale + 0.5d).cast("int") - 128))
+    (codes, mn, mx)
+  }
+
+  /** (idCol, codes array<int> in [-128,127], mn, mx). A constant vector
+    * (mx == mn) codes to all-zeros and dequantizes back to mn exactly. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (codes, mn, mx) = int8Columns(col(vecCol))
+    df.select(col(idCol), codes.as("codes"), mn.as("mn"), mx.as("mx"))
   }
 
   /** Inverse coding: array<double> approximation of the original. */
   def dequantizeInt8(df: DataFrame, codesCol: String = "codes",
-                     mnCol: String = "mn", mxCol: String = "mx"): Column = {
-    val scale = (col(mxCol) - col(mnCol)) / lit(255.0)
-    transform(col(codesCol),
-      (q: Column) => (q.cast("double") + 128d) * scale + col(mnCol))
+                     mnCol: String = "mn", mxCol: String = "mx"): Column =
+    dequantizeInt8Cols(col(codesCol), col(mnCol), col(mxCol))
+
+  /** Column-based inverse coding, for plans where the coding columns
+    * are not top-level named columns. */
+  def dequantizeInt8Cols(codes: Column, mn: Column, mx: Column): Column = {
+    val scale = (mx - mn) / lit(255.0)
+    transform(codes, (q: Column) => (q.cast("double") + 128d) * scale + mn)
   }
 }

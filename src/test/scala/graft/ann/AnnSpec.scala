@@ -197,6 +197,39 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("_model.json"), e.getMessage)
   }
 
+  test("SQ8 incremental index: int8 rows, replay-safe, search matches dequantized brute") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-sq8") + "/index"
+    Ann.ivfInitIndexSq8(derived.filter($"vec_id" < 250), "vec_id", "v", m, path)
+    Ann.ivfAppendIndexSq8(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 1L)
+    Ann.ivfAppendIndexSq8(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 1L)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 500, "replay duplicated rows")
+    // rows store CODES, not vectors — the 4x-storage contract
+    assert(idx.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType))
+    assert(!idx.columns.contains("v"))
+    val got = Ann.ivfTopKIndexedSq8(path, derived.filter($"vec_id" < 3),
+      "vec_id", "v", k = 5, nprobe = 2, Ann.loadModel(spark, path))
+    // exact brute top-k over the DEQUANTIZED corpus must agree
+    val recon = Quantize.quantizeInt8(derived, "vec_id", "v")
+      .select($"vec_id", Quantize.dequantizeInt8Cols(
+        $"codes", $"mn", $"mx").as("v"))
+    val want = Ann.bruteForceTopK(recon,
+      derived.filter($"vec_id" < 3), "vec_id", "v", k = 5)
+    assert(got.select("query_id", "neighbor_id", "rank")
+      .except(want.select("query_id", "neighbor_id", "rank")).isEmpty)
+    assert(want.select("query_id", "neighbor_id", "rank")
+      .except(got.select("query_id", "neighbor_id", "rank")).isEmpty)
+  }
+
   test("appendDrift flags a batch the trained centroids no longer describe") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),
