@@ -23,12 +23,18 @@ import graft.ann.Ann
   */
 object VectorIndexIngest {
 
+  /** `sq8 = true` appends int8-coded rows ([[Ann.ivfAppendIndexSq8]])
+    * — the index must have been bootstrapped with [[Ann.ivfInitIndexSq8]]
+    * so every batch shares the row shape (a mixed float/SQ8 index
+    * would fail at read time, loudly). */
   def start(stream: DataFrame, idCol: String, vecCol: String,
             indexPath: String, checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            sq8: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Ann.ivfAppendIndex(batch, idCol, vecCol, indexPath, batchId)
+        if (sq8) Ann.ivfAppendIndexSq8(batch, idCol, vecCol, indexPath, batchId)
+        else Ann.ivfAppendIndex(batch, idCol, vecCol, indexPath, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

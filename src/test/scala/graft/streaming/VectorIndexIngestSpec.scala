@@ -67,4 +67,29 @@ class VectorIndexIngestSpec extends SparkSpec {
     run(tmpDir("vii-ckpt-b"))
     assert(spark.read.parquet(idx).count() == 500)
   }
+
+  test("sq8 streaming appends build a compressed index that searches correctly") {
+    val in = tmpDir("vii8-in"); val idx = tmpDir("vii8-idx") + "/index"
+    writeArrivals(in)
+    val boot = derived.filter($"vec_id" < 200L)
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    Ann.ivfInitIndexSq8(boot, "vec_id", "v", m, idx)
+    val q = VectorIndexIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema),
+      "vec_id", "v", idx, tmpDir("vii8-ckpt"), sq8 = true)
+    q.awaitTermination()
+    val stored = spark.read.parquet(idx)
+    assert(stored.count() == 500 && stored.columns.contains("codes") &&
+      !stored.columns.contains("v"))
+    // search parity with the dequantized brute force, mid-lifecycle
+    val queries = derived.filter($"vec_id" < 3)
+    val got = Ann.ivfTopKIndexedSq8(idx, queries, "vec_id", "v",
+      k = 5, nprobe = 2, Ann.loadModel(spark, idx))
+    val recon = graft.ann.Quantize.quantizeInt8(derived, "vec_id", "v")
+      .select($"vec_id", graft.ann.Quantize.dequantizeInt8Cols(
+        $"codes", $"mn", $"mx").as("v"))
+    val want = Ann.bruteForceTopK(recon, queries, "vec_id", "v", k = 5)
+    assert(got.select("query_id", "neighbor_id", "rank")
+      .except(want.select("query_id", "neighbor_id", "rank")).isEmpty)
+  }
 }
