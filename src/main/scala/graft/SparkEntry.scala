@@ -4084,7 +4084,7 @@ object SparkEntry {
         "count(DISTINCT lang)::BIGINT AS n_langs " +
         "FROM documents GROUP BY source) " +
         "SELECT source, n_docs, chars, tokens, tokens_bpe_est, n_langs, " +
-        "(chars * 1000) // (SELECT sum(chars) FROM a) " +
+        "CAST((chars * 1000) // (SELECT sum(chars) FROM a) AS BIGINT) " +
         "AS char_share_permille FROM a"),
     // replay the affine int8 coding (q82's expressions), reconstruct,
     // then the q47 exact-top-k contract over the RECONSTRUCTED corpus

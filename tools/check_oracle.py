@@ -39,20 +39,59 @@ def canon(df: pd.DataFrame) -> list:
         rows.append("|".join(row))
     return sorted(rows)
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"}
+FLOAT_TYPES = {"FLOAT", "DOUBLE", "REAL"}
+
+def duck_kind(t: str) -> str:
+    t = t.upper()
+    if t in INT_TYPES: return "int"
+    if t in FLOAT_TYPES or t.startswith("DECIMAL"): return "float"
+    return "other"
+
+def arrow_kind(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t): return "float"
+    return "other"
+
+def dtype_mismatches(spark_tbl, sql: str) -> list:
+    """int-vs-float divergences the canon fold (%.9g) would mask.
+
+    The driver hashes raw values, so oracle 52.0 vs spark 52 is red
+    there even though both canonicalize to "52" here. Compare the
+    declared kinds (arrow schema vs DuckDB DESCRIBE) and fail loudly
+    when one side is integer and the other float.
+    """
+    skinds = {f.name: arrow_kind(f.type) for f in spark_tbl.schema}
+    okinds = {r[0]: duck_kind(r[1])
+              for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+    bad = []
+    for c in skinds:
+        sk, ok = skinds[c], okinds.get(c)
+        if ok is None: continue
+        if {sk, ok} == {"int", "float"}:
+            bad.append(f"{c}: spark={sk} oracle={ok}")
+    return bad
+
 fails = 0
 for name in sorted(oracle):
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         print(f"MISSING  {name} (no spark output)"); fails += 1; continue
     try:
-        sdf = pq.read_table(spark_path).to_pandas()
+        stbl = pq.read_table(spark_path)
+        sdf = stbl.to_pandas()
         odf = con.execute(oracle[name]).fetchdf()
+        kind_bad = dtype_mismatches(stbl, oracle[name])
     except Exception as e:
         print(f"ERROR    {name}: {e}"); fails += 1; continue
     s, o = canon(sdf), canon(odf)
     cols_s, cols_o = sorted(sdf.columns), sorted(odf.columns)
     if cols_s != cols_o:
         print(f"SCHEMA   {name}: spark={cols_s} oracle={cols_o}"); fails += 1
+    elif kind_bad:
+        print(f"DTYPE    {name}: {'; '.join(kind_bad)}"); fails += 1
     elif s == o:
         print(f"OK       {name} ({len(s)} rows)")
     else:
