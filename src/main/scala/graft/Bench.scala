@@ -176,9 +176,22 @@ object Bench {
     "q103_semdedup" -> "cell-confined quadratic pairing (by design)",
     "q65_components_distributed" -> "star-contraction rounds grow with diameter")
 
+  /** 1-minute load average from /proc/loadavg (-1.0 if unreadable).
+    * Four consecutive rounds recorded officials inflated 25-150% by
+    * concurrent sandbox load; embedding the load makes the record
+    * self-describing so a contaminated total impeaches itself. */
+  def loadAvg1(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadAtStart = loadAvg1()
+    if (loadAtStart > 2.0)
+      System.err.println(f"[bench] WARNING: 1-min load $loadAtStart%.2f > 2 at start " +
+        "— timings will be recorded as load_contaminated")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -256,7 +269,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val superJson = superlinear.map(jstr).mkString("[", ",", "]")
     val total = times.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
+    // contamination keys off the START load only: by the end the bench's
+    // own 32 threads have pushed the 1-min average up, which says nothing
+    // about foreign load (end load is recorded for context)
+    val loadAtEnd = loadAvg1()
+    val contaminated = loadAtStart > 2.0
+    val loadJson = f""","load1_start":$loadAtStart%.2f,"load1_end":$loadAtEnd%.2f,"load_contaminated":$contaminated"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$loadJson""" +
       (if (doSweep) s""","sweep_sf":${jstr(sweepDir)},"sweep_queries":$sweeps,"exponents":$exps,"superlinear":$superJson""" else "") +
       s""","perBatchMs":$batches}"""
     println(line)
@@ -277,7 +296,7 @@ object Bench {
     val maxBatchMs = perBatch.values.flatten.foldLeft(0L)(_ max _)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
         numMap(collection.mutable.LinkedHashMap(top10: _*), t => f"$t%.3f")
-      },"sf":"$sfDir","n_queries":${times.size},"n_errors":${errors.size},"superlinear":$superJson,"maxPerBatchMs":$maxBatchMs,"full_artifact":${jstr(outPath)}}"""
+      },"sf":"$sfDir","n_queries":${times.size},"n_errors":${errors.size},"superlinear":$superJson,"maxPerBatchMs":$maxBatchMs$loadJson,"full_artifact":${jstr(outPath)}}"""
     println(compact)
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
