@@ -358,7 +358,7 @@ object Ann {
                    model: IvfModel, path: String,
                    batchId: Long = -1L): Unit = {
     saveModel(corpus.sparkSession, model, path)
-    modelCache.put(path, model): Unit // a re-init replaces any cached model
+    cacheModel(corpus.sparkSession, path, model) // re-init replaces any cached model
     ivfAppendIndex(corpus, idCol, vecCol, path, batchId)
   }
 
@@ -377,13 +377,44 @@ object Ann {
       .parquet(s"$path/batch=$batchId")
   }
 
-  // one load per (session, path): appends in a loop must not re-read
-  // the model file per batch
+  // Appends in a loop must not re-parse the model file per batch, but a
+  // stale cache is worse than a re-read: if another process retrains
+  // _model.json in place, an appender assigning with the old centroids
+  // would scatter every new vector into the wrong cell PERMANENTLY. The
+  // cache therefore revalidates against the file's (mtime, length)
+  // fingerprint on every lookup — one getFileStatus per append, free
+  // next to the write job it precedes.
+  private final case class CachedModel(model: IvfModel, mtime: Long, len: Long)
   private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedModel]()
+  private def modelFingerprint(spark: org.apache.spark.sql.SparkSession,
+                               path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_model.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _model.json under $path — not an " +
+      "incremental IVF index (build one with ivfInitIndex)")
+    val st = fs.getFileStatus(p)
+    (st.getModificationTime, st.getLen)
+  }
+  private def cacheModel(spark: org.apache.spark.sql.SparkSession,
+                         path: String, model: IvfModel): Unit = {
+    val (mt, ln) = modelFingerprint(spark, path)
+    modelCache.put(path, CachedModel(model, mt, ln)): Unit
+  }
+  private[graft] def invalidateModelCache(path: String): Unit = {
+    modelCache.remove(path): Unit
+  }
   private def loadModelCached(spark: org.apache.spark.sql.SparkSession,
-                              path: String): IvfModel =
-    modelCache.computeIfAbsent(path, p => loadModel(spark, p))
+                              path: String): IvfModel = {
+    val (mt, ln) = modelFingerprint(spark, path)
+    val hit = modelCache.get(path)
+    if (hit != null && hit.mtime == mt && hit.len == ln) hit.model
+    else {
+      val m = loadModel(spark, path)
+      modelCache.put(path, CachedModel(m, mt, ln))
+      m
+    }
+  }
 
   /** SQ8-COMPRESSED incremental index: same `batch=/cell=` layout and
     * replay contract as [[ivfAppendIndex]], but rows store per-vector
@@ -397,7 +428,7 @@ object Ann {
                       model: IvfModel, path: String,
                       batchId: Long = -1L): Unit = {
     saveModel(corpus.sparkSession, model, path)
-    modelCache.put(path, model): Unit
+    cacheModel(corpus.sparkSession, path, model)
     ivfAppendIndexSq8(corpus, idCol, vecCol, path, batchId)
   }
 

@@ -258,7 +258,12 @@ object HiveCopy {
         case ExistingTablePolicy.Replace =>
           // the DROP is deferred to the post-publish step: dropping here
           // would leave readers without a table for the whole byte copy,
-          // and a crashed copy would have deregistered a healthy replica
+          // and a crashed copy would have deregistered a healthy replica.
+          // When the existing replica already sits at the planned root,
+          // the copy lands in a fresh VERSIONED root (tgtRoot below) so
+          // the still-registered table's files are never rewritten or
+          // deleted under live readers; the registration swaps to the
+          // new root post-publish.
           ()
         case ExistingTablePolicy.Update =>
           require(samePartCols,
@@ -276,6 +281,24 @@ object HiveCopy {
     val tgtRoot = existing match {
       case Some(t) if cfg.existingPolicy == ExistingTablePolicy.Update =>
         stripSlash(t.location.toString)
+      case Some(t) if cfg.existingPolicy == ExistingTablePolicy.Replace && {
+          // scheme-insensitive: the catalog stores file:/… URIs
+          val oldPath = new org.apache.hadoop.fs.Path(
+            t.location.toString).toUri.getPath
+          val defPath = new org.apache.hadoop.fs.Path(defaultRoot).toUri.getPath
+          stripSlash(oldPath)
+            .matches(java.util.regex.Pattern.quote(stripSlash(defPath)) +
+              "(__v\\d+)?")
+        } =>
+        // re-replication onto the live replica's own root: write a fresh
+        // versioned sibling instead, swap the registration post-publish.
+        // Readers keep the old root (left on disk for retention cleanup —
+        // deleting it here would yank data from in-flight scans).
+        val old = stripSlash(
+          new org.apache.hadoop.fs.Path(t.location.toString).toUri.getPath)
+        val v = "__v(\\d+)$".r.findFirstMatchIn(old)
+          .map(_.group(1).toInt).getOrElse(0)
+        s"${defaultRoot}__v${v + 1}"
       case _ => defaultRoot
     }
     require(tgtRoot != srcRoot,

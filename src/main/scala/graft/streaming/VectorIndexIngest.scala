@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.hadoop.fs.Path
 
 import graft.ann.Ann
 
@@ -20,6 +21,16 @@ import graft.ann.Ann
   * rather than silently training a different geometry per restart.
   * Watch [[Ann.appendDrift]] on a cadence and rebuild the index when
   * the stream has drifted off the trained centroids.
+  *
+  * The replay contract holds only while batch ids come from ONE
+  * checkpoint lineage: a deleted or switched checkpoint restarts ids
+  * at 0, and "replay" overwrites of batches that are NOT replays would
+  * silently destroy committed index partitions. The index therefore
+  * records its feeding stream's identity (`_stream.json`: checkpoint
+  * location + Spark's per-checkpoint query id) on first start and
+  * REFUSES a stream whose identity differs. Rebinding a new stream to
+  * an existing index is an explicit act: delete `_stream.json` (and
+  * fold or clear the old `batch=` partitions first).
   */
 object VectorIndexIngest {
 
@@ -30,8 +41,10 @@ object VectorIndexIngest {
   def start(stream: DataFrame, idCol: String, vecCol: String,
             indexPath: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            sq8: Boolean = false): StreamingQuery =
-    stream.writeStream
+            sq8: Boolean = false): StreamingQuery = {
+    val spark = stream.sparkSession
+    guardStreamIdentity(spark, indexPath, checkpointDir)
+    val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (sq8) Ann.ivfAppendIndexSq8(batch, idCol, vecCol, indexPath, batchId)
         else Ann.ivfAppendIndex(batch, idCol, vecCol, indexPath, batchId)
@@ -39,4 +52,81 @@ object VectorIndexIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    // Bind the index to this stream on first start. query.id is minted
+    // by (and persisted in) the checkpoint's metadata file, so it IS
+    // the checkpoint-lineage token: a recreated checkpoint gets a new
+    // id even at the same path.
+    if (readToken(spark, indexPath).isEmpty)
+      writeToken(spark, indexPath, checkpointDir, query.id.toString)
+    query
+  }
+
+  private def tokenPath(indexPath: String) = new Path(indexPath, "_stream.json")
+
+  /** Refuse an append stream whose checkpoint lineage is not the one
+    * this index was bound to — the batch-id sequence would collide with
+    * committed partitions. */
+  private def guardStreamIdentity(spark: SparkSession, indexPath: String,
+                                  checkpointDir: String): Unit =
+    readToken(spark, indexPath).foreach { case (boundDir, boundId) =>
+      require(boundDir == checkpointDir,
+        s"index $indexPath is bound to checkpoint $boundDir but this " +
+          s"stream uses $checkpointDir — its batch ids would overwrite " +
+          "committed partitions. Delete _stream.json to rebind explicitly.")
+      checkpointQueryId(spark, checkpointDir) match {
+        case None => require(requirement = false,
+          s"index $indexPath is bound to checkpoint $checkpointDir " +
+            s"(query $boundId) but the checkpoint has no metadata — it " +
+            "was deleted or never started; a fresh checkpoint restarts " +
+            "batch ids at 0 and would overwrite committed partitions. " +
+            "Delete _stream.json to rebind explicitly.")
+        case Some(id) => require(id == boundId,
+          s"index $indexPath is bound to query $boundId but checkpoint " +
+            s"$checkpointDir now holds query $id — the checkpoint was " +
+            "recreated, so batch ids restart at 0. Delete _stream.json " +
+            "to rebind explicitly.")
+      }
+    }
+
+  /** The query id Spark persisted in the checkpoint's `metadata` file —
+    * minted once per checkpoint creation, stable across restarts. */
+  private def checkpointQueryId(spark: SparkSession,
+                                checkpointDir: String): Option[String] = {
+    val p = new Path(checkpointDir, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+    }
+  }
+
+  private def readToken(spark: SparkSession,
+                        indexPath: String): Option[(String, String)] = {
+    val p = tokenPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val rx = "\"checkpoint\"\\s*:\\s*\"([^\"]+)\"[\\s\\S]*\"query_id\"\\s*:\\s*\"([^\"]+)\"".r
+      rx.findFirstMatchIn(s).map(m => (m.group(1), m.group(2)))
+    }
+  }
+
+  private def writeToken(spark: SparkSession, indexPath: String,
+                         checkpointDir: String, queryId: String): Unit = {
+    val p = tokenPath(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"checkpoint":${q(checkpointDir)},"query_id":${q(queryId)}}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

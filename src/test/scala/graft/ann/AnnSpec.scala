@@ -230,6 +230,29 @@ class AnnSpec extends SparkSpec {
       .except(got.select("query_id", "neighbor_id", "rank")).isEmpty)
   }
 
+  test("an externally retrained _model.json invalidates the append cache") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val path = tmpDir("ivf-stale") + "/index"
+    val m16 = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    Ann.ivfInitIndex(derived.filter($"vec_id" < 250), "vec_id", "v", m16, path)
+
+    // another process retrains the quantizer IN PLACE (fewer cells so the
+    // fingerprint — file length — must change even within one mtime tick)
+    val m4 = Ann.ivfTrain(derived, "vec_id", "v", numCells = 4)
+    Ann.saveModel(spark, m4, path)
+
+    // a live appender must pick up the new geometry, not assign with the
+    // cached 16-cell model and scatter the batch into dead cells
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 1L)
+    val cells = spark.read.parquet(s"$path/batch=1")
+      .select("cell").distinct().as[Int].collect().toSet
+    assert(cells.forall(_ < 4), s"appended with the stale 16-cell model: $cells")
+  }
+
   test("appendDrift flags a batch the trained centroids no longer describe") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),

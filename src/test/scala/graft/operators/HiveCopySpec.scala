@@ -182,6 +182,34 @@ class HiveCopySpec extends SparkSpec {
     assert(self.getMessage.contains("onto itself"), self.getMessage)
   }
 
+  test("Replace onto the live replica's own root swaps to a versioned root") {
+    makeSource("ev_ver")
+    val root = tmpDir("hcp-ver-tgt")
+    HiveCopy.copyTable(spark, s"$srcDb.ev_ver", Config(tgtDb, root))
+    val loc0 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("ev_ver", Some(tgtDb)))
+      .location.toString
+    val fs = new org.apache.hadoop.fs.Path(loc0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // re-replicating with Replace must NOT rewrite files under the
+    // still-registered root: it lands in a __v1 sibling and swaps
+    val r1 = HiveCopy.copyTable(spark, s"$srcDb.ev_ver",
+      Config(tgtDb, root, existingPolicy = ExistingTablePolicy.Replace))
+    assert(r1.targetLocation.endsWith("__v1"), r1.targetLocation)
+    // old root is left on disk for retention cleanup (in-flight readers)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc0)))
+    assert(spark.table(s"$tgtDb.ev_ver").count() ==
+      spark.table(s"$srcDb.ev_ver").count())
+
+    // a further Replace versions again: __v1 -> __v2, never __v1__v1
+    val r2 = HiveCopy.copyTable(spark, s"$srcDb.ev_ver",
+      Config(tgtDb, root, existingPolicy = ExistingTablePolicy.Replace))
+    assert(r2.targetLocation.endsWith("__v2"), r2.targetLocation)
+    assert(spark.table(s"$tgtDb.ev_ver").count() ==
+      spark.table(s"$srcDb.ev_ver").count())
+  }
+
   test("unpartitioned table copies as a single file set") {
     val loc = tmpDir("hcp-unpart") + "/nation"
     Tables.load(spark, sf, "nation").write.parquet(loc)

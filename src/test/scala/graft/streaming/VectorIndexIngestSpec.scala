@@ -44,7 +44,8 @@ class VectorIndexIngestSpec extends SparkSpec {
         "vec_id", "v", idx, ckpt)
       q.awaitTermination()
     }
-    run(tmpDir("vii-ckpt-a"))
+    val ckptA = tmpDir("vii-ckpt-a")
+    run(ckptA)
     assert(spark.read.parquet(idx).count() == 500)
     // streamed batches landed in their own partitions, bootstrap intact
     val batches = spark.read.parquet(idx).select("batch").distinct()
@@ -62,10 +63,34 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(inline.select("query_id", "neighbor_id", "rank")
       .except(viaIndex.select("query_id", "neighbor_id", "rank")).isEmpty)
 
-    // checkpoint LOSS: the replay re-delivers the same files under the
-    // same batch ids — partitions republish, nothing duplicates
-    run(tmpDir("vii-ckpt-b"))
+    // SAME checkpoint restart: identity matches, appends proceed (no-op
+    // here — AvailableNow already drained the input)
+    run(ckptA)
     assert(spark.read.parquet(idx).count() == 500)
+
+    // a DIFFERENT checkpoint restarts batch ids at 0 — its "batch 0" is
+    // NOT a replay of ours, so the index REFUSES rather than silently
+    // overwriting committed partitions
+    val e = intercept[IllegalArgumentException] { run(tmpDir("vii-ckpt-b")) }
+    assert(e.getMessage.contains("bound to checkpoint"), e.getMessage)
+    assert(spark.read.parquet(idx).count() == 500)
+
+    // explicit rebind (delete _stream.json): the replay re-delivers the
+    // same files under the same batch ids — partitions republish
+    // byte-identically, nothing duplicates
+    new File(s"$idx/_stream.json").delete()
+    val ckptC = tmpDir("vii-ckpt-c")
+    run(ckptC)
+    assert(spark.read.parquet(idx).count() == 500)
+
+    // deleted-checkpoint detection: the binding survives but the
+    // checkpoint's metadata is gone — refused until rebound
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit
+    }
+    rm(new File(ckptC))
+    val e2 = intercept[IllegalArgumentException] { run(ckptC) }
+    assert(e2.getMessage.contains("no metadata"), e2.getMessage)
   }
 
   test("sq8 streaming appends build a compressed index that searches correctly") {
