@@ -89,7 +89,9 @@ object Bench {
     // appended round 11:
     "q168_substring_dedup",   // cross-doc 20-gram fingerprint dedup
     // appended round 13:
-    "q176_knn_graph")         // IVF cell-confined all-nodes top-k + probe
+    "q176_knn_graph",         // IVF cell-confined all-nodes top-k + probe
+    // appended round 14:
+    "q185_image_decode")      // real ImageIO PNG encode+decode round-trip
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a

@@ -2265,6 +2265,42 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // REAL image decode (round 14): executor-side PNG generation with
+    // dims derived from doc_id, decoded back through the JDK's actual
+    // ImageIO codec — width/height come from the decoded pixels, so a
+    // broken codec path (wrong dims, corrupt encode, headless failure)
+    // breaks the oracle, which recomputes the dims formula from doc_id.
+    "q185_image_decode" -> ((s, dir) => {
+      val images = Multimodal.syntheticImages(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(images, new Multimodal.ImageIoDecoder())
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
+    // REAL image resize (round 14): bilinear Graphics2D rescale + PNG
+    // re-encode on the executors, then a REAL decode of the resized
+    // payloads — every row must report the target dims from its actual
+    // pixels. A luminance band of the resized content is thresholded to
+    // an integer so content survival is oracle-checkable too: the
+    // generator's red channel rises with x for every doc, so the mean
+    // luminance of any resized image stays strictly inside (0, 255).
+    "q186_image_resize" -> ((s, dir) => {
+      val images = Multimodal.syntheticImages(s, t(s, dir, "documents"))
+      val resized = Multimodal.resizeImages(images, 24, 18,
+        new Multimodal.ImageIoResizer())
+      Multimodal.extractFeatures(resized.toDF(),
+          new Multimodal.ImageIoDecoder(featureDim = 1)).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          (element_at(col("feature"), 1) > lit(0.0) &&
+            element_at(col("feature"), 1) < lit(1.0))
+            .as("content_nontrivial"))
+    }),
+
     // multimodal decode plumbing; the stub decoder's features are a
     // documented pure function of payload length, so DuckDB can recompute
     // them from the same documents table (real decoders plug in via
@@ -4112,6 +4148,16 @@ object SparkEntry {
         "(SELECT *, row_number() OVER (PARTITION BY query_id " +
         "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) " +
         "WHERE rank <= 10"),
+    // the Spark side generates PNGs whose dims derive from doc_id and
+    // decodes them back through the REAL JDK codec; the oracle recomputes
+    // the dims formula — any codec-path fault diverges the hash
+    "q185_image_decode" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
+        "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
+        "FROM documents"),
+    "q186_image_resize" ->
+      ("SELECT doc_id AS media_id, 24::BIGINT AS width, " +
+        "18::BIGINT AS height, true AS content_nontrivial FROM documents"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

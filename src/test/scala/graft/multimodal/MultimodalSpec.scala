@@ -55,6 +55,82 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.exceptAll(f0).isEmpty)
   }
 
+  // ------------------------------------------------ real ImageIO path
+
+  private lazy val images =
+    Multimodal.syntheticImages(spark, Tables.load(spark, sf, "documents"))
+
+  test("ImageIoDecoder reads REAL dims from actual PNG payloads") {
+    val feats = Multimodal.extractFeatures(images,
+      new Multimodal.ImageIoDecoder()).toDF()
+    // dims come from the decoded pixels and must equal the generator's
+    // doc_id formula for EVERY row — a codec round-trip, not a stub
+    val bad = feats.filter(
+      col("width") =!= lit(16) + pmod(col("media_id"), lit(32)) ||
+      col("height") =!= lit(16) + pmod(col("media_id"), lit(24))).count()
+    assert(bad == 0)
+    assert(feats.count() == images.count())
+  }
+
+  test("ImageIoDecoder features reflect pixel content, not payload length") {
+    def onePixelImage(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+      Multimodal.ImageCodec.write(img, "png")
+    }
+    val dec = new Multimodal.ImageIoDecoder(featureDim = 4)
+    def rec(id: Long, rgb: Int) = Multimodal.MediaRecord(
+      id, "image", onePixelImage(rgb), "image/png", "t")
+    val black = dec.decode(rec(1, 0x000000))
+    val white = dec.decode(rec(2, 0xffffff))
+    assert(black.feature.forall(_ < 0.01f), black.feature.toSeq)
+    assert(white.feature.forall(_ > 0.99f), white.feature.toSeq)
+    assert(black.width == 4 && black.height == 4)
+  }
+
+  test("ImageIoDecoder decodes JPEG as well as PNG; garbage refuses loudly") {
+    val img = new java.awt.image.BufferedImage(20, 30,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jpeg = Multimodal.ImageCodec.write(img, "jpg")
+    val dec = new Multimodal.ImageIoDecoder()
+    val f = dec.decode(Multimodal.MediaRecord(7, "image", jpeg, "image/jpeg", "t"))
+    assert(f.width == 20 && f.height == 30 && f.n_frames == 1)
+    val e = intercept[IllegalArgumentException] {
+      dec.decode(Multimodal.MediaRecord(8, "image",
+        Array[Byte](1, 2, 3, 4), "image/png", "t"))
+    }
+    assert(e.getMessage.contains("not a decodable image"), e.getMessage)
+  }
+
+  test("ImageIoResizer rescales REAL pixels: dims change, content survives") {
+    // a solid-color image stays (approximately) solid through bilinear
+    // scaling + PNG round-trip; the decoded dims are the target's
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32) img.setRGB(x, y, 0x406080)
+    val r0 = Multimodal.MediaRecord(9, "image",
+      Multimodal.ImageCodec.write(img, "png"), "image/png", "t")
+    val rz = new Multimodal.ImageIoResizer()
+    val small = rz.resize(r0, 8, 8)
+    assert(small.mime == "image/png")
+    val back = Multimodal.ImageCodec.read(small.payload)
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    for (x <- 0 until 8; y <- 0 until 8)
+      assert((back.getRGB(x, y) & 0xffffff) == 0x406080,
+        s"solid color not preserved at ($x,$y)")
+  }
+
+  test("real resize on the distributed table: every image decodes at target dims") {
+    val resized = Multimodal.resizeImages(images, 24, 18,
+      new Multimodal.ImageIoResizer())
+    val feats = Multimodal.extractFeatures(resized.toDF(),
+      new Multimodal.ImageIoDecoder()).toDF()
+    assert(feats.filter(col("width") =!= 24 || col("height") =!= 18)
+      .count() == 0)
+    assert(feats.count() == images.count())
+  }
+
   test("sampleFrames explodes every nth frame for videos only") {
     val f = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(f, every = 10)
