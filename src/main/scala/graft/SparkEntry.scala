@@ -2164,6 +2164,42 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // epoch fold (round 14): init + two appends accumulate three batch
+    // partitions; ivfCompactIndex folds them under the highest id, a
+    // replay of a FOLDED batch must no-op, and the search contract over
+    // the folded layout is byte-identical to q179's (same oracle).
+    "q187_ivf_compact" -> ((s, dir) => {
+      import graft.ann.Ann
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val m = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      val path = tmp("q187") + "/index"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Ann.ivfInitIndex(derived.filter(col("vec_id") < 200),
+        "vec_id", "embedding", m, path)
+      Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+        "vec_id", "embedding", path, batchId = 0L)
+      Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 350),
+        "vec_id", "embedding", path, batchId = 1L)
+      require(Ann.ivfCompactIndex(s, path, upTo = 1L) == 1L,
+        "fold target must be the highest folded id")
+      // a replay of a folded batch is refused (no-op), never an overwrite
+      Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 350),
+        "vec_id", "embedding", path, batchId = 1L)
+      require(s.read.parquet(path).count() == derived.count(),
+        "folded index lost or duplicated rows")
+      Ann.ivfTopKIndexed(path, derived.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 2,
+        Ann.loadModel(s, path))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4036,6 +4072,21 @@ object SparkEntry {
         "FROM t, s"),
     // the q64 exact-top-k contract, reached through the incremental
     // init/append/replay lifecycle instead of one static build
+    // the folded index (q187) must answer byte-identically to the
+    // unfolded incremental one (q179): both share this exact-search oracle
+    "q187_ivf_compact" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank <= 10"),
     "q179_ivf_incremental" ->
       ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
         "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +

@@ -357,6 +357,7 @@ object Ann {
   def ivfInitIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    model: IvfModel, path: String,
                    batchId: Long = -1L): Unit = {
+    refuseInitOverCompacted(corpus.sparkSession, path)
     saveModel(corpus.sparkSession, model, path)
     cacheModel(corpus.sparkSession, path, model) // re-init replaces any cached model
     ivfAppendIndex(corpus, idCol, vecCol, path, batchId)
@@ -370,11 +371,44 @@ object Ann {
     * ivfInitIndex at a new path) past your bound. */
   def ivfAppendIndex(batch: DataFrame, idCol: String, vecCol: String,
                      path: String, batchId: Long): Unit = {
+    if (skipFoldedReplay(batch.sparkSession, path, batchId)) return
     val model = loadModelCached(batch.sparkSession, path)
     batch.select(col(idCol), col(vecCol),
       assignCell(col(vecCol), model).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/batch=$batchId")
+  }
+
+  /** A compacted index cannot be re-bootstrapped in place: the new model
+    * would overwrite the one the folded partitions were assigned with,
+    * and the bootstrap append would be silently skipped by the fold-line
+    * replay guard — rebuild at a fresh path instead. */
+  private def refuseInitOverCompacted(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): Unit = {
+    recoverCompaction(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(foldedUpTo(fs, path).isEmpty,
+      s"$path is a compacted incremental index — re-initializing in " +
+        "place would mismatch the folded partitions' model; build the " +
+        "new index at a fresh path and swap")
+  }
+
+  /** Replay guard under compaction: a batch id at or below the fold line
+    * was committed (and folded) before the fold ran, so a redelivery is a
+    * replay of data the fold already holds — writing it would overwrite
+    * the folded partition with one batch's rows. Completes any crashed
+    * swap first. */
+  private def skipFoldedReplay(spark: org.apache.spark.sql.SparkSession,
+                               path: String, batchId: Long): Boolean = {
+    recoverCompaction(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val skip = foldedUpTo(fs, path).exists(batchId <= _)
+    if (skip)
+      System.err.println(s"[ann] batch=$batchId at $path is at or below " +
+        "the compaction fold line — replay of folded data, skipping")
+    skip
   }
 
   // Appends in a loop must not re-parse the model file per batch, but a
@@ -427,6 +461,7 @@ object Ann {
   def ivfInitIndexSq8(corpus: DataFrame, idCol: String, vecCol: String,
                       model: IvfModel, path: String,
                       batchId: Long = -1L): Unit = {
+    refuseInitOverCompacted(corpus.sparkSession, path)
     saveModel(corpus.sparkSession, model, path)
     cacheModel(corpus.sparkSession, path, model)
     ivfAppendIndexSq8(corpus, idCol, vecCol, path, batchId)
@@ -434,6 +469,7 @@ object Ann {
 
   def ivfAppendIndexSq8(batch: DataFrame, idCol: String, vecCol: String,
                         path: String, batchId: Long): Unit = {
+    if (skipFoldedReplay(batch.sparkSession, path, batchId)) return
     val model = loadModelCached(batch.sparkSession, path)
     val v = col(vecCol).cast("array<double>")
     val (codes, mn, mx) = Quantize.int8Columns(v)
@@ -441,6 +477,183 @@ object Ann {
         assignCell(v, model).as("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/batch=$batchId")
+  }
+
+  // ------------------------------------------- incremental-index compaction
+
+  /** Fold committed `batch <= upTo` partitions into ONE partition kept
+    * under the HIGHEST folded id. A per-micro-batch streaming index
+    * accumulates unbounded small `batch=` dirs (the same manifest-growth
+    * problem the snapshot log's epoch compaction solves); folding
+    * rewrites them as one well-sized `cell=`-partitioned layout while
+    * searches keep working unchanged — `batch` remains a discovered
+    * partition column, just with fewer values.
+    *
+    * Replay safety: the fold line is recorded in `_compaction.json` and
+    * [[ivfAppendIndex]]/[[ivfAppendIndexSq8]] NO-OP any batch id at or
+    * below it — every folded batch was committed before the fold, so a
+    * redelivery can only be a replay of data the fold already holds;
+    * overwriting would destroy the fold.
+    *
+    * Crash safety: the fold is fully staged under a hidden dir before a
+    * pending marker commits the swap; appends, compactions, drift checks
+    * and indexed searches all complete a crashed swap before proceeding
+    * ([[recoverCompaction]]). Works identically for float and SQ8
+    * indexes (rows are rewritten as read).
+    *
+    * Returns the fold target id (the highest folded batch), or the
+    * current fold line when there was nothing to fold.
+    */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, upTo: Long): Long = {
+    recoverCompaction(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listBatchIds(fs, path).filter(_ <= upTo)
+    val already = foldedUpTo(fs, path).getOrElse(Long.MinValue)
+    if (ids.size <= 1) return math.max(already, ids.headOption.getOrElse(already))
+    val target = ids.max
+    val staging = new org.apache.hadoop.fs.Path(path, s".compact-$target")
+    fs.delete(staging, true)
+    spark.read.option("basePath", path)
+      .parquet(ids.map(id => s"$path/batch=$id"): _*)
+      .drop("batch")
+      .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+    // intent marker: from here the swap is committed — any crash window
+    // is completed by recoverCompaction before the index is used again
+    writeSmallFile(fs, pendingPath(path),
+      s"""{"target":$target,"ids":[${ids.sorted.mkString(",")}]}""")
+    finishSwap(fs, path, target, ids)
+    target
+  }
+
+  /** Complete a compaction swap that crashed between its pending marker
+    * and its final bookkeeping. Idempotent; cheap (one exists()) when no
+    * swap is pending. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pendingPath(path))) return
+    val s = readSmallFile(fs, pendingPath(path))
+    val target = "\"target\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"unparseable compaction marker under $path: $s"))
+    val ids = "\"ids\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+      .getOrElse(Seq.empty)
+    System.err.println(s"[ann] completing crashed compaction at $path " +
+      s"(fold -> batch=$target)")
+    finishSwap(fs, path, target, ids)
+  }
+
+  /** Deletes the folded batch dirs, publishes the staged fold as
+    * `batch=<target>`, records the fold line, clears the marker. Every
+    * step is idempotent so the sequence can resume from any crash point:
+    * the staged dir exists until the rename, and its absence proves the
+    * rename happened. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         target: Long, ids: Seq[Long]): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(path, s".compact-$target")
+    val dst = new org.apache.hadoop.fs.Path(path, s"batch=$target")
+    if (fs.exists(staging)) {
+      ids.foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$id"), true): Unit
+      }
+      require(fs.rename(staging, dst),
+        s"compaction swap failed: could not rename $staging to $dst")
+    }
+    val prev = foldedUpTo(fs, path).getOrElse(Long.MinValue)
+    writeSmallFile(fs, compactionPath(path),
+      s"""{"folded_up_to":${math.max(prev, target)}}""")
+    fs.delete(pendingPath(path), false): Unit
+  }
+
+  /** REBUILD an incremental index in place: retrain the quantizer on the
+    * index's own rows (dequantized for SQ8), rewrite everything as one
+    * layout kept under the HIGHEST existing batch id, and swap it in with
+    * the publisher's park-restore protocol ([[graft.sinks.AtomicPublisher
+    * .Staged]]) — a crash between the swap renames restores the previous
+    * index on the next use. The rebuilt index records the old max batch
+    * id as its fold line, so a replay of any batch the rebuild consumed
+    * no-ops instead of duplicating; the stream-identity token survives
+    * the swap. Run with the feeding stream quiesced (an uncommitted batch
+    * appended DURING the rebuild would be lost by the swap).
+    *
+    * Returns the fold line (old max batch id). This is the consumer of
+    * [[appendDrift]]'s retrain signal. */
+  def ivfRebuildIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, idCol: String, vecCol: String,
+                      numCells: Int, sq8: Boolean, runId: String): Long = {
+    recoverCompaction(spark, indexPath)
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listBatchIds(fs, indexPath)
+    require(ids.nonEmpty, s"$indexPath has no batch partitions to rebuild")
+    val foldLine = ids.max
+    val rows = spark.read.parquet(indexPath)
+    val vecs =
+      if (sq8) rows.select(col(idCol),
+        Quantize.dequantizeInt8Cols(col("codes"), col("mn"), col("mx"))
+          .as(vecCol))
+      else rows.select(col(idCol), col(vecCol))
+    val model = ivfTrain(vecs, idCol, vecCol, numCells)
+    val staging = new org.apache.hadoop.fs.Path(dst.getParent,
+      s".staging-$runId-${dst.getName}")
+    fs.delete(staging, true): Unit
+    if (sq8) ivfInitIndexSq8(vecs, idCol, vecCol, model, staging.toString,
+      batchId = foldLine)
+    else ivfInitIndex(vecs, idCol, vecCol, model, staging.toString,
+      batchId = foldLine)
+    writeSmallFile(fs, compactionPath(staging.toString),
+      s"""{"folded_up_to":$foldLine}""")
+    val streamToken = new org.apache.hadoop.fs.Path(indexPath, "_stream.json")
+    if (fs.exists(streamToken))
+      org.apache.hadoop.fs.FileUtil.copy(fs, streamToken, fs,
+        new org.apache.hadoop.fs.Path(staging, "_stream.json"),
+        false, spark.sparkContext.hadoopConfiguration): Unit
+    graft.sinks.AtomicPublisher.Staged(fs, staging, dst, runId).promote()
+    invalidateModelCache(indexPath)
+    foldLine
+  }
+
+  private def compactionPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_compaction.json")
+  private def pendingPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_compaction_pending.json")
+
+  /** The fold line: batch ids at or below it are folded and must never
+    * be (re)written. */
+  def foldedUpTo(fs: org.apache.hadoop.fs.FileSystem,
+                 path: String): Option[Long] = {
+    val p = compactionPath(path)
+    if (!fs.exists(p)) None
+    else "\"folded_up_to\"\\s*:\\s*(-?\\d+)".r
+      .findFirstMatchIn(readSmallFile(fs, p)).map(_.group(1).toLong)
+  }
+
+  private def listBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String): Seq[Long] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong
+      }.toSeq
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   /** IVF top-k over an SQ8 index: probed cells partition-prune exactly
@@ -452,6 +665,7 @@ object Ann {
                         idCol: String, vecCol: String, k: Int, nprobe: Int,
                         model: IvfModel): DataFrame = {
     val spark = queries.sparkSession
+    recoverCompaction(spark, indexPath)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"),
       explode(probeCells(col(vecCol), model, nprobe)).as("probe"))
@@ -477,6 +691,7 @@ object Ann {
   def appendDrift(spark: org.apache.spark.sql.SparkSession,
                   indexPath: String, batch: DataFrame,
                   vecCol: String): DataFrame = {
+    recoverCompaction(spark, indexPath)
     val model = loadModelCached(spark, indexPath)
     val idx = spark.read.parquet(indexPath)
       .groupBy(col("cell").cast("int").as("cell"))
@@ -496,6 +711,7 @@ object Ann {
                      vecCol: String, k: Int, nprobe: Int,
                      model: IvfModel): DataFrame = {
     val spark = queries.sparkSession
+    recoverCompaction(spark, indexPath)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
       explode(probeCells(col(vecCol), model, nprobe)).as("probe"))

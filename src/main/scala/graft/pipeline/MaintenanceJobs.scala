@@ -49,6 +49,17 @@ import graft.sinks.SnapshotLog
   *     `out` (persist the diff as parquet), `fail.on.diff` (default
   *     `true`: any mismatch or one-sided key FAILS the node, so the
   *     flow's descendants never run over diverged phases)
+  *   - `ann-index-maintain`: `index.path` (incremental IVF index),
+  *     `batch.path` (+ optional `batch.format`) — recent data to measure
+  *     drift against — `id.col`, `vec.col`; optional
+  *     `drift.threshold.permille` (default 300), `rebuild.cells`
+  *     (default: current model's cell count), `sq8` (default false),
+  *     `compact` (default true: below-threshold runs fold committed
+  *     batches, keeping the newest unfolded for in-flight replays),
+  *     `compact.up.to` (explicit fold line). Above the threshold the
+  *     node retrains the quantizer on the index's own rows and swaps the
+  *     rebuilt index in atomically ([[graft.ann.Ann.ivfRebuildIndex]]);
+  *     run it with the feeding stream quiesced.
   */
 final case class MaintenanceSpec(name: String, kind: String,
                                  props: Map[String, String])
@@ -68,7 +79,8 @@ object MaintenanceRunner {
 
   val kinds: Set[String] =
     Set("vacuum", "compact-files", "merge", "snapshot-expire",
-      "backfill-plan", "hive-copy", "value-audit", "value-audit-diff")
+      "backfill-plan", "hive-copy", "value-audit", "value-audit-diff",
+      "ann-index-maintain")
 
   /** Run one maintenance job; returns a human-readable stats summary
     * (recorded as the flow ledger's detail). Throws loudly on missing
@@ -212,6 +224,50 @@ object MaintenanceRunner {
                 s"dir.b=${p("dir.b")})")
           summary
         } finally { diff.unpersist(); () }
+      case "ann-index-maintain" =>
+        // the reference schedules recompaction off late-data conditions
+        // (CompactionSource re-plans when thresholds trip); here the
+        // trip-wire is appendDrift's exact TV between the index's cell
+        // histogram and the incoming batch's — above threshold the
+        // quantizer no longer describes the data and the index is
+        // retrained + swapped; below, committed batch partitions fold
+        import graft.ann.Ann
+        val idxPath = p("index.path")
+        val vecCol = p("vec.col")
+        val sq8 = spec.props.get("sq8").exists(_.toBoolean)
+        val threshold = spec.props.get("drift.threshold.permille")
+          .map(_.toLong).getOrElse(300L)
+        val batch = spark.read
+          .format(spec.props.getOrElse("batch.format", "parquet"))
+          .load(p("batch.path"))
+        val drift = Ann.appendDrift(spark, idxPath, batch, vecCol)
+          .head().getAs[Long]("tv_permille")
+        if (drift >= threshold) {
+          val cells = spec.props.get("rebuild.cells").map(_.toInt)
+            .getOrElse(Ann.loadModel(spark, idxPath).numCells)
+          val line = Ann.ivfRebuildIndex(spark, idxPath, p("id.col"),
+            vecCol, cells, sq8, runId)
+          s"ann-index-maintain: drift=$drift >= $threshold -> rebuilt " +
+            s"(cells=$cells, fold_line=$line)"
+        } else if (spec.props.getOrElse("compact", "true").toBoolean) {
+          val fs = new org.apache.hadoop.fs.Path(idxPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val ids = fs.listStatus(new org.apache.hadoop.fs.Path(idxPath))
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .collect { case n if n.startsWith("batch=") =>
+              n.stripPrefix("batch=").toLong }.sorted
+          val upTo = spec.props.get("compact.up.to").map(_.toLong)
+            .orElse(if (ids.length > 1) Some(ids(ids.length - 2)) else None)
+          upTo match {
+            case Some(u) =>
+              val line = Ann.ivfCompactIndex(spark, idxPath, u)
+              s"ann-index-maintain: drift=$drift < $threshold -> " +
+                s"compacted (fold_line=$line)"
+            case None =>
+              s"ann-index-maintain: drift=$drift < $threshold -> no-op " +
+                "(nothing to fold)"
+          }
+        } else s"ann-index-maintain: drift=$drift < $threshold -> no-op"
       case other => throw new IllegalArgumentException(
         s"unknown maintenance kind '$other' for job '${spec.name}' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

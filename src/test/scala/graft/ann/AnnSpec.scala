@@ -230,6 +230,120 @@ class AnnSpec extends SparkSpec {
       .except(got.select("query_id", "neighbor_id", "rank")).isEmpty)
   }
 
+  test("ivfCompactIndex folds batches; searches identical; folded replays no-op") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-fold") + "/index"
+    Ann.ivfInitIndex(derived.filter($"vec_id" < 200), "vec_id", "v", m, path)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 200 && $"vec_id" < 350),
+      "vec_id", "v", path, batchId = 0L)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 350), "vec_id", "v",
+      path, batchId = 1L)
+    val queries = derived.filter($"vec_id" < 5)
+    def search() = Ann.ivfTopKIndexed(path, queries, "vec_id", "v",
+      k = 10, nprobe = 2, Ann.loadModel(spark, path))
+      .select("query_id", "neighbor_id", "rank")
+    val before = search().collect().toSet
+
+    // fold -1 and 0 (up to 0): two dirs become one under the highest id
+    val t0 = Ann.ivfCompactIndex(spark, path, upTo = 0L)
+    assert(t0 == 0L)
+    val batches = spark.read.parquet(path).select("batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L), batches)
+    assert(spark.read.parquet(path).count() == 500)
+    assert(search().collect().toSet == before)
+
+    // replay of a FOLDED batch id must no-op, not overwrite the fold
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 200 && $"vec_id" < 350),
+      "vec_id", "v", path, batchId = 0L)
+    assert(spark.read.parquet(path).count() == 500)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" < 200), "vec_id", "v",
+      path, batchId = -1L)
+    assert(spark.read.parquet(path).count() == 500)
+
+    // fold the rest; a new append past the line still lands
+    val t1 = Ann.ivfCompactIndex(spark, path, upTo = 99L)
+    assert(t1 == 1L)
+    assert(spark.read.parquet(path).select("batch").distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(search().collect().toSet == before)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" < 3).select($"vec_id" + 10000L,
+      $"v").toDF("vec_id", "v"), "vec_id", "v", path, batchId = 2L)
+    assert(spark.read.parquet(path).count() == 503)
+
+    // nothing left to fold: no-op returns the standing fold line
+    assert(Ann.ivfCompactIndex(spark, path, upTo = 1L) == 1L)
+
+    // re-initializing a compacted index in place refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfInitIndex(derived, "vec_id", "v", m, path)
+    }
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+  }
+
+  test("a compaction swap that crashed after its marker completes on next use") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-crash") + "/index"
+    Ann.ivfInitIndex(derived.filter($"vec_id" < 250), "vec_id", "v", m, path)
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L)
+
+    // construct the crash state by hand (the publisher-spec pattern):
+    // fold fully staged + pending marker written, swap not yet performed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.option("basePath", path)
+      .parquet(s"$path/batch=-1", s"$path/batch=0").drop("batch")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/.compact-0")
+    val marker = new org.apache.hadoop.fs.Path(path, "_compaction_pending.json")
+    val out = fs.create(marker, true)
+    out.write("""{"target":0,"ids":[-1,0]}""".getBytes("UTF-8")); out.close()
+
+    // the next search completes the swap before reading
+    val got = Ann.ivfTopKIndexed(path, derived.filter($"vec_id" < 3),
+      "vec_id", "v", k = 5, nprobe = 2, Ann.loadModel(spark, path))
+    assert(got.count() == 15)
+    assert(!fs.exists(marker))
+    assert(spark.read.parquet(path).select("batch").distinct()
+      .as[Long].collect().toSeq == Seq(0L))
+    assert(spark.read.parquet(path).count() == 500)
+    // and the fold line now refuses folded replays
+    Ann.ivfAppendIndex(derived, "vec_id", "v", path, batchId = -1L)
+    assert(spark.read.parquet(path).count() == 500)
+  }
+
+  test("ivfCompactIndex folds an SQ8 index preserving the coded row shape") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val path = tmpDir("ivf-fold8") + "/index"
+    Ann.ivfInitIndexSq8(derived.filter($"vec_id" < 250), "vec_id", "v", m, path)
+    Ann.ivfAppendIndexSq8(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L)
+    val queries = derived.filter($"vec_id" < 3)
+    val before = Ann.ivfTopKIndexedSq8(path, queries, "vec_id", "v",
+      k = 5, nprobe = 2, Ann.loadModel(spark, path))
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(Ann.ivfCompactIndex(spark, path, upTo = 0L) == 0L)
+    val idx = spark.read.parquet(path)
+    assert(idx.count() == 500 && idx.columns.contains("codes"))
+    val after = Ann.ivfTopKIndexedSq8(path, queries, "vec_id", "v",
+      k = 5, nprobe = 2, Ann.loadModel(spark, path))
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(after == before)
+  }
+
   test("an externally retrained _model.json invalidates the append cache") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),

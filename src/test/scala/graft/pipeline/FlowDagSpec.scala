@@ -118,6 +118,79 @@ class FlowDagSpec extends SparkSpec {
     assert(e.getMessage.contains("not a maintenance kind"))
   }
 
+  test("ann-index-maintain hop: low drift folds batches, high drift rebuilds") {
+    import org.apache.spark.sql.functions._
+    import graft.ann.Ann
+    val dir = tmpDir("flowdag-annmaint")
+    val idx = s"$dir/index"
+    val derived = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    Ann.ivfInitIndex(derived.filter(col("vec_id") < 200), "vec_id", "v", m, idx)
+    Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 200 && col("vec_id") < 350),
+      "vec_id", "v", idx, batchId = 0L)
+    Ann.ivfAppendIndex(derived.filter(col("vec_id") >= 350), "vec_id", "v",
+      idx, batchId = 1L)
+    // drift probes: one drawn from the trained distribution, one confined
+    // to 2 of the 16 classes (the AnnSpec appendDrift fixtures)
+    derived.filter(col("vec_id") % 7 === 0).write.parquet(s"$dir/batch-low")
+    derived.filter(pmod(col("vec_id"), lit(16L)) < 2)
+      .write.parquet(s"$dir/batch-high")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // LOW drift: no rebuild — committed batches fold (newest stays out)
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val low = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "ann-nightly",
+      "job.1.job.name" -> "maintain",
+      "job.1.job.type" -> "ann-index-maintain",
+      "job.1.index.path" -> idx,
+      "job.1.batch.path" -> s"$dir/batch-low",
+      "job.1.id.col" -> "vec_id",
+      "job.1.vec.col" -> "v")), "annlow", ledger = Some(ledger))
+    assert(low("maintain").status == FlowDag.Succeeded)
+    val lowDetail = ledger.history.collect()
+      .map(_.getAs[String]("detail")).find(_.contains("ann-index-maintain"))
+    assert(lowDetail.exists(_.contains("compacted")), lowDetail.toString)
+    val batchesAfterLow = spark.read.parquet(idx).select("batch").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted.toSeq
+    assert(batchesAfterLow == Seq(0L, 1L), batchesAfterLow.toString)
+    assert(spark.read.parquet(idx).count() == 500)
+
+    // HIGH drift: quantizer retrained, index rebuilt + swapped atomically
+    val high = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "ann-nightly",
+      "job.1.job.name" -> "maintain",
+      "job.1.job.type" -> "ann-index-maintain",
+      "job.1.index.path" -> idx,
+      "job.1.batch.path" -> s"$dir/batch-high",
+      "job.1.id.col" -> "vec_id",
+      "job.1.vec.col" -> "v",
+      "job.1.rebuild.cells" -> "8")), "annhigh")
+    assert(high("maintain").status == FlowDag.Succeeded,
+      high("maintain").toString)
+    // rebuilt: one batch kept under the old max id, 8-cell model, all rows
+    assert(spark.read.parquet(idx).select("batch").distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(idx).count() == 500)
+    assert(Ann.loadModel(spark, idx).numCells == 8)
+    // the fold line covers everything the rebuild consumed: replays no-op
+    Ann.ivfAppendIndex(derived.filter(col("vec_id") < 200), "vec_id", "v",
+      idx, batchId = 0L)
+    assert(spark.read.parquet(idx).count() == 500)
+    // no swap debris
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, ".old-index")))
+    // the rebuilt index still searches end-to-end
+    val got = Ann.ivfTopKIndexed(idx, derived.filter(col("vec_id") < 3),
+      "vec_id", "v", k = 5, nprobe = 2, Ann.loadModel(spark, idx))
+    assert(got.count() == 15)
+  }
+
   test("a failed node cancels descendants but independent branches run") {
     val dir = tmpDir("flowdag-fail")
     val bad = FlowDag.FlowNode(
