@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * candidates per cell ≈ (n/numCells)·nprobe·(n/numCells) — quadratic
   * only WITHIN a cell, like [[SemDeDup]]'s pairing; top-k per source is
   * a rank window over the candidate set. Oversized cells (a degenerate
-  * centroid attracting everything) are SHED LOUDLY, never ground
-  * through: their sizes come from a counts-only aggregate (shuffles
-  * (cell, 1) pairs, map-side combined — not vectors).
+  * centroid attracting everything) are RECURSIVELY SPLIT with a
+  * quantizer trained within the cell, never ground through; only a cell
+  * still oversized after `shedDepth` splits is terminally shed — loudly,
+  * and symmetrically (its sources emit no edges rather than silently
+  * degraded ones). Cell sizes come from a counts-only aggregate
+  * (shuffles (cell, 1) pairs, map-side combined — not vectors).
   *
   * [[brute]] is the exact baseline (guarded cartesian — refuses past
   * `maxRows`); [[recallVsBrute]] is the independent certification
@@ -50,45 +53,113 @@ object KnnGraph {
     * cells. Recall is 1.0 when clusters are tighter than cells (the
     * separable case) and degrades gracefully with cluster overlap —
     * measure with [[recallVsBrute]] before trusting the graph.
-    * `maxCellSize` sheds degenerate cells loudly (stderr + optional
-    * metrics gauge `knn_graph.shed_cells`/`knn_graph.shed_vectors`). */
+    *
+    * Oversized cells (a degenerate centroid attracting everything —
+    * at web scale the hottest semantic region) are RECURSED, not
+    * dropped: a fresh quantizer is trained WITHIN each shed cell and
+    * its vectors pair in sub-cells, so the work stays bounded without
+    * losing the densest vectors' edges. Only when `shedDepth` levels
+    * of splitting cannot get a cell under `maxCellSize` (identical-
+    * vector hubs) is it terminally shed — loudly (stderr + optional
+    * `knn_graph.shed_cells`/`knn_graph.shed_vectors` gauges), and
+    * SYMMETRICALLY: sources assigned to a terminally shed cell emit
+    * no edges at that level at all, so every emitted top-k is built
+    * from a complete candidate set (no silently degraded rows). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             numCells: Int = 64, nprobe: Int = 2,
             maxCellSize: Long = 100000L,
             model: Option[Ann.IvfModel] = None,
-            metrics: Option[graft.metrics.MetricContext] = None): DataFrame = {
+            metrics: Option[graft.metrics.MetricContext] = None,
+            shedDepth: Int = 2): DataFrame = {
     val m = model.getOrElse(Ann.ivfTrain(corpus, idCol, vecCol, numCells))
     val vec = col(vecCol).cast("array<double>")
-    val c = corpus.select(col(idCol).as("neighbor_id"), vec.as("__cv"),
+    val cand = corpus.select(col(idCol).as("neighbor_id"), vec.as("__cv"),
       Ann.assignCell(vec, m).as("cell"))
+    val probes = corpus.select(col(idCol).as("src_id"), vec.as("__qv"),
+      Ann.assignCell(vec, m).as("assigned"),
+      explode(Ann.probeCells(vec, m, nprobe)).as("probe"))
+      .select(col("src_id"), col("__qv"), col("assigned"),
+        col("probe.cell").cast("int").as("cell"))
+    topK(confined(cand, probes, numCells, nprobe, maxCellSize, metrics,
+      depth = 0, maxDepth = shedDepth), k)
+  }
+
+  /** One confinement level: pair within non-oversized cells, recurse
+    * into oversized ones. `cand` is (neighbor_id, __cv, cell) — each
+    * vector assigned to exactly one cell; `probes` is (src_id, __qv,
+    * assigned, cell) — one row per probed cell. Candidate pairs cannot
+    * repeat within a level (one assignment x distinct probes), and
+    * cannot repeat ACROSS levels (a recursed cell's candidates are
+    * excluded from this level's join), so no distinct is needed.
+    * Recursion work: the common no-shed case adds nothing; a shed cell
+    * costs a bounded-sample retrain plus map-only re-filters of the
+    * assignment pass (shed cells are few and loud by construction). */
+  private def confined(cand: DataFrame, probes: DataFrame, numCells: Int,
+                       nprobe: Int, maxCellSize: Long,
+                       metrics: Option[graft.metrics.MetricContext],
+                       depth: Int, maxDepth: Int): DataFrame = {
     // counts-only pass: (cell, 1) pairs, map-side combined — cheap next
     // to the vector shuffle it protects against
-    val oversized = c.groupBy("cell").count()
+    val oversized = cand.groupBy("cell").count()
       .filter(col("count") > maxCellSize)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val shedCells = oversized.map(_._1).toSet
-    if (shedCells.nonEmpty) {
-      System.err.println(s"[knn-graph] shedding ${shedCells.size} " +
-        s"oversized cells (> $maxCellSize): " +
+    val pairLevel = { (cs: DataFrame, ps: DataFrame) =>
+      ps.join(cs, "cell").filter(col("neighbor_id") =!= col("src_id"))
+        .select("src_id", "__qv", "neighbor_id", "__cv")
+    }
+    if (shedCells.isEmpty) pairLevel(cand, probes)
+    else if (depth >= maxDepth) {
+      // terminal: splitting can no longer bound the cell — shed it, and
+      // shed its SOURCES with it (their dominant candidates live here;
+      // emitting their top-k from other probes would be silently wrong)
+      System.err.println(s"[knn-graph] TERMINALLY shedding " +
+        s"${shedCells.size} cells still > $maxCellSize after $depth " +
+        s"splits: " +
         oversized.map { case (c0, n0) => s"$c0($n0)" }.mkString(", "))
       metrics.foreach { mc =>
         mc.gauge("knn_graph.shed_cells", shedCells.size.toLong)
         mc.gauge("knn_graph.shed_vectors", oversized.map(_._2).sum)
       }
+      pairLevel(
+        cand.filter(!col("cell").isInCollection(shedCells)),
+        probes.filter(!col("cell").isInCollection(shedCells) &&
+          !col("assigned").isInCollection(shedCells)))
+    } else {
+      System.err.println(s"[knn-graph] recursing into ${shedCells.size} " +
+        s"oversized cells (> $maxCellSize) at depth $depth: " +
+        oversized.map { case (c0, n0) => s"$c0($n0)" }.mkString(", "))
+      val main = pairLevel(
+        cand.filter(!col("cell").isInCollection(shedCells)),
+        probes.filter(!col("cell").isInCollection(shedCells)))
+      val subs = shedCells.toSeq.sorted.map { cellId =>
+        val subCand0 = cand.filter(col("cell") === lit(cellId))
+          .select("neighbor_id", "__cv")
+        val subModel = Ann.ivfTrain(subCand0, "neighbor_id", "__cv", numCells)
+        val subCand = subCand0.select(col("neighbor_id"), col("__cv"),
+          Ann.assignCell(col("__cv"), subModel).as("cell"))
+        // sub-pass sources: everyone who probed INTO the shed cell, plus
+        // the cell's own vectors. The latter are usually among the
+        // probers (the assigned cell ranks first), but not under exact
+        // score ties — a degenerate all-equal-centroid model breaks the
+        // argmax/sort tie the two ways — so they are united explicitly
+        // (anti-join is cell-bounded)
+        val probers = probes.filter(col("cell") === lit(cellId))
+          .select("src_id", "__qv")
+        val ownVectors = subCand0
+          .select(col("neighbor_id").as("src_id"), col("__cv").as("__qv"))
+          .join(probers.select("src_id"), Seq("src_id"), "left_anti")
+        val subProbes = probers.unionByName(ownVectors)
+          .select(col("src_id"), col("__qv"),
+            Ann.assignCell(col("__qv"), subModel).as("assigned"),
+            explode(Ann.probeCells(col("__qv"), subModel, nprobe)).as("probe"))
+          .select(col("src_id"), col("__qv"), col("assigned"),
+            col("probe.cell").cast("int").as("cell"))
+        confined(subCand, subProbes, numCells, nprobe, maxCellSize,
+          metrics, depth + 1, maxDepth)
+      }
+      subs.foldLeft(main)(_ unionByName _)
     }
-    val cKept = if (shedCells.isEmpty) c
-      else c.filter(!col("cell").isInCollection(shedCells))
-    val q = corpus.select(col(idCol).as("src_id"), vec.as("__qv"),
-      explode(Ann.probeCells(vec, m, nprobe)).as("probe"))
-      .select(col("src_id"), col("__qv"),
-        col("probe.cell").cast("int").as("cell"))
-    val qKept = if (shedCells.isEmpty) q
-      else q.filter(!col("cell").isInCollection(shedCells))
-    // a neighbor is assigned to exactly ONE cell and each (src, cell)
-    // probe appears once, so candidates cannot repeat — no distinct
-    val cand = qKept.join(cKept, "cell")
-      .filter(col("neighbor_id") =!= col("src_id"))
-    topK(cand, k)
   }
 
   /** Semantic clusters: connected components of the (optionally

@@ -51,6 +51,35 @@ class KnnGraphSpec extends SparkSpec {
     assert(mc.gaugeValue("knn_graph.shed_vectors").contains(500L))
   }
 
+  test("a hub cell recurses into sub-cells: full graph, nothing dropped") {
+    // a deliberately degenerate top-level quantizer (trained on constant
+    // vectors: all centroids identical) funnels the WHOLE corpus into one
+    // hub cell of 500 > maxCellSize=100 — the web-scale worst case where
+    // the hottest semantic region IS the oversized cell. The recursion
+    // retrains within the hub and pairs in sub-cells, so the graph still
+    // comes out complete and exact on separable data.
+    val constant = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        _ => lit(1.0)).as("v"))
+    val hubModel = Ann.ivfTrain(constant, "vec_id", "v", numCells = 4)
+    val g = KnnGraph.build(clustered, "vec_id", "v", k = 3,
+      numCells = 16, nprobe = 2, maxCellSize = 100L, model = Some(hubModel))
+    // every source got its full k edges — no vector vanished with the hub
+    assert(g.select("src_id").distinct().count() == 500)
+    val perSrc = g.groupBy("src_id").count().select("count").distinct()
+    assert(perSrc.as[Long].collect().toSeq == Seq(3L))
+    // and the recursed graph is EXACT (separable data)
+    val b = KnnGraph.brute(clustered, "vec_id", "v", k = 3)
+    assert(g.select("src_id", "neighbor_id", "rank")
+      .except(b.select("src_id", "neighbor_id", "rank")).isEmpty)
+    assert(b.select("src_id", "neighbor_id", "rank")
+      .except(g.select("src_id", "neighbor_id", "rank")).isEmpty)
+    // independent certification: full recall through the recursion
+    val (m, t) = KnnGraph.recallVsBrute(clustered, g, "vec_id", "v",
+      k = 3, samplePermille = 200)
+    assert(t > 0 && m == t, s"recall $m/$t")
+  }
+
   test("clusters: mutual-kNN components recover the planted classes exactly") {
     // k must give the mutual graph enough edges to CONNECT each ~31-member
     // class (k=5 deterministically strands one vector on this corpus —
