@@ -2200,6 +2200,28 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     }),
 
+    // image dedup (round 14): REAL pixels through the perceptual-hash
+    // path — byte-identical planted copies (content keyed by doc_id%25)
+    // must group under their base id via the decoded dHash
+    "q188_image_exact_dedup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+        .filter(expr("(media_id div 25) % 2 = 0"))
+      graft.multimodal.ImageDedup.exactGroups(variants)
+        .select(col("media_id"), col("group_rep"))
+    }),
+
+    // image NEAR-dup (round 14): perturbed variants (sparse brightness
+    // mask, a couple of dHash bits) must cluster with their base via
+    // banded Hamming pairing + connected components — ground truth is
+    // the planted group id
+    "q189_image_neardup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+      graft.multimodal.ImageDedup.clusters(variants, maxHamming = 3)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4209,6 +4231,14 @@ object SparkEntry {
     "q186_image_resize" ->
       ("SELECT doc_id AS media_id, 24::BIGINT AS width, " +
         "18::BIGINT AS height, true AS content_nontrivial FROM documents"),
+    // planted duplicate groups: content is a pure function of
+    // doc_id % 25, so the perceptual-hash groups must recover it
+    "q188_image_exact_dedup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 25)::BIGINT AS group_rep " +
+        "FROM documents WHERE (doc_id // 25) % 2 = 0"),
+    "q189_image_neardup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 25)::BIGINT AS cluster_id " +
+        "FROM documents"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

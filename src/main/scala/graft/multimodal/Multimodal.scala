@@ -231,6 +231,45 @@ object Multimodal {
       .toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic image table with PLANTED duplicate groups: content is a
+    * deterministic pseudo-random texture of `base = doc_id % groups`, so
+    * docs sharing a base render the same picture; every other copy is
+    * PERTURBED (a faint sparse brightness mask — the re-encode/brightness
+    * noise a crawl's duplicate images carry), which leaves the
+    * perceptual hash within a couple of bits while distinct bases land
+    * far apart. Ground truth for dedup oracles: group = doc_id % groups. */
+  def syntheticImageVariants(spark: SparkSession, docs: DataFrame,
+                             groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val perturbed = (id / groups) % 2 == 1
+      val w = 32
+      val h = 32
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // per-base pseudo-random texture (splitmix-style finalizer so
+          // base interacts with x,y — a base-dependent OFFSET would
+          // cancel in dHash's neighbor comparisons): distinct bases give
+          // effectively independent dHash bit patterns
+          var z = base.toLong * 0x9E3779B97F4A7C15L +
+            x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          var g = (z & 0xffL).toInt
+          if (perturbed && (x + y) % 5 == 0) g = math.min(255, g + 2)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png", s"grp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Build a synthetic media table from the documents table (testdata has
     * no binary columns; payload = utf8 bytes of the text). */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame =
