@@ -2222,6 +2222,22 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // REAL audio decode (round 14): executor-side WAV generation (16-bit
+    // mono PCM sine, frames derived from doc_id) parsed back through the
+    // JDK's actual javax.sound codec — frame counts and durations come
+    // from the decoded stream; a nontrivial-energy gate proves the
+    // samples were actually read (silence would fail it)
+    "q190_audio_decode" -> ((s, dir) => {
+      val audio = Multimodal.syntheticAudio(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(audio, new Multimodal.WavDecoder()).toDF()
+        .select(col("media_id"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("duration_ms").cast("bigint").as("duration_ms"),
+          (element_at(col("feature"), 1) > lit(0.25) &&
+            element_at(col("feature"), 1) < lit(0.45))
+            .as("energy_sane"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4239,6 +4255,10 @@ object SparkEntry {
     "q189_image_neardup" ->
       ("SELECT doc_id AS media_id, (doc_id % 25)::BIGINT AS cluster_id " +
         "FROM documents"),
+    "q190_audio_decode" ->
+      ("SELECT doc_id AS media_id, (400 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((400 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms, " +
+        "true AS energy_sane FROM documents"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

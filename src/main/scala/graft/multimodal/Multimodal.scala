@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * IMAGE decode and resize are REAL: [[ImageIoDecoder]] /
   * [[ImageIoResizer]] run the JDK's `javax.imageio` PNG/JPEG codecs and
   * `java.awt.Graphics2D` scaling on the executors — width/height/features
-  * come from actual pixels. Audio/video decode remains STUBBED behind
-  * [[FakeDecoder]] (no sound/video codecs ship in the JDK) — swap in a
-  * real implementation (JavaCV, ffmpeg bindings, ...) without touching
-  * the pipeline.
+  * come from actual pixels. AUDIO decode is REAL too: [[WavDecoder]]
+  * parses WAV/AIFF/AU PCM via `javax.sound.sampled` — frame counts,
+  * duration and RMS-energy features come from actual samples. Only VIDEO
+  * decode remains STUBBED behind [[FakeDecoder]] (the JDK ships no video
+  * codec) — swap in a real implementation (JavaCV, ffmpeg bindings, ...)
+  * without touching the pipeline.
   *
   * Scale notes: binary payloads dominate row size, so
   * spark.sql.files.maxPartitionBytes should be sized for ~hundreds of
@@ -146,6 +148,98 @@ object Multimodal {
       } finally g.dispose()
       r.copy(payload = ImageCodec.write(out, format), mime = s"image/$format")
     }
+  }
+
+  /** REAL audio decoder: `javax.sound.sampled` (JDK-native WAV/AIFF/AU
+    * readers) parses the payload's format and PCM frames — sample count,
+    * duration and a per-segment RMS-energy feature come from the actual
+    * samples. Non-audio records fall back (chain with [[ImageIoDecoder]]
+    * for a real image+audio decoder; only VIDEO remains stubbed — the
+    * JDK ships no video codec). 16-bit PCM is required (the WAV norm);
+    * anything else refuses loudly rather than mis-reading sample math. */
+  final class WavDecoder(featureDim: Int = 8,
+                         fallback: MediaDecoder = new FakeDecoder())
+      extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.media_type != "audio" || r.payload == null || r.payload.isEmpty)
+        fallback.decode(r)
+      else {
+        val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=${r.media_id}: payload is not a decodable audio " +
+                s"stream (mime=${r.mime})", e)
+        }
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16,
+            s"media_id=${r.media_id}: ${fmt.getSampleSizeInBits}-bit PCM " +
+              "unsupported (16-bit required)")
+          val frames = in.getFrameLength
+          val channels = fmt.getChannels
+          val bytes = in.readAllBytes()
+          val big = fmt.isBigEndian
+          val bands = new Array[Double](featureDim)
+          val counts = new Array[Long](featureDim)
+          var i = 0
+          val totalSamples = bytes.length / 2
+          while (i < totalSamples) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
+            val frame = i / channels
+            val band = math.min(featureDim - 1,
+              (frame * featureDim / math.max(frames, 1L)).toInt)
+            bands(band) += s.toDouble * s.toDouble
+            counts(band) += 1
+            i += 1
+          }
+          val feat = Array.tabulate(featureDim) { b =>
+            if (counts(b) == 0) 0f
+            else (math.sqrt(bands(b) / counts(b)) / 32768.0).toFloat
+          }
+          MediaFeatures(r.media_id, r.media_type, width = 0, height = 0,
+            n_frames = frames.toInt,
+            duration_ms = frames * 1000L / fmt.getSampleRate.toLong,
+            feature = feat)
+        } finally in.close()
+      }
+  }
+
+  /** Synthetic AUDIO table with REAL WAV payloads: per document, a
+    * 16-bit mono 8 kHz PCM sine whose length and pitch derive from
+    * doc_id (`frames = 400 + doc_id % 800`), encoded with the JDK WAV
+    * writer on the executors — decoding through [[WavDecoder]] exercises
+    * the real audio codec while frame counts and durations stay
+    * oracle-computable from doc_id alone. */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), coalesce(col("source"), lit("")).as("source"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, source) =>
+        val rate = 8000
+        val frames = 400 + (id % 800).toInt
+        val freq = 200.0 + (id % 20) * 50.0
+        val pcm = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v = (math.sin(2 * math.Pi * freq * i / rate) * 16384).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+          true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        (id, "audio", bos.toByteArray, "audio/wav", source)
+      })
+      .toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
   /** Shared executor-side codec helpers: force headless AWT once per JVM

@@ -131,6 +131,72 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == images.count())
   }
 
+  // ------------------------------------------------ real WAV audio path
+
+  private lazy val audio =
+    Multimodal.syntheticAudio(spark, Tables.load(spark, sf, "documents"))
+
+  test("WavDecoder reads REAL frame counts and durations from actual WAVs") {
+    val feats = Multimodal.extractFeatures(audio,
+      new Multimodal.WavDecoder()).toDF()
+    val bad = feats.filter(
+      col("n_frames") =!= lit(400) + pmod(col("media_id"), lit(800)) ||
+      col("duration_ms") =!=
+        ((lit(400) + pmod(col("media_id"), lit(800))) * 1000 / 8000)
+          .cast("bigint")).count()
+    assert(bad == 0)
+    assert(feats.count() == audio.count())
+  }
+
+  test("WavDecoder features reflect sample energy, not payload length") {
+    def wav(pcm: Array[Byte], frames: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val dec = new Multimodal.WavDecoder(featureDim = 4)
+    val silence = dec.decode(Multimodal.MediaRecord(1, "audio",
+      wav(new Array[Byte](1600), 800), "audio/wav", "t"))
+    assert(silence.feature.forall(_ == 0f), silence.feature.toSeq)
+    assert(silence.n_frames == 800 && silence.duration_ms == 100)
+    // half-amplitude sine: RMS ~= 0.5 / sqrt(2) ~= 0.354 in every band
+    val pcm = new Array[Byte](1600)
+    for (i <- 0 until 800) {
+      val v = (math.sin(2 * math.Pi * 440 * i / 8000) * 16384).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val sine = dec.decode(Multimodal.MediaRecord(2, "audio",
+      wav(pcm, 800), "audio/wav", "t"))
+    assert(sine.feature.forall(f => f > 0.3f && f < 0.4f),
+      sine.feature.toSeq)
+    // garbage refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      dec.decode(Multimodal.MediaRecord(3, "audio",
+        Array[Byte](9, 9, 9, 9), "audio/wav", "t"))
+    }
+    assert(e.getMessage.contains("not a decodable audio"), e.getMessage)
+  }
+
+  test("a chained real decoder covers image+audio; video falls back to the stub") {
+    val dec = new Multimodal.ImageIoDecoder(
+      fallback = new Multimodal.WavDecoder())
+    val img = Multimodal.syntheticImages(spark,
+      Tables.load(spark, sf, "documents").limit(5))
+    val mixed = img.unionByName(audio.limit(5))
+      .unionByName(media.filter($"media_type" === "video").limit(5))
+    val feats = Multimodal.extractFeatures(mixed, dec).toDF()
+    assert(feats.filter($"media_type" === "image")
+      .filter($"width" < 16).count() == 0)
+    assert(feats.filter($"media_type" === "audio")
+      .filter($"n_frames" < 400).count() == 0)
+    assert(feats.filter($"media_type" === "video").count() == 5)
+  }
+
   test("sampleFrames explodes every nth frame for videos only") {
     val f = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(f, every = 10)
