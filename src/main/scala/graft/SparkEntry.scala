@@ -2238,6 +2238,70 @@ object SparkEntry {
             .as("energy_sane"))
     }),
 
+    // incremental PQ index (round 14): the highest-compression tier of
+    // the index family through the full lifecycle — persisted quantizer
+    // + residual codebooks, init/append/REPLAYED append/fold, then
+    // partition-pruned ADC search. In-query certification pins the
+    // indexed search byte-identical to the inline IvfPq ADC (same
+    // codebooks, so any lifecycle corruption diverges); the exact
+    // re-rank top-1 is what DuckDB recomputes (q100's oracle).
+    "q191_ivf_pq_incremental" -> ((s, dir) => {
+      import graft.ann.{Ann, IvfPq, Pq}
+      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("embedding"))
+      val m = Ann.ivfTrain(derived, "vec_id", "embedding", numCells = 16)
+      val cb = IvfPq.trainResiduals(derived, "vec_id", "embedding", m,
+        m = 8, k = 16, sampleN = 2000, iters = 8)
+      val path = tmp("q191") + "/index"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      Ann.ivfInitIndexPq(derived.filter(col("vec_id") < 250),
+        "vec_id", "embedding", m, cb, path)
+      Ann.ivfAppendIndexPq(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 0L)
+      Ann.ivfAppendIndexPq(derived.filter(col("vec_id") >= 250),
+        "vec_id", "embedding", path, batchId = 0L) // replay: no dup
+      require(s.read.parquet(path).count() == derived.count(),
+        "replayed PQ append duplicated index rows")
+      require(Ann.ivfCompactIndex(s, path, upTo = 0L) == 0L,
+        "PQ fold target must be the highest folded id")
+      val queries = derived.filter(col("vec_id") < 5)
+      val viaIndex = Ann.ivfTopKIndexedPq(path, queries,
+        "vec_id", "embedding", k = 64, nprobe = 4)
+      val inline = IvfPq.adcTopK(
+        IvfPq.encode(derived, "vec_id", "embedding", m, cb), queries,
+        "vec_id", "embedding", m, cb, topK = 64, nprobe = 4)
+      val missed = viaIndex.select("query_id", "neighbor_id")
+        .exceptAll(inline.select("query_id", "neighbor_id"))
+        .union(inline.select("query_id", "neighbor_id")
+          .exceptAll(viaIndex.select("query_id", "neighbor_id")))
+        .agg(count(lit(1)).as("__missed"))
+      val qv = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      val cv = derived.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"))
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      viaIndex.select("query_id", "neighbor_id")
+        .join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine", Ann.dot(col("__qv"), col("__cv")) /
+          (Ann.norm(col("__qv")) * Ann.norm(col("__cv"))))
+        .withColumn("rank", row_number().over(wExact))
+        .filter(col("rank") === 1)
+        .crossJoin(broadcast(missed))
+        .withColumn("ok", when(col("__missed") === 0, lit(true)).otherwise(
+          raise_error(concat(
+            lit("indexed PQ search diverged from inline ADC on "),
+            col("__missed"), lit(" rows")))))
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine_r"),
+          col("rank").cast("bigint").as("rank"), col("ok"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4259,6 +4323,23 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, (400 + doc_id % 800)::BIGINT AS n_frames, " +
         "((400 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms, " +
         "true AS energy_sane FROM documents"),
+    // same exact-top-1 contract as q100: the indexed PQ lifecycle is
+    // certified in-query against the inline ADC, and the re-ranked
+    // top-1 must match DuckDB's brute-force exact answer
+    "q191_ivf_pq_incremental" ->
+      ("WITH e AS (SELECT vec_id, [embedding[i]::DOUBLE + " +
+        "CASE WHEN i - 1 = vec_id % 16 THEN 10.0 ELSE 0.0 END " +
+        "FOR i IN range(1, len(embedding) + 1)] AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * " +
+        "sqrt(list_dot_product(cv, cv))) AS cosine FROM q, c " +
+        "WHERE neighbor_id <> query_id) " +
+        "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r, rank, " +
+        "true AS ok FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) WHERE rank = 1"),
     // the replica equals the partition-filtered source: lifecycle
     // (incremental + deregister) is certified in-query by require()s
     "q171_hive_copy" ->

@@ -589,6 +589,11 @@ object Ann {
     recoverCompaction(spark, indexPath)
     val dst = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(indexPath,
+      "_codebooks.json")),
+      s"$indexPath is a PQ index — rebuilding from its own rows would " +
+        "re-encode lossy reconstructions (double quantization error); " +
+        "rebuild a PQ index from the source corpus at a fresh path")
     val ids = listBatchIds(fs, indexPath)
     require(ids.nonEmpty, s"$indexPath has no batch partitions to rebuild")
     val foldLine = ids.max
@@ -682,6 +687,88 @@ object Ann {
       .select("query_id", "neighbor_id", "__qv", "__cv")
     rankTopK(cand.withColumn("cosine",
       cosine(col("__qv"), col("__cv"))), k)
+  }
+
+  // ---------------------------------------------- incremental PQ index
+
+  /** PQ-compressed incremental index: same `batch=/cell=` layout, fold
+    * line and replay contract as [[ivfAppendIndex]], but rows store
+    * m-byte product-quantization codes of the CELL RESIDUAL (the
+    * [[IvfPq]] layout) — the highest-compression tier of the index
+    * family (float > SQ8 > PQ). The residual codebooks persist beside
+    * the quantizer (`_codebooks.json`): appends MUST encode with the
+    * index's own codebooks, exactly as they must assign with its own
+    * model. Search with [[ivfTopKIndexedPq]] (partition-pruned ADC). */
+  def ivfInitIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
+                     model: IvfModel, cb: Pq.Codebooks, path: String,
+                     batchId: Long = -1L): Unit = {
+    refuseInitOverCompacted(corpus.sparkSession, path)
+    saveModel(corpus.sparkSession, model, path)
+    savePqCodebooks(corpus.sparkSession, cb, path)
+    cacheModel(corpus.sparkSession, path, model)
+    ivfAppendIndexPq(corpus, idCol, vecCol, path, batchId)
+  }
+
+  def ivfAppendIndexPq(batch: DataFrame, idCol: String, vecCol: String,
+                       path: String, batchId: Long): Unit = {
+    if (skipFoldedReplay(batch.sparkSession, path, batchId)) return
+    val model = loadModelCached(batch.sparkSession, path)
+    val cb = loadPqCodebooks(batch.sparkSession, path)
+    IvfPq.encode(batch, idCol, vecCol, model, cb)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/batch=$batchId")
+  }
+
+  /** Partition-pruned ADC search over a persisted PQ index: probe cells
+    * resolve driver-side inside [[IvfPq.adcTopK]] and become a literal
+    * cell filter over the `cell=` partitions; only probed cells' codes
+    * are scanned and scored against the per-(query, cell) LUTs. */
+  def ivfTopKIndexedPq(indexPath: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    recoverCompaction(spark, indexPath)
+    val model = loadModelCached(spark, indexPath)
+    val cb = loadPqCodebooks(spark, indexPath)
+    IvfPq.adcTopK(spark.read.parquet(indexPath), queries, idCol, vecCol,
+      model, cb, k, nprobe)
+  }
+
+  /** Persist residual codebooks beside the index (underscore-prefixed,
+    * invisible to parquet discovery): shape header + flat center list. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      cb: Pq.Codebooks, indexPath: String): Unit = {
+    val flat = cb.centers.flatMap(_.flatMap(_.toSeq))
+    val json = s"""{"m":${cb.m},"k":${cb.k},"dim":${cb.dim},""" +
+      s""""centers":[${flat.mkString(",")}]}"""
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writeSmallFile(fs,
+      new org.apache.hadoop.fs.Path(indexPath, "_codebooks.json"), json)
+  }
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): Pq.Codebooks = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_codebooks.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _codebooks.json under $indexPath — not a " +
+      "PQ incremental index (build one with ivfInitIndexPq)")
+    val s = readSmallFile(fs, p)
+    def intOf(k: String) = ("\"" + k + "\"\\s*:\\s*(\\d+)").r
+      .findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"bad _codebooks.json: $k"))
+    val (m, k, dim) = (intOf("m"), intOf("k"), intOf("dim"))
+    val flat = "\"centers\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1).split(',').map(_.trim.toFloat))
+      .getOrElse(throw new IllegalStateException("bad _codebooks.json"))
+    val subDim = dim / m
+    require(flat.length == m * k * subDim,
+      s"_codebooks.json holds ${flat.length} floats, want ${m * k * subDim}")
+    val centers = Array.tabulate(m, k) { (si, ci) =>
+      java.util.Arrays.copyOfRange(flat, (si * k + ci) * subDim,
+        (si * k + ci + 1) * subDim)
+    }
+    Pq.Codebooks(m, k, dim, centers)
   }
 
   /** Retrain signal for an incremental index: exact TV between the

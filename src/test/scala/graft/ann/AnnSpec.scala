@@ -344,6 +344,45 @@ class AnnSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental PQ index: codebooks persist, folds, replays, refuses rebuild") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val cb = IvfPq.trainResiduals(derived, "vec_id", "v", m,
+      m = 8, k = 16, sampleN = 2000, iters = 5)
+    val path = tmpDir("ivf-pq-incr") + "/index"
+    Ann.ivfInitIndexPq(derived.filter($"vec_id" < 250), "vec_id", "v",
+      m, cb, path)
+    Ann.ivfAppendIndexPq(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L)
+    Ann.ivfAppendIndexPq(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L) // replay republishes, never duplicates
+    assert(spark.read.parquet(path).count() == 500)
+    // codebooks round-trip exactly through _codebooks.json
+    val loaded = Ann.loadPqCodebooks(spark, path)
+    assert(loaded.m == cb.m && loaded.k == cb.k && loaded.dim == cb.dim)
+    assert(loaded.centers.flatMap(_.flatMap(_.toSeq)).toSeq ==
+      cb.centers.flatMap(_.flatMap(_.toSeq)).toSeq)
+    // indexed ADC == inline ADC with the same codebooks, pre- AND post-fold
+    val queries = derived.filter($"vec_id" < 3)
+    val inline = IvfPq.adcTopK(IvfPq.encode(derived, "vec_id", "v", m, cb),
+      queries, "vec_id", "v", m, cb, topK = 10, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+    def indexed() = Ann.ivfTopKIndexedPq(path, queries, "vec_id", "v",
+      k = 10, nprobe = 2).select("query_id", "neighbor_id", "rank")
+    assert(indexed().except(inline).isEmpty && inline.except(indexed()).isEmpty)
+    assert(Ann.ivfCompactIndex(spark, path, upTo = 0L) == 0L)
+    assert(indexed().except(inline).isEmpty && inline.except(indexed()).isEmpty)
+    assert(spark.read.parquet(path).count() == 500)
+    // a PQ index refuses in-place rebuild (double quantization error)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfRebuildIndex(spark, path, "vec_id", "v", 8, sq8 = false, "r")
+    }
+    assert(e.getMessage.contains("PQ index"), e.getMessage)
+  }
+
   test("an externally retrained _model.json invalidates the append cache") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),
