@@ -1231,7 +1231,9 @@ object SparkEntry {
         Streams.dedupWithinWatermark(
           stream, Seq("event_id"), "ts", delay = "3650 days")
           .select("event_id", "user_id"),
-        "q98_stream_dedup_wm_tbl")
+        // dedup state is one key row per event: 8 state partitions,
+        // not one per core (see Streams.withStatePartitions)
+        "q98_stream_dedup_wm_tbl", statePartitions = Some(8))
     }),
 
     // keystore-backed rotating AES field encryption, end-to-end: generate
@@ -2638,7 +2640,9 @@ object SparkEntry {
           side("purchase", "purchase_id", "purchase_ts"),
           Seq("user_id"), "click_ts", "purchase_ts",
           "-1 hour", "0 seconds", delay = "3650 days"),
-        "q107_ssij_tbl")
+        // watermark-bounded join state is a few thousand rows: 8 state
+        // partitions, not one per core (see Streams.withStatePartitions)
+        "q107_ssij_tbl", statePartitions = Some(8))
         .select("user_id", "click_id", "purchase_id")
     }),
 
@@ -2849,7 +2853,9 @@ object SparkEntry {
           Seq("user_id"), "click_ts", "purchase_ts",
           "-1 hour", "0 seconds", delay = "60 days",
           joinType = "left_outer"),
-        "q117_ssoj_tbl")
+        // outer-join state is watermark-bounded and small: 8 state
+        // partitions, not one per core (see Streams.withStatePartitions)
+        "q117_ssoj_tbl", statePartitions = Some(8))
         .filter(col("user_id") >= 0)
         .select("user_id", "click_id", "purchase_id")
     }),

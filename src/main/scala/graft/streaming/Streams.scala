@@ -124,31 +124,53 @@ object Streams {
     * DataFrame via the in-memory sink. Exercises the real streaming
     * execution path; the batch-mode equivalent must produce equal output
     * (stream/batch parity is the correctness check). */
-  def runToCompletion(stream: DataFrame, queryName: String): DataFrame = {
-    val spark = stream.sparkSession
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+  def runToCompletion(stream: DataFrame, queryName: String,
+                      statePartitions: Option[Int] = None): DataFrame =
+    withStatePartitions(stream.sparkSession, statePartitions) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stream.sparkSession.table(queryName)
+    }
 
   /** As [[runToCompletion]] but in APPEND mode — for stateless streams
     * (projections, filters, stream-static joins) where every micro-batch
     * row is final on arrival. */
-  def runToCompletionAppend(stream: DataFrame, queryName: String): DataFrame = {
-    val spark = stream.sparkSession
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+  def runToCompletionAppend(stream: DataFrame, queryName: String,
+                            statePartitions: Option[Int] = None): DataFrame =
+    withStatePartitions(stream.sparkSession, statePartitions) {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      stream.sparkSession.table(queryName)
+    }
+
+  /** Scope `spark.sql.shuffle.partitions` around a streaming run. A
+    * STATEFUL stream opens and commits one state-store instance per
+    * shuffle partition EVERY micro-batch, so the partition count must
+    * track the STATE volume, not the core count: a watermark-bounded
+    * join whose live state is a few thousand rows pays ~2.5x wall time
+    * at 32 partitions vs 8 on identical data (measured at sf0.1). At
+    * real scale raise it with the same knob — results are identical
+    * either way, only the per-batch commit overhead moves. The value is
+    * fixed at query START (state stores keep their layout for the
+    * checkpoint's life), so the override brackets `.start()`. */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                             n: Option[Int])(body: => T): T = n match {
+    case None => body
+    case Some(parts) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts.toString)
+      try body finally spark.conf.set(key, prev)
   }
 
   /** Stream-static enrichment: join each micro-batch against a broadcast
