@@ -623,6 +623,54 @@ object Ann {
     foldLine
   }
 
+  /** Rebuild an index from a SOURCE corpus instead of its own rows —
+    * the only rebuild a PQ index allows (re-encoding its lossy
+    * reconstructions would compound quantization error) and the fresher
+    * option for any codec when the upstream table is at hand. The
+    * source REPLACES the index content: train quantizer (+ residual
+    * codebooks for PQ) on it, build at a staged path under the old max
+    * batch id with the fold line set (replays of consumed batches
+    * no-op), preserve the stream token, swap with the publisher's
+    * park-restore renames. Run with the feeding stream quiesced. */
+  def ivfRebuildIndexFromSource(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, source: DataFrame,
+                                idCol: String, vecCol: String,
+                                numCells: Int, codec: String, runId: String,
+                                pqM: Int = 8, pqK: Int = 256): Long = {
+    recoverCompaction(spark, indexPath)
+    val dst = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = listBatchIds(fs, indexPath)
+    require(ids.nonEmpty, s"$indexPath has no batch partitions to rebuild")
+    val foldLine = ids.max
+    val model = ivfTrain(source, idCol, vecCol, numCells)
+    val staging = new org.apache.hadoop.fs.Path(dst.getParent,
+      s".staging-$runId-${dst.getName}")
+    fs.delete(staging, true): Unit
+    codec match {
+      case "float" => ivfInitIndex(source, idCol, vecCol, model,
+        staging.toString, batchId = foldLine)
+      case "sq8" => ivfInitIndexSq8(source, idCol, vecCol, model,
+        staging.toString, batchId = foldLine)
+      case "pq" =>
+        val cb = IvfPq.trainResiduals(source, idCol, vecCol, model, pqM, pqK)
+        ivfInitIndexPq(source, idCol, vecCol, model, cb, staging.toString,
+          batchId = foldLine)
+      case other => throw new IllegalArgumentException(
+        s"unknown index codec '$other' (float, sq8, pq)")
+    }
+    writeSmallFile(fs, compactionPath(staging.toString),
+      s"""{"folded_up_to":$foldLine}""")
+    val streamToken = new org.apache.hadoop.fs.Path(indexPath, "_stream.json")
+    if (fs.exists(streamToken))
+      org.apache.hadoop.fs.FileUtil.copy(fs, streamToken, fs,
+        new org.apache.hadoop.fs.Path(staging, "_stream.json"),
+        false, spark.sparkContext.hadoopConfiguration): Unit
+    graft.sinks.AtomicPublisher.Staged(fs, staging, dst, runId).promote()
+    invalidateModelCache(indexPath)
+    foldLine
+  }
+
   private def compactionPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_compaction.json")
   private def pendingPath(path: String) =

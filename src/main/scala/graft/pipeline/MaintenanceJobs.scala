@@ -59,7 +59,11 @@ import graft.sinks.SnapshotLog
   *     `compact.up.to` (explicit fold line). Above the threshold the
   *     node retrains the quantizer on the index's own rows and swaps the
   *     rebuilt index in atomically ([[graft.ann.Ann.ivfRebuildIndex]]);
-  *     run it with the feeding stream quiesced.
+  *     run it with the feeding stream quiesced. Optional
+  *     `rebuild.source.path` (+ `rebuild.source.format`, `codec`
+  *     (`float`|`sq8`|`pq` — defaults by sniffing `_codebooks.json` /
+  *     the `sq8` prop), `pq.m`, `pq.k`) rebuilds from a SOURCE corpus
+  *     instead — required for PQ indexes, whose own rows are lossy.
   */
 final case class MaintenanceSpec(name: String, kind: String,
                                  props: Map[String, String])
@@ -245,8 +249,26 @@ object MaintenanceRunner {
         if (drift >= threshold) {
           val cells = spec.props.get("rebuild.cells").map(_.toInt)
             .getOrElse(Ann.loadModel(spark, idxPath).numCells)
-          val line = Ann.ivfRebuildIndex(spark, idxPath, p("id.col"),
-            vecCol, cells, sq8, runId)
+          val line = spec.props.get("rebuild.source.path") match {
+            case Some(src) =>
+              // source-corpus rebuild: the only rebuild a PQ index
+              // allows, and the fresher option for any codec
+              val hasCodebooks = new org.apache.hadoop.fs.Path(idxPath,
+                "_codebooks.json").getFileSystem(
+                spark.sparkContext.hadoopConfiguration).exists(
+                new org.apache.hadoop.fs.Path(idxPath, "_codebooks.json"))
+              val codec = spec.props.getOrElse("codec",
+                if (hasCodebooks) "pq" else if (sq8) "sq8" else "float")
+              Ann.ivfRebuildIndexFromSource(spark, idxPath,
+                spark.read.format(spec.props
+                  .getOrElse("rebuild.source.format", "parquet")).load(src),
+                p("id.col"), vecCol, cells, codec, runId,
+                pqM = spec.props.get("pq.m").map(_.toInt).getOrElse(8),
+                pqK = spec.props.get("pq.k").map(_.toInt).getOrElse(256))
+            case None =>
+              Ann.ivfRebuildIndex(spark, idxPath, p("id.col"),
+                vecCol, cells, sq8, runId)
+          }
           s"ann-index-maintain: drift=$drift >= $threshold -> rebuilt " +
             s"(cells=$cells, fold_line=$line)"
         } else if (spec.props.getOrElse("compact", "true").toBoolean) {

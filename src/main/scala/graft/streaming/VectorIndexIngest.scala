@@ -34,20 +34,29 @@ import graft.ann.Ann
   */
 object VectorIndexIngest {
 
-  /** `sq8 = true` appends int8-coded rows ([[Ann.ivfAppendIndexSq8]])
-    * — the index must have been bootstrapped with [[Ann.ivfInitIndexSq8]]
-    * so every batch shares the row shape (a mixed float/SQ8 index
-    * would fail at read time, loudly). */
+  /** `codec` selects the stored row shape — `"float"` (raw vectors),
+    * `"sq8"` (int8 affine codes, [[Ann.ivfAppendIndexSq8]]) or `"pq"`
+    * (product-quantization codes, [[Ann.ivfAppendIndexPq]]) — and must
+    * match the bootstrap (`ivfInitIndex`/`Sq8`/`Pq`) so every batch
+    * shares the row shape: a mixed-codec index would fail at read time,
+    * loudly. `sq8 = true` is the legacy spelling of `codec = "sq8"`. */
   def start(stream: DataFrame, idCol: String, vecCol: String,
             indexPath: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            sq8: Boolean = false): StreamingQuery = {
+            sq8: Boolean = false, codec: String = "float"): StreamingQuery = {
     val spark = stream.sparkSession
+    val effective = if (sq8) "sq8" else codec
+    val append: (DataFrame, Long) => Unit = effective match {
+      case "float" => Ann.ivfAppendIndex(_, idCol, vecCol, indexPath, _)
+      case "sq8" => Ann.ivfAppendIndexSq8(_, idCol, vecCol, indexPath, _)
+      case "pq" => Ann.ivfAppendIndexPq(_, idCol, vecCol, indexPath, _)
+      case other => throw new IllegalArgumentException(
+        s"unknown index codec '$other' (float, sq8, pq)")
+    }
     guardStreamIdentity(spark, indexPath, checkpointDir)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (sq8) Ann.ivfAppendIndexSq8(batch, idCol, vecCol, indexPath, batchId)
-        else Ann.ivfAppendIndex(batch, idCol, vecCol, indexPath, batchId)
+        append(batch, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

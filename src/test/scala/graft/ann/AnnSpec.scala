@@ -383,6 +383,41 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("PQ index"), e.getMessage)
   }
 
+  test("source-corpus rebuild replaces index content for any codec; PQ allowed") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val cb = IvfPq.trainResiduals(derived, "vec_id", "v", m,
+      m = 8, k = 16, sampleN = 2000, iters = 5)
+    val path = tmpDir("ivf-pq-src") + "/index"
+    Ann.ivfInitIndexPq(derived.filter($"vec_id" < 250), "vec_id", "v",
+      m, cb, path)
+    Ann.ivfAppendIndexPq(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L)
+    // rebuild from the SOURCE corpus with a fresh 8-cell geometry
+    val line = Ann.ivfRebuildIndexFromSource(spark, path, derived,
+      "vec_id", "v", numCells = 8, codec = "pq", runId = "src1",
+      pqM = 8, pqK = 16)
+    assert(line == 0L)
+    assert(spark.read.parquet(path).count() == 500)
+    assert(Ann.loadModel(spark, path).numCells == 8)
+    // consumed-batch replays no-op against the new fold line
+    Ann.ivfAppendIndexPq(derived.filter($"vec_id" >= 250), "vec_id", "v",
+      path, batchId = 0L)
+    assert(spark.read.parquet(path).count() == 500)
+    // search works against the rebuilt geometry
+    val got = Ann.ivfTopKIndexedPq(path, derived.filter($"vec_id" < 3),
+      "vec_id", "v", k = 5, nprobe = 2)
+    assert(got.count() == 15)
+    // fresh appends past the fold line land, encoded with the NEW books
+    Ann.ivfAppendIndexPq(derived.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"v"),
+      "vec_id", "v", path, batchId = 1L)
+    assert(spark.read.parquet(path).count() == 503)
+  }
+
   test("an externally retrained _model.json invalidates the append cache") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),

@@ -191,6 +191,43 @@ class FlowDagSpec extends SparkSpec {
     assert(got.count() == 15)
   }
 
+  test("ann-index-maintain on a PQ index: high drift rebuilds from the source corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.ann.{Ann, IvfPq}
+    val dir = tmpDir("flowdag-annpq")
+    val idx = s"$dir/index"
+    val derived = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
+            lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val cb = IvfPq.trainResiduals(derived, "vec_id", "v", m, m = 8, k = 16)
+    Ann.ivfInitIndexPq(derived, "vec_id", "v", m, cb, idx)
+    derived.write.parquet(s"$dir/source")
+    derived.filter(pmod(col("vec_id"), lit(16L)) < 2)
+      .write.parquet(s"$dir/batch-high")
+    val res = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "ann-pq-nightly",
+      "job.1.job.name" -> "maintain",
+      "job.1.job.type" -> "ann-index-maintain",
+      "job.1.index.path" -> idx,
+      "job.1.batch.path" -> s"$dir/batch-high",
+      "job.1.id.col" -> "vec_id",
+      "job.1.vec.col" -> "v",
+      "job.1.rebuild.source.path" -> s"$dir/source",
+      "job.1.rebuild.cells" -> "8",
+      "job.1.pq.k" -> "16")), "annpq")
+    assert(res("maintain").status == FlowDag.Succeeded,
+      res("maintain").toString)
+    // codec sniffed from _codebooks.json: rebuilt index is still PQ
+    val rows = spark.read.parquet(idx)
+    assert(rows.count() == 500 && rows.columns.contains("pq_code"))
+    assert(Ann.loadModel(spark, idx).numCells == 8)
+    assert(Ann.ivfTopKIndexedPq(idx, derived.filter(col("vec_id") < 3),
+      "vec_id", "v", k = 5, nprobe = 2).count() == 15)
+  }
+
   test("a failed node cancels descendants but independent branches run") {
     val dir = tmpDir("flowdag-fail")
     val bad = FlowDag.FlowNode(

@@ -93,6 +93,36 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("no metadata"), e2.getMessage)
   }
 
+  test("pq streaming appends build a PQ index whose search matches inline ADC") {
+    import graft.ann.IvfPq
+    val in = tmpDir("viipq-in"); val idx = tmpDir("viipq-idx") + "/index"
+    writeArrivals(in)
+    val boot = derived.filter($"vec_id" < 200L)
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val cb = IvfPq.trainResiduals(derived, "vec_id", "v", m,
+      m = 8, k = 16, sampleN = 2000, iters = 5)
+    Ann.ivfInitIndexPq(boot, "vec_id", "v", m, cb, idx)
+    val q = VectorIndexIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema),
+      "vec_id", "v", idx, tmpDir("viipq-ckpt"), codec = "pq")
+    q.awaitTermination()
+    val stored = spark.read.parquet(idx)
+    assert(stored.count() == 500 && stored.columns.contains("pq_code"))
+    val queries = derived.filter($"vec_id" < 3)
+    val got = Ann.ivfTopKIndexedPq(idx, queries, "vec_id", "v",
+      k = 5, nprobe = 2).select("query_id", "neighbor_id", "rank")
+    val want = IvfPq.adcTopK(IvfPq.encode(derived, "vec_id", "v", m, cb),
+      queries, "vec_id", "v", m, cb, topK = 5, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // unknown codec refuses before any stream starts
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        "vec_id", "v", idx, tmpDir("viipq-ckpt2"), codec = "zstd")
+    }
+    assert(e.getMessage.contains("unknown index codec"), e.getMessage)
+  }
+
   test("sq8 streaming appends build a compressed index that searches correctly") {
     val in = tmpDir("vii8-in"); val idx = tmpDir("vii8-idx") + "/index"
     writeArrivals(in)
