@@ -300,6 +300,29 @@ object PipelineRunner {
           val doms = parts(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
           df.filter(graft.text.UrlOps.domain(col(parts(0))).isNull ||
             !graft.text.UrlOps.isBlockedDomain(col(parts(0)), doms))
+        // REAL media decode in the converter chain: image (ImageIO) and
+        // audio (javax.sound) payloads decode on the executors, video
+        // falls through to the documented stub — the frame carries the
+        // canonical media schema in, MediaFeatures out
+        case Array("mediafeatures", spec2) => // [featureDim]
+          val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
+            .map(_.toInt).getOrElse(8)
+          graft.multimodal.Multimodal.extractFeatures(df,
+            new graft.multimodal.Multimodal.ImageIoDecoder(dim,
+              new graft.multimodal.Multimodal.WavDecoder(dim))).toDF()
+        // perceptual image dedup in the converter chain: exact -> every
+        // image labeled with its hash group's representative; near;H ->
+        // banded-Hamming clusters (media_id, cluster_id)
+        case Array("imagededup", spec2) => // exact | near;maxHamming
+          spec2.split(';').map(_.trim) match {
+            case Array("exact") =>
+              graft.multimodal.ImageDedup.exactGroups(df)
+            case Array("near", h) =>
+              graft.multimodal.ImageDedup.clusters(df, h.toInt)
+            case other => throw new IllegalArgumentException(
+              s"imagededup: wants 'exact' or 'near;<maxHamming>', got " +
+                s"'${other.mkString(";")}'")
+          }
         // field-level crypto in the converter chain — the reference's
         // encryption IS a converter (gobblin-crypto EncryptionFactory);
         // keys load once on the driver from a JSON credential store,

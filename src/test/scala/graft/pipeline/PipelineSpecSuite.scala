@@ -579,4 +579,45 @@ class PipelineSpecSuite extends SparkSpec {
     assert(back.filter(col("doc_id") % 2 =!= 0).count() == 0, "brace pages kept")
     assert(back.filter(lower(col("text")).contains("javascript")).count() == 0)
   }
+
+  test("declarative media transforms: real decode features + image dedup") {
+    val media = tmpDir("pipe-media")
+    val out = tmpDir("pipe-media-out")
+    graft.multimodal.Multimodal.syntheticImageVariants(spark,
+      spark.read.parquet(s"$sf/documents.parquet"), groups = 25)
+      .write.parquet(s"$media/images")
+
+    // mediafeatures: REAL ImageIO decode through the converter chain
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "media-feats",
+      source = SourceSpec(format = "parquet", path = s"$media/images"),
+      transformExprs = Seq("mediafeatures:4"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/feats"))),
+      "runMediaFeats")
+    val feats = spark.read.parquet(s"$out/feats")
+    assert(feats.filter(col("width") < 16 || col("height") < 16).count() == 0)
+    assert(feats.count() == 500)
+
+    // imagededup:near;3 recovers the planted groups declaratively
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "media-dedup",
+      source = SourceSpec(format = "parquet", path = s"$media/images"),
+      transformExprs = Seq("imagededup:near;3"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/clusters"))),
+      "runMediaDedup")
+    val clusters = spark.read.parquet(s"$out/clusters")
+    assert(clusters.filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(25L))).count() == 0)
+
+    // bad spec refuses at transform time
+    val e = intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, PipelineSpec(
+        name = "media-bad",
+        source = SourceSpec(format = "parquet", path = s"$media/images"),
+        transformExprs = Seq("imagededup:fuzzy"),
+        branches = Seq(BranchSpec("main", None, Nil, s"$out/bad"))),
+        "runMediaBad")
+    }
+    assert(e.getMessage.contains("imagededup"), e.getMessage)
+  }
 }
