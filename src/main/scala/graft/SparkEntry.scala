@@ -2304,6 +2304,19 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"), col("ok"))
     }),
 
+    // image decontamination (round 14): the image face of q72/q94 —
+    // eval images (bases of groups 0..4) broadcast as perceptual-hash
+    // bands against the corpus; every variant of those groups (incl.
+    // perturbed near-copies a re-encode would produce) must flag, and
+    // nothing else. Ground truth is the planted group arithmetic.
+    "q192_image_decontaminate" -> ((s, dir) => {
+      val variants = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+      graft.multimodal.ImageDedup.decontaminate(
+        variants, variants.filter(col("media_id") < 5), maxHamming = 3)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4329,6 +4342,9 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, (400 + doc_id % 800)::BIGINT AS n_frames, " +
         "((400 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms, " +
         "true AS energy_sane FROM documents"),
+    "q192_image_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 25) < 5 AS contaminated " +
+        "FROM documents"),
     // same exact-top-1 contract as q100: the indexed PQ lifecycle is
     // certified in-query against the inline ADC, and the re-ranked
     // top-1 must match DuckDB's brute-force exact answer

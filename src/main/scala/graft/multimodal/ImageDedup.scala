@@ -160,6 +160,50 @@ object ImageDedup {
       .distinct() // a close pair can share several bands
   }
 
+  /** Image DECONTAMINATION — the image face of the n-gram/semantic eval
+    * decontamination pass: flag every corpus image whose perceptual hash
+    * lies within `maxHamming` of ANY eval image, so benchmark imagery
+    * (and its re-encoded/brightness-shifted near-copies) never leaks
+    * into training data. The eval set is bounded (`maxEval`, refused
+    * loudly past it) and BROADCAST — the corpus never shuffles: one
+    * map-only hash pass, one broadcast band join, exact bit_count
+    * verify. Output: every corpus row's (media_id, contaminated). */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, maxHamming: Int,
+                    maxEval: Long = 100000L): DataFrame = {
+    val evalHashes = hashImages(eval)
+    val nEval = evalHashes.count()
+    require(nEval <= maxEval,
+      s"eval set has $nEval images > maxEval=$maxEval — a broadcast this " +
+        "size would flood the executors; raise maxEval deliberately")
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val bands = math.max(maxHamming, 1) + 1
+    val width = 64 / bands
+    def banded(df: DataFrame, idAs: String, hashAs: String): DataFrame =
+      df.select(col("media_id").as(idAs), col("dhash").as(hashAs),
+        explode(array((0 until bands).map { b =>
+          val lo = b * width
+          val w = if (b == bands - 1) 64 - lo else width
+          val mask = if (w == 64) -1L else (1L << w) - 1L
+          struct(lit(b).as("band"),
+            (shiftrightunsigned(col("dhash"), lo)
+              .bitwiseAND(lit(mask))).as("value"))
+        }: _*)).as("bv"))
+        .select(col(idAs), col(hashAs),
+          col("bv.band").as("band"), col("bv.value").as("value"))
+    val corpusHashes = hashImages(corpus)
+    val hits = banded(corpusHashes, "media_id", "h_c")
+      .join(broadcast(banded(evalHashes, "eval_id", "h_e")),
+        Seq("band", "value"))
+      .filter(bit_count(col("h_c").bitwiseXOR(col("h_e"))) <= maxHamming)
+      .select("media_id").distinct()
+    corpusHashes.select("media_id")
+      .join(hits.withColumn("contaminated", lit(true)), Seq("media_id"),
+        "left")
+      .select(col("media_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Near-dup clusters over a media table: hash, pair, resolve connected
     * components ([[graft.dedup.DupClusters.resolve]] — same star
     * contraction as the text dedup path). Output (media_id, cluster_id),

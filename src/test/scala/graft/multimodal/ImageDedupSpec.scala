@@ -78,6 +78,27 @@ class ImageDedupSpec extends SparkSpec {
     assert(out.count() == docs.count())
   }
 
+  test("decontaminate flags exactly the eval groups' images, corpus never shuffles") {
+    // eval = the unperturbed base image of groups 0..4; every corpus
+    // variant of those groups (incl. perturbed near-copies) must flag
+    val eval = variants.filter(col("media_id") < 5)
+    val out = ImageDedup.decontaminate(variants, eval, maxHamming = 3)
+    val wrong = out.filter(col("contaminated") =!=
+      (pmod(col("media_id"), lit(25L)) < 5))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(out.count() == docs.count())
+    // the eval side broadcasts; the corpus is never exchange-shuffled
+    // for the probe (its only exchange is the final left join's)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    // bounded-eval refusal
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.decontaminate(variants, variants, maxHamming = 3,
+        maxEval = 10L)
+    }
+    assert(e.getMessage.contains("maxEval"), e.getMessage)
+  }
+
   test("scale pin: near-dup pairing is a band equi-join, never a cartesian") {
     val h = ImageDedup.hashImages(variants)
     val plan = ImageDedup.nearDupPairs(h, maxHamming = 3)
