@@ -383,6 +383,23 @@ class AnnSpec extends SparkSpec {
     assert(e.getMessage.contains("PQ index"), e.getMessage)
   }
 
+  test("PQ indexed search prunes unprobed cells at the scan") {
+    val derived = emb.select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod($"vec_id", lit(16L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    val cb = IvfPq.trainResiduals(derived, "vec_id", "v", m, m = 8, k = 16)
+    val path = tmpDir("ivf-pq-plan") + "/index"
+    Ann.ivfInitIndexPq(derived, "vec_id", "v", m, cb, path)
+    val plan = Ann.ivfTopKIndexedPq(path, derived.filter($"vec_id" < 2),
+      "vec_id", "v", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"PQ index scan must prune on cell:\n${plan.take(500)}")
+  }
+
   test("source-corpus rebuild replaces index content for any codec; PQ allowed") {
     val derived = emb.select($"vec_id",
       transform($"embedding".cast("array<double>"),

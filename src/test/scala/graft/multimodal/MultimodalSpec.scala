@@ -197,6 +197,26 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.filter($"media_type" === "video").count() == 5)
   }
 
+  test("media decode runs in a STREAM: micro-batched features == batch decode") {
+    val dir = tmpDir("mm-stream")
+    val images = Multimodal.syntheticImages(spark,
+      Tables.load(spark, sf, "documents"))
+    images.repartition(4).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val streamed = graft.streaming.Streams.runToCompletionAppend(
+      Multimodal.extractFeatures(stream,
+        new Multimodal.ImageIoDecoder()).toDF()
+        .select("media_id", "width", "height"),
+      "mm_stream_tbl")
+    val batch = Multimodal.extractFeatures(images,
+      new Multimodal.ImageIoDecoder()).toDF()
+      .select("media_id", "width", "height")
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sampleFrames explodes every nth frame for videos only") {
     val f = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(f, every = 10)
