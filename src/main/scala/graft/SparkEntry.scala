@@ -2317,6 +2317,26 @@ object SparkEntry {
         .select(col("media_id"), col("contaminated"))
     }),
 
+    // incremental image dedup (round 14): commit groups 0..24's
+    // unperturbed renders, then a batch whose bases 0..24 are
+    // byte-identical re-renders (dropped by the committed store) and
+    // bases 25..49 are new textures (admitted, collapsed to min id per
+    // base). Bloom-prefiltered O(batch) path — the same survivors the
+    // exact anti-join computes, certified by the text-path contract.
+    "q193_image_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val committed = graft.multimodal.ImageDedup.hashImages(
+        Multimodal.syntheticImageVariants(s,
+          docs.filter(col("doc_id") < 250), groups = 25)
+          .filter(expr("(media_id div 25) % 2 = 0")))
+        .select(col("dhash").cast("string").as("h"))
+      val batch = Multimodal.syntheticImageVariants(s,
+        docs.filter(col("doc_id") >= 250), groups = 50)
+        .filter(expr("(media_id div 50) % 2 = 0"))
+      graft.multimodal.ImageDedup.incrementalSurvivors(batch, committed)
+        .select(col("media_id"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4345,6 +4365,13 @@ object SparkEntry {
     "q192_image_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 25) < 5 AS contaminated " +
         "FROM documents"),
+    // unperturbed renders are a pure function of the base id, so the
+    // survivor set is doc_id arithmetic: new bases (25..49), min id per
+    // base among the batch's unperturbed copies
+    "q193_image_incremental_dedup" ->
+      ("SELECT min(doc_id) AS media_id FROM documents " +
+        "WHERE doc_id >= 250 AND doc_id % 50 >= 25 " +
+        "AND (doc_id // 50) % 2 = 0 GROUP BY doc_id % 50"),
     // same exact-top-1 contract as q100: the indexed PQ lifecycle is
     // certified in-query against the inline ADC, and the re-ranked
     // top-1 must match DuckDB's brute-force exact answer

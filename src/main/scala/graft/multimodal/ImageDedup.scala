@@ -160,6 +160,21 @@ object ImageDedup {
       .distinct() // a close pair can share several bands
   }
 
+  /** INCREMENTAL image dedup — the image face of
+    * [[graft.dedup.IncrementalDedup]]: admit only batch images whose
+    * perceptual hash was never committed, at O(batch) cost (Bloom
+    * prefilter over the committed store, exact anti-join only for the
+    * positives). The committed store is one string column `h` holding
+    * prior dHashes (`survivors` output's `content_hash`); within-batch
+    * duplicates collapse to the min media_id. The decode+hash pass is
+    * map-only; nothing about the committed corpus is re-read beyond the
+    * sketch build. */
+  def incrementalSurvivors(batch: DataFrame, committedHashes: DataFrame,
+                           fpp: Double = 0.01): DataFrame =
+    graft.dedup.IncrementalDedup.survivors(
+      hashImages(batch), committedHashes, "media_id",
+      col("dhash").cast("string"), fpp)
+
   /** Image DECONTAMINATION — the image face of the n-gram/semantic eval
     * decontamination pass: flag every corpus image whose perceptual hash
     * lies within `maxHamming` of ANY eval image, so benchmark imagery

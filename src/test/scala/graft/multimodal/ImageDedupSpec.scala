@@ -99,6 +99,34 @@ class ImageDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEval"), e.getMessage)
   }
 
+  test("incrementalSurvivors admits only never-committed content, O(batch)") {
+    // committed: groups 0..24, both parities (ids 0..249 under groups=25)
+    val committedImgs = Multimodal.syntheticImageVariants(spark,
+      docs.filter(col("doc_id") < 250), groups = 25)
+    val committed = ImageDedup.hashImages(committedImgs)
+      .select(col("dhash").cast("string").as("h"))
+    // batch: ids 250..499 under groups=50 — bases 0..24 render content
+    // byte-identical to the committed copies (same pixel function),
+    // bases 25..49 are genuinely new textures
+    val batch = Multimodal.syntheticImageVariants(spark,
+      docs.filter(col("doc_id") >= 250), groups = 50)
+    val out = ImageDedup.incrementalSurvivors(batch, committed)
+    // byte-identical to the reference exact anti-join (the text path's
+    // own equality contract, through the image hash pass)
+    val want = graft.dedup.IncrementalDedup.survivorsExact(
+      ImageDedup.hashImages(batch), committed, "media_id",
+      col("dhash").cast("string"))
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty)
+    // every committed-base copy is dropped; only new bases survive
+    assert(out.filter(pmod(col("media_id"), lit(50L)) < 25).count() == 0)
+    assert(out.count() >= 25, s"new bases must survive: ${out.count()}")
+    // an empty store admits the whole batch, collapsed by content
+    val first = ImageDedup.incrementalSurvivors(batch, committed.limit(0))
+    val distinctContents = ImageDedup.hashImages(batch)
+      .select("dhash").distinct().count()
+    assert(first.count() == distinctContents)
+  }
+
   test("scale pin: near-dup pairing is a band equi-join, never a cartesian") {
     val h = ImageDedup.hashImages(variants)
     val plan = ImageDedup.nearDupPairs(h, maxHamming = 3)
