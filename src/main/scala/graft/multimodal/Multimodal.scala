@@ -54,8 +54,11 @@ object Multimodal {
     * byte LENGTH, so the decode contract is a documented pure function any
     * engine can recompute (this is what makes the q30 oracle possible).
     * Records tagged by [[FakeResizer]] report the tag's target dims.
-    * Replace with a real decoder for production; the Spark-side plumbing
-    * (schema, partitioning, per-partition decoder init) is unchanged. */
+    * Since round 14 only VIDEO still needs this (image and audio decode
+    * for real via [[ImageIoDecoder]] / [[WavDecoder]] — the JDK ships no
+    * video codec); swap in JavaCV/ffmpeg for production video, the
+    * Spark-side plumbing (schema, partitioning, per-partition decoder
+    * init) is unchanged. */
   final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = Option(r.payload).map(_.length).getOrElse(0)
