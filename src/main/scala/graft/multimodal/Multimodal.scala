@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -365,6 +365,41 @@ object Multimodal {
       }
       (id, "image", ImageCodec.write(img, "png"), "image/png", s"grp$base")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Read a DIRECTORY TREE of media files into the canonical media
+    * schema via Spark's `binaryFile` source — the ingestion face a real
+    * corpus arrives through (a crawl dump of .png/.jpg/.wav files).
+    * media_type and mime derive from the file extension; media_id is a
+    * stable 60-bit hash of the file path (collision-checked downstream
+    * by the dedup passes' id semantics); `pathGlobFilter` pushes the
+    * extension filter into file LISTING, so a mixed dump never reads
+    * non-media bytes. Payload size guardrails belong to the reader:
+    * spark.sql.files.maxPartitionBytes sizes partitions by BYTES, which
+    * is exactly what binary payloads need. */
+  def readMediaDir(spark: SparkSession, dir: String,
+                   glob: String = "*.{png,jpg,jpeg,gif,bmp,wav}"): DataFrame = {
+    val byExt: Column = {
+      val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+      when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), lit("image"))
+        .when(ext.isin("wav", "aiff", "au"), lit("audio"))
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), lit("video"))
+        .otherwise(lit("binary"))
+    }
+    val mime: Column = {
+      val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+      when(ext === "jpg", lit("image/jpeg"))
+        .otherwise(concat(byExt, lit("/"), ext))
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.text.TextStats.portableHash60(col("path")).as("media_id"),
+        byExt.as("media_type"),
+        col("content").as("payload"),
+        mime.as("mime"),
+        col("path").as("source"))
   }
 
   /** Build a synthetic media table from the documents table (testdata has

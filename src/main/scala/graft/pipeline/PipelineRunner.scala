@@ -636,6 +636,18 @@ object PipelineRunner {
           s"'${s.path}'; drop source.schema / source.schema.json")
       return spark.read.options(s.options).table(s.path)
     }
+    // media-dump source: a directory tree of image/audio files read
+    // through binaryFile into the canonical media schema (media_type /
+    // mime by extension, stable path-hash ids); optional `glob` option
+    // narrows the extension filter AT LISTING time
+    if (s.format == "media") {
+      require(s.schemaDDL.isEmpty && s.schemaJson.isEmpty,
+        "source.format=media produces the canonical media schema; " +
+          "drop source.schema / source.schema.json")
+      return s.options.get("glob")
+        .map(g => graft.multimodal.Multimodal.readMediaDir(spark, s.path, g))
+        .getOrElse(graft.multimodal.Multimodal.readMediaDir(spark, s.path))
+    }
     var r = spark.read.format(s.format).options(s.options)
     s.schemaDDL.foreach(ddl => r = r.schema(ddl))
     s.schemaJson.foreach(j =>

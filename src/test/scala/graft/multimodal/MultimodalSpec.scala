@@ -217,6 +217,47 @@ class MultimodalSpec extends SparkSpec {
       batch.exceptAll(streamed).isEmpty)
   }
 
+  test("readMediaDir ingests a file dump: real files decode, non-media excluded") {
+    val dir = tmpDir("mm-dir")
+    // a real PNG, a real JPEG, a real WAV, and a text file to exclude
+    def img(w: Int, h: Int, fmt: String, name: String): Unit = {
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        Multimodal.ImageCodec.write(bi, fmt))
+      ()
+    }
+    img(12, 7, "png", "a.png")
+    img(9, 5, "jpg", "b.jpg")
+    val pcm = new Array[Byte](400)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.wav"),
+      bos.toByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"),
+      "not media".getBytes("UTF-8"))
+
+    val media = Multimodal.readMediaDir(spark, dir)
+    assert(media.count() == 3) // .txt excluded at LISTING by the glob
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.filter($"media_type" === "image").count() == 2)
+    assert(media.filter($"mime" === "image/jpeg").count() == 1)
+    // and the ingested payloads decode for REAL through the chain
+    val feats = Multimodal.extractFeatures(media,
+      new Multimodal.ImageIoDecoder(fallback = new Multimodal.WavDecoder()))
+      .toDF()
+    assert(feats.filter($"media_type" === "image")
+      .select("width", "height").as[(Int, Int)].collect().toSet ==
+      Set((12, 7), (9, 5)))
+    assert(feats.filter($"media_type" === "audio")
+      .select("n_frames").as[Int].head() == 200)
+  }
+
   test("sampleFrames explodes every nth frame for videos only") {
     val f = Multimodal.extractFeatures(media).toDF()
     val frames = Multimodal.sampleFrames(f, every = 10)

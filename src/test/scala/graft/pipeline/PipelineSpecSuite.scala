@@ -609,6 +609,25 @@ class PipelineSpecSuite extends SparkSpec {
     assert(clusters.filter(
       col("cluster_id") =!= pmod(col("media_id"), lit(25L))).count() == 0)
 
+    // media-dump SOURCE: real files on disk -> decode -> parquet, one
+    // declarative pipeline (the crawl-dump ingestion shape end-to-end)
+    val dump = tmpDir("pipe-media-dump")
+    val bi = new java.awt.image.BufferedImage(10, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dump/x.png"),
+      baos.toByteArray)
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "media-ingest",
+      source = SourceSpec(format = "media", path = dump),
+      transformExprs = Seq("mediafeatures:2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/ingested"))),
+      "runMediaIngest")
+    val ing = spark.read.parquet(s"$out/ingested")
+    assert(ing.count() == 1)
+    assert(ing.select("width", "height").collect()(0).toSeq == Seq(10, 6))
+
     // bad spec refuses at transform time
     val e = intercept[IllegalArgumentException] {
       PipelineRunner.run(spark, PipelineSpec(
