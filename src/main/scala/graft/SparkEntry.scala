@@ -2337,6 +2337,18 @@ object SparkEntry {
         .select(col("media_id"))
     }),
 
+    // audio dedup (round 14): planted pitch groups rendered as REAL WAVs
+    // where every other copy is a HALF-VOLUME variant — the perceptual
+    // fingerprint (normalized envelope + zero-crossing rate over decoded
+    // samples) must group volume variants with their base; ground truth
+    // is doc_id arithmetic
+    "q194_audio_dedup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticAudioVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.AudioDedup.exactGroups(variants)
+        .select(col("media_id"), col("group_rep"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4372,6 +4384,9 @@ object SparkEntry {
       ("SELECT min(doc_id) AS media_id FROM documents " +
         "WHERE doc_id >= 250 AND doc_id % 50 >= 25 " +
         "AND (doc_id // 50) % 2 = 0 GROUP BY doc_id % 50"),
+    "q194_audio_dedup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS group_rep " +
+        "FROM documents"),
     // same exact-top-1 contract as q100: the indexed PQ lifecycle is
     // certified in-query against the inline ADC, and the re-ranked
     // top-1 must match DuckDB's brute-force exact answer

@@ -367,6 +367,43 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic audio with PLANTED duplicate groups: content (pitch) is
+    * keyed by `base = doc_id % groups`, and every other copy is a VOLUME
+    * variant (half amplitude — the perceptual-duplicate case a re-level
+    * produces), so docs sharing a base and parity render byte-identical
+    * WAVs while the halved copies stay perceptual duplicates. Ground
+    * truth for dedup oracles: group = doc_id % groups. Pitch spacing
+    * resolves up to 20 distinct groups. */
+  def syntheticAudioVariants(spark: SparkSession, docs: DataFrame,
+                             groups: Int): DataFrame = {
+    require(groups >= 1 && groups <= 20,
+      s"groups=$groups: pitch spacing resolves at most 20 groups")
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val amp = if ((id / groups) % 2 == 1) 7000.0 else 14000.0
+      val rate = 8000
+      val frames = 800
+      val freq = 200.0 + base * 50.0
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"agrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Read a DIRECTORY TREE of media files into the canonical media
     * schema via Spark's `binaryFile` source — the ingestion face a real
     * corpus arrives through (a crawl dump of .png/.jpg/.wav files).
