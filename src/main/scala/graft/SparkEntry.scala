@@ -2349,6 +2349,18 @@ object SparkEntry {
         .select(col("media_id"), col("group_rep"))
     }),
 
+    // audio NEAR-dup (round 15): pitch groups rendered three ways — base,
+    // half volume (fingerprint-identical) and slightly DETUNED (+0.5 Hz:
+    // a few Gray-coded zero-crossing bits) — must all cluster with their
+    // base via the shared banded Hamming pairing + connected components;
+    // ground truth is doc_id arithmetic
+    "q195_audio_neardup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticAudioNearVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.AudioDedup.clusters(variants, maxHamming = 8)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4386,6 +4398,12 @@ object SparkEntry {
         "AND (doc_id // 50) % 2 = 0 GROUP BY doc_id % 50"),
     "q194_audio_dedup" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS group_rep " +
+        "FROM documents"),
+    // three rendering kinds per pitch group (base / half-volume /
+    // detuned) all land in the base's cluster; min member id per group
+    // is the base id itself
+    "q195_audio_neardup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
         "FROM documents"),
     // same exact-top-1 contract as q100: the indexed PQ lifecycle is
     // certified in-query against the inline ADC, and the re-ranked

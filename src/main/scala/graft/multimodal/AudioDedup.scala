@@ -3,8 +3,9 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import Multimodal.MediaRecord
+import Multimodal.{MediaCounters, MediaRecord}
 
 /** Perceptual AUDIO deduplication over REAL decoded samples — the audio
   * sibling of [[ImageDedup]]: a 64-bit fingerprint from the decoded PCM's
@@ -28,6 +29,7 @@ object AudioDedup {
     * output; invariant to uniform volume scaling (the envelope
     * normalizes, the crossings don't move). */
   def fingerprint64(payload: Array[Byte]): Long = {
+    MediaCounters.audioReads.incrementAndGet(): Unit
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     catch {
@@ -74,15 +76,21 @@ object AudioDedup {
       val means = Array.tabulate(Segments)(i =>
         if (counts(i) == 0) 0L else sumAbs(i) / counts(i))
       val peak = math.max(means.max, 1L)
+      // bucket values are GRAY-coded: adjacent buckets differ in exactly
+      // one bit, so a 1-bucket drift (a slight detune, a level nudge at
+      // a quantization boundary) costs 1 Hamming bit instead of up to 4
+      // at binary carry boundaries (7 -> 8 flips all four low bits) —
+      // the property the banded near-dup pairing depends on
+      def gray(b: Long): Long = b ^ (b >>> 1)
       var bits = 0L
       var i = 0
       while (i < Segments) {
-        val env = ((means(i) * 7) / peak) & 0x7L
+        val env = gray(((means(i) * 7) / peak) & 0x7L)
         // crossings-per-1000-frames in linear 10-wide buckets (5 bits) —
         // a pitch proxy stable under volume scaling
         val rate = if (counts(i) == 0) 0L
           else crossings(i).toLong * 1000L / counts(i)
-        val zc = math.min(31L, rate / 10)
+        val zc = gray(math.min(31L, rate / 10))
         bits |= (env << (i * 8)) | (zc << (i * 8 + 3))
         i += 1
       }
@@ -118,4 +126,48 @@ object AudioDedup {
     graft.dedup.IncrementalDedup.survivors(
       hashAudio(batch), committedHashes, "media_id",
       col("ahash").cast("string"), fpp)
+
+  /** Near-duplicate pairs among (media_id, ahash) rows: the fingerprint
+    * is Hamming-meaningful (3 envelope + 5 zero-crossing bits per
+    * segment — a detuned or re-leveled copy moves a handful of bits), so
+    * the image path's pigeonhole banding applies verbatim through the
+    * shared [[graft.dedup.HammingBands]]. Output (id_a, id_b, hamming),
+    * id_a < id_b. The hash lineage (a full PCM decode when `hashes`
+    * comes straight off [[hashAudio]]) feeds the shed census and both
+    * join sides, so it is persisted and materialized here — each clip
+    * decodes exactly ONCE per job. The returned frame is PERSISTED;
+    * unpersist it once consumed. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int,
+                   maxBucket: Long = 100000L): DataFrame = {
+    val h = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    val pairs = graft.dedup.HammingBands.pairs(
+      h, "media_id", "ahash", maxHamming, maxBucket, "audio-dedup")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count(): Unit // pin the (tiny) pairs, then release the hashes
+    h.unpersist()
+    pairs
+  }
+
+  /** Near-dup clusters over an audio table: hash, pair, resolve connected
+    * components — detuned (±1 zero-crossing bucket) and re-leveled
+    * variants land in their base's cluster. Output (media_id,
+    * cluster_id), singletons their own cluster; the returned frame is
+    * PERSISTED — unpersist once consumed. One decode per clip per job
+    * (the hash frame is persisted across the pairing and vertex uses). */
+  def clusters(media: DataFrame, maxHamming: Int,
+               maxBucket: Long = 100000L): DataFrame = {
+    val h = hashAudio(media).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    try {
+      val pairs = graft.dedup.HammingBands.pairs(
+        h, "media_id", "ahash", maxHamming, maxBucket, "audio-dedup")
+        .select(col("id_a"), col("id_b"))
+      val out = graft.dedup.DupClusters.resolve(
+        h.select(col("media_id")), "media_id", pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
+  }
 }

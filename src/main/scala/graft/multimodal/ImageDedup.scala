@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import Multimodal.{ImageCodec, MediaRecord}
 
@@ -14,13 +15,14 @@ import Multimodal.{ImageCodec, MediaRecord}
   * Scale shape mirrors the TEXT near-dup stack (reference compaction +
   * MinHash banding, `dedup/MinHashDedup.scala`): the hash pass is
   * map-only (decode confined to mapPartitions, one decoder per
-  * partition); near-dup pairing splits the 64-bit hash into
-  * `maxHamming + 1` bands, so by pigeonhole any pair within the Hamming
-  * bound shares at least one full band — candidates come from an
-  * equi-join on (band index, band value), never an all-pairs scan, and
-  * each candidate is verified exactly with one XOR + bit_count.
-  * Degenerate band buckets (a constant-color corpus) are capped loudly
-  * like every other pairing in this engine.
+  * partition); near-dup pairing goes through the shared pigeonhole
+  * banding ([[graft.dedup.HammingBands]] — equi-join on (band, value),
+  * never an all-pairs scan, exact XOR + bit_count verify, degenerate
+  * buckets capped loudly). Every multi-branch face persists the
+  * (media_id, dhash) frame — 16 bytes/row — so each image is DECODED
+  * exactly once per job: at 100 TB of images, ImageIO decode is the
+  * job's dominant cost and any recompute multiplier on it is the
+  * bottleneck.
   */
 object ImageDedup {
 
@@ -107,57 +109,31 @@ object ImageDedup {
   }
 
   /** Near-duplicate pairs among (media_id, dhash) rows: banded candidate
-    * generation + exact Hamming verify. Output (id_a, id_b, hamming),
+    * generation + exact Hamming verify through the shared
+    * [[graft.dedup.HammingBands]] path. Output (id_a, id_b, hamming),
     * id_a < id_b, each pair once. `maxBucket` caps a band bucket's
     * size — a bucket past it is shed LOUDLY (constant-content corpora
     * would otherwise quadratically explode one bucket; shed pairs are
     * exact-duplicates of each other anyway whenever the full hash
-    * matches, which [[exactGroups]] already handles). */
+    * matches, which [[exactGroups]] already handles).
+    *
+    * The hash lineage (a full decode pass when `hashes` comes straight
+    * off [[hashImages]]) feeds the shed census AND both join sides, so it
+    * is persisted and materialized here — each image decodes exactly ONCE
+    * per job; at 100 TB of images decode IS the job's cost. The returned
+    * frame is PERSISTED (pairs are a vanishing fraction of corpus size);
+    * unpersist it once consumed, same contract as
+    * [[graft.dedup.DupClusters.connectedComponents]]. */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int,
                    maxBucket: Long = 100000L): DataFrame = {
-    require(maxHamming >= 1 && maxHamming <= 16,
-      s"maxHamming $maxHamming not in [1,16]")
-    val bands = maxHamming + 1
-    val width = 64 / bands
-    // band b covers bits [b*width, (b+1)*width) — the last band absorbs
-    // the remainder; any pair with <= maxHamming differing bits shares
-    // at least one band unchanged (pigeonhole over bands+ buckets)
-    val banded = hashes.select(col("media_id"), col("dhash"),
-      explode(array((0 until bands).map { b =>
-        val lo = b * width
-        val w = if (b == bands - 1) 64 - lo else width
-        val mask = if (w == 64) -1L else (1L << w) - 1L
-        struct(lit(b).as("band"),
-          (shiftrightunsigned(col("dhash"), lo)
-            .bitwiseAND(lit(mask))).as("value"))
-      }: _*)).as("bv"))
-      .select(col("media_id"), col("dhash"),
-        col("bv.band").as("band"), col("bv.value").as("value"))
-    val big = banded.groupBy("band", "value").count()
-      .filter(col("count") > maxBucket)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    if (big.nonEmpty)
-      System.err.println(s"[image-dedup] shedding ${big.length} band " +
-        s"buckets past $maxBucket: " +
-        big.map { case (b, v, n) => s"band$b=$v($n)" }.mkString(", "))
-    val shed = big.map { case (b, v, _) => (b, v) }.toSet
-    val kept =
-      if (shed.isEmpty) banded
-      else {
-        val shedDf = hashes.sparkSession
-          .createDataFrame(shed.toSeq).toDF("band", "value")
-        banded.join(broadcast(shedDf), Seq("band", "value"), "left_anti")
-      }
-    val a = kept.select(col("band"), col("value"),
-      col("media_id").as("id_a"), col("dhash").as("h_a"))
-    val b = kept.select(col("band"), col("value"),
-      col("media_id").as("id_b"), col("dhash").as("h_b"))
-    a.join(b, Seq("band", "value"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct() // a close pair can share several bands
+    val h = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    val pairs = graft.dedup.HammingBands.pairs(
+      h, "media_id", "dhash", maxHamming, maxBucket, "image-dedup")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count(): Unit // pin the (tiny) pairs, then release the hashes
+    h.unpersist()
+    pairs
   }
 
   /** INCREMENTAL image dedup — the image face of
@@ -185,50 +161,59 @@ object ImageDedup {
     * verify. Output: every corpus row's (media_id, contaminated). */
   def decontaminate(corpus: DataFrame, eval: DataFrame, maxHamming: Int,
                     maxEval: Long = 100000L): DataFrame = {
-    val evalHashes = hashImages(eval)
-    val nEval = evalHashes.count()
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalHashes = hashImages(eval).persist(StorageLevel.MEMORY_AND_DISK)
+    val nEval = evalHashes.count() // also materializes: eval decodes once
     require(nEval <= maxEval,
       s"eval set has $nEval images > maxEval=$maxEval — a broadcast this " +
         "size would flood the executors; raise maxEval deliberately")
-    require(maxHamming >= 0 && maxHamming <= 16,
-      s"maxHamming $maxHamming not in [0,16]")
-    val bands = math.max(maxHamming, 1) + 1
-    val width = 64 / bands
-    def banded(df: DataFrame, idAs: String, hashAs: String): DataFrame =
-      df.select(col("media_id").as(idAs), col("dhash").as(hashAs),
-        explode(array((0 until bands).map { b =>
-          val lo = b * width
-          val w = if (b == bands - 1) 64 - lo else width
-          val mask = if (w == 64) -1L else (1L << w) - 1L
-          struct(lit(b).as("band"),
-            (shiftrightunsigned(col("dhash"), lo)
-              .bitwiseAND(lit(mask))).as("value"))
-        }: _*)).as("bv"))
-        .select(col(idAs), col(hashAs),
-          col("bv.band").as("band"), col("bv.value").as("value"))
-    val corpusHashes = hashImages(corpus)
-    val hits = banded(corpusHashes, "media_id", "h_c")
-      .join(broadcast(banded(evalHashes, "eval_id", "h_e")),
-        Seq("band", "value"))
-      .filter(bit_count(col("h_c").bitwiseXOR(col("h_e"))) <= maxHamming)
-      .select("media_id").distinct()
-    corpusHashes.select("media_id")
-      .join(hits.withColumn("contaminated", lit(true)), Seq("media_id"),
-        "left")
-      .select(col("media_id"),
-        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    // the corpus hash frame feeds the probe join AND the outcome join —
+    // persist so the corpus decode pass runs exactly once per job
+    val corpusHashes = hashImages(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    corpusHashes.count(): Unit
+    try {
+      import graft.dedup.HammingBands
+      val hits = HammingBands.explodeBands(
+        corpusHashes.select(col("media_id"), col("dhash").as("h_c")),
+        "h_c", maxHamming)
+        .join(broadcast(HammingBands.explodeBands(
+          evalHashes.select(col("media_id").as("eval_id"),
+            col("dhash").as("h_e")), "h_e", maxHamming)),
+          Seq("band", "value"))
+        .filter(bit_count(col("h_c").bitwiseXOR(col("h_e"))) <= maxHamming)
+        .select("media_id").distinct()
+      val out = corpusHashes.select("media_id")
+        .join(hits.withColumn("contaminated", lit(true)), Seq("media_id"),
+          "left")
+        .select(col("media_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit // one flag per corpus row — tiny; unpersist once consumed
+      out
+    } finally { corpusHashes.unpersist(); evalHashes.unpersist(); () }
   }
 
   /** Near-dup clusters over a media table: hash, pair, resolve connected
     * components ([[graft.dedup.DupClusters.resolve]] — same star
     * contraction as the text dedup path). Output (media_id, cluster_id),
-    * singletons their own cluster. */
+    * singletons their own cluster. The hash frame feeds the pairing AND
+    * the vertex side of the resolve, so it is persisted here — one decode
+    * per image per job — and the (tiny) labeled output is materialized
+    * before the hash cache is released; unpersist it once consumed. */
   def clusters(media: DataFrame, maxHamming: Int,
                maxBucket: Long = 100000L): DataFrame = {
-    val h = hashImages(media)
-    val pairs = nearDupPairs(h, maxHamming, maxBucket)
-      .select(col("id_a"), col("id_b"))
-    graft.dedup.DupClusters.resolve(
-      h.select(col("media_id")), "media_id", pairs)
+    val h = hashImages(media).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    try {
+      val pairs = graft.dedup.HammingBands.pairs(
+        h, "media_id", "dhash", maxHamming, maxBucket, "image-dedup")
+        .select(col("id_a"), col("id_b"))
+      val out = graft.dedup.DupClusters.resolve(
+        h.select(col("media_id")), "media_id", pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
   }
 }

@@ -245,6 +245,16 @@ object Multimodal {
       .toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** JVM-wide decode-invocation counters — test tripwires pinning the
+    * "one decode per media item per job" contract (the multi-branch dedup
+    * faces persist their hash frames; these counters are how the suites
+    * prove it). Plain atomics: negligible next to a codec call, and the
+    * test JVM runs suites sequentially so deltas are exact. */
+  object MediaCounters {
+    val imageReads = new java.util.concurrent.atomic.AtomicLong()
+    val audioReads = new java.util.concurrent.atomic.AtomicLong()
+  }
+
   /** Shared executor-side codec helpers: force headless AWT once per JVM
     * (executors have no display) before touching ImageIO. */
   private[multimodal] object ImageCodec {
@@ -252,6 +262,7 @@ object Multimodal {
       System.setProperty("java.awt.headless", "true"): Unit
     def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       headless
+      MediaCounters.imageReads.incrementAndGet(): Unit
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     }
     def write(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
@@ -401,6 +412,48 @@ object Multimodal {
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
       (id, "audio", bos.toByteArray, "audio/wav", s"agrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic audio with planted NEAR-duplicate groups: pitch is keyed
+    * by `base = doc_id % groups` and `kind = (doc_id / groups) % 3`
+    * selects the rendering — 0: the base render, 1: a half-volume copy
+    * (fingerprint-IDENTICAL: the envelope normalizes, crossings don't
+    * move), 2: a slightly DETUNED copy (+0.5 Hz — shifts a few segments'
+    * integer zero-crossing counts by one Gray-coded bucket, <= 7 Hamming
+    * bits measured across all 20 bases), so near-dup clustering at
+    * maxHamming = 8 must pull all three kinds into one cluster while
+    * every cross-base pairing (base, half-volume or detuned) stays
+    * >= 10 bits away. Ground truth for dedup oracles:
+    * group = doc_id % groups. */
+  def syntheticAudioNearVariants(spark: SparkSession, docs: DataFrame,
+                                 groups: Int): DataFrame = {
+    require(groups >= 1 && groups <= 20,
+      s"groups=$groups: pitch spacing resolves at most 20 groups")
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val kind = ((id / groups) % 3).toInt
+      val amp = if (kind == 1) 7000.0 else 14000.0
+      val rate = 8000
+      val frames = 800
+      val freq = 200.0 + base * 50.0 + (if (kind == 2) 0.5 else 0.0)
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"agrp$base-k$kind")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

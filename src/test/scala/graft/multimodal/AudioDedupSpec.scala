@@ -54,6 +54,78 @@ class AudioDedupSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  private lazy val nearVariants =
+    Multimodal.syntheticAudioNearVariants(spark, docs, groups = 20)
+
+  test("near-variant geometry: within-group <= 8 bits, cross-group >= 10") {
+    // the distance structure maxHamming = 8 depends on, pinned at the
+    // hash level across ALL 20 bases x 3 kinds (deterministic payloads,
+    // so these bounds hold at any SF)
+    val reps = AudioDedup.hashAudio(nearVariants)
+      .withColumn("base", pmod(col("media_id"), lit(20L)))
+      .withColumn("kind", expr("(media_id div 20) % 3"))
+      .groupBy("base", "kind").agg(first("ahash").as("h"))
+      .as[(Long, Long, Long)].collect()
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val within = for {
+      (ba, _, ha) <- reps; (bb, _, hb) <- reps if ba == bb
+    } yield d(ha, hb)
+    val cross = for {
+      (ba, _, ha) <- reps; (bb, _, hb) <- reps if ba < bb
+    } yield d(ha, hb)
+    assert(within.max <= 8, s"within-group spread ${within.max} bits")
+    assert(cross.min >= 10, s"two groups only ${cross.min} bits apart")
+  }
+
+  test("clusters pull volume AND detuned variants into their base's cluster") {
+    val out = AudioDedup.clusters(nearVariants, maxHamming = 8)
+    try {
+      val wrong = out.filter(col("cluster_id") =!= pmod(col("media_id"), lit(20L)))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.select("cluster_id").distinct().count() == 20)
+      assert(out.count() == docs.count())
+    } finally { out.unpersist(); () }
+  }
+
+  test("nearDupPairs: banding complete within the bound, exact beyond it") {
+    // flipped-bit constructions, no audio: the shared banding path must
+    // find exactly the pairs within Hamming <= 4 for the audio face too
+    val base = 0x13572468ace0bd9fL
+    val rows = Seq(
+      (1L, base), (2L, base ^ 1L),
+      (3L, base ^ ((1L << 9) | (1L << 33) | (1L << 60))),
+      (4L, base ^ 0x1111111100000000L),
+      (5L, ~base)).toDF("media_id", "ahash")
+    val got = AudioDedup.nearDupPairs(rows, maxHamming = 4)
+    try {
+      val pairs = got.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ha) <- Seq((1L, base), (2L, base ^ 1L),
+          (3L, base ^ ((1L << 9) | (1L << 33) | (1L << 60))),
+          (4L, base ^ 0x1111111100000000L), (5L, ~base))
+        (ib, hb) <- Seq((1L, base), (2L, base ^ 1L),
+          (3L, base ^ ((1L << 9) | (1L << 33) | (1L << 60))),
+          (4L, base ^ 0x1111111100000000L), (5L, ~base))
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 4
+      } yield (ia, ib)).toSet
+      assert(pairs == want, s"got $pairs want $want")
+    } finally { got.unpersist(); () }
+  }
+
+  test("one decode per clip per job: the hash frame is persisted") {
+    val n = nearVariants.count()
+    val c = Multimodal.MediaCounters.audioReads
+    var before = c.get()
+    AudioDedup.clusters(nearVariants, maxHamming = 8).unpersist()
+    assert(c.get() - before == n,
+      s"clusters decoded ${c.get() - before} times for $n clips")
+    before = c.get()
+    AudioDedup.nearDupPairs(AudioDedup.hashAudio(nearVariants), maxHamming = 8)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"nearDupPairs decoded ${c.get() - before} times for $n clips")
+  }
+
   test("non-audio records refuse loudly") {
     val imgs = Multimodal.syntheticImages(spark, docs.limit(1))
     val e = intercept[org.apache.spark.SparkException] {

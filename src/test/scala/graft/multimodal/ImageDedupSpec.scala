@@ -128,11 +128,39 @@ class ImageDedupSpec extends SparkSpec {
   }
 
   test("scale pin: near-dup pairing is a band equi-join, never a cartesian") {
-    val h = ImageDedup.hashImages(variants)
-    val plan = ImageDedup.nearDupPairs(h, maxHamming = 3)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    // pin the PAIRING plan itself (nearDupPairs returns a materialized
+    // cache; the shared banding path is where a cartesian could hide)
+    val h = ImageDedup.hashImages(variants).persist()
+    try {
+      val plan = graft.dedup.HammingBands.pairs(
+        h, "media_id", "dhash", maxHamming = 3, 100000L, "test")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    } finally { h.unpersist(); () }
+  }
+
+  test("one decode per image per job: the hash frame is persisted") {
+    // the decode-count tripwire for the multi-branch faces: every image
+    // decodes exactly ONCE per job (plus the eval set once for the
+    // decontamination probe) — the 2-5x recompute multiplier that an
+    // unpersisted lazy hash pass costs at 100 TB cannot return unnoticed
+    val n = variants.count()
+    val c = Multimodal.MediaCounters.imageReads
+    var before = c.get()
+    ImageDedup.clusters(variants, maxHamming = 3).unpersist()
+    assert(c.get() - before == n,
+      s"clusters decoded ${c.get() - before} times for $n images")
+    before = c.get()
+    ImageDedup.nearDupPairs(ImageDedup.hashImages(variants), maxHamming = 3)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"nearDupPairs decoded ${c.get() - before} times for $n images")
+    before = c.get()
+    val eval = variants.filter(col("media_id") < 5)
+    ImageDedup.decontaminate(variants, eval, maxHamming = 3).unpersist()
+    assert(c.get() - before == n + 5,
+      s"decontaminate decoded ${c.get() - before} times for $n corpus + 5 eval")
   }
 
   test("degenerate band buckets shed loudly, not ground through") {
