@@ -2361,6 +2361,26 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // REAL multi-frame video-path decode (round 15): executor-generated
+    // animated GIFs (frame count, dims, 10cs delays from doc_id) parsed
+    // back through javax.imageio's frame-indexed reader — n_frames,
+    // width, duration come from the CONTAINER, and n_sampled counts the
+    // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    "q196_gif_frames" -> ((s, dir) => {
+      val gifs = Multimodal.syntheticAnimatedGifs(s, t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(
+        gifs, new Multimodal.GifVideoDecoder()).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("duration_ms").cast("bigint").as("duration_ms"))
+      val sampled = Multimodal.sampleGifFrames(gifs, every = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      feats.join(sampled, "media_id")
+        .select(col("media_id"), col("width"), col("n_frames"),
+          col("duration_ms"), col("n_sampled"))
+    }),
+
     // C4 line-level cleaning (Raffel et al. 2020 §2.2) over synthetic
     // multi-line pages with planted boilerplate: javascript/short lines
     // drop in the line pass, lorem-ipsum/brace/bad-word pages drop in
@@ -4405,6 +4425,14 @@ object SparkEntry {
     "q195_audio_neardup" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
         "FROM documents"),
+    // the GIF writer plants 2 + doc_id % 6 frames at 10 cs each; the
+    // reader must recover exactly those counts/dims/delays, and every-2nd
+    // sampling decodes ceil(n/2) frames
+    "q196_gif_frames" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 16)::BIGINT AS width, " +
+        "(2 + doc_id % 6)::BIGINT AS n_frames, " +
+        "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
+        "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
     // same exact-top-1 contract as q100: the indexed PQ lifecycle is
     // certified in-query against the inline ADC, and the re-ranked
     // top-1 must match DuckDB's brute-force exact answer

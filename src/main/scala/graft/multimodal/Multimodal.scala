@@ -12,10 +12,13 @@ import org.apache.spark.sql.types._
   * `java.awt.Graphics2D` scaling on the executors — width/height/features
   * come from actual pixels. AUDIO decode is REAL too: [[WavDecoder]]
   * parses WAV/AIFF/AU PCM via `javax.sound.sampled` — frame counts,
-  * duration and RMS-energy features come from actual samples. Only VIDEO
-  * decode remains STUBBED behind [[FakeDecoder]] (the JDK ships no video
-  * codec) — swap in a real implementation (JavaCV, ffmpeg bindings, ...)
-  * without touching the pipeline.
+  * duration and RMS-energy features come from actual samples. The VIDEO
+  * path decodes animated GIF for REAL too ([[GifVideoDecoder]] /
+  * [[sampleGifFrames]]: frame counts, per-frame pixels and summed
+  * delays from `javax.imageio`'s frame-indexed GIF reader); only true
+  * video containers (mp4/webm/... — the JDK ships no codec) remain
+  * STUBBED behind [[FakeDecoder]] — swap in a real implementation
+  * (JavaCV, ffmpeg bindings, ...) without touching the pipeline.
   *
   * Scale notes: binary payloads dominate row size, so
   * spark.sql.files.maxPartitionBytes should be sized for ~hundreds of
@@ -54,11 +57,11 @@ object Multimodal {
     * byte LENGTH, so the decode contract is a documented pure function any
     * engine can recompute (this is what makes the q30 oracle possible).
     * Records tagged by [[FakeResizer]] report the tag's target dims.
-    * Since round 14 only VIDEO still needs this (image and audio decode
-    * for real via [[ImageIoDecoder]] / [[WavDecoder]] — the JDK ships no
-    * video codec); swap in JavaCV/ffmpeg for production video, the
-    * Spark-side plumbing (schema, partitioning, per-partition decoder
-    * init) is unchanged. */
+    * Only NON-GIF video still needs this (image/audio/animated-GIF
+    * decode for real via [[ImageIoDecoder]] / [[WavDecoder]] /
+    * [[GifVideoDecoder]] — the JDK ships no mp4/webm codec); swap in
+    * JavaCV/ffmpeg for production video, the Spark-side plumbing
+    * (schema, partitioning, per-partition decoder init) is unchanged. */
   final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val len = Option(r.payload).map(_.length).getOrElse(0)
@@ -86,12 +89,44 @@ object Multimodal {
       r.copy(mime = s"resized/${width}x$height")
   }
 
+  /** Mean luminance of `featureDim` horizontal bands — the cheap actual-
+    * content embedding every real decoder here emits (image frames, GIF
+    * video frames). */
+  private[multimodal] def lumBands(img: java.awt.image.BufferedImage,
+                                   featureDim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val bands = new Array[Float](featureDim)
+    val counts = new Array[Int](featureDim)
+    var y = 0
+    while (y < h) {
+      val band = math.min(featureDim - 1, y * featureDim / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        bands(band) += lum / 255f
+        counts(band) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < featureDim) {
+      if (counts(i) > 0) bands(i) /= counts(i)
+      i += 1
+    }
+    bands
+  }
+
   /** REAL image decoder: `javax.imageio` (JDK-native PNG/JPEG/GIF/BMP
     * codecs) reads the payload into pixels; width/height come from the
     * decoded image and the feature vector is the mean luminance of
     * `featureDim` horizontal bands — an actual content embedding, cheap
     * enough to stay CPU-bound on decode. Non-image records fall back to
-    * the configured decoder (the JDK has no audio/video codecs).
+    * the configured decoder (chain with [[WavDecoder]] and
+    * [[GifVideoDecoder]] for the full real set).
     * Construction is driver-side and serialized per task; all state is
     * static JDK machinery, so there is nothing to re-init per partition
     * beyond forcing headless AWT once per JVM. */
@@ -105,31 +140,9 @@ object Multimodal {
         val img = ImageCodec.read(r.payload)
         require(img != null,
           s"media_id=${r.media_id}: payload is not a decodable image (mime=${r.mime})")
-        val w = img.getWidth
-        val h = img.getHeight
-        val bands = new Array[Float](featureDim)
-        val counts = new Array[Int](featureDim)
-        var y = 0
-        while (y < h) {
-          val band = math.min(featureDim - 1, y * featureDim / h)
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
-            bands(band) += lum / 255f
-            counts(band) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var i = 0
-        while (i < featureDim) {
-          if (counts(i) > 0) bands(i) /= counts(i)
-          i += 1
-        }
-        MediaFeatures(r.media_id, r.media_type, w, h,
-          n_frames = 1, duration_ms = 0L, feature = bands)
+        MediaFeatures(r.media_id, r.media_type, img.getWidth, img.getHeight,
+          n_frames = 1, duration_ms = 0L,
+          feature = lumBands(img, featureDim))
       }
   }
 
@@ -209,6 +222,200 @@ object Multimodal {
             feature = feat)
         } finally in.close()
       }
+  }
+
+  /** Shared GIF container helpers: the JDK's `javax.imageio` GIF codec is
+    * a genuine MULTI-FRAME reader/writer (`ImageReader.getNumImages/
+    * read(i)` + per-frame GraphicControlExtension metadata), which makes
+    * animated GIF the one video-path container that decodes fully for
+    * real in a stock JVM — true video codecs (mp4/webm/...) remain the
+    * documented [[FakeDecoder]] seam. */
+  private[multimodal] object GifCodec {
+    def isGif(b: Array[Byte]): Boolean =
+      b != null && b.length >= 6 &&
+        b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte
+
+    /** Open a frame-indexed reader over the payload and hand it to `f`;
+      * metadata stays available (delays), input is NOT seek-forward-only
+      * (frame sampling skips around). Refuses loudly when no installed
+      * reader claims the bytes. */
+    def withReader[T](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => T): T = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        "payload is not a decodable image container")
+      val reader = readers.next()
+      reader.setInput(iis, false, false)
+      try f(reader) finally { reader.dispose(); iis.close() }
+    }
+
+    /** Frame i's GraphicControlExtension delay in centiseconds (0 when
+      * the frame carries none — the GIF default). */
+    def frameDelayCs(reader: javax.imageio.ImageReader, i: Int): Int = {
+      val meta = reader.getImageMetadata(i)
+      val fmt = "javax_imageio_gif_image_1.0"
+      if (!meta.getMetadataFormatNames.contains(fmt)) 0
+      else {
+        val root = meta.getAsTree(fmt)
+        val kids = root.getChildNodes
+        var d = 0
+        var k = 0
+        while (k < kids.getLength) {
+          val n = kids.item(k)
+          if (n.getNodeName == "GraphicControlExtension") {
+            val at = n.getAttributes.getNamedItem("delayTime")
+            if (at != null) d = at.getNodeValue.toInt
+          }
+          k += 1
+        }
+        d
+      }
+    }
+
+    /** Write frames as one animated GIF with a uniform per-frame delay
+      * (centiseconds) through the JDK sequence writer; each frame carries
+      * an explicit GraphicControlExtension so durations round-trip. */
+    def writeAnimated(frames: Seq[java.awt.image.BufferedImage],
+                      delayCs: Int): Array[Byte] = {
+      require(frames.nonEmpty, "an animated GIF needs at least one frame")
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // reuse the default tree's GraphicControlExtension if present,
+        // else append one — two nodes of the same name would be invalid
+        val kids = root.getChildNodes
+        var gce: javax.imageio.metadata.IIOMetadataNode = null
+        var k = 0
+        while (k < kids.getLength && gce == null) {
+          if (kids.item(k).getNodeName == "GraphicControlExtension")
+            gce = kids.item(k).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          k += 1
+        }
+        if (gce == null) {
+          gce = new javax.imageio.metadata.IIOMetadataNode(
+            "GraphicControlExtension")
+          root.appendChild(gce): Unit
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+          param)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      baos.toByteArray
+    }
+  }
+
+  /** REAL multi-frame video-path decoder for animated GIFs:
+    * `ImageReader.getNumImages(true)` counts ACTUAL frames, frame 0
+    * supplies the dims + luminance-band feature, and duration sums the
+    * per-frame GraphicControlExtension delays — everything comes from
+    * parsing the real container. Non-GIF video payloads (mp4/webm/... —
+    * the JDK ships no codec for them) fall back to the configured
+    * decoder, as do non-video records; chain with [[ImageIoDecoder]] /
+    * [[WavDecoder]] for the full real image+audio+gif set. */
+  final class GifVideoDecoder(featureDim: Int = 8,
+                              fallback: MediaDecoder = new FakeDecoder())
+      extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.media_type != "video" || !GifCodec.isGif(r.payload))
+        fallback.decode(r)
+      else GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        require(n >= 1, s"media_id=${r.media_id}: GIF container holds no frames")
+        val f0 = reader.read(0)
+        var durCs = 0L
+        var i = 0
+        while (i < n) { durCs += GifCodec.frameDelayCs(reader, i); i += 1 }
+        MediaFeatures(r.media_id, r.media_type, f0.getWidth, f0.getHeight,
+          n_frames = n, duration_ms = durCs * 10L,
+          feature = lumBands(f0, featureDim))
+      }
+  }
+
+  /** REAL frame sampling over animated-GIF videos: decode every
+    * `every`-th frame via `ImageReader.read(i)` — one reader per record,
+    * decode confined to mapPartitions like every codec here. Output one
+    * row per SAMPLED frame: (media_id, frame_idx, width, height,
+    * feature), the per-frame luminance bands proving each frame's pixels
+    * were actually read (an animated GIF's frames differ). Non-GIF
+    * payloads refuse LOUDLY — a silently skipped container would be a
+    * hole in the sampled set the downstream embedding pass never sees.
+    * Complements [[sampleFrames]], the pure-relational sampling PLAN
+    * over already-decoded frame counts. */
+  def sampleGifFrames(media: DataFrame, every: Int,
+                      featureDim: Int = 8): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: frame sampling is a VIDEO pass " +
+          s"(got ${r.media_type})")
+      require(GifCodec.isGif(r.payload),
+        s"media_id=${r.media_id}: payload is not an animated GIF " +
+          s"(mime=${r.mime}) — no in-JVM codec for other video containers")
+      GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        (0 until n by every).map { i =>
+          val img = reader.read(i)
+          (r.media_id, i, img.getWidth, img.getHeight,
+            lumBands(img, featureDim))
+        }.toVector // materialize before the reader is disposed
+      }
+    }).toDF("media_id", "frame_idx", "width", "height", "feature")
+  }
+
+  /** Synthetic ANIMATED GIF table with REAL multi-frame payloads: per
+    * document, `2 + doc_id % 6` grayscale gradient frames (content
+    * shifts with the frame index, so per-frame features differ) at
+    * `(16 + doc_id % 16) x (16 + doc_id % 12)`, 10 cs delay each,
+    * written with the JDK GIF sequence writer ON THE EXECUTORS — frame
+    * counts, dims and durations stay oracle-computable from doc_id
+    * alone while decode exercises a real multi-frame container. */
+  def syntheticAnimatedGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nFrames = 2 + (id % 6).toInt
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((id * 31 + f * 47 + x * 3 + y * 5) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", "gifgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
   /** Synthetic AUDIO table with REAL WAV payloads: per document, a
