@@ -62,9 +62,13 @@ object KnnGraph {
     * of splitting cannot get a cell under `maxCellSize` (identical-
     * vector hubs) is it terminally shed — loudly (stderr + optional
     * `knn_graph.shed_cells`/`knn_graph.shed_vectors` gauges), and
-    * SYMMETRICALLY: sources assigned to a terminally shed cell emit
-    * no edges at that level at all, so every emitted top-k is built
-    * from a complete candidate set (no silently degraded rows). */
+    * SYMMETRICALLY across the WHOLE graph: the ids of sources assigned
+    * to a terminally shed cell are propagated back up and anti-joined
+    * out before topK, so such a source emits NO edges at all — not a
+    * top-k built from only its other probed cells' candidates. Every
+    * emitted top-k therefore includes its source's ASSIGNED (dominant)
+    * cell's candidates; a source that merely probed INTO a shed cell as
+    * a secondary loses those candidates like any other recall miss. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             numCells: Int = 64, nprobe: Int = 2,
             maxCellSize: Long = 100000L,
@@ -80,8 +84,16 @@ object KnnGraph {
       explode(Ann.probeCells(vec, m, nprobe)).as("probe"))
       .select(col("src_id"), col("__qv"), col("assigned"),
         col("probe.cell").cast("int").as("cell"))
-    topK(confined(cand, probes, numCells, nprobe, maxCellSize, metrics,
-      depth = 0, maxDepth = shedDepth), k)
+    val (pairs, shedSrcSets) = confined(cand, probes, numCells, nprobe,
+      maxCellSize, metrics, depth = 0, maxDepth = shedDepth)
+    // global shed symmetry: a terminally-shed source's candidates from
+    // OTHER probed cells (possibly at shallower levels) must go too —
+    // the common no-shed case pays nothing (no join at all)
+    val filtered = shedSrcSets.reduceOption(_ unionByName _) match {
+      case None => pairs
+      case Some(shed) => pairs.join(shed, Seq("src_id"), "left_anti")
+    }
+    topK(filtered, k)
   }
 
   /** One confinement level: pair within non-oversized cells, recurse
@@ -93,11 +105,17 @@ object KnnGraph {
     * excluded from this level's join), so no distinct is needed.
     * Recursion work: the common no-shed case adds nothing; a shed cell
     * costs a bounded-sample retrain plus map-only re-filters of the
-    * assignment pass (shed cells are few and loud by construction). */
+    * assignment pass (shed cells are few and loud by construction).
+    *
+    * Returns (pairs, terminally-shed source-id frames): any source whose
+    * assigned cell was terminally shed at ANY depth is reported so the
+    * caller can drop its pairs from every level before topK — without
+    * that, a source shed at depth > 0 would keep its shallower-level
+    * candidates and emit a silently incomplete top-k. */
   private def confined(cand: DataFrame, probes: DataFrame, numCells: Int,
                        nprobe: Int, maxCellSize: Long,
                        metrics: Option[graft.metrics.MetricContext],
-                       depth: Int, maxDepth: Int): DataFrame = {
+                       depth: Int, maxDepth: Int): (DataFrame, Seq[DataFrame]) = {
     // counts-only pass: (cell, 1) pairs, map-side combined — cheap next
     // to the vector shuffle it protects against
     val oversized = cand.groupBy("cell").count()
@@ -108,11 +126,13 @@ object KnnGraph {
       ps.join(cs, "cell").filter(col("neighbor_id") =!= col("src_id"))
         .select("src_id", "__qv", "neighbor_id", "__cv")
     }
-    if (shedCells.isEmpty) pairLevel(cand, probes)
+    if (shedCells.isEmpty) (pairLevel(cand, probes), Nil)
     else if (depth >= maxDepth) {
       // terminal: splitting can no longer bound the cell — shed it, and
       // shed its SOURCES with it (their dominant candidates live here;
-      // emitting their top-k from other probes would be silently wrong)
+      // emitting their top-k from other probes would be silently wrong).
+      // The shed sources' ids flow back up so the caller also drops any
+      // pairs they produced at shallower levels.
       System.err.println(s"[knn-graph] TERMINALLY shedding " +
         s"${shedCells.size} cells still > $maxCellSize after $depth " +
         s"splits: " +
@@ -121,10 +141,13 @@ object KnnGraph {
         mc.gauge("knn_graph.shed_cells", shedCells.size.toLong)
         mc.gauge("knn_graph.shed_vectors", oversized.map(_._2).sum)
       }
-      pairLevel(
+      val shedSrcs = probes.filter(col("assigned").isInCollection(shedCells))
+        .select("src_id").distinct()
+      (pairLevel(
         cand.filter(!col("cell").isInCollection(shedCells)),
         probes.filter(!col("cell").isInCollection(shedCells) &&
-          !col("assigned").isInCollection(shedCells)))
+          !col("assigned").isInCollection(shedCells))),
+        Seq(shedSrcs))
     } else {
       System.err.println(s"[knn-graph] recursing into ${shedCells.size} " +
         s"oversized cells (> $maxCellSize) at depth $depth: " +
@@ -158,7 +181,8 @@ object KnnGraph {
         confined(subCand, subProbes, numCells, nprobe, maxCellSize,
           metrics, depth + 1, maxDepth)
       }
-      subs.foldLeft(main)(_ unionByName _)
+      (subs.map(_._1).foldLeft(main)(_ unionByName _),
+        subs.flatMap(_._2))
     }
   }
 

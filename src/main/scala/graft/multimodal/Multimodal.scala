@@ -193,9 +193,18 @@ object Multimodal {
           require(fmt.getSampleSizeInBits == 16,
             s"media_id=${r.media_id}: ${fmt.getSampleSizeInBits}-bit PCM " +
               "unsupported (16-bit required)")
-          val frames = in.getFrameLength
           val channels = fmt.getChannels
           val bytes = in.readAllBytes()
+          // getFrameLength is NOT_SPECIFIED (-1) for unknown-length
+          // streams: derive from the decoded bytes instead of letting a
+          // negative count corrupt the band math / report -1 frames
+          val frameSize =
+            if (fmt.getFrameSize > 0) fmt.getFrameSize else channels * 2
+          val frames =
+            if (in.getFrameLength > 0) in.getFrameLength
+            else bytes.length.toLong / frameSize
+          require(frames > 0,
+            s"media_id=${r.media_id}: empty audio stream")
           val big = fmt.isBigEndian
           val bands = new Array[Double](featureDim)
           val counts = new Array[Long](featureDim)
@@ -671,11 +680,16 @@ object Multimodal {
     * stable 60-bit hash of the file path (collision-checked downstream
     * by the dedup passes' id semantics); `pathGlobFilter` pushes the
     * extension filter into file LISTING, so a mixed dump never reads
-    * non-media bytes. Payload size guardrails belong to the reader:
-    * spark.sql.files.maxPartitionBytes sizes partitions by BYTES, which
-    * is exactly what binary payloads need. */
+    * non-media bytes. The default glob admits every extension the type
+    * map classifies (images, WAV/AIFF/AU audio, video containers —
+    * the latter land as media_type `video` for the GIF/stub decode
+    * path); narrow it to exclude types deliberately. Payload size
+    * guardrails belong to the reader: spark.sql.files.maxPartitionBytes
+    * sizes partitions by BYTES, which is exactly what binary payloads
+    * need. */
   def readMediaDir(spark: SparkSession, dir: String,
-                   glob: String = "*.{png,jpg,jpeg,gif,bmp,wav}"): DataFrame = {
+                   glob: String =
+                     "*.{png,jpg,jpeg,gif,bmp,wav,aiff,au,mp4,avi,mkv,webm}"): DataFrame = {
     val byExt: Column = {
       val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
       when(ext.isin("png", "jpg", "jpeg", "gif", "bmp"), lit("image"))

@@ -162,7 +162,14 @@ object Streams {
     * real scale raise it with the same knob — results are identical
     * either way, only the per-batch commit overhead moves. The value is
     * fixed at query START (state stores keep their layout for the
-    * checkpoint's life), so the override brackets `.start()`. */
+    * checkpoint's life), so the override brackets `.start()`.
+    *
+    * NOT REENTRANT: the override mutates the session-global conf for the
+    * duration of `body` (restored in finally), so a CONCURRENT query
+    * planned on the same session inside that window silently picks up
+    * the override. Fine for the single-threaded bench/test drivers this
+    * serves; concurrent launchers should plan on `spark.newSession()`
+    * (per-session conf) instead. */
   def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession,
                              n: Option[Int])(body: => T): T = n match {
     case None => body

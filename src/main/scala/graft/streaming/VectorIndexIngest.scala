@@ -39,12 +39,26 @@ object VectorIndexIngest {
     * (product-quantization codes, [[Ann.ivfAppendIndexPq]]) — and must
     * match the bootstrap (`ivfInitIndex`/`Sq8`/`Pq`) so every batch
     * shares the row shape: a mixed-codec index would fail at read time,
-    * loudly. `sq8 = true` is the legacy spelling of `codec = "sq8"`. */
+    * loudly. `sq8 = true` is the legacy spelling of `codec = "sq8"`.
+    *
+    * `compactEvery > 0` gives a continuously-fed index its fold CADENCE:
+    * every N micro-batches, `batch <= batchId - keepOut` partitions fold
+    * into one layout ([[Ann.ivfCompactIndex]]) inside foreachBatch, so
+    * the manifest stays bounded without a separate maintenance job. The
+    * fold line + `keepOut` make the cadence replay-safe: every folded
+    * batch was committed before its fold, so a Structured Streaming
+    * redelivery of a folded id no-ops instead of overwriting the fold,
+    * and the most recent `keepOut` batches stay out of any fold. */
   def start(stream: DataFrame, idCol: String, vecCol: String,
             indexPath: String, checkpointDir: String,
             trigger: Trigger = Trigger.AvailableNow(),
-            sq8: Boolean = false, codec: String = "float"): StreamingQuery = {
+            sq8: Boolean = false, codec: String = "float",
+            compactEvery: Int = 0, keepOut: Int = 1): StreamingQuery = {
     val spark = stream.sparkSession
+    require(compactEvery >= 0, s"compactEvery=$compactEvery must be >= 0")
+    require(keepOut >= 1,
+      s"keepOut=$keepOut must be >= 1 — folding the in-flight batch " +
+        "would race its own commit")
     val effective = if (sq8) "sq8" else codec
     val append: (DataFrame, Long) => Unit = effective match {
       case "float" => Ann.ivfAppendIndex(_, idCol, vecCol, indexPath, _)
@@ -57,6 +71,10 @@ object VectorIndexIngest {
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch, batchId)
+        if (compactEvery > 0 && batchId % compactEvery == 0 &&
+            batchId - keepOut >= 0)
+          Ann.ivfCompactIndex(batch.sparkSession, indexPath,
+            upTo = batchId - keepOut): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -80,6 +80,39 @@ class KnnGraphSpec extends SparkSpec {
     assert(t > 0 && m == t, s"recall $m/$t")
   }
 
+  test("a source shed at depth > 0 emits NO edges — not a degraded top-k") {
+    // 450 identical hub vectors (unsplittable at any depth) + 50
+    // separable ones. The hub cell recurses, its sub-cell is still one
+    // 450-vector hub, and at shedDepth it is TERMINALLY shed. Hub
+    // sources probed a separable cell at level 0 too (nprobe = 2) —
+    // without global shed propagation they would emit a top-k built from
+    // only those secondary candidates, a silently incomplete answer.
+    val base = Tables.load(spark, sf, "embeddings")
+    val hub = base.filter(col("vec_id") < 450)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        _ => lit(1.0)).as("v"))
+    val separated = base.filter(col("vec_id") >= 450)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(4L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val corpus = hub.unionByName(separated)
+    val g = KnnGraph.build(corpus, "vec_id", "v", k = 3,
+      numCells = 8, nprobe = 2, maxCellSize = 100L, shedDepth = 1)
+      .persist()
+    try {
+      assert(g.filter(col("src_id") < 450).count() == 0,
+        "terminally-shed hub sources leaked edges from secondary probes")
+      // every EMITTING source (separable vectors whose assigned cell
+      // survived — a few may legitimately assign to the hub centroid and
+      // shed with it) keeps its full k edges
+      val perSrc = g.filter(col("src_id") >= 450)
+        .groupBy("src_id").count().select("count").distinct()
+      assert(perSrc.as[Long].collect().toSeq == Seq(3L))
+      assert(g.select("src_id").distinct().count() > 0,
+        "the shed must not swallow the separable sources wholesale")
+    } finally { g.unpersist(); () }
+  }
+
   test("clusters: mutual-kNN components recover the planted classes exactly") {
     // k must give the mutual graph enough edges to CONNECT each ~31-member
     // class (k=5 deterministically strands one vector on this corpus —

@@ -123,6 +123,52 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown index codec"), e.getMessage)
   }
 
+  test("compactEvery folds on cadence: bounded dirs, identical search, folded replay no-ops") {
+    val in = tmpDir("viic-in"); val idx = tmpDir("viic-idx") + "/index"
+    // 10 single-file arrivals of 30 vectors each (ids 200..499)
+    (0 until 10).foreach { i =>
+      val part = s"$in/f$i"
+      derived.filter($"vec_id" >= 200L + i * 30L && $"vec_id" < 230L + i * 30L)
+        .coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val boot = derived.filter($"vec_id" < 200L)
+    val m = Ann.ivfTrain(derived, "vec_id", "v", numCells = 16)
+    Ann.ivfInitIndex(boot, "vec_id", "v", m, idx)
+    val q = VectorIndexIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema),
+      "vec_id", "v", idx, tmpDir("viic-ckpt"), compactEvery = 4)
+    q.awaitTermination()
+    assert(spark.read.parquet(idx).count() == 500)
+    // folds fired at batches 4 (upTo 3) and 8 (upTo 7): the manifest is
+    // bounded at {fold(7), 8, 9} instead of 11 per-batch dirs
+    val batches = spark.read.parquet(idx).select("batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches == Seq(7L, 8L, 9L), batches)
+    // searches over the folded index answer EXACTLY like an inline build
+    val queries = derived.filter($"vec_id" < 5)
+    val viaIndex = Ann.ivfTopKIndexed(idx, queries, "vec_id", "v",
+      k = 10, nprobe = 2, Ann.loadModel(spark, idx))
+    val inline = Ann.ivfTopK(derived, queries, "vec_id", "v",
+      k = 10, numCells = 16, nprobe = 2, model = Some(m))
+    assert(viaIndex.select("query_id", "neighbor_id", "rank")
+      .except(inline.select("query_id", "neighbor_id", "rank")).isEmpty)
+    assert(inline.select("query_id", "neighbor_id", "rank")
+      .except(viaIndex.select("query_id", "neighbor_id", "rank")).isEmpty)
+    // a replay of any FOLDED batch id no-ops against the fold line
+    Ann.ivfAppendIndex(derived.filter($"vec_id" >= 200L && $"vec_id" < 230L),
+      "vec_id", "v", idx, batchId = 0L)
+    assert(spark.read.parquet(idx).count() == 500,
+      "replay of a folded batch id must no-op, not duplicate")
+    // keepOut < 1 refuses before any stream starts
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        "vec_id", "v", idx, tmpDir("viic-ckpt2"), compactEvery = 4,
+        keepOut = 0)
+    }
+    assert(e.getMessage.contains("keepOut"), e.getMessage)
+  }
+
   test("sq8 streaming appends build a compressed index that searches correctly") {
     val in = tmpDir("vii8-in"); val idx = tmpDir("vii8-idx") + "/index"
     writeArrivals(in)
