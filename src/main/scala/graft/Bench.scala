@@ -91,7 +91,12 @@ object Bench {
     // appended round 13:
     "q176_knn_graph",         // IVF cell-confined all-nodes top-k + probe
     // appended round 14:
-    "q185_image_decode")      // real ImageIO PNG encode+decode round-trip
+    "q185_image_decode",      // real ImageIO PNG encode+decode round-trip
+    // appended round 15: the perceptual dedup paths get perf tripwires —
+    // a decode-recompute regression (the round-14 weak mark) would be
+    // invisible without them
+    "q189_image_neardup",     // dHash + banded pairing + components
+    "q193_image_incremental_dedup") // Bloom O(batch) image admission
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a

@@ -2361,6 +2361,18 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // video NEAR-dup (round 15): planted texture groups rendered as REAL
+    // 4-frame animated GIFs where every other copy carries single-frame
+    // brightness noise — the majority-fold frame-dHash fingerprint must
+    // cluster perturbed copies with their base via the shared banding +
+    // connected components; ground truth is doc_id arithmetic
+    "q197_video_neardup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticGifVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.VideoDedup.clusters(variants, maxHamming = 4)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
     // REAL multi-frame video-path decode (round 15): executor-generated
     // animated GIFs (frame count, dims, 10cs delays from doc_id) parsed
     // back through javax.imageio's frame-indexed reader — n_frames,
@@ -4423,6 +4435,11 @@ object SparkEntry {
     // detuned) all land in the base's cluster; min member id per group
     // is the base id itself
     "q195_audio_neardup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
+        "FROM documents"),
+    // perturbed copies cluster with their base; min member id per
+    // texture group is the base id itself
+    "q197_video_neardup" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
         "FROM documents"),
     // the GIF writer plants 2 + doc_id % 6 frames at 10 cs each; the

@@ -469,6 +469,7 @@ object Multimodal {
   object MediaCounters {
     val imageReads = new java.util.concurrent.atomic.AtomicLong()
     val audioReads = new java.util.concurrent.atomic.AtomicLong()
+    val videoReads = new java.util.concurrent.atomic.AtomicLong()
   }
 
   /** Shared executor-side codec helpers: force headless AWT once per JVM
@@ -628,6 +629,51 @@ object Multimodal {
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
       (id, "audio", bos.toByteArray, "audio/wav", s"agrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic animated GIFs with PLANTED duplicate groups: every frame
+    * is a pseudo-random texture of (base = doc_id % groups, frame index)
+    * — docs sharing a base and parity render byte-identical containers —
+    * and every other copy PERTURBS one frame with a faint sparse
+    * brightness mask (single-frame re-compression noise), which moves
+    * the majority-fold video fingerprint by at most a couple of bits
+    * while distinct bases land far apart. 4 frames each; ground truth
+    * for dedup oracles: group = doc_id % groups. */
+  def syntheticGifVariants(spark: SparkSession, docs: DataFrame,
+                           groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val perturbed = (id / groups) % 2 == 1
+      val w = 32
+      val h = 32
+      val frames = (0 until 4).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // splitmix-style finalizer over (base, frame, x, y): distinct
+            // bases give effectively independent per-frame dHash patterns
+            var z = base.toLong * 0x9E3779B97F4A7C15L +
+              f * 0xD6E8FEB86659FD93L +
+              x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            var g = (z & 0xffL).toInt
+            if (perturbed && f == 1 && (x + y) % 5 == 0)
+              g = math.min(255, g + 2)
+            raster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", s"vgrp$base")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import Multimodal.{GifCodec, MediaCounters, MediaRecord}
+
+/** Perceptual VIDEO deduplication over REAL decoded frames — the video
+  * sibling of [[ImageDedup]]/[[AudioDedup]], completing the modality set:
+  * a 64-bit fingerprint folds the dHash of every sampled frame (decoded
+  * through the real multi-frame GIF reader) by per-bit MAJORITY vote, the
+  * SimHash construction over frames instead of shingles. A re-encoded or
+  * re-containered copy shares its frame pixels, so it lands on the SAME
+  * fingerprint; a copy with a few perturbed frames (re-compression noise,
+  * a watermark on one frame) moves only the bits whose majority flips —
+  * Hamming-meaningful, so the shared pigeonhole banding
+  * ([[graft.dedup.HammingBands]]) gives near-dup pairing without an
+  * all-pairs scan. Exact dedup is a hash groupBy; incremental admission
+  * reuses the shared Bloom path. The hash pass is map-only (one reader
+  * per record, codec confined to mapPartitions) and every multi-branch
+  * face persists the (media_id, vhash) frame, so each video decodes
+  * exactly ONCE per job — at 100 TB of video, frame decode IS the job.
+  */
+object VideoDedup {
+
+  /** 64-bit fingerprint: dHash each `every`-th frame, fold per-bit
+    * majority (strict — a tie votes 0, deterministic for any frame
+    * count). Refuses non-GIF containers loudly (no in-JVM codec). */
+  def fingerprint64(payload: Array[Byte], every: Int = 1): Long = {
+    require(every >= 1, s"every=$every must be >= 1")
+    require(GifCodec.isGif(payload),
+      "payload is not an animated GIF — no in-JVM codec for other " +
+        "video containers")
+    MediaCounters.videoReads.incrementAndGet(): Unit
+    GifCodec.withReader(payload) { reader =>
+      val n = reader.getNumImages(true)
+      require(n >= 1, "GIF container holds no frames")
+      val votes = new Array[Int](64)
+      var count = 0
+      var i = 0
+      while (i < n) {
+        val h = ImageDedup.dHash64(reader.read(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1
+          b += 1
+        }
+        count += 1
+        i += every
+      }
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (votes(b) * 2 > count) bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+  }
+
+  /** Map-only hash pass: (media_id, vhash) with one container decode per
+    * record. Non-video payloads refuse loudly — a silently skipped video
+    * is a duplicate that survives. */
+  def hashVideos(media: DataFrame, every: Int = 1): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: video fingerprint over ${r.media_type}")
+      (r.media_id, fingerprint64(r.payload, every))
+    }).toDF("media_id", "vhash")
+  }
+
+  /** Exact perceptual dedup: every video labeled with its group's
+    * representative (min media_id sharing the fingerprint). */
+  def exactGroups(media: DataFrame, every: Int = 1): DataFrame =
+    hashVideos(media, every).withColumn("group_rep",
+      min(col("media_id")).over(Window.partitionBy(col("vhash"))))
+      .select("media_id", "vhash", "group_rep")
+
+  /** Near-duplicate pairs among (media_id, vhash) rows through the
+    * shared banding. The hash lineage (a full frame-decode pass when
+    * `hashes` comes straight off [[hashVideos]]) is persisted and
+    * materialized here — each video decodes exactly ONCE per job. The
+    * returned frame is PERSISTED; unpersist it once consumed. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int,
+                   maxBucket: Long = 100000L): DataFrame = {
+    val h = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    val pairs = graft.dedup.HammingBands.pairs(
+      h, "media_id", "vhash", maxHamming, maxBucket, "video-dedup")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count(): Unit // pin the (tiny) pairs, then release the hashes
+    h.unpersist()
+    pairs
+  }
+
+  /** Near-dup clusters over a video table: hash, pair, resolve connected
+    * components. Output (media_id, cluster_id), singletons their own
+    * cluster; the returned frame is PERSISTED — unpersist once consumed.
+    * One decode per video per job. */
+  def clusters(media: DataFrame, maxHamming: Int,
+               maxBucket: Long = 100000L, every: Int = 1): DataFrame = {
+    val h = hashVideos(media, every).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    try {
+      val pairs = graft.dedup.HammingBands.pairs(
+        h, "media_id", "vhash", maxHamming, maxBucket, "video-dedup")
+        .select(col("id_a"), col("id_b"))
+      val out = graft.dedup.DupClusters.resolve(
+        h.select(col("media_id")), "media_id", pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
+  }
+
+  /** O(batch) incremental admission against a committed fingerprint
+    * store (one string column `h`), through the shared Bloom-prefilter
+    * path — byte-identical to the exact anti-join. */
+  def incrementalSurvivors(batch: DataFrame, committedHashes: DataFrame,
+                           fpp: Double = 0.01, every: Int = 1): DataFrame =
+    graft.dedup.IncrementalDedup.survivors(
+      hashVideos(batch, every), committedHashes, "media_id",
+      col("vhash").cast("string"), fpp)
+}

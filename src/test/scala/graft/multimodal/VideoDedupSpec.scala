@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class VideoDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val variants =
+    Multimodal.syntheticGifVariants(spark, docs, groups = 20)
+
+  test("fingerprint geometry: perturbed near its base, distinct bases far") {
+    val h = VideoDedup.hashVideos(variants)
+      .withColumn("base", pmod(col("media_id"), lit(20L)))
+      .withColumn("perturbed", expr("(media_id div 20) % 2 = 1"))
+      .persist()
+    try {
+      // byte-identical renders -> one fingerprint per (base, parity)
+      assert(h.groupBy("base", "perturbed")
+        .agg(countDistinct("vhash").as("n"))
+        .filter(col("n") =!= 1).count() == 0)
+      val basil = h.filter(!col("perturbed")).select(col("base"),
+        col("vhash").as("h0")).distinct()
+      val dist = h.filter(col("perturbed")).join(basil, "base")
+        .select(bit_count(col("vhash").bitwiseXOR(col("h0"))).as("d"))
+        .agg(max("d")).as[Int].head()
+      assert(dist <= 4, s"single-frame perturbation moved fingerprint by $dist bits")
+      val cross = basil.select(col("base").as("ba"), col("h0").as("ha"))
+        .crossJoin(basil.select(col("base").as("bb"), col("h0").as("hb")))
+        .filter(col("ba") < col("bb"))
+        .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("d"))
+        .agg(min("d")).as[Int].head()
+      assert(cross > 10, s"two distinct bases only $cross bits apart")
+    } finally { h.unpersist(); () }
+  }
+
+  test("exactGroups: re-renders of a base share one representative") {
+    val unperturbed = variants.filter(expr("(media_id div 20) % 2 = 0"))
+    val g = VideoDedup.exactGroups(unperturbed)
+    val wrong = g.filter(col("group_rep") =!= pmod(col("media_id"), lit(20L)))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+  }
+
+  test("clusters recover the planted groups across frame perturbation") {
+    val out = VideoDedup.clusters(variants, maxHamming = 4)
+    try {
+      val wrong = out.filter(col("cluster_id") =!= pmod(col("media_id"), lit(20L)))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.select("cluster_id").distinct().count() == 20)
+      assert(out.count() == docs.count())
+    } finally { out.unpersist(); () }
+  }
+
+  test("incrementalSurvivors == exact anti-join; committed content drops") {
+    val committed = VideoDedup.hashVideos(
+      Multimodal.syntheticGifVariants(spark,
+        docs.filter(col("doc_id") < 250), groups = 10))
+      .select(col("vhash").cast("string").as("h"))
+    val batch = Multimodal.syntheticGifVariants(spark,
+      docs.filter(col("doc_id") >= 250), groups = 20)
+    val out = VideoDedup.incrementalSurvivors(batch, committed)
+    val want = graft.dedup.IncrementalDedup.survivorsExact(
+      VideoDedup.hashVideos(batch), committed, "media_id",
+      col("vhash").cast("string"))
+    assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty)
+    // bases 0..9 were committed (same textures); bases 10..19 are new
+    assert(out.filter(pmod(col("media_id"), lit(20L)) < 10).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("one container decode per video per job: the hash frame is persisted") {
+    val n = variants.count()
+    val c = Multimodal.MediaCounters.videoReads
+    var before = c.get()
+    VideoDedup.clusters(variants, maxHamming = 4).unpersist()
+    assert(c.get() - before == n,
+      s"clusters decoded ${c.get() - before} containers for $n videos")
+    before = c.get()
+    VideoDedup.nearDupPairs(VideoDedup.hashVideos(variants), maxHamming = 4)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"nearDupPairs decoded ${c.get() - before} containers for $n videos")
+  }
+
+  test("non-video and non-GIF payloads refuse loudly") {
+    val imgs = Multimodal.syntheticImages(spark, docs.limit(1))
+    val e = intercept[org.apache.spark.SparkException] {
+      VideoDedup.hashVideos(imgs).collect()
+    }
+    assert(e.getMessage != null)
+    val junk = Seq((1L, "video", Array[Byte](9, 9, 9, 9, 9, 9, 9),
+      "video/mp4", "t"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      VideoDedup.hashVideos(junk).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+}
