@@ -2361,6 +2361,28 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // audio decontamination (round 15): the audio face of q192 — eval
+    // clips (bases 0..4's base renders) broadcast as fingerprint bands;
+    // every half-volume AND detuned variant of those groups must flag,
+    // nothing else
+    "q198_audio_decontaminate" -> ((s, dir) => {
+      val variants = Multimodal.syntheticAudioNearVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.AudioDedup.decontaminate(
+        variants, variants.filter(col("media_id") < 5), maxHamming = 8)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
+    // video decontamination (round 15): frame-perturbed re-renders of
+    // eval videos must flag through the majority-fold fingerprint
+    "q199_video_decontaminate" -> ((s, dir) => {
+      val variants = Multimodal.syntheticGifVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.VideoDedup.decontaminate(
+        variants, variants.filter(col("media_id") < 5), maxHamming = 4)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
     // video NEAR-dup (round 15): planted texture groups rendered as REAL
     // 4-frame animated GIFs where every other copy carries single-frame
     // brightness noise — the majority-fold frame-dHash fingerprint must
@@ -4441,6 +4463,12 @@ object SparkEntry {
     // texture group is the base id itself
     "q197_video_neardup" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
+        "FROM documents"),
+    "q198_audio_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents"),
+    "q199_video_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),
     // the GIF writer plants 2 + doc_id % 6 frames at 10 cs each; the
     // reader must recover exactly those counts/dims/delays, and every-2nd

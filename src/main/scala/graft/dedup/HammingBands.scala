@@ -38,6 +38,31 @@ object HammingBands {
         :+ col("bv.value").as("value")): _*)
   }
 
+  /** Decontamination probe: flag every corpus row whose hash lies within
+    * `maxHamming` of ANY eval hash. The (bounded) eval side is BROADCAST
+    * as hash bands — the corpus never shuffles: one band equi-join, exact
+    * bit_count verify, then a left join attaches the flag. Input frames
+    * are (idCol, hashCol); output (idCol, contaminated). Both inputs are
+    * evaluated more than once (probe + outcome branches) — callers with
+    * expensive hash lineage must persist first, as the media faces do. */
+  def decontaminateProbe(corpusHashes: DataFrame, evalHashes: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxHamming: Int): DataFrame = {
+    val hits = explodeBands(
+      corpusHashes.select(col(idCol), col(hashCol).as("__hc")),
+      "__hc", maxHamming)
+      .join(broadcast(explodeBands(
+        evalHashes.select(col(idCol).as("__eval_id"),
+          col(hashCol).as("__he")), "__he", maxHamming)),
+        Seq("band", "value"))
+      .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+      .select(idCol).distinct()
+    corpusHashes.select(idCol)
+      .join(hits.withColumn("contaminated", lit(true)), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Near-dup pairs among (idCol, hashCol) rows: banded candidate
     * generation + exact Hamming verify. Output (id_a, id_b, hamming),
     * id_a < id_b, each pair once. `maxBucket` caps a band bucket's size —

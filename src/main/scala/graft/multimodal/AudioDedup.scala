@@ -149,6 +149,38 @@ object AudioDedup {
     pairs
   }
 
+  /** Audio DECONTAMINATION — the audio face of the eval-set leak guard:
+    * flag every corpus clip whose fingerprint lies within `maxHamming`
+    * of ANY eval clip (re-leveled and slightly detuned copies of
+    * benchmark audio included). Bounded eval broadcast, zero corpus
+    * shuffle, one PCM decode per side per job (both hash frames are
+    * persisted across the probe and outcome branches). Output: every
+    * corpus row's (media_id, contaminated), PERSISTED — unpersist once
+    * consumed. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, maxHamming: Int,
+                    maxEval: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalHashes = hashAudio(eval).persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's hash frame
+      val nEval = evalHashes.count() // also materializes: eval decodes once
+      require(nEval <= maxEval,
+        s"eval set has $nEval clips > maxEval=$maxEval — a broadcast this " +
+          "size would flood the executors; raise maxEval deliberately")
+      val corpusHashes = hashAudio(corpus)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpusHashes.count(): Unit
+      try {
+        val out = graft.dedup.HammingBands.decontaminateProbe(
+          corpusHashes, evalHashes, "media_id", "ahash", maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusHashes.unpersist(); () }
+    } finally { evalHashes.unpersist(); () }
+  }
+
   /** Near-dup clusters over an audio table: hash, pair, resolve connected
     * components — detuned (±1 zero-crossing bucket) and re-leveled
     * variants land in their base's cluster. Output (media_id,

@@ -164,34 +164,25 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"maxHamming $maxHamming not in [0,16]")
     val evalHashes = hashImages(eval).persist(StorageLevel.MEMORY_AND_DISK)
-    val nEval = evalHashes.count() // also materializes: eval decodes once
-    require(nEval <= maxEval,
-      s"eval set has $nEval images > maxEval=$maxEval — a broadcast this " +
-        "size would flood the executors; raise maxEval deliberately")
-    // the corpus hash frame feeds the probe join AND the outcome join —
-    // persist so the corpus decode pass runs exactly once per job
-    val corpusHashes = hashImages(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    corpusHashes.count(): Unit
-    try {
-      import graft.dedup.HammingBands
-      val hits = HammingBands.explodeBands(
-        corpusHashes.select(col("media_id"), col("dhash").as("h_c")),
-        "h_c", maxHamming)
-        .join(broadcast(HammingBands.explodeBands(
-          evalHashes.select(col("media_id").as("eval_id"),
-            col("dhash").as("h_e")), "h_e", maxHamming)),
-          Seq("band", "value"))
-        .filter(bit_count(col("h_c").bitwiseXOR(col("h_e"))) <= maxHamming)
-        .select("media_id").distinct()
-      val out = corpusHashes.select("media_id")
-        .join(hits.withColumn("contaminated", lit(true)), Seq("media_id"),
-          "left")
-        .select(col("media_id"),
-          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's hash frame
+      val nEval = evalHashes.count() // also materializes: eval decodes once
+      require(nEval <= maxEval,
+        s"eval set has $nEval images > maxEval=$maxEval — a broadcast this " +
+          "size would flood the executors; raise maxEval deliberately")
+      // the corpus hash frame feeds the probe join AND the outcome join —
+      // persist so the corpus decode pass runs exactly once per job
+      val corpusHashes = hashImages(corpus)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count(): Unit // one flag per corpus row — tiny; unpersist once consumed
-      out
-    } finally { corpusHashes.unpersist(); evalHashes.unpersist(); () }
+      corpusHashes.count(): Unit
+      try {
+        val out = graft.dedup.HammingBands.decontaminateProbe(
+          corpusHashes, evalHashes, "media_id", "dhash", maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit // one flag per corpus row — tiny; unpersist once consumed
+        out
+      } finally { corpusHashes.unpersist(); () }
+    } finally { evalHashes.unpersist(); () }
   }
 
   /** Near-dup clusters over a media table: hash, pair, resolve connected

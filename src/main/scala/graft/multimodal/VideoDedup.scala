@@ -125,4 +125,35 @@ object VideoDedup {
     graft.dedup.IncrementalDedup.survivors(
       hashVideos(batch, every), committedHashes, "media_id",
       col("vhash").cast("string"), fpp)
+
+  /** Video DECONTAMINATION — flag every corpus video whose fingerprint
+    * lies within `maxHamming` of ANY eval video (re-encoded and
+    * frame-perturbed copies of benchmark clips included). Bounded eval
+    * broadcast, zero corpus shuffle, one container decode per side per
+    * job. Output (media_id, contaminated), PERSISTED — unpersist once
+    * consumed. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, maxHamming: Int,
+                    maxEval: Long = 100000L, every: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalHashes = hashVideos(eval, every)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's hash frame
+      val nEval = evalHashes.count() // also materializes: eval decodes once
+      require(nEval <= maxEval,
+        s"eval set has $nEval videos > maxEval=$maxEval — a broadcast this " +
+          "size would flood the executors; raise maxEval deliberately")
+      val corpusHashes = hashVideos(corpus, every)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpusHashes.count(): Unit
+      try {
+        val out = graft.dedup.HammingBands.decontaminateProbe(
+          corpusHashes, evalHashes, "media_id", "vhash", maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusHashes.unpersist(); () }
+    } finally { evalHashes.unpersist(); () }
+  }
 }

@@ -112,6 +112,26 @@ class AudioDedupSpec extends SparkSpec {
     } finally { got.unpersist(); () }
   }
 
+  test("decontaminate flags exactly the eval groups' clips, corpus never shuffles") {
+    // eval = bases 0..4's base renders; every corpus variant of those
+    // groups (half-volume AND detuned) must flag, nothing else
+    val eval = nearVariants.filter(col("media_id") < 5)
+    val out = AudioDedup.decontaminate(nearVariants, eval, maxHamming = 8)
+    try {
+      val wrong = out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(20L)) < 5))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == docs.count())
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    } finally { out.unpersist(); () }
+    val e = intercept[IllegalArgumentException] {
+      AudioDedup.decontaminate(nearVariants, nearVariants, maxHamming = 8,
+        maxEval = 10L)
+    }
+    assert(e.getMessage.contains("maxEval"), e.getMessage)
+  }
+
   test("one decode per clip per job: the hash frame is persisted") {
     val n = nearVariants.count()
     val c = Multimodal.MediaCounters.audioReads

@@ -70,6 +70,24 @@ class VideoDedupSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("decontaminate flags exactly the eval groups' videos") {
+    val eval = variants.filter(col("media_id") < 5)
+    val out = VideoDedup.decontaminate(variants, eval, maxHamming = 4)
+    try {
+      val wrong = out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(20L)) < 5))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == docs.count())
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    } finally { out.unpersist(); () }
+    val e = intercept[IllegalArgumentException] {
+      VideoDedup.decontaminate(variants, variants, maxHamming = 4,
+        maxEval = 10L)
+    }
+    assert(e.getMessage.contains("maxEval"), e.getMessage)
+  }
+
   test("one container decode per video per job: the hash frame is persisted") {
     val n = variants.count()
     val c = Multimodal.MediaCounters.videoReads
