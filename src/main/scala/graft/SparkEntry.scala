@@ -2361,6 +2361,19 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // image keep-best dedup (round 15): every group rendered at full
+    // size AND as a bilinear thumbnail — near-dup clustering over the
+    // decoded dHash must keep exactly the highest-resolution copy
+    // (real decoded dims, one decode for hash + dims together)
+    "q200_image_keepbest" -> ((s, dir) => {
+      val rv = Multimodal.syntheticImageResVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.ImageDedup.survivorsByResolution(rv, maxHamming = 3)
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"))
+    }),
+
     // audio decontamination (round 15): the audio face of q192 — eval
     // clips (bases 0..4's base renders) broadcast as fingerprint bands;
     // every half-volume AND detuned variant of those groups must flag,
@@ -4467,6 +4480,11 @@ object SparkEntry {
     "q198_audio_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),
+    // one survivor per texture group: the full-size render, whose id is
+    // the group index itself (thumbnails lose on decoded area)
+    "q200_image_keepbest" ->
+      ("SELECT DISTINCT (doc_id % 20)::BIGINT AS media_id, " +
+        "36::BIGINT AS width, 32::BIGINT AS height FROM documents"),
     "q199_video_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),

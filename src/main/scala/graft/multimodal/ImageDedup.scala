@@ -97,6 +97,51 @@ object ImageDedup {
     }).toDF("media_id", "dhash")
   }
 
+  /** Map-only pass emitting the perceptual hash AND the real decoded
+    * dimensions in ONE decode — the input to quality-aware survivor
+    * selection ([[survivorsByResolution]]), where resolution is the
+    * quality signal and paying a second decode for it would double the
+    * job's dominant cost. */
+  def hashImagesWithDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: dHash is an IMAGE hash (got ${r.media_type})")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      (r.media_id, dHash64(img), img.getWidth, img.getHeight)
+    }).toDF("media_id", "dhash", "width", "height")
+  }
+
+  /** KEEP-BEST near-dup dedup: cluster perceptual near-duplicates (a
+    * bilinear downscale of an image dHashes within a couple of bits of
+    * the original) and keep the HIGHEST-RESOLUTION member per cluster
+    * (decoded width x height, ties broken on minimum id) — the
+    * keep-best-copy policy of crawl dedup, where thumbnails and
+    * re-encodes lose to the original asset. One decode per image per job
+    * (hash and dims come from the same pass); the returned frame
+    * (media_id, dhash, width, height — survivors only) is PERSISTED,
+    * unpersist once consumed. */
+  def survivorsByResolution(media: DataFrame, maxHamming: Int,
+                            maxBucket: Long = 100000L): DataFrame = {
+    val h = hashImagesWithDims(media).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    try {
+      val pairs = graft.dedup.HammingBands.pairs(
+        h.select(col("media_id"), col("dhash")),
+        "media_id", "dhash", maxHamming, maxBucket, "image-dedup")
+        .select(col("id_a"), col("id_b"))
+      val out = graft.dedup.DupClusters.survivorsBy(
+        h, "media_id", pairs,
+        prefer = col("width").cast("long") * col("height"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
+  }
+
   /** Exact perceptual dedup: every image labeled with its group's
     * representative (min media_id sharing the hash) — one hash shuffle,
     * the compaction-dedup shape over content instead of keys. */

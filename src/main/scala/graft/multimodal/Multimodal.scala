@@ -632,6 +632,57 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with planted RESOLUTION-variant duplicate groups:
+    * content is a piecewise-constant texture on the 9x8 dHash cell grid
+    * (cell gray = splitmix(base, cellX, cellY)), rendered at 36x32 for
+    * `kind = (doc_id / groups) % 2 == 0` and bilinear-DOWNSCALED to
+    * 18x16 for the other half — the thumbnail-of-the-original case.
+    * Cell-grid alignment makes the downscale preserve the dHash cell
+    * means, so both renders hash within a couple of bits while distinct
+    * bases stay far. Ground truth: group = doc_id % groups; the best
+    * (largest) copy of group g has id g. */
+  def syntheticImageResVariants(spark: SparkSession, docs: DataFrame,
+                                groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val small = (id / groups) % 2 == 1
+      val w = 36
+      val h = 32
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val cx = x * 9 / w
+          val cy = y * 8 / h
+          var z = base.toLong * 0x9E3779B97F4A7C15L +
+            cx * 0xC2B2AE3D27D4EB4FL + cy * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          val g = (z & 0xffL).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out =
+        if (!small) img
+        else {
+          val s = new java.awt.image.BufferedImage(w / 2, h / 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = s.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w / 2, h / 2, null): Unit
+          } finally g2.dispose()
+          s
+        }
+      (id, "image", ImageCodec.write(out, "png"), "image/png", s"rgrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic animated GIFs with PLANTED duplicate groups: every frame
     * is a pseudo-random texture of (base = doc_id % groups, frame index)
     * — docs sharing a base and parity render byte-identical containers —

@@ -163,6 +163,46 @@ class ImageDedupSpec extends SparkSpec {
       s"decontaminate decoded ${c.get() - before} times for $n corpus + 5 eval")
   }
 
+  test("survivorsByResolution keeps the largest copy of each near-dup group") {
+    val rv = Multimodal.syntheticImageResVariants(spark, docs, groups = 20)
+    // geometry first: the downscaled render stays within the Hamming
+    // bound of its base while distinct bases stay far
+    val h = ImageDedup.hashImagesWithDims(rv)
+      .withColumn("base", pmod(col("media_id"), lit(20L)))
+      .withColumn("small", expr("(media_id div 20) % 2 = 1"))
+      .persist()
+    try {
+      val basil = h.filter(!col("small")).select(col("base"),
+        col("dhash").as("h0")).distinct()
+      val dist = h.filter(col("small")).join(basil, "base")
+        .select(bit_count(col("dhash").bitwiseXOR(col("h0"))).as("d"))
+        .agg(max("d")).as[Int].head()
+      assert(dist <= 3, s"downscale moved dHash by $dist bits")
+      val cross = basil.select(col("base").as("ba"), col("h0").as("ha"))
+        .crossJoin(basil.select(col("base").as("bb"), col("h0").as("hb")))
+        .filter(col("ba") < col("bb"))
+        .select(bit_count(col("ha").bitwiseXOR(col("hb"))).as("d"))
+        .agg(min("d")).as[Int].head()
+      assert(cross > 10, s"two distinct bases only $cross bits apart")
+    } finally { h.unpersist(); () }
+    // the survivor per group is the LARGEST copy with the minimum id —
+    // exactly the base render of id = group
+    val out = ImageDedup.survivorsByResolution(rv, maxHamming = 3)
+    try {
+      assert(out.filter(col("width") =!= 36).count() == 0,
+        "a thumbnail survived over its original")
+      assert(out.select("media_id").as[Long].collect().sorted.toSeq ==
+        (0L until 20L))
+    } finally { out.unpersist(); () }
+    // still one decode per image per job (hash + dims share the pass)
+    val n = rv.count()
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    ImageDedup.survivorsByResolution(rv, maxHamming = 3).unpersist()
+    assert(c.get() - before == n,
+      s"survivorsByResolution decoded ${c.get() - before} times for $n images")
+  }
+
   test("degenerate band buckets shed loudly, not ground through") {
     // constant-content corpus: every image identical -> every bucket huge
     val flat = docs.select(col("doc_id")).as[Long].map { id =>
