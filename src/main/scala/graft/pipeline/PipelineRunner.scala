@@ -323,6 +323,36 @@ object PipelineRunner {
               s"imagededup: wants 'exact' or 'near;<maxHamming>', got " +
                 s"'${other.mkString(";")}'")
           }
+        // perceptual media dedup for ALL modalities as a config-driven
+        // hop (the round-15 family): exact groups, banded near-dup
+        // clusters, or keep-best-resolution survivors (image only)
+        case Array("mediadedup", spec2) => // modality;exact|near;H|best;H
+          spec2.split(';').map(_.trim) match {
+            case Array("image", "exact") =>
+              graft.multimodal.ImageDedup.exactGroups(df)
+            case Array("audio", "exact") =>
+              graft.multimodal.AudioDedup.exactGroups(df)
+            case Array("video", "exact") =>
+              graft.multimodal.VideoDedup.exactGroups(df)
+            case Array("image", "near", h) =>
+              graft.multimodal.ImageDedup.clusters(df, h.toInt)
+            case Array("audio", "near", h) =>
+              graft.multimodal.AudioDedup.clusters(df, h.toInt)
+            case Array("video", "near", h) =>
+              graft.multimodal.VideoDedup.clusters(df, h.toInt)
+            case Array("image", "best", h) =>
+              graft.multimodal.ImageDedup.survivorsByResolution(df, h.toInt)
+            case other => throw new IllegalArgumentException(
+              "mediadedup: wants '<image|audio|video>;exact', " +
+                "'<image|audio|video>;near;<maxHamming>' or " +
+                s"'image;best;<maxHamming>', got '${other.mkString(";")}'")
+          }
+        // REAL per-frame sampling of animated-GIF videos in the chain:
+        // one row per sampled frame with decoded dims + luminance bands
+        case Array("gifframes", spec2) => // every[;featureDim]
+          val parts = spec2.split(';').map(_.trim)
+          val dim = if (parts.length > 1) parts(1).toInt else 8
+          graft.multimodal.Multimodal.sampleGifFrames(df, parts(0).toInt, dim)
         // field-level crypto in the converter chain — the reference's
         // encryption IS a converter (gobblin-crypto EncryptionFactory);
         // keys load once on the driver from a JSON credential store,

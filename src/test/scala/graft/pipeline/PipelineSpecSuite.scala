@@ -639,4 +639,69 @@ class PipelineSpecSuite extends SparkSpec {
     }
     assert(e.getMessage.contains("imagededup"), e.getMessage)
   }
+
+  test("declarative mediadedup + gifframes cover every modality") {
+    val media = tmpDir("pipe-mm")
+    val out = tmpDir("pipe-mm-out")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.multimodal.Multimodal.syntheticAudioNearVariants(spark, docs,
+      groups = 20).write.parquet(s"$media/audio")
+    graft.multimodal.Multimodal.syntheticGifVariants(spark, docs,
+      groups = 20).write.parquet(s"$media/video")
+    graft.multimodal.Multimodal.syntheticImageResVariants(spark, docs,
+      groups = 20).write.parquet(s"$media/res")
+
+    // audio near-dup clusters as a declarative hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-audio",
+      source = SourceSpec(format = "parquet", path = s"$media/audio"),
+      transformExprs = Seq("mediadedup:audio;near;8"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/audio"))),
+      "runMmAudio")
+    assert(spark.read.parquet(s"$out/audio").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
+    // video exact groups as a declarative hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-video",
+      source = SourceSpec(format = "parquet", path = s"$media/video"),
+      transformExprs = Seq("mediadedup:video;near;4"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/video"))),
+      "runMmVideo")
+    assert(spark.read.parquet(s"$out/video").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
+    // image keep-best survivors as a declarative hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-best",
+      source = SourceSpec(format = "parquet", path = s"$media/res"),
+      transformExprs = Seq("mediadedup:image;best;3"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/best"))),
+      "runMmBest")
+    val best = spark.read.parquet(s"$out/best")
+    assert(best.count() == 20 && best.filter(col("width") =!= 36).count() == 0)
+
+    // gifframes: real per-frame sampling as a declarative hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-frames",
+      source = SourceSpec(format = "parquet", path = s"$media/video"),
+      transformExprs = Seq("gifframes:2;4"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/frames"))),
+      "runMmFrames")
+    val frames = spark.read.parquet(s"$out/frames")
+    // 4 frames sampled every 2nd -> 2 rows per video
+    assert(frames.groupBy("media_id").count()
+      .filter(col("count") =!= 2).count() == 0)
+
+    // unknown modality refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      PipelineRunner.run(spark, PipelineSpec(
+        name = "mm-bad",
+        source = SourceSpec(format = "parquet", path = s"$media/audio"),
+        transformExprs = Seq("mediadedup:text;near;4"),
+        branches = Seq(BranchSpec("main", None, Nil, s"$out/bad"))),
+        "runMmBad")
+    }
+    assert(e.getMessage.contains("mediadedup"), e.getMessage)
+  }
 }
