@@ -2361,6 +2361,38 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // streaming media admission (round 15): a 3-arrival replayed stream
+    // of planted image renders through the Bloom O(batch) dedup store —
+    // unperturbed copies only (each base renders byte-identically, so
+    // content is EXACTLY 25 distinct hashes); batch 0 (ids < 200) holds
+    // every base, so the admitted set is the 25 first-seen renders and
+    // later batches admit nothing. Exactly-once by batch=<id> overwrite.
+    "q201_stream_media_dedup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+        .filter(expr("(media_id div 25) % 2 = 0"))
+      val root = tmp("q201")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val in = s"$root/in"
+      Seq(variants.filter(col("media_id") < 200),
+          variants.filter(col("media_id") >= 200 && col("media_id") < 350),
+          variants.filter(col("media_id") >= 350)).zipWithIndex.foreach {
+        case (sl, i) =>
+          val part = s"$in/f$i"
+          sl.coalesce(1).write.parquet(part)
+          new java.io.File(part).listFiles()
+            .foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+      val q = graft.streaming.MediaDedupIngest.start(
+        Streams.fileReplay(s, s"$in/*", Multimodal.mediaSchema),
+        s"$root/store", s"$root/ckpt", modality = "image")
+      q.awaitTermination()
+      graft.streaming.MediaDedupIngest.survivors(s, s"$root/store")
+        .select(col("media_id"))
+    }),
+
     // image keep-best dedup (round 15): every group rendered at full
     // size AND as a bilinear thumbnail — near-dup clustering over the
     // decoded dHash must keep exactly the highest-resolution copy
@@ -4480,6 +4512,10 @@ object SparkEntry {
     "q198_audio_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),
+    // first-seen admission: batch 0 carries all 25 base contents, whose
+    // min ids are exactly 0..24
+    "q201_stream_media_dedup" ->
+      ("SELECT doc_id AS media_id FROM documents WHERE doc_id < 25"),
     // one survivor per texture group: the full-size render, whose id is
     // the group index itself (thumbnails lose on decoded area)
     "q200_image_keepbest" ->

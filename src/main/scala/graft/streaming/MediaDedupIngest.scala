@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.multimodal.{AudioDedup, ImageDedup, VideoDedup}
+
+/** Streaming perceptual-media ADMISSION: every micro-batch of media
+  * records dedups against everything COMMITTED by earlier batches
+  * (Bloom-prefiltered O(batch) through [[graft.dedup.IncrementalDedup]])
+  * and only first-seen content lands — the continuous crawl-ingestion
+  * shape for images/audio/video, the media face of the streaming text
+  * dedup.
+  *
+  * Exactly-once by LAYOUT (the [[VectorIndexIngest]] contract applied to
+  * a dedup store): survivors and their fingerprints publish under
+  * `batch=<id>` dirs by overwrite, keyed by the micro-batch id, so a
+  * replay of a failed batch republishes byte-identically. The committed
+  * side a batch reads is `batch < id` — exactly the state the original
+  * attempt saw, because foreachBatch processes ids in order and batch
+  * id's own (possibly partial) output is excluded from its replay's
+  * read. Store identity is bound to the feeding checkpoint lineage
+  * ([[StreamIdentity]]): a recreated checkpoint would restart ids at 0
+  * and overwrite committed partitions, so it REFUSES until explicitly
+  * rebound.
+  *
+  * Scale shape: each batch pays one decode pass (the hash frame is
+  * persisted across the survivor computation and both writes), one
+  * Bloom build over committed hashes (8-byte rows — the payloads are
+  * never re-read), and an exact anti-join over only the Bloom-positive
+  * sliver.
+  */
+object MediaDedupIngest {
+
+  /** Start admitting `stream` (canonical media schema) into
+    * `storePath`: survivors land under `storePath/survivors/batch=<id>`
+    * (full records), fingerprints under `storePath/hashes/batch=<id>`
+    * (one string column `h`). `modality` selects the hash pass; `every`
+    * is the video frame-sampling stride. */
+  def start(stream: DataFrame, storePath: String, checkpointDir: String,
+            modality: String = "image", fpp: Double = 0.01,
+            trigger: Trigger = Trigger.AvailableNow(),
+            every: Int = 1): StreamingQuery = {
+    val spark = stream.sparkSession
+    val (hashOf, hcol): (DataFrame => DataFrame, String) = modality match {
+      case "image" => (ImageDedup.hashImages(_), "dhash")
+      case "audio" => (AudioDedup.hashAudio(_), "ahash")
+      case "video" => ((df: DataFrame) => VideoDedup.hashVideos(df, every),
+        "vhash")
+      case other => throw new IllegalArgumentException(
+        s"unknown media modality '$other' (image, audio, video)")
+    }
+    StreamIdentity.guard(spark, storePath, checkpointDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val committed = committedHashes(s, storePath, batchId)
+        val hashes = hashOf(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        hashes.count(): Unit // ONE decode per batch, all branches cached
+        try {
+          val surv = graft.dedup.IncrementalDedup.survivors(
+            hashes, committed, "media_id", col(hcol).cast("string"), fpp)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          surv.count(): Unit
+          try {
+            surv.select(col("content_hash").as("h"))
+              .write.mode("overwrite")
+              .parquet(s"$storePath/hashes/batch=$batchId")
+            batch.join(surv.select("media_id"), Seq("media_id"), "left_semi")
+              .write.mode("overwrite")
+              .parquet(s"$storePath/survivors/batch=$batchId")
+          } finally { surv.unpersist(); () }
+        } finally { hashes.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    if (StreamIdentity.read(spark, storePath).isEmpty)
+      StreamIdentity.write(spark, storePath, checkpointDir,
+        query.id.toString)
+    query
+  }
+
+  /** All fingerprints committed by batches STRICTLY BEFORE `batchId` —
+    * the replay-stable committed view. */
+  private def committedHashes(spark: SparkSession, storePath: String,
+                              batchId: Long): DataFrame = {
+    val dir = new Path(s"$storePath/hashes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+        .map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("h", StringType))))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Every admitted record across all committed batches. */
+  def survivors(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.option("basePath", s"$storePath/survivors")
+      .parquet(s"$storePath/survivors")
+}

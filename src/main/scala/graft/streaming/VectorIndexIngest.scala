@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.hadoop.fs.Path
 
 import graft.ann.Ann
 
@@ -67,7 +66,7 @@ object VectorIndexIngest {
       case other => throw new IllegalArgumentException(
         s"unknown index codec '$other' (float, sq8, pq)")
     }
-    guardStreamIdentity(spark, indexPath, checkpointDir)
+    StreamIdentity.guard(spark, indexPath, checkpointDir)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         append(batch, batchId)
@@ -83,77 +82,9 @@ object VectorIndexIngest {
     // by (and persisted in) the checkpoint's metadata file, so it IS
     // the checkpoint-lineage token: a recreated checkpoint gets a new
     // id even at the same path.
-    if (readToken(spark, indexPath).isEmpty)
-      writeToken(spark, indexPath, checkpointDir, query.id.toString)
+    if (StreamIdentity.read(spark, indexPath).isEmpty)
+      StreamIdentity.write(spark, indexPath, checkpointDir,
+        query.id.toString)
     query
   }
-
-  private def tokenPath(indexPath: String) = new Path(indexPath, "_stream.json")
-
-  /** Refuse an append stream whose checkpoint lineage is not the one
-    * this index was bound to — the batch-id sequence would collide with
-    * committed partitions. */
-  private def guardStreamIdentity(spark: SparkSession, indexPath: String,
-                                  checkpointDir: String): Unit =
-    readToken(spark, indexPath).foreach { case (boundDir, boundId) =>
-      require(boundDir == checkpointDir,
-        s"index $indexPath is bound to checkpoint $boundDir but this " +
-          s"stream uses $checkpointDir — its batch ids would overwrite " +
-          "committed partitions. Delete _stream.json to rebind explicitly.")
-      checkpointQueryId(spark, checkpointDir) match {
-        case None => require(requirement = false,
-          s"index $indexPath is bound to checkpoint $checkpointDir " +
-            s"(query $boundId) but the checkpoint has no metadata — it " +
-            "was deleted or never started; a fresh checkpoint restarts " +
-            "batch ids at 0 and would overwrite committed partitions. " +
-            "Delete _stream.json to rebind explicitly.")
-        case Some(id) => require(id == boundId,
-          s"index $indexPath is bound to query $boundId but checkpoint " +
-            s"$checkpointDir now holds query $id — the checkpoint was " +
-            "recreated, so batch ids restart at 0. Delete _stream.json " +
-            "to rebind explicitly.")
-      }
-    }
-
-  /** The query id Spark persisted in the checkpoint's `metadata` file —
-    * minted once per checkpoint creation, stable across restarts. */
-  private def checkpointQueryId(spark: SparkSession,
-                                checkpointDir: String): Option[String] = {
-    val p = new Path(checkpointDir, "metadata")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-    }
-  }
-
-  private def readToken(spark: SparkSession,
-                        indexPath: String): Option[(String, String)] = {
-    val p = tokenPath(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val rx = "\"checkpoint\"\\s*:\\s*\"([^\"]+)\"[\\s\\S]*\"query_id\"\\s*:\\s*\"([^\"]+)\"".r
-      rx.findFirstMatchIn(s).map(m => (m.group(1), m.group(2)))
-    }
-  }
-
-  private def writeToken(spark: SparkSession, indexPath: String,
-                         checkpointDir: String, queryId: String): Unit = {
-    val p = tokenPath(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val json = s"""{"checkpoint":${q(checkpointDir)},"query_id":${q(queryId)}}"""
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+
+import graft.{SparkSpec, Tables}
+import graft.multimodal.{ImageDedup, Multimodal}
+
+class MediaDedupIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("payload", BinaryType),
+    StructField("mime", StringType),
+    StructField("source", StringType)))
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val variants =
+    Multimodal.syntheticImageVariants(spark, docs, groups = 25)
+
+  private def writeArrivals(inDir: String): Seq[org.apache.spark.sql.DataFrame] = {
+    val slices = Seq(
+      variants.filter(col("media_id") < 200),
+      variants.filter(col("media_id") >= 200 && col("media_id") < 350),
+      variants.filter(col("media_id") >= 350))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val part = s"$inDir/f$i"
+      s.coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    slices
+  }
+
+  test("streamed admission == batch-ordered exact incremental; replays never duplicate") {
+    val in = tmpDir("mdi-in"); val store = tmpDir("mdi-store") + "/store"
+    val slices = writeArrivals(in)
+
+    def run(ckpt: String): Unit = {
+      val q = MediaDedupIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema), store, ckpt,
+        modality = "image")
+      q.awaitTermination()
+    }
+    val ckptA = tmpDir("mdi-ckpt-a")
+    run(ckptA)
+
+    // expected: fold the slices in arrival order through the exact
+    // reference anti-join
+    var committed = Seq.empty[String]
+    val expected = Seq.newBuilder[Long]
+    slices.foreach { s =>
+      val h = ImageDedup.hashImages(s)
+      val committedDf = committed.toDF("h")
+      val w = graft.dedup.IncrementalDedup.survivorsExact(
+        h, committedDf, "media_id", col("dhash").cast("string"))
+      expected ++= w.select("media_id").as[Long].collect()
+      committed = committed ++ h.select(col("dhash").cast("string"))
+        .as[String].collect()
+    }
+    val got = MediaDedupIngest.survivors(spark, store)
+    val gotIds = got.select("media_id").as[Long].collect().sorted.toSeq
+    assert(gotIds == expected.result().sorted,
+      "streamed survivors diverge from the batch-ordered exact reference")
+    // admitted content is globally distinct
+    val nHashes = ImageDedup.hashImages(got.select(
+      "media_id", "media_type", "payload", "mime", "source"))
+      .select("dhash").distinct().count()
+    assert(nHashes == gotIds.size)
+    // the hash store holds exactly the admitted fingerprints
+    val storeH = spark.read.parquet(s"$store/hashes").select("h")
+    assert(storeH.count() == gotIds.size &&
+      storeH.distinct().count() == gotIds.size)
+
+    // SAME checkpoint restart: AvailableNow already drained — no-op
+    run(ckptA)
+    assert(MediaDedupIngest.survivors(spark, store).count() == gotIds.size)
+
+    // a DIFFERENT checkpoint restarts ids at 0: refused, store intact
+    val e = intercept[IllegalArgumentException] { run(tmpDir("mdi-ckpt-b")) }
+    assert(e.getMessage.contains("bound to checkpoint"), e.getMessage)
+    assert(MediaDedupIngest.survivors(spark, store).count() == gotIds.size)
+
+    // explicit rebind: the replay re-delivers the same files under the
+    // same ids — partitions republish byte-identically, nothing changes
+    new File(s"$store/_stream.json").delete()
+    run(tmpDir("mdi-ckpt-c"))
+    val after = MediaDedupIngest.survivors(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(after == gotIds)
+  }
+
+  test("audio modality admits first-seen fingerprints through the same store") {
+    val in = tmpDir("mdi-a-in"); val store = tmpDir("mdi-a-store") + "/store"
+    val audio = Multimodal.syntheticAudioVariants(spark, docs, groups = 20)
+    Seq(audio.filter(col("media_id") < 250),
+        audio.filter(col("media_id") >= 250)).zipWithIndex.foreach {
+      case (s, i) =>
+        val part = s"$in/f$i"
+        s.coalesce(1).write.parquet(part)
+        new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val q = MediaDedupIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema), store,
+      tmpDir("mdi-a-ckpt"), modality = "audio")
+    q.awaitTermination()
+    val got = MediaDedupIngest.survivors(spark, store)
+    // 20 pitch groups, volume variants collapse: 20 distinct fingerprints
+    assert(got.count() == 20, s"got ${got.count()}")
+    // every survivor is the min id of its group within its first batch
+    assert(got.filter(col("media_id") >= 250).count() == 0)
+    // unknown modality refuses before starting
+    val e = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        store, tmpDir("mdi-a-ckpt2"), modality = "text")
+    }
+    assert(e.getMessage.contains("modality"), e.getMessage)
+  }
+}
