@@ -2361,6 +2361,37 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // media data card (round 15): one mixed table of planted-duplicate
+    // images (50 contents), volume-variant audio (20 fingerprints) and
+    // unperturbed video renders (20 fingerprints) — the per-modality
+    // item/distinct/dup-rate card must recover exactly the planted
+    // arithmetic through the real decode passes
+    "q203_media_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = Multimodal.syntheticImageVariants(s, docs, groups = 25)
+        .filter(expr("(media_id div 25) % 2 = 0"))
+        .unionByName(Multimodal.syntheticAudioVariants(s, docs, groups = 20))
+        .unionByName(Multimodal.syntheticGifVariants(s, docs, groups = 20)
+          .filter(expr("(media_id div 20) % 2 = 0")))
+      graft.multimodal.MediaReport.card(mixed)
+        .select(col("media_type"), col("n_items"), col("n_distinct"),
+          col("n_exact_dup"), col("dup_rate"))
+    }),
+
+    // CROSS-MODAL frame decontamination (round 15): eval IMAGES that are
+    // literally frame 1 of groups 0..4's videos — every video of those
+    // groups (incl. frame-perturbed copies) must flag through the
+    // frame-level probe, which whole-video fingerprints cannot see
+    "q202_video_frame_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticGifVariants(s, docs, groups = 20)
+      val eval = Multimodal.syntheticGifFrameImages(
+        s, docs.filter(col("doc_id") < 5), groups = 20, frame = 1)
+      graft.multimodal.VideoDedup.decontaminateFrames(
+        corpus, eval, maxHamming = 3)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
     // streaming media admission (round 15): a 3-arrival replayed stream
     // of planted image renders through the Bloom O(batch) dedup store —
     // unperturbed copies only (each base renders byte-identically, so
@@ -4516,6 +4547,24 @@ object SparkEntry {
     // min ids are exactly 0..24
     "q201_stream_media_dedup" ->
       ("SELECT doc_id AS media_id FROM documents WHERE doc_id < 25"),
+    "q202_video_frame_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents"),
+    // unperturbed images collapse to 25 contents, volume-variant audio
+    // to 20 fingerprints, unperturbed videos to 20 — all doc arithmetic
+    "q203_media_card" ->
+      ("WITH i AS (SELECT count(*)::BIGINT n FROM documents " +
+        "WHERE (doc_id // 25) % 2 = 0), " +
+        "a AS (SELECT count(*)::BIGINT n FROM documents), " +
+        "v AS (SELECT count(*)::BIGINT n FROM documents " +
+        "WHERE (doc_id // 20) % 2 = 0) " +
+        "SELECT 'image' AS media_type, n AS n_items, 25::BIGINT AS " +
+        "n_distinct, (n - 25)::BIGINT AS n_exact_dup, " +
+        "round((n - 25)::DOUBLE / n, 4) AS dup_rate FROM i " +
+        "UNION ALL SELECT 'audio', n, 20::BIGINT, (n - 20)::BIGINT, " +
+        "round((n - 20)::DOUBLE / n, 4) FROM a " +
+        "UNION ALL SELECT 'video', n, 20::BIGINT, (n - 20)::BIGINT, " +
+        "round((n - 20)::DOUBLE / n, 4) FROM v"),
     // one survivor per texture group: the full-size render, whose id is
     // the group index itself (thumbnails lose on decoded area)
     "q200_image_keepbest" ->

@@ -700,9 +700,13 @@ object Multimodal {
       val w = 32
       val h = 32
       val frames = (0 until 4).map { f =>
+        // TYPE_INT_RGB gray (g,g,g): <= 256 distinct colors, so the GIF
+        // palette round-trips pixels EXACTLY — and identically to the
+        // PNG path, which the cross-modal frame-decontamination oracle
+        // depends on (TYPE_BYTE_GRAY goes through a linear-gray -> sRGB
+        // conversion that differs between the two codecs' paths)
         val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        val raster = img.getRaster
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
@@ -716,7 +720,7 @@ object Multimodal {
             var g = (z & 0xffL).toInt
             if (perturbed && f == 1 && (x + y) % 5 == 0)
               g = math.min(255, g + 2)
-            raster.setSample(x, y, 0, g)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
             x += 1
           }
           y += 1
@@ -725,6 +729,40 @@ object Multimodal {
       }
       (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
         "image/gif", s"vgrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Render the SAME pixel function as [[syntheticGifVariants]]'s
+    * unperturbed frame `frame` of group `doc_id % groups` as standalone
+    * PNG IMAGES — eval imagery that is literally a frame of the planted
+    * videos, ground truth for the cross-modal frame-decontamination
+    * oracle (a video of group g contains this exact frame). */
+  def syntheticGifFrameImages(spark: SparkSession, docs: DataFrame,
+                              groups: Int, frame: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val w = 32
+      val h = 32
+      // TYPE_INT_RGB gray, matching [[syntheticGifVariants]]'s frames
+      // exactly — both codecs round-trip these pixels losslessly
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var z = base.toLong * 0x9E3779B97F4A7C15L +
+            frame * 0xD6E8FEB86659FD93L +
+            x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          val g = (z & 0xffL).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png", s"fgrp$base")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

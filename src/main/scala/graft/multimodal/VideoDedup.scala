@@ -126,6 +126,77 @@ object VideoDedup {
       hashVideos(batch, every), committedHashes, "media_id",
       col("vhash").cast("string"), fpp)
 
+  /** Map-only FRAME hash pass: one row per sampled frame —
+    * (media_id, frame_idx, fhash), fhash = the frame's image dHash. The
+    * per-frame face of [[hashVideos]]; one container decode per record. */
+  def hashFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: frame hashing over ${r.media_type}")
+      require(GifCodec.isGif(r.payload),
+        s"media_id=${r.media_id}: payload is not an animated GIF — no " +
+          "in-JVM codec for other video containers")
+      MediaCounters.videoReads.incrementAndGet(): Unit
+      GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        (0 until n by every).map { i =>
+          (r.media_id, i, ImageDedup.dHash64(reader.read(i)))
+        }.toVector
+      }
+    }).toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** CROSS-MODAL decontamination: flag every corpus VIDEO containing ANY
+    * sampled frame within `maxHamming` of ANY eval IMAGE's perceptual
+    * hash — the guard for benchmark imagery embedded inside video
+    * content, which whole-video fingerprints cannot see (one planted
+    * frame barely moves the majority fold). Eval images hash through
+    * [[ImageDedup.hashImages]] and BROADCAST as bands; the corpus's
+    * frame hashes never shuffle. One container decode per video and one
+    * image decode per eval record per job. Output (media_id,
+    * contaminated) for every corpus video, PERSISTED — unpersist once
+    * consumed. */
+  def decontaminateFrames(corpus: DataFrame, evalImages: DataFrame,
+                          maxHamming: Int, maxEval: Long = 100000L,
+                          every: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalHashes = ImageDedup.hashImages(evalImages)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEval = evalHashes.count()
+      require(nEval <= maxEval,
+        s"eval set has $nEval images > maxEval=$maxEval — a broadcast " +
+          "this size would flood the executors; raise maxEval deliberately")
+      val frames = hashFrames(corpus, every)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frames.count(): Unit // ONE container decode; probe + outcome reuse it
+      try {
+        import graft.dedup.HammingBands
+        val hits = HammingBands.explodeBands(
+          frames.select(col("media_id"), col("fhash").as("__hc")),
+          "__hc", maxHamming)
+          .join(broadcast(HammingBands.explodeBands(
+            evalHashes.select(col("media_id").as("__eval_id"),
+              col("dhash").as("__he")), "__he", maxHamming)),
+            Seq("band", "value"))
+          .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+          .select("media_id").distinct()
+        val out = frames.select("media_id").distinct()
+          .join(hits.withColumn("contaminated", lit(true)),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { frames.unpersist(); () }
+    } finally { evalHashes.unpersist(); () }
+  }
+
   /** Video DECONTAMINATION — flag every corpus video whose fingerprint
     * lies within `maxHamming` of ANY eval video (re-encoded and
     * frame-perturbed copies of benchmark clips included). Bounded eval

@@ -88,6 +88,46 @@ class VideoDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEval"), e.getMessage)
   }
 
+  test("decontaminateFrames flags videos containing an eval IMAGE as a frame") {
+    // eval = standalone PNG renders of frame 1 of groups 0..4 — pixel-
+    // identical to those videos' actual frame 1 (unperturbed copies) and
+    // within the Hamming bound for perturbed ones (frame 1 carries the
+    // sparse mask). Whole-video fingerprints can't see one frame; the
+    // frame-level probe must.
+    val eval = Multimodal.syntheticGifFrameImages(
+      spark, docs.filter(col("doc_id") < 5), groups = 20, frame = 1)
+    // cross-codec sanity: the PNG render dHashes exactly like the GIF
+    // frame (both codecs round-trip 8-bit gray losslessly)
+    val evalH = ImageDedup.hashImages(eval)
+      .select(col("media_id").as("base"), col("dhash").as("ih"))
+    val frameH = VideoDedup.hashFrames(
+      variants.filter(col("media_id") < 5), every = 1)
+      .filter(col("frame_idx") === 1)
+      .select(col("media_id").as("base"), col("fhash"))
+    val d = evalH.join(frameH, "base")
+      .select(bit_count(col("ih").bitwiseXOR(col("fhash"))).as("d"))
+      .agg(max("d")).as[Int].head()
+    assert(d == 0, s"PNG eval render dHashes $d bits from the GIF frame")
+    val out = VideoDedup.decontaminateFrames(variants, eval, maxHamming = 3)
+    try {
+      val wrong = out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(20L)) < 5))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == docs.count())
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    } finally { out.unpersist(); () }
+    // decode accounting: one container decode per video, one image
+    // decode per eval record
+    val n = variants.count()
+    val cv = Multimodal.MediaCounters.videoReads
+    val ci = Multimodal.MediaCounters.imageReads
+    val (bv, bi) = (cv.get(), ci.get())
+    VideoDedup.decontaminateFrames(variants, eval, maxHamming = 3).unpersist()
+    assert(cv.get() - bv == n, s"decoded ${cv.get() - bv} containers for $n")
+    assert(ci.get() - bi == 5, s"decoded ${ci.get() - bi} eval images for 5")
+  }
+
   test("one container decode per video per job: the hash frame is persisted") {
     val n = variants.count()
     val c = Multimodal.MediaCounters.videoReads
