@@ -2361,6 +2361,27 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // image quality gates (round 15): planted thumbnails / banner strips
+    // / solid placeholders / clean textures — every gate must fire from
+    // REAL decoded pixels exactly where the generator's disjoint if-else
+    // chain planted the defect
+    "q204_image_quality" -> ((s, dir) => {
+      val mix = Multimodal.syntheticImageQualityMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.imageSignals(mix)
+        .select(col("media_id"), col("too_small"), col("extreme_aspect"),
+          col("low_contrast"), col("passes"))
+    }),
+
+    // audio quality gates (round 15): planted 25 ms snippets / silence /
+    // full-scale square waves / clean sines — gates from REAL decoded
+    // samples (duration, mean |amplitude|, full-scale sample rate)
+    "q205_audio_quality" -> ((s, dir) => {
+      val mix = Multimodal.syntheticAudioQualityMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.audioSignals(mix)
+        .select(col("media_id"), col("too_short"), col("silent"),
+          col("clipped"), col("passes"))
+    }),
+
     // media data card (round 15): one mixed table of planted-duplicate
     // images (50 contents), volume-variant audio (20 fingerprints) and
     // unperturbed video renders (20 fingerprints) — the per-modality
@@ -4550,6 +4571,21 @@ object SparkEntry {
     "q202_video_frame_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),
+    // the generator's disjoint defect chain, gate by gate
+    "q204_image_quality" ->
+      ("SELECT doc_id AS media_id, doc_id % 5 = 0 AS too_small, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 = 0 AS extreme_aspect, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 = 0 " +
+        "AS low_contrast, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 <> 0 " +
+        "AS passes FROM documents"),
+    "q205_audio_quality" ->
+      ("SELECT doc_id AS media_id, doc_id % 5 = 0 AS too_short, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 = 0 AS silent, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 = 0 " +
+        "AS clipped, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 <> 0 " +
+        "AS passes FROM documents"),
     // unperturbed images collapse to 25 contents, volume-variant audio
     // to 20 fingerprints, unperturbed videos to 20 — all doc arithmetic
     "q203_media_card" ->

@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Multimodal.{ImageCodec, MediaRecord}
+
+/** Gopher-style QUALITY SIGNALS for media — the image/audio face of the
+  * text quality filters (`text/TextStats.scala` gopher gates): map-only
+  * decode passes emitting deterministic integer signals plus the derived
+  * boolean gates a crawl-cleaning pipeline drops on (thumbnails, banner
+  * strips, solid placeholders, silent or clipped audio). Every signal is
+  * an integer computed from decoded samples, so the gates replay
+  * identically anywhere; decode is confined to mapPartitions and nothing
+  * but (id, signals) leaves the pass.
+  */
+object MediaQuality {
+
+  /** Per-image signals: real decoded `width`/`height`,
+    * `aspect_milli` = 1000 * max(w,h)/min(w,h) (integer), `luma_mean`
+    * (0..255) and `luma_range` (max - min luminance — 0 for a solid
+    * placeholder), plus the gates: `too_small` (either side under
+    * `minSide`), `extreme_aspect` (aspect_milli > maxAspectMilli),
+    * `low_contrast` (luma_range < minLumaRange) and `passes` (none of
+    * the above). */
+  def imageSignals(media: DataFrame, minSide: Int = 16,
+                   maxAspectMilli: Long = 4000L,
+                   minLumaRange: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: image signals over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var mn = 255
+      var mx = 0
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          if (lum < mn) mn = lum
+          if (lum > mx) mx = lum
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      (r.media_id, w, h,
+        1000L * math.max(w, h) / math.min(w, h),
+        (sum / (w.toLong * h)).toInt, mx - mn)
+    }).toDF("media_id", "width", "height", "aspect_milli", "luma_mean",
+      "luma_range")
+      .withColumn("too_small",
+        col("width") < minSide || col("height") < minSide)
+      .withColumn("extreme_aspect", col("aspect_milli") > maxAspectMilli)
+      .withColumn("low_contrast", col("luma_range") < minLumaRange)
+      .withColumn("passes",
+        !col("too_small") && !col("extreme_aspect") && !col("low_contrast"))
+  }
+
+  /** Per-clip signals over decoded 16-bit PCM: `n_frames`,
+    * `duration_ms`, `mean_abs` (mean |sample|), `clip_permille`
+    * (samples at full scale per 1000), plus the gates: `too_short`
+    * (duration under `minMs`), `silent` (mean_abs < minMeanAbs),
+    * `clipped` (clip_permille > maxClipPermille) and `passes`. */
+  def audioSignals(media: DataFrame, minMs: Long = 50L,
+                   minMeanAbs: Long = 100L,
+                   maxClipPermille: Long = 10L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "audio",
+        s"media_id=${r.media_id}: audio signals over ${r.media_type}")
+      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id=${r.media_id}: payload is not a decodable audio " +
+              "stream", e)
+      }
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"media_id=${r.media_id}: ${fmt.getSampleSizeInBits}-bit PCM " +
+            "unsupported (16-bit required)")
+        val channels = fmt.getChannels
+        val big = fmt.isBigEndian
+        val bytes = in.readAllBytes()
+        val total = bytes.length / 2
+        require(total > 0, s"media_id=${r.media_id}: empty audio stream")
+        var sumAbs = 0L
+        var clipped = 0L
+        var i = 0
+        while (i < total) {
+          val lo = bytes(2 * i) & 0xff
+          val hi = bytes(2 * i + 1) & 0xff
+          val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
+          sumAbs += math.abs(s.toInt)
+          if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+          i += 1
+        }
+        val frames = total / channels
+        (r.media_id, frames.toLong,
+          frames.toLong * 1000L / fmt.getSampleRate.toLong,
+          sumAbs / total, clipped * 1000L / total)
+      } finally in.close()
+    }).toDF("media_id", "n_frames", "duration_ms", "mean_abs",
+      "clip_permille")
+      .withColumn("too_short", col("duration_ms") < minMs)
+      .withColumn("silent", col("mean_abs") < minMeanAbs)
+      .withColumn("clipped", col("clip_permille") > maxClipPermille)
+      .withColumn("passes",
+        !col("too_short") && !col("silent") && !col("clipped"))
+  }
+
+  /** Keep only images passing every gate. */
+  def filterImages(media: DataFrame, minSide: Int = 16,
+                   maxAspectMilli: Long = 4000L,
+                   minLumaRange: Int = 8): DataFrame =
+    media.join(
+      imageSignals(media, minSide, maxAspectMilli, minLumaRange)
+        .filter(col("passes")).select("media_id"),
+      Seq("media_id"), "left_semi")
+
+  /** Keep only clips passing every gate. */
+  def filterAudio(media: DataFrame, minMs: Long = 50L,
+                  minMeanAbs: Long = 100L,
+                  maxClipPermille: Long = 10L): DataFrame =
+    media.join(
+      audioSignals(media, minMs, minMeanAbs, maxClipPermille)
+        .filter(col("passes")).select("media_id"),
+      Seq("media_id"), "left_semi")
+}

@@ -732,6 +732,80 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with PLANTED quality defects, disjoint by an
+    * if-else chain any engine can replay: doc_id % 5 == 0 -> an 8x8
+    * thumbnail; else % 11 == 0 -> a 120x16 banner strip (aspect 7.5);
+    * else % 7 == 0 -> a 20x20 SOLID placeholder (zero luminance range);
+    * else a full-range texture at (16 + id % 32) x (16 + id % 24).
+    * Ground truth for the [[MediaQuality.imageSignals]] gates. */
+  def syntheticImageQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val (w, h, solid) =
+        if (id % 5 == 0) (8, 8, false)
+        else if (id % 11 == 0) (120, 16, false)
+        else if (id % 7 == 0) (20, 20, true)
+        else (16 + (id % 32).toInt, 16 + (id % 24).toInt, false)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g =
+            if (solid) (20 + (id % 200)).toInt
+            else {
+              var z = id * 0x9E3779B97F4A7C15L +
+                x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+              z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+              (z & 0xffL).toInt
+            }
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png", "qmix")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic audio with PLANTED quality defects, disjoint by an
+    * if-else chain: doc_id % 5 == 0 -> a 200-frame (25 ms) snippet;
+    * else % 11 == 0 -> SILENCE (all-zero samples); else % 7 == 0 -> a
+    * full-scale square wave (every sample clipped); else a clean
+    * 14000-amplitude sine. 8 kHz mono 16-bit, 800 frames unless short.
+    * Ground truth for the [[MediaQuality.audioSignals]] gates. */
+  def syntheticAudioQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val frames = if (id % 5 == 0) 200 else 800
+      val silent = id % 5 != 0 && id % 11 == 0
+      val square = !silent && id % 5 != 0 && id % 7 == 0
+      val freq = 200.0 + (id % 20) * 50.0
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val s = math.sin(2 * math.Pi * freq * i / rate)
+        val v: Short =
+          if (silent) 0
+          else if (square) { if (s >= 0) Short.MaxValue else Short.MinValue }
+          else (s * 14000).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", "qmix")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Render the SAME pixel function as [[syntheticGifVariants]]'s
     * unperturbed frame `frame` of group `doc_id % groups` as standalone
     * PNG IMAGES — eval imagery that is literally a frame of the planted

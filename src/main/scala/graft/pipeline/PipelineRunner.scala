@@ -347,6 +347,19 @@ object PipelineRunner {
                 "'<image|audio|video>;near;<maxHamming>' or " +
                 s"'image;best;<maxHamming>', got '${other.mkString(";")}'")
           }
+        // quality gates over decoded media as a config-driven drop hop:
+        // keep only records passing every modality gate (thumbnails,
+        // banner strips, solid placeholders; short/silent/clipped audio)
+        case Array("mediafilter", spec2) => // image|audio
+          spec2.split(';').map(_.trim) match {
+            case Array("image") =>
+              graft.multimodal.MediaQuality.filterImages(df)
+            case Array("audio") =>
+              graft.multimodal.MediaQuality.filterAudio(df)
+            case other => throw new IllegalArgumentException(
+              s"mediafilter: wants 'image' or 'audio', got " +
+                s"'${other.mkString(";")}'")
+          }
         // REAL per-frame sampling of animated-GIF videos in the chain:
         // one row per sampled frame with decoded dims + luminance bands
         case Array("gifframes", spec2) => // every[;featureDim]

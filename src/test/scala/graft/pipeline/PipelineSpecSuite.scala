@@ -693,6 +693,21 @@ class PipelineSpecSuite extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 2).count() == 0)
 
+    // mediafilter: quality gates drop planted defects declaratively
+    graft.multimodal.Multimodal.syntheticImageQualityMix(spark, docs)
+      .write.parquet(s"$media/qmix")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-filter",
+      source = SourceSpec(format = "parquet", path = s"$media/qmix"),
+      transformExprs = Seq("mediafilter:image"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/filtered"))),
+      "runMmFilter")
+    val filtered = spark.read.parquet(s"$out/filtered")
+    assert(filtered.filter(pmod(col("media_id"), lit(5L)) === 0 ||
+      pmod(col("media_id"), lit(11L)) === 0 ||
+      pmod(col("media_id"), lit(7L)) === 0).count() == 0)
+    assert(filtered.count() > 0)
+
     // unknown modality refuses loudly
     val e = intercept[IllegalArgumentException] {
       PipelineRunner.run(spark, PipelineSpec(
