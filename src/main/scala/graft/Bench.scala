@@ -96,7 +96,8 @@ object Bench {
     // a decode-recompute regression (the round-14 weak mark) would be
     // invisible without them
     "q189_image_neardup",     // dHash + banded pairing + components
-    "q193_image_incremental_dedup") // Bloom O(batch) image admission
+    "q193_image_incremental_dedup", // Bloom O(batch) image admission
+    "q197_video_neardup")     // GIF frame decode + majority fold + components
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a

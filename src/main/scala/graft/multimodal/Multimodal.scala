@@ -922,6 +922,25 @@ object Multimodal {
         col("path").as("source"))
   }
 
+  /** Reclassify ANIMATED GIFs as `video`: a file dump types `.gif` as
+    * image by extension ([[readMediaDir]] — listing can't see content),
+    * but a multi-frame GIF belongs on the video path (frame sampling,
+    * majority-fold fingerprint). Map-only: for GIF payloads, one
+    * frame-COUNT probe through the frame-indexed reader; everything else
+    * passes untouched. Run after ingestion, before the per-modality
+    * splits. */
+  def reclassifyAnimatedGifs(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      if (r.media_type != "image" || !GifCodec.isGif(r.payload)) r
+      else {
+        val n = GifCodec.withReader(r.payload)(_.getNumImages(true))
+        if (n > 1) r.copy(media_type = "video") else r
+      }
+    }).toDF()
+  }
+
   /** Build a synthetic media table from the documents table (testdata has
     * no binary columns; payload = utf8 bytes of the text). */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame =

@@ -62,6 +62,29 @@ class GifFramesSpec extends SparkSpec {
     assert(feats.duration_ms == 750L, s"got ${feats.duration_ms}")
   }
 
+  test("reclassifyAnimatedGifs routes multi-frame GIFs to the video path") {
+    // a dump types .gif as image by extension; the content probe must
+    // flip ONLY the animated ones
+    val dir = tmpDir("gif-dump")
+    val animated = gifs.limit(1).select("payload")
+      .collect()(0).getAs[Array[Byte]](0)
+    val still = Multimodal.GifCodec.writeAnimated(Seq(
+      new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)), 10)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.gif"), animated)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s.gif"), still)
+    val ingested = Multimodal.reclassifyAnimatedGifs(
+      Multimodal.readMediaDir(spark, dir))
+    val types = ingested.select("source", "media_type").as[(String, String)]
+      .collect().map { case (p, t) => (p.split('/').last, t) }.toMap
+    assert(types("a.gif") == "video", types)
+    assert(types("s.gif") == "image", types)
+    // the reclassified record flows through REAL frame sampling
+    val sampled = Multimodal.sampleGifFrames(
+      ingested.filter(col("media_type") === "video"), every = 1)
+    assert(sampled.count() >= 2)
+  }
+
   test("non-GIF video payloads refuse loudly in sampling, fall back in decode") {
     val junk = Seq((1L, "video", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8),
       "video/mp4", "t"))
