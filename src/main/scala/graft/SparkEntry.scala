@@ -2361,6 +2361,18 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // video frame-OVERLAP dedup (round 15): extended copies (the base's
+    // 4 frames + 2 new) drift the whole-video fold but share every base
+    // frame — frame-level banded pairing + components must pull base,
+    // re-render and extended copies into one cluster
+    "q206_video_overlap" -> ((s, dir) => {
+      val ov = Multimodal.syntheticGifOverlapVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.VideoDedup.overlapClusters(
+        ov, maxHamming = 2, minShared = 2)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
     // image quality gates (round 15): planted thumbnails / banner strips
     // / solid placeholders / clean textures — every gate must fire from
     // REAL decoded pixels exactly where the generator's disjoint if-else
@@ -4570,6 +4582,9 @@ object SparkEntry {
       ("SELECT doc_id AS media_id FROM documents WHERE doc_id < 25"),
     "q202_video_frame_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents"),
+    "q206_video_overlap" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
         "FROM documents"),
     // the generator's disjoint defect chain, gate by gate
     "q204_image_quality" ->

@@ -407,8 +407,7 @@ object Multimodal {
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 12).toInt
       val frames = (0 until nFrames).map { f =>
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val img = grayIndexedImage(w, h)
         val raster = img.getRaster
         var y = 0
         while (y < h) {
@@ -683,6 +682,17 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** A gray-palette INDEXED image: the GIF writer stores it without any
+    * color quantization pass (the palette IS the 256 grays), writes are
+    * direct index sets, and decode returns exactly (g, g, g) — the fast
+    * AND lossless shape for synthetic gray frames. */
+  private def grayIndexedImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+  }
+
   /** Synthetic animated GIFs with PLANTED duplicate groups: every frame
     * is a pseudo-random texture of (base = doc_id % groups, frame index)
     * — docs sharing a base and parity render byte-identical containers —
@@ -700,13 +710,13 @@ object Multimodal {
       val w = 32
       val h = 32
       val frames = (0 until 4).map { f =>
-        // TYPE_INT_RGB gray (g,g,g): <= 256 distinct colors, so the GIF
-        // palette round-trips pixels EXACTLY — and identically to the
-        // PNG path, which the cross-modal frame-decontamination oracle
-        // depends on (TYPE_BYTE_GRAY goes through a linear-gray -> sRGB
-        // conversion that differs between the two codecs' paths)
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // gray-INDEXED frames: decode returns exactly (g,g,g) — same
+        // pixels the PNG eval path decodes (the cross-modal oracle
+        // depends on that; TYPE_BYTE_GRAY's linear-gray -> sRGB
+        // conversion differs between codecs) — and the GIF writer skips
+        // its per-frame palette quantization entirely
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
         var y = 0
         while (y < h) {
           var x = 0
@@ -720,7 +730,7 @@ object Multimodal {
             var g = (z & 0xffL).toInt
             if (perturbed && f == 1 && (x + y) % 5 == 0)
               g = math.min(255, g + 2)
-            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            raster.setSample(x, y, 0, g)
             x += 1
           }
           y += 1
@@ -803,6 +813,46 @@ object Multimodal {
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
       (id, "audio", bos.toByteArray, "audio/wav", "qmix")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic animated GIFs with planted frame-OVERLAP groups:
+    * `kind = (doc_id / groups) % 3` — 0: the base 4-frame render, 1: a
+    * byte-identical re-render, 2: an EXTENDED copy carrying the base's
+    * 4 frames PLUS 2 new ones (the clipped/extended duplicate whose
+    * whole-video majority fold drifts, but which shares every base
+    * frame). Frame pixels follow [[syntheticGifVariants]]'s unperturbed
+    * texture function of (base, frame). Ground truth: group = doc_id %
+    * groups. */
+  def syntheticGifOverlapVariants(spark: SparkSession, docs: DataFrame,
+                                  groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val kind = ((id / groups) % 3).toInt
+      val nFrames = if (kind == 2) 6 else 4
+      val w = 32
+      val h = 32
+      val frames = (0 until nFrames).map { f =>
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var z = base.toLong * 0x9E3779B97F4A7C15L +
+              f * 0xD6E8FEB86659FD93L +
+              x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            raster.setSample(x, y, 0, (z & 0xffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", s"ogrp$base-k$kind")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

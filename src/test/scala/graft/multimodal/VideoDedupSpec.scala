@@ -88,6 +88,33 @@ class VideoDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEval"), e.getMessage)
   }
 
+  test("frame overlap: clipped/extended copies cluster where the fold cannot see") {
+    val ov = Multimodal.syntheticGifOverlapVariants(spark, docs, groups = 20)
+    // the extended copies really do share all 4 base frames
+    val pairs = VideoDedup.sharedFramePairs(ov, maxHamming = 2, minShared = 2)
+    try {
+      val cross = pairs.filter(
+        pmod(col("id_a"), lit(20L)) =!= pmod(col("id_b"), lit(20L)))
+      assert(cross.count() == 0, cross.limit(5).collect().mkString("; "))
+      assert(pairs.filter(col("shared") < 4).count() == 0,
+        "every within-group pair shares all 4 base frames")
+    } finally { pairs.unpersist(); () }
+    val out = VideoDedup.overlapClusters(ov, maxHamming = 2, minShared = 2)
+    try {
+      val wrong = out.filter(col("cluster_id") =!= pmod(col("media_id"), lit(20L)))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.select("cluster_id").distinct().count() == 20)
+      assert(out.count() == docs.count())
+    } finally { out.unpersist(); () }
+    // one container decode per video per job
+    val n = ov.count()
+    val c = Multimodal.MediaCounters.videoReads
+    val before = c.get()
+    VideoDedup.overlapClusters(ov, maxHamming = 2, minShared = 2).unpersist()
+    assert(c.get() - before == n,
+      s"overlapClusters decoded ${c.get() - before} containers for $n videos")
+  }
+
   test("decontaminateFrames flags videos containing an eval IMAGE as a frame") {
     // eval = standalone PNG renders of frame 1 of groups 0..4 — pixel-
     // identical to those videos' actual frame 1 (unperturbed copies) and
