@@ -84,7 +84,7 @@ object MaintenanceRunner {
   val kinds: Set[String] =
     Set("vacuum", "compact-files", "merge", "snapshot-expire",
       "backfill-plan", "hive-copy", "value-audit", "value-audit-diff",
-      "ann-index-maintain")
+      "ann-index-maintain", "media-dedup-ingest")
 
   /** Run one maintenance job; returns a human-readable stats summary
     * (recorded as the flow ledger's detail). Throws loudly on missing
@@ -290,6 +290,27 @@ object MaintenanceRunner {
                 "(nothing to fold)"
           }
         } else s"ann-index-maintain: drift=$drift < $threshold -> no-op"
+      case "media-dedup-ingest" =>
+        // continuous crawl admission as a FLOW NODE: drain whatever
+        // landed under input.glob through the perceptual dedup store
+        // (AvailableNow terminates once the backlog is admitted, so the
+        // node composes with scheduled flows exactly like the other
+        // kinds); replays and checkpoint identity are the store's own
+        // guarantees ([[graft.streaming.MediaDedupIngest]])
+        val store = p("store.path")
+        val q = graft.streaming.MediaDedupIngest.start(
+          graft.streaming.Streams.fileReplay(spark, p("input.glob"),
+            graft.multimodal.Multimodal.mediaSchema,
+            spec.props.getOrElse("input.format", "parquet"),
+            spec.props.get("max.files.per.trigger").map(_.toInt)
+              .getOrElse(1)),
+          store, p("checkpoint.dir"),
+          modality = spec.props.getOrElse("modality", "image"),
+          fpp = spec.props.get("fpp").map(_.toDouble).getOrElse(0.01))
+        q.awaitTermination()
+        val n = graft.streaming.MediaDedupIngest.survivors(spark, store)
+          .count()
+        s"media-dedup-ingest: store=$store survivors=$n"
       case other => throw new IllegalArgumentException(
         s"unknown maintenance kind '$other' for job '${spec.name}' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

@@ -228,6 +228,53 @@ class FlowDagSpec extends SparkSpec {
       "vec_id", "v", k = 5, nprobe = 2).count() == 15)
   }
 
+  test("media-dedup-ingest hop: a flow node drains a dump into the dedup store") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-mediadedup")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val variants = graft.multimodal.Multimodal
+      .syntheticImageVariants(spark, docs, groups = 25)
+      .filter(expr("(media_id div 25) % 2 = 0"))
+    variants.filter(col("media_id") < 200).coalesce(1)
+      .write.parquet(s"$dir/in/f0")
+    variants.filter(col("media_id") >= 200).coalesce(1)
+      .write.parquet(s"$dir/in/f1")
+    new java.io.File(s"$dir/in/f0").listFiles()
+      .foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$dir/in/f1").listFiles()
+      .foreach(_.setLastModified(2000000L))
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val res = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "crawl-admit",
+      "job.1.job.name" -> "admit",
+      "job.1.job.type" -> "media-dedup-ingest",
+      "job.1.input.glob" -> s"$dir/in/*",
+      "job.1.store.path" -> s"$dir/store",
+      "job.1.checkpoint.dir" -> s"$dir/ckpt",
+      "job.1.modality" -> "image")), "mediaflow", ledger = Some(ledger))
+    assert(res("admit").status == FlowDag.Succeeded)
+    val got = graft.streaming.MediaDedupIngest.survivors(spark, s"$dir/store")
+    // 25 base contents, first seen in batch 0 at their min ids 0..24
+    assert(got.select("media_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (0L until 25L))
+    val detail = ledger.history.collect()
+      .map(_.getAs[String]("detail")).find(_.contains("media-dedup-ingest"))
+    assert(detail.exists(_.contains("survivors=25")), detail.toString)
+    // a re-run of the same flow (same checkpoint) is a no-op, not a wipe
+    val again = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "crawl-admit",
+      "job.1.job.name" -> "admit",
+      "job.1.job.type" -> "media-dedup-ingest",
+      "job.1.input.glob" -> s"$dir/in/*",
+      "job.1.store.path" -> s"$dir/store",
+      "job.1.checkpoint.dir" -> s"$dir/ckpt",
+      "job.1.modality" -> "image")), "mediaflow2", ledger = Some(ledger))
+    assert(again("admit").status == FlowDag.Succeeded)
+    assert(graft.streaming.MediaDedupIngest.survivors(spark, s"$dir/store")
+      .count() == 25)
+  }
+
   test("a failed node cancels descendants but independent branches run") {
     val dir = tmpDir("flowdag-fail")
     val bad = FlowDag.FlowNode(
