@@ -347,6 +347,18 @@ object PipelineRunner {
                 "'<image|audio|video>;near;<maxHamming>' or " +
                 s"'image;best;<maxHamming>', got '${other.mkString(";")}'")
           }
+        // decoded media as EMBEDDINGS: (media_id, embedding) rows that
+        // feed every existing vector operator (ANN search, embedding
+        // near-dup, SemDeDup, the IVF index family) — the bridge from
+        // the multimodal decode pass into the vector stack
+        case Array("mediaembed", spec2) => // [featureDim]
+          val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
+            .map(_.toInt).getOrElse(8)
+          graft.multimodal.Multimodal.extractFeatures(df,
+            new graft.multimodal.Multimodal.ImageIoDecoder(dim,
+              new graft.multimodal.Multimodal.WavDecoder(dim,
+                new graft.multimodal.Multimodal.GifVideoDecoder(dim)))).toDF()
+            .select(col("media_id"), col("feature").as("embedding"))
         // quality gates over decoded media as a config-driven drop hop:
         // keep only records passing every modality gate (thumbnails,
         // banner strips, solid placeholders; short/silent/clipped audio)

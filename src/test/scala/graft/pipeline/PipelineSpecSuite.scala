@@ -693,6 +693,22 @@ class PipelineSpecSuite extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 2).count() == 0)
 
+    // mediaembed: decoded features become embeddings the vector stack
+    // consumes — prove it by running the existing brute-force ANN over
+    // the hop's output (same-content images land identical vectors)
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-embed",
+      source = SourceSpec(format = "parquet", path = s"$media/res"),
+      transformExprs = Seq("mediaembed:8"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/embed"))),
+      "runMmEmbed")
+    val emb = spark.read.parquet(s"$out/embed")
+    assert(emb.columns.toSeq == Seq("media_id", "embedding"))
+    val topk = graft.ann.Ann.bruteForceTopK(emb,
+      emb.filter(col("media_id") < 2), "media_id", "embedding", k = 3)
+    assert(topk.groupBy("query_id").count().filter(col("count") =!= 3)
+      .count() == 0)
+
     // mediafilter: quality gates drop planted defects declaratively
     graft.multimodal.Multimodal.syntheticImageQualityMix(spark, docs)
       .write.parquet(s"$media/qmix")
