@@ -197,12 +197,34 @@ object VideoDedup {
     } finally { evalHashes.unpersist(); () }
   }
 
+  /** Frame-overlap edges from a frame-hash frame: banded frame pairing
+    * over a TWO-COLUMN (media_id, frame_idx) struct key — no arithmetic
+    * packing, so the full signed-64-bit media_id range (portableHash60
+    * ids included) and any frame count are valid — aggregated to video
+    * pairs with >= minShared distinct matching frame pairs. */
+  private def overlapEdges(frames: DataFrame, maxHamming: Int,
+                           minShared: Int, maxBucket: Long): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val fids = frames.select(
+      struct(col("media_id"), col("frame_idx")).as("fid"), col("fhash"))
+    graft.dedup.HammingBands.pairs(
+      fids, "fid", "fhash", maxHamming, maxBucket, "video-frames")
+      .select(col("id_a.media_id").as("va"), col("id_b.media_id").as("vb"),
+        col("id_a"), col("id_b"))
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("id_a"),
+        greatest(col("va"), col("vb")).as("id_b"),
+        col("id_a").as("fa"), col("id_b").as("fb"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(struct(col("fa"), col("fb"))).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Frame-OVERLAP pairs: videos sharing at least `minShared`
     * near-identical frames — the duplicate class the whole-video
     * majority fold cannot see (a CLIPPED or EXTENDED copy shares its
     * frames with the original, but added/removed frames move the fold).
-    * Frame-level banded pairing over composite frame ids (media_id *
-    * 4096 + frame_idx — container frame counts are required < 4096),
+    * Frame-level banded pairing over (media_id, frame_idx) struct keys,
     * then one aggregate to video pairs. Output (id_a, id_b, shared) with
     * id_a < id_b, `shared` = number of distinct matching frame pairs.
     * One container decode per video; the returned frame is PERSISTED —
@@ -210,29 +232,10 @@ object VideoDedup {
   def sharedFramePairs(media: DataFrame, maxHamming: Int,
                        minShared: Int = 2, maxBucket: Long = 100000L,
                        every: Int = 1): DataFrame = {
-    require(minShared >= 1, s"minShared=$minShared must be >= 1")
     val frames = hashFrames(media, every).persist(StorageLevel.MEMORY_AND_DISK)
     frames.count(): Unit // ONE container decode per video
     try {
-      val over = frames.filter(col("frame_idx") >= 4096)
-      require(over.isEmpty,
-        "frame_idx >= 4096 breaks the composite frame id — sample more " +
-          "sparsely (every) or raise the id radix")
-      val fids = frames.select(
-        (col("media_id") * 4096 + col("frame_idx")).as("fid"), col("fhash"))
-      val framePairs = graft.dedup.HammingBands.pairs(
-        fids, "fid", "fhash", maxHamming, maxBucket, "video-frames")
-      val out = framePairs
-        .select(expr("id_a div 4096").as("va"),
-          expr("id_b div 4096").as("vb"),
-          col("id_a"), col("id_b"))
-        .filter(col("va") =!= col("vb"))
-        .select(least(col("va"), col("vb")).as("id_a"),
-          greatest(col("va"), col("vb")).as("id_b"),
-          col("id_a").as("fa"), col("id_b").as("fb"))
-        .groupBy("id_a", "id_b")
-        .agg(countDistinct(struct(col("fa"), col("fb"))).as("shared"))
-        .filter(col("shared") >= minShared)
+      val out = overlapEdges(frames, maxHamming, minShared, maxBucket)
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count(): Unit
       out
@@ -249,20 +252,7 @@ object VideoDedup {
     val h = hashFrames(media, every).persist(StorageLevel.MEMORY_AND_DISK)
     h.count(): Unit
     try {
-      val fids = h.select(
-        (col("media_id") * 4096 + col("frame_idx")).as("fid"), col("fhash"))
-      val framePairs = graft.dedup.HammingBands.pairs(
-        fids, "fid", "fhash", maxHamming, maxBucket, "video-frames")
-      val edges = framePairs
-        .select(expr("id_a div 4096").as("va"), expr("id_b div 4096").as("vb"),
-          col("id_a"), col("id_b"))
-        .filter(col("va") =!= col("vb"))
-        .select(least(col("va"), col("vb")).as("id_a"),
-          greatest(col("va"), col("vb")).as("id_b"),
-          col("id_a").as("fa"), col("id_b").as("fb"))
-        .groupBy("id_a", "id_b")
-        .agg(countDistinct(struct(col("fa"), col("fb"))).as("shared"))
-        .filter(col("shared") >= minShared)
+      val edges = overlapEdges(h, maxHamming, minShared, maxBucket)
         .select("id_a", "id_b")
       val out = graft.dedup.DupClusters.resolve(
         h.select(col("media_id")).distinct(), "media_id", edges)

@@ -115,14 +115,60 @@ object AtomicPublisher {
     var w = df.write.mode(spec.mode).format(spec.format).options(spec.options)
     if (spec.partitionBy.nonEmpty) w = w.partitionBy(spec.partitionBy: _*)
     // a write that dies mid-stage must not leave a half-written staging
-    // dir behind — the caller has no StagedOutput to abort yet
+    // dir behind — the caller has no StagedOutput to abort yet. The save
+    // runs in its OWN job group so the sweep can cancel stragglers and
+    // wait for them to terminate: when a task poisons the job, the
+    // driver's exception races sibling tasks that are still aborting,
+    // and their commit machinery re-creates the staging dir AFTER a
+    // naive delete (the sweep below closes that window).
+    val sc = spark.sparkContext
+    val group = s"graft-stage-$runId-${dst.getName}"
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setJobGroup(group, s"graft stage -> $dst", interruptOnCancel = true)
     try w.save(staging.toString)
     catch { case e: Throwable =>
-      try { if (fs.exists(staging)) fs.delete(staging, true) }
+      try sweepFailedStaging(sc, group, fs, staging)
       catch { case _: java.io.IOException => }
       throw e
+    } finally {
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
     }
     Staged(fs, staging, dst, runId, spec.keepBackup)
+  }
+
+  /** Remove a failed stage's directory DETERMINISTICALLY: cancel the
+    * write's job group, wait until the status tracker reports zero
+    * active tasks in it (task abort — including the file-commit
+    * machinery that re-creates staging dirs — runs inside the task
+    * body, so quiesced tasks can no longer resurrect the path), then
+    * delete and re-check. The verify loop is the backstop for status
+    * propagation lag: delete again if the dir reappears. */
+  private[sinks] def sweepFailedStaging(sc: org.apache.spark.SparkContext,
+                                        group: String, fs: FileSystem,
+                                        staging: Path): Unit = {
+    sc.cancelJobGroup(group)
+    val tracker = sc.statusTracker
+    def quiesced: Boolean =
+      tracker.getJobIdsForGroup(group).forall { jobId =>
+        tracker.getJobInfo(jobId).forall { j =>
+          j.status() != org.apache.spark.JobExecutionStatus.RUNNING &&
+            j.stageIds().forall { sid =>
+              tracker.getStageInfo(sid).forall(_.numActiveTasks() == 0)
+            }
+        }
+      }
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    while (!quiesced && System.nanoTime < deadline) Thread.sleep(20)
+    var verifies = 0
+    while (verifies < 3 && System.nanoTime < deadline) {
+      if (fs.exists(staging)) { fs.delete(staging, true); verifies = 0 }
+      else verifies += 1
+      if (verifies < 3) Thread.sleep(30)
+    }
   }
 
   /** Single-branch convenience: stage then promote immediately. */

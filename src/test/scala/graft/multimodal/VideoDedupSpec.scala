@@ -115,6 +115,32 @@ class VideoDedupSpec extends SparkSpec {
       s"overlapClusters decoded ${c.get() - before} containers for $n videos")
   }
 
+  test("frame overlap survives 60-bit media ids (no packing overflow)") {
+    // readMediaDir assigns media_id = portableHash60 — a uniform 60-bit
+    // hash, far past the old composite-id radix (2^51). The struct-keyed
+    // banding must pair and cluster those ids exactly like small ones.
+    val offset = 20L * ((1L << 59) / 20L + 1L) // > 2^51, multiple of 20
+    val ov = Multimodal.syntheticGifOverlapVariants(
+      spark, docs.filter(col("doc_id") < 100), groups = 20)
+      .withColumn("media_id", col("media_id") + lit(offset))
+    val pairs = VideoDedup.sharedFramePairs(ov, maxHamming = 2, minShared = 2)
+    try {
+      assert(pairs.count() > 0)
+      val cross = pairs.filter(
+        pmod(col("id_a"), lit(20L)) =!= pmod(col("id_b"), lit(20L)))
+      assert(cross.count() == 0, cross.limit(5).collect().mkString("; "))
+    } finally { pairs.unpersist(); () }
+    val out = VideoDedup.overlapClusters(ov, maxHamming = 2, minShared = 2)
+    try {
+      val wrong = out.filter(
+        pmod(col("cluster_id"), lit(20L)) =!= pmod(col("media_id"), lit(20L)))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.select("cluster_id").distinct().count() == 20)
+      assert(out.agg(min("media_id")).as[Long].head() > (1L << 51),
+        "test must exercise the past-radix id regime")
+    } finally { out.unpersist(); () }
+  }
+
   test("decontaminateFrames flags videos containing an eval IMAGE as a frame") {
     // eval = standalone PNG renders of frame 1 of groups 0..4 — pixel-
     // identical to those videos' actual frame 1 (unperturbed copies) and

@@ -32,6 +32,34 @@ class PartialCommitSpec extends SparkSpec {
     assert(dir.listFiles.map(_.getName).forall(!_.startsWith(".staging")))
   }
 
+  test("abort path: staging swept even with straggler write tasks in flight") {
+    // provoke the r15 race: one partition poisons the job FAST while
+    // sibling write tasks are still sleeping — their abort/commit
+    // machinery used to re-create the staging dir AFTER the catch-block
+    // delete. stage() now cancels the job group and waits for task
+    // quiesce before sweeping, so this must hold deterministically.
+    val slowPoison = (df: org.apache.spark.sql.DataFrame) => {
+      val f = udf { (id: Long) =>
+        if (id == 0L) sys.error("poison: fail fast")
+        try Thread.sleep(400) catch { case _: InterruptedException => }
+        id
+      }
+      df.repartition(8, col("id")).withColumn("chk", f(col("id")))
+    }
+    for (i <- 1 to 3) {
+      val base = tmpDir(s"partial-race-$i")
+      val o = Fork.runPartial(spark.range(64).toDF("id"), Seq(
+        Fork.Branch("bad", None, slowPoison, s"$base/bad", WriteSpec()),
+        Fork.Branch("good", None, identity, s"$base/good", WriteSpec())),
+        s"race-$i")
+      assert(o.failed.keySet == Set("bad"))
+      assert(o.succeeded.keySet == Set("good"))
+      val names = new java.io.File(base).listFiles.map(_.getName)
+      assert(names.forall(!_.startsWith(".staging")),
+        s"round $i left staging debris: ${names.mkString(", ")}")
+    }
+  }
+
   test("a failed branch's PREVIOUS output stays untouched") {
     val base = tmpDir("partial-prev")
     val prev = spark.range(7).toDF("id")
