@@ -79,10 +79,16 @@ object KnnGraph {
     val vec = col(vecCol).cast("array<double>")
     val cand = corpus.select(col(idCol).as("neighbor_id"), vec.as("__cv"),
       Ann.assignCell(vec, m).as("cell"))
+    // __dom: this source's DOMINANT-cell lineage passes through the
+    // current (sub-)pass — true for everyone at depth 0, and thereafter
+    // only while the source's assigned cell IS the recursed cell. A
+    // terminal shed may only swallow sources whose dominant lineage
+    // reached the shed cell; a secondary prober merely loses the shed
+    // cell's candidates (a recall miss, not an erasure).
     val probes = corpus.select(col(idCol).as("src_id"), vec.as("__qv"),
-      Ann.assignCell(vec, m).as("assigned"),
+      Ann.assignCell(vec, m).as("assigned"), lit(true).as("__dom"),
       explode(Ann.probeCells(vec, m, nprobe)).as("probe"))
-      .select(col("src_id"), col("__qv"), col("assigned"),
+      .select(col("src_id"), col("__qv"), col("assigned"), col("__dom"),
         col("probe.cell").cast("int").as("cell"))
     val (pairs, shedSrcSets) = confined(cand, probes, numCells, nprobe,
       maxCellSize, metrics, depth = 0, maxDepth = shedDepth)
@@ -108,10 +114,14 @@ object KnnGraph {
     * assignment pass (shed cells are few and loud by construction).
     *
     * Returns (pairs, terminally-shed source-id frames): any source whose
-    * assigned cell was terminally shed at ANY depth is reported so the
-    * caller can drop its pairs from every level before topK — without
-    * that, a source shed at depth > 0 would keep its shallower-level
-    * candidates and emit a silently incomplete top-k. */
+    * DOMINANT-lineage cell (assigned at depth 0, then followed through
+    * each recursed assignment — the `__dom` flag) was terminally shed is
+    * reported so the caller can drop its pairs from every level before
+    * topK — without that, a source shed at depth > 0 would keep its
+    * shallower-level candidates and emit a silently incomplete top-k. A
+    * source that probed a shed cell only as a SECONDARY keeps its other
+    * candidates (sub-model assignments of secondaries say nothing about
+    * their true dominant cell). */
   private def confined(cand: DataFrame, probes: DataFrame, numCells: Int,
                        nprobe: Int, maxCellSize: Long,
                        metrics: Option[graft.metrics.MetricContext],
@@ -141,12 +151,15 @@ object KnnGraph {
         mc.gauge("knn_graph.shed_cells", shedCells.size.toLong)
         mc.gauge("knn_graph.shed_vectors", oversized.map(_._2).sum)
       }
-      val shedSrcs = probes.filter(col("assigned").isInCollection(shedCells))
-        .select("src_id").distinct()
+      // only DOMINANT-lineage sources are erased with the cell: a source
+      // that probed in as a secondary (its true dominant cell elsewhere,
+      // intact) keeps its other candidates — losing the shed cell's is a
+      // recall miss, not grounds to anti-join its whole top-k away
+      val dropSrc = col("__dom") && col("assigned").isInCollection(shedCells)
+      val shedSrcs = probes.filter(dropSrc).select("src_id").distinct()
       (pairLevel(
         cand.filter(!col("cell").isInCollection(shedCells)),
-        probes.filter(!col("cell").isInCollection(shedCells) &&
-          !col("assigned").isInCollection(shedCells))),
+        probes.filter(!col("cell").isInCollection(shedCells) && !dropSrc)),
         Seq(shedSrcs))
     } else {
       System.err.println(s"[knn-graph] recursing into ${shedCells.size} " +
@@ -167,16 +180,21 @@ object KnnGraph {
         // score ties — a degenerate all-equal-centroid model breaks the
         // argmax/sort tie the two ways — so they are united explicitly
         // (anti-join is cell-bounded)
+        // dominant lineage follows the recursion only for sources whose
+        // PARENT assignment is this cell; candidates are dominant by
+        // construction (cand filters by assignment at every level)
         val probers = probes.filter(col("cell") === lit(cellId))
-          .select("src_id", "__qv")
+          .select(col("src_id"), col("__qv"),
+            (col("__dom") && col("assigned") === lit(cellId)).as("__dom"))
         val ownVectors = subCand0
-          .select(col("neighbor_id").as("src_id"), col("__cv").as("__qv"))
+          .select(col("neighbor_id").as("src_id"), col("__cv").as("__qv"),
+            lit(true).as("__dom"))
           .join(probers.select("src_id"), Seq("src_id"), "left_anti")
         val subProbes = probers.unionByName(ownVectors)
-          .select(col("src_id"), col("__qv"),
+          .select(col("src_id"), col("__qv"), col("__dom"),
             Ann.assignCell(col("__qv"), subModel).as("assigned"),
             explode(Ann.probeCells(col("__qv"), subModel, nprobe)).as("probe"))
-          .select(col("src_id"), col("__qv"), col("assigned"),
+          .select(col("src_id"), col("__qv"), col("assigned"), col("__dom"),
             col("probe.cell").cast("int").as("cell"))
         confined(subCand, subProbes, numCells, nprobe, maxCellSize,
           metrics, depth + 1, maxDepth)

@@ -20,6 +20,14 @@ import Multimodal.{MediaCounters, MediaRecord}
   */
 object AudioDedup {
 
+  /** Fingerprint FORMAT version: bump whenever [[fingerprint64]]'s bit
+    * layout changes, so persisted hash stores can refuse mixed-version
+    * admission instead of silently re-admitting previously-deduped
+    * content. v1 = binary envelope/ZCR buckets; v2 = GRAY-coded buckets
+    * (±1 bucket = 1 Hamming bit). Stores written under v1 must be
+    * rebuilt. */
+  val fingerprintFormatVersion: Int = 2
+
   private val Segments = 8
 
   /** 64-bit fingerprint of a decoded 16-bit PCM stream: per segment

@@ -26,6 +26,11 @@ import Multimodal.{ImageCodec, MediaRecord}
   */
 object ImageDedup {
 
+  /** Fingerprint FORMAT version of [[dHash64]]: bump on any bit-layout
+    * change so persisted hash stores can refuse mixed-version admission
+    * ([[graft.streaming.MediaDedupIngest]]). */
+  val fingerprintFormatVersion: Int = 1
+
   /** 64-bit dHash of a decoded image: downscale to 9x8 luminance via
     * area-averaging over the source grid (deterministic integer
     * arithmetic — unlike Graphics2D filtering, identical across JDK

@@ -25,6 +25,12 @@ import Multimodal.{GifCodec, MediaCounters, MediaRecord}
   */
 object VideoDedup {
 
+  /** Fingerprint FORMAT version of [[fingerprint64]]: bump on any
+    * bit-layout change (frame dHash or fold rule) so persisted hash
+    * stores can refuse mixed-version admission
+    * ([[graft.streaming.MediaDedupIngest]]). */
+  val fingerprintFormatVersion: Int = 1
+
   /** 64-bit fingerprint: dHash each `every`-th frame, fold per-bit
     * majority (strict — a tie votes 0, deterministic for any frame
     * count). Refuses non-GIF containers loudly (no in-JVM codec). */

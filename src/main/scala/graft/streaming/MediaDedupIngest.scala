@@ -55,6 +55,7 @@ object MediaDedupIngest {
         s"unknown media modality '$other' (image, audio, video)")
     }
     StreamIdentity.guard(spark, storePath, checkpointDir)
+    guardFormat(spark, storePath, modality)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
@@ -85,6 +86,79 @@ object MediaDedupIngest {
     query
   }
 
+  /** The fingerprint format this build produces for `modality` — the
+    * store refuses admission when its committed hashes were written
+    * under a different format (the hashes would silently stop matching
+    * and previously-deduped content would be re-admitted). */
+  def formatVersion(modality: String): Int = modality match {
+    case "image" => ImageDedup.fingerprintFormatVersion
+    case "audio" => AudioDedup.fingerprintFormatVersion
+    case "video" => VideoDedup.fingerprintFormatVersion
+    case other => throw new IllegalArgumentException(
+      s"unknown media modality '$other' (image, audio, video)")
+  }
+
+  private def formatTokenPath(storePath: String) =
+    new Path(storePath, "_format.json")
+
+  /** Fingerprint-format binding (`_format.json`: modality + format
+    * version, written on first start). A store whose recorded format
+    * differs from this build's — or a legacy store with committed
+    * hashes but no token — REFUSES admission loudly: mixed-version
+    * fingerprints never match, so every duplicate would be re-admitted
+    * silently. Rebuild the store (or re-hash its survivors) after a
+    * format bump. */
+  private def guardFormat(spark: SparkSession, storePath: String,
+                          modality: String): Unit = {
+    val fmt = formatVersion(modality)
+    readFormat(spark, storePath) match {
+      case Some((boundMod, boundFmt)) =>
+        require(boundMod == modality,
+          s"store $storePath holds '$boundMod' fingerprints but this " +
+            s"stream admits '$modality' — the hash spaces are unrelated; " +
+            "use a separate store per modality")
+        require(boundFmt == fmt,
+          s"store $storePath holds $boundMod fingerprints in format " +
+            s"v$boundFmt but this build produces v$fmt — committed " +
+            "hashes would silently stop matching and previously-deduped " +
+            "content would be re-admitted; rebuild the store before " +
+            "admitting")
+      case None =>
+        val hashes = new Path(s"$storePath/hashes")
+        val fs = hashes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(!fs.exists(hashes),
+          s"store $storePath has committed fingerprints but no " +
+            "_format.json — it predates format versioning and its " +
+            "format cannot be verified; rebuild it (or write " +
+            "_format.json by hand after confirming the format)")
+        writeFormat(spark, storePath, modality, fmt)
+    }
+  }
+
+  private[streaming] def readFormat(spark: SparkSession,
+                                    storePath: String): Option[(String, Int)] = {
+    val p = formatTokenPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val rx = "\"modality\"\\s*:\\s*\"([^\"]+)\"[\\s\\S]*\"format\"\\s*:\\s*(\\d+)".r
+      rx.findFirstMatchIn(s).map(m => (m.group(1), m.group(2).toInt))
+    }
+  }
+
+  private[streaming] def writeFormat(spark: SparkSession, storePath: String,
+                                     modality: String, fmt: Int): Unit = {
+    val p = formatTokenPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"modality":"$modality","format":$fmt}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** All fingerprints committed by batches STRICTLY BEFORE `batchId` —
     * the replay-stable committed view. */
   private def committedHashes(spark: SparkSession, storePath: String,
@@ -103,8 +177,22 @@ object MediaDedupIngest {
     else spark.read.parquet(dirs: _*)
   }
 
-  /** Every admitted record across all committed batches. */
-  def survivors(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.option("basePath", s"$storePath/survivors")
-      .parquet(s"$storePath/survivors")
+  /** Every admitted record across all committed batches. An idle store
+    * (the feeding stream had an EMPTY backlog, so AvailableNow ran no
+    * batch and never created the dir) reads as zero survivors, not a
+    * path-not-found crash — a scheduled flow node must report
+    * survivors=0 on an idle run. */
+  def survivors(spark: SparkSession, storePath: String): DataFrame = {
+    val dir = new Path(s"$storePath/survivors")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.multimodal.Multimodal.mediaSchema
+          .add(StructField("batch", org.apache.spark.sql.types.LongType)))
+    else
+      spark.read.option("basePath", s"$storePath/survivors")
+        .parquet(s"$storePath/survivors")
+        .withColumn("batch", col("batch").cast("long"))
+  }
 }

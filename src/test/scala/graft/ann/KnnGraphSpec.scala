@@ -113,6 +113,63 @@ class KnnGraphSpec extends SparkSpec {
     } finally { g.unpersist(); () }
   }
 
+  test("a SECONDARY prober into a terminally-shed cell keeps its full top-k") {
+    // the r15 defect: the terminal shed built its source set from the
+    // SUB-model's `assigned`, so a separable source that merely probed
+    // INTO the hub as its second cell (dominant cell elsewhere, intact)
+    // was anti-joined out of the whole graph. Contract: only sources
+    // whose DOMINANT lineage reaches the shed cell are erased.
+    val base = Tables.load(spark, sf, "embeddings")
+    val hub = base.filter(col("vec_id") < 450)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        _ => lit(1.0)).as("v"))
+    val separated = base.filter(col("vec_id") >= 450)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(4L)),
+          lit(10.0)).otherwise(lit(0.0))).as("v"))
+    val corpus = hub.unionByName(separated)
+    val m = Ann.ivfTrain(corpus, "vec_id", "v", numCells = 8)
+    val vec = col("v").cast("array<double>")
+    val assigned = corpus.select(col("vec_id"),
+      Ann.assignCell(vec, m).as("assigned")).persist()
+    try {
+      val hubCells = assigned.filter(col("vec_id") < 450)
+        .select("assigned").distinct().as[Int].collect().toSeq
+      // fixture sanity: some separable sources must probe a hub cell as
+      // SECONDARY (assigned elsewhere) or the test pins nothing
+      val probed = corpus.select(col("vec_id"),
+        Ann.assignCell(vec, m).as("assigned"),
+        explode(Ann.probeCells(vec, m, 2)).as("p"))
+        .select(col("vec_id"), col("assigned"),
+          col("p.cell").cast("int").as("cell"))
+      val secondaries = probed.filter(col("vec_id") >= 450 &&
+        col("cell").isin(hubCells: _*) &&
+        !col("assigned").isin(hubCells: _*))
+        .select("vec_id").distinct()
+      assert(secondaries.count() > 0,
+        "fixture: no separable source probes the hub as secondary")
+      val survivors = assigned.filter(col("vec_id") >= 450 &&
+        !col("assigned").isin(hubCells: _*))
+      val g = KnnGraph.build(corpus, "vec_id", "v", k = 3,
+        numCells = 8, nprobe = 2, maxCellSize = 100L,
+        model = Some(m), shedDepth = 1).persist()
+      try {
+        // EVERY dominant-surviving separable source emits a full top-k —
+        // including the secondary probers the old code erased
+        val emitted = g.select(col("src_id")).distinct()
+        val missing = survivors.select(col("vec_id").as("src_id"))
+          .exceptAll(emitted)
+        assert(missing.isEmpty,
+          s"dominant-surviving sources erased: ${missing.limit(5).collect().mkString(", ")}")
+        val perSrc = g.filter(col("src_id") >= 450)
+          .groupBy("src_id").count().select("count").distinct()
+        assert(perSrc.as[Long].collect().toSeq == Seq(3L))
+        // and the hub's own (dominant-lineage) sources are still erased
+        assert(g.filter(col("src_id") < 450).count() == 0)
+      } finally { g.unpersist(); () }
+    } finally { assigned.unpersist(); () }
+  }
+
   test("clusters: mutual-kNN components recover the planted classes exactly") {
     // k must give the mutual graph enough edges to CONNECT each ~31-member
     // class (k=5 deterministically strands one vector on this corpus —

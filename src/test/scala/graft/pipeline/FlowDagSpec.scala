@@ -275,6 +275,28 @@ class FlowDagSpec extends SparkSpec {
       .count() == 25)
   }
 
+  test("media-dedup-ingest hop: an IDLE run (empty backlog) reports survivors=0") {
+    // empty input glob -> AvailableNow runs no batch -> the survivors
+    // dir is never created; the node must report 0, not crash
+    val dir = tmpDir("flowdag-mediadedup-idle")
+    new java.io.File(s"$dir/in").mkdirs()
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val res = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "crawl-admit-idle",
+      "job.1.job.name" -> "admit",
+      "job.1.job.type" -> "media-dedup-ingest",
+      "job.1.input.glob" -> s"$dir/in/*",
+      "job.1.store.path" -> s"$dir/store",
+      "job.1.checkpoint.dir" -> s"$dir/ckpt",
+      "job.1.modality" -> "image")), "mediaflow-idle", ledger = Some(ledger))
+    assert(res("admit").status == FlowDag.Succeeded)
+    assert(graft.streaming.MediaDedupIngest.survivors(spark, s"$dir/store")
+      .count() == 0)
+    val detail = ledger.history.collect()
+      .map(_.getAs[String]("detail")).find(_.contains("media-dedup-ingest"))
+    assert(detail.exists(_.contains("survivors=0")), detail.toString)
+  }
+
   test("a failed node cancels descendants but independent branches run") {
     val dir = tmpDir("flowdag-fail")
     val bad = FlowDag.FlowNode(

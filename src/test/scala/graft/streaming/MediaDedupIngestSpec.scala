@@ -119,4 +119,47 @@ class MediaDedupIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("modality"), e.getMessage)
   }
+
+  test("fingerprint-format binding: stale or missing versions refuse admission") {
+    val in = tmpDir("mdi-f-in"); val store = tmpDir("mdi-f-store") + "/store"
+    val audio = Multimodal.syntheticAudioVariants(spark, docs, groups = 20)
+    audio.filter(col("media_id") < 100).coalesce(1).write.parquet(s"$in/f0")
+    new File(s"$in/f0").listFiles().foreach(_.setLastModified(1000000L))
+    val ckpt = tmpDir("mdi-f-ckpt")
+    MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+      store, ckpt, modality = "audio").awaitTermination()
+    // the first start stamped the store with this build's format
+    assert(MediaDedupIngest.readFormat(spark, store)
+      .contains(("audio", MediaDedupIngest.formatVersion("audio"))))
+    // same version resumes fine
+    MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+      store, ckpt, modality = "audio").awaitTermination()
+    // a store stamped by an OLDER format (pre-Gray-code v1) refuses —
+    // its committed hashes would silently stop matching
+    MediaDedupIngest.writeFormat(spark, store, "audio", 1)
+    val stale = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        store, ckpt, modality = "audio")
+    }
+    assert(stale.getMessage.contains("rebuild"), stale.getMessage)
+    // feeding a different MODALITY into the store refuses
+    MediaDedupIngest.writeFormat(spark, store, "audio",
+      MediaDedupIngest.formatVersion("audio"))
+    val wrongMod = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        store, ckpt, modality = "image")
+    }
+    assert(wrongMod.getMessage.contains("separate store"), wrongMod.getMessage)
+    // a LEGACY store (committed hashes, no token) refuses until rebuilt
+    // or stamped by hand
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store, "_format.json"), false)
+    val legacy = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+        store, ckpt, modality = "audio")
+    }
+    assert(legacy.getMessage.contains("predates format versioning"),
+      legacy.getMessage)
+  }
 }
