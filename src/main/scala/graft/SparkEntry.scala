@@ -2373,6 +2373,33 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // SHIFT-TOLERANT audio dedup (round 16): a trimmed (first 400
+    // frames cut) or silence-padded copy re-buckets all 8 clip-spanning
+    // fingerprint segments, so whole-clip clustering cannot see it —
+    // hop-aligned WINDOW hashes re-align exactly, and window-overlap
+    // pairing + components pull base, trimmed and padded copies into
+    // one cluster (the audio face of q206's frame overlap)
+    "q207_audio_shift" -> ((s, dir) => {
+      val shifted = Multimodal.syntheticAudioShiftVariants(
+        s, t(s, dir, "documents"), groups = 10)
+      graft.multimodal.AudioDedup.shiftClusters(
+        shifted, windowFrames = 400, hopFrames = 400,
+        maxHamming = 2, minShared = 2)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
+    // video quality gates (round 16, completes the modality set):
+    // planted single-frame GIFs / static banner loops / 40 ms clips /
+    // clean 400 ms renders — gates from one REAL container decode per
+    // video (frame count, GraphicControlExtension durations, distinct
+    // frame dHashes)
+    "q208_video_quality" -> ((s, dir) => {
+      val mix = Multimodal.syntheticVideoQualityMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.videoSignals(mix)
+        .select(col("media_id"), col("too_few_frames"), col("static_video"),
+          col("too_short"), col("passes"))
+    }),
+
     // image quality gates (round 15): planted thumbnails / banner strips
     // / solid placeholders / clean textures — every gate must fire from
     // REAL decoded pixels exactly where the generator's disjoint if-else
@@ -4586,6 +4613,20 @@ object SparkEntry {
     "q206_video_overlap" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
         "FROM documents"),
+    // trimmed + padded renders share >= 2 hop-aligned windows with
+    // their base; min member id per group is the group index itself
+    "q207_audio_shift" ->
+      ("SELECT doc_id AS media_id, (doc_id % 10)::BIGINT AS cluster_id " +
+        "FROM documents"),
+    // the generator's disjoint defect chain; a single-frame GIF is also
+    // trivially static (one distinct frame hash)
+    "q208_video_quality" ->
+      ("SELECT doc_id AS media_id, doc_id % 5 = 0 AS too_few_frames, " +
+        "doc_id % 5 = 0 OR doc_id % 11 = 0 AS static_video, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 = 0 " +
+        "AS too_short, " +
+        "doc_id % 5 <> 0 AND doc_id % 11 <> 0 AND doc_id % 7 <> 0 " +
+        "AS passes FROM documents"),
     // the generator's disjoint defect chain, gate by gate
     "q204_image_quality" ->
       ("SELECT doc_id AS media_id, doc_id % 5 = 0 AS too_small, " +

@@ -37,6 +37,13 @@ object AudioDedup {
     * output; invariant to uniform volume scaling (the envelope
     * normalizes, the crossings don't move). */
   def fingerprint64(payload: Array[Byte]): Long = {
+    val samples = decodeMono(payload)
+    fingerprintSamples(samples, 0, samples.length)
+  }
+
+  /** Decode a payload to mono PCM samples (mean over channels).
+    * Counts ONE decode in [[MediaCounters.audioReads]]. */
+  private[multimodal] def decodeMono(payload: Array[Byte]): Array[Int] = {
     MediaCounters.audioReads.incrementAndGet(): Unit
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -54,10 +61,7 @@ object AudioDedup {
       val bytes = in.readAllBytes()
       val nFrames = bytes.length / 2 / channels
       require(nFrames > 0, "empty audio stream")
-      val sumAbs = new Array[Long](Segments)
-      val counts = new Array[Long](Segments)
-      val crossings = new Array[Int](Segments)
-      var lastSign = 0
+      val out = new Array[Int](nFrames)
       var f = 0
       while (f < nFrames) {
         // mean over channels, mono-ized
@@ -70,40 +74,60 @@ object AudioDedup {
           acc += (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
           c += 1
         }
-        val s = (acc / channels).toInt
-        val seg = math.min(Segments - 1, f * Segments / nFrames)
-        sumAbs(seg) += math.abs(s)
-        counts(seg) += 1
-        val sign = Integer.signum(s)
-        if (sign != 0) {
-          if (lastSign != 0 && sign != lastSign) crossings(seg) += 1
-          lastSign = sign
-        }
+        out(f) = (acc / channels).toInt
         f += 1
       }
-      val means = Array.tabulate(Segments)(i =>
-        if (counts(i) == 0) 0L else sumAbs(i) / counts(i))
-      val peak = math.max(means.max, 1L)
-      // bucket values are GRAY-coded: adjacent buckets differ in exactly
-      // one bit, so a 1-bucket drift (a slight detune, a level nudge at
-      // a quantization boundary) costs 1 Hamming bit instead of up to 4
-      // at binary carry boundaries (7 -> 8 flips all four low bits) —
-      // the property the banded near-dup pairing depends on
-      def gray(b: Long): Long = b ^ (b >>> 1)
-      var bits = 0L
-      var i = 0
-      while (i < Segments) {
-        val env = gray(((means(i) * 7) / peak) & 0x7L)
-        // crossings-per-1000-frames in linear 10-wide buckets (5 bits) —
-        // a pitch proxy stable under volume scaling
-        val rate = if (counts(i) == 0) 0L
-          else crossings(i).toLong * 1000L / counts(i)
-        val zc = gray(math.min(31L, rate / 10))
-        bits |= (env << (i * 8)) | (zc << (i * 8 + 3))
-        i += 1
-      }
-      bits
+      out
     } finally in.close()
+  }
+
+  /** The 8-segment envelope/ZCR fingerprint over samples [from, until)
+    * — bit-identical to the pre-refactor whole-clip loop when applied
+    * to the full range (fingerprint format v2; any change here is a
+    * format bump). */
+  private[multimodal] def fingerprintSamples(samples: Array[Int],
+                                             from: Int, until: Int): Long = {
+    val n = until - from
+    require(n > 0, "empty sample window")
+    val sumAbs = new Array[Long](Segments)
+    val counts = new Array[Long](Segments)
+    val crossings = new Array[Int](Segments)
+    var lastSign = 0
+    var f = 0
+    while (f < n) {
+      val s = samples(from + f)
+      val seg = math.min(Segments - 1, f * Segments / n)
+      sumAbs(seg) += math.abs(s)
+      counts(seg) += 1
+      val sign = Integer.signum(s)
+      if (sign != 0) {
+        if (lastSign != 0 && sign != lastSign) crossings(seg) += 1
+        lastSign = sign
+      }
+      f += 1
+    }
+    val means = Array.tabulate(Segments)(i =>
+      if (counts(i) == 0) 0L else sumAbs(i) / counts(i))
+    val peak = math.max(means.max, 1L)
+    // bucket values are GRAY-coded: adjacent buckets differ in exactly
+    // one bit, so a 1-bucket drift (a slight detune, a level nudge at
+    // a quantization boundary) costs 1 Hamming bit instead of up to 4
+    // at binary carry boundaries (7 -> 8 flips all four low bits) —
+    // the property the banded near-dup pairing depends on
+    def gray(b: Long): Long = b ^ (b >>> 1)
+    var bits = 0L
+    var i = 0
+    while (i < Segments) {
+      val env = gray(((means(i) * 7) / peak) & 0x7L)
+      // crossings-per-1000-frames in linear 10-wide buckets (5 bits) —
+      // a pitch proxy stable under volume scaling
+      val rate = if (counts(i) == 0) 0L
+        else crossings(i).toLong * 1000L / counts(i)
+      val zc = gray(math.min(31L, rate / 10))
+      bits |= (env << (i * 8)) | (zc << (i * 8 + 3))
+      i += 1
+    }
+    bits
   }
 
   /** Map-only hash pass: (media_id, ahash). Non-audio or undecodable
@@ -209,5 +233,112 @@ object AudioDedup {
       out.count(): Unit
       out
     } finally { h.unpersist(); () }
+  }
+
+  /** Map-only WINDOW hash pass — the SHIFT-TOLERANT fingerprint: one
+    * row per non-silent fixed-length window, (media_id, window_idx,
+    * whash), whash = the 8-segment envelope/ZCR fingerprint of frames
+    * [idx*hop, idx*hop+windowFrames). The whole-clip fingerprint
+    * ([[fingerprint64]]) re-buckets EVERY segment when a copy is
+    * trimmed or silence-padded — its 8 segments span the clip — so
+    * such copies land far away; fixed-duration windows re-align after
+    * any hop-multiple shift, the audio analogue of
+    * [[VideoDedup.hashFrames]]. Windows whose mean |amplitude| is
+    * below `silenceFloor` are DROPPED: silent stretches carry no
+    * content and would otherwise pair every padded clip with every
+    * other. One PCM decode per clip per job. A trailing partial window
+    * shorter than windowFrames is skipped (its segment geometry would
+    * differ from every aligned window's). */
+  def hashWindows(media: DataFrame, windowFrames: Int, hopFrames: Int,
+                  silenceFloor: Long = 100L): DataFrame = {
+    require(windowFrames >= Segments,
+      s"windowFrames=$windowFrames must be >= $Segments")
+    require(hopFrames >= 1 && hopFrames <= windowFrames,
+      s"hopFrames=$hopFrames not in [1, windowFrames]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "audio",
+        s"media_id=${r.media_id}: audio fingerprint over ${r.media_type}")
+      val samples = decodeMono(r.payload)
+      val lastStart = samples.length - windowFrames
+      val nWindows = if (lastStart < 0) 0 else lastStart / hopFrames + 1
+      Iterator.range(0, nWindows).flatMap { w =>
+        val from = w * hopFrames
+        val until = from + windowFrames
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += math.abs(samples(i)); i += 1 }
+        if (sum / windowFrames < silenceFloor) None
+        else Some((r.media_id, w, fingerprintSamples(samples, from, until)))
+      }
+    }).toDF("media_id", "window_idx", "whash")
+  }
+
+  /** Window-overlap edges: banded window pairing over a two-column
+    * (media_id, window_idx) struct key, aggregated to clip pairs with
+    * >= minShared distinct matching window pairs — the same shape as
+    * [[VideoDedup]]'s frame overlap. */
+  private def windowEdges(windows: DataFrame, maxHamming: Int,
+                          minShared: Int, maxBucket: Long): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val wids = windows.select(
+      struct(col("media_id"), col("window_idx")).as("wid"), col("whash"))
+    graft.dedup.HammingBands.pairs(
+      wids, "wid", "whash", maxHamming, maxBucket, "audio-windows")
+      .select(col("id_a.media_id").as("ca"), col("id_b.media_id").as("cb"),
+        col("id_a"), col("id_b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("id_a"),
+        greatest(col("ca"), col("cb")).as("id_b"),
+        col("id_a").as("wa"), col("id_b").as("wb"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(struct(col("wa"), col("wb"))).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** SHIFT-TOLERANT near-dup pairs: clips sharing at least `minShared`
+    * near-identical windows — the duplicate class the whole-clip
+    * fingerprint cannot see (a TRIMMED or silence-PADDED copy re-buckets
+    * all 8 clip-spanning segments, but its hop-aligned windows are
+    * sample-identical to the original's). Output (id_a, id_b, shared),
+    * id_a < id_b. One PCM decode per clip; PERSISTED — unpersist once
+    * consumed. */
+  def sharedWindowPairs(media: DataFrame, windowFrames: Int,
+                        hopFrames: Int, maxHamming: Int,
+                        minShared: Int = 2, maxBucket: Long = 100000L,
+                        silenceFloor: Long = 100L): DataFrame = {
+    val w = hashWindows(media, windowFrames, hopFrames, silenceFloor)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    w.count(): Unit // ONE decode per clip
+    try {
+      val out = windowEdges(w, maxHamming, minShared, maxBucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { w.unpersist(); () }
+  }
+
+  /** Shift-tolerant CLUSTERS: connected components over
+    * [[sharedWindowPairs]] edges — trimmed and silence-padded copies
+    * land in their original's cluster. Output (media_id, cluster_id)
+    * for EVERY input clip (all-silent clips hash no windows but still
+    * appear as singletons); PERSISTED — unpersist once consumed. */
+  def shiftClusters(media: DataFrame, windowFrames: Int, hopFrames: Int,
+                    maxHamming: Int, minShared: Int = 2,
+                    maxBucket: Long = 100000L,
+                    silenceFloor: Long = 100L): DataFrame = {
+    val w = hashWindows(media, windowFrames, hopFrames, silenceFloor)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    w.count(): Unit // ONE decode per clip
+    try {
+      val edges = windowEdges(w, maxHamming, minShared, maxBucket)
+        .select("id_a", "id_b")
+      val out = graft.dedup.DupClusters.resolve(
+        media.select(col("media_id")), "media_id", edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { w.unpersist(); () }
   }
 }

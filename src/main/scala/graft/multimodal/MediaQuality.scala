@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Multimodal.{ImageCodec, MediaRecord}
+import Multimodal.{GifCodec, ImageCodec, MediaCounters, MediaRecord}
 
 /** Gopher-style QUALITY SIGNALS for media — the image/audio face of the
   * text quality filters (`text/TextStats.scala` gopher gates): map-only
@@ -122,6 +122,53 @@ object MediaQuality {
         !col("too_short") && !col("silent") && !col("clipped"))
   }
 
+  /** Per-video signals from ONE container decode: `n_frames`,
+    * `duration_ms` (sum of per-frame GraphicControlExtension delays),
+    * `distinct_frame_hashes` (distinct dHashes over every `every`-th
+    * frame — 1 for a static banner "video"), plus the gates:
+    * `too_few_frames` (n_frames < minFrames), `static_video` (all
+    * sampled frame hashes identical), `too_short`/`too_long`
+    * (duration_ms outside [minMs, maxMs]) and `passes` (none of the
+    * above). Completes the modality set next to [[imageSignals]] and
+    * [[audioSignals]]; refuses non-GIF containers loudly (no in-JVM
+    * codec for others). */
+  def videoSignals(media: DataFrame, minFrames: Int = 2,
+                   minMs: Long = 100L, maxMs: Long = 3600000L,
+                   every: Int = 1): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: video signals over ${r.media_type}")
+      require(GifCodec.isGif(r.payload),
+        s"media_id=${r.media_id}: payload is not an animated GIF — no " +
+          "in-JVM codec for other video containers")
+      MediaCounters.videoReads.incrementAndGet(): Unit
+      GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        require(n >= 1, s"media_id=${r.media_id}: container holds no frames")
+        var durationCs = 0L
+        var i = 0
+        while (i < n) { durationCs += GifCodec.frameDelayCs(reader, i); i += 1 }
+        val hashes = scala.collection.mutable.HashSet.empty[Long]
+        var f = 0
+        while (f < n) {
+          hashes += ImageDedup.dHash64(reader.read(f)): Unit
+          f += every
+        }
+        (r.media_id, n.toLong, durationCs * 10L, hashes.size.toLong)
+      }
+    }).toDF("media_id", "n_frames", "duration_ms", "distinct_frame_hashes")
+      .withColumn("too_few_frames", col("n_frames") < minFrames)
+      .withColumn("static_video", col("distinct_frame_hashes") === 1L)
+      .withColumn("too_short", col("duration_ms") < minMs)
+      .withColumn("too_long", col("duration_ms") > maxMs)
+      .withColumn("passes",
+        !col("too_few_frames") && !col("static_video") &&
+          !col("too_short") && !col("too_long"))
+  }
+
   /** Keep only images passing every gate. */
   def filterImages(media: DataFrame, minSide: Int = 16,
                    maxAspectMilli: Long = 4000L,
@@ -137,6 +184,15 @@ object MediaQuality {
                   maxClipPermille: Long = 10L): DataFrame =
     media.join(
       audioSignals(media, minMs, minMeanAbs, maxClipPermille)
+        .filter(col("passes")).select("media_id"),
+      Seq("media_id"), "left_semi")
+
+  /** Keep only videos passing every gate. */
+  def filterVideo(media: DataFrame, minFrames: Int = 2,
+                  minMs: Long = 100L, maxMs: Long = 3600000L,
+                  every: Int = 1): DataFrame =
+    media.join(
+      videoSignals(media, minFrames, minMs, maxMs, every)
         .filter(col("passes")).select("media_id"),
       Seq("media_id"), "left_semi")
 }

@@ -631,6 +631,67 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic audio with planted SHIFT-variant duplicate groups — the
+    * fixture for window-level (shift-tolerant) dedup: content is a
+    * tone at `200 + base*50` Hz whose amplitude steps per 50-frame
+    * segment (splitmix of (base, window, segment) — every 400-frame
+    * window gets its own envelope signature), 4 windows = 1600 frames
+    * at 8 kHz. `kind = (doc_id/groups) % 3`: 0 = the base render;
+    * 1 = TRIMMED (first 400 frames cut — 3 windows, each
+    * sample-identical to base windows 1..3); 2 = silence-PADDED
+    * (400 zero frames prepended — base windows at idx 1..4, idx 0
+    * silent). Whole-clip fingerprints re-bucket all 8 segments for
+    * kinds 1/2; hop-aligned window hashes re-align exactly. Ground
+    * truth: group = doc_id % groups, its min id = the group index. */
+  def syntheticAudioShiftVariants(spark: SparkSession, docs: DataFrame,
+                                  groups: Int): DataFrame = {
+    require(groups >= 1 && groups <= 20,
+      s"groups=$groups: pitch spacing resolves at most 20 groups")
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val kind = ((id / groups) % 3).toInt
+      val rate = 8000
+      val win = 400
+      val baseFrames = 4 * win
+      val freq = 200.0 + base * 50.0
+      def baseSample(i: Int): Short = {
+        val w = i / win
+        val seg = (i % win) / (win / 8)
+        var z = base.toLong * 0x9E3779B97F4A7C15L +
+          w * 0xD6E8FEB86659FD93L + seg * 0xC2B2AE3D27D4EB4FL
+        z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+        val amp = 4000.0 + 1250.0 * (z & 0x7L)
+        (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+      }
+      val frames = kind match {
+        case 1 => baseFrames - win // trimmed
+        case 2 => baseFrames + win // padded
+        case _ => baseFrames
+      }
+      val pcm = new Array[Byte](frames * 2)
+      var j = 0
+      while (j < frames) {
+        val v: Short = kind match {
+          case 1 => baseSample(j + win)
+          case 2 => if (j < win) 0 else baseSample(j - win)
+          case _ => baseSample(j)
+        }
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"sgrp$base-k$kind")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic images with planted RESOLUTION-variant duplicate groups:
     * content is a piecewise-constant texture on the 9x8 dHash cell grid
     * (cell gray = splitmix(base, cellX, cellY)), rendered at 36x32 for
@@ -813,6 +874,48 @@ object Multimodal {
           new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
       (id, "audio", bos.toByteArray, "audio/wav", "qmix")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic animated GIFs with PLANTED quality defects, disjoint by
+    * an if-else chain: doc_id % 5 == 0 -> a SINGLE-frame GIF (too few
+    * frames — and trivially static); else % 11 == 0 -> a STATIC video
+    * (4 byte-identical frames — a banner loop); else % 7 == 0 -> a
+    * too-SHORT clip (4 distinct frames at 1 cs each = 40 ms); else a
+    * clean 4-frame render at 10 cs/frame (400 ms). Frame pixels follow
+    * the splitmix texture of (doc_id, frame). Ground truth for the
+    * [[MediaQuality.videoSignals]] gates. */
+  def syntheticVideoQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val single = id % 5 == 0
+      val static = !single && id % 11 == 0
+      val short = !single && !static && id % 7 == 0
+      val nFrames = if (single) 1 else 4
+      val delayCs = if (short) 1 else 10
+      val w = 32
+      val h = 32
+      val frames = (0 until nFrames).map { f0 =>
+        val f = if (static) 0 else f0
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var z = id * 0x9E3779B97F4A7C15L +
+              f * 0xD6E8FEB86659FD93L +
+              x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            raster.setSample(x, y, 0, (z & 0xffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs),
+        "image/gif", "vqmix")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

@@ -361,15 +361,18 @@ object PipelineRunner {
             .select(col("media_id"), col("feature").as("embedding"))
         // quality gates over decoded media as a config-driven drop hop:
         // keep only records passing every modality gate (thumbnails,
-        // banner strips, solid placeholders; short/silent/clipped audio)
-        case Array("mediafilter", spec2) => // image|audio
+        // banner strips, solid placeholders; short/silent/clipped audio;
+        // single-frame/static/short-or-endless video)
+        case Array("mediafilter", spec2) => // image|audio|video
           spec2.split(';').map(_.trim) match {
             case Array("image") =>
               graft.multimodal.MediaQuality.filterImages(df)
             case Array("audio") =>
               graft.multimodal.MediaQuality.filterAudio(df)
+            case Array("video") =>
+              graft.multimodal.MediaQuality.filterVideo(df)
             case other => throw new IllegalArgumentException(
-              s"mediafilter: wants 'image' or 'audio', got " +
+              s"mediafilter: wants 'image', 'audio' or 'video', got " +
                 s"'${other.mkString(";")}'")
           }
         // REAL per-frame sampling of animated-GIF videos in the chain:

@@ -146,6 +146,67 @@ class AudioDedupSpec extends SparkSpec {
       s"nearDupPairs decoded ${c.get() - before} times for $n clips")
   }
 
+  test("shift variants: whole-clip fingerprints diverge, windows re-align") {
+    val shifted = Multimodal.syntheticAudioShiftVariants(spark, docs,
+      groups = 10).persist()
+    try {
+      // the defect class is REAL: a trimmed copy re-buckets the 8
+      // clip-spanning segments, so the whole-clip fingerprint lands far
+      // from its base — whole-clip clustering cannot see these copies
+      val whole = AudioDedup.hashAudio(shifted)
+        .withColumn("base", pmod(col("media_id"), lit(10L)))
+        .withColumn("kind", expr("(media_id div 10) % 3"))
+      val baseH = whole.filter(col("kind") === 0)
+        .select(col("base"), col("ahash").as("h0")).distinct()
+      val minDist = whole.filter(col("kind") =!= 0).join(baseH, "base")
+        .select(bit_count(col("ahash").bitwiseXOR(col("h0"))).as("d"))
+        .agg(min("d")).as[Int].head()
+      // (~7 bits: the envelope segments all re-bucket; ZCR bits stay —
+      // the pitch doesn't move. Far past the window face's maxHamming.)
+      assert(minDist > 4,
+        s"trimmed/padded copy only $minDist whole-clip bits from base — " +
+          "fixture no longer exercises the shift-tolerance gap")
+      // window hashes re-align: trimmed (3 of 4 windows) and padded
+      // (4 windows at idx 1..4, silent idx 0 dropped) cluster with base
+      val out = AudioDedup.shiftClusters(shifted, windowFrames = 400,
+        hopFrames = 400, maxHamming = 2, minShared = 2)
+      try {
+        val wrong = out.filter(
+          col("cluster_id") =!= pmod(col("media_id"), lit(10L)))
+        assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+        assert(out.select("cluster_id").distinct().count() == 10)
+        assert(out.count() == docs.count())
+      } finally { out.unpersist(); () }
+      // silent padding windows are dropped, content windows survive
+      val w = AudioDedup.hashWindows(shifted.filter(col("media_id") < 30),
+        windowFrames = 400, hopFrames = 400)
+        .withColumn("kind", expr("(media_id div 10) % 3"))
+      assert(w.filter(col("kind") === 2 && col("window_idx") === 0)
+        .count() == 0, "silent lead-in windows must be dropped")
+      val counts = w.groupBy("kind").agg(
+        countDistinct("media_id").as("clips"), count("*").as("wins"))
+        .collect().map(r => r.getLong(2) / r.getLong(1))
+      assert(counts.sorted.toSeq == Seq(3L, 4L, 4L),
+        s"windows per clip by kind: ${counts.mkString(",")}")
+    } finally { shifted.unpersist(); () }
+  }
+
+  test("shift faces decode each clip exactly once per job") {
+    val shifted = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(col("doc_id") < 120), groups = 10)
+    val n = shifted.count()
+    val c = Multimodal.MediaCounters.audioReads
+    var before = c.get()
+    AudioDedup.shiftClusters(shifted, 400, 400, maxHamming = 2).unpersist()
+    assert(c.get() - before == n,
+      s"shiftClusters decoded ${c.get() - before} times for $n clips")
+    before = c.get()
+    AudioDedup.sharedWindowPairs(shifted, 400, 400, maxHamming = 2)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"sharedWindowPairs decoded ${c.get() - before} times for $n clips")
+  }
+
   test("non-audio records refuse loudly") {
     val imgs = Multimodal.syntheticImages(spark, docs.limit(1))
     val e = intercept[org.apache.spark.SparkException] {

@@ -52,6 +52,51 @@ class MediaQualitySpec extends SparkSpec {
     } finally { sig.unpersist(); () }
   }
 
+  test("video gates fire exactly where the generator planted defects") {
+    val mix = Multimodal.syntheticVideoQualityMix(spark, docs)
+    val sig = MediaQuality.videoSignals(mix).persist()
+    try {
+      // a single-frame GIF is also trivially static (one distinct hash)
+      val wrong = sig.filter(
+        col("too_few_frames") =!= (pmod(col("media_id"), lit(5L)) === 0) ||
+          col("static_video") =!= (pmod(col("media_id"), lit(5L)) === 0 ||
+            pmod(col("media_id"), lit(11L)) === 0) ||
+          col("too_short") =!= (pmod(col("media_id"), lit(5L)) =!= 0 &&
+            pmod(col("media_id"), lit(11L)) =!= 0 &&
+            pmod(col("media_id"), lit(7L)) === 0))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // signals are real: delays round-trip (400 ms clean, 40 ms short),
+      // static loops report exactly one distinct frame hash
+      assert(sig.filter(col("passes") && col("duration_ms") =!= 400L)
+        .count() == 0)
+      assert(sig.filter(col("too_short") && col("duration_ms") =!= 40L)
+        .count() == 0)
+      assert(sig.filter(col("static_video") &&
+        col("distinct_frame_hashes") =!= 1L).count() == 0)
+      assert(sig.filter(col("passes") &&
+        col("distinct_frame_hashes") =!= 4L).count() == 0)
+      // nothing planted exceeds the (huge) default duration ceiling
+      assert(sig.filter(col("too_long")).count() == 0)
+      val kept = MediaQuality.filterVideo(mix)
+      assert(kept.count() == sig.filter(col("passes")).count())
+      // a tight ceiling flips the clean renders to too_long
+      val capped = MediaQuality.videoSignals(mix, maxMs = 100L)
+      assert(capped.filter(col("too_long")).count() ==
+        sig.filter(col("duration_ms") > 100L).count())
+    } finally { sig.unpersist(); () }
+  }
+
+  test("video signals decode each container exactly once per job") {
+    val mix = Multimodal.syntheticVideoQualityMix(spark,
+      docs.filter(col("doc_id") < 100))
+    val n = mix.count()
+    val c = Multimodal.MediaCounters.videoReads
+    val before = c.get()
+    MediaQuality.videoSignals(mix).collect(): Unit
+    assert(c.get() - before == n,
+      s"videoSignals decoded ${c.get() - before} containers for $n videos")
+  }
+
   test("non-decodable and wrong-type records refuse loudly") {
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "image/png", "t"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

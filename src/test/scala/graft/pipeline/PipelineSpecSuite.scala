@@ -724,6 +724,21 @@ class PipelineSpecSuite extends SparkSpec {
       pmod(col("media_id"), lit(7L)) === 0).count() == 0)
     assert(filtered.count() > 0)
 
+    // mediafilter:video — single-frame, static and 40 ms clips drop
+    graft.multimodal.Multimodal.syntheticVideoQualityMix(spark, docs)
+      .write.parquet(s"$media/vqmix")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-vfilter",
+      source = SourceSpec(format = "parquet", path = s"$media/vqmix"),
+      transformExprs = Seq("mediafilter:video"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/vfiltered"))),
+      "runMmVFilter")
+    val vfiltered = spark.read.parquet(s"$out/vfiltered")
+    assert(vfiltered.filter(pmod(col("media_id"), lit(5L)) === 0 ||
+      pmod(col("media_id"), lit(11L)) === 0 ||
+      pmod(col("media_id"), lit(7L)) === 0).count() == 0)
+    assert(vfiltered.count() > 0)
+
     // unknown modality refuses loudly
     val e = intercept[IllegalArgumentException] {
       PipelineRunner.run(spark, PipelineSpec(
