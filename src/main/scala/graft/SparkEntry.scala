@@ -2388,6 +2388,20 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // COMPOSED media curation pipeline (round 16) — the media q151:
+    // quality gates -> per-modality perceptual dedup (keep-best-res for
+    // images, keep-first for audio/video) -> eval decontamination, ONE
+    // decode per record per modality end-to-end; every input labeled
+    // with the stage that decided its fate, all doc_id arithmetic
+    "q209_media_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = Multimodal.syntheticMediaPipelineMix(s, docs)
+      val eval = Multimodal.syntheticMediaPipelineMix(
+        s, docs.filter(col("doc_id").isin(1L, 2L)))
+      graft.multimodal.MediaPipeline.curate(mixed, eval, maxHamming = 3)
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // video quality gates (round 16, completes the modality set):
     // planted single-frame GIFs / static banner loops / 40 ms clips /
     // clean 400 ms renders — gates from one REAL container decode per
@@ -4618,6 +4632,16 @@ object SparkEntry {
     "q207_audio_shift" ->
       ("SELECT doc_id AS media_id, (doc_id % 10)::BIGINT AS cluster_id " +
         "FROM documents"),
+    // every modality plants the SAME stage arithmetic: %5 defects gate,
+    // ids >= 20 lose their duplicate cluster to the group's base id,
+    // the eval set carries groups {1,2}
+    "q209_media_pipeline" ->
+      ("SELECT doc_id AS media_id, m.media_type, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'gated' " +
+        "WHEN doc_id >= 20 THEN 'dup_dropped' " +
+        "WHEN doc_id IN (1, 2) THEN 'contaminated' " +
+        "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
+        "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
     // the generator's disjoint defect chain; a single-frame GIF is also
     // trivially static (one distinct frame hash)
     "q208_video_quality" ->

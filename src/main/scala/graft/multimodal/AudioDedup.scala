@@ -43,7 +43,13 @@ object AudioDedup {
 
   /** Decode a payload to mono PCM samples (mean over channels).
     * Counts ONE decode in [[MediaCounters.audioReads]]. */
-  private[multimodal] def decodeMono(payload: Array[Byte]): Array[Int] = {
+  private[multimodal] def decodeMono(payload: Array[Byte]): Array[Int] =
+    decodeMonoWithRate(payload)._1
+
+  /** [[decodeMono]] plus the stream's frame rate — composed passes
+    * that also gate on duration need it without a second decode. */
+  private[multimodal] def decodeMonoWithRate(
+      payload: Array[Byte]): (Array[Int], Float) = {
     MediaCounters.audioReads.incrementAndGet(): Unit
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
@@ -77,7 +83,7 @@ object AudioDedup {
         out(f) = (acc / channels).toInt
         f += 1
       }
-      out
+      (out, fmt.getSampleRate)
     } finally in.close()
   }
 

@@ -1,0 +1,178 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import Multimodal.{GifCodec, ImageCodec, MediaCounters, MediaRecord}
+
+/** The COMPOSED media curation pipeline — the media face of the text
+  * side's end-to-end training pipeline (`q151`): quality gates →
+  * per-modality perceptual dedup (keep-BEST-resolution for images,
+  * keep-first for audio/video) → eval-set decontamination, in ONE
+  * operator whose per-record decode runs exactly ONCE per modality
+  * end-to-end. Every stage after the profile pass works on the 8-byte
+  * hash frame; payloads never re-read, never shuffle.
+  *
+  * Reference shape: the reference chains quality policies, converters
+  * and dedup as separately-scheduled jobs over re-read intermediate
+  * dumps (gobblin-runtime task chains + compaction jobs); at 100 TB of
+  * media the decode is the job's cost, so the composed pass holds the
+  * one-decode invariant across ALL stages instead of per job.
+  */
+object MediaPipeline {
+
+  /** One profile row per record, whatever the modality:
+    * (media_id, media_type, chash, passes, prefer) — chash = the
+    * modality's perceptual fingerprint, passes = the modality's quality
+    * gates ([[MediaQuality]] defaults), prefer = the keep-best survivor
+    * preference (decoded pixel count for images; 0 elsewhere, where the
+    * min id survives). ONE decode per record. Audio clip detection runs
+    * on the mono-ized samples (identical to [[MediaQuality.audioSignals]]
+    * for mono streams, the common crawl case). */
+  def profile(media: DataFrame, minSide: Int = 16,
+              maxAspectMilli: Long = 4000L, minLumaRange: Int = 8,
+              minAudioMs: Long = 50L, minMeanAbs: Long = 100L,
+              maxClipPermille: Long = 10L, minFrames: Int = 2,
+              minVideoMs: Long = 100L, maxVideoMs: Long = 3600000L,
+              every: Int = 1): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      r.media_type match {
+        case "image" =>
+          val img = ImageCodec.read(r.payload)
+          require(img != null,
+            s"media_id=${r.media_id}: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              if (lum < mn) mn = lum
+              if (lum > mx) mx = lum
+              x += 1
+            }
+            y += 1
+          }
+          val passes = w >= minSide && h >= minSide &&
+            1000L * math.max(w, h) / math.min(w, h) <= maxAspectMilli &&
+            mx - mn >= minLumaRange
+          (r.media_id, r.media_type, ImageDedup.dHash64(img), passes,
+            w.toLong * h)
+        case "audio" =>
+          val (samples, rate) = AudioDedup.decodeMonoWithRate(r.payload)
+          var sumAbs = 0L
+          var clipped = 0L
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i)
+            sumAbs += math.abs(s)
+            if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+            i += 1
+          }
+          val n = samples.length.toLong
+          val passes = n * 1000L / rate.toLong >= minAudioMs &&
+            sumAbs / n >= minMeanAbs &&
+            clipped * 1000L / n <= maxClipPermille
+          (r.media_id, r.media_type,
+            AudioDedup.fingerprintSamples(samples, 0, samples.length),
+            passes, 0L)
+        case "video" =>
+          require(GifCodec.isGif(r.payload),
+            s"media_id=${r.media_id}: payload is not an animated GIF — " +
+              "no in-JVM codec for other video containers")
+          MediaCounters.videoReads.incrementAndGet(): Unit
+          GifCodec.withReader(r.payload) { reader =>
+            val n = reader.getNumImages(true)
+            require(n >= 1,
+              s"media_id=${r.media_id}: container holds no frames")
+            var durationCs = 0L
+            var i = 0
+            while (i < n) {
+              durationCs += GifCodec.frameDelayCs(reader, i); i += 1
+            }
+            val hashes = Iterator.range(0, n, every)
+              .map(f => ImageDedup.dHash64(reader.read(f))).toArray
+            val passes = n >= minFrames && hashes.distinct.length > 1 &&
+              durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
+            (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
+              passes, 0L)
+          }
+        case other => throw new IllegalArgumentException(
+          s"media_id=${r.media_id}: unknown media_type '$other'")
+      }
+    }).toDF("media_id", "media_type", "chash", "passes", "prefer")
+  }
+
+  /** Run the composed pipeline over a MIXED media table: every input
+    * record is labeled with the stage that decided its fate —
+    * `gated` (failed its modality's quality gates), `dup_dropped`
+    * (lost its near-dup cluster to a better/earlier member),
+    * `contaminated` (survived dedup but lies within `maxHamming` of an
+    * eval record), or `kept`. Eval records profile through the SAME
+    * one-decode pass (only their hashes are used) and broadcast as
+    * bands per modality. Output (media_id, media_type, stage),
+    * PERSISTED — unpersist once consumed. One decode per corpus record
+    * and one per eval record, across ALL stages. */
+  def curate(media: DataFrame, eval: DataFrame, maxHamming: Int,
+             maxBucket: Long = 100000L, maxEval: Long = 100000L,
+             every: Int = 1): DataFrame = {
+    val prof = profile(media, every = every)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prof.count(): Unit // ONE decode per corpus record, all stages reuse
+    val evalProf = profile(eval, every = every)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEval = evalProf.count() // ONE decode per eval record
+      require(nEval <= maxEval,
+        s"eval set has $nEval records > maxEval=$maxEval — a broadcast " +
+          "this size would flood the executors; raise maxEval deliberately")
+      val stages = Seq("image", "audio", "video").map { m =>
+        val p = prof.filter(col("media_type") === m)
+        val gatedIn = p.filter(col("passes"))
+        val pairs = graft.dedup.HammingBands.pairs(
+          gatedIn.select(col("media_id"), col("chash")),
+          "media_id", "chash", maxHamming, maxBucket, s"media-pipeline-$m")
+          .select(col("id_a"), col("id_b"))
+        val surv = graft.dedup.DupClusters.survivorsBy(
+          gatedIn.select(col("media_id"), col("chash"), col("prefer")),
+          "media_id", pairs, prefer = col("prefer"))
+        val flagged = graft.dedup.HammingBands.decontaminateProbe(
+          surv.select(col("media_id"), col("chash")),
+          evalProf.filter(col("media_type") === m)
+            .select(col("media_id"), col("chash")),
+          "media_id", "chash", maxHamming)
+        p.select(col("media_id"), col("media_type"), col("passes"))
+          .join(surv.select(col("media_id"), lit(true).as("__surv")),
+            Seq("media_id"), "left")
+          .join(flagged.filter(col("contaminated"))
+            .select(col("media_id"), lit(true).as("__cont")),
+            Seq("media_id"), "left")
+          .select(col("media_id"), col("media_type"),
+            when(!col("passes"), lit("gated"))
+              .when(col("__surv").isNull, lit("dup_dropped"))
+              .when(col("__cont").isNotNull, lit("contaminated"))
+              .otherwise(lit("kept")).as("stage"))
+      }
+      val out = stages.reduce(_ unionByName _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { prof.unpersist(); evalProf.unpersist(); () }
+  }
+
+  /** The composed run's data card: records per (modality, stage) — what
+    * a curation run reports next to [[MediaReport.card]]'s corpus view.
+    * One aggregate over the stage frame; nothing re-decodes. */
+  def card(stages: DataFrame): DataFrame =
+    stages.groupBy("media_type", "stage")
+      .agg(count(lit(1)).as("n"))
+}

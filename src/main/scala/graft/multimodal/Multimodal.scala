@@ -877,6 +877,123 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** MIXED-modality fixture for the COMPOSED curation pipeline
+    * ([[MediaPipeline.curate]]): for every doc_id, one image, one audio
+    * clip and one video — each modality planting the SAME stage
+    * arithmetic. `doc_id % 5 == 0` -> a quality defect (8x8 thumbnail /
+    * 25 ms snippet / single-frame GIF). Otherwise content is keyed by
+    * `g = doc_id % 20` (because 20 is a multiple of 5, groups where
+    * g % 5 == 0 consist ENTIRELY of defects and vanish at the gate):
+    * images render the cell-grid texture of g at full 36x32 resolution
+    * for `(doc_id/20) % 2 == 0` and bilinear-downscaled 18x16 otherwise
+    * (keep-best keeps the min full-res id = g); audio renders the
+    * 200+g*50 Hz sine at full/half volume (volume-invariant fingerprint
+    * — min id g survives); videos render byte-identical 4-frame GIFs of
+    * g (min id g survives). Ground truth per modality: stage = gated if
+    * doc_id%5=0, dup_dropped if doc_id>=20, else kept (or contaminated
+    * when the eval set carries groups {1,2} — generate the eval side by
+    * running THIS generator over doc_ids {1,2}). */
+  def syntheticMediaPipelineMix(spark: SparkSession,
+                                docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id")).as[Long]
+    def splitmix(parts: Long*): Long = {
+      var z = 0L
+      parts.foreach { p => z = (z + p) * 0x9E3779B97F4A7C15L }
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      z
+    }
+    val images = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val small = !defect && (id / 20) % 2 == 1
+      val (w, h) = if (defect) (8, 8) else (36, 32)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (defect) (splitmix(id, x.toLong, y.toLong) & 0xffL).toInt
+            else {
+              val cx = x * 9 / w
+              val cy = y * 8 / h
+              (splitmix(g.toLong, cx.toLong, cy.toLong) & 0xffL).toInt
+            }
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val out =
+        if (!small) img
+        else {
+          val s = new java.awt.image.BufferedImage(w / 2, h / 2,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = s.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, w / 2, h / 2, null): Unit
+          } finally g2.dispose()
+          s
+        }
+      (id, "image", ImageCodec.write(out, "png"), "image/png", s"pm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    val audio = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val rate = 8000
+      val frames = if (defect) 200 else 800
+      val amp = if (!defect && (id / 20) % 2 == 1) 7000.0 else 14000.0
+      val freq = 200.0 + g * 50.0
+      val pcm = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"pm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    val video = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val nFrames = if (defect) 1 else 4
+      val w = 32
+      val h = 32
+      val frames = (0 until nFrames).map { f =>
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v =
+              if (defect) splitmix(id, 1L + f, x.toLong * 64 + y) & 0xffL
+              else splitmix(g.toLong, 1L + f, x.toLong * 64 + y) & 0xffL
+            raster.setSample(x, y, 0, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", s"pm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    images.unionByName(audio).unionByName(video)
+  }
+
   /** Synthetic animated GIFs with PLANTED quality defects, disjoint by
     * an if-else chain: doc_id % 5 == 0 -> a SINGLE-frame GIF (too few
     * frames — and trivially static); else % 11 == 0 -> a STATIC video

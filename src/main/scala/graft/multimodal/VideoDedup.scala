@@ -43,27 +43,35 @@ object VideoDedup {
     GifCodec.withReader(payload) { reader =>
       val n = reader.getNumImages(true)
       require(n >= 1, "GIF container holds no frames")
-      val votes = new Array[Int](64)
-      var count = 0
-      var i = 0
-      while (i < n) {
-        val h = ImageDedup.dHash64(reader.read(i))
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1
-          b += 1
-        }
-        count += 1
-        i += every
-      }
-      var bits = 0L
+      val hashes = Iterator.range(0, n, every)
+        .map(i => ImageDedup.dHash64(reader.read(i))).toArray
+      foldMajority(hashes)
+    }
+  }
+
+  /** Per-bit MAJORITY fold of frame dHashes — the SimHash construction
+    * over frames (strict majority: a tie votes 0, deterministic for any
+    * frame count). Exposed so composed passes that already hold the
+    * frame hashes ([[MediaPipeline]]) fold without a second decode. */
+  private[multimodal] def foldMajority(frameHashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < frameHashes.length) {
+      val h = frameHashes(i)
       var b = 0
       while (b < 64) {
-        if (votes(b) * 2 > count) bits |= 1L << b
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1
         b += 1
       }
-      bits
+      i += 1
     }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) * 2 > frameHashes.length) bits |= 1L << b
+      b += 1
+    }
+    bits
   }
 
   /** Map-only hash pass: (media_id, vhash) with one container decode per

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class MediaPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val mixed = Multimodal.syntheticMediaPipelineMix(spark, docs)
+  private lazy val evalSet = Multimodal.syntheticMediaPipelineMix(
+    spark, docs.filter(col("doc_id").isin(1L, 2L)))
+
+  private def expectedStage =
+    when(pmod(col("media_id"), lit(5L)) === 0, "gated")
+      .when(col("media_id") >= 20, "dup_dropped")
+      .when(col("media_id").isin(1L, 2L), "contaminated")
+      .otherwise("kept")
+
+  test("curate labels every record with the planted stage, all modalities") {
+    val out = MediaPipeline.curate(mixed, evalSet, maxHamming = 3)
+    try {
+      val wrong = out.filter(col("stage") =!= expectedStage)
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == 3 * docs.count())
+      assert(out.select("media_type").distinct().count() == 3)
+      // the card summarizes the same frame without re-decoding
+      val card = MediaPipeline.card(out)
+      val kept = card.filter(col("stage") === "kept")
+        .select("n").as[Long].collect()
+      assert(kept.length == 3 && kept.distinct.length == 1,
+        s"every modality keeps the same planted count: ${kept.mkString(",")}")
+    } finally { out.unpersist(); () }
+  }
+
+  test("one decode per record per modality across ALL stages") {
+    val n = docs.count()
+    val ci = Multimodal.MediaCounters.imageReads
+    val ca = Multimodal.MediaCounters.audioReads
+    val cv = Multimodal.MediaCounters.videoReads
+    val (bi, ba, bv) = (ci.get(), ca.get(), cv.get())
+    MediaPipeline.curate(mixed, evalSet, maxHamming = 3).unpersist()
+    // corpus: n per modality; eval: 2 per modality — nothing re-decodes
+    // across gate -> dedup -> decontamination -> assembly
+    assert(ci.get() - bi == n + 2,
+      s"images decoded ${ci.get() - bi} times for $n corpus + 2 eval")
+    assert(ca.get() - ba == n + 2,
+      s"audio decoded ${ca.get() - ba} times for $n corpus + 2 eval")
+    assert(cv.get() - bv == n + 2,
+      s"videos decoded ${cv.get() - bv} times for $n corpus + 2 eval")
+  }
+
+  test("keep-best keeps the full-resolution image even when a smaller id is small") {
+    // ids 21..39 (small renders) must lose to base id g even though the
+    // group also holds later full-res copies (ids 40+) — the prefer
+    // column (pixel count) ranks before id
+    val out = MediaPipeline.curate(mixed, evalSet, maxHamming = 3)
+    try {
+      val imgKept = out.filter(col("media_type") === "image" &&
+        col("stage").isin("kept", "contaminated"))
+        .select("media_id").as[Long].collect().toSet
+      assert(imgKept == Set(1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L, 11L, 12L,
+        13L, 14L, 16L, 17L, 18L, 19L),
+        s"image survivors: ${imgKept.toSeq.sorted.mkString(",")}")
+    } finally { out.unpersist(); () }
+  }
+
+  test("unknown media_type and oversized eval refuse loudly") {
+    val junk = Seq((1L, "text", Array[Byte](1), "t/x", "s"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.profile(junk).collect()
+    }
+    assert(e.getMessage != null)
+    val e2 = intercept[IllegalArgumentException] {
+      MediaPipeline.curate(mixed, evalSet, maxHamming = 3, maxEval = 1L)
+    }
+    assert(e2.getMessage.contains("maxEval"), e2.getMessage)
+  }
+}
