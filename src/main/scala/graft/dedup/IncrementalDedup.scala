@@ -74,6 +74,39 @@ object IncrementalDedup {
       .agg(min(col(idCol)).as(idCol))
   }
 
+  /** [[survivors]] with PRE-BUILT Bloom sketches: the committed corpus
+    * is never scanned to build the prefilter — the caller hands the
+    * sketches (persisted per ingestion batch and loaded back, Bloom
+    * union being exact) and a record is prefiltered out when ANY sketch
+    * might contain it. `committedHashes` is still the exact-verify side,
+    * but it only executes when Bloom positives exist — a batch of
+    * entirely-new content never touches the committed store at all.
+    *
+    * CONTRACT: the sketches must jointly cover EVERY committed hash
+    * (Bloom filters have no false negatives, so coverage is the only
+    * obligation); admissions are then byte-identical to [[survivors]]
+    * and [[survivorsExact]]. An empty sketch list asserts nothing is
+    * committed. */
+  def survivorsWithBlooms(batch: DataFrame, committedHashes: DataFrame,
+                          idCol: String, fingerprint: Column,
+                          blooms: Seq[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame = {
+    val hashed = batch.withColumn("__h", fingerprint)
+    if (blooms.isEmpty)
+      return hashed.groupBy(col("__h").as("content_hash"))
+        .agg(min(col(idCol)).as(idCol))
+    val bc = batch.sparkSession.sparkContext.broadcast(blooms.toArray)
+    val might = udf((s: String) =>
+      s != null && bc.value.exists(_.mightContain(s)))
+    val definitelyNew = hashed.filter(!might(col("__h")))
+    val committed = committedHashes.select(col("h")).distinct()
+    val needVerify = hashed.filter(might(col("__h")))
+      .join(committed, col("__h") === col("h"), "left_anti")
+    definitelyNew.unionByName(needVerify)
+      .groupBy(col("__h").as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+  }
+
   /** Reference implementation (plain exact anti-join, full-batch shuffle):
     * what `survivors` must equal; used by tests and small corpora. */
   def survivorsExact(batch: DataFrame, committedHashes: DataFrame,

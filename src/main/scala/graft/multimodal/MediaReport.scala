@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * the exact-duplicate rate. The numbers a dataset release documents
   * before training ships.
   *
-  * Scale shape: one map-only perceptual-hash pass per modality (decode
-  * confined to mapPartitions, one codec per partition), one hash-keyed
-  * aggregate — no payload ever shuffles, and the card is
+  * Scale shape: ONE map-only perceptual-hash pass over the whole mixed
+  * table (the pass switches codec on media_type per record, so the
+  * binary payload column is SCANNED once — not once per modality), one
+  * hash-keyed aggregate — no payload ever shuffles, and the card is
   * modality-bounded (<= 3 rows). */
 object MediaReport {
 
@@ -19,15 +20,22 @@ object MediaReport {
     * modality present in `media`. `every` is the video frame-sampling
     * stride. dup_rate is rounded to 4 places (portable across engines). */
   def card(media: DataFrame, every: Int = 1): DataFrame = {
-    def part(tpe: String, hash: DataFrame => DataFrame,
-             hcol: String): DataFrame =
-      hash(media.filter(col("media_type") === tpe))
-        .select(lit(tpe).as("media_type"),
-          col(hcol).cast("string").as("chash"))
-    val hashes =
-      part("image", ImageDedup.hashImages, "dhash")
-        .unionByName(part("audio", AudioDedup.hashAudio, "ahash"))
-        .unionByName(part("video", VideoDedup.hashVideos(_, every), "vhash"))
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.as[Multimodal.MediaRecord].mapPartitions(_.map { r =>
+      val h = r.media_type match {
+        case "image" =>
+          val img = Multimodal.ImageCodec.read(r.payload)
+          require(img != null,
+            s"media_id=${r.media_id}: payload is not a decodable image")
+          ImageDedup.dHash64(img)
+        case "audio" => AudioDedup.fingerprint64(r.payload)
+        case "video" => VideoDedup.fingerprint64(r.payload, every)
+        case other => throw new IllegalArgumentException(
+          s"media_id=${r.media_id}: unknown media_type '$other'")
+      }
+      (r.media_type, h.toString)
+    }).toDF("media_type", "chash")
     hashes.groupBy("media_type").agg(
       count(lit(1)).as("n_items"),
       countDistinct("chash").as("n_distinct"))

@@ -40,11 +40,22 @@ object MediaDedupIngest {
     * `storePath`: survivors land under `storePath/survivors/batch=<id>`
     * (full records), fingerprints under `storePath/hashes/batch=<id>`
     * (one string column `h`). `modality` selects the hash pass; `every`
-    * is the video frame-sampling stride. */
+    * is the video frame-sampling stride.
+    *
+    * The committed-side Bloom PREFILTER is O(batches-since-compaction),
+    * not O(corpus): each batch persists a right-sized sketch of its
+    * admitted hashes (`sketches/sketch-<id>.bloom`, byte-deterministic
+    * so replays overwrite identically), and later batches load sketches
+    * instead of re-scanning every committed hash partition. Once more
+    * than `maxSketches` sketches accumulate — or a sketch is missing
+    * (legacy store) — ONE full pass rebuilds a compacted sketch
+    * (`sketches/compact-upto-<id>.bloom`) and the per-file count resets.
+    * Admissions are byte-identical either way: sketches jointly cover
+    * every committed hash and Bloom positives still verify exactly. */
   def start(stream: DataFrame, storePath: String, checkpointDir: String,
             modality: String = "image", fpp: Double = 0.01,
             trigger: Trigger = Trigger.AvailableNow(),
-            every: Int = 1): StreamingQuery = {
+            every: Int = 1, maxSketches: Int = 16): StreamingQuery = {
     val spark = stream.sparkSession
     val (hashOf, hcol): (DataFrame => DataFrame, String) = modality match {
       case "image" => (ImageDedup.hashImages(_), "dhash")
@@ -60,13 +71,14 @@ object MediaDedupIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val committed = committedHashes(s, storePath, batchId)
+        val blooms = committedBlooms(s, storePath, batchId, fpp, maxSketches)
         val hashes = hashOf(batch).persist(StorageLevel.MEMORY_AND_DISK)
         hashes.count(): Unit // ONE decode per batch, all branches cached
         try {
-          val surv = graft.dedup.IncrementalDedup.survivors(
-            hashes, committed, "media_id", col(hcol).cast("string"), fpp)
+          val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
+            hashes, committed, "media_id", col(hcol).cast("string"), blooms)
             .persist(StorageLevel.MEMORY_AND_DISK)
-          surv.count(): Unit
+          val nSurv = surv.count()
           try {
             surv.select(col("content_hash").as("h"))
               .write.mode("overwrite")
@@ -74,6 +86,8 @@ object MediaDedupIngest {
             batch.join(surv.select("media_id"), Seq("media_id"), "left_semi")
               .write.mode("overwrite")
               .parquet(s"$storePath/survivors/batch=$batchId")
+            writeBatchSketch(s, storePath, batchId,
+              surv.select(col("content_hash").as("h")), nSurv, fpp)
           } finally { surv.unpersist(); () }
         } finally { hashes.unpersist(); () }
       }
@@ -157,6 +171,93 @@ object MediaDedupIngest {
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Load the committed-side Bloom prefilter for `batchId` from
+    * persisted sketches — O(batches-since-compaction) small-file reads
+    * instead of an O(corpus) hash re-scan per micro-batch. Returns one
+    * sketch per uncompacted committed batch plus at most one compacted
+    * sketch; a record is prefiltered when ANY of them might contain it
+    * (checking a list sidesteps Bloom merge-compatibility — each sketch
+    * stays right-sized for its batch). When the list would exceed
+    * `maxSketches`, or any committed batch lacks its sketch (a store
+    * predating sketches), ONE full pass over the committed hashes
+    * rebuilds `compact-upto-<batchId>.bloom` and supersedes the old
+    * compact. Empty committed view returns Nil. */
+  private[streaming] def committedBlooms(spark: SparkSession,
+                                         storePath: String, batchId: Long,
+                                         fpp: Double, maxSketches: Int)
+      : Seq[org.apache.spark.util.sketch.BloomFilter] = {
+    val hashesDir = new Path(s"$storePath/hashes")
+    val fs = hashesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committedIds =
+      if (!fs.exists(hashesDir)) Seq.empty[Long]
+      else fs.listStatus(hashesDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(_ < batchId).sorted
+    if (committedIds.isEmpty) return Nil
+    val sketchDir = new Path(s"$storePath/sketches")
+    val compactUpTo =
+      if (!fs.exists(sketchDir)) None
+      else fs.listStatus(sketchDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("compact-upto-"))
+        .map(_.stripPrefix("compact-upto-").stripSuffix(".bloom").toLong)
+        .filter(_ <= batchId) // a later lineage's compact would over-cover
+        .sorted.lastOption
+    val uncompacted = committedIds.filter(b => compactUpTo.forall(b >= _))
+    val batchSketches = uncompacted.map(b =>
+      new Path(sketchDir, s"sketch-$b.bloom"))
+    val total = batchSketches.size + compactUpTo.size
+    if (batchSketches.forall(fs.exists) && total <= maxSketches) {
+      val compact = compactUpTo.toSeq.map(c =>
+        readSketch(fs, new Path(sketchDir, s"compact-upto-$c.bloom")))
+      compact ++ batchSketches.map(readSketch(fs, _))
+    } else {
+      // compaction / legacy fallback: ONE full committed pass, then the
+      // per-batch file count resets
+      val committed = committedHashes(spark, storePath, batchId)
+        .select(col("h")).distinct()
+      val n = committed.count()
+      // stat.bloomFilter NPEs on an empty frame (the aggregate yields
+      // null bytes) — an all-empty committed history sketches as empty
+      val bloom =
+        if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+        else committed.stat.bloomFilter("h", n, fpp)
+      val out = fs.create(new Path(sketchDir, s"compact-upto-$batchId.bloom"),
+        true)
+      try bloom.writeTo(out) finally out.close()
+      // superseded compacts are dead weight; sweep them (best effort)
+      compactUpTo.foreach { c =>
+        if (c != batchId)
+          fs.delete(new Path(sketchDir, s"compact-upto-$c.bloom"), false): Unit
+      }
+      Seq(bloom)
+    }
+  }
+
+  /** Persist this batch's sketch over its ADMITTED hashes — sized to the
+    * batch, byte-deterministic (same survivors insert the same bits), so
+    * a replay's overwrite is idempotent. */
+  private def writeBatchSketch(spark: SparkSession, storePath: String,
+                               batchId: Long, survHashes: DataFrame,
+                               n: Long, fpp: Double): Unit = {
+    // stat.bloomFilter NPEs on an empty frame — an all-duplicate batch
+    // admits nothing and sketches as empty
+    val bloom =
+      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else survHashes.stat.bloomFilter("h", n, fpp)
+    val p = new Path(s"$storePath/sketches/sketch-$batchId.bloom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  private def readSketch(fs: org.apache.hadoop.fs.FileSystem,
+                         p: Path): org.apache.spark.util.sketch.BloomFilter = {
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
   }
 
   /** All fingerprints committed by batches STRICTLY BEFORE `batchId` —

@@ -120,6 +120,68 @@ class MediaDedupIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("modality"), e.getMessage)
   }
 
+  test("sketch store: O(batches) prefilter, compaction, legacy rebuild") {
+    val in = tmpDir("mdi-s-in"); val store = tmpDir("mdi-s-store") + "/store"
+    val slices = writeArrivals(in)
+    val ckpt = tmpDir("mdi-s-ckpt")
+    def run(): Unit = {
+      val q = MediaDedupIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema), store, ckpt,
+        modality = "image")
+      q.awaitTermination()
+    }
+    run()
+    val sketchDir = new File(store, "sketches")
+    def sketchNames = sketchDir.listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq // drop local-FS .crc
+    // one right-sized sketch per committed batch, no compaction yet
+    assert(sketchNames ==
+      Seq("sketch-0.bloom", "sketch-1.bloom", "sketch-2.bloom"))
+    // the prefilter for a next batch loads ONLY those sketch files —
+    // 3 blooms, no full hash re-scan (no compact file appears)
+    val blooms = MediaDedupIngest.committedBlooms(spark, store, 3L,
+      fpp = 0.01, maxSketches = 16)
+    assert(blooms.size == 3)
+    assert(!sketchNames.exists(_.startsWith("compact")))
+    // the loaded sketches COVER every committed hash (no false negatives)
+    val committed = spark.read.parquet(s"$store/hashes")
+      .select("h").as[String].collect()
+    assert(committed.nonEmpty &&
+      committed.forall(h => blooms.exists(_.mightContain(h))))
+    // maxSketches exceeded -> ONE full pass writes a compacted sketch
+    val blooms2 = MediaDedupIngest.committedBlooms(spark, store, 3L,
+      fpp = 0.01, maxSketches = 2)
+    assert(blooms2.size == 1)
+    assert(sketchNames.contains("compact-upto-3.bloom"))
+    assert(committed.forall(h => blooms2.head.mightContain(h)))
+    // after compaction the assembly is compact + newer sketches only
+    val blooms3 = MediaDedupIngest.committedBlooms(spark, store, 3L,
+      fpp = 0.01, maxSketches = 16)
+    assert(blooms3.size == 1) // batches 0-2 all covered by the compact
+    // LEGACY store (sketches missing) -> rebuild covers everything
+    sketchDir.listFiles.foreach(f => assert(f.delete()))
+    val blooms4 = MediaDedupIngest.committedBlooms(spark, store, 3L,
+      fpp = 0.01, maxSketches = 16)
+    assert(blooms4.size == 1)
+    assert(committed.forall(h => blooms4.head.mightContain(h)))
+    // admissions through the sketch path stayed byte-identical to the
+    // batch-ordered exact fold (the first run used sketches for batches
+    // 1 and 2)
+    val got = MediaDedupIngest.survivors(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    var exact = Seq.empty[Long]
+    var committedH = spark.emptyDataset[String].toDF("h")
+    slices.foreach { sl =>
+      val s = graft.dedup.IncrementalDedup.survivorsExact(
+        ImageDedup.hashImages(sl), committedH, "media_id",
+        col("dhash").cast("string"))
+      exact ++= s.select("media_id").as[Long].collect()
+      committedH = committedH.unionByName(
+        s.select(col("content_hash").as("h")))
+    }
+    assert(got == exact.sorted.toSeq)
+  }
+
   test("fingerprint-format binding: stale or missing versions refuse admission") {
     val in = tmpDir("mdi-f-in"); val store = tmpDir("mdi-f-store") + "/store"
     val audio = Multimodal.syntheticAudioVariants(spark, docs, groups = 20)
