@@ -2388,6 +2388,76 @@ object SparkEntry {
         .select(col("media_id"), col("cluster_id"))
     }),
 
+    // SHIFT-TOLERANT audio decontamination (round 16): the eval set is
+    // TRIMMED renders of groups 0..4 — the whole-clip probe (q198's
+    // shape) re-buckets all 8 segments under the shift and sees nothing;
+    // window-level broadcast probing must flag every base AND padded
+    // corpus render of those groups, nothing else
+    "q210_audio_window_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticAudioShiftVariants(
+        s, docs.filter(expr("(doc_id div 10) % 3 != 1")), groups = 10)
+      val eval = Multimodal.syntheticAudioShiftVariants(
+        s, docs.filter(expr("(doc_id div 10) % 3 = 1 AND doc_id % 10 < 5")),
+        groups = 10)
+      graft.multimodal.AudioDedup.decontaminateWindows(
+        corpus, eval, windowFrames = 400, hopFrames = 400,
+        maxHamming = 2, minShared = 2)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
+    // quality-GATED streaming media admission (round 16): the streaming
+    // face of q209's composed pipeline — each micro-batch profiles ONCE
+    // (gates + fingerprint from the same decode), rejects defective
+    // records BEFORE dedup (they never commit a fingerprint) and admits
+    // only first-seen clean content; thumbnails land in the gated audit,
+    // duplicate clean renders in neither
+    "q211_stream_gated_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = Multimodal.syntheticImageVariants(
+        s, docs.filter(col("doc_id") % 5 =!= 0), groups = 20)
+        .filter(expr("(media_id div 20) % 2 = 0"))
+      val defects = Multimodal.syntheticImageQualityMix(
+        s, docs.filter(col("doc_id") % 5 === 0))
+      val mixed = clean.unionByName(defects)
+      val root = tmp("q211")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val in = s"$root/in"
+      Seq(mixed.filter(col("media_id") < 200),
+          mixed.filter(col("media_id") >= 200)).zipWithIndex.foreach {
+        case (sl, i) =>
+          val part = s"$in/f$i"
+          sl.coalesce(1).write.parquet(part)
+          new java.io.File(part).listFiles()
+            .foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+      val q = graft.streaming.MediaDedupIngest.start(
+        Streams.fileReplay(s, s"$in/*", Multimodal.mediaSchema),
+        s"$root/store", s"$root/ckpt", modality = "image",
+        qualityGate = true)
+      q.awaitTermination()
+      graft.streaming.MediaDedupIngest.survivors(s, s"$root/store")
+        .select(col("media_id"), lit("admitted").as("outcome"))
+        .unionByName(graft.streaming.MediaDedupIngest
+          .gated(s, s"$root/store")
+          .select(col("media_id"), lit("gated").as("outcome")))
+    }),
+
+    // video KEEP-LONGEST dedup (round 16): the video face of q200's
+    // keep-best policy — frame-overlap clusters (base, re-render,
+    // EXTENDED 6-frame copy) keep the copy with the most frames, ties
+    // to the minimum id: the earliest extended cut survives, frame
+    // counts from the same single container-decode pass as the edges
+    "q212_video_keeplongest" -> ((s, dir) => {
+      val ov = Multimodal.syntheticGifOverlapVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.VideoDedup.survivorsByFrames(
+        ov, maxHamming = 2, minShared = 2)
+        .select(col("media_id"), col("n_frames"))
+    }),
+
     // COMPOSED media curation pipeline (round 16) — the media q151:
     // quality gates -> per-modality perceptual dedup (keep-best-res for
     // images, keep-first for audio/video) -> eval decontamination, ONE
@@ -4632,6 +4702,25 @@ object SparkEntry {
     "q207_audio_shift" ->
       ("SELECT doc_id AS media_id, (doc_id % 10)::BIGINT AS cluster_id " +
         "FROM documents"),
+    // eval = trimmed renders of groups 0..4; every base and padded
+    // corpus render of those groups shares >= 2 hop-aligned windows
+    "q210_audio_window_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 10) < 5 AS contaminated " +
+        "FROM documents WHERE (doc_id // 10) % 3 <> 1"),
+    // thumbnails (doc_id % 5 = 0) gate and never commit a fingerprint;
+    // clean parity-even renders admit first-seen per texture group —
+    // the min id per group is the group index itself; later duplicates
+    // land in neither output
+    "q211_stream_gated_admission" ->
+      ("SELECT doc_id AS media_id, 'admitted' AS outcome FROM documents " +
+        "WHERE doc_id < 20 AND doc_id % 5 <> 0 " +
+        "UNION ALL SELECT doc_id AS media_id, 'gated' AS outcome " +
+        "FROM documents WHERE doc_id % 5 = 0"),
+    // each overlap cluster keeps its longest member (the 6-frame
+    // extended cut); the earliest extended copy of group g is id g+40
+    "q212_video_keeplongest" ->
+      ("SELECT DISTINCT (doc_id % 20 + 40)::BIGINT AS media_id, " +
+        "6::BIGINT AS n_frames FROM documents"),
     // every modality plants the SAME stage arithmetic: %5 defects gate,
     // ids >= 20 lose their duplicate cluster to the group's base id,
     // the eval set carries groups {1,2}

@@ -325,6 +325,67 @@ object AudioDedup {
     } finally { w.unpersist(); () }
   }
 
+  /** SHIFT-TOLERANT decontamination — the window-level eval leak guard:
+    * flag every corpus clip sharing at least `minShared` near-identical
+    * (within `maxHamming`) WINDOWS with any single eval clip, so a
+    * TRIMMED or silence-PADDED copy of benchmark audio is still caught.
+    * The whole-clip probe ([[decontaminate]]) cannot see this class: its
+    * 8 fingerprint segments span the clip, so a shift re-buckets every
+    * one of them; hop-aligned window hashes re-align exactly — the audio
+    * face of [[VideoDedup.decontaminateFrames]]. Eval clips hash through
+    * the same window pass and BROADCAST as bands; corpus windows never
+    * shuffle (only band-matched candidates reach the per-(clip, eval)
+    * shared-window count). One PCM decode per clip per side per job.
+    * Output (media_id, contaminated) for EVERY corpus clip — an
+    * all-silent clip hashes no windows and reports false; PERSISTED,
+    * unpersist once consumed. */
+  def decontaminateWindows(corpus: DataFrame, eval: DataFrame,
+                           windowFrames: Int, hopFrames: Int,
+                           maxHamming: Int, minShared: Int = 2,
+                           maxEval: Long = 100000L,
+                           silenceFloor: Long = 100L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val evalW = hashWindows(eval, windowFrames, hopFrames, silenceFloor)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's window frame
+      val nEvalWindows = evalW.count() // also materializes: one eval decode
+      require(nEvalWindows <= maxEval,
+        s"eval set hashes $nEvalWindows windows > maxEval=$maxEval — a " +
+          "broadcast this size would flood the executors; raise maxEval " +
+          "deliberately")
+      val corpusW = hashWindows(corpus, windowFrames, hopFrames, silenceFloor)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpusW.count(): Unit // ONE decode; the probe reuses the cached frame
+      try {
+        import graft.dedup.HammingBands
+        val hits = HammingBands.explodeBands(
+          corpusW.select(col("media_id"), col("window_idx"),
+            col("whash").as("__hc")), "__hc", maxHamming)
+          .join(broadcast(HammingBands.explodeBands(
+            evalW.select(col("media_id").as("__eval_id"),
+              col("window_idx").as("__eval_w"), col("whash").as("__he")),
+            "__he", maxHamming)), Seq("band", "value"))
+          .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+          .groupBy(col("media_id"), col("__eval_id"))
+          .agg(countDistinct(struct(col("window_idx"), col("__eval_w")))
+            .as("shared"))
+          .filter(col("shared") >= minShared)
+          .select("media_id").distinct()
+        val out = corpus.select(col("media_id"))
+          .join(hits.withColumn("contaminated", lit(true)),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusW.unpersist(); () }
+    } finally { evalW.unpersist(); () }
+  }
+
   /** Shift-tolerant CLUSTERS: connected components over
     * [[sharedWindowPairs]] edges — trimmed and silence-padded copies
     * land in their original's cluster. Output (media_id, cluster_id)

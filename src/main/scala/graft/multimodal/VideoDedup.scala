@@ -276,6 +276,33 @@ object VideoDedup {
     } finally { h.unpersist(); () }
   }
 
+  /** KEEP-LONGEST frame-overlap dedup: cluster clipped/extended copies
+    * through the frame-overlap edges and keep the member with the MOST
+    * sampled frames per cluster (ties broken on minimum id) — the video
+    * face of [[ImageDedup.survivorsByResolution]]'s keep-best policy,
+    * where a clipped re-upload loses to the full cut. Frame counts come
+    * from the SAME persisted frame pass that generates the overlap
+    * edges, so the job still pays exactly one container decode per
+    * video. Output (media_id, n_frames — survivors only), PERSISTED —
+    * unpersist once consumed. */
+  def survivorsByFrames(media: DataFrame, maxHamming: Int,
+                        minShared: Int = 2, maxBucket: Long = 100000L,
+                        every: Int = 1): DataFrame = {
+    val h = hashFrames(media, every).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // ONE container decode: edges + counts reuse the cache
+    try {
+      val edges = overlapEdges(h, maxHamming, minShared, maxBucket)
+        .select("id_a", "id_b")
+      val perVideo = h.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
+      val out = graft.dedup.DupClusters.survivorsBy(
+        perVideo, "media_id", edges, prefer = col("n_frames"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
+  }
+
   /** Video DECONTAMINATION — flag every corpus video whose fingerprint
     * lies within `maxHamming` of ANY eval video (re-encoded and
     * frame-perturbed copies of benchmark clips included). Bounded eval

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-import graft.multimodal.{AudioDedup, ImageDedup, VideoDedup}
+import graft.multimodal.{AudioDedup, ImageDedup, MediaPipeline, VideoDedup}
 
 /** Streaming perceptual-media ADMISSION: every micro-batch of media
   * records dedups against everything COMMITTED by earlier batches
@@ -51,11 +51,21 @@ object MediaDedupIngest {
     * (legacy store) — ONE full pass rebuilds a compacted sketch
     * (`sketches/compact-upto-<id>.bloom`) and the per-file count resets.
     * Admissions are byte-identical either way: sketches jointly cover
-    * every committed hash and Bloom positives still verify exactly. */
+    * every committed hash and Bloom positives still verify exactly.
+    *
+    * With `qualityGate = true` the admission is GATED: each batch runs
+    * the composed profile pass ([[MediaPipeline.profile]] — modality
+    * quality gates AND the perceptual fingerprint from the SAME single
+    * decode, so gating costs no extra decode) and records failing their
+    * modality's gates are rejected BEFORE dedup — they never commit a
+    * fingerprint, so a later clean copy of the same content can still be
+    * admitted. Rejected ids land under `gated/batch=<id>` (deterministic
+    * overwrite — replays republish byte-identically) for audit. */
   def start(stream: DataFrame, storePath: String, checkpointDir: String,
             modality: String = "image", fpp: Double = 0.01,
             trigger: Trigger = Trigger.AvailableNow(),
-            every: Int = 1, maxSketches: Int = 16): StreamingQuery = {
+            every: Int = 1, maxSketches: Int = 16,
+            qualityGate: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
     val (hashOf, hcol): (DataFrame => DataFrame, String) = modality match {
       case "image" => (ImageDedup.hashImages(_), "dhash")
@@ -72,11 +82,29 @@ object MediaDedupIngest {
         val s = batch.sparkSession
         val committed = committedHashes(s, storePath, batchId)
         val blooms = committedBlooms(s, storePath, batchId, fpp, maxSketches)
-        val hashes = hashOf(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        val hashed =
+          if (qualityGate) {
+            // the modality check hashOf would have enforced per record —
+            // profile switches per media_type, so enforce it here (reads
+            // only the media_type column; payloads untouched)
+            val nWrong = batch.filter(col("media_type") =!= modality).count()
+            require(nWrong == 0,
+              s"batch $batchId carries $nWrong non-$modality records — " +
+                "this store admits a single modality; route mixed crawls " +
+                "through one store per modality")
+            MediaPipeline.profile(batch, every = every)
+              .select(col("media_id"), col("chash").as(hcol), col("passes"))
+          } else hashOf(batch).withColumn("passes", lit(true))
+        val hashes = hashed.persist(StorageLevel.MEMORY_AND_DISK)
         hashes.count(): Unit // ONE decode per batch, all branches cached
         try {
+          if (qualityGate)
+            hashes.filter(!col("passes")).select("media_id")
+              .write.mode("overwrite")
+              .parquet(s"$storePath/gated/batch=$batchId")
           val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
-            hashes, committed, "media_id", col(hcol).cast("string"), blooms)
+            hashes.filter(col("passes")), committed, "media_id",
+            col(hcol).cast("string"), blooms)
             .persist(StorageLevel.MEMORY_AND_DISK)
           val nSurv = surv.count()
           try {
@@ -294,6 +322,25 @@ object MediaDedupIngest {
     else
       spark.read.option("basePath", s"$storePath/survivors")
         .parquet(s"$storePath/survivors")
+        .withColumn("batch", col("batch").cast("long"))
+  }
+
+  /** Every quality-REJECTED record id across all committed batches of a
+    * gated store ((media_id, batch) rows). An ungated or idle store —
+    * the dir was never created — reads as empty, mirroring
+    * [[survivors]]' idle handling. */
+  def gated(spark: SparkSession, storePath: String): DataFrame = {
+    val dir = new Path(s"$storePath/gated")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("media_id", org.apache.spark.sql.types.LongType),
+          StructField("batch", org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.option("basePath", s"$storePath/gated")
+        .parquet(s"$storePath/gated")
         .withColumn("batch", col("batch").cast("long"))
   }
 }

@@ -214,4 +214,50 @@ class AudioDedupSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("decontaminateWindows catches trimmed-eval leaks the whole-clip probe misses") {
+    val corpus = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(expr("(doc_id div 10) % 3 != 1")), groups = 10)
+    val eval = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(expr("(doc_id div 10) % 3 = 1 AND doc_id % 10 < 5")),
+      groups = 10)
+    // the gap is REAL: the whole-clip probe (q198's shape) sees none of
+    // the trimmed-eval leaks at the window face's Hamming bound
+    val whole = AudioDedup.decontaminate(corpus, eval, maxHamming = 2)
+    try assert(whole.filter(col("contaminated")).count() == 0,
+      "whole-clip probe unexpectedly catches shifted copies — fixture " +
+        "no longer exercises the shift-tolerance gap")
+    finally { whole.unpersist(); () }
+    val out = AudioDedup.decontaminateWindows(corpus, eval,
+      windowFrames = 400, hopFrames = 400, maxHamming = 2, minShared = 2)
+    try {
+      val wrong = out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(10L)) < 5))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == corpus.count())
+      // the bounded eval side broadcasts; corpus windows never shuffle
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    } finally { out.unpersist(); () }
+    val e = intercept[IllegalArgumentException] {
+      AudioDedup.decontaminateWindows(corpus, corpus, 400, 400,
+        maxHamming = 2, maxEval = 10L)
+    }
+    assert(e.getMessage.contains("maxEval"), e.getMessage)
+  }
+
+  test("decontaminateWindows decodes each clip exactly once per side") {
+    val corpus = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(col("doc_id") < 60), groups = 10)
+    val eval = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 15), groups = 10)
+    val n = corpus.count()
+    val ne = eval.count()
+    val c = Multimodal.MediaCounters.audioReads
+    val before = c.get()
+    AudioDedup.decontaminateWindows(corpus, eval, 400, 400, maxHamming = 2)
+      .unpersist()
+    assert(c.get() - before == n + ne,
+      s"decoded ${c.get() - before} times for $n corpus + $ne eval clips")
+  }
 }

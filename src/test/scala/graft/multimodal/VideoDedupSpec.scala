@@ -209,4 +209,24 @@ class VideoDedupSpec extends SparkSpec {
     }
     assert(e2.getMessage != null)
   }
+
+  test("survivorsByFrames keeps the longest cut per cluster from one decode") {
+    val ov = Multimodal.syntheticGifOverlapVariants(spark,
+      docs.filter(col("doc_id") < 120), groups = 20)
+    val n = ov.count()
+    val c = Multimodal.MediaCounters.videoReads
+    val before = c.get()
+    val out = VideoDedup.survivorsByFrames(ov, maxHamming = 2, minShared = 2)
+    try {
+      // frame counts come from the SAME pass as the overlap edges
+      assert(c.get() - before == n,
+        s"decoded ${c.get() - before} times for $n videos")
+      // every cluster keeps its 6-frame extended cut; ties to min id, so
+      // the EARLIEST extended copy (id g+40 among g+40 and g+100) wins
+      val got = out.select("media_id", "n_frames").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val want = (0 until 20).map(g => (g + 40L, 6L))
+      assert(got == want, s"survivors: $got")
+    } finally { out.unpersist(); () }
+  }
 }

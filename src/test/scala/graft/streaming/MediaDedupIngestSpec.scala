@@ -224,4 +224,47 @@ class MediaDedupIngestSpec extends SparkSpec {
     assert(legacy.getMessage.contains("predates format versioning"),
       legacy.getMessage)
   }
+
+  test("qualityGate rejects defects before dedup; gated never commit fingerprints") {
+    val clean = Multimodal.syntheticImageVariants(spark,
+      docs.filter(col("doc_id") % 5 =!= 0), groups = 20)
+      .filter(expr("(media_id div 20) % 2 = 0"))
+    val defects = Multimodal.syntheticImageQualityMix(spark,
+      docs.filter(col("doc_id") % 5 === 0))
+    val mixed = clean.unionByName(defects)
+    val nTotal = mixed.count()
+    val in = tmpDir("mdi-gate-in")
+    val store = tmpDir("mdi-gate") + "/store"
+    Seq(mixed.filter(col("media_id") < 200),
+        mixed.filter(col("media_id") >= 200)).zipWithIndex.foreach {
+      case (s, i) =>
+        val part = s"$in/f$i"
+        s.coalesce(1).write.parquet(part)
+        new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    val q = MediaDedupIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema), store,
+      tmpDir("mdi-gate-ckpt"), modality = "image", qualityGate = true)
+    q.awaitTermination()
+    // gating costs no extra decode: gates + fingerprint from ONE pass
+    assert(c.get() - before == nTotal,
+      s"decoded ${c.get() - before} times for $nTotal records")
+    // admitted = first-seen CLEAN content per texture group (min id = g)
+    val admitted = MediaDedupIngest.survivors(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(admitted == (0L until 20L).filter(_ % 5 != 0),
+      s"admitted: $admitted")
+    // every thumbnail landed in the gated audit, none in the survivors
+    val gatedIds = MediaDedupIngest.gated(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(gatedIds == docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq)
+    // gated records never commit a fingerprint: a later CLEAN copy of
+    // the same content would still be admissible
+    assert(spark.read.parquet(s"$store/hashes").count() == admitted.size)
+    // gated() on a store that never gated reads empty, not path-not-found
+    assert(MediaDedupIngest.gated(spark, tmpDir("mdi-ungated")).count() == 0)
+  }
 }
