@@ -2445,6 +2445,20 @@ object SparkEntry {
           .select(col("media_id"), lit("gated").as("outcome")))
     }),
 
+    // audio KEEP-LONGEST dedup (round 16): shift clusters (base /
+    // trimmed / padded renders) keep the member with the most content
+    // (non-silent) windows — the trimmed re-upload loses its cluster;
+    // base and padded tie at 4 windows and the minimum id (the base
+    // render itself) wins, window counts from the same decode pass
+    "q213_audio_keeplongest" -> ((s, dir) => {
+      val shifted = Multimodal.syntheticAudioShiftVariants(
+        s, t(s, dir, "documents"), groups = 10)
+      graft.multimodal.AudioDedup.survivorsByWindows(
+        shifted, windowFrames = 400, hopFrames = 400,
+        maxHamming = 2, minShared = 2)
+        .select(col("media_id"), col("n_windows"))
+    }),
+
     // video KEEP-LONGEST dedup (round 16): the video face of q200's
     // keep-best policy — frame-overlap clusters (base, re-render,
     // EXTENDED 6-frame copy) keep the copy with the most frames, ties
@@ -4716,6 +4730,11 @@ object SparkEntry {
         "WHERE doc_id < 20 AND doc_id % 5 <> 0 " +
         "UNION ALL SELECT doc_id AS media_id, 'gated' AS outcome " +
         "FROM documents WHERE doc_id % 5 = 0"),
+    // each shift cluster keeps the member with the most content
+    // windows; base and padded tie at 4 and the base id g wins
+    "q213_audio_keeplongest" ->
+      ("SELECT DISTINCT (doc_id % 10)::BIGINT AS media_id, " +
+        "4::BIGINT AS n_windows FROM documents"),
     // each overlap cluster keeps its longest member (the 6-frame
     // extended cut); the earliest extended copy of group g is id g+40
     "q212_video_keeplongest" ->

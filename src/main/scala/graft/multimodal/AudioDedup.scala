@@ -386,6 +386,36 @@ object AudioDedup {
     } finally { evalW.unpersist(); () }
   }
 
+  /** KEEP-LONGEST shift-tolerant dedup: cluster trimmed/padded copies
+    * through the window-overlap edges and keep the member with the most
+    * CONTENT (non-silent) windows per cluster, ties broken on minimum
+    * id — the audio face of [[VideoDedup.survivorsByFrames]]'s keep-best
+    * policy, where a trimmed re-upload loses to the full master. Window
+    * counts come from the SAME persisted window pass as the edges, so
+    * the job still pays exactly one PCM decode per clip. All-silent
+    * clips hash no windows and are dropped (they carry no content to
+    * keep). Output (media_id, n_windows — survivors only), PERSISTED —
+    * unpersist once consumed. */
+  def survivorsByWindows(media: DataFrame, windowFrames: Int,
+                         hopFrames: Int, maxHamming: Int,
+                         minShared: Int = 2, maxBucket: Long = 100000L,
+                         silenceFloor: Long = 100L): DataFrame = {
+    val w = hashWindows(media, windowFrames, hopFrames, silenceFloor)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    w.count(): Unit // ONE decode per clip: edges + counts reuse the cache
+    try {
+      val edges = windowEdges(w, maxHamming, minShared, maxBucket)
+        .select("id_a", "id_b")
+      val perClip = w.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_windows"))
+      val out = graft.dedup.DupClusters.survivorsBy(
+        perClip, "media_id", edges, prefer = col("n_windows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { w.unpersist(); () }
+  }
+
   /** Shift-tolerant CLUSTERS: connected components over
     * [[sharedWindowPairs]] edges — trimmed and silence-padded copies
     * land in their original's cluster. Output (media_id, cluster_id)

@@ -306,11 +306,14 @@ object MaintenanceRunner {
               .getOrElse(1)),
           store, p("checkpoint.dir"),
           modality = spec.props.getOrElse("modality", "image"),
-          fpp = spec.props.get("fpp").map(_.toDouble).getOrElse(0.01))
+          fpp = spec.props.get("fpp").map(_.toDouble).getOrElse(0.01),
+          qualityGate = spec.props.get("quality.gate")
+            .exists(_.toBoolean))
         q.awaitTermination()
         val n = graft.streaming.MediaDedupIngest.survivors(spark, store)
           .count()
-        s"media-dedup-ingest: store=$store survivors=$n"
+        val g = graft.streaming.MediaDedupIngest.gated(spark, store).count()
+        s"media-dedup-ingest: store=$store survivors=$n gated=$g"
       case other => throw new IllegalArgumentException(
         s"unknown maintenance kind '$other' for job '${spec.name}' " +
           s"(known: ${kinds.toSeq.sorted.mkString(", ")})")

@@ -342,10 +342,32 @@ object PipelineRunner {
               graft.multimodal.VideoDedup.clusters(df, h.toInt)
             case Array("image", "best", h) =>
               graft.multimodal.ImageDedup.survivorsByResolution(df, h.toInt)
+            // keep-LONGEST video survivors over frame-overlap clusters
+            // (clipped re-uploads lose to the full cut)
+            case Array("video", "best", h) =>
+              graft.multimodal.VideoDedup.survivorsByFrames(df, h.toInt)
+            // frame-overlap clusters: clipped/extended copies cluster
+            // with their original through shared frames
+            case Array("video", "overlap", h) =>
+              graft.multimodal.VideoDedup.overlapClusters(df, h.toInt)
+            // shift-tolerant audio clusters: trimmed/padded copies
+            // re-align through hop-aligned window hashes
+            case Array("audio", "shift", h, win, hop) =>
+              graft.multimodal.AudioDedup.shiftClusters(
+                df, win.toInt, hop.toInt, h.toInt)
+            // keep-LONGEST audio survivors over shift clusters (the
+            // trimmed re-upload loses to the full master)
+            case Array("audio", "best", h, win, hop) =>
+              graft.multimodal.AudioDedup.survivorsByWindows(
+                df, win.toInt, hop.toInt, h.toInt)
             case other => throw new IllegalArgumentException(
               "mediadedup: wants '<image|audio|video>;exact', " +
-                "'<image|audio|video>;near;<maxHamming>' or " +
-                s"'image;best;<maxHamming>', got '${other.mkString(";")}'")
+                "'<image|audio|video>;near;<maxHamming>', " +
+                "'image;best;<maxHamming>', 'video;best;<maxHamming>', " +
+                "'video;overlap;<maxHamming>', " +
+                "'audio;shift;<maxHamming>;<windowFrames>;<hopFrames>' or " +
+                "'audio;best;<maxHamming>;<windowFrames>;<hopFrames>', " +
+                s"got '${other.mkString(";")}'")
           }
         // decoded media as EMBEDDINGS: (media_id, embedding) rows that
         // feed every existing vector operator (ANN search, embedding

@@ -246,6 +246,27 @@ class AudioDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxEval"), e.getMessage)
   }
 
+  test("survivorsByWindows keeps the longest master per cluster from one decode") {
+    val shifted = Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(col("doc_id") < 60), groups = 10)
+    val n = shifted.count()
+    val c = Multimodal.MediaCounters.audioReads
+    val before = c.get()
+    val out = AudioDedup.survivorsByWindows(shifted,
+      windowFrames = 400, hopFrames = 400, maxHamming = 2, minShared = 2)
+    try {
+      // window counts come from the SAME pass as the overlap edges
+      assert(c.get() - before == n,
+        s"decoded ${c.get() - before} times for $n clips")
+      // trimmed copies (3 windows) lose; base and padded tie at 4
+      // content windows and the minimum id — the base render — wins
+      val got = out.select("media_id", "n_windows").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val want = (0 until 10).map(g => (g.toLong, 4L))
+      assert(got == want, s"survivors: $got")
+    } finally { out.unpersist(); () }
+  }
+
   test("decontaminateWindows decodes each clip exactly once per side") {
     val corpus = Multimodal.syntheticAudioShiftVariants(spark,
       docs.filter(col("doc_id") < 60), groups = 10)

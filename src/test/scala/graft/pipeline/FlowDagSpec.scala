@@ -275,6 +275,40 @@ class FlowDagSpec extends SparkSpec {
       .count() == 25)
   }
 
+  test("media-dedup-ingest hop: quality.gate rejects defects before admission") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-mediadedup-gate")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val clean = graft.multimodal.Multimodal
+      .syntheticImageVariants(spark, docs.filter(col("doc_id") % 5 =!= 0),
+        groups = 20)
+      .filter(expr("(media_id div 20) % 2 = 0"))
+    val defects = graft.multimodal.Multimodal
+      .syntheticImageQualityMix(spark, docs.filter(col("doc_id") % 5 === 0))
+    clean.unionByName(defects).coalesce(1).write.parquet(s"$dir/in/f0")
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val res = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "crawl-admit-gated",
+      "job.1.job.name" -> "admit",
+      "job.1.job.type" -> "media-dedup-ingest",
+      "job.1.input.glob" -> s"$dir/in/*",
+      "job.1.store.path" -> s"$dir/store",
+      "job.1.checkpoint.dir" -> s"$dir/ckpt",
+      "job.1.modality" -> "image",
+      "job.1.quality.gate" -> "true")), "mediaflow-gated",
+      ledger = Some(ledger))
+    assert(res("admit").status == FlowDag.Succeeded)
+    // thumbnails gate; clean renders admit first-seen per group
+    val got = graft.streaming.MediaDedupIngest.survivors(spark, s"$dir/store")
+    assert(got.select("media_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (0L until 20L).filter(_ % 5 != 0))
+    val nGated = docs.filter(col("doc_id") % 5 === 0).count()
+    val detail = ledger.history.collect()
+      .map(_.getAs[String]("detail")).find(_.contains("media-dedup-ingest"))
+    assert(detail.exists(_.contains(s"gated=$nGated")), detail.toString)
+  }
+
   test("media-dedup-ingest hop: an IDLE run (empty backlog) reports survivors=0") {
     // empty input glob -> AvailableNow runs no batch -> the survivors
     // dir is never created; the node must report 0, not crash

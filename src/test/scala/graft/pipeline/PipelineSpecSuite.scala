@@ -681,6 +681,54 @@ class PipelineSpecSuite extends SparkSpec {
     val best = spark.read.parquet(s"$out/best")
     assert(best.count() == 20 && best.filter(col("width") =!= 36).count() == 0)
 
+    // video keep-LONGEST survivors + frame-overlap clusters as hops
+    graft.multimodal.Multimodal.syntheticGifOverlapVariants(spark,
+      docs.filter(col("doc_id") < 120), groups = 20)
+      .write.parquet(s"$media/overlap")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-vbest",
+      source = SourceSpec(format = "parquet", path = s"$media/overlap"),
+      transformExprs = Seq("mediadedup:video;best;2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/vbest"))),
+      "runMmVBest")
+    val vbest = spark.read.parquet(s"$out/vbest")
+    assert(vbest.count() == 20 &&
+      vbest.filter(col("n_frames") =!= 6).count() == 0)
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-voverlap",
+      source = SourceSpec(format = "parquet", path = s"$media/overlap"),
+      transformExprs = Seq("mediadedup:video;overlap;2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/voverlap"))),
+      "runMmVOverlap")
+    assert(spark.read.parquet(s"$out/voverlap").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
+    // shift-tolerant audio clusters as a hop
+    graft.multimodal.Multimodal.syntheticAudioShiftVariants(spark,
+      docs.filter(col("doc_id") < 60), groups = 10)
+      .write.parquet(s"$media/shift")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-ashift",
+      source = SourceSpec(format = "parquet", path = s"$media/shift"),
+      transformExprs = Seq("mediadedup:audio;shift;2;400;400"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/ashift"))),
+      "runMmAShift")
+    assert(spark.read.parquet(s"$out/ashift").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(10L))).count() == 0)
+
+    // keep-longest audio survivors as a hop: the base render (4 content
+    // windows, min id) survives each shift cluster
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-abest",
+      source = SourceSpec(format = "parquet", path = s"$media/shift"),
+      transformExprs = Seq("mediadedup:audio;best;2;400;400"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/abest"))),
+      "runMmABest")
+    val abest = spark.read.parquet(s"$out/abest")
+    assert(abest.count() == 10 &&
+      abest.filter(col("n_windows") =!= 4).count() == 0 &&
+      abest.filter(col("media_id") >= 10).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
