@@ -2459,6 +2459,70 @@ object SparkEntry {
         .select(col("media_id"), col("n_windows"))
     }),
 
+    // CROP-TOLERANT image dedup (round 16): cropped (first tile column
+    // removed) and border-extended copies shift the whole-image dHash's
+    // downscale grid and land far away — tile-level banded pairing with
+    // >= minShared shared tiles + components must pull base, cropped and
+    // extended renders into one cluster (the image face of q206/q207)
+    "q214_image_crop" -> ((s, dir) => {
+      val cv = Multimodal.syntheticImageCropVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.ImageDedup.cropClusters(
+        cv, tileW = 16, tileH = 16, maxHamming = 2, minShared = 4)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
+    // CROP-TOLERANT image decontamination (round 16): eval = CROPPED
+    // renders of groups 0..4 — the whole-image probe (q192's shape)
+    // sees nothing; tile-level broadcast probing must flag every base
+    // AND extended corpus render of those groups, nothing else
+    "q215_image_tile_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticImageCropVariants(
+        s, docs.filter(expr("(doc_id div 20) % 3 != 1")), groups = 20)
+      val eval = Multimodal.syntheticImageCropVariants(
+        s, docs.filter(expr("(doc_id div 20) % 3 = 1 AND doc_id % 20 < 5")),
+        groups = 20)
+      graft.multimodal.ImageDedup.decontaminateTiles(
+        corpus, eval, tileW = 16, tileH = 16, maxHamming = 2, minShared = 4)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
+    // streaming ADMISSION CARD (round 16): the ops view of the gated
+    // dedup store — per batch, how many records were admitted and how
+    // many gated; batch 0 admits the 16 clean group minima and gates
+    // its thumbnails, batch 1 admits nothing (all duplicates) and gates
+    // the rest — all doc_id arithmetic
+    "q216_admission_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clean = Multimodal.syntheticImageVariants(
+        s, docs.filter(col("doc_id") % 5 =!= 0), groups = 20)
+        .filter(expr("(media_id div 20) % 2 = 0"))
+      val defects = Multimodal.syntheticImageQualityMix(
+        s, docs.filter(col("doc_id") % 5 === 0))
+      val mixed = clean.unionByName(defects)
+      val root = tmp("q216")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val in = s"$root/in"
+      Seq(mixed.filter(col("media_id") < 200),
+          mixed.filter(col("media_id") >= 200)).zipWithIndex.foreach {
+        case (sl, i) =>
+          val part = s"$in/f$i"
+          sl.coalesce(1).write.parquet(part)
+          new java.io.File(part).listFiles()
+            .foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+      val q = graft.streaming.MediaDedupIngest.start(
+        Streams.fileReplay(s, s"$in/*", Multimodal.mediaSchema),
+        s"$root/store", s"$root/ckpt", modality = "image",
+        qualityGate = true)
+      q.awaitTermination()
+      graft.streaming.MediaDedupIngest.admissionCard(s, s"$root/store")
+        .select(col("batch"), col("n_admitted"), col("n_gated"))
+    }),
+
     // video KEEP-LONGEST dedup (round 16): the video face of q200's
     // keep-best policy — frame-overlap clusters (base, re-render,
     // EXTENDED 6-frame copy) keep the copy with the most frames, ties
@@ -4730,6 +4794,26 @@ object SparkEntry {
         "WHERE doc_id < 20 AND doc_id % 5 <> 0 " +
         "UNION ALL SELECT doc_id AS media_id, 'gated' AS outcome " +
         "FROM documents WHERE doc_id % 5 = 0"),
+    // base, cropped and border-extended renders share >= 4 pixel-
+    // identical tiles; min member id per group is the base id itself
+    "q214_image_crop" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
+        "FROM documents"),
+    // eval = cropped renders of groups 0..4; every base and extended
+    // corpus render of those groups shares >= 4 tiles with one of them
+    "q215_image_tile_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents WHERE (doc_id // 20) % 3 <> 1"),
+    // batch 0 admits the 16 clean group minima and gates its
+    // thumbnails; batch 1 admits nothing (all duplicates of batch 0)
+    "q216_admission_card" ->
+      ("SELECT 0::BIGINT AS batch, (SELECT count(*) FROM documents " +
+        "WHERE doc_id < 20 AND doc_id % 5 <> 0)::BIGINT AS n_admitted, " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 5 = 0 AND " +
+        "doc_id < 200)::BIGINT AS n_gated " +
+        "UNION ALL SELECT 1::BIGINT, 0::BIGINT, " +
+        "(SELECT count(*) FROM documents WHERE doc_id % 5 = 0 AND " +
+        "doc_id >= 200)::BIGINT"),
     // each shift cluster keeps the member with the most content
     // windows; base and padded tie at 4 and the base id g wins
     "q213_audio_keeplongest" ->

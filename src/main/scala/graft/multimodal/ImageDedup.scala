@@ -257,4 +257,160 @@ object ImageDedup {
       out
     } finally { h.unpersist(); () }
   }
+
+  /** Map-only TILE hash pass — the CROP-TOLERANT fingerprint: one row
+    * per full tileW x tileH tile, (media_id, tile_x, tile_y, thash),
+    * thash = the tile's own dHash. A whole-image dHash moves almost
+    * every bit when an image is CROPPED or letterboxed (the 9x8
+    * downscale grid shifts under every cell), so cropped re-uploads
+    * land far away; tile hashes re-align after any tile-multiple crop —
+    * the image face of [[AudioDedup.hashWindows]]' hop-multiple
+    * contract (arbitrary-offset crops would need hashing at multiple
+    * offsets, exactly as sub-hop audio shifts would). Partial edge
+    * tiles are skipped (their geometry differs from every aligned
+    * tile's). ONE decode per image per job; tiles hash from subimage
+    * VIEWS of the single decoded frame. */
+  def hashTiles(media: DataFrame, tileW: Int, tileH: Int): DataFrame = {
+    require(tileW >= 8 && tileH >= 8,
+      s"tile ${tileW}x$tileH too small for a stable per-tile dHash " +
+        "(9x8 downscale needs >= 8px sides)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: tile hashing over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val nx = img.getWidth / tileW
+      val ny = img.getHeight / tileH
+      for {
+        ty <- Iterator.range(0, ny)
+        tx <- Iterator.range(0, nx)
+      } yield (r.media_id, tx, ty,
+        dHash64(img.getSubimage(tx * tileW, ty * tileH, tileW, tileH)))
+    }).toDF("media_id", "tile_x", "tile_y", "thash")
+  }
+
+  /** Tile-overlap edges: banded tile pairing over a (media_id, tile_x,
+    * tile_y) struct key, aggregated to image pairs with >= minShared
+    * distinct matching tile pairs — the same shape as the video
+    * frame-overlap and audio window-overlap faces. */
+  private def tileEdges(tiles: DataFrame, maxHamming: Int,
+                        minShared: Int, maxBucket: Long): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val tids = tiles.select(
+      struct(col("media_id"), col("tile_x"), col("tile_y")).as("tid"),
+      col("thash"))
+    graft.dedup.HammingBands.pairs(
+      tids, "tid", "thash", maxHamming, maxBucket, "image-tiles")
+      .select(col("id_a.media_id").as("ia"), col("id_b.media_id").as("ib"),
+        col("id_a"), col("id_b"))
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("id_a").as("ta"), col("id_b").as("tb"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(struct(col("ta"), col("tb"))).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** CROP-TOLERANT near-dup pairs: images sharing at least `minShared`
+    * near-identical tiles — the duplicate class the whole-image dHash
+    * cannot see (a cropped or border-extended copy shifts the 9x8
+    * downscale under every cell, but its surviving tiles are
+    * pixel-identical to the original's). Output (id_a, id_b, shared),
+    * id_a < id_b; PERSISTED — unpersist once consumed. */
+  def sharedTilePairs(media: DataFrame, tileW: Int, tileH: Int,
+                      maxHamming: Int, minShared: Int = 2,
+                      maxBucket: Long = 100000L): DataFrame = {
+    val t = hashTiles(media, tileW, tileH)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t.count(): Unit // ONE decode per image
+    try {
+      val out = tileEdges(t, maxHamming, minShared, maxBucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { t.unpersist(); () }
+  }
+
+  /** Crop-tolerant CLUSTERS: connected components over
+    * [[sharedTilePairs]] edges — cropped and border-extended copies
+    * land in their original's cluster. Output (media_id, cluster_id)
+    * for EVERY input image (an image smaller than one tile hashes no
+    * tiles but still appears as a singleton); PERSISTED — unpersist
+    * once consumed. */
+  def cropClusters(media: DataFrame, tileW: Int, tileH: Int,
+                   maxHamming: Int, minShared: Int = 2,
+                   maxBucket: Long = 100000L): DataFrame = {
+    val t = hashTiles(media, tileW, tileH)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t.count(): Unit // ONE decode per image
+    try {
+      val edges = tileEdges(t, maxHamming, minShared, maxBucket)
+        .select("id_a", "id_b")
+      val out = graft.dedup.DupClusters.resolve(
+        media.select(col("media_id")), "media_id", edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { t.unpersist(); () }
+  }
+
+  /** CROP-TOLERANT decontamination — flag every corpus image sharing at
+    * least `minShared` near-identical tiles with any single eval image,
+    * so a CROPPED copy of benchmark imagery is still caught (the
+    * whole-image probe's downscale grid shifts under a crop and sees
+    * nothing). Eval tiles BROADCAST as bands; corpus tiles never
+    * shuffle (only band-matched candidates reach the per-(image, eval)
+    * shared-tile count). One decode per image per side. Output
+    * (media_id, contaminated) for EVERY corpus image; PERSISTED —
+    * unpersist once consumed. */
+  def decontaminateTiles(corpus: DataFrame, eval: DataFrame,
+                         tileW: Int, tileH: Int, maxHamming: Int,
+                         minShared: Int = 2,
+                         maxEval: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val evalT = hashTiles(eval, tileW, tileH)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's tile frame
+      val nEvalTiles = evalT.count() // also materializes: one eval decode
+      require(nEvalTiles <= maxEval,
+        s"eval set hashes $nEvalTiles tiles > maxEval=$maxEval — a " +
+          "broadcast this size would flood the executors; raise maxEval " +
+          "deliberately")
+      val corpusT = hashTiles(corpus, tileW, tileH)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpusT.count(): Unit // ONE decode; the probe reuses the cache
+      try {
+        import graft.dedup.HammingBands
+        val hits = HammingBands.explodeBands(
+          corpusT.select(col("media_id"),
+            struct(col("tile_x"), col("tile_y")).as("__t"),
+            col("thash").as("__hc")), "__hc", maxHamming)
+          .join(broadcast(HammingBands.explodeBands(
+            evalT.select(col("media_id").as("__eval_id"),
+              struct(col("tile_x"), col("tile_y")).as("__et"),
+              col("thash").as("__he")), "__he", maxHamming)),
+            Seq("band", "value"))
+          .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+          .groupBy(col("media_id"), col("__eval_id"))
+          .agg(countDistinct(struct(col("__t"), col("__et"))).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select("media_id").distinct()
+        val out = corpus.select(col("media_id"))
+          .join(hits.withColumn("contaminated", lit(true)),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("contaminated"), lit(false)).as("contaminated"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusT.unpersist(); () }
+    } finally { evalT.unpersist(); () }
+  }
 }

@@ -743,6 +743,52 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with planted CROP-variant duplicate groups — the
+    * fixture for tile-level (crop-tolerant) dedup: content is a
+    * per-tile splitmix texture of (base, tileX, tileY) on 16x16 tiles,
+    * rendered in the BASE's tile coordinate system so edits re-align.
+    * `kind = (doc_id / groups) % 3`: 0 = the base 4x4-tile (64x64)
+    * render; 1 = CROPPED (first tile COLUMN removed — 48x64, its tiles
+    * pixel-identical to base tiles at tileX 1..3); 2 = border-EXTENDED
+    * (a new tile column appended — 80x64, base tiles intact at tileX
+    * 0..3). The whole-image dHash shifts its 9x8 downscale grid under
+    * both edits and lands far away; tile hashes re-align exactly.
+    * Ground truth: group = doc_id % groups. */
+  def syntheticImageCropVariants(spark: SparkSession, docs: DataFrame,
+                                 groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val kind = ((id / groups) % 3).toInt
+      val tile = 16
+      val firstCol = if (kind == 1) 1 else 0
+      val lastCol = if (kind == 2) 4 else 3 // inclusive; base cols 0..3
+      val w = (lastCol - firstCol + 1) * tile
+      val h = 4 * tile
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val tx = firstCol + x / tile // ABSOLUTE base-tile column
+          val ty = y / tile
+          var z = base.toLong * 0x9E3779B97F4A7C15L +
+            tx * 0xD6E8FEB86659FD93L + ty * 0x94D049BB133111EBL +
+            (x % tile) * 0xC2B2AE3D27D4EB4FL +
+            (y % tile) * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          val g = (z & 0xffL).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png",
+        s"cgrp$base-k$kind")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** A gray-palette INDEXED image: the GIF writer stores it without any
     * color quantization pass (the palette IS the 256 grays), writes are
     * direct index sets, and decode returns exactly (g, g, g) — the fast

@@ -343,4 +343,22 @@ object MediaDedupIngest {
         .parquet(s"$storePath/gated")
         .withColumn("batch", col("batch").cast("long"))
   }
+
+  /** Per-batch ADMISSION CARD of a dedup store: (batch, n_admitted,
+    * n_gated) for every batch that admitted or rejected at least one
+    * record — the ops view of continuous crawl ingestion (an admission
+    * rate collapsing toward zero means the crawl is re-seeing committed
+    * content; a gated-rate spike means a quality regression upstream).
+    * Reads only ids and the batch partition column — payloads prune out
+    * of both scans. */
+  def admissionCard(spark: SparkSession, storePath: String): DataFrame = {
+    val s = survivors(spark, storePath)
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_admitted"))
+    val g = gated(spark, storePath)
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_gated"))
+    s.join(g, Seq("batch"), "full_outer")
+      .select(col("batch"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"))
+  }
 }

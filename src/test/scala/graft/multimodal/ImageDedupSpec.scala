@@ -215,4 +215,89 @@ class ImageDedupSpec extends SparkSpec {
       ImageDedup.hashImages(flat), maxHamming = 3, maxBucket = 50L)
     assert(pairs.isEmpty, "shed buckets must not emit pairs")
   }
+
+  test("crop variants: whole-image hashes diverge, tiles re-align") {
+    val cv = Multimodal.syntheticImageCropVariants(spark, docs, groups = 20)
+      .persist()
+    try {
+      // the defect class is REAL: a tile-column crop shifts the 9x8
+      // downscale grid under every cell, so the whole-image dHash lands
+      // far from its base — whole-image clustering cannot see it
+      val whole = ImageDedup.hashImages(cv)
+        .withColumn("base", pmod(col("media_id"), lit(20L)))
+        .withColumn("kind", expr("(media_id div 20) % 3"))
+      val baseH = whole.filter(col("kind") === 0)
+        .select(col("base"), col("dhash").as("h0")).distinct()
+      val minDist = whole.filter(col("kind") =!= 0).join(baseH, "base")
+        .select(bit_count(col("dhash").bitwiseXOR(col("h0"))).as("d"))
+        .agg(min("d")).as[Int].head()
+      assert(minDist > 4,
+        s"cropped/extended copy only $minDist whole-image bits from base " +
+          "— fixture no longer exercises the crop-tolerance gap")
+      // tile hashes re-align: cropped (12 of 16 tiles) and extended
+      // (all 16 base tiles) cluster with their base
+      val out = ImageDedup.cropClusters(cv, tileW = 16, tileH = 16,
+        maxHamming = 2, minShared = 4)
+      try {
+        val wrong = out.filter(
+          col("cluster_id") =!= pmod(col("media_id"), lit(20L)))
+        assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+        assert(out.select("cluster_id").distinct().count() == 20)
+        assert(out.count() == docs.count())
+      } finally { out.unpersist(); () }
+      // tile geometry: 16 tiles for base, 12 cropped, 20 extended
+      val t = ImageDedup.hashTiles(cv.filter(col("media_id") < 60), 16, 16)
+        .withColumn("kind", expr("(media_id div 20) % 3"))
+      val counts = t.groupBy("kind").agg(
+        countDistinct("media_id").as("imgs"), count("*").as("tiles"))
+        .collect().map(r => r.getLong(2) / r.getLong(1))
+      assert(counts.sorted.toSeq == Seq(12L, 16L, 20L),
+        s"tiles per image by kind: ${counts.mkString(",")}")
+    } finally { cv.unpersist(); () }
+  }
+
+  test("decontaminateTiles catches cropped-eval leaks the whole-image probe misses") {
+    val corpus = Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(expr("(doc_id div 20) % 3 != 1")), groups = 20)
+    val eval = Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(expr("(doc_id div 20) % 3 = 1 AND doc_id % 20 < 5")),
+      groups = 20)
+    // the whole-image probe sees none of the cropped leaks
+    val whole = ImageDedup.decontaminate(corpus, eval, maxHamming = 2)
+    try assert(whole.filter(col("contaminated")).count() == 0,
+      "whole-image probe unexpectedly catches cropped copies")
+    finally { whole.unpersist(); () }
+    val out = ImageDedup.decontaminateTiles(corpus, eval,
+      tileW = 16, tileH = 16, maxHamming = 2, minShared = 4)
+    try {
+      val wrong = out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(20L)) < 5))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == corpus.count())
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    } finally { out.unpersist(); () }
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.decontaminateTiles(corpus, corpus, 16, 16,
+        maxHamming = 2, maxEval = 10L)
+    }
+    assert(e.getMessage.contains("maxEval"), e.getMessage)
+  }
+
+  test("tile faces decode each image exactly once per job") {
+    val cv = Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(col("doc_id") < 120), groups = 20)
+    val n = cv.count()
+    val c = Multimodal.MediaCounters.imageReads
+    var before = c.get()
+    ImageDedup.cropClusters(cv, 16, 16, maxHamming = 2, minShared = 4)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"cropClusters decoded ${c.get() - before} times for $n images")
+    before = c.get()
+    ImageDedup.sharedTilePairs(cv, 16, 16, maxHamming = 2, minShared = 4)
+      .unpersist()
+    assert(c.get() - before == n,
+      s"sharedTilePairs decoded ${c.get() - before} times for $n images")
+  }
 }

@@ -266,5 +266,15 @@ class MediaDedupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/hashes").count() == admitted.size)
     // gated() on a store that never gated reads empty, not path-not-found
     assert(MediaDedupIngest.gated(spark, tmpDir("mdi-ungated")).count() == 0)
+    // the admission card reports per-batch admitted/gated counts: batch 0
+    // admits the 16 clean group minima, batch 1 only re-sees content
+    val card = MediaDedupIngest.admissionCard(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val g0 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 200)
+      .count()
+    val g1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 200)
+      .count()
+    assert(card == Seq((0L, 16L, g0), (1L, 0L, g1)), s"card: $card")
   }
 }
