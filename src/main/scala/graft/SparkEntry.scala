@@ -2459,6 +2459,23 @@ object SparkEntry {
         .select(col("media_id"), col("n_windows"))
     }),
 
+    // DEEP composed media pipeline (round 16): eval = CROPPED images /
+    // TRIMMED audio / CLIPPED videos of groups 1..2 — whole-hash
+    // decontamination sees only the identically-edited corpus copies;
+    // the part-level probe (tiles / windows / frames riding the SAME
+    // profile decode) must flag every kind of those groups' survivors.
+    // Dedup here is per (group, kind): each edit shifts the whole hash,
+    // so min id per (g, kind) survives = g + 20*kind
+    "q217_media_pipeline_deep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = Multimodal.syntheticMediaPipelineDeepMix(s, docs)
+      val eval = Multimodal.syntheticMediaPipelineDeepMix(
+        s, docs.filter(col("doc_id").isin(21L, 22L)))
+      graft.multimodal.MediaPipeline.curateDeep(mixed, eval,
+        maxHamming = 3, minShared = 2)
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // CROP-TOLERANT image dedup (round 16): cropped (first tile column
     // removed) and border-extended copies shift the whole-image dHash's
     // downscale grid and land far away — tile-level banded pairing with
@@ -4794,6 +4811,17 @@ object SparkEntry {
         "WHERE doc_id < 20 AND doc_id % 5 <> 0 " +
         "UNION ALL SELECT doc_id AS media_id, 'gated' AS outcome " +
         "FROM documents WHERE doc_id % 5 = 0"),
+    // every modality plants the SAME stage arithmetic: %5 defects gate,
+    // whole-hash dedup keeps min id per (group, kind) so ids >= 60 drop,
+    // and the kind-1 eval renders of groups {1,2} leak into every kind
+    // of those groups through shared parts
+    "q217_media_pipeline_deep" ->
+      ("SELECT doc_id AS media_id, m.media_type, " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'gated' " +
+        "WHEN doc_id >= 60 THEN 'dup_dropped' " +
+        "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
+        "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
+        "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
     // base, cropped and border-extended renders share >= 4 pixel-
     // identical tiles; min member id per group is the base id itself
     "q214_image_crop" ->

@@ -175,4 +175,206 @@ object MediaPipeline {
   def card(stages: DataFrame): DataFrame =
     stages.groupBy("media_type", "stage")
       .agg(count(lit(1)).as("n"))
+
+  /** [[profile]] plus PART-level hashes from the SAME single decode:
+    * every row additionally carries `parts` — an array of (kx, ky, ph)
+    * structs holding the record's shift/crop-tolerant sub-hashes
+    * (image: per-tile dHashes on a tileW x tileH grid; audio:
+    * hop-aligned non-silent window fingerprints, ky = 0; video: sampled
+    * frame dHashes, ky = 0). These are the part passes the standalone
+    * faces compute ([[ImageDedup.hashTiles]], [[AudioDedup.hashWindows]],
+    * [[VideoDedup.hashFrames]]) folded into the profile decode, so a
+    * composed run that needs BOTH the whole-content hash and the
+    * part-level leak guard still decodes each record exactly once. */
+  def profileDeep(media: DataFrame, tileW: Int = 16, tileH: Int = 16,
+                  windowFrames: Int = 400, hopFrames: Int = 400,
+                  silenceFloor: Long = 100L, minSide: Int = 16,
+                  maxAspectMilli: Long = 4000L, minLumaRange: Int = 8,
+                  minAudioMs: Long = 50L, minMeanAbs: Long = 100L,
+                  maxClipPermille: Long = 10L, minFrames: Int = 2,
+                  minVideoMs: Long = 100L, maxVideoMs: Long = 3600000L,
+                  every: Int = 1): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    require(tileW >= 8 && tileH >= 8,
+      s"tile ${tileW}x$tileH too small for a stable per-tile dHash")
+    require(windowFrames >= 8 && hopFrames >= 1 && hopFrames <= windowFrames,
+      s"window/hop ${windowFrames}/$hopFrames invalid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      r.media_type match {
+        case "image" =>
+          val img = ImageCodec.read(r.payload)
+          require(img != null,
+            s"media_id=${r.media_id}: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var mn = 255
+          var mx = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              if (lum < mn) mn = lum
+              if (lum > mx) mx = lum
+              x += 1
+            }
+            y += 1
+          }
+          val passes = w >= minSide && h >= minSide &&
+            1000L * math.max(w, h) / math.min(w, h) <= maxAspectMilli &&
+            mx - mn >= minLumaRange
+          val parts = for {
+            ty <- 0 until h / tileH
+            tx <- 0 until w / tileW
+          } yield (tx, ty, ImageDedup.dHash64(
+            img.getSubimage(tx * tileW, ty * tileH, tileW, tileH)))
+          (r.media_id, r.media_type, ImageDedup.dHash64(img), passes,
+            w.toLong * h, parts)
+        case "audio" =>
+          val (samples, rate) = AudioDedup.decodeMonoWithRate(r.payload)
+          var sumAbs = 0L
+          var clipped = 0L
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i)
+            sumAbs += math.abs(s)
+            if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+            i += 1
+          }
+          val n = samples.length.toLong
+          val passes = n * 1000L / rate.toLong >= minAudioMs &&
+            sumAbs / n >= minMeanAbs &&
+            clipped * 1000L / n <= maxClipPermille
+          val lastStart = samples.length - windowFrames
+          val nWindows = if (lastStart < 0) 0 else lastStart / hopFrames + 1
+          val parts = (0 until nWindows).flatMap { wi =>
+            val from = wi * hopFrames
+            val until = from + windowFrames
+            var sum = 0L
+            var j = from
+            while (j < until) { sum += math.abs(samples(j)); j += 1 }
+            if (sum / windowFrames < silenceFloor) None
+            else Some((wi, 0,
+              AudioDedup.fingerprintSamples(samples, from, until)))
+          }
+          (r.media_id, r.media_type,
+            AudioDedup.fingerprintSamples(samples, 0, samples.length),
+            passes, 0L, parts)
+        case "video" =>
+          require(GifCodec.isGif(r.payload),
+            s"media_id=${r.media_id}: payload is not an animated GIF — " +
+              "no in-JVM codec for other video containers")
+          MediaCounters.videoReads.incrementAndGet(): Unit
+          GifCodec.withReader(r.payload) { reader =>
+            val n = reader.getNumImages(true)
+            require(n >= 1,
+              s"media_id=${r.media_id}: container holds no frames")
+            var durationCs = 0L
+            var i = 0
+            while (i < n) {
+              durationCs += GifCodec.frameDelayCs(reader, i); i += 1
+            }
+            val parts = (0 until n by every)
+              .map(f => (f, 0, ImageDedup.dHash64(reader.read(f))))
+            val hashes = parts.map(_._3).toArray
+            val passes = n >= minFrames && hashes.distinct.length > 1 &&
+              durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
+            (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
+              passes, 0L, parts)
+          }
+        case other => throw new IllegalArgumentException(
+          s"media_id=${r.media_id}: unknown media_type '$other'")
+      }
+    }).toDF("media_id", "media_type", "chash", "passes", "prefer", "parts")
+  }
+
+  /** The composed pipeline with a SHIFT/CROP-TOLERANT leak guard:
+    * stages and labels exactly as [[curate]] — gates, then per-modality
+    * whole-hash near-dup with keep-best survivors — but the
+    * decontamination stage probes at the PART level: a survivor flags
+    * when it shares at least `minShared` near-identical parts (tiles /
+    * windows / frames) with any single eval record of its modality.
+    * This catches the leak classes the whole-hash probe cannot see —
+    * a CROPPED copy of benchmark imagery, a TRIMMED clip of benchmark
+    * audio, a CLIPPED cut of benchmark video — while still paying
+    * exactly ONE decode per record per side: the part hashes ride the
+    * same profile pass ([[profileDeep]]). Eval parts BROADCAST as bands
+    * per modality; corpus parts never shuffle (only band-matched
+    * candidates reach the shared count). Output (media_id, media_type,
+    * stage), PERSISTED — unpersist once consumed. */
+  def curateDeep(media: DataFrame, eval: DataFrame, maxHamming: Int,
+                 minShared: Int = 2, tileW: Int = 16, tileH: Int = 16,
+                 windowFrames: Int = 400, hopFrames: Int = 400,
+                 maxBucket: Long = 100000L, maxEval: Long = 100000L,
+                 every: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val prof = profileDeep(media, tileW = tileW, tileH = tileH,
+      windowFrames = windowFrames, hopFrames = hopFrames, every = every)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prof.count(): Unit // ONE decode per corpus record, all stages reuse
+    val evalProf = profileDeep(eval, tileW = tileW, tileH = tileH,
+      windowFrames = windowFrames, hopFrames = hopFrames, every = every)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      evalProf.count(): Unit // ONE decode per eval record
+      val nEvalParts = evalProf
+        .select(explode(col("parts"))).count()
+      require(nEvalParts <= maxEval,
+        s"eval set hashes $nEvalParts parts > maxEval=$maxEval — a " +
+          "broadcast this size would flood the executors; raise maxEval " +
+          "deliberately")
+      import graft.dedup.HammingBands
+      val stages = Seq("image", "audio", "video").map { m =>
+        val p = prof.filter(col("media_type") === m)
+        val gatedIn = p.filter(col("passes"))
+        val pairs = HammingBands.pairs(
+          gatedIn.select(col("media_id"), col("chash")),
+          "media_id", "chash", maxHamming, maxBucket, s"media-deep-$m")
+          .select(col("id_a"), col("id_b"))
+        val surv = graft.dedup.DupClusters.survivorsBy(
+          gatedIn.select(col("media_id"), col("chash"), col("prefer")),
+          "media_id", pairs, prefer = col("prefer"))
+        // PART-level leak probe: survivor parts vs broadcast eval parts
+        val survParts = p.join(
+          surv.select(col("media_id")), Seq("media_id"), "left_semi")
+          .select(col("media_id"), explode(col("parts")).as("__p"))
+          .select(col("media_id"),
+            struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__k"),
+            col("__p._3").as("__hc"))
+        val evalParts = evalProf.filter(col("media_type") === m)
+          .select(col("media_id").as("__eval_id"),
+            explode(col("parts")).as("__p"))
+          .select(col("__eval_id"),
+            struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__ek"),
+            col("__p._3").as("__he"))
+        val flagged = HammingBands.explodeBands(survParts, "__hc", maxHamming)
+          .join(broadcast(
+            HammingBands.explodeBands(evalParts, "__he", maxHamming)),
+            Seq("band", "value"))
+          .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+          .groupBy(col("media_id"), col("__eval_id"))
+          .agg(countDistinct(struct(col("__k"), col("__ek"))).as("shared"))
+          .filter(col("shared") >= minShared)
+          .select("media_id").distinct()
+        p.select(col("media_id"), col("media_type"), col("passes"))
+          .join(surv.select(col("media_id"), lit(true).as("__surv")),
+            Seq("media_id"), "left")
+          .join(flagged.withColumn("__cont", lit(true)),
+            Seq("media_id"), "left")
+          .select(col("media_id"), col("media_type"),
+            when(!col("passes"), lit("gated"))
+              .when(col("__surv").isNull, lit("dup_dropped"))
+              .when(col("__cont").isNotNull, lit("contaminated"))
+              .otherwise(lit("kept")).as("stage"))
+      }
+      val out = stages.reduce(_ unionByName _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { prof.unpersist(); evalProf.unpersist(); () }
+  }
 }

@@ -1040,6 +1040,135 @@ object Multimodal {
     images.unionByName(audio).unionByName(video)
   }
 
+  /** MIXED-modality fixture for the DEEP (shift/crop-tolerant) composed
+    * pipeline ([[MediaPipeline.curateDeep]]): one image, one audio clip
+    * and one video per doc_id, same gate arithmetic as
+    * [[syntheticMediaPipelineMix]] (`doc_id % 5 == 0` -> defect), but
+    * the duplicate structure is SHIFTED: content is keyed by
+    * (g = doc_id % 20, kind = (doc_id / 20) % 3) where kind 0 is the
+    * base render, kind 1 a CROPPED/TRIMMED/CLIPPED copy (first tile
+    * column / first 400 frames / first video frame removed) and kind 2
+    * a border-EXTENDED / silence-PADDED / frame-extended copy. The three
+    * kinds of a group do NOT share a whole-content hash (each edit
+    * shifts it), but they share every surviving PART — so whole-hash
+    * dedup keeps min id per (g, kind) = g + 20*kind, and an eval set of
+    * kind-1 renders (e.g. doc_ids {21, 22} -> trimmed copies of groups
+    * {1, 2}) leaks into EVERY kind of those groups only through the
+    * part-level probe. Ground truth: stage = gated if doc_id%5=0,
+    * dup_dropped if doc_id>=60, contaminated if the survivor's group is
+    * in the eval set, else kept. */
+  def syntheticMediaPipelineDeepMix(spark: SparkSession,
+                                    docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val ids = docs.select(col("doc_id")).as[Long]
+    def splitmix(parts: Long*): Long = {
+      var z = 0L
+      parts.foreach { p => z = (z + p) * 0x9E3779B97F4A7C15L }
+      z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+      z
+    }
+    val images = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val kind = ((id / 20) % 3).toInt
+      val tile = 16
+      val firstCol = if (!defect && kind == 1) 1 else 0
+      val lastCol = if (!defect && kind == 2) 4 else 3
+      val (w, h) =
+        if (defect) (8, 8) else ((lastCol - firstCol + 1) * tile, 4 * tile)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (defect) (splitmix(id, x.toLong * 64 + y) & 0xffL).toInt
+            else {
+              val tx = firstCol + x / tile // ABSOLUTE base-tile column
+              (splitmix(2L + g, tx.toLong, (y / tile).toLong,
+                (x % tile).toLong * 64 + (y % tile)) & 0xffL).toInt
+            }
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png", s"dm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    val audio = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val kind = ((id / 20) % 3).toInt
+      val rate = 8000
+      val win = 400
+      val freq = 200.0 + g * 50.0
+      // per-(group, window, segment) amplitude steps give every window
+      // its own envelope signature, as the shift fixture does
+      def baseSample(i: Int): Short = {
+        val amp = 4000.0 + 1250.0 *
+          (splitmix(3L + g, (i / win).toLong, ((i % win) / (win / 8)).toLong)
+            & 0x7L)
+        (math.sin(2 * math.Pi * freq * i / rate) * amp).toShort
+      }
+      val frames =
+        if (defect) 200
+        else if (kind == 1) 3 * win // trimmed
+        else if (kind == 2) 5 * win // padded
+        else 4 * win
+      val pcm = new Array[Byte](frames * 2)
+      var j = 0
+      while (j < frames) {
+        val v: Short =
+          if (defect)
+            (math.sin(2 * math.Pi * freq * j / rate) * 14000).toShort
+          else if (kind == 1) baseSample(j + win)
+          else if (kind == 2) { if (j < win) 0 else baseSample(j - win) }
+          else baseSample(j)
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"dm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    val video = ids.mapPartitions(_.map { id =>
+      val defect = id % 5 == 0
+      val g = (id % 20).toInt
+      val kind = ((id / 20) % 3).toInt
+      val firstFrame = if (!defect && kind == 1) 1 else 0 // clipped
+      val lastFrame = if (!defect && kind == 2) 5 else 3 // extended
+      val w = 32
+      val h = 32
+      val frames = (firstFrame to (if (defect) 0 else lastFrame)).map { f =>
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v =
+              if (defect) splitmix(id, 1L + f, x.toLong * 64 + y) & 0xffL
+              else splitmix(4L + g, 1L + f, x.toLong * 64 + y) & 0xffL
+            raster.setSample(x, y, 0, v.toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", s"dm$g")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+    images.unionByName(audio).unionByName(video)
+  }
+
   /** Synthetic animated GIFs with PLANTED quality defects, disjoint by
     * an if-else chain: doc_id % 5 == 0 -> a SINGLE-frame GIF (too few
     * frames — and trivially static); else % 11 == 0 -> a STATIC video

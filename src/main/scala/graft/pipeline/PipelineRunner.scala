@@ -360,13 +360,19 @@ object PipelineRunner {
             case Array("audio", "best", h, win, hop) =>
               graft.multimodal.AudioDedup.survivorsByWindows(
                 df, win.toInt, hop.toInt, h.toInt)
+            // crop-tolerant image clusters: tile-multiple crops and
+            // border extensions re-align through per-tile hashes
+            case Array("image", "crop", h, tw, th) =>
+              graft.multimodal.ImageDedup.cropClusters(
+                df, tw.toInt, th.toInt, h.toInt)
             case other => throw new IllegalArgumentException(
               "mediadedup: wants '<image|audio|video>;exact', " +
                 "'<image|audio|video>;near;<maxHamming>', " +
                 "'image;best;<maxHamming>', 'video;best;<maxHamming>', " +
                 "'video;overlap;<maxHamming>', " +
-                "'audio;shift;<maxHamming>;<windowFrames>;<hopFrames>' or " +
-                "'audio;best;<maxHamming>;<windowFrames>;<hopFrames>', " +
+                "'audio;shift;<maxHamming>;<windowFrames>;<hopFrames>', " +
+                "'audio;best;<maxHamming>;<windowFrames>;<hopFrames>' or " +
+                "'image;crop;<maxHamming>;<tileW>;<tileH>', " +
                 s"got '${other.mkString(";")}'")
           }
         // decoded media as EMBEDDINGS: (media_id, embedding) rows that

@@ -66,6 +66,56 @@ class MediaPipelineSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  private lazy val deepMixed =
+    Multimodal.syntheticMediaPipelineDeepMix(spark, docs)
+  private lazy val deepEval = Multimodal.syntheticMediaPipelineDeepMix(
+    spark, docs.filter(col("doc_id").isin(21L, 22L)))
+  private lazy val expectedDeepStage =
+    when(col("media_id") % 5 === 0, lit("gated"))
+      .when(col("media_id") >= 60, lit("dup_dropped"))
+      .when(pmod(col("media_id"), lit(20L)).isin(1L, 2L),
+        lit("contaminated"))
+      .otherwise(lit("kept"))
+
+  test("curateDeep labels every record; parts catch the shifted eval leaks") {
+    val out = MediaPipeline.curateDeep(deepMixed, deepEval,
+      maxHamming = 3, minShared = 2)
+    try {
+      val wrong = out.filter(col("stage") =!= expectedDeepStage)
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.count() == 3 * docs.count())
+    } finally { out.unpersist(); () }
+    // the gap is REAL: the whole-hash pipeline flags ONLY the corpus
+    // copies carrying the eval's exact edit (kind 1 -> ids 21/22); the
+    // base and opposite-edit renders of groups 1/2 sail through it
+    val shallow = MediaPipeline.curate(deepMixed, deepEval, maxHamming = 3)
+    try {
+      val flagged = shallow.filter(col("stage") === "contaminated")
+        .select("media_id").distinct().as[Long].collect().toSet
+      assert(flagged == Set(21L, 22L),
+        s"whole-hash probe flagged ${flagged.toSeq.sorted.mkString(",")}")
+    } finally { shallow.unpersist(); () }
+  }
+
+  test("curateDeep decodes once per record per modality across all stages") {
+    val sub = docs.filter(col("doc_id") < 120)
+    val dm = Multimodal.syntheticMediaPipelineDeepMix(spark, sub)
+    val n = sub.count()
+    val ci = Multimodal.MediaCounters.imageReads
+    val ca = Multimodal.MediaCounters.audioReads
+    val cv = Multimodal.MediaCounters.videoReads
+    val (bi, ba, bv) = (ci.get(), ca.get(), cv.get())
+    MediaPipeline.curateDeep(dm, deepEval, maxHamming = 3).unpersist()
+    // parts ride the profile decode: gates, whole-hash dedup AND the
+    // part-level probe together still cost one decode per record
+    assert(ci.get() - bi == n + 2,
+      s"images decoded ${ci.get() - bi} times for $n corpus + 2 eval")
+    assert(ca.get() - ba == n + 2,
+      s"audio decoded ${ca.get() - ba} times for $n corpus + 2 eval")
+    assert(cv.get() - bv == n + 2,
+      s"videos decoded ${cv.get() - bv} times for $n corpus + 2 eval")
+  }
+
   test("unknown media_type and oversized eval refuse loudly") {
     val junk = Seq((1L, "text", Array[Byte](1), "t/x", "s"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

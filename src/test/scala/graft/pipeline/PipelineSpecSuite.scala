@@ -729,6 +729,19 @@ class PipelineSpecSuite extends SparkSpec {
       abest.filter(col("n_windows") =!= 4).count() == 0 &&
       abest.filter(col("media_id") >= 10).count() == 0)
 
+    // crop-tolerant image clusters as a hop
+    graft.multimodal.Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(col("doc_id") < 60), groups = 20)
+      .write.parquet(s"$media/crop")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-crop",
+      source = SourceSpec(format = "parquet", path = s"$media/crop"),
+      transformExprs = Seq("mediadedup:image;crop;2;16;16"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/crop"))),
+      "runMmCrop")
+    assert(spark.read.parquet(s"$out/crop").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
