@@ -2476,6 +2476,95 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("stage"))
     }),
 
+    // ROTATION-TOLERANT image dedup (round 16): 90/180-degree turns and
+    // mirrors move the whole-image dHash's gradient field under every
+    // downscale cell and land far away — the 8 dihedral orientation
+    // hashes from ONE decode re-align exactly (D4 closure: a rotated
+    // copy's hash set is a permutation of its base's), so banded pairing
+    // over orientation rows + components pulls base, rot90, rot180 and
+    // mirrored renders (clean and re-encode-noised) into one cluster
+    "q218_image_rotation" -> ((s, dir) => {
+      val rv = Multimodal.syntheticImageRotationVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.ImageDedup.rotationClusters(rv, maxHamming = 3)
+        .select(col("media_id"), col("cluster_id"))
+    }),
+
+    // ROTATION-TOLERANT image decontamination (round 16): eval = ROTATED
+    // (90-degree) renders of groups 0..4 — the plain whole-image probe
+    // (q192's shape) sees nothing; probing the corpus's single dHash
+    // against the broadcast 8-orientation eval fanout must flag every
+    // base, rot180 and mirrored corpus render of those groups, no more
+    "q219_image_rotation_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticImageRotationVariants(
+        s, docs.filter(expr("(doc_id div 20) % 4 != 1")), groups = 20)
+      val eval = Multimodal.syntheticImageRotationVariants(
+        s, docs.filter(expr("(doc_id div 20) % 4 = 1 AND doc_id % 20 < 5")),
+        groups = 20)
+      graft.multimodal.ImageDedup.decontaminateRotations(
+        corpus, eval, maxHamming = 3)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
+    // AUDIO silence-split segmentation (round 16): the audio face of
+    // q220's scene cuts — utterance boundaries at silent energy windows
+    // from ONE real PCM decode per clip. Planted structure: 1 + id % 4
+    // two-window utterances separated by one silent window
+    "q223_audio_segments" -> ((s, dir) => {
+      val sv = Multimodal.syntheticAudioSegmentVariants(
+        s, t(s, dir, "documents"))
+      graft.multimodal.AudioScenes.segments(sv, windowFrames = 400)
+        .select(col("media_id"), col("segment_idx"), col("start_window"),
+          col("n_windows"))
+    }),
+
+    // PAIRED image-caption curation (round 16): the LAION/DataComp crawl
+    // shape — caption gate (NO decode paid for failing pairs) -> decoded
+    // image quality gates -> keep-best-resolution perceptual dedup among
+    // gate survivors; every pair labeled with the stage that decided it.
+    // All arithmetic: captions gate at n_chars < 200, image defects at
+    // doc_id % 5 = 0, survivors = best-resolution min-id member of each
+    // planted texture group among pairs passing BOTH gates
+    "q222_paired_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val imgs = Multimodal.syntheticMediaPipelineMix(s, docs)
+        .filter(col("media_type") === "image")
+      graft.multimodal.PairedCuration.curate(
+        imgs, docs, minCaptionChars = 200L, maxHamming = 3)
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
+    // MEDIA leakage-safe split (round 16): the multimodal face of q174 —
+    // split by PERCEPTUAL duplicate cluster (banded dHash near-dup
+    // components), so a benchmark image and its re-encoded near-copy can
+    // never straddle the train/eval cut; the split is the banded
+    // portable hash OF THE CLUSTER id, which DuckDB recomputes exactly.
+    // In-query gate: the leakage audit must come back empty
+    "q221_media_leaksafe_split" -> ((s, dir) => {
+      val imgs = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+      val assigned = graft.multimodal.MediaSplit.byPerceptualCluster(
+        imgs, "image", maxHamming = 3,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      require(graft.text.LeakSafeSplit.leakage(assigned, "cluster_id")
+        .isEmpty, "media leak-safe split straddled a perceptual cluster")
+      assigned.select(col("media_id"), col("cluster_id"), col("split"))
+    }),
+
+    // VIDEO scene-cut detection (round 16): shot boundaries = consecutive
+    // sampled-frame dHashes more than maxHamming bits apart, from ONE
+    // real container decode per video — the content-balanced frame
+    // sampler's segmentation pass. Planted structure: 1 + id % 4 scenes
+    // of 2 frames each (within-scene frames identical up to re-encode
+    // noise, consecutive scenes random-far)
+    "q220_video_scenes" -> ((s, dir) => {
+      val sv = Multimodal.syntheticGifSceneVariants(s, t(s, dir, "documents"))
+      graft.multimodal.VideoScenes.scenes(sv, maxHamming = 8)
+        .select(col("media_id"), col("scene_idx"), col("start_frame"),
+          col("scene_frames"))
+    }),
+
     // CROP-TOLERANT image dedup (round 16): cropped (first tile column
     // removed) and border-extended copies shift the whole-image dHash's
     // downscale grid and land far away — tile-level banded pairing with
@@ -4822,6 +4911,58 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // 1 + id % 4 utterances of 2 windows each: segment s starts at
+    // window 3*s (2 content + 1 silent gap per cycle)
+    "q223_audio_segments" ->
+      ("SELECT doc_id AS media_id, s.s::INT AS segment_idx, " +
+        "(3*s.s)::INT AS start_window, 2::INT AS n_windows " +
+        "FROM documents JOIN (SELECT * FROM generate_series(0,3) s(s)) s " +
+        "ON s.s <= doc_id % 4"),
+    // caption gate first (n_chars < 200), then the planted image-defect
+    // chain (% 5), then keep-best: per texture group the highest-
+    // resolution gate-survivor with the smallest id is kept (base
+    // renders are 36x32 = 1152 px on even id/20 cycles, 18x16 = 288
+    // otherwise); everyone else in the cluster drops
+    "q222_paired_curation" ->
+      ("WITH s AS (SELECT doc_id, n_chars < 200 AS cap_g, " +
+        "doc_id % 5 = 0 AS img_def, " +
+        "CASE WHEN (doc_id // 20) % 2 = 0 THEN 1152 ELSE 288 END AS res " +
+        "FROM documents), " +
+        "surv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 20 ORDER BY res DESC, doc_id ASC) AS rk " +
+        "FROM s WHERE NOT cap_g AND NOT img_def) " +
+        "SELECT s.doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN s.cap_g THEN 'caption_gated' " +
+        "WHEN s.img_def THEN 'media_gated' " +
+        "WHEN surv.rk = 1 THEN 'kept' ELSE 'dup_dropped' END AS stage " +
+        "FROM s LEFT JOIN surv ON s.doc_id = surv.doc_id"),
+    // perceptual clusters = doc_id % 25 (the planted image groups), and
+    // the split is the banded portable hash OF THE CLUSTER id — a per-
+    // item (leaky) assignment hash-mismatches
+    "q221_media_leaksafe_split" ->
+      ("SELECT doc_id AS media_id, cluster_id, " +
+        "CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM " +
+        "(SELECT doc_id, (doc_id % 25)::BIGINT AS cluster_id, " +
+        "('0x' || substr(md5(CAST(doc_id % 25 AS VARCHAR)),1,15))" +
+        "::BIGINT % 100 AS h FROM documents)"),
+    // 1 + id % 4 scenes of 2 frames each: scene s starts at frame 2*s
+    "q220_video_scenes" ->
+      ("SELECT doc_id AS media_id, s.s::INT AS scene_idx, " +
+        "(2*s.s)::INT AS start_frame, 2::INT AS scene_frames " +
+        "FROM documents JOIN (SELECT * FROM generate_series(0,3) s(s)) s " +
+        "ON s.s <= doc_id % 4"),
+    // base, rot90, rot180 and mirrored renders share orientation hashes
+    // (D4 closure); min member id per group is the base id itself
+    "q218_image_rotation" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS cluster_id " +
+        "FROM documents"),
+    // eval = rot90 renders of groups 0..4; every base, rot180 and
+    // mirrored corpus render of those groups matches one of the eval
+    // set's 8 orientation hashes
+    "q219_image_rotation_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents WHERE (doc_id // 20) % 4 <> 1"),
     // base, cropped and border-extended renders share >= 4 pixel-
     // identical tiles; min member id per group is the base id itself
     "q214_image_crop" ->

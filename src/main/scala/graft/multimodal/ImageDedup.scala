@@ -85,6 +85,201 @@ object ImageDedup {
     out
   }
 
+  /** The 8 dihedral (D4) orientation dHashes of ONE decoded image —
+    * `orient = rot | (mirror << 2)` with rot 0..3 clockwise quarter-turns
+    * and mirror a horizontal flip applied in the rotated frame — computed
+    * by COORDINATE REMAP over a single luminance plane: no rotated pixel
+    * copies are allocated and the payload decodes once. D4 is a group, so
+    * the hash SET of any rotated/mirrored copy is a permutation of the
+    * original's — orientation-hash matching is rotation/flip-INVARIANT,
+    * the duplicate class the whole-image dHash cannot see (the gradient
+    * field turns under every downscale cell). Index 0 IS [[dHash64]]. */
+  private[multimodal] def dHashDihedral(
+      img: java.awt.image.BufferedImage): Array[Long] = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val lum = new Array[Int](sw * sh)
+    var i = 0
+    var yy = 0
+    while (yy < sh) {
+      var xx = 0
+      while (xx < sw) {
+        val rgb = img.getRGB(xx, yy)
+        lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        i += 1
+        xx += 1
+      }
+      yy += 1
+    }
+    Array.tabulate(8)(o => dHashRemap(lum, sw, sh, o))
+  }
+
+  /** dHash of the o-th dihedral transform via index remap — the same
+    * 9x8 integer area-average as [[dHash64]], iterated in the TARGET
+    * orientation's coordinate frame. */
+  private def dHashRemap(lum: Array[Int], sw: Int, sh: Int, o: Int): Long = {
+    val rot = o & 3
+    val mirror = (o & 4) != 0
+    val tw = if (rot % 2 == 1) sh else sw
+    val th = if (rot % 2 == 1) sw else sh
+    def src(x0: Int, y: Int): Int = {
+      val x = if (mirror) tw - 1 - x0 else x0
+      rot match {
+        case 0 => y * sw + x
+        case 1 => (sh - 1 - x) * sw + y // 90 CW: target (x,y) <- S(y, sh-1-x)
+        case 2 => (sh - 1 - y) * sw + (sw - 1 - x)
+        case _ => x * sw + (sw - 1 - y) // 270 CW: target (x,y) <- S(sw-1-y, x)
+      }
+    }
+    val gray = Array.ofDim[Int](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * th / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * th / 8)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * tw / 9
+        val x1 = math.max(x0 + 1, (cx + 1) * tw / 9)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += lum(src(x, y)); x += 1 }
+          y += 1
+        }
+        gray(cy)(cx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Map-only ORIENTATION hash pass: 8 rows per image — (media_id,
+    * orient, ohash), one per dihedral orientation — from ONE decode.
+    * Fixed 8x row fanout (128 bytes/image), so banding over it stays a
+    * linear equi-join; the rotation-tolerant analogue of the tile/window
+    * passes' bounded part fanout. */
+  def hashOrientations(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: orientation hashing over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      dHashDihedral(img).iterator.zipWithIndex.map { case (h, o) =>
+        (r.media_id, o, h)
+      }
+    }).toDF("media_id", "orient", "ohash")
+  }
+
+  /** Map-only CANONICAL hash pass: (media_id, chash) where chash is the
+    * unsigned-minimum of the 8 orientation hashes — identical for every
+    * pixel-exact rotation/mirror of the same content, so EXACT
+    * orientation-invariant dedup is one groupBy. (Near-dup matching must
+    * go through [[hashOrientations]]: noise can flip WHICH orientation
+    * attains the minimum, teleporting the canonical hash.) */
+  def hashCanonical(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: orientation hashing over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      (r.media_id, dHashDihedral(img).reduce((a, b) =>
+        if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b))
+    }).toDF("media_id", "chash")
+  }
+
+  /** EXACT rotation/flip-invariant dedup: every image labeled with its
+    * canonical-hash group's representative (min media_id) — the
+    * [[exactGroups]] shape over the orientation-invariant fingerprint. */
+  def canonicalGroups(media: DataFrame): DataFrame =
+    hashCanonical(media).withColumn("group_rep",
+      min(col("media_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chash"))))
+      .select("media_id", "chash", "group_rep")
+
+  /** ROTATION-TOLERANT near-dup clusters: two images pair when ANY of
+    * their orientation hashes lie within `maxHamming` (a rotated copy's
+    * hash set is a permutation of its base's, so the aligned pair always
+    * exists); connected components label every input. Banding runs over
+    * the 8-rows-per-image orientation frame through the shared
+    * [[graft.dedup.HammingBands]] path — still an equi-join, never
+    * all-pairs. ONE decode per image per job; output (media_id,
+    * cluster_id) is PERSISTED — unpersist once consumed. */
+  def rotationClusters(media: DataFrame, maxHamming: Int,
+                       maxBucket: Long = 100000L): DataFrame = {
+    val h = hashOrientations(media).persist(StorageLevel.MEMORY_AND_DISK)
+    h.count(): Unit // materialize: the decode pass runs exactly once
+    try {
+      val oids = h.select(
+        struct(col("media_id"), col("orient")).as("oid"), col("ohash"))
+      val edges = graft.dedup.HammingBands.pairs(
+        oids, "oid", "ohash", maxHamming, maxBucket, "image-rotation")
+        .select(col("id_a.media_id").as("ia"), col("id_b.media_id").as("ib"))
+        .filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"))
+        .distinct()
+      val out = graft.dedup.DupClusters.resolve(
+        media.select(col("media_id")), "media_id", edges)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { h.unpersist(); () }
+  }
+
+  /** ROTATION-TOLERANT decontamination: flag every corpus image whose
+    * plain dHash lies within `maxHamming` of ANY ORIENTATION of any eval
+    * image — a rotated or mirrored re-upload of benchmark imagery is
+    * caught without expanding the corpus side at all (ONE hash row per
+    * corpus image; the bounded eval side carries the 8x orientation
+    * fanout and BROADCASTS). Corpus never shuffles. Output (media_id,
+    * contaminated) for every corpus image; PERSISTED — unpersist once
+    * consumed. */
+  def decontaminateRotations(corpus: DataFrame, eval: DataFrame,
+                             maxHamming: Int,
+                             maxEval: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalH = hashOrientations(eval)
+      .select(col("media_id"), col("ohash").as("dhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's hash frame
+      val nEvalRows = evalH.count() // also materializes: eval decodes once
+      require(nEvalRows <= maxEval,
+        s"eval set hashes $nEvalRows orientation rows > maxEval=$maxEval — " +
+          "a broadcast this size would flood the executors; raise maxEval " +
+          "deliberately")
+      val corpusH = hashImages(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+      corpusH.count(): Unit
+      try {
+        val out = graft.dedup.HammingBands.decontaminateProbe(
+          corpusH, evalH, "media_id", "dhash", maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusH.unpersist(); () }
+    } finally { evalH.unpersist(); () }
+  }
+
   /** Map-only hash pass: (media_id, dhash) with one decode per record,
     * decoder machinery initialized per partition. Non-image or
     * undecodable payloads refuse loudly — a silently skipped image is a

@@ -789,6 +789,57 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with planted ROTATION/FLIP-variant duplicate
+    * groups — the fixture for orientation-tolerant dedup: content is a
+    * per-base splitmix texture on a 32x32 SQUARE canvas (rotations keep
+    * the dims), and `kind = (doc_id / groups) % 4` renders 0 = the base;
+    * 1 = rotated 90 deg clockwise; 2 = rotated 180; 3 = mirrored
+    * horizontally — each a pixel-EXACT dihedral transform, so the copy's
+    * orientation-hash SET is a permutation of the base's. Every other
+    * cycle of kinds (`(doc_id / (4*groups)) % 2 == 1`) additionally
+    * carries the faint sparse brightness mask (re-encode noise), keeping
+    * near-dup matching honest. The whole-image dHash of a rotated copy
+    * lands FAR from its base (the gradient field turns under every
+    * cell); orientation hashes re-align exactly. Ground truth:
+    * group = doc_id % groups, its min id = the group index. */
+  def syntheticImageRotationVariants(spark: SparkSession, docs: DataFrame,
+                                     groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val kind = ((id / groups) % 4).toInt
+      val perturbed = (id / (4L * groups)) % 2 == 1
+      val n = 32
+      val img = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < n) {
+        var x = 0
+        while (x < n) {
+          // source coordinate in the BASE texture's frame: kind 1 is the
+          // inverse-of-90-CW remap (target (x,y) reads base (y, n-1-x)),
+          // kind 2 the 180 remap, kind 3 the horizontal mirror
+          val (sx, sy) = kind match {
+            case 1 => (y, n - 1 - x)
+            case 2 => (n - 1 - x, n - 1 - y)
+            case 3 => (n - 1 - x, y)
+            case _ => (x, y)
+          }
+          var z = base.toLong * 0x9E3779B97F4A7C15L +
+            sx * 0xC2B2AE3D27D4EB4FL + sy * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          var g = (z & 0xffL).toInt
+          if (perturbed && (x + y) % 5 == 0) g = math.min(255, g + 2)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png",
+        s"ogrp$base-k$kind")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** A gray-palette INDEXED image: the GIF writer stores it without any
     * color quantization pass (the palette IS the 256 grays), writes are
     * direct index sets, and decode returns exactly (g, g, g) — the fast
@@ -846,6 +897,90 @@ object Multimodal {
       }
       (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
         "image/gif", s"vgrp$base")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic animated GIFs with PLANTED scene structure — the fixture
+    * for shot-boundary detection: `1 + doc_id % 4` scenes of 2 frames
+    * each, frame texture keyed by (doc_id, scene) so frames WITHIN a
+    * scene are pixel-identical (or carry only the faint sparse mask on
+    * odd ids — re-compression noise, a couple of dHash bits) while
+    * consecutive scenes are independent textures (random-far dHashes).
+    * Ground truth: scene s of video id starts at frame 2*s and holds 2
+    * frames. */
+  def syntheticGifSceneVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val scenes = 1 + (id % 4).toInt
+      val noisy = id % 2 == 1
+      val w = 32
+      val h = 32
+      val frames = (0 until scenes * 2).map { f =>
+        val s = f / 2
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var z = id * 0x9E3779B97F4A7C15L + s * 0xD6E8FEB86659FD93L +
+              x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            var g = (z & 0xffL).toInt
+            if (noisy && f % 2 == 1 && (x + y) % 5 == 0)
+              g = math.min(255, g + 2)
+            raster.setSample(x, y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
+        "image/gif", s"scn$scenes")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic audio with PLANTED utterance structure — the fixture for
+    * silence-split segmentation: `1 + doc_id % 4` segments of 2 content
+    * windows (400 frames each, tone amplitude keyed by (doc_id, segment))
+    * separated by exactly one SILENT window; no trailing silence.
+    * Ground truth: segment s of clip id starts at window 3*s and holds
+    * 2 windows. */
+  def syntheticAudioSegmentVariants(spark: SparkSession,
+                                    docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nseg = 1 + (id % 4).toInt
+      val win = 400
+      val rate = 8000
+      val frames = (3 * nseg - 1) * win
+      val freq = 200.0 + (id % 20) * 50.0
+      val pcm = new Array[Byte](frames * 2)
+      var j = 0
+      while (j < frames) {
+        val w = j / win
+        val v: Short =
+          if (w % 3 == 2) 0 // the gap window between segments
+          else {
+            val s = w / 3
+            var z = id * 0x9E3779B97F4A7C15L + s * 0xD6E8FEB86659FD93L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            val amp = 4000.0 + 1250.0 * (z & 0x7L)
+            (math.sin(2 * math.Pi * freq * j / rate) * amp).toShort
+          }
+        pcm(2 * j) = (v & 0xff).toByte
+        pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+        j += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+        true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      (id, "audio", bos.toByteArray, "audio/wav", s"useg$nseg")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

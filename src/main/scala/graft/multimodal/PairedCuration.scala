@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PAIRED media-text curation — the crawl shape behind image-caption
+  * training sets (LAION/DataComp-style): a pair survives only if its
+  * CAPTION passes the cheap text gate, its MEDIA passes the decoded
+  * quality gates, and its perceptual near-dup cluster (among
+  * gate-survivors) elects it the keep-best member. Every input pair is
+  * labeled with the stage that decided its fate.
+  *
+  * Stage order is the COST order, and that is the scale argument:
+  * caption gating needs no decode, so pairs whose caption already fails
+  * never pay the media decode at all — at crawl scale most drops are
+  * caption drops, and the decode (the job's dominant cost) runs only on
+  * the caption-surviving minority, exactly once ([[MediaPipeline.profile]]
+  * emits gates + fingerprint + keep-best preference in ONE pass).
+  * Dedup rides the shared banded pairing over 8-byte hash rows; payloads
+  * never shuffle.
+  */
+object PairedCuration {
+
+  /** Label every (media, caption) pair: `caption_gated` (caption shorter
+    * than `minCaptionChars` — decided WITHOUT decoding), `media_gated`
+    * (failed its modality's decoded quality gates), `dup_dropped` (lost
+    * its near-dup cluster to a better/earlier gate-survivor — keep-best
+    * resolution for images, min id elsewhere), or `kept`. Pairs join on
+    * `media_id == capIdCol`; media rows with no caption row are not
+    * pairs and do not appear. Output (media_id, media_type, stage),
+    * PERSISTED — unpersist once consumed. */
+  def curate(media: DataFrame, captions: DataFrame, minCaptionChars: Long,
+             maxHamming: Int, maxBucket: Long = 100000L,
+             capIdCol: String = "doc_id",
+             capLenCol: String = "n_chars"): DataFrame = {
+    require(minCaptionChars >= 0,
+      s"minCaptionChars=$minCaptionChars must be >= 0")
+    val cap = captions.select(col(capIdCol).as("media_id"),
+      coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len"))
+    val paired = media.join(cap, Seq("media_id"))
+    // the decode pass runs ONLY on caption-surviving pairs — the gate
+    // order is the cost order
+    val prof = MediaPipeline.profile(
+      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prof.count(): Unit // ONE decode per caption-surviving pair
+    try {
+      val gatedIn = prof.filter(col("passes"))
+      val pairs = graft.dedup.HammingBands.pairs(
+        gatedIn.select(col("media_id"), col("chash")),
+        "media_id", "chash", maxHamming, maxBucket, "paired-curation")
+        .select(col("id_a"), col("id_b"))
+      val surv = graft.dedup.DupClusters.survivorsBy(
+        gatedIn.select(col("media_id"), col("chash"), col("prefer")),
+        "media_id", pairs, prefer = col("prefer"))
+      val out = paired.select(col("media_id"), col("media_type"),
+        (col("__cap_len") < minCaptionChars).as("__cap_g"))
+        .join(prof.select(col("media_id"), col("passes")),
+          Seq("media_id"), "left")
+        .join(surv.select(col("media_id"), lit(true).as("__surv")),
+          Seq("media_id"), "left")
+        .select(col("media_id"), col("media_type"),
+          when(col("__cap_g"), lit("caption_gated"))
+            .when(!col("passes"), lit("media_gated"))
+            .when(col("__surv").isNull, lit("dup_dropped"))
+            .otherwise(lit("kept")).as("stage"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { prof.unpersist(); () }
+  }
+
+  /** The paired run's data card: pairs per (modality, stage) — one
+    * aggregate over the stage frame, nothing re-decodes. */
+  def card(stages: DataFrame): DataFrame =
+    stages.groupBy("media_type", "stage").agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Multimodal.{GifCodec, MediaCounters, MediaRecord}
+
+/** SCENE-CUT detection over REAL decoded video frames — the video
+  * segmentation pass a frame-sampling training pipeline runs before
+  * choosing which frames to keep: uniform sampling over-represents long
+  * static scenes and misses short ones entirely; sampling one keyframe
+  * per SCENE is content-balanced. A scene boundary is a consecutive
+  * frame pair whose dHashes differ by more than `maxHamming` bits (hard
+  * cut); within-scene re-compression noise moves a frame hash by only a
+  * couple of bits, the same tolerance the dedup faces use.
+  *
+  * Scale shape: map-only — one container decode per video per job, frame
+  * hashes compared in decode order inside the partition, a bounded
+  * handful of scene rows out per video. Nothing shuffles; at 100 TB of
+  * video the job cost IS the single decode pass, identical to
+  * [[VideoDedup]]'s. Reference scope: the reference has no media
+  * operators at all (it is a data-integration framework); this face
+  * implements the standard shot-boundary-by-frame-distance construction
+  * on Spark.
+  */
+object VideoScenes {
+
+  /** Decode once, dHash every `every`-th frame in order. */
+  private def frameHashes(payload: Array[Byte], every: Int): Array[Long] = {
+    require(every >= 1, s"every=$every must be >= 1")
+    require(GifCodec.isGif(payload),
+      "payload is not an animated GIF — no in-JVM codec for other " +
+        "video containers")
+    MediaCounters.videoReads.incrementAndGet(): Unit
+    GifCodec.withReader(payload) { reader =>
+      val n = reader.getNumImages(true)
+      require(n >= 1, "GIF container holds no frames")
+      Iterator.range(0, n, every)
+        .map(i => ImageDedup.dHash64(reader.read(i))).toArray
+    }
+  }
+
+  /** One row per detected scene: (media_id, scene_idx, start_frame,
+    * scene_frames) — frame indices in SAMPLED units (multiply by `every`
+    * for container frame numbers when subsampling). Every video emits at
+    * least one scene. Non-video payloads refuse loudly. */
+  def scenes(media: DataFrame, maxHamming: Int = 8,
+             every: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming $maxHamming not in [0,32]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: scene detection over ${r.media_type}")
+      val hs = frameHashes(r.payload, every)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Int)]
+      var sceneIdx = 0
+      var start = 0
+      var i = 1
+      while (i < hs.length) {
+        if (java.lang.Long.bitCount(hs(i) ^ hs(i - 1)) > maxHamming) {
+          out += ((r.media_id, sceneIdx, start, i - start))
+          sceneIdx += 1
+          start = i
+        }
+        i += 1
+      }
+      out += ((r.media_id, sceneIdx, start, hs.length - start))
+      out.iterator
+    }).toDF("media_id", "scene_idx", "start_frame", "scene_frames")
+  }
+
+  /** Per-video scene card: (media_id, n_frames, n_scenes,
+    * max_scene_frames) from the SAME single-decode pass shape — the
+    * volume view (a static banner = 1 scene; a slideshow = n_frames
+    * scenes) feeding sampling-rate decisions. */
+  def sceneCard(media: DataFrame, maxHamming: Int = 8,
+                every: Int = 1): DataFrame =
+    scenes(media, maxHamming, every)
+      .groupBy("media_id")
+      .agg((max(col("start_frame") + col("scene_frames"))).as("n_frames"),
+        count("*").cast("long").as("n_scenes"),
+        max("scene_frames").cast("long").as("max_scene_frames"))
+
+  /** KEYFRAME selection: the first frame index of every scene — the
+    * content-balanced sampling set (one representative per scene instead
+    * of every `k`-th frame). Output (media_id, frame_idx), ready for
+    * [[Multimodal.sampleGifFrames]]-style extraction. */
+  def keyframes(media: DataFrame, maxHamming: Int = 8,
+                every: Int = 1): DataFrame =
+    scenes(media, maxHamming, every)
+      .select(col("media_id"), col("start_frame").as("frame_idx"))
+}

@@ -365,14 +365,19 @@ object PipelineRunner {
             case Array("image", "crop", h, tw, th) =>
               graft.multimodal.ImageDedup.cropClusters(
                 df, tw.toInt, th.toInt, h.toInt)
+            // rotation/flip-tolerant image clusters: dihedral copies
+            // re-align through the 8-orientation hash set
+            case Array("image", "rot", h) =>
+              graft.multimodal.ImageDedup.rotationClusters(df, h.toInt)
             case other => throw new IllegalArgumentException(
               "mediadedup: wants '<image|audio|video>;exact', " +
                 "'<image|audio|video>;near;<maxHamming>', " +
                 "'image;best;<maxHamming>', 'video;best;<maxHamming>', " +
                 "'video;overlap;<maxHamming>', " +
                 "'audio;shift;<maxHamming>;<windowFrames>;<hopFrames>', " +
-                "'audio;best;<maxHamming>;<windowFrames>;<hopFrames>' or " +
-                "'image;crop;<maxHamming>;<tileW>;<tileH>', " +
+                "'audio;best;<maxHamming>;<windowFrames>;<hopFrames>', " +
+                "'image;crop;<maxHamming>;<tileW>;<tileH>' or " +
+                "'image;rot;<maxHamming>', " +
                 s"got '${other.mkString(";")}'")
           }
         // decoded media as EMBEDDINGS: (media_id, embedding) rows that
@@ -409,6 +414,35 @@ object PipelineRunner {
           val parts = spec2.split(';').map(_.trim)
           val dim = if (parts.length > 1) parts(1).toInt else 8
           graft.multimodal.Multimodal.sampleGifFrames(df, parts(0).toInt, dim)
+        // shot-boundary detection over real decoded frames: one row per
+        // scene (the content-balanced frame sampler's segmentation)
+        case Array("videoscenes", spec2) => // maxHamming[;every]
+          val parts = spec2.split(';').map(_.trim)
+          graft.multimodal.VideoScenes.scenes(df, parts(0).toInt,
+            if (parts.length > 1) parts(1).toInt else 1)
+        // silence-split utterance segmentation over real decoded PCM:
+        // one row per segment (the energy-VAD packing unit)
+        case Array("audiosegments", spec2) => // windowFrames[;minMeanAbs]
+          val parts = spec2.split(';').map(_.trim)
+          graft.multimodal.AudioScenes.segments(df, parts(0).toInt,
+            if (parts.length > 1) parts(1).toLong else 100L)
+        // leakage-safe split by PERCEPTUAL cluster: label:width bands
+        // over the banded portable hash of the near-dup cluster id
+        case Array("mediasplit", spec2) =>
+          // <image|audio|video>;<maxHamming>;label:width[,label:width...]
+          spec2.split(';').map(_.trim) match {
+            case Array(modality, h, bandSpec) =>
+              val bands = bandSpec.split(',').map(_.trim).map { b =>
+                val i = b.indexOf(':')
+                require(i > 0, s"mediasplit band is not label:width: '$b'")
+                b.substring(0, i) -> b.substring(i + 1).toInt
+              }.toSeq
+              graft.multimodal.MediaSplit.byPerceptualCluster(
+                df, modality, h.toInt, bands)
+            case other => throw new IllegalArgumentException(
+              "mediasplit: wants '<image|audio|video>;<maxHamming>;" +
+                s"label:width[,label:width...]', got '${other.mkString(";")}'")
+          }
         // field-level crypto in the converter chain — the reference's
         // encryption IS a converter (gobblin-crypto EncryptionFactory);
         // keys load once on the driver from a JSON credential store,

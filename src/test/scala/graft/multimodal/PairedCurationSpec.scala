@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class PairedCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val images =
+    Multimodal.syntheticMediaPipelineMix(spark, docs)
+      .filter(col("media_type") === "image")
+
+  test("pair stages: caption gate, image gate, keep-best dedup, kept") {
+    val out = PairedCuration.curate(images, docs,
+      minCaptionChars = 200L, maxHamming = 3).persist()
+    try {
+      assert(out.count() == docs.count())
+      // recompute the expected stage with doc arithmetic: caption gate
+      // first, then the planted defect chain, then keep-best-resolution
+      // (res 1152 on even id/20 cycles, 288 odd) among survivors of both
+      val s = docs.select(col("doc_id").as("media_id"),
+        (col("n_chars") < 200).as("cap_g"),
+        (col("doc_id") % 5 === 0).as("img_def"),
+        when(expr("(doc_id div 20) % 2 = 0"), lit(1152))
+          .otherwise(lit(288)).as("res"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("media_id"), lit(20L)))
+        .orderBy(col("res").desc, col("media_id").asc)
+      val surv = s.filter(!col("cap_g") && !col("img_def"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).select(col("media_id"))
+      val want = s.join(surv.withColumn("__k", lit(true)),
+        Seq("media_id"), "left")
+        .select(col("media_id"),
+          when(col("cap_g"), lit("caption_gated"))
+            .when(col("img_def"), lit("media_gated"))
+            .when(col("__k").isNotNull, lit("kept"))
+            .otherwise(lit("dup_dropped")).as("want"))
+      val wrong = out.join(want, "media_id")
+        .filter(col("stage") =!= col("want"))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // the card partitions the corpus
+      assert(PairedCuration.card(out).agg(sum("n")).as[Long].head() ==
+        docs.count())
+    } finally { out.unpersist(); () }
+  }
+
+  test("caption-gated pairs never pay the decode; survivors decode once") {
+    val nCapOk = docs.filter(col("n_chars") >= 200).count()
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    PairedCuration.curate(images, docs,
+      minCaptionChars = 200L, maxHamming = 3).unpersist()
+    assert(c.get() - before == nCapOk,
+      s"curate decoded ${c.get() - before} images for $nCapOk " +
+        "caption-surviving pairs")
+  }
+
+  test("media rows without a caption row are not pairs") {
+    val out = PairedCuration.curate(images,
+      docs.filter(col("doc_id") < 100),
+      minCaptionChars = 0L, maxHamming = 3)
+    try assert(out.count() == 100)
+    finally { out.unpersist(); () }
+  }
+}

@@ -742,6 +742,64 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spark.read.parquet(s"$out/crop").filter(
       col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
 
+    // rotation-tolerant image clusters as a hop
+    graft.multimodal.Multimodal.syntheticImageRotationVariants(spark,
+      docs.filter(col("doc_id") < 80), groups = 20)
+      .write.parquet(s"$media/rot")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-rot",
+      source = SourceSpec(format = "parquet", path = s"$media/rot"),
+      transformExprs = Seq("mediadedup:image;rot;2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/rot"))),
+      "runMmRot")
+    assert(spark.read.parquet(s"$out/rot").filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
+    // videoscenes: shot-boundary rows as a hop
+    graft.multimodal.Multimodal.syntheticGifSceneVariants(spark,
+      docs.filter(col("doc_id") < 40))
+      .write.parquet(s"$media/scenes")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-scenes",
+      source = SourceSpec(format = "parquet", path = s"$media/scenes"),
+      transformExprs = Seq("videoscenes:8"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/scenes"))),
+      "runMmScenes")
+    assert(spark.read.parquet(s"$out/scenes").filter(
+      col("start_frame") =!= col("scene_idx") * 2 ||
+        col("scene_frames") =!= 2).count() == 0)
+
+    // audiosegments: utterance rows as a hop
+    graft.multimodal.Multimodal.syntheticAudioSegmentVariants(spark,
+      docs.filter(col("doc_id") < 40))
+      .write.parquet(s"$media/useg")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-useg",
+      source = SourceSpec(format = "parquet", path = s"$media/useg"),
+      transformExprs = Seq("audiosegments:400"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/useg"))),
+      "runMmUseg")
+    assert(spark.read.parquet(s"$out/useg").filter(
+      col("start_window") =!= col("segment_idx") * 3 ||
+        col("n_windows") =!= 2).count() == 0)
+
+    // mediasplit: leak-safe perceptual-cluster split as a hop (the
+    // variants fixture plants near-dups under the PLAIN dHash the split
+    // keys on — the rotation fixture's members are deliberately far)
+    graft.multimodal.Multimodal.syntheticImageVariants(spark,
+      docs.filter(col("doc_id") < 100), groups = 20)
+      .write.parquet(s"$media/vsplit")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-split",
+      source = SourceSpec(format = "parquet", path = s"$media/vsplit"),
+      transformExprs = Seq("mediasplit:image;3;train:80,val:10,test:10"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/msplit"))),
+      "runMmSplit")
+    val msplit = spark.read.parquet(s"$out/msplit")
+    assert(msplit.filter(
+      col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+    assert(graft.text.LeakSafeSplit.leakage(msplit, "cluster_id").isEmpty)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
