@@ -2507,6 +2507,24 @@ object SparkEntry {
         .select(col("media_id"), col("contaminated"))
     }),
 
+    // PAIRED curation with EVAL decontamination (round 16): the complete
+    // LAION shape — q222's stages plus a bounded broadcast eval probe
+    // against the dedup SURVIVORS (a benchmark image leaking into the
+    // pair corpus flags as 'contaminated' instead of shipping as 'kept');
+    // eval = the clean base renders of texture groups {1, 2}
+    "q224_paired_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val imgs = Multimodal.syntheticMediaPipelineMix(s, docs)
+        .filter(col("media_type") === "image")
+      val eval = Multimodal.syntheticMediaPipelineMix(
+        s, docs.filter(col("doc_id").isin(1L, 2L)))
+        .filter(col("media_type") === "image")
+      graft.multimodal.PairedCuration.curate(
+        imgs, docs, minCaptionChars = 200L, maxHamming = 3,
+        evalMedia = Some(eval))
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // AUDIO silence-split segmentation (round 16): the audio face of
     // q220's scene cuts — utterance boundaries at silent energy windows
     // from ONE real PCM decode per clip. Planted structure: 1 + id % 4
@@ -4911,6 +4929,22 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // q222's stage arithmetic plus: survivors of the eval groups {1, 2}
+    // flag contaminated instead of kept
+    "q224_paired_decontaminated" ->
+      ("WITH s AS (SELECT doc_id, n_chars < 200 AS cap_g, " +
+        "doc_id % 5 = 0 AS img_def, " +
+        "CASE WHEN (doc_id // 20) % 2 = 0 THEN 1152 ELSE 288 END AS res " +
+        "FROM documents), " +
+        "surv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 20 ORDER BY res DESC, doc_id ASC) AS rk " +
+        "FROM s WHERE NOT cap_g AND NOT img_def) " +
+        "SELECT s.doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN s.cap_g THEN 'caption_gated' " +
+        "WHEN s.img_def THEN 'media_gated' " +
+        "WHEN surv.rk = 1 AND s.doc_id % 20 IN (1, 2) THEN 'contaminated' " +
+        "WHEN surv.rk = 1 THEN 'kept' ELSE 'dup_dropped' END AS stage " +
+        "FROM s LEFT JOIN surv ON s.doc_id = surv.doc_id"),
     // 1 + id % 4 utterances of 2 windows each: segment s starts at
     // window 3*s (2 content + 1 silent gap per cycle)
     "q223_audio_segments" ->

