@@ -2507,6 +2507,29 @@ object SparkEntry {
         .select(col("media_id"), col("contaminated"))
     }),
 
+    // BYTE-exact media dedup (round 16): the first crawl dedup pass —
+    // identical files collapse on a payload SHA-256 with ZERO decodes
+    // (decode is the pipeline's dominant cost; the perceptual faces then
+    // pay it only for byte-distinct survivors). Planted: payload bytes
+    // are determined by (texture group, perturbation parity) = id % 50
+    "q225_media_byte_dedup" -> ((s, dir) => {
+      val variants = Multimodal.syntheticImageVariants(
+        s, t(s, dir, "documents"), groups = 25)
+      graft.multimodal.MediaBytes.exactGroups(variants)
+        .select(col("media_id"), col("group_rep"))
+    }),
+
+    // Image SHARPNESS gate (round 16): integer variance-of-Laplacian
+    // blur detection from real decoded pixels — a 4x4 texture bilinear-
+    // upscaled to 32x32 (the defocused/upscaled re-encode class)
+    // collapses toward zero while per-pixel textures score thousands;
+    // the planted chain is blurry = doc_id % 3 = 0
+    "q226_image_sharpness" -> ((s, dir) => {
+      val mix = Multimodal.syntheticImageBlurMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.imageSharpness(mix)
+        .select(col("media_id"), col("blurry"))
+    }),
+
     // PAIRED curation with EVAL decontamination (round 16): the complete
     // LAION shape — q222's stages plus a bounded broadcast eval probe
     // against the dedup SURVIVORS (a benchmark image leaking into the
@@ -4929,6 +4952,16 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // payload bytes are a pure function of (group, parity) = id % 50;
+    // the byte-group representative is the minimum id sharing them
+    "q225_media_byte_dedup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 50)::BIGINT AS group_rep " +
+        "FROM documents"),
+    // the planted blur chain: upscaled renders are blurry, per-pixel
+    // textures are not
+    "q226_image_sharpness" ->
+      ("SELECT doc_id AS media_id, doc_id % 3 = 0 AS blurry " +
+        "FROM documents"),
     // q222's stage arithmetic plus: survivors of the eval groups {1, 2}
     // flag contaminated instead of kept
     "q224_paired_decontaminated" ->

@@ -169,6 +169,67 @@ object MediaQuality {
           !col("too_short") && !col("too_long"))
   }
 
+  /** Per-image SHARPNESS signal: the integer variance of the 4-neighbor
+    * luminance Laplacian over interior pixels (the classic
+    * variance-of-Laplacian blur detector) — a crisp texture scores in
+    * the thousands, a defocused/upscaled re-encode collapses toward 0
+    * (linear ramps have zero second derivative everywhere but at knots).
+    * Output (media_id, lap_var, blurry = lap_var < minLapVar). Images
+    * with no interior (either side < 3 px) report lap_var 0 — [[
+    * imageSignals]]' `too_small` gate owns that class. Pure integer
+    * arithmetic, replayable anywhere; one decode per image. */
+  def imageSharpness(media: DataFrame, minLapVar: Long = 500L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: image sharpness over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Int](h, w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lum(y)(x) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      var sum = 0L
+      var sumSq = 0L
+      var n = 0L
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val lap = 4 * lum(y)(x) - lum(y)(x - 1) - lum(y)(x + 1) -
+            lum(y - 1)(x) - lum(y + 1)(x)
+          sum += lap
+          sumSq += lap.toLong * lap
+          n += 1
+          x += 1
+        }
+        y += 1
+      }
+      val lapVar = if (n == 0) 0L else sumSq / n - (sum / n) * (sum / n)
+      (r.media_id, lapVar)
+    }).toDF("media_id", "lap_var")
+      .withColumn("blurry", col("lap_var") < minLapVar)
+  }
+
+  /** Keep only images at or above the sharpness bar. */
+  def filterSharp(media: DataFrame, minLapVar: Long = 500L): DataFrame =
+    media.join(
+      imageSharpness(media, minLapVar).filter(!col("blurry"))
+        .select("media_id"),
+      Seq("media_id"), "left_semi")
+
   /** Keep only images passing every gate. */
   def filterImages(media: DataFrame, minSide: Int = 16,
                    maxAspectMilli: Long = 4000L,

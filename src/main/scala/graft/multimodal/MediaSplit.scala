@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object MediaSplit {
 
-  /** Near-dup pairs for one modality's media frame, through each face's
-    * persisted single-decode hash pass. The returned frame is PERSISTED
-    * (the faces' contract) — unpersist once consumed. */
+  /** Near-dup pairs for a media frame, through the faces' persisted
+    * single-decode hash passes. `modality = "mixed"` accepts a table
+    * holding all three media types in one pass ([[MediaPipeline.profile]]
+    * switches codecs per record, so the payload column scans once) —
+    * pairing still runs WITHIN each modality (an image dHash and an
+    * audio fingerprint colliding numerically must never merge). The
+    * returned frame is PERSISTED — unpersist once consumed. */
   private def pairsFor(media: DataFrame, modality: String,
                        maxHamming: Int): DataFrame = modality match {
     case "image" =>
@@ -32,15 +36,34 @@ object MediaSplit {
       AudioDedup.nearDupPairs(AudioDedup.hashAudio(media), maxHamming)
     case "video" =>
       VideoDedup.nearDupPairs(VideoDedup.hashVideos(media), maxHamming)
+    case "mixed" =>
+      val prof = MediaPipeline.profile(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prof.count(): Unit // ONE decode per record, whatever the modality
+      try {
+        val pairs = Seq("image", "audio", "video").map { m =>
+          graft.dedup.HammingBands.pairs(
+            prof.filter(col("media_type") === m)
+              .select(col("media_id"), col("chash")),
+            "media_id", "chash", maxHamming, 100000L, s"media-split-$m")
+            .select(col("id_a"), col("id_b"), col("hamming"))
+        }.reduce(_ unionByName _)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count(): Unit
+        pairs
+      } finally { prof.unpersist(); () }
     case other => throw new IllegalArgumentException(
-      s"modality must be image|audio|video, got '$other'")
+      s"modality must be image|audio|video|mixed, got '$other'")
   }
 
   /** Split every media item by its perceptual cluster: members of one
     * near-dup cluster always land in the SAME band. Output: media_id,
     * cluster_id, `outCol` — bands = (label, width out of `mod`), the
     * same portable md5-banded assignment as the text path (stable under
-    * corpus growth, engine-reproducible). */
+    * corpus growth, engine-reproducible). `media_id` must be unique
+    * across the WHOLE frame (for `modality = "mixed"` that means across
+    * modalities too — `readMediaDir`'s path-hash ids are; cluster
+    * resolution is id-keyed). */
   def byPerceptualCluster(media: DataFrame, modality: String,
                           maxHamming: Int, bands: Seq[(String, Int)],
                           outCol: String = "split",

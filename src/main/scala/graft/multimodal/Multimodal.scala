@@ -984,6 +984,51 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
+    * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
+    * upscaled re-encode class — linear ramps have near-zero Laplacian),
+    * everything else a per-pixel splitmix texture (Laplacian variance in
+    * the tens of thousands). Ground truth for the
+    * [[MediaQuality.imageSharpness]] gate: blurry = doc_id % 3 == 0. */
+  def syntheticImageBlurMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val blurred = id % 3 == 0
+      val side = 32
+      val src = if (blurred) 4 else side
+      val img = new java.awt.image.BufferedImage(src, src,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < src) {
+        var x = 0
+        while (x < src) {
+          var z = id * 0x9E3779B97F4A7C15L +
+            x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+          z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+          val g = (z & 0xffL).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val out =
+        if (!blurred) img
+        else {
+          val s = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = s.createGraphics()
+          try {
+            g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, side, side, null): Unit
+          } finally g2.dispose()
+          s
+        }
+      (id, "image", ImageCodec.write(out, "png"), "image/png",
+        if (blurred) "blur" else "sharp")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic images with PLANTED quality defects, disjoint by an
     * if-else chain any engine can replay: doc_id % 5 == 0 -> an 8x8
     * thumbnail; else % 11 == 0 -> a 120x16 banner strip (aspect 7.5);

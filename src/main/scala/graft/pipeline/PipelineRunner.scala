@@ -369,6 +369,12 @@ object PipelineRunner {
             // re-align through the 8-orientation hash set
             case Array("image", "rot", h) =>
               graft.multimodal.ImageDedup.rotationClusters(df, h.toInt)
+            // byte-exact survivors: the zero-decode first pass, keeps
+            // full rows so perceptual hops chain after it
+            case Array("bytes") =>
+              graft.multimodal.MediaBytes.survivors(df)
+            case Array("bytes", "groups") =>
+              graft.multimodal.MediaBytes.exactGroups(df)
             case other => throw new IllegalArgumentException(
               "mediadedup: wants '<image|audio|video>;exact', " +
                 "'<image|audio|video>;near;<maxHamming>', " +
@@ -396,7 +402,7 @@ object PipelineRunner {
         // keep only records passing every modality gate (thumbnails,
         // banner strips, solid placeholders; short/silent/clipped audio;
         // single-frame/static/short-or-endless video)
-        case Array("mediafilter", spec2) => // image|audio|video
+        case Array("mediafilter", spec2) => // image|audio|video|sharp
           spec2.split(';').map(_.trim) match {
             case Array("image") =>
               graft.multimodal.MediaQuality.filterImages(df)
@@ -404,9 +410,14 @@ object PipelineRunner {
               graft.multimodal.MediaQuality.filterAudio(df)
             case Array("video") =>
               graft.multimodal.MediaQuality.filterVideo(df)
+            // variance-of-Laplacian blur gate (images only)
+            case Array("sharp") =>
+              graft.multimodal.MediaQuality.filterSharp(df)
+            case Array("sharp", minVar) =>
+              graft.multimodal.MediaQuality.filterSharp(df, minVar.toLong)
             case other => throw new IllegalArgumentException(
-              s"mediafilter: wants 'image', 'audio' or 'video', got " +
-                s"'${other.mkString(";")}'")
+              s"mediafilter: wants 'image', 'audio', 'video' or " +
+                s"'sharp[;minLapVar]', got '${other.mkString(";")}'")
           }
         // REAL per-frame sampling of animated-GIF videos in the chain:
         // one row per sampled frame with decoded dims + luminance bands

@@ -97,6 +97,31 @@ class MediaQualitySpec extends SparkSpec {
       s"videoSignals decoded ${c.get() - before} containers for $n videos")
   }
 
+  test("imageSharpness: variance-of-Laplacian separates blur by orders of magnitude") {
+    val mix = Multimodal.syntheticImageBlurMix(spark, docs)
+    val s = MediaQuality.imageSharpness(mix)
+      .withColumn("want", pmod(col("media_id"), lit(3L)) === 0)
+      .persist()
+    try {
+      import org.apache.spark.sql.functions.{max => smax, min => smin}
+      val maxBlur = s.filter(col("want"))
+        .agg(smax("lap_var")).as[Long].head()
+      val minSharp = s.filter(!col("want"))
+        .agg(smin("lap_var")).as[Long].head()
+      // the signal must not be a threshold-tuning accident: require a
+      // wide gap, then check the default gate lands inside it
+      assert(maxBlur * 4 < minSharp,
+        s"blur gap too narrow: maxBlur=$maxBlur minSharp=$minSharp")
+      assert(maxBlur < 500L && minSharp >= 500L,
+        s"default minLapVar=500 outside the gap [$maxBlur, $minSharp]")
+      val wrong = s.filter(col("blurry") =!= col("want"))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // the filter face keeps exactly the sharp ids
+      assert(MediaQuality.filterSharp(mix).count() ==
+        docs.filter(col("doc_id") % 3 =!= 0).count())
+    } finally { s.unpersist(); () }
+  }
+
   test("non-decodable and wrong-type records refuse loudly") {
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "image/png", "t"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

@@ -48,6 +48,40 @@ class MediaSplitSpec extends SparkSpec {
     assert(e.getMessage.contains("modality"), e.getMessage)
   }
 
+  test("mixed-modality split: one decode pass, per-modality clustering") {
+    // one table holding all three modalities, ids made unique per
+    // modality (mixed split resolves clusters by id)
+    val slice = docs.filter(col("doc_id") < 100)
+    val mixed = Multimodal.syntheticMediaPipelineMix(spark, slice)
+      .withColumn("media_id", col("media_id") +
+        when(col("media_type") === "audio", 1000L)
+          .when(col("media_type") === "video", 2000L).otherwise(0L))
+    val before = (Multimodal.MediaCounters.imageReads.get(),
+      Multimodal.MediaCounters.audioReads.get(),
+      Multimodal.MediaCounters.videoReads.get())
+    val out = MediaSplit.byPerceptualCluster(mixed, "mixed", 3, bands)
+      .persist()
+    try {
+      assert(out.count() == 300)
+      assert(Multimodal.MediaCounters.imageReads.get() - before._1 == 100)
+      assert(Multimodal.MediaCounters.audioReads.get() - before._2 == 100)
+      assert(Multimodal.MediaCounters.videoReads.get() - before._3 == 100)
+      assert(graft.text.LeakSafeSplit.leakage(out, "cluster_id").isEmpty)
+      // per modality: clean members cluster to the group minimum in
+      // their OWN id space (defects are unique contents -> singletons)
+      val wrong = out
+        .withColumn("base", pmod(col("media_id"), lit(1000L)))
+        .filter(pmod(col("base"), lit(5L)) =!= 0)
+        .filter(col("cluster_id") =!=
+          col("media_id") - col("base") + pmod(col("base"), lit(20L)))
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // modalities never merge: image group g and audio group g keep
+      // distinct cluster ids
+      assert(out.select("cluster_id").distinct().count() >=
+        3 * 16) // 16 clean groups per modality at least
+    } finally { out.unpersist(); () }
+  }
+
   test("carveEval quarantines perceptual-cluster peers of eval members") {
     val imgs = Multimodal.syntheticImageVariants(spark, docs, groups = 25)
     val out = MediaSplit.carveEval(imgs, "image", 3, perStratum = 1)

@@ -829,6 +829,33 @@ class PipelineSpecSuite extends SparkSpec {
     assert(paired.filter(col("stage") === "media_gated")
       .filter(pmod(col("media_id"), lit(5L)) =!= 0).count() == 0)
 
+    // bytes: zero-decode byte-exact survivors chain into a perceptual hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-bytes",
+      source = SourceSpec(format = "parquet", path = s"$media/vsplit"),
+      transformExprs = Seq("mediadedup:bytes", "mediadedup:image;exact"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/bytes"))),
+      "runMmBytes")
+    // 100 ids under groups=20 -> 40 byte-distinct (id % 40: texture
+    // group x perturbation parity) -> image-exact groups over the byte
+    // survivors (ids 0..39)
+    val bytesOut = spark.read.parquet(s"$out/bytes")
+    assert(bytesOut.count() == 40)
+    assert(bytesOut.filter(col("media_id") >= 40).count() == 0)
+
+    // sharp: variance-of-Laplacian blur gate as a hop
+    graft.multimodal.Multimodal.syntheticImageBlurMix(spark,
+      docs.filter(col("doc_id") < 60))
+      .write.parquet(s"$media/blur")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-sharp",
+      source = SourceSpec(format = "parquet", path = s"$media/blur"),
+      transformExprs = Seq("mediafilter:sharp"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/sharp"))),
+      "runMmSharp")
+    assert(spark.read.parquet(s"$out/sharp").filter(
+      pmod(col("media_id"), lit(3L)) === 0).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
