@@ -2507,6 +2507,28 @@ object SparkEntry {
         .select(col("media_id"), col("contaminated"))
     }),
 
+    // LETTERBOX bar detection (round 16): consecutive uniform rows/
+    // columns from each edge of the real decoded frame — black bars
+    // around re-posted content shift every perceptual hash and waste
+    // vision tokens; planted widths are pure doc_id arithmetic
+    "q227_image_bars" -> ((s, dir) => {
+      val mix = Multimodal.syntheticImageBarMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.borderBars(mix)
+        .select(col("media_id"), col("bar_top"), col("bar_bottom"),
+          col("bar_left"), col("bar_right"))
+    }),
+
+    // PNG metadata scrub audit (round 16): the compliance face for
+    // binary payloads — a tEXt camera/GPS chunk planted on doc_id % 4
+    // = 0 must be found by the byte-level chunk walk (ZERO decodes);
+    // the scrub itself is unit-pinned to leave pixels byte-identical
+    "q228_media_scrub_report" -> ((s, dir) => {
+      val mix = Multimodal.syntheticImagesWithMetadata(
+        s, t(s, dir, "documents"))
+      graft.multimodal.MediaScrub.scrubReport(mix)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // BYTE-exact media dedup (round 16): the first crawl dedup pass —
     // identical files collapse on a payload SHA-256 with ZERO decodes
     // (decode is the pipeline's dominant cost; the perceptual faces then
@@ -4952,6 +4974,17 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // planted bar widths are pure arithmetic in base 3
+    "q227_image_bars" ->
+      ("SELECT doc_id AS media_id, (doc_id % 3)::INT AS bar_top, " +
+        "((doc_id // 3) % 3)::INT AS bar_bottom, " +
+        "((doc_id // 9) % 3)::INT AS bar_left, " +
+        "((doc_id // 27) % 3)::INT AS bar_right FROM documents"),
+    // exactly one tEXt chunk planted on doc_id % 4 = 0
+    "q228_media_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 AS had_metadata FROM documents"),
     // payload bytes are a pure function of (group, parity) = id % 50;
     // the byte-group representative is the minimum id sharing them
     "q225_media_byte_dedup" ->

@@ -230,6 +230,127 @@ object MediaQuality {
         .select("media_id"),
       Seq("media_id"), "left_semi")
 
+  /** Per-image LETTERBOX/PILLARBOX bars: the count of consecutive
+    * UNIFORM rows (every pixel one luminance) from each edge —
+    * (media_id, bar_top, bar_bottom, bar_left, bar_right). Black bars
+    * around re-posted content shift every whole-image and tile hash and
+    * waste tokens in vision training; detect, then [[cropBars]]. A
+    * fully uniform (solid) image reports bars == its dims — the
+    * `low_contrast` gate owns that class. One decode per image. */
+  def borderBars(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: border detection over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Int](h, w)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lum(y)(x) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      def rowUniform(yy: Int): Boolean = {
+        val v = lum(yy)(0)
+        var x = 1
+        while (x < w) { if (lum(yy)(x) != v) return false; x += 1 }
+        true
+      }
+      var top = 0
+      while (top < h && rowUniform(top)) top += 1
+      var bottom = 0
+      while (bottom < h - top && rowUniform(h - 1 - bottom)) bottom += 1
+      // columns measured on the interior left after row bars — a pure
+      // left/right pillarbox still spans full columns, while corner
+      // pixels of a top bar must not fake a column bar
+      def colUniformIn(xx: Int): Boolean = {
+        val v = lum(top)(xx)
+        var yy = top
+        while (yy < h - bottom) {
+          if (lum(yy)(xx) != v) return false
+          yy += 1
+        }
+        true
+      }
+      val (left0, right0) =
+        if (top + bottom >= h) (w, 0) // solid: all bars, report once
+        else {
+          var l = 0
+          while (l < w && colUniformIn(l)) l += 1
+          var rr = 0
+          while (rr < w - l && colUniformIn(w - 1 - rr)) rr += 1
+          (l, rr)
+        }
+      (r.media_id, top, bottom, left0, right0)
+    }).toDF("media_id", "bar_top", "bar_bottom", "bar_left", "bar_right")
+  }
+
+  /** Crop detected bars away and RE-ENCODE the interior as PNG — the
+    * normalization pass before perceptual hashing (bars shift every
+    * hash). Images with no bars pass through byte-untouched (no
+    * re-encode drift); solid images pass through too (nothing to keep).
+    * One decode per image; output keeps the media schema. */
+  def cropBars(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: bar cropping over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      def lumAt(x: Int, y: Int): Int = {
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+      }
+      def rowUniform(yy: Int): Boolean = {
+        val v = lumAt(0, yy)
+        var x = 1
+        while (x < w) { if (lumAt(x, yy) != v) return false; x += 1 }
+        true
+      }
+      var top = 0
+      while (top < h && rowUniform(top)) top += 1
+      var bottom = 0
+      while (bottom < h - top && rowUniform(h - 1 - bottom)) bottom += 1
+      val out =
+        if (top + bottom >= h) r // solid placeholder: nothing to keep
+        else {
+          def colUniformIn(xx: Int): Boolean = {
+            val v = lumAt(xx, top)
+            var yy = top
+            while (yy < h - bottom) {
+              if (lumAt(xx, yy) != v) return false
+              yy += 1
+            }
+            true
+          }
+          var l = 0
+          while (l < w && colUniformIn(l)) l += 1
+          var rr = 0
+          while (rr < w - l && colUniformIn(w - 1 - rr)) rr += 1
+          if (top == 0 && bottom == 0 && l == 0 && rr == 0) r
+          else r.copy(payload = ImageCodec.write(
+            img.getSubimage(l, top, w - l - rr, h - top - bottom), "png"),
+            mime = "image/png")
+        }
+      out
+    }).toDF()
+  }
+
   /** Keep only images passing every gate. */
   def filterImages(media: DataFrame, minSide: Int = 16,
                    maxAspectMilli: Long = 4000L,

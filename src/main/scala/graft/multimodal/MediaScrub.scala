@@ -1,0 +1,139 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Multimodal.MediaRecord
+
+/** Media METADATA scrubbing — the compliance face for binary payloads
+  * (the reference's purge/retention domain applies to rows; crawled
+  * media smuggles PII in container metadata instead): strip every
+  * non-essential PNG chunk — tEXt/iTXt/zTXt comments, tIME, eXIf GPS
+  * blocks — while leaving the pixel stream BYTE-IDENTICAL (IHDR/PLTE/
+  * IDAT and the color-interpretation chunks are kept, so decode output
+  * is unchanged by construction).
+  *
+  * Scale shape: map-only byte-level chunk walk — NO decode, no codec
+  * init; the pass reads each payload once and rewrites only offending
+  * containers (clean payloads pass through reference-identical, no
+  * re-encode drift). Non-PNG payloads pass through untouched.
+  */
+object MediaScrub {
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Chunks that stay: structural (IHDR/PLTE/IDAT/IEND), transparency
+    * and color interpretation — everything needed to reproduce pixels
+    * exactly. Everything else (tEXt, zTXt, iTXt, tIME, eXIf, private
+    * chunks) is metadata and is dropped. */
+  private val Keep = Set("IHDR", "PLTE", "IDAT", "IEND", "tRNS", "gAMA",
+    "cHRM", "sRGB", "iCCP", "sBIT", "pHYs", "acTL", "fcTL", "fdAT")
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && PngSig.indices.forall(i => b(i) == PngSig(i))
+
+  /** Walk the chunk stream: (type, offset, totalLen) per chunk.
+    * Malformed containers refuse loudly — silently passing one through
+    * would ship the very metadata this pass exists to remove. */
+  private def chunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(isPng(b), "payload is not a PNG container")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 8 <= b.length, s"truncated PNG chunk header at $off")
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      require(len >= 0, s"negative chunk length at $off")
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      val total = 12 + len
+      require(off + total <= b.length, s"truncated $tpe chunk at $off")
+      out += ((tpe, off, total))
+      if (tpe == "IEND") sawEnd = true
+      off += total
+    }
+    out.toSeq
+  }
+
+  /** Strip metadata chunks from one PNG payload: (scrubbed bytes,
+    * dropped chunk types). A clean payload returns the ORIGINAL array
+    * (reference equality — zero copies on the common path). */
+  def stripPng(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = chunkSpans(payload)
+    val dropped = spans.filterNot(s => Keep(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => Keep(s._1))
+      val outLen = 8 + keep.map(_._3).sum
+      val out = new Array[Byte](outLen)
+      System.arraycopy(payload, 0, out, 0, 8)
+      var pos = 8
+      keep.foreach { case (_, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Scrub a media table: PNG payloads lose their metadata chunks,
+    * everything else passes through byte-untouched. Map-only, zero
+    * decodes; output keeps the media schema. */
+  def scrub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      if (!isPng(r.payload)) r
+      else {
+        val (clean, dropped) = stripPng(r.payload)
+        if (dropped.isEmpty) r else r.copy(payload = clean)
+      }
+    }).toDF()
+  }
+
+  /** The scrub audit: (media_id, n_stripped, stripped_types,
+    * had_metadata) per record — what a compliance run reports (and the
+    * gate a strict ingest refuses on instead of scrubbing). Non-PNG
+    * payloads report 0 stripped. */
+  def scrubReport(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      val dropped =
+        if (!isPng(r.payload)) Nil
+        else chunkSpans(r.payload).map(_._1).filterNot(Keep)
+      (r.media_id, dropped.length, dropped.sorted.distinct)
+    }).toDF("media_id", "n_stripped", "stripped_types")
+      .withColumn("had_metadata", col("n_stripped") > 0)
+  }
+
+  /** Insert a tEXt chunk before IEND — the fixture/adversary side of
+    * [[stripPng]] (also how a provenance stamp WOULD be written). */
+  private[multimodal] def insertPngText(payload: Array[Byte], key: String,
+                                        value: String): Array[Byte] = {
+    val spans = chunkSpans(payload)
+    val (_, endOff, _) = spans.find(_._1 == "IEND").get
+    val data = (key + "\u0000" + value).getBytes("ISO-8859-1")
+    val chunk = new Array[Byte](12 + data.length)
+    chunk(0) = ((data.length >> 24) & 0xff).toByte
+    chunk(1) = ((data.length >> 16) & 0xff).toByte
+    chunk(2) = ((data.length >> 8) & 0xff).toByte
+    chunk(3) = (data.length & 0xff).toByte
+    System.arraycopy("tEXt".getBytes("US-ASCII"), 0, chunk, 4, 4)
+    System.arraycopy(data, 0, chunk, 8, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(chunk, 4, 4 + data.length)
+    val c = crc.getValue
+    chunk(8 + data.length) = ((c >> 24) & 0xff).toByte
+    chunk(9 + data.length) = ((c >> 16) & 0xff).toByte
+    chunk(10 + data.length) = ((c >> 8) & 0xff).toByte
+    chunk(11 + data.length) = (c & 0xff).toByte
+    val out = new Array[Byte](payload.length + chunk.length)
+    System.arraycopy(payload, 0, out, 0, endOff)
+    System.arraycopy(chunk, 0, out, endOff, chunk.length)
+    System.arraycopy(payload, endOff, out, endOff + chunk.length,
+      payload.length - endOff)
+    out
+  }
+}

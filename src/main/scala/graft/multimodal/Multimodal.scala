@@ -984,6 +984,66 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic images with PLANTED letterbox/pillarbox bars: a 24x24
+    * per-pixel splitmix interior (no uniform row or column) wrapped in
+    * BLACK bars of width top = doc_id % 3, bottom = (doc_id/3) % 3,
+    * left = (doc_id/9) % 3, right = (doc_id/27) % 3. Ground truth for
+    * [[MediaQuality.borderBars]]/cropBars. */
+  def syntheticImageBarMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val top = (id % 3).toInt
+      val bottom = ((id / 3) % 3).toInt
+      val left = ((id / 9) % 3).toInt
+      val right = ((id / 27) % 3).toInt
+      val iw = 24
+      val ih = 24
+      val w = iw + left + right
+      val h = ih + top + bottom
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val inBar = y < top || y >= top + ih || x < left || x >= left + iw
+          val g =
+            if (inBar) 0
+            else {
+              var z = id * 0x9E3779B97F4A7C15L +
+                (x - left) * 0xC2B2AE3D27D4EB4FL +
+                (y - top) * 0x165667B19E3779F9L
+              z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+              // keep 1..255: a 0-luminance interior pixel could extend a
+              // black bar column when its whole row/col happened dark
+              1 + (z & 0xfeL).toInt
+            }
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      (id, "image", ImageCodec.write(img, "png"), "image/png",
+        s"bars$top$bottom$left$right")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic PNGs with PLANTED container metadata: the texture images
+    * of [[syntheticImages]], with a tEXt chunk (a fake camera/GPS
+    * comment) inserted before IEND on doc_id % 4 == 0. Ground truth for
+    * [[MediaScrub]]: had_metadata = doc_id % 4 == 0. */
+  def syntheticImagesWithMetadata(spark: SparkSession,
+                                  docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val base = syntheticImages(spark, docs)
+    base.as[MediaRecord].mapPartitions(_.map { r =>
+      if (r.media_id % 4 == 0)
+        r.copy(payload = MediaScrub.insertPngText(r.payload, "Comment",
+          s"camera=XY gps=1.0,${r.media_id}"))
+      else r
+    }).toDF()
+  }
+
   /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
     * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
     * upscaled re-encode class — linear ramps have near-zero Laplacian),

@@ -437,6 +437,13 @@ object PipelineRunner {
           val parts = spec2.split(';').map(_.trim)
           graft.multimodal.AudioScenes.segments(df, parts(0).toInt,
             if (parts.length > 1) parts(1).toLong else 100L)
+        // letterbox/pillarbox bar removal before perceptual hashing
+        // (bars shift every hash); bar-free rows pass through untouched
+        case Array("cropbars") =>
+          graft.multimodal.MediaQuality.cropBars(df)
+        // PNG metadata scrub: the compliance pass for binary payloads
+        case Array("mediascrub") =>
+          graft.multimodal.MediaScrub.scrub(df)
         // scene keyframes extracted as standalone IMAGE rows — the
         // declarative bridge from the video stack into the image stack
         case Array("keyframes", spec2) => // maxHamming[;every]

@@ -122,6 +122,46 @@ class MediaQualitySpec extends SparkSpec {
     } finally { s.unpersist(); () }
   }
 
+  test("borderBars and cropBars recover and remove the planted letterbox") {
+    val mix = Multimodal.syntheticImageBarMix(spark, docs)
+    val bars = MediaQuality.borderBars(mix)
+    val wrong = bars.filter(
+      col("bar_top") =!= pmod(col("media_id"), lit(3L)) ||
+        col("bar_bottom") =!= pmod(expr("media_id div 3"), lit(3L)) ||
+        col("bar_left") =!= pmod(expr("media_id div 9"), lit(3L)) ||
+        col("bar_right") =!= pmod(expr("media_id div 27"), lit(3L)))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    // cropping removes every bar: the cropped table reports all zeros
+    // and a uniform 24x24 interior
+    val cropped = MediaQuality.cropBars(mix)
+    val rebars = MediaQuality.borderBars(cropped)
+    assert(rebars.filter(col("bar_top") =!= 0 || col("bar_bottom") =!= 0 ||
+      col("bar_left") =!= 0 || col("bar_right") =!= 0).count() == 0)
+    val dims = ImageDedup.hashImagesWithDims(cropped)
+    assert(dims.filter(col("width") =!= 24 || col("height") =!= 24)
+      .count() == 0)
+    // bar-free inputs pass through byte-untouched (no re-encode drift)
+    val noBars = mix.filter(pmod(col("media_id"), lit(81L)) === 0)
+    val through = MediaQuality.cropBars(noBars)
+      .as[Multimodal.MediaRecord].collect().map(r => r.media_id -> r.payload)
+      .toMap
+    noBars.as[Multimodal.MediaRecord].collect().foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, through(r.media_id)),
+        s"media_id=${r.media_id}: bar-free image was rewritten")
+    }
+    // a solid placeholder reports bars == dims and passes through
+    val solid = Seq((1000L, "image", {
+      val img = new java.awt.image.BufferedImage(10, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Multimodal.ImageCodec.write(img, "png")
+    }, "image/png", "solid"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val sb = MediaQuality.borderBars(solid).head()
+    assert(sb.getInt(1) == 8 && sb.getInt(2) == 0 &&
+      sb.getInt(3) == 10 && sb.getInt(4) == 0, sb.toString)
+    assert(MediaQuality.cropBars(solid).count() == 1)
+  }
+
   test("non-decodable and wrong-type records refuse loudly") {
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "image/png", "t"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class MediaScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val mix =
+    Multimodal.syntheticImagesWithMetadata(spark, docs)
+
+  test("scrubReport finds exactly the planted metadata with zero decodes") {
+    val before = Multimodal.MediaCounters.imageReads.get()
+    val rep = MediaScrub.scrubReport(mix)
+    val wrong = rep.filter(col("had_metadata") =!=
+      (pmod(col("media_id"), lit(4L)) === 0) ||
+      col("n_stripped") =!= when(pmod(col("media_id"), lit(4L)) === 0, 1)
+        .otherwise(0))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(rep.count() == docs.count())
+    assert(rep.filter(col("had_metadata"))
+      .filter(!array_contains(col("stripped_types"), "tEXt")).count() == 0)
+    assert(Multimodal.MediaCounters.imageReads.get() == before,
+      "the chunk walk must never decode")
+  }
+
+  test("scrub strips to the byte-identical pre-injection container") {
+    // insert -> strip round-trips to the ORIGINAL bytes (the JDK PNG
+    // writer emits only structural chunks, all on the keep list)
+    val clean = Multimodal.syntheticImages(spark, docs.limit(40))
+      .as[Multimodal.MediaRecord].collect().map(r => r.media_id -> r.payload)
+      .toMap
+    val scrubbed = MediaScrub.scrub(mix.filter(col("media_id") < 40))
+      .as[Multimodal.MediaRecord].collect()
+    scrubbed.foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, clean(r.media_id)),
+        s"media_id=${r.media_id}: scrub did not restore the original bytes")
+    }
+    // and the pixels decode identically (by construction, pinned anyway)
+    val p = scrubbed.find(_.media_id == 0L).get.payload
+    val a = Multimodal.ImageCodec.read(p)
+    val b = Multimodal.ImageCodec.read(clean(0L))
+    assert(a.getWidth == b.getWidth && a.getHeight == b.getHeight)
+    assert((0 until a.getHeight).forall(y => (0 until a.getWidth).forall(
+      x => a.getRGB(x, y) == b.getRGB(x, y))))
+  }
+
+  test("non-PNG payloads pass through untouched; malformed PNGs refuse") {
+    val wav = Multimodal.syntheticAudioVariants(spark, docs.limit(2),
+      groups = 2)
+    val out = MediaScrub.scrub(wav).as[Multimodal.MediaRecord].collect()
+    val in = wav.as[Multimodal.MediaRecord].collect()
+    assert(out.sortBy(_.media_id).zip(in.sortBy(_.media_id)).forall {
+      case (o, i) => java.util.Arrays.equals(o.payload, i.payload)
+    })
+    // a truncated PNG refuses loudly instead of shipping silently
+    val png = Multimodal.syntheticImages(spark, docs.limit(1))
+      .as[Multimodal.MediaRecord].head().payload
+    val truncated = png.take(png.length - 6)
+    val e = intercept[IllegalArgumentException] {
+      MediaScrub.stripPng(truncated)
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+}

@@ -856,6 +856,33 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spark.read.parquet(s"$out/sharp").filter(
       pmod(col("media_id"), lit(3L)) === 0).count() == 0)
 
+    // cropbars + mediascrub: normalization/compliance passes as hops
+    graft.multimodal.Multimodal.syntheticImageBarMix(spark,
+      docs.filter(col("doc_id") < 81))
+      .write.parquet(s"$media/bars")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-cropbars",
+      source = SourceSpec(format = "parquet", path = s"$media/bars"),
+      transformExprs = Seq("cropbars"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/cropbars"))),
+      "runMmCropbars")
+    val croppedDims = graft.multimodal.ImageDedup.hashImagesWithDims(
+      spark.read.parquet(s"$out/cropbars"))
+    assert(croppedDims.filter(col("width") =!= 24 || col("height") =!= 24)
+      .count() == 0)
+    graft.multimodal.Multimodal.syntheticImagesWithMetadata(spark,
+      docs.filter(col("doc_id") < 40))
+      .write.parquet(s"$media/meta")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-scrub",
+      source = SourceSpec(format = "parquet", path = s"$media/meta"),
+      transformExprs = Seq("mediascrub"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/scrubbed"))),
+      "runMmScrub")
+    assert(graft.multimodal.MediaScrub.scrubReport(
+      spark.read.parquet(s"$out/scrubbed"))
+      .filter(col("had_metadata")).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
