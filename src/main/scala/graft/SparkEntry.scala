@@ -2529,6 +2529,16 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
+    // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
+    // by the little-endian chunk walk, zero decodes
+    "q229_audio_scrub_report" -> ((s, dir) => {
+      val mix = Multimodal.syntheticAudioWithMetadata(
+        s, t(s, dir, "documents"))
+      graft.multimodal.MediaScrub.scrubReport(mix)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // BYTE-exact media dedup (round 16): the first crawl dedup pass —
     // identical files collapse on a payload SHA-256 with ZERO decodes
     // (decode is the pipeline's dominant cost; the perceptual faces then
@@ -4974,6 +4984,11 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // exactly one LIST chunk planted on doc_id % 4 = 0
+    "q229_audio_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 AS had_metadata FROM documents"),
     // planted bar widths are pure arithmetic in base 3
     "q227_image_bars" ->
       ("SELECT doc_id AS media_id, (doc_id % 3)::INT AS bar_top, " +

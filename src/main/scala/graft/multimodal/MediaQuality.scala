@@ -351,6 +351,109 @@ object MediaQuality {
     }).toDF()
   }
 
+  /** The combined ONE-DECODE image hygiene profile: dimensions/aspect/
+    * luminance ([[imageSignals]]), Laplacian variance
+    * ([[imageSharpness]]), border bars ([[borderBars]]) and the
+    * perceptual dHash — everything a crawl's image pass needs, where
+    * running the faces separately pays FOUR decodes per image (decode
+    * is the job's dominant cost at 100 TB). Signal columns are
+    * value-identical to the individual faces (unit-pinned); gates
+    * derive the same way. */
+  def imageProfile(media: DataFrame, minSide: Int = 16,
+                   maxAspectMilli: Long = 4000L, minLumaRange: Int = 8,
+                   minLapVar: Long = 500L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: image profile over ${r.media_type}")
+      val img = ImageCodec.read(r.payload)
+      require(img != null,
+        s"media_id=${r.media_id}: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = Array.ofDim[Int](h, w)
+      var mn = 255
+      var mx = 0
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          lum(y)(x) = l
+          if (l < mn) mn = l
+          if (l > mx) mx = l
+          sum += l
+          x += 1
+        }
+        y += 1
+      }
+      var lapSum = 0L
+      var lapSq = 0L
+      var lapN = 0L
+      y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          val lap = 4 * lum(y)(x) - lum(y)(x - 1) - lum(y)(x + 1) -
+            lum(y - 1)(x) - lum(y + 1)(x)
+          lapSum += lap
+          lapSq += lap.toLong * lap
+          lapN += 1
+          x += 1
+        }
+        y += 1
+      }
+      val lapVar =
+        if (lapN == 0) 0L
+        else lapSq / lapN - (lapSum / lapN) * (lapSum / lapN)
+      def rowUniform(yy: Int): Boolean = {
+        val v = lum(yy)(0)
+        var x = 1
+        while (x < w) { if (lum(yy)(x) != v) return false; x += 1 }
+        true
+      }
+      var top = 0
+      while (top < h && rowUniform(top)) top += 1
+      var bottom = 0
+      while (bottom < h - top && rowUniform(h - 1 - bottom)) bottom += 1
+      val (left, right) =
+        if (top + bottom >= h) (w, 0)
+        else {
+          def colUniformIn(xx: Int): Boolean = {
+            val v = lum(top)(xx)
+            var yy = top
+            while (yy < h - bottom) {
+              if (lum(yy)(xx) != v) return false
+              yy += 1
+            }
+            true
+          }
+          var l = 0
+          while (l < w && colUniformIn(l)) l += 1
+          var rr = 0
+          while (rr < w - l && colUniformIn(w - 1 - rr)) rr += 1
+          (l, rr)
+        }
+      (r.media_id, w, h, 1000L * math.max(w, h) / math.min(w, h),
+        (sum / (w.toLong * h)).toInt, mx - mn, lapVar,
+        top, bottom, left, right, ImageDedup.dHash64(img))
+    }).toDF("media_id", "width", "height", "aspect_milli", "luma_mean",
+      "luma_range", "lap_var", "bar_top", "bar_bottom", "bar_left",
+      "bar_right", "dhash")
+      .withColumn("too_small",
+        col("width") < minSide || col("height") < minSide)
+      .withColumn("extreme_aspect", col("aspect_milli") > maxAspectMilli)
+      .withColumn("low_contrast", col("luma_range") < minLumaRange)
+      .withColumn("blurry", col("lap_var") < minLapVar)
+      .withColumn("passes",
+        !col("too_small") && !col("extreme_aspect") &&
+          !col("low_contrast") && !col("blurry"))
+  }
+
   /** Keep only images passing every gate. */
   def filterImages(media: DataFrame, minSide: Int = 16,
                    maxAspectMilli: Long = 4000L,

@@ -77,35 +77,138 @@ object MediaScrub {
     }
   }
 
-  /** Scrub a media table: PNG payloads lose their metadata chunks,
-    * everything else passes through byte-untouched. Map-only, zero
-    * decodes; output keeps the media schema. */
+  // ---- WAV (RIFF) containers ----
+
+  /** RIFF/WAVE chunks that stay: the format header, the sample data and
+    * the compressed-frame count. LIST/INFO comment blocks, id3 tags and
+    * broadcast-extension (bext) blocks — where recorders stash device
+    * serials, locations and operator names — are dropped. */
+  private val KeepWav = Set("fmt ", "data", "fact")
+
+  def isRiffWave(b: Array[Byte]): Boolean =
+    b.length > 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Walk the RIFF chunk list: (id, offset, totalLen incl. pad byte).
+    * Little-endian sizes, word alignment honored. Malformed containers
+    * refuse loudly. */
+  private def wavChunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(isRiffWave(b), "payload is not a RIFF/WAVE container")
+    val riffEnd = math.min(b.length.toLong,
+      12L + (((b(4) & 0xffL)) | ((b(5) & 0xffL) << 8) |
+        ((b(6) & 0xffL) << 16) | ((b(7) & 0xffL) << 24)) - 4L).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = 12
+    while (off < riffEnd) {
+      require(off + 8 <= b.length, s"truncated RIFF chunk header at $off")
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = ((b(off + 4) & 0xff)) | ((b(off + 5) & 0xff) << 8) |
+        ((b(off + 6) & 0xff) << 16) | ((b(off + 7) & 0xff) << 24)
+      require(len >= 0, s"negative RIFF chunk length at $off")
+      val total = 8 + len + (len & 1)
+      require(off + 8 + len <= b.length, s"truncated $id chunk at $off")
+      out += ((id, off, math.min(total, b.length - off)))
+      off += total
+    }
+    out.toSeq
+  }
+
+  /** Strip metadata chunks from one WAV payload: (scrubbed bytes,
+    * dropped chunk ids), RIFF size field rewritten. A clean payload
+    * returns the original array. */
+  def stripWav(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = wavChunkSpans(payload)
+    val dropped = spans.filterNot(s => KeepWav(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => KeepWav(s._1))
+      val body = keep.map(_._3).sum
+      val out = new Array[Byte](12 + body)
+      System.arraycopy(payload, 0, out, 0, 12)
+      val riffSize = 4 + body
+      out(4) = (riffSize & 0xff).toByte
+      out(5) = ((riffSize >> 8) & 0xff).toByte
+      out(6) = ((riffSize >> 16) & 0xff).toByte
+      out(7) = ((riffSize >> 24) & 0xff).toByte
+      var pos = 12
+      keep.foreach { case (_, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Scrub a media table: PNG and WAV payloads lose their metadata
+    * chunks, everything else passes through byte-untouched. Map-only,
+    * zero decodes; output keeps the media schema. */
   def scrub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map { r =>
-      if (!isPng(r.payload)) r
-      else {
-        val (clean, dropped) = stripPng(r.payload)
-        if (dropped.isEmpty) r else r.copy(payload = clean)
+      val stripped =
+        if (isPng(r.payload)) Some(stripPng(r.payload))
+        else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
+        else None
+      stripped match {
+        case Some((clean, dropped)) if dropped.nonEmpty =>
+          r.copy(payload = clean)
+        case _ => r
       }
     }).toDF()
   }
 
   /** The scrub audit: (media_id, n_stripped, stripped_types,
     * had_metadata) per record — what a compliance run reports (and the
-    * gate a strict ingest refuses on instead of scrubbing). Non-PNG
-    * payloads report 0 stripped. */
+    * gate a strict ingest refuses on instead of scrubbing). Containers
+    * without a scrubber (GIF etc.) report 0 stripped. */
   def scrubReport(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.map { r =>
       val dropped =
-        if (!isPng(r.payload)) Nil
-        else chunkSpans(r.payload).map(_._1).filterNot(Keep)
+        if (isPng(r.payload))
+          chunkSpans(r.payload).map(_._1).filterNot(Keep)
+        else if (isRiffWave(r.payload))
+          wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
+        else Nil
       (r.media_id, dropped.length, dropped.sorted.distinct)
     }).toDF("media_id", "n_stripped", "stripped_types")
       .withColumn("had_metadata", col("n_stripped") > 0)
+  }
+
+  /** Insert a LIST/INFO comment chunk at the RIFF tail — the
+    * fixture/adversary side of [[stripWav]]. */
+  private[multimodal] def insertWavInfo(payload: Array[Byte],
+                                        comment: String): Array[Byte] = {
+    require(isRiffWave(payload), "payload is not a RIFF/WAVE container")
+    val text = comment.getBytes("US-ASCII")
+    val textPadded = text.length + (text.length & 1)
+    // LIST chunk: "INFO" + ICMT subchunk
+    val listBody = 4 + 8 + textPadded
+    val chunk = new Array[Byte](8 + listBody)
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, chunk, 0, 4)
+    chunk(4) = (listBody & 0xff).toByte
+    chunk(5) = ((listBody >> 8) & 0xff).toByte
+    chunk(6) = ((listBody >> 16) & 0xff).toByte
+    chunk(7) = ((listBody >> 24) & 0xff).toByte
+    System.arraycopy("INFO".getBytes("US-ASCII"), 0, chunk, 8, 4)
+    System.arraycopy("ICMT".getBytes("US-ASCII"), 0, chunk, 12, 4)
+    chunk(16) = (text.length & 0xff).toByte
+    chunk(17) = ((text.length >> 8) & 0xff).toByte
+    chunk(18) = ((text.length >> 16) & 0xff).toByte
+    chunk(19) = ((text.length >> 24) & 0xff).toByte
+    System.arraycopy(text, 0, chunk, 20, text.length)
+    val out = new Array[Byte](payload.length + chunk.length)
+    System.arraycopy(payload, 0, out, 0, payload.length)
+    System.arraycopy(chunk, 0, out, payload.length, chunk.length)
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xff).toByte
+    out(5) = ((riffSize >> 8) & 0xff).toByte
+    out(6) = ((riffSize >> 16) & 0xff).toByte
+    out(7) = ((riffSize >> 24) & 0xff).toByte
+    out
   }
 
   /** Insert a tEXt chunk before IEND — the fixture/adversary side of

@@ -1044,6 +1044,22 @@ object Multimodal {
     }).toDF()
   }
 
+  /** Synthetic WAVs with PLANTED container metadata: the tone clips of
+    * [[syntheticAudioVariants]] (groups=20), with a LIST/INFO ICMT
+    * comment (a fake recorder serial) appended on doc_id % 4 == 0.
+    * Ground truth for [[MediaScrub]]: had_metadata = doc_id % 4 == 0. */
+  def syntheticAudioWithMetadata(spark: SparkSession,
+                                 docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticAudioVariants(spark, docs, groups = 20)
+      .as[MediaRecord].mapPartitions(_.map { r =>
+        if (r.media_id % 4 == 0)
+          r.copy(payload = MediaScrub.insertWavInfo(r.payload,
+            s"recorder=Z${r.media_id} op=name"))
+        else r
+      }).toDF()
+  }
+
   /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
     * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
     * upscaled re-encode class — linear ramps have near-zero Laplacian),

@@ -162,6 +162,33 @@ class MediaQualitySpec extends SparkSpec {
     assert(MediaQuality.cropBars(solid).count() == 1)
   }
 
+  test("imageProfile: one decode, value-identical to the four faces") {
+    val mix = Multimodal.syntheticImageBarMix(spark,
+      docs.filter(col("doc_id") < 162))
+    val n = mix.count()
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    val prof = MediaQuality.imageProfile(mix).persist()
+    try {
+      prof.count(): Unit
+      assert(c.get() - before == n,
+        s"imageProfile decoded ${c.get() - before} times for $n images")
+      // signal equality with every individual face
+      def mismatches(face: org.apache.spark.sql.DataFrame,
+                     cols: Seq[String]): Long =
+        prof.select("media_id", cols: _*)
+          .exceptAll(face.select("media_id", cols: _*)).count()
+      assert(mismatches(MediaQuality.imageSignals(mix),
+        Seq("width", "height", "aspect_milli", "luma_mean", "luma_range",
+          "too_small", "extreme_aspect", "low_contrast")) == 0)
+      assert(mismatches(MediaQuality.imageSharpness(mix),
+        Seq("lap_var", "blurry")) == 0)
+      assert(mismatches(MediaQuality.borderBars(mix),
+        Seq("bar_top", "bar_bottom", "bar_left", "bar_right")) == 0)
+      assert(mismatches(ImageDedup.hashImages(mix), Seq("dhash")) == 0)
+    } finally { prof.unpersist(); () }
+  }
+
   test("non-decodable and wrong-type records refuse loudly") {
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "image/png", "t"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

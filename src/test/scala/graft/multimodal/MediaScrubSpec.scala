@@ -47,6 +47,30 @@ class MediaScrubSpec extends SparkSpec {
       x => a.getRGB(x, y) == b.getRGB(x, y))))
   }
 
+  test("WAV scrub: LIST/INFO chunks strip, bytes restore, clip still decodes") {
+    val wavMix = Multimodal.syntheticAudioWithMetadata(spark, docs)
+    val rep = MediaScrub.scrubReport(wavMix)
+    val wrong = rep.filter(col("had_metadata") =!=
+      (pmod(col("media_id"), lit(4L)) === 0))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(rep.filter(col("had_metadata"))
+      .filter(!array_contains(col("stripped_types"), "LIST")).count() == 0)
+    // insert -> strip restores the exact pre-injection container
+    val clean = Multimodal.syntheticAudioVariants(spark, docs.limit(40),
+      groups = 20).as[Multimodal.MediaRecord].collect()
+      .map(r => r.media_id -> r.payload).toMap
+    val scrubbed = MediaScrub.scrub(wavMix.filter(col("media_id") < 40))
+      .as[Multimodal.MediaRecord].collect()
+    scrubbed.foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, clean(r.media_id)),
+        s"media_id=${r.media_id}: WAV scrub did not restore the original")
+    }
+    // the injected container itself still decodes (trailing LIST chunk)
+    val injected = wavMix.filter(col("media_id") === 0)
+      .as[Multimodal.MediaRecord].head().payload
+    assert(AudioDedup.decodeMono(injected).length > 0)
+  }
+
   test("non-PNG payloads pass through untouched; malformed PNGs refuse") {
     val wav = Multimodal.syntheticAudioVariants(spark, docs.limit(2),
       groups = 2)
