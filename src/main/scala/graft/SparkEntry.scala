@@ -2529,6 +2529,16 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // GIF metadata scrub audit (round 16): the block-walk face of
+    // q228/q229 over the video container — a comment extension planted
+    // before the trailer on doc_id % 4 = 0, zero decodes
+    "q230_video_scrub_report" -> ((s, dir) => {
+      val mix = Multimodal.syntheticGifsWithMetadata(
+        s, t(s, dir, "documents"))
+      graft.multimodal.MediaScrub.scrubReport(mix)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
     // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
     // by the little-endian chunk walk, zero decodes
@@ -4984,6 +4994,11 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // exactly one comment extension planted on doc_id % 4 = 0
+    "q230_video_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 AS had_metadata FROM documents"),
     // exactly one LIST chunk planted on doc_id % 4 = 0
     "q229_audio_scrub_report" ->
       ("SELECT doc_id AS media_id, " +

@@ -140,7 +140,89 @@ object MediaScrub {
     }
   }
 
-  /** Scrub a media table: PNG and WAV payloads lose their metadata
+  // ---- GIF containers ----
+
+  /** GIF block walk: (kind, offset, totalLen) with kinds HDR (header +
+    * logical screen descriptor + global color table), IMG (image
+    * descriptor + local color table + LZW data), GCE/APP/COM/TXT
+    * extensions, TRL trailer. Malformed containers refuse loudly. */
+  private def gifSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(Multimodal.GifCodec.isGif(b), "payload is not a GIF container")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    require(b.length >= 13, "truncated GIF header")
+    val packed = b(10) & 0xff
+    val gct = if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0
+    out += (("HDR", 0, 13 + gct))
+    var off = 13 + gct
+    def subBlocks(start: Int): Int = { // bytes consumed incl. terminator
+      var o = start
+      while ({
+        require(o < b.length, s"truncated GIF sub-blocks at $o")
+        val len = b(o) & 0xff
+        o += 1 + len
+        len != 0
+      }) ()
+      o - start
+    }
+    var sawTrailer = false
+    while (!sawTrailer) {
+      require(off < b.length, s"GIF ended without trailer at $off")
+      (b(off) & 0xff) match {
+        case 0x3b =>
+          out += (("TRL", off, 1)); sawTrailer = true
+        case 0x2c =>
+          require(off + 10 <= b.length, s"truncated image descriptor at $off")
+          val p = b(off + 9) & 0xff
+          val lct = if ((p & 0x80) != 0) 3 * (1 << ((p & 7) + 1)) else 0
+          val dataStart = off + 10 + lct + 1 // + LZW min-code byte
+          val total = dataStart - off + subBlocks(dataStart)
+          out += (("IMG", off, total))
+          off += total
+        case 0x21 =>
+          require(off + 2 <= b.length, s"truncated extension at $off")
+          val kind = (b(off + 1) & 0xff) match {
+            case 0xf9 => "GCE"
+            case 0xff => "APP"
+            case 0xfe => "COM"
+            case 0x01 => "TXT"
+            case other => f"EXT$other%02x"
+          }
+          val total = 2 + subBlocks(off + 2)
+          out += ((kind, off, total))
+          off += total
+        case other =>
+          throw new IllegalArgumentException(
+            f"unknown GIF block 0x$other%02x at $off")
+      }
+    }
+    out.toSeq
+  }
+
+  /** GIF blocks that stay: structure, frames, timing (GCE) and the
+    * NETSCAPE looping block (APP). Comment and plain-text extensions —
+    * where encoders stash tool/author/source strings — are dropped. */
+  private val KeepGif = Set("HDR", "IMG", "GCE", "APP", "TRL")
+
+  /** Strip comment/plain-text extensions from one GIF payload:
+    * (scrubbed bytes, dropped kinds). A clean payload returns the
+    * original array. */
+  def stripGif(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = gifSpans(payload)
+    val dropped = spans.filterNot(s => KeepGif(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => KeepGif(s._1))
+      val out = new Array[Byte](keep.map(_._3).sum)
+      var pos = 0
+      keep.foreach { case (_, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Scrub a media table: PNG, WAV and GIF payloads lose their metadata
     * chunks, everything else passes through byte-untouched. Map-only,
     * zero decodes; output keeps the media schema. */
   def scrub(media: DataFrame): DataFrame = {
@@ -150,6 +232,8 @@ object MediaScrub {
       val stripped =
         if (isPng(r.payload)) Some(stripPng(r.payload))
         else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
+        else if (Multimodal.GifCodec.isGif(r.payload))
+          Some(stripGif(r.payload))
         else None
       stripped match {
         case Some((clean, dropped)) if dropped.nonEmpty =>
@@ -172,10 +256,34 @@ object MediaScrub {
           chunkSpans(r.payload).map(_._1).filterNot(Keep)
         else if (isRiffWave(r.payload))
           wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
+        else if (Multimodal.GifCodec.isGif(r.payload))
+          gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil
       (r.media_id, dropped.length, dropped.sorted.distinct)
     }).toDF("media_id", "n_stripped", "stripped_types")
       .withColumn("had_metadata", col("n_stripped") > 0)
+  }
+
+  /** Insert a comment extension before the GIF trailer — the
+    * fixture/adversary side of [[stripGif]]. */
+  private[multimodal] def insertGifComment(payload: Array[Byte],
+                                           comment: String): Array[Byte] = {
+    val spans = gifSpans(payload)
+    val (_, trlOff, _) = spans.find(_._1 == "TRL").get
+    val text = comment.getBytes("US-ASCII")
+    require(text.length <= 255, "one sub-block: comment must fit 255 bytes")
+    val chunk = new Array[Byte](2 + 1 + text.length + 1)
+    chunk(0) = 0x21.toByte
+    chunk(1) = 0xfe.toByte
+    chunk(2) = text.length.toByte
+    System.arraycopy(text, 0, chunk, 3, text.length)
+    chunk(chunk.length - 1) = 0 // sub-block terminator
+    val out = new Array[Byte](payload.length + chunk.length)
+    System.arraycopy(payload, 0, out, 0, trlOff)
+    System.arraycopy(chunk, 0, out, trlOff, chunk.length)
+    System.arraycopy(payload, trlOff, out, trlOff + chunk.length,
+      payload.length - trlOff)
+    out
   }
 
   /** Insert a LIST/INFO comment chunk at the RIFF tail — the

@@ -1060,6 +1060,23 @@ object Multimodal {
       }).toDF()
   }
 
+  /** Synthetic animated GIFs with PLANTED container metadata: the
+    * 4-frame variants of [[syntheticGifVariants]] (groups=20), with a
+    * comment extension (a fake tool/source string) inserted before the
+    * trailer on doc_id % 4 == 0. Ground truth for [[MediaScrub]]:
+    * had_metadata = doc_id % 4 == 0. */
+  def syntheticGifsWithMetadata(spark: SparkSession,
+                                docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticGifVariants(spark, docs, groups = 20)
+      .as[MediaRecord].mapPartitions(_.map { r =>
+        if (r.media_id % 4 == 0)
+          r.copy(payload = MediaScrub.insertGifComment(r.payload,
+            s"tool=conv source=site/${r.media_id}"))
+        else r
+      }).toDF()
+  }
+
   /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
     * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
     * upscaled re-encode class — linear ramps have near-zero Laplacian),

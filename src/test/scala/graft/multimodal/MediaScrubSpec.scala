@@ -71,6 +71,32 @@ class MediaScrubSpec extends SparkSpec {
     assert(AudioDedup.decodeMono(injected).length > 0)
   }
 
+  test("GIF scrub: comment extensions strip, bytes restore, frames intact") {
+    val gifMix = Multimodal.syntheticGifsWithMetadata(spark, docs)
+    val rep = MediaScrub.scrubReport(gifMix)
+    val wrong = rep.filter(col("had_metadata") =!=
+      (pmod(col("media_id"), lit(4L)) === 0))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(rep.filter(col("had_metadata"))
+      .filter(!array_contains(col("stripped_types"), "COM")).count() == 0)
+    // insert -> strip restores the exact pre-injection container
+    val clean = Multimodal.syntheticGifVariants(spark, docs.limit(40),
+      groups = 20).as[Multimodal.MediaRecord].collect()
+      .map(r => r.media_id -> r.payload).toMap
+    val scrubbed = MediaScrub.scrub(gifMix.filter(col("media_id") < 40))
+      .as[Multimodal.MediaRecord].collect()
+    scrubbed.foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, clean(r.media_id)),
+        s"media_id=${r.media_id}: GIF scrub did not restore the original")
+    }
+    // the injected container still decodes with all four frames
+    val injected = gifMix.filter(col("media_id") === 0)
+      .as[Multimodal.MediaRecord].head().payload
+    Multimodal.GifCodec.withReader(injected) { reader =>
+      assert(reader.getNumImages(true) == 4)
+    }
+  }
+
   test("non-PNG payloads pass through untouched; malformed PNGs refuse") {
     val wav = Multimodal.syntheticAudioVariants(spark, docs.limit(2),
       groups = 2)
