@@ -2529,6 +2529,33 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // PAIRED curation with CAPTION-key dedup (round 16): the spammed-
+    // caption class — one boilerplate caption across many images; after
+    // keep-best media dedup, survivors sharing a caption key (planted:
+    // doc_id % 12) collapse to the minimum pair id, losers staged
+    // caption_dup
+    "q232_paired_caption_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val imgs = Multimodal.syntheticMediaPipelineMix(s, docs)
+        .filter(col("media_type") === "image")
+      val caps = docs.withColumn("cap_key", col("doc_id") % 12)
+      graft.multimodal.PairedCuration.curate(
+        imgs, caps, minCaptionChars = 200L, maxHamming = 3,
+        capKeyCol = Some("cap_key"))
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
+    // MEDIA hygiene card (round 16): the ops view of a crawl-cleaning
+    // run — per modality, items / quality-gate failures / metadata
+    // carriers, from one decode pass per record plus the zero-decode
+    // chunk walk; both planted chains are pure arithmetic
+    "q231_media_hygiene_card" -> ((s, dir) => {
+      val mix = Multimodal.syntheticHygieneMix(s, t(s, dir, "documents"))
+      graft.multimodal.MediaReport.hygieneCard(mix)
+        .select(col("media_type"), col("n"), col("n_quality_fail"),
+          col("n_with_metadata"))
+    }),
+
     // GIF metadata scrub audit (round 16): the block-walk face of
     // q228/q229 over the video container — a comment extension planted
     // before the trailer on doc_id % 4 = 0, zero decodes
@@ -4994,6 +5021,36 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // q222's stage arithmetic, then among texture-group survivors a
+    // second rank window over the caption key (doc_id % 12)
+    "q232_paired_caption_dedup" ->
+      ("WITH s AS (SELECT doc_id, n_chars < 200 AS cap_g, " +
+        "doc_id % 5 = 0 AS img_def, " +
+        "CASE WHEN (doc_id // 20) % 2 = 0 THEN 1152 ELSE 288 END AS res " +
+        "FROM documents), " +
+        "msurv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 20 ORDER BY res DESC, doc_id ASC) AS rk " +
+        "FROM s WHERE NOT cap_g AND NOT img_def), " +
+        "csurv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 12 ORDER BY doc_id ASC) AS crk " +
+        "FROM msurv WHERE rk = 1) " +
+        "SELECT s.doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN s.cap_g THEN 'caption_gated' " +
+        "WHEN s.img_def THEN 'media_gated' " +
+        "WHEN msurv.rk > 1 THEN 'dup_dropped' " +
+        "WHEN csurv.crk = 1 THEN 'kept' ELSE 'caption_dup' END AS stage " +
+        "FROM s LEFT JOIN msurv ON s.doc_id = msurv.doc_id " +
+        "LEFT JOIN csurv ON s.doc_id = csurv.doc_id"),
+    // per modality: the disjoint %5/%11/%7 defect chain fails quality,
+    // %4 carries injected metadata — the chains are independent
+    "q231_media_hygiene_card" ->
+      ("SELECT m.media_type, count(*)::BIGINT AS n, " +
+        "sum(CASE WHEN doc_id % 5 = 0 OR doc_id % 11 = 0 OR " +
+        "doc_id % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_quality_fail, " +
+        "sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_with_metadata FROM documents CROSS JOIN " +
+        "(VALUES ('image'), ('audio'), ('video')) m(media_type) " +
+        "GROUP BY 1"),
     // exactly one comment extension planted on doc_id % 4 = 0
     "q230_video_scrub_report" ->
       ("SELECT doc_id AS media_id, " +

@@ -43,4 +43,32 @@ object MediaReport {
       .withColumn("dup_rate",
         round(col("n_exact_dup").cast("double") / col("n_items"), 4))
   }
+
+  /** Media HYGIENE card — the ops view a crawl-cleaning run reports
+    * next to [[card]]: per modality, item count, how many fail their
+    * quality gates ([[MediaQuality]] defaults) and how many carry
+    * container metadata ([[MediaScrub]] audit). One decode per record
+    * for the quality leg; the metadata leg is a byte-level walk with
+    * ZERO decodes. Joins stay WITHIN each modality slice, so mixed
+    * tables whose ids only promise per-modality uniqueness still
+    * aggregate correctly; <= 3 rows out. */
+  def hygieneCard(media: DataFrame): DataFrame = {
+    def leg(modality: String,
+            signals: DataFrame => DataFrame): DataFrame = {
+      val slice = media.filter(col("media_type") === modality)
+      signals(slice).select(col("media_id"), col("passes"))
+        .join(MediaScrub.scrubReport(slice)
+          .select(col("media_id"), col("had_metadata")), Seq("media_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(!col("passes"), 1L).otherwise(0L)).as("n_quality_fail"),
+          sum(when(col("had_metadata"), 1L).otherwise(0L))
+            .as("n_with_metadata"))
+        .select(lit(modality).as("media_type"), col("n"),
+          col("n_quality_fail"), col("n_with_metadata"))
+    }
+    leg("image", MediaQuality.imageSignals(_))
+      .unionByName(leg("audio", MediaQuality.audioSignals(_)))
+      .unionByName(leg("video", MediaQuality.videoSignals(_)))
+      .filter(col("n") > 0) // modalities absent from the table emit no row
+  }
 }

@@ -1077,6 +1077,33 @@ object Multimodal {
       }).toDF()
   }
 
+  /** MIXED hygiene fixture: the three modality QUALITY mixes (same
+    * disjoint %5/%11/%7 defect chains as q204/q205/q208) with container
+    * METADATA injected on doc_id % 4 == 0 (tEXt / LIST / comment
+    * extension by signature — injection never changes decoded samples,
+    * so the two defect chains stay independent). Ground truth for
+    * [[MediaReport.hygieneCard]]: per modality, quality_fail =
+    * (id%5=0 or id%11=0 or id%7=0), with_metadata = (id%4=0). */
+  def syntheticHygieneMix(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val mixed = syntheticImageQualityMix(spark, docs)
+      .unionByName(syntheticAudioQualityMix(spark, docs))
+      .unionByName(syntheticVideoQualityMix(spark, docs))
+    mixed.as[MediaRecord].mapPartitions(_.map { r =>
+      if (r.media_id % 4 != 0) r
+      else if (MediaScrub.isPng(r.payload))
+        r.copy(payload = MediaScrub.insertPngText(r.payload, "Comment",
+          s"src=${r.media_id}"))
+      else if (MediaScrub.isRiffWave(r.payload))
+        r.copy(payload = MediaScrub.insertWavInfo(r.payload,
+          s"src=${r.media_id}"))
+      else if (GifCodec.isGif(r.payload))
+        r.copy(payload = MediaScrub.insertGifComment(r.payload,
+          s"src=${r.media_id}"))
+      else r
+    }).toDF()
+  }
+
   /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
     * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
     * upscaled re-encode class — linear ramps have near-zero Laplacian),

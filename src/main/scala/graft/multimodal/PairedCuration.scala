@@ -29,19 +29,26 @@ object PairedCuration {
     * resolution for images, min id elsewhere), `contaminated` (survived
     * dedup but its fingerprint lies within `maxHamming` of an `evalMedia`
     * record — benchmark imagery leaking into the pair corpus), or
-    * `kept`. Pairs join on `media_id == capIdCol`; media rows with no
-    * caption row are not pairs and do not appear. The bounded eval side
-    * profiles once and BROADCASTS. Output (media_id, media_type, stage),
-    * PERSISTED — unpersist once consumed. */
+    * `kept`. With `capKeyCol` set, media-dedup survivors sharing a
+    * caption key additionally collapse to the minimum pair id — the
+    * spammed-caption class (one boilerplate caption across thousands of
+    * images), losers staged `caption_dup`. Pairs join on
+    * `media_id == capIdCol`; media rows with no caption row are not
+    * pairs and do not appear. The bounded eval side profiles once and
+    * BROADCASTS. Output (media_id, media_type, stage), PERSISTED —
+    * unpersist once consumed. */
   def curate(media: DataFrame, captions: DataFrame, minCaptionChars: Long,
              maxHamming: Int, maxBucket: Long = 100000L,
              capIdCol: String = "doc_id", capLenCol: String = "n_chars",
              evalMedia: Option[DataFrame] = None,
-             maxEval: Long = 100000L): DataFrame = {
+             maxEval: Long = 100000L,
+             capKeyCol: Option[String] = None): DataFrame = {
     require(minCaptionChars >= 0,
       s"minCaptionChars=$minCaptionChars must be >= 0")
-    val cap = captions.select(col(capIdCol).as("media_id"),
-      coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len"))
+    val cap = captions.select(
+      Seq(col(capIdCol).as("media_id"),
+        coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len")) ++
+        capKeyCol.map(k => col(k).as("__cap_key")).toSeq: _*)
     val paired = media.join(cap, Seq("media_id"))
     // the decode pass runs ONLY on caption-surviving pairs — the gate
     // order is the cost order
@@ -63,9 +70,21 @@ object PairedCuration {
         gatedIn.select(col("media_id"), col("chash")),
         "media_id", "chash", maxHamming, maxBucket, "paired-curation")
         .select(col("id_a"), col("id_b"))
-      val surv = graft.dedup.DupClusters.survivorsBy(
+      val mediaSurv = graft.dedup.DupClusters.survivorsBy(
         gatedIn.select(col("media_id"), col("chash"), col("prefer")),
         "media_id", pairs, prefer = col("prefer"))
+      // caption-key dedup among MEDIA survivors: one pair per spammed
+      // caption, min id wins (a window over the tiny survivor frame)
+      val surv = capKeyCol.fold(mediaSurv) { _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cap_key"))
+          .orderBy(col("media_id").asc)
+        mediaSurv.join(paired.select(col("media_id"), col("__cap_key")),
+          Seq("media_id"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .drop("__rk", "__cap_key")
+      }
       val contaminated = evalProf.map { ep =>
         graft.dedup.HammingBands.decontaminateProbe(
           surv.select(col("media_id"), col("chash")),
@@ -78,6 +97,8 @@ object PairedCuration {
         (col("__cap_len") < minCaptionChars).as("__cap_g"))
         .join(prof.select(col("media_id"), col("passes")),
           Seq("media_id"), "left")
+        .join(mediaSurv.select(col("media_id"), lit(true).as("__msurv")),
+          Seq("media_id"), "left")
         .join(surv.select(col("media_id"), lit(true).as("__surv")),
           Seq("media_id"), "left")
       val withCont = contaminated.fold(
@@ -86,7 +107,8 @@ object PairedCuration {
       val out = withCont.select(col("media_id"), col("media_type"),
         when(col("__cap_g"), lit("caption_gated"))
           .when(!col("passes"), lit("media_gated"))
-          .when(col("__surv").isNull, lit("dup_dropped"))
+          .when(col("__msurv").isNull, lit("dup_dropped"))
+          .when(col("__surv").isNull, lit("caption_dup"))
           .when(col("__cont").isNotNull, lit("contaminated"))
           .otherwise(lit("kept")).as("stage"))
         .persist(StorageLevel.MEMORY_AND_DISK)

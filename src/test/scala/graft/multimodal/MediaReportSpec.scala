@@ -28,4 +28,23 @@ class MediaReportSpec extends SparkSpec {
     // a single-modality corpus yields a single-row card
     assert(MediaReport.card(audio).count() == 1)
   }
+
+  test("hygieneCard: quality and metadata chains stay independent") {
+    val mix = Multimodal.syntheticHygieneMix(spark,
+      docs.filter(col("doc_id") < 200))
+    val card = MediaReport.hygieneCard(mix).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ids = 0L until 200L
+    val wantFail = ids.count(i => i % 5 == 0 || i % 11 == 0 || i % 7 == 0)
+    val wantMeta = ids.count(_ % 4 == 0)
+    assert(card.keySet == Set("image", "audio", "video"))
+    card.foreach { case (m, (n, f, md)) =>
+      assert(n == 200L && f == wantFail && md == wantMeta,
+        s"$m: n=$n fail=$f meta=$md want (200, $wantFail, $wantMeta)")
+    }
+    // a single-modality table emits one row
+    assert(MediaReport.hygieneCard(
+      mix.filter(col("media_type") === "audio")).count() == 1)
+  }
 }

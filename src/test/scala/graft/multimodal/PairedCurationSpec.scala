@@ -93,6 +93,35 @@ class PairedCurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("caption-key dedup collapses spammed captions among media survivors") {
+    val caps = docs.withColumn("cap_key", col("doc_id") % 12)
+    val out = PairedCuration.curate(images, caps, minCaptionChars = 200L,
+      maxHamming = 3, capKeyCol = Some("cap_key")).persist()
+    try {
+      // per caption key: at most ONE pair is kept
+      val kept = out.filter(col("stage") === "kept")
+        .withColumn("k", pmod(col("media_id"), lit(12L)))
+      assert(kept.groupBy("k").count().filter(col("count") > 1)
+        .count() == 0, "two kept pairs share a caption key")
+      // caption_dup rows would have been kept without caption dedup
+      val base = PairedCuration.curate(images, caps,
+        minCaptionChars = 200L, maxHamming = 3)
+      try {
+        val capDups = out.filter(col("stage") === "caption_dup")
+          .select("media_id")
+        val baseKept = base.filter(col("stage") === "kept")
+          .select("media_id")
+        assert(capDups.exceptAll(baseKept).isEmpty,
+          "a caption_dup was not a media-dedup survivor")
+        assert(capDups.count() > 0, "fixture planted no caption dups")
+        // every other stage is unchanged by caption dedup
+        assert(out.filter(col("stage").isin("caption_gated", "media_gated",
+          "dup_dropped")).exceptAll(base.filter(col("stage")
+          .isin("caption_gated", "media_gated", "dup_dropped"))).isEmpty)
+      } finally { base.unpersist(); () }
+    } finally { out.unpersist(); () }
+  }
+
   test("media rows without a caption row are not pairs") {
     val out = PairedCuration.curate(images,
       docs.filter(col("doc_id") < 100),
