@@ -308,6 +308,8 @@ object MaintenanceRunner {
           modality = spec.props.getOrElse("modality", "image"),
           fpp = spec.props.get("fpp").map(_.toDouble).getOrElse(0.01),
           qualityGate = spec.props.get("quality.gate")
+            .exists(_.toBoolean),
+          scrubMetadata = spec.props.get("scrub.metadata")
             .exists(_.toBoolean))
         q.awaitTermination()
         val n = graft.streaming.MediaDedupIngest.survivors(spark, store)

@@ -60,12 +60,19 @@ object MediaDedupIngest {
     * modality's gates are rejected BEFORE dedup — they never commit a
     * fingerprint, so a later clean copy of the same content can still be
     * admitted. Rejected ids land under `gated/batch=<id>` (deterministic
-    * overwrite — replays republish byte-identically) for audit. */
+    * overwrite — replays republish byte-identically) for audit.
+    *
+    * With `scrubMetadata = true` admitted payloads are container-
+    * metadata-scrubbed ([[graft.multimodal.MediaScrub]]) before
+    * publishing — a deterministic byte-level walk (replay-identical)
+    * that never touches the sample stream, so fingerprints computed on
+    * the raw payload still match the scrubbed survivor. */
   def start(stream: DataFrame, storePath: String, checkpointDir: String,
             modality: String = "image", fpp: Double = 0.01,
             trigger: Trigger = Trigger.AvailableNow(),
             every: Int = 1, maxSketches: Int = 16,
-            qualityGate: Boolean = false): StreamingQuery = {
+            qualityGate: Boolean = false,
+            scrubMetadata: Boolean = false): StreamingQuery = {
     val spark = stream.sparkSession
     val (hashOf, hcol): (DataFrame => DataFrame, String) = modality match {
       case "image" => (ImageDedup.hashImages(_), "dhash")
@@ -111,7 +118,14 @@ object MediaDedupIngest {
             surv.select(col("content_hash").as("h"))
               .write.mode("overwrite")
               .parquet(s"$storePath/hashes/batch=$batchId")
-            batch.join(surv.select("media_id"), Seq("media_id"), "left_semi")
+            val kept = batch.join(surv.select("media_id"),
+              Seq("media_id"), "left_semi")
+            // on-admit metadata scrub: a deterministic byte-level chunk
+            // walk (replays republish identically) that never changes
+            // the sample stream, so the committed fingerprint still
+            // matches the scrubbed payload
+            (if (scrubMetadata) graft.multimodal.MediaScrub.scrub(kept)
+             else kept)
               .write.mode("overwrite")
               .parquet(s"$storePath/survivors/batch=$batchId")
             writeBatchSketch(s, storePath, batchId,

@@ -93,6 +93,39 @@ class MediaDedupIngestSpec extends SparkSpec {
     assert(after == gotIds)
   }
 
+  test("scrubMetadata: admitted payloads lose container metadata, admissions unchanged") {
+    val in = tmpDir("mdi-scrub-in")
+    val meta = Multimodal.syntheticImagesWithMetadata(spark,
+      docs.filter(col("doc_id") < 60))
+    meta.coalesce(1).write.parquet(s"$in/f0")
+    def run(store: String, scrub: Boolean): Unit = {
+      val q = MediaDedupIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema), store,
+        tmpDir(s"mdi-scrub-ckpt-$scrub"), modality = "image",
+        scrubMetadata = scrub)
+      q.awaitTermination()
+    }
+    val storeA = tmpDir("mdi-scrub-a") + "/store"
+    val storeB = tmpDir("mdi-scrub-b") + "/store"
+    run(storeA, scrub = true)
+    run(storeB, scrub = false)
+    val a = MediaDedupIngest.survivors(spark, storeA)
+    val b = MediaDedupIngest.survivors(spark, storeB)
+    // identical admission decisions — the scrub is post-dedup
+    assert(a.select("media_id").as[Long].collect().sorted.toSeq ==
+      b.select("media_id").as[Long].collect().sorted.toSeq)
+    // scrubbed survivors carry no metadata; unscrubbed ones do (id % 4)
+    assert(graft.multimodal.MediaScrub.scrubReport(a)
+      .filter(col("had_metadata")).count() == 0)
+    assert(graft.multimodal.MediaScrub.scrubReport(b)
+      .filter(col("had_metadata")).count() > 0)
+    // pixels unchanged: perceptual hashes match across the two stores
+    val ha = ImageDedup.hashImages(a).withColumnRenamed("dhash", "da")
+    val hb = ImageDedup.hashImages(b).withColumnRenamed("dhash", "db")
+    assert(ha.join(hb, "media_id").filter(col("da") =!= col("db"))
+      .count() == 0)
+  }
+
   test("audio modality admits first-seen fingerprints through the same store") {
     val in = tmpDir("mdi-a-in"); val store = tmpDir("mdi-a-store") + "/store"
     val audio = Multimodal.syntheticAudioVariants(spark, docs, groups = 20)
