@@ -2529,6 +2529,26 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // ASPECT-RATIO bucketing (round 16): the vision batch-packing pass —
+    // nearest ratio bucket by cross-multiplied integer distance, dims
+    // from CONTAINER HEADER bytes (PNG IHDR) with zero pixel decodes;
+    // planted dims are pure doc_id arithmetic
+    "q233_aspect_buckets" -> ((s, dir) => {
+      val imgs = Multimodal.syntheticImages(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.aspectBuckets(imgs)
+        .select(col("media_id"), col("width"), col("height"), col("bucket"))
+    }),
+
+    // TIME-uniform video frame sampling (round 16): each 200 ms tick
+    // (fps=5) emits the frame on screen at that instant, from the real
+    // GraphicControlExtension delay chain — 100 ms/frame renders put
+    // frame 2k at tick k; ticks per clip = 1 + id % 4
+    "q234_video_fps_sample" -> ((s, dir) => {
+      val sv = Multimodal.syntheticGifSceneVariants(s, t(s, dir, "documents"))
+      graft.multimodal.VideoScenes.sampleAtFps(sv, fps = 5)
+        .select(col("media_id"), col("tick"), col("frame_idx"), col("t_ms"))
+    }),
+
     // PAIRED curation with CAPTION-key dedup (round 16): the spammed-
     // caption class — one boilerplate caption across many images; after
     // keep-best media dedup, survivors sharing a caption key (planted:
@@ -5021,6 +5041,26 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // nearest of the 5 default ratio buckets by |w*bh - h*bw|, ties to
+    // the earliest bucket; dims are 16 + id%32 x 16 + id%24
+    "q233_aspect_buckets" ->
+      ("WITH s AS (SELECT doc_id, (16 + doc_id % 32)::INT AS w, " +
+        "(16 + doc_id % 24)::INT AS h FROM documents), " +
+        "d AS (SELECT doc_id, w, h, abs(w*1 - h*1) AS d0, " +
+        "abs(w*3 - h*4) AS d1, abs(w*4 - h*3) AS d2, " +
+        "abs(w*9 - h*16) AS d3, abs(w*16 - h*9) AS d4 FROM s) " +
+        "SELECT doc_id AS media_id, w AS width, h AS height, " +
+        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 AND d0 <= d4 " +
+        "THEN '1:1' WHEN d1 <= d2 AND d1 <= d3 AND d1 <= d4 THEN '4:3' " +
+        "WHEN d2 <= d3 AND d2 <= d4 THEN '3:4' " +
+        "WHEN d3 <= d4 THEN '16:9' ELSE '9:16' END AS bucket FROM d"),
+    // 100 ms/frame renders: tick k (200 ms at fps=5) shows frame 2k;
+    // ticks strictly inside the 200*(1 + id%4) ms duration
+    "q234_video_fps_sample" ->
+      ("SELECT doc_id AS media_id, s.s::INT AS tick, " +
+        "(2*s.s)::INT AS frame_idx, (200*s.s)::BIGINT AS t_ms " +
+        "FROM documents JOIN (SELECT * FROM generate_series(0,3) s(s)) s " +
+        "ON s.s <= doc_id % 4"),
     // q222's stage arithmetic, then among texture-group survivors a
     // second rank window over the caption key (doc_id % 12)
     "q232_paired_caption_dedup" ->

@@ -454,6 +454,57 @@ object MediaQuality {
           !col("low_contrast") && !col("blurry"))
   }
 
+  /** Image dimensions from CONTAINER HEADER bytes — PNG IHDR (big-endian
+    * at offset 16) or GIF logical screen descriptor (little-endian at
+    * offset 6) — with NO pixel decode. The cheap path for layout-only
+    * decisions (aspect bucketing, size pre-filters) over compressed
+    * crawls; non-PNG/GIF payloads fall back to a real decode. */
+  private[multimodal] def dimsFromHeader(payload: Array[Byte]): (Int, Int) =
+    if (MediaScrub.isPng(payload) && payload.length >= 24) {
+      def be(o: Int): Int = ((payload(o) & 0xff) << 24) |
+        ((payload(o + 1) & 0xff) << 16) | ((payload(o + 2) & 0xff) << 8) |
+        (payload(o + 3) & 0xff)
+      (be(16), be(20))
+    } else if (GifCodec.isGif(payload) && payload.length >= 10) {
+      ((payload(6) & 0xff) | ((payload(7) & 0xff) << 8),
+        (payload(8) & 0xff) | ((payload(9) & 0xff) << 8))
+    } else {
+      val img = ImageCodec.read(payload)
+      require(img != null, "payload is not a decodable image")
+      (img.getWidth, img.getHeight)
+    }
+
+  /** ASPECT-RATIO bucketing — the batch-packing pass of vision training
+    * (images batch with same-shaped peers instead of being cropped to
+    * one global shape): each image goes to the bucket minimizing the
+    * cross-multiplied integer distance |w*bh - h*bw| (deterministic,
+    * no floats), ties to the EARLIEST bucket. Dims come from container
+    * header bytes where possible — ZERO pixel decodes for PNG/GIF
+    * crawls. Output (media_id, width, height, bucket). */
+  def aspectBuckets(media: DataFrame,
+                    buckets: Seq[(Int, Int)] = Seq((1, 1), (4, 3), (3, 4),
+                      (16, 9), (9, 16))): DataFrame = {
+    require(buckets.nonEmpty && buckets.forall(b => b._1 > 0 && b._2 > 0),
+      s"buckets must be positive ratios: $buckets")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bs = buckets
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "image",
+        s"media_id=${r.media_id}: aspect bucketing over ${r.media_type}")
+      val (w, h) = dimsFromHeader(r.payload)
+      var best = 0
+      var bestD = Long.MaxValue
+      var i = 0
+      while (i < bs.length) {
+        val d = math.abs(w.toLong * bs(i)._2 - h.toLong * bs(i)._1)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      (r.media_id, w, h, s"${bs(best)._1}:${bs(best)._2}")
+    }).toDF("media_id", "width", "height", "bucket")
+  }
+
   /** Keep only images passing every gate. */
   def filterImages(media: DataFrame, minSide: Int = 16,
                    maxAspectMilli: Long = 4000L,

@@ -287,8 +287,15 @@ object Multimodal {
       * (centiseconds) through the JDK sequence writer; each frame carries
       * an explicit GraphicControlExtension so durations round-trip. */
     def writeAnimated(frames: Seq[java.awt.image.BufferedImage],
-                      delayCs: Int): Array[Byte] = {
+                      delayCs: Int): Array[Byte] =
+      writeAnimatedVfr(frames, Seq.fill(frames.length)(delayCs))
+
+    /** Variable-frame-rate variant: one delay (centiseconds) per frame. */
+    def writeAnimatedVfr(frames: Seq[java.awt.image.BufferedImage],
+                         delaysCs: Seq[Int]): Array[Byte] = {
       require(frames.nonEmpty, "an animated GIF needs at least one frame")
+      require(delaysCs.length == frames.length,
+        s"${delaysCs.length} delays for ${frames.length} frames")
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("gif").next()
       val baos = new java.io.ByteArrayOutputStream()
@@ -296,7 +303,7 @@ object Multimodal {
       writer.setOutput(ios)
       val param = writer.getDefaultWriteParam
       writer.prepareWriteSequence(null)
-      frames.foreach { img =>
+      frames.zip(delaysCs).foreach { case (img, delayCs) =>
         val meta = writer.getDefaultImageMetadata(
           new javax.imageio.ImageTypeSpecifier(img), param)
         val fmt = meta.getNativeMetadataFormatName

@@ -92,6 +92,55 @@ object VideoScenes {
     scenes(media, maxHamming, every)
       .select(col("media_id"), col("start_frame").as("frame_idx"))
 
+  /** TIME-uniform frame sampling — completes the sampling family
+    * (by-INDEX: [[Multimodal.sampleGifFrames]]; by-SCENE: [[keyframes]];
+    * by-TIME: this): frame i is on screen over [cum(i), cum(i+1)) ms
+    * (GraphicControlExtension delays), and each tick t = k * 1000/fps
+    * inside the clip's duration emits the frame displayed at t. A
+    * variable-frame-rate GIF sampled by index over-represents its fast
+    * sections; by-time sampling weights content by WALL TIME. Map-only,
+    * one container metadata+decode pass per video; output (media_id,
+    * tick, frame_idx, t_ms). `fps` must divide 1000 (integer tick
+    * arithmetic — deterministic across engines). */
+  def sampleAtFps(media: DataFrame, fps: Int): DataFrame = {
+    require(fps >= 1 && 1000 % fps == 0,
+      s"fps=$fps must be a positive divisor of 1000 (integer ticks)")
+    val interval = 1000 / fps
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: fps sampling over ${r.media_type}")
+      require(GifCodec.isGif(r.payload),
+        "payload is not an animated GIF — no in-JVM codec for other " +
+          "video containers")
+      MediaCounters.videoReads.incrementAndGet(): Unit
+      GifCodec.withReader(r.payload) { reader =>
+        val n = reader.getNumImages(true)
+        require(n >= 1, "GIF container holds no frames")
+        val starts = new Array[Long](n + 1)
+        var i = 0
+        while (i < n) {
+          starts(i + 1) = starts(i) + GifCodec.frameDelayCs(reader, i) * 10L
+          i += 1
+        }
+        val total = starts(n)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Int, Long)]
+        var k = 0
+        var frame = 0
+        var t = 0L
+        while (t < total) {
+          while (frame + 1 < n && starts(frame + 1) <= t) frame += 1
+          out += ((r.media_id, k, frame, t))
+          k += 1
+          t = k.toLong * interval
+        }
+        out.toVector
+      }
+    }).toDF("media_id", "tick", "frame_idx", "t_ms")
+  }
+
   /** Extract every scene's keyframe as a standalone IMAGE row — the
     * bridge from the video stack into the image stack: keyframes flow
     * into image dedup, tile decontamination and quality gates as

@@ -189,6 +189,39 @@ class MediaQualitySpec extends SparkSpec {
     } finally { prof.unpersist(); () }
   }
 
+  test("aspectBuckets: header dims, zero decodes, earliest-bucket ties") {
+    val imgs = Multimodal.syntheticImages(spark, docs)
+    val before = Multimodal.MediaCounters.imageReads.get()
+    val out = MediaQuality.aspectBuckets(imgs).persist()
+    try {
+      out.count(): Unit
+      assert(Multimodal.MediaCounters.imageReads.get() == before,
+        "PNG aspect bucketing must read only header bytes")
+      // header dims == decoded dims
+      val dims = ImageDedup.hashImagesWithDims(imgs)
+        .select(col("media_id"), col("width").as("dw"),
+          col("height").as("dh"))
+      assert(out.join(dims, "media_id")
+        .filter(col("width") =!= col("dw") ||
+          col("height") =!= col("dh")).count() == 0)
+      // recompute the nearest bucket independently
+      val bs = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+      val wrong = out.collect().filter { r =>
+        val w = r.getInt(1).toLong; val h = r.getInt(2).toLong
+        val want = bs.minBy(b => math.abs(w * b._2 - h * b._1))
+        r.getString(3) != s"${want._1}:${want._2}"
+      }
+      assert(wrong.isEmpty, wrong.take(5).mkString("; "))
+      // a square image ties 1:1 first at w=h
+      assert(out.filter(col("width") === col("height"))
+        .filter(col("bucket") =!= "1:1").count() == 0)
+    } finally { out.unpersist(); () }
+    val e = intercept[IllegalArgumentException] {
+      MediaQuality.aspectBuckets(imgs, Seq((0, 1)))
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("non-decodable and wrong-type records refuse loudly") {
     val junk = Seq((1L, "image", Array[Byte](1, 2, 3), "image/png", "t"))
       .toDF("media_id", "media_type", "payload", "mime", "source")

@@ -89,6 +89,48 @@ class VideoScenesSpec extends SparkSpec {
     } finally { kf.unpersist(); () }
   }
 
+  test("sampleAtFps: time-uniform ticks, variable-frame-rate weighting") {
+    // planted fixture: 100 ms/frame, duration 200*(1 + id%4) ms —
+    // at 5 fps tick k shows frame 2k
+    val v = videos.filter(col("media_id") < 40)
+    val out = VideoScenes.sampleAtFps(v, fps = 5)
+      .withColumn("want_ticks", pmod(col("media_id"), lit(4L)) + 1)
+      .persist()
+    try {
+      val wrong = out.filter(col("frame_idx") =!= col("tick") * 2 ||
+        col("t_ms") =!= col("tick") * 200)
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      assert(out.groupBy("media_id", "want_ticks")
+        .agg(count("*").as("n"))
+        .filter(col("n") =!= col("want_ticks")).count() == 0)
+    } finally { out.unpersist(); () }
+    // VARIABLE frame rate: delays 400/100/100 ms — by-time sampling at
+    // 5 fps holds the slow first frame for two ticks (by-index would
+    // weight all frames equally)
+    def gray(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach { x =>
+        val g = (seed * 83 + x * 31 + y * 17) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      })
+      img
+    }
+    val vfr = Multimodal.GifCodec.writeAnimatedVfr(
+      Seq(gray(1), gray(2), gray(3)), Seq(40, 10, 10))
+    val media = Seq((7L, "video", vfr, "image/gif", "vfr"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val ticks = VideoScenes.sampleAtFps(media, fps = 5)
+      .select("tick", "frame_idx", "t_ms")
+      .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(ticks == Seq((0, 0, 0L), (1, 0, 200L), (2, 1, 400L)),
+      ticks.toString)
+    val e = intercept[IllegalArgumentException] {
+      VideoScenes.sampleAtFps(media, fps = 3)
+    }
+    assert(e.getMessage.contains("divisor"), e.getMessage)
+  }
+
   test("one decode per video; non-video payloads refuse loudly") {
     val v = videos.filter(col("media_id") < 100)
     val n = v.count()
