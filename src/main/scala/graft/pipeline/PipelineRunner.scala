@@ -450,24 +450,40 @@ object PipelineRunner {
           val parts = spec2.split(';').map(_.trim)
           graft.multimodal.VideoScenes.keyframeImages(df, parts(0).toInt,
             if (parts.length > 1) parts(1).toInt else 1)
+        // time-uniform frame ticks from the real delay chain
+        case Array("fpssample", spec2) => // fps
+          graft.multimodal.VideoScenes.sampleAtFps(df, spec2.trim.toInt)
+        // vision batch-packing: nearest aspect bucket from header bytes
+        case Array("aspectbuckets", spec2) => // w:h[,w:h...] or empty
+          val bs = spec2.split(',').map(_.trim).filter(_.nonEmpty).map { b =>
+            val i = b.indexOf(':')
+            require(i > 0, s"aspect bucket is not w:h: '$b'")
+            (b.substring(0, i).toInt, b.substring(i + 1).toInt)
+          }.toSeq
+          if (bs.isEmpty) graft.multimodal.MediaQuality.aspectBuckets(df)
+          else graft.multimodal.MediaQuality.aspectBuckets(df, bs)
         // paired media-caption curation: captions (and the optional
         // media eval set) load from parquet paths in the spec — the
         // reference's converters likewise reach side inputs by
         // config-given location
         case Array("pairedcuration", spec2) =>
-          // <captionsPath>;<minCaptionChars>;<maxHamming>[;<evalPath>]
-          spec2.split(';').map(_.trim) match {
-            case Array(capPath, minChars, h) =>
-              graft.multimodal.PairedCuration.curate(df,
-                spark.read.parquet(capPath), minChars.toLong, h.toInt)
-            case Array(capPath, minChars, h, evalPath) =>
-              graft.multimodal.PairedCuration.curate(df,
-                spark.read.parquet(capPath), minChars.toLong, h.toInt,
-                evalMedia = Some(spark.read.parquet(evalPath)))
-            case other => throw new IllegalArgumentException(
-              "pairedcuration: wants '<captionsPath>;<minCaptionChars>;" +
-                s"<maxHamming>[;<evalPath>]', got '${other.mkString(";")}'")
-          }
+          // <captionsPath>;<minCaptionChars>;<maxHamming>
+          //   [;eval=<path>][;capkey=<col>]
+          val segs = spec2.split(';').map(_.trim)
+          require(segs.length >= 3,
+            "pairedcuration: wants '<captionsPath>;<minCaptionChars>;" +
+              "<maxHamming>[;eval=<path>][;capkey=<col>]', got " +
+              s"'$spec2'")
+          val opts = segs.drop(3).filter(_.nonEmpty).map { o =>
+            val i = o.indexOf('=')
+            require(i > 0 && Set("eval", "capkey")(o.substring(0, i)),
+              s"pairedcuration option is not eval=/capkey=: '$o'")
+            o.substring(0, i) -> o.substring(i + 1)
+          }.toMap
+          graft.multimodal.PairedCuration.curate(df,
+            spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
+            evalMedia = opts.get("eval").map(spark.read.parquet(_)),
+            capKeyCol = opts.get("capkey"))
         // leakage-safe split by PERCEPTUAL cluster: label:width bands
         // over the banded portable hash of the near-dup cluster id
         case Array("mediasplit", spec2) =>

@@ -883,6 +883,25 @@ class PipelineSpecSuite extends SparkSpec {
       spark.read.parquet(s"$out/scrubbed"))
       .filter(col("had_metadata")).count() == 0)
 
+    // fpssample + aspectbuckets: sampling and packing as hops
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-fps",
+      source = SourceSpec(format = "parquet", path = s"$media/scenes"),
+      transformExprs = Seq("fpssample:5"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/fps"))),
+      "runMmFps")
+    assert(spark.read.parquet(s"$out/fps").filter(
+      col("frame_idx") =!= col("tick") * 2 ||
+        col("t_ms") =!= col("tick") * 200).count() == 0)
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-ab",
+      source = SourceSpec(format = "parquet", path = s"$media/meta"),
+      transformExprs = Seq("aspectbuckets:1:1,16:9"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/ab"))),
+      "runMmAb")
+    assert(spark.read.parquet(s"$out/ab")
+      .filter(!col("bucket").isin("1:1", "16:9")).count() == 0)
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
