@@ -74,7 +74,11 @@ object PairedCuration {
         gatedIn.select(col("media_id"), col("chash"), col("prefer")),
         "media_id", pairs, prefer = col("prefer"))
       // caption-key dedup among MEDIA survivors: one pair per spammed
-      // caption, min id wins (a window over the tiny survivor frame)
+      // caption, min id wins. The window runs over the survivor frame
+      // (already perceptually deduped, a vanishing fraction of the
+      // corpus); a pathological key spammed across millions of DISTINCT
+      // images would skew one partition — at that scale pre-aggregate
+      // min(media_id) per key (one combiner-reduced shuffle) instead
       val surv = capKeyCol.fold(mediaSurv) { _ =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("__cap_key"))
