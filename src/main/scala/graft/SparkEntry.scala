@@ -2529,6 +2529,18 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // PCM RATE NORMALIZATION (round 16): 8 kHz tone renders resampled to
+    // 16 kHz by exact-rational linear interpolation — the decoded result
+    // must report doubled frames at the same wall duration, through a
+    // REAL decode of the re-encoded WAV
+    "q235_audio_resample" -> ((s, dir) => {
+      val clips = Multimodal.syntheticAudioVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      val res = graft.multimodal.AudioScenes.resample(clips, 16000)
+      graft.multimodal.MediaQuality.audioSignals(res)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
     // ASPECT-RATIO bucketing (round 16): the vision batch-packing pass —
     // nearest ratio bucket by cross-multiplied integer distance, dims
     // from CONTAINER HEADER bytes (PNG IHDR) with zero pixel decodes;
@@ -5041,6 +5053,10 @@ object SparkEntry {
         "WHEN doc_id % 20 IN (1, 2) THEN 'contaminated' " +
         "ELSE 'kept' END AS stage FROM documents CROSS JOIN " +
         "(VALUES ('image'), ('audio'), ('video')) AS m(media_type)"),
+    // 800 frames at 8 kHz resample to 1600 at 16 kHz — same 100 ms
+    "q235_audio_resample" ->
+      ("SELECT doc_id AS media_id, 1600::BIGINT AS n_frames, " +
+        "100::BIGINT AS duration_ms FROM documents"),
     // nearest of the 5 default ratio buckets by |w*bh - h*bw|, ties to
     // the earliest bucket; dims are 16 + id%32 x 16 + id%24
     "q233_aspect_buckets" ->

@@ -63,6 +63,70 @@ object AudioScenes {
     }).toDF("media_id", "segment_idx", "start_window", "n_windows")
   }
 
+  /** PCM sample-rate NORMALIZATION — the packing pre-pass for
+    * mixed-source audio corpora (utterance packing and fingerprint
+    * stores assume one rate; crawled audio arrives at many): linear-
+    * interpolation resampling to `targetRate`, exact integer position
+    * arithmetic (pos = i * srcRate / targetRate as a rational — no
+    * float drift, engine-portable), re-encoded as 16-bit mono WAV.
+    * Map-only: one decode + one encode per clip; output keeps the media
+    * schema. Already-at-rate MONO clips pass through byte-untouched. */
+  def resample(media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1000 && targetRate <= 192000,
+      s"targetRate=$targetRate outside [1000, 192000]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "audio",
+        s"media_id=${r.media_id}: resampling over ${r.media_type}")
+      val (samples, srcRateF) = AudioDedup.decodeMonoWithRate(r.payload)
+      val src = srcRateF.toInt
+      require(src == srcRateF && src > 0,
+        s"media_id=${r.media_id}: non-integral source rate $srcRateF")
+      if (src == targetRate && isMonoWav16(r.payload)) r
+      else {
+        val n = samples.length
+        val n2 = (n.toLong * targetRate / src).toInt
+        require(n2 > 0, s"media_id=${r.media_id}: clip too short to " +
+          s"resample from $src to $targetRate")
+        val pcm = new Array[Byte](n2 * 2)
+        var i = 0
+        while (i < n2) {
+          val posNum = i.toLong * src
+          val idx = (posNum / targetRate).toInt
+          val frac = posNum % targetRate
+          val a = samples(idx)
+          val b = samples(math.min(n - 1, idx + 1))
+          val v = (a + (b - a) * frac / targetRate).toShort
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(targetRate.toFloat,
+          16, 1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n2.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        r.copy(payload = bos.toByteArray, mime = "audio/wav")
+      }
+    }).toDF()
+  }
+
+  /** True when the payload is already a little-endian 16-bit MONO WAV
+    * (the pass-through precondition — a stereo clip at the target rate
+    * still needs the mono-izing rewrite). */
+  private def isMonoWav16(payload: Array[Byte]): Boolean =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        f.getChannels == 1 && f.getSampleSizeInBits == 16 && !f.isBigEndian
+      } finally in.close()
+    } catch { case _: Exception => false }
+
   /** Per-clip segmentation card: (media_id, n_segments, content_windows,
     * max_segment_windows) — the packing view (a clip with one long
     * segment ships whole; many short ones pack per utterance). Clips

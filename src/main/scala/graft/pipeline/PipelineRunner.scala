@@ -453,6 +453,9 @@ object PipelineRunner {
         // time-uniform frame ticks from the real delay chain
         case Array("fpssample", spec2) => // fps
           graft.multimodal.VideoScenes.sampleAtFps(df, spec2.trim.toInt)
+        // PCM rate normalization before packing/fingerprinting
+        case Array("audioresample", spec2) => // targetRate
+          graft.multimodal.AudioScenes.resample(df, spec2.trim.toInt)
         // vision batch-packing: nearest aspect bucket from header bytes
         case Array("aspectbuckets", spec2) => // w:h[,w:h...] or empty
           val bs = spec2.split(',').map(_.trim).filter(_.nonEmpty).map { b =>

@@ -902,6 +902,17 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spark.read.parquet(s"$out/ab")
       .filter(!col("bucket").isin("1:1", "16:9")).count() == 0)
 
+    // audioresample: rate normalization as a hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-resample",
+      source = SourceSpec(format = "parquet", path = s"$media/shift"),
+      transformExprs = Seq("audioresample:16000"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/resampled"))),
+      "runMmResample")
+    val res16 = spark.read.parquet(s"$out/resampled")
+    assert(graft.multimodal.MediaQuality.audioSignals(res16)
+      .filter(col("n_frames") % 2 =!= 0).count() == 0) // frames doubled
+
     // gifframes: real per-frame sampling as a declarative hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-frames",
