@@ -13,10 +13,17 @@ import Multimodal.MediaRecord
   * IDAT and the color-interpretation chunks are kept, so decode output
   * is unchanged by construction).
   *
+  * Three containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
+  * RIFF/WAVE (LIST/INFO, id3, bext) and GIF (comment/plain-text
+  * extensions). Bytes smuggled AFTER a container's declared end (past
+  * PNG's IEND, beyond the RIFF size, after the GIF trailer) are stripped
+  * and reported as a `TRAILING` pseudo-chunk — decoders never read them,
+  * so they are pure metadata carriage.
+  *
   * Scale shape: map-only byte-level chunk walk — NO decode, no codec
   * init; the pass reads each payload once and rewrites only offending
   * containers (clean payloads pass through reference-identical, no
-  * re-encode drift). Non-PNG payloads pass through untouched.
+  * re-encode drift). Other container formats pass through untouched.
   */
 object MediaScrub {
 
@@ -35,7 +42,11 @@ object MediaScrub {
 
   /** Walk the chunk stream: (type, offset, totalLen) per chunk.
     * Malformed containers refuse loudly — silently passing one through
-    * would ship the very metadata this pass exists to remove. */
+    * would ship the very metadata this pass exists to remove. Bytes
+    * AFTER the IEND chunk (the classic smuggling spot — decoders stop at
+    * IEND, so appended data survives any per-chunk scrub) surface as a
+    * `TRAILING` pseudo-chunk, which no Keep set contains: they are
+    * stripped and reported like any metadata chunk. */
   private def chunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
     require(isPng(b), "payload is not a PNG container")
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
@@ -53,6 +64,7 @@ object MediaScrub {
       if (tpe == "IEND") sawEnd = true
       off += total
     }
+    if (off < b.length) out += (("TRAILING", off, b.length - off))
     out.toSeq
   }
 
@@ -92,7 +104,9 @@ object MediaScrub {
 
   /** Walk the RIFF chunk list: (id, offset, totalLen incl. pad byte).
     * Little-endian sizes, word alignment honored. Malformed containers
-    * refuse loudly. */
+    * refuse loudly. Bytes beyond the DECLARED RIFF size (players honor
+    * the header, so appended data survives any per-chunk scrub) surface
+    * as a `TRAILING` pseudo-chunk — stripped and reported. */
   private def wavChunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
     require(isRiffWave(b), "payload is not a RIFF/WAVE container")
     val riffEnd = math.min(b.length.toLong,
@@ -111,6 +125,7 @@ object MediaScrub {
       out += ((id, off, math.min(total, b.length - off)))
       off += total
     }
+    if (off < b.length) out += (("TRAILING", off, b.length - off))
     out.toSeq
   }
 
@@ -170,6 +185,10 @@ object MediaScrub {
       (b(off) & 0xff) match {
         case 0x3b =>
           out += (("TRL", off, 1)); sawTrailer = true
+          // bytes after the trailer: viewers stop at 0x3b, so appended
+          // data survives any per-block scrub — strip and report
+          if (off + 1 < b.length)
+            out += (("TRAILING", off + 1, b.length - off - 1))
         case 0x2c =>
           require(off + 10 <= b.length, s"truncated image descriptor at $off")
           val p = b(off + 9) & 0xff
@@ -245,8 +264,9 @@ object MediaScrub {
 
   /** The scrub audit: (media_id, n_stripped, stripped_types,
     * had_metadata) per record — what a compliance run reports (and the
-    * gate a strict ingest refuses on instead of scrubbing). Containers
-    * without a scrubber (GIF etc.) report 0 stripped. */
+    * gate a strict ingest refuses on instead of scrubbing). PNG, WAV and
+    * GIF containers are walked (including trailing-byte smuggling);
+    * container formats without a scrubber report 0 stripped. */
   def scrubReport(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -74,20 +74,22 @@ object PairedCuration {
         gatedIn.select(col("media_id"), col("chash"), col("prefer")),
         "media_id", pairs, prefer = col("prefer"))
       // caption-key dedup among MEDIA survivors: one pair per spammed
-      // caption, min id wins. The window runs over the survivor frame
-      // (already perceptually deduped, a vanishing fraction of the
-      // corpus); a pathological key spammed across millions of DISTINCT
-      // images would skew one partition — at that scale pre-aggregate
-      // min(media_id) per key (one combiner-reduced shuffle) instead
+      // caption, min id wins — as a PRE-AGGREGATE, not a per-key window.
+      // The spammed caption (one boilerplate string across millions of
+      // perceptually DISTINCT images) is this stage's MOTIVATING case,
+      // so the hot key is the expected shape: min(media_id) per key is
+      // combiner-reduced (partial min on the map side — the mega-key
+      // arrives at its reducer as one row per input partition), where a
+      // row_number window would drag every row of the hot key into one
+      // partition. Survivors then keep by semi-join on the winning ids.
       val surv = capKeyCol.fold(mediaSurv) { _ =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__cap_key"))
-          .orderBy(col("media_id").asc)
-        mediaSurv.join(paired.select(col("media_id"), col("__cap_key")),
-          Seq("media_id"))
-          .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") === 1)
-          .drop("__rk", "__cap_key")
+        val winners = mediaSurv
+          .join(paired.select(col("media_id"), col("__cap_key")),
+            Seq("media_id"))
+          .groupBy(col("__cap_key"))
+          .agg(min(col("media_id")).as("media_id"))
+        mediaSurv.join(winners.select("media_id"), Seq("media_id"),
+          "left_semi")
       }
       val contaminated = evalProf.map { ep =>
         graft.dedup.HammingBands.decontaminateProbe(

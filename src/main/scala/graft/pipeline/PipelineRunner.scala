@@ -441,7 +441,8 @@ object PipelineRunner {
         // (bars shift every hash); bar-free rows pass through untouched
         case Array("cropbars") =>
           graft.multimodal.MediaQuality.cropBars(df)
-        // PNG metadata scrub: the compliance pass for binary payloads
+        // PNG/WAV/GIF metadata scrub (incl. trailing-byte smuggling):
+        // the compliance pass for binary payloads
         case Array("mediascrub") =>
           graft.multimodal.MediaScrub.scrub(df)
         // scene keyframes extracted as standalone IMAGE rows — the

@@ -97,6 +97,49 @@ class MediaScrubSpec extends SparkSpec {
     }
   }
 
+  test("bytes smuggled past the container end are stripped and reported") {
+    def appended(b: Array[Byte]): Array[Byte] = {
+      val smuggled = "lat=52.52,lon=13.40 operator=J.Doe".getBytes("US-ASCII")
+      val out = java.util.Arrays.copyOf(b, b.length + smuggled.length)
+      System.arraycopy(smuggled, 0, out, b.length, smuggled.length)
+      out
+    }
+    val png = Multimodal.syntheticImages(spark, docs.limit(1))
+      .as[Multimodal.MediaRecord].head().payload
+    val wav = Multimodal.syntheticAudioVariants(spark, docs.limit(1),
+      groups = 1).as[Multimodal.MediaRecord].head().payload
+    val gif = Multimodal.syntheticGifVariants(spark, docs.limit(1),
+      groups = 1).as[Multimodal.MediaRecord].head().payload
+    // PNG: after IEND; WAV: beyond the declared RIFF size (the header is
+    // NOT updated — players honor it, so the payload still decodes);
+    // GIF: after the 0x3b trailer
+    Seq(png -> (MediaScrub.stripPng _), wav -> (MediaScrub.stripWav _),
+      gif -> (MediaScrub.stripGif _)).foreach { case (clean, strip) =>
+      val dirty = appended(clean)
+      val (scrubbed, dropped) = strip(dirty)
+      assert(dropped == Seq("TRAILING"), dropped.toString)
+      assert(java.util.Arrays.equals(scrubbed, clean),
+        "trailing-byte strip must restore the exact original container")
+      // a clean container reports nothing and returns the SAME array
+      val (again, none) = strip(clean)
+      assert(none.isEmpty && (again eq clean))
+    }
+    // the table faces see it too: scrub removes, scrubReport reports
+    val dirtyTable = Seq(
+      (1L, "image", appended(png), "image/png", "t"),
+      (2L, "audio", appended(wav), "audio/wav", "t"),
+      (3L, "video", appended(gif), "image/gif", "t"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val rep = MediaScrub.scrubReport(dirtyTable)
+    assert(rep.filter(!col("had_metadata")).count() == 0)
+    assert(rep.filter(!array_contains(col("stripped_types"), "TRAILING"))
+      .count() == 0)
+    val lens = MediaScrub.scrub(dirtyTable).as[Multimodal.MediaRecord]
+      .collect().map(r => r.media_id -> r.payload.length).toMap
+    assert(lens(1L) == png.length && lens(2L) == wav.length &&
+      lens(3L) == gif.length)
+  }
+
   test("non-PNG payloads pass through untouched; malformed PNGs refuse") {
     val wav = Multimodal.syntheticAudioVariants(spark, docs.limit(2),
       groups = 2)

@@ -122,6 +122,42 @@ class PairedCurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("caption-key dedup is a pre-aggregate, not a per-key window; a mega-key cannot skew") {
+    // ONE caption key spammed across EVERY pair — the operator's
+    // motivating case (boilerplate caption on millions of distinct
+    // images). A row_number window would drag every survivor into one
+    // partition; the pre-aggregate reduces the mega-key map-side.
+    val megaCaps = docs.withColumn("cap_key", lit(0L))
+    val out = PairedCuration.curate(images, megaCaps,
+      minCaptionChars = 200L, maxHamming = 3,
+      capKeyCol = Some("cap_key")).persist()
+    try {
+      val kept = out.filter(col("stage") === "kept")
+        .select("media_id").as[Long].collect()
+      assert(kept.length == 1, s"mega-key must keep exactly one pair: " +
+        kept.mkString(","))
+      // the winner is the MIN id among media-dedup survivors
+      val base = PairedCuration.curate(images, megaCaps,
+        minCaptionChars = 200L, maxHamming = 3)
+      try {
+        val survMin = base.filter(col("stage") === "kept")
+          .agg(min("media_id")).as[Long].head()
+        assert(kept.head == survMin,
+          s"winner ${kept.head} is not the min survivor $survMin")
+        assert(out.filter(col("stage") === "caption_dup").count() ==
+          base.filter(col("stage") === "kept").count() - 1)
+      } finally { base.unpersist(); () }
+      // PLAN PIN: the caption-key stage must be an Aggregate over
+      // __cap_key (combiner-reduced min), never a row_number window
+      // partitioned by the caption key (the skew shape this test guards)
+      val plan = out.queryExecution.analyzed.toString
+      assert(!plan.contains("windowspecdefinition(__cap_key"),
+        "caption-key dedup regressed to a per-key window")
+      assert(plan.contains("__cap_key"),
+        "caption-key stage missing from the lineage")
+    } finally { out.unpersist(); () }
+  }
+
   test("media rows without a caption row are not pairs") {
     val out = PairedCuration.curate(images,
       docs.filter(col("doc_id") < 100),
