@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import Multimodal.{GifCodec, ImageCodec, MediaCounters, MediaRecord}
+import Multimodal.{ImageCodec, MediaCounters, MediaRecord}
 
 /** The COMPOSED media curation pipeline — the media face of the text
   * side's end-to-end training pipeline (`q151`): quality gates →
@@ -86,21 +86,21 @@ object MediaPipeline {
             AudioDedup.fingerprintSamples(samples, 0, samples.length),
             passes, 0L)
         case "video" =>
-          require(GifCodec.isGif(r.payload),
-            s"media_id=${r.media_id}: payload is not an animated GIF — " +
-              "no in-JVM codec for other video containers")
+          require(VideoCodec.isVideo(r.payload),
+            s"media_id=${r.media_id}: payload is not a decodable video " +
+              "container (GIF/AVI) — no in-JVM codec for mp4/webm")
           MediaCounters.videoReads.incrementAndGet(): Unit
-          GifCodec.withReader(r.payload) { reader =>
-            val n = reader.getNumImages(true)
+          VideoCodec.withFrames(r.payload) { v =>
+            val n = v.numFrames
             require(n >= 1,
               s"media_id=${r.media_id}: container holds no frames")
             var durationCs = 0L
             var i = 0
             while (i < n) {
-              durationCs += GifCodec.frameDelayCs(reader, i); i += 1
+              durationCs += v.delayCs(i); i += 1
             }
             val hashes = Iterator.range(0, n, every)
-              .map(f => ImageDedup.dHash64(reader.read(f))).toArray
+              .map(f => ImageDedup.dHash64(v.frame(f))).toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
               durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
             (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
@@ -181,11 +181,16 @@ object MediaPipeline {
     * structs holding the record's shift/crop-tolerant sub-hashes
     * (image: per-tile dHashes on a tileW x tileH grid; audio:
     * hop-aligned non-silent window fingerprints, ky = 0; video: sampled
-    * frame dHashes, ky = 0). These are the part passes the standalone
-    * faces compute ([[ImageDedup.hashTiles]], [[AudioDedup.hashWindows]],
+    * frame dHashes, ky = 0) — and `orients`, the 8 dihedral orientation
+    * dHashes for images ([[ImageDedup.hashOrientations]]' rows; empty
+    * for audio/video), coordinate remaps over the already-extracted
+    * luminance plane, near-free on top of the decode. These are the
+    * part/orientation passes the standalone faces compute
+    * ([[ImageDedup.hashTiles]], [[AudioDedup.hashWindows]],
     * [[VideoDedup.hashFrames]]) folded into the profile decode, so a
-    * composed run that needs BOTH the whole-content hash and the
-    * part-level leak guard still decodes each record exactly once. */
+    * composed run that needs the whole-content hash AND the part-level
+    * AND rotation-level leak guards still decodes each record exactly
+    * once. */
   def profileDeep(media: DataFrame, tileW: Int = 16, tileH: Int = 16,
                   windowFrames: Int = 400, hopFrames: Int = 400,
                   silenceFloor: Long = 100L, minSide: Int = 16,
@@ -232,8 +237,10 @@ object MediaPipeline {
             tx <- 0 until w / tileW
           } yield (tx, ty, ImageDedup.dHash64(
             img.getSubimage(tx * tileW, ty * tileH, tileW, tileH)))
-          (r.media_id, r.media_type, ImageDedup.dHash64(img), passes,
-            w.toLong * h, parts)
+          // index 0 IS dHash64 — the whole hash rides the dihedral pass
+          val orients = ImageDedup.dHashDihedral(img)
+          (r.media_id, r.media_type, orients(0), passes,
+            w.toLong * h, parts, orients.toSeq)
         case "audio" =>
           val (samples, rate) = AudioDedup.decodeMonoWithRate(r.payload)
           var sumAbs = 0L
@@ -263,33 +270,34 @@ object MediaPipeline {
           }
           (r.media_id, r.media_type,
             AudioDedup.fingerprintSamples(samples, 0, samples.length),
-            passes, 0L, parts)
+            passes, 0L, parts, Seq.empty[Long])
         case "video" =>
-          require(GifCodec.isGif(r.payload),
-            s"media_id=${r.media_id}: payload is not an animated GIF — " +
-              "no in-JVM codec for other video containers")
+          require(VideoCodec.isVideo(r.payload),
+            s"media_id=${r.media_id}: payload is not a decodable video " +
+              "container (GIF/AVI) — no in-JVM codec for mp4/webm")
           MediaCounters.videoReads.incrementAndGet(): Unit
-          GifCodec.withReader(r.payload) { reader =>
-            val n = reader.getNumImages(true)
+          VideoCodec.withFrames(r.payload) { v =>
+            val n = v.numFrames
             require(n >= 1,
               s"media_id=${r.media_id}: container holds no frames")
             var durationCs = 0L
             var i = 0
             while (i < n) {
-              durationCs += GifCodec.frameDelayCs(reader, i); i += 1
+              durationCs += v.delayCs(i); i += 1
             }
             val parts = (0 until n by every)
-              .map(f => (f, 0, ImageDedup.dHash64(reader.read(f))))
+              .map(f => (f, 0, ImageDedup.dHash64(v.frame(f))))
             val hashes = parts.map(_._3).toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
               durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
             (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
-              passes, 0L, parts)
+              passes, 0L, parts, Seq.empty[Long])
           }
         case other => throw new IllegalArgumentException(
           s"media_id=${r.media_id}: unknown media_type '$other'")
       }
-    }).toDF("media_id", "media_type", "chash", "passes", "prefer", "parts")
+    }).toDF("media_id", "media_type", "chash", "passes", "prefer", "parts",
+      "orients")
   }
 
   /** The composed pipeline with a SHIFT/CROP-TOLERANT leak guard:
@@ -300,12 +308,18 @@ object MediaPipeline {
     * windows / frames) with any single eval record of its modality.
     * This catches the leak classes the whole-hash probe cannot see —
     * a CROPPED copy of benchmark imagery, a TRIMMED clip of benchmark
-    * audio, a CLIPPED cut of benchmark video — while still paying
-    * exactly ONE decode per record per side: the part hashes ride the
-    * same profile pass ([[profileDeep]]). Eval parts BROADCAST as bands
-    * per modality; corpus parts never shuffle (only band-matched
-    * candidates reach the shared count). Output (media_id, media_type,
-    * stage), PERSISTED — unpersist once consumed. */
+    * audio, a CLIPPED cut of benchmark video. Image survivors
+    * additionally probe against the eval side's 8 DIHEDRAL ORIENTATION
+    * hashes ([[ImageDedup.decontaminateRotations]]' shape): a ROTATED or
+    * MIRRORED benchmark image turns every tile with it, so the tile
+    * probe sees nothing — the orientation probe re-aligns it exactly.
+    * All of it still pays exactly ONE decode per record per side: part
+    * and orientation hashes ride the same profile pass ([[profileDeep]]).
+    * Eval parts and orientations BROADCAST as bands per modality; corpus
+    * parts never shuffle (only band-matched candidates reach the shared
+    * count) and the corpus orientation side is its single whole hash.
+    * Output (media_id, media_type, stage), PERSISTED — unpersist once
+    * consumed. */
   def curateDeep(media: DataFrame, eval: DataFrame, maxHamming: Int,
                  minShared: Int = 2, tileW: Int = 16, tileH: Int = 16,
                  windowFrames: Int = 400, hopFrames: Int = 400,
@@ -321,12 +335,12 @@ object MediaPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       evalProf.count(): Unit // ONE decode per eval record
-      val nEvalParts = evalProf
-        .select(explode(col("parts"))).count()
+      val nEvalParts = evalProf.select(explode(col("parts"))).count() +
+        evalProf.select(explode(col("orients"))).count()
       require(nEvalParts <= maxEval,
-        s"eval set hashes $nEvalParts parts > maxEval=$maxEval — a " +
-          "broadcast this size would flood the executors; raise maxEval " +
-          "deliberately")
+        s"eval set hashes $nEvalParts part/orientation rows > " +
+          s"maxEval=$maxEval — a broadcast this size would flood the " +
+          "executors; raise maxEval deliberately")
       import graft.dedup.HammingBands
       val stages = Seq("image", "audio", "video").map { m =>
         val p = prof.filter(col("media_type") === m)
@@ -351,7 +365,8 @@ object MediaPipeline {
           .select(col("__eval_id"),
             struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__ek"),
             col("__p._3").as("__he"))
-        val flagged = HammingBands.explodeBands(survParts, "__hc", maxHamming)
+        val partFlagged =
+          HammingBands.explodeBands(survParts, "__hc", maxHamming)
           .join(broadcast(
             HammingBands.explodeBands(evalParts, "__he", maxHamming)),
             Seq("band", "value"))
@@ -360,6 +375,25 @@ object MediaPipeline {
           .agg(countDistinct(struct(col("__k"), col("__ek"))).as("shared"))
           .filter(col("shared") >= minShared)
           .select("media_id").distinct()
+        // ROTATION leak probe (images): survivor whole hash vs the
+        // broadcast eval 8-orientation fanout — one hash row per corpus
+        // survivor, the eval side carries the 8x expansion
+        val flagged =
+          if (m != "image") partFlagged
+          else {
+            val evalOrients = evalProf.filter(col("media_type") === m)
+              .select(explode(col("orients")).as("__he"))
+            val rotFlagged = HammingBands.explodeBands(
+              surv.select(col("media_id"), col("chash").as("__hc")),
+              "__hc", maxHamming)
+              .join(broadcast(
+                HammingBands.explodeBands(evalOrients, "__he", maxHamming)),
+                Seq("band", "value"))
+              .filter(bit_count(col("__hc").bitwiseXOR(col("__he")))
+                <= maxHamming)
+              .select("media_id").distinct()
+            partFlagged.unionByName(rotFlagged).distinct()
+          }
         p.select(col("media_id"), col("media_type"), col("passes"))
           .join(surv.select(col("media_id"), lit(true).as("__surv")),
             Seq("media_id"), "left")

@@ -130,8 +130,9 @@ object MediaQuality {
     * sampled frame hashes identical), `too_short`/`too_long`
     * (duration_ms outside [minMs, maxMs]) and `passes` (none of the
     * above). Completes the modality set next to [[imageSignals]] and
-    * [[audioSignals]]; refuses non-GIF containers loudly (no in-JVM
-    * codec for others). */
+    * [[audioSignals]]; frames come through the unified container seam
+    * ([[VideoCodec]]: animated GIF or AVI/MJPEG), unknown containers
+    * refuse loudly. */
   def videoSignals(media: DataFrame, minFrames: Int = 2,
                    minMs: Long = 100L, maxMs: Long = 3600000L,
                    every: Int = 1): DataFrame = {
@@ -141,20 +142,20 @@ object MediaQuality {
     media.as[MediaRecord].mapPartitions(_.map { r =>
       require(r.media_type == "video",
         s"media_id=${r.media_id}: video signals over ${r.media_type}")
-      require(GifCodec.isGif(r.payload),
-        s"media_id=${r.media_id}: payload is not an animated GIF — no " +
-          "in-JVM codec for other video containers")
+      require(VideoCodec.isVideo(r.payload),
+        s"media_id=${r.media_id}: payload is not a decodable video " +
+          "container (GIF/AVI) — no in-JVM codec for mp4/webm")
       MediaCounters.videoReads.incrementAndGet(): Unit
-      GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
         require(n >= 1, s"media_id=${r.media_id}: container holds no frames")
         var durationCs = 0L
         var i = 0
-        while (i < n) { durationCs += GifCodec.frameDelayCs(reader, i); i += 1 }
+        while (i < n) { durationCs += v.delayCs(i); i += 1 }
         val hashes = scala.collection.mutable.HashSet.empty[Long]
         var f = 0
         while (f < n) {
-          hashes += ImageDedup.dHash64(reader.read(f)): Unit
+          hashes += ImageDedup.dHash64(v.frame(f)): Unit
           f += every
         }
         (r.media_id, n.toLong, durationCs * 10L, hashes.size.toLong)
@@ -343,6 +344,11 @@ object MediaQuality {
           var rr = 0
           while (rr < w - l && colUniformIn(w - 1 - rr)) rr += 1
           if (top == 0 && bottom == 0 && l == 0 && rr == 0) r
+          // column analogue of the solid guard: when EVERY interior
+          // column is uniform (a 1-px-tall strip, vertical stripes, a
+          // horizontal gradient) l reaches w and the crop width would be
+          // zero — nothing meaningful to keep, pass through untouched
+          else if (l + rr >= w) r
           else r.copy(payload = ImageCodec.write(
             img.getSubimage(l, top, w - l - rr, h - top - bottom), "png"),
             mime = "image/png")
@@ -476,9 +482,15 @@ object MediaQuality {
 
   /** ASPECT-RATIO bucketing — the batch-packing pass of vision training
     * (images batch with same-shaped peers instead of being cropped to
-    * one global shape): each image goes to the bucket minimizing the
-    * cross-multiplied integer distance |w*bh - h*bw| (deterministic,
-    * no floats), ties to the EARLIEST bucket. Dims come from container
+    * one global shape): each image goes to the bucket whose ratio bw/bh
+    * is nearest to w/h. The raw cross-multiplied distance
+    * |w*bh - h*bw| is NOT comparable across buckets with different
+    * denominators (it equals h*bh*|w/h - bw/bh|, so large-bh buckets
+    * are penalized — a 16:10 image would land in 1:1), so buckets are
+    * compared PAIRWISE with the bh factors cross-multiplied away:
+    * bucket i beats the incumbent j iff
+    * |w*bh_i - h*bw_i| * bh_j < |w*bh_j - h*bw_j| * bh_i — integer-exact,
+    * no floats, ties to the EARLIEST bucket. Dims come from container
     * header bytes where possible — ZERO pixel decodes for PNG/GIF
     * crawls. Output (media_id, width, height, bucket). */
   def aspectBuckets(media: DataFrame,
@@ -494,11 +506,13 @@ object MediaQuality {
         s"media_id=${r.media_id}: aspect bucketing over ${r.media_type}")
       val (w, h) = dimsFromHeader(r.payload)
       var best = 0
-      var bestD = Long.MaxValue
-      var i = 0
+      var bestD = math.abs(w.toLong * bs(0)._2 - h.toLong * bs(0)._1)
+      var i = 1
       while (i < bs.length) {
         val d = math.abs(w.toLong * bs(i)._2 - h.toLong * bs(i)._1)
-        if (d < bestD) { bestD = d; best = i }
+        // d/bh_i < bestD/bh_best, integer cross-multiplied; strict <
+        // keeps the earliest bucket on ties
+        if (d * bs(best)._2 < bestD * bs(i)._2) { bestD = d; best = i }
         i += 1
       }
       (r.media_id, w, h, s"${bs(best)._1}:${bs(best)._2}")

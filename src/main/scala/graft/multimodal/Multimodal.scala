@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   * come from actual pixels. AUDIO decode is REAL too: [[WavDecoder]]
   * parses WAV/AIFF/AU PCM via `javax.sound.sampled` — frame counts,
   * duration and RMS-energy features come from actual samples. The VIDEO
-  * path decodes animated GIF for REAL too ([[GifVideoDecoder]] /
-  * [[sampleGifFrames]]: frame counts, per-frame pixels and summed
-  * delays from `javax.imageio`'s frame-indexed GIF reader); only true
-  * video containers (mp4/webm/... — the JDK ships no codec) remain
-  * STUBBED behind [[FakeDecoder]] — swap in a real implementation
-  * (JavaCV, ffmpeg bindings, ...) without touching the pipeline.
+  * path decodes animated GIF ([[GifVideoDecoder]] / [[sampleGifFrames]]:
+  * frame counts, per-frame pixels and summed delays from
+  * `javax.imageio`'s frame-indexed GIF reader) AND AVI/MJPEG
+  * ([[AviVideoDecoder]] / [[AviCodec]]: a RIFF chunk walk + per-frame
+  * JPEG decode) for REAL; only codec-bearing containers (mp4/webm/... —
+  * the JDK ships no H.264/VP9 codec) remain STUBBED behind
+  * [[FakeDecoder]] — swap in a real implementation (JavaCV, ffmpeg
+  * bindings, ...) without touching the pipeline.
   *
   * Scale notes: binary payloads dominate row size, so
   * spark.sql.files.maxPartitionBytes should be sized for ~hundreds of
@@ -57,9 +59,10 @@ object Multimodal {
     * byte LENGTH, so the decode contract is a documented pure function any
     * engine can recompute (this is what makes the q30 oracle possible).
     * Records tagged by [[FakeResizer]] report the tag's target dims.
-    * Only NON-GIF video still needs this (image/audio/animated-GIF
-    * decode for real via [[ImageIoDecoder]] / [[WavDecoder]] /
-    * [[GifVideoDecoder]] — the JDK ships no mp4/webm codec); swap in
+    * Only codec-bearing video (mp4/webm) still needs this — image,
+    * audio, animated GIF and AVI/MJPEG decode for real via
+    * [[ImageIoDecoder]] / [[WavDecoder]] / [[GifVideoDecoder]] /
+    * [[AviVideoDecoder]]; the JDK ships no H.264/VP9 codec. Swap in
     * JavaCV/ffmpeg for production video, the Spark-side plumbing
     * (schema, partitioning, per-partition decoder init) is unchanged. */
   final class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
@@ -344,16 +347,20 @@ object Multimodal {
     * `ImageReader.getNumImages(true)` counts ACTUAL frames, frame 0
     * supplies the dims + luminance-band feature, and duration sums the
     * per-frame GraphicControlExtension delays — everything comes from
-    * parsing the real container. Non-GIF video payloads (mp4/webm/... —
-    * the JDK ships no codec for them) fall back to the configured
-    * decoder, as do non-video records; chain with [[ImageIoDecoder]] /
-    * [[WavDecoder]] for the full real image+audio+gif set. */
+    * parsing the real container. Non-GIF video payloads fall back to the
+    * configured decoder — by DEFAULT an [[AviVideoDecoder]], so
+    * AVI/MJPEG decodes for real too and only mp4/webm (the JDK ships no
+    * codec for them) reach the stub; non-video records fall through the
+    * same chain. Chain with [[ImageIoDecoder]] / [[WavDecoder]] for the
+    * full real image+audio+video set. */
   final class GifVideoDecoder(featureDim: Int = 8,
-                              fallback: MediaDecoder = new FakeDecoder())
+                              fallback: MediaDecoder = null)
       extends MediaDecoder {
+    private val next: MediaDecoder =
+      if (fallback != null) fallback else new AviVideoDecoder(featureDim)
     def decode(r: MediaRecord): MediaFeatures =
       if (r.media_type != "video" || !GifCodec.isGif(r.payload))
-        fallback.decode(r)
+        next.decode(r)
       else GifCodec.withReader(r.payload) { reader =>
         val n = reader.getNumImages(true)
         require(n >= 1, s"media_id=${r.media_id}: GIF container holds no frames")
@@ -367,16 +374,38 @@ object Multimodal {
       }
   }
 
-  /** REAL frame sampling over animated-GIF videos: decode every
-    * `every`-th frame via `ImageReader.read(i)` — one reader per record,
-    * decode confined to mapPartitions like every codec here. Output one
-    * row per SAMPLED frame: (media_id, frame_idx, width, height,
-    * feature), the per-frame luminance bands proving each frame's pixels
-    * were actually read (an animated GIF's frames differ). Non-GIF
-    * payloads refuse LOUDLY — a silently skipped container would be a
-    * hole in the sampled set the downstream embedding pass never sees.
-    * Complements [[sampleFrames]], the pure-relational sampling PLAN
-    * over already-decoded frame counts. */
+  /** REAL multi-frame video-path decoder for AVI/MJPEG containers
+    * ([[AviCodec]] — a RIFF walk + per-frame `javax.imageio` JPEG
+    * decode): frame counts from the `movi` chunk list, dims + feature
+    * from decoded frame 0, duration from the header's µs-per-frame
+    * timing. Non-AVI video payloads (mp4/webm — no JDK codec) fall back
+    * to the configured decoder, as do non-video records. */
+  final class AviVideoDecoder(featureDim: Int = 8,
+                              fallback: MediaDecoder = new FakeDecoder())
+      extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.media_type != "video" || !AviCodec.isAvi(r.payload))
+        fallback.decode(r)
+      else {
+        val avi = AviCodec.open(r.payload)
+        val f0 = avi.frame(0)
+        MediaFeatures(r.media_id, r.media_type, f0.getWidth, f0.getHeight,
+          n_frames = avi.numFrames,
+          duration_ms = avi.numFrames * avi.usPerFrame / 1000L,
+          feature = lumBands(f0, featureDim))
+      }
+  }
+
+  /** REAL frame sampling over video containers (animated GIF or
+    * AVI/MJPEG through the unified [[VideoCodec]] seam): decode every
+    * `every`-th frame — one reader per record, decode confined to
+    * mapPartitions like every codec here. Output one row per SAMPLED
+    * frame: (media_id, frame_idx, width, height, feature), the per-frame
+    * luminance bands proving each frame's pixels were actually read.
+    * Unknown containers refuse LOUDLY — a silently skipped container
+    * would be a hole in the sampled set the downstream embedding pass
+    * never sees. Complements [[sampleFrames]], the pure-relational
+    * sampling PLAN over already-decoded frame counts. */
   def sampleGifFrames(media: DataFrame, every: Int,
                       featureDim: Int = 8): DataFrame = {
     require(every >= 1, s"every=$every must be >= 1")
@@ -386,13 +415,14 @@ object Multimodal {
       require(r.media_type == "video",
         s"media_id=${r.media_id}: frame sampling is a VIDEO pass " +
           s"(got ${r.media_type})")
-      require(GifCodec.isGif(r.payload),
-        s"media_id=${r.media_id}: payload is not an animated GIF " +
-          s"(mime=${r.mime}) — no in-JVM codec for other video containers")
-      GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
+      require(VideoCodec.isVideo(r.payload),
+        s"media_id=${r.media_id}: payload is not a decodable video " +
+          s"container (mime=${r.mime}) — GIF and AVI/MJPEG decode " +
+          "in-JVM; mp4/webm need a codec the JDK lacks")
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
         (0 until n by every).map { i =>
-          val img = reader.read(i)
+          val img = v.frame(i)
           (r.media_id, i, img.getWidth, img.getHeight,
             lumBands(img, featureDim))
         }.toVector // materialize before the reader is disposed
@@ -430,6 +460,40 @@ object Multimodal {
       }
       (id, "video", GifCodec.writeAnimated(frames, delayCs = 10),
         "image/gif", "gifgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic AVI/MJPEG table with REAL multi-frame payloads — the AVI
+    * mirror of [[syntheticAnimatedGifs]]: per document, `2 + doc_id % 6`
+    * JPEG frames (content shifts with the frame index) at
+    * `(16 + doc_id % 16) x (16 + doc_id % 12)`, 100 ms per frame
+    * (dwMicroSecPerFrame = 100000), written with [[AviCodec.writeMjpeg]]
+    * ON THE EXECUTORS — frame counts, dims and durations stay
+    * oracle-computable from doc_id alone while decode exercises a real
+    * RIFF container walk + per-frame JPEG decode. */
+  def syntheticAviVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nFrames = 2 + (id % 6).toInt
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + f * 47 + x * 3 + y * 5) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      (id, "video", AviCodec.writeMjpeg(frames, usPerFrame = 100000L),
+        "video/avi", "avigen")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

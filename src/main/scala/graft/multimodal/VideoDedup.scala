@@ -5,12 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import Multimodal.{GifCodec, MediaCounters, MediaRecord}
+import Multimodal.{MediaCounters, MediaRecord}
 
 /** Perceptual VIDEO deduplication over REAL decoded frames — the video
   * sibling of [[ImageDedup]]/[[AudioDedup]], completing the modality set:
   * a 64-bit fingerprint folds the dHash of every sampled frame (decoded
-  * through the real multi-frame GIF reader) by per-bit MAJORITY vote, the
+  * through the unified container seam [[VideoCodec]] — animated GIF or
+  * AVI/MJPEG) by per-bit MAJORITY vote, the
   * SimHash construction over frames instead of shingles. A re-encoded or
   * re-containered copy shares its frame pixels, so it lands on the SAME
   * fingerprint; a copy with a few perturbed frames (re-compression noise,
@@ -33,18 +34,21 @@ object VideoDedup {
 
   /** 64-bit fingerprint: dHash each `every`-th frame, fold per-bit
     * majority (strict — a tie votes 0, deterministic for any frame
-    * count). Refuses non-GIF containers loudly (no in-JVM codec). */
+    * count). Frames come through the unified container seam
+    * ([[VideoCodec]]: animated GIF or AVI/MJPEG — a re-containered copy
+    * fingerprints identically because the fold sees only decoded
+    * pixels); unknown containers refuse loudly. */
   def fingerprint64(payload: Array[Byte], every: Int = 1): Long = {
     require(every >= 1, s"every=$every must be >= 1")
-    require(GifCodec.isGif(payload),
-      "payload is not an animated GIF — no in-JVM codec for other " +
-        "video containers")
+    require(VideoCodec.isVideo(payload),
+      "payload is not a decodable video container (GIF/AVI) — no " +
+        "in-JVM codec for mp4/webm")
     MediaCounters.videoReads.incrementAndGet(): Unit
-    GifCodec.withReader(payload) { reader =>
-      val n = reader.getNumImages(true)
-      require(n >= 1, "GIF container holds no frames")
+    VideoCodec.withFrames(payload) { v =>
+      val n = v.numFrames
+      require(n >= 1, "video container holds no frames")
       val hashes = Iterator.range(0, n, every)
-        .map(i => ImageDedup.dHash64(reader.read(i))).toArray
+        .map(i => ImageDedup.dHash64(v.frame(i))).toArray
       foldMajority(hashes)
     }
   }
@@ -150,14 +154,14 @@ object VideoDedup {
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
       require(r.media_type == "video",
         s"media_id=${r.media_id}: frame hashing over ${r.media_type}")
-      require(GifCodec.isGif(r.payload),
-        s"media_id=${r.media_id}: payload is not an animated GIF — no " +
-          "in-JVM codec for other video containers")
+      require(VideoCodec.isVideo(r.payload),
+        s"media_id=${r.media_id}: payload is not a decodable video " +
+          "container (GIF/AVI) — no in-JVM codec for mp4/webm")
       MediaCounters.videoReads.incrementAndGet(): Unit
-      GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
         (0 until n by every).map { i =>
-          (r.media_id, i, ImageDedup.dHash64(reader.read(i)))
+          (r.media_id, i, ImageDedup.dHash64(v.frame(i)))
         }.toVector
       }
     }).toDF("media_id", "frame_idx", "fhash")

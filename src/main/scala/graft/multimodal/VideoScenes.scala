@@ -3,7 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import Multimodal.{GifCodec, MediaCounters, MediaRecord}
+import Multimodal.{MediaCounters, MediaRecord}
 
 /** SCENE-CUT detection over REAL decoded video frames — the video
   * segmentation pass a frame-sampling training pipeline runs before
@@ -28,15 +28,15 @@ object VideoScenes {
   /** Decode once, dHash every `every`-th frame in order. */
   private def frameHashes(payload: Array[Byte], every: Int): Array[Long] = {
     require(every >= 1, s"every=$every must be >= 1")
-    require(GifCodec.isGif(payload),
-      "payload is not an animated GIF — no in-JVM codec for other " +
-        "video containers")
+    require(VideoCodec.isVideo(payload),
+      "payload is not a decodable video container (GIF/AVI) — no " +
+        "in-JVM codec for mp4/webm")
     MediaCounters.videoReads.incrementAndGet(): Unit
-    GifCodec.withReader(payload) { reader =>
-      val n = reader.getNumImages(true)
-      require(n >= 1, "GIF container holds no frames")
+    VideoCodec.withFrames(payload) { v =>
+      val n = v.numFrames
+      require(n >= 1, "video container holds no frames")
       Iterator.range(0, n, every)
-        .map(i => ImageDedup.dHash64(reader.read(i))).toArray
+        .map(i => ImageDedup.dHash64(v.frame(i))).toArray
     }
   }
 
@@ -98,7 +98,10 @@ object VideoScenes {
     * (GraphicControlExtension delays), and each tick t = k * 1000/fps
     * inside the clip's duration emits the frame displayed at t. A
     * variable-frame-rate GIF sampled by index over-represents its fast
-    * sections; by-time sampling weights content by WALL TIME. Map-only,
+    * sections; by-time sampling weights content by WALL TIME. Frame
+    * delays <= 1 cs (zero/absent GCEs, common in wild GIFs) render as
+    * 10 cs — the browser convention — so no clip silently collapses to
+    * zero duration and vanishes from the sampled corpus. Map-only,
     * one container metadata+decode pass per video; output (media_id,
     * tick, frame_idx, t_ms). `fps` must divide 1000 (integer tick
     * arithmetic — deterministic across engines). */
@@ -111,17 +114,23 @@ object VideoScenes {
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
       require(r.media_type == "video",
         s"media_id=${r.media_id}: fps sampling over ${r.media_type}")
-      require(GifCodec.isGif(r.payload),
-        "payload is not an animated GIF — no in-JVM codec for other " +
-          "video containers")
+      require(VideoCodec.isVideo(r.payload),
+        "payload is not a decodable video container (GIF/AVI) — no " +
+          "in-JVM codec for mp4/webm")
       MediaCounters.videoReads.incrementAndGet(): Unit
-      GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
-        require(n >= 1, "GIF container holds no frames")
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
+        require(n >= 1, "video container holds no frames")
         val starts = new Array[Long](n + 1)
         var i = 0
         while (i < n) {
-          starts(i + 1) = starts(i) + GifCodec.frameDelayCs(reader, i) * 10L
+          // zero/absent GCE delays are common in wild GIFs and would
+          // collapse the clip to zero duration (silently dropping it
+          // from the sampled corpus); browsers render delay <= 1 cs as
+          // 10 cs — apply the same convention
+          val d = v.delayCs(i)
+          val delayCs = if (d <= 1) 10L else d.toLong
+          starts(i + 1) = starts(i) + delayCs * 10L
           i += 1
         }
         val total = starts(n)
@@ -162,20 +171,20 @@ object VideoScenes {
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
       require(r.media_type == "video",
         s"media_id=${r.media_id}: keyframe extraction over ${r.media_type}")
-      require(GifCodec.isGif(r.payload),
-        "payload is not an animated GIF — no in-JVM codec for other " +
-          "video containers")
+      require(VideoCodec.isVideo(r.payload),
+        "payload is not a decodable video container (GIF/AVI) — no " +
+          "in-JVM codec for mp4/webm")
       MediaCounters.videoReads.incrementAndGet(): Unit
-      GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
-        require(n >= 1, "GIF container holds no frames")
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
+        require(n >= 1, "video container holds no frames")
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Int, String, Array[Byte], String, String)]
         var prev = 0L
         var i = 0
         var sampled = 0
         while (i < n) {
-          val img = reader.read(i)
+          val img = v.frame(i)
           val h = ImageDedup.dHash64(img)
           // a scene starts at the first sampled frame and at every cut
           if (sampled == 0 ||

@@ -97,6 +97,41 @@ class MediaPipelineSpec extends SparkSpec {
     } finally { shallow.unpersist(); () }
   }
 
+  test("curateDeep catches a rot90 eval edit through the orientation probe") {
+    // corpus = kind-0 (base) renders only; eval = rot90 renders of
+    // groups 0..4. Tiles TURN with a rotation (their dHashes no longer
+    // match any eval tile) and the whole hash lands far away, so both
+    // the shallow pipeline and the tile probe see NOTHING — only the
+    // dihedral orientation hashes riding the same profile decode
+    // re-align the leak
+    val corpus = Multimodal.syntheticImageRotationVariants(spark,
+      docs.filter(expr("(doc_id div 20) % 4 = 0")), groups = 20)
+    val eval = Multimodal.syntheticImageRotationVariants(spark,
+      docs.filter(col("doc_id").between(20L, 24L)), groups = 20)
+    val ci = Multimodal.MediaCounters.imageReads
+    val before = ci.get()
+    val n = corpus.count()
+    val out = MediaPipeline.curateDeep(corpus, eval,
+      maxHamming = 3, minShared = 2).persist()
+    try {
+      // decode counters unchanged by the orientation emission: one per
+      // corpus record + one per eval record
+      assert(ci.get() - before == n + 5,
+        s"decoded ${ci.get() - before} images for $n corpus + 5 eval")
+      val want =
+        when(col("media_id") >= 20, lit("dup_dropped"))
+          .when(col("media_id") < 5, lit("contaminated"))
+          .otherwise(lit("kept"))
+      val wrong = out.filter(col("stage") =!= want)
+      assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+      // the gap is REAL: the whole-hash pipeline flags nothing
+      val shallow = MediaPipeline.curate(corpus, eval, maxHamming = 3)
+      try assert(shallow.filter(col("stage") === "contaminated")
+        .count() == 0, "whole-hash probe unexpectedly saw the rotation")
+      finally { shallow.unpersist(); () }
+    } finally { out.unpersist(); () }
+  }
+
   test("curateDeep decodes once per record per modality across all stages") {
     val sub = docs.filter(col("doc_id") < 120)
     val dm = Multimodal.syntheticMediaPipelineDeepMix(spark, sub)

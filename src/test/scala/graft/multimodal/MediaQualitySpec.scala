@@ -160,6 +160,29 @@ class MediaQualitySpec extends SparkSpec {
     assert(sb.getInt(1) == 8 && sb.getInt(2) == 0 &&
       sb.getInt(3) == 10 && sb.getInt(4) == 0, sb.toString)
     assert(MediaQuality.cropBars(solid).count() == 1)
+    // every-interior-column-uniform images (a 1-px-tall strip, vertical
+    // stripes) must pass through untouched, not crash on a zero-width
+    // crop — the column analogue of the solid guard
+    def png(id: Long, w: Int, h: Int)(rgb: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, rgb(x, y))))
+      (id, "image", Multimodal.ImageCodec.write(img, "png"),
+        "image/png", "edge")
+    }
+    val edgeCases = Seq(
+      png(2000L, 12, 1)((x, _) => x * 21),          // 1-px-tall strip
+      png(2001L, 12, 8)((x, _) => (x * 21) << 8),   // vertical stripes
+      png(2002L, 12, 8)((x, _) => (x * 21) << 16))  // horizontal gradient
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val throughEdge = MediaQuality.cropBars(edgeCases)
+      .as[Multimodal.MediaRecord].collect().map(r => r.media_id -> r.payload)
+      .toMap
+    edgeCases.as[Multimodal.MediaRecord].collect().foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, throughEdge(r.media_id)),
+        s"media_id=${r.media_id}: all-uniform-columns image was rewritten")
+    }
   }
 
   test("imageProfile: one decode, value-identical to the four faces") {
@@ -204,11 +227,16 @@ class MediaQualitySpec extends SparkSpec {
       assert(out.join(dims, "media_id")
         .filter(col("width") =!= col("dw") ||
           col("height") =!= col("dh")).count() == 0)
-      // recompute the nearest bucket independently
+      // recompute the nearest bucket independently: NORMALIZED ratio
+      // distance |w/h - bw/bh| via pairwise integer cross-multiplication
       val bs = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
       val wrong = out.collect().filter { r =>
         val w = r.getInt(1).toLong; val h = r.getInt(2).toLong
-        val want = bs.minBy(b => math.abs(w * b._2 - h * b._1))
+        val want = bs.tail.foldLeft(bs.head) { (best, b) =>
+          val db = math.abs(w * b._2 - h * b._1)
+          val dbest = math.abs(w * best._2 - h * best._1)
+          if (db * best._2 < dbest * b._2) b else best
+        }
         r.getString(3) != s"${want._1}:${want._2}"
       }
       assert(wrong.isEmpty, wrong.take(5).mkString("; "))
@@ -220,6 +248,32 @@ class MediaQualitySpec extends SparkSpec {
       MediaQuality.aspectBuckets(imgs, Seq((0, 1)))
     }
     assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
+  test("aspectBuckets: normalized distance — 16:10 and 21:9 land in 16:9") {
+    // the un-normalized |w*bh - h*bw| argmin biases against large-bh
+    // buckets: a 16:10 image scores 6 for 1:1 but 16 for 16:9 and would
+    // be bucketed SQUARE; the true ratio distances are 0.6 vs 0.178.
+    // Pin the corrected semantics on laptop (16:10), ultrawide (~21:9)
+    // and portrait-phone (10:16) shapes, raw dims and scaled-up alike.
+    def png(id: Long, w: Int, h: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (id, "image", Multimodal.ImageCodec.write(img, "png"),
+        "image/png", "t")
+    }
+    val fixtures = Seq(
+      png(1L, 16, 10) -> "16:9", png(2L, 1280, 800) -> "16:9",
+      png(3L, 2560, 1080) -> "16:9", // 21:9 ultrawide: nearest is 16:9
+      png(4L, 10, 16) -> "9:16", png(5L, 800, 1280) -> "9:16",
+      png(6L, 100, 100) -> "1:1", png(7L, 400, 300) -> "4:3")
+    val imgs = fixtures.map(_._1)
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val got = MediaQuality.aspectBuckets(imgs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    fixtures.foreach { case ((id, _, _, _, _), want) =>
+      assert(got(id) == want, s"media_id=$id: got ${got(id)}, want $want")
+    }
   }
 
   test("non-decodable and wrong-type records refuse loudly") {

@@ -129,6 +129,18 @@ class VideoScenesSpec extends SparkSpec {
       VideoScenes.sampleAtFps(media, fps = 3)
     }
     assert(e.getMessage.contains("divisor"), e.getMessage)
+    // ZERO-delay GIFs (delayTime=0 is common in the wild) must not
+    // silently vanish from the sampled corpus: browsers render delay
+    // <= 1 cs as 10 cs, and so does by-time sampling — three 0-delay
+    // frames sample as 100 ms each at 5 fps
+    val zeroDelay = Multimodal.GifCodec.writeAnimatedVfr(
+      Seq(gray(4), gray(5), gray(6)), Seq(0, 0, 0))
+    val zd = Seq((8L, "video", zeroDelay, "image/gif", "zd"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val zdTicks = VideoScenes.sampleAtFps(zd, fps = 5)
+      .select("tick", "frame_idx", "t_ms")
+      .as[(Int, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(zdTicks == Seq((0, 0, 0L), (1, 2, 200L)), zdTicks.toString)
   }
 
   test("one decode per video; non-video payloads refuse loudly") {
