@@ -2476,6 +2476,24 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("stage"))
     }),
 
+    // ROTATION-aware DEEP curation (round 17): eval = rot90 renders of
+    // groups 0..4 — tiles TURN with a rotation, so the tile-level probe
+    // of the deep pipeline sees nothing; the 8 dihedral orientation
+    // hashes riding the SAME profile decode re-align the eval edit with
+    // every base-render survivor of those groups. Corpus = kind-0
+    // renders only; dedup keeps min id per texture group (= the group
+    // index), groups 0..4 survivors flag
+    "q236_deep_rotation_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticImageRotationVariants(
+        s, docs.filter(expr("(doc_id div 20) % 4 = 0")), groups = 20)
+      val eval = Multimodal.syntheticImageRotationVariants(
+        s, docs.filter(expr("doc_id >= 20 AND doc_id < 25")), groups = 20)
+      graft.multimodal.MediaPipeline.curateDeep(corpus, eval,
+        maxHamming = 3, minShared = 2)
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // ROTATION-TOLERANT image dedup (round 16): 90/180-degree turns and
     // mirrors move the whole-image dHash's gradient field under every
     // downscale cell and land far away — the 8 dihedral orientation
@@ -2868,6 +2886,40 @@ object SparkEntry {
     // content is EXACTLY 25 distinct hashes); batch 0 (ids < 200) holds
     // every base, so the admitted set is the 25 first-seen renders and
     // later batches admit nothing. Exactly-once by batch=<id> overwrite.
+    // PART-hash streaming admission (round 17): whole-content admission
+    // cannot see a TRIMMED re-upload of committed audio (trimming
+    // re-buckets all 8 clip-spanning fingerprint segments), so batch 1's
+    // trimmed and batch 2's silence-padded renders of batch 0's clips
+    // would admit as new; with partHashes the profile pass emits
+    // hop-aligned window values from the SAME decode and >= 2 committed
+    // part matches refuse the record. Survivors = the 10 base clips
+    "q238_stream_part_admission" -> ((s, dir) => {
+      val clips = Multimodal.syntheticAudioShiftVariants(
+        s, t(s, dir, "documents"), groups = 10)
+        .filter(col("media_id") < 30)
+      val root = tmp("q238")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val in = s"$root/in"
+      Seq(clips.filter(col("media_id") < 10),          // bases
+          clips.filter(col("media_id").between(10, 19)), // trimmed
+          clips.filter(col("media_id") >= 20)).zipWithIndex.foreach { // padded
+        case (sl, i) =>
+          val part = s"$in/f$i"
+          sl.coalesce(1).write.parquet(part)
+          new java.io.File(part).listFiles()
+            .foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+      val q = graft.streaming.MediaDedupIngest.start(
+        Streams.fileReplay(s, s"$in/*", Multimodal.mediaSchema),
+        s"$root/store", s"$root/ckpt", modality = "audio",
+        partHashes = true, minSharedParts = 2)
+      q.awaitTermination()
+      graft.streaming.MediaDedupIngest.survivors(s, s"$root/store")
+        .select(col("media_id"))
+    }),
+
     "q201_stream_media_dedup" -> ((s, dir) => {
       val variants = Multimodal.syntheticImageVariants(
         s, t(s, dir, "documents"), groups = 25)
@@ -2946,6 +2998,27 @@ object SparkEntry {
     // back through javax.imageio's frame-indexed reader — n_frames,
     // width, duration come from the CONTAINER, and n_sampled counts the
     // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    // REAL AVI/MJPEG container decode (round 17): the q196 contract over
+    // the second in-JVM video container — a RIFF walk (LIST hdrl/movi,
+    // 00dc chunks) + per-frame javax.imageio JPEG decode. Frame counts,
+    // dims and µs-per-frame durations come from real parsing; the same
+    // GifVideoDecoder chain and sampleGifFrames seam serve both
+    // containers, so every video face lights up for AVI too
+    "q237_avi_frames" -> ((s, dir) => {
+      val avis = Multimodal.syntheticAviVideos(s, t(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(
+        avis, new Multimodal.GifVideoDecoder()).toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("duration_ms").cast("bigint").as("duration_ms"))
+      val sampled = Multimodal.sampleGifFrames(avis, every = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      feats.join(sampled, "media_id")
+        .select(col("media_id"), col("width"), col("n_frames"),
+          col("duration_ms"), col("n_sampled"))
+    }),
+
     "q196_gif_frames" -> ((s, dir) => {
       val gifs = Multimodal.syntheticAnimatedGifs(s, t(s, dir, "documents"))
       val feats = Multimodal.extractFeatures(
@@ -5017,6 +5090,11 @@ object SparkEntry {
     // min ids are exactly 0..24
     "q201_stream_media_dedup" ->
       ("SELECT doc_id AS media_id FROM documents WHERE doc_id < 25"),
+    // batch 0 admits the 10 base clips; the trimmed (batch 1) and
+    // silence-padded (batch 2) re-uploads are refused on >= 2 committed
+    // hop-aligned window values despite fresh whole-clip fingerprints
+    "q238_stream_part_admission" ->
+      ("SELECT doc_id AS media_id FROM documents WHERE doc_id < 10"),
     "q202_video_frame_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents"),
@@ -5057,8 +5135,10 @@ object SparkEntry {
     "q235_audio_resample" ->
       ("SELECT doc_id AS media_id, 1600::BIGINT AS n_frames, " +
         "100::BIGINT AS duration_ms FROM documents"),
-    // nearest of the 5 default ratio buckets by |w*bh - h*bw|, ties to
-    // the earliest bucket; dims are 16 + id%32 x 16 + id%24
+    // nearest of the 5 default ratio buckets by the NORMALIZED distance
+    // |w/h - bw/bh|, compared with the bh denominators cross-multiplied
+    // away (d_i*bh_j <= d_j*bh_i), ties to the earliest bucket; dims are
+    // 16 + id%32 x 16 + id%24. bh per bucket: 1, 3, 4, 9, 16.
     "q233_aspect_buckets" ->
       ("WITH s AS (SELECT doc_id, (16 + doc_id % 32)::INT AS w, " +
         "(16 + doc_id % 24)::INT AS h FROM documents), " +
@@ -5066,10 +5146,11 @@ object SparkEntry {
         "abs(w*3 - h*4) AS d1, abs(w*4 - h*3) AS d2, " +
         "abs(w*9 - h*16) AS d3, abs(w*16 - h*9) AS d4 FROM s) " +
         "SELECT doc_id AS media_id, w AS width, h AS height, " +
-        "CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 AND d0 <= d4 " +
-        "THEN '1:1' WHEN d1 <= d2 AND d1 <= d3 AND d1 <= d4 THEN '4:3' " +
-        "WHEN d2 <= d3 AND d2 <= d4 THEN '3:4' " +
-        "WHEN d3 <= d4 THEN '16:9' ELSE '9:16' END AS bucket FROM d"),
+        "CASE WHEN d0*3 <= d1*1 AND d0*4 <= d2*1 AND d0*9 <= d3*1 " +
+        "AND d0*16 <= d4*1 THEN '1:1' " +
+        "WHEN d1*4 <= d2*3 AND d1*9 <= d3*3 AND d1*16 <= d4*3 THEN '4:3' " +
+        "WHEN d2*9 <= d3*4 AND d2*16 <= d4*4 THEN '3:4' " +
+        "WHEN d3*16 <= d4*9 THEN '16:9' ELSE '9:16' END AS bucket FROM d"),
     // 100 ms/frame renders: tick k (200 ms at fps=5) shows frame 2k;
     // ticks strictly inside the 200*(1 + id%4) ms duration
     "q234_video_fps_sample" ->
@@ -5206,6 +5287,16 @@ object SparkEntry {
     "q219_image_rotation_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents WHERE (doc_id // 20) % 4 <> 1"),
+    // deep pipeline over kind-0 renders: dedup keeps min id per texture
+    // group (= the group index, ids 0..19); the rot90 eval renders of
+    // groups 0..4 flag those groups' survivors through the orientation
+    // probe (tiles turn with a rotation and see nothing)
+    "q236_deep_rotation_decontaminate" ->
+      ("SELECT doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN doc_id >= 20 THEN 'dup_dropped' " +
+        "WHEN doc_id < 5 THEN 'contaminated' " +
+        "ELSE 'kept' END AS stage " +
+        "FROM documents WHERE (doc_id // 20) % 4 = 0"),
     // base, cropped and border-extended renders share >= 4 pixel-
     // identical tiles; min member id per group is the base id itself
     "q214_image_crop" ->
@@ -5297,6 +5388,13 @@ object SparkEntry {
     // reader must recover exactly those counts/dims/delays, and every-2nd
     // sampling decodes ceil(n/2) frames
     "q196_gif_frames" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 16)::BIGINT AS width, " +
+        "(2 + doc_id % 6)::BIGINT AS n_frames, " +
+        "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
+        "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // the AVI mirror of q196: same planted frame-count/dims/duration
+    // arithmetic, parsed from a real RIFF/AVI container instead of GIF
+    "q237_avi_frames" ->
       ("SELECT doc_id AS media_id, (16 + doc_id % 16)::BIGINT AS width, " +
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +

@@ -310,7 +310,11 @@ object MaintenanceRunner {
           qualityGate = spec.props.get("quality.gate")
             .exists(_.toBoolean),
           scrubMetadata = spec.props.get("scrub.metadata")
-            .exists(_.toBoolean))
+            .exists(_.toBoolean),
+          partHashes = spec.props.get("part.hashes")
+            .exists(_.toBoolean),
+          minSharedParts = spec.props.get("min.shared.parts")
+            .map(_.toInt).getOrElse(2))
         q.awaitTermination()
         val n = graft.streaming.MediaDedupIngest.survivors(spark, store)
           .count()

@@ -66,13 +66,36 @@ object MediaDedupIngest {
     * metadata-scrubbed ([[graft.multimodal.MediaScrub]]) before
     * publishing — a deterministic byte-level walk (replay-identical)
     * that never touches the sample stream, so fingerprints computed on
-    * the raw payload still match the scrubbed survivor. */
+    * the raw payload still match the scrubbed survivor.
+    *
+    * With `partHashes = true` admission is additionally PART-level: the
+    * profile pass emits the record's shift/crop-tolerant sub-hashes
+    * (image tiles, audio windows, video frames — [[MediaPipeline
+    * .profileDeep]], same SINGLE decode) and a record is REFUSED when at
+    * least `minSharedParts` of its part values were already committed —
+    * the duplicate classes whole-content admission cannot see (a TRIMMED
+    * clip, a CROPPED image, a CLIPPED video of committed content admits
+    * as "new" on its whole hash). Admitted records commit their part
+    * values under `parts/batch=<id>` with their own Bloom sketches
+    * (`psketch-`/`pcompact-`), so the part prefilter stays
+    * O(batches-since-compaction) too. Matching is EXACT on hop/tile-
+    * aligned part values (the batch faces' Hamming-tolerant pairing
+    * handles noisy edits; admission guards the aligned-cut class). The
+    * store's `_format.json` binds the part spec — a store built with
+    * different tile/window geometry (or none) refuses loudly, because
+    * its committed part values would silently never match. */
   def start(stream: DataFrame, storePath: String, checkpointDir: String,
             modality: String = "image", fpp: Double = 0.01,
             trigger: Trigger = Trigger.AvailableNow(),
             every: Int = 1, maxSketches: Int = 16,
             qualityGate: Boolean = false,
-            scrubMetadata: Boolean = false): StreamingQuery = {
+            scrubMetadata: Boolean = false,
+            partHashes: Boolean = false, minSharedParts: Int = 2,
+            tileW: Int = 16, tileH: Int = 16,
+            windowFrames: Int = 400, hopFrames: Int = 400,
+            silenceFloor: Long = 100L): StreamingQuery = {
+    require(minSharedParts >= 1,
+      s"minSharedParts=$minSharedParts must be >= 1")
     val spark = stream.sparkSession
     val (hashOf, hcol): (DataFrame => DataFrame, String) = modality match {
       case "image" => (ImageDedup.hashImages(_), "dhash")
@@ -82,15 +105,24 @@ object MediaDedupIngest {
       case other => throw new IllegalArgumentException(
         s"unknown media modality '$other' (image, audio, video)")
     }
+    val partsSpec =
+      if (!partHashes) "none"
+      else modality match {
+        case "image" => s"tiles=${tileW}x$tileH;minShared=$minSharedParts"
+        case "audio" =>
+          s"windows=$windowFrames/$hopFrames/$silenceFloor" +
+            s";minShared=$minSharedParts"
+        case "video" => s"frames=every$every;minShared=$minSharedParts"
+      }
     StreamIdentity.guard(spark, storePath, checkpointDir)
-    guardFormat(spark, storePath, modality)
+    guardFormat(spark, storePath, modality, partsSpec)
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val committed = committedHashes(s, storePath, batchId)
         val blooms = committedBlooms(s, storePath, batchId, fpp, maxSketches)
         val hashed =
-          if (qualityGate) {
+          if (qualityGate || partHashes) {
             // the modality check hashOf would have enforced per record —
             // profile switches per media_type, so enforce it here (reads
             // only the media_type column; payloads untouched)
@@ -99,9 +131,21 @@ object MediaDedupIngest {
               s"batch $batchId carries $nWrong non-$modality records — " +
                 "this store admits a single modality; route mixed crawls " +
                 "through one store per modality")
-            MediaPipeline.profile(batch, every = every)
-              .select(col("media_id"), col("chash").as(hcol), col("passes"))
+            if (partHashes)
+              // gates + whole hash + part hashes from ONE decode
+              MediaPipeline.profileDeep(batch, tileW = tileW, tileH = tileH,
+                windowFrames = windowFrames, hopFrames = hopFrames,
+                silenceFloor = silenceFloor, every = every)
+                .select(col("media_id"), col("chash").as(hcol),
+                  (if (qualityGate) col("passes") else lit(true))
+                    .as("passes"),
+                  col("parts"))
+            else
+              MediaPipeline.profile(batch, every = every)
+                .select(col("media_id"), col("chash").as(hcol),
+                  col("passes"), lit(null).as("parts"))
           } else hashOf(batch).withColumn("passes", lit(true))
+            .withColumn("parts", lit(null))
         val hashes = hashed.persist(StorageLevel.MEMORY_AND_DISK)
         hashes.count(): Unit // ONE decode per batch, all branches cached
         try {
@@ -109,28 +153,84 @@ object MediaDedupIngest {
             hashes.filter(!col("passes")).select("media_id")
               .write.mode("overwrite")
               .parquet(s"$storePath/gated/batch=$batchId")
-          val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
-            hashes.filter(col("passes")), committed, "media_id",
-            col(hcol).cast("string"), blooms)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val nSurv = surv.count()
+          // part-level refusals: records sharing >= minSharedParts
+          // committed part values (Bloom-prefiltered, exact-verified —
+          // the same O(batch) shape as the whole-hash path)
+          val partDups =
+            if (!partHashes) None
+            else {
+              val committedParts =
+                committedHashes(s, storePath, batchId, sub = "parts")
+              val partBlooms = committedBlooms(s, storePath, batchId, fpp,
+                maxSketches, sub = "parts", sketchPrefix = "psketch-",
+                compactPrefix = "pcompact-upto-")
+              val batchParts = hashes.filter(col("passes"))
+                .select(col("media_id"),
+                  explode(col("parts")).as("__p"))
+                .select(col("media_id"),
+                  col("__p._3").cast("string").as("__ph"))
+                .distinct()
+              val confirmed =
+                if (partBlooms.isEmpty)
+                  batchParts.limit(0)
+                else {
+                  val bc = s.sparkContext.broadcast(partBlooms.toArray)
+                  val might = udf((v: String) =>
+                    v != null && bc.value.exists(_.mightContain(v)))
+                  batchParts.filter(might(col("__ph")))
+                    .join(committedParts.select(col("h")).distinct(),
+                      col("__ph") === col("h"), "left_semi")
+                }
+              Some(confirmed.groupBy("media_id")
+                .agg(count(lit(1)).as("__n"))
+                .filter(col("__n") >= minSharedParts)
+                .select("media_id")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+            }
           try {
-            surv.select(col("content_hash").as("h"))
-              .write.mode("overwrite")
-              .parquet(s"$storePath/hashes/batch=$batchId")
-            val kept = batch.join(surv.select("media_id"),
-              Seq("media_id"), "left_semi")
-            // on-admit metadata scrub: a deterministic byte-level chunk
-            // walk (replays republish identically) that never changes
-            // the sample stream, so the committed fingerprint still
-            // matches the scrubbed payload
-            (if (scrubMetadata) graft.multimodal.MediaScrub.scrub(kept)
-             else kept)
-              .write.mode("overwrite")
-              .parquet(s"$storePath/survivors/batch=$batchId")
-            writeBatchSketch(s, storePath, batchId,
-              surv.select(col("content_hash").as("h")), nSurv, fpp)
-          } finally { surv.unpersist(); () }
+            partDups.foreach(_.count(): Unit)
+            val admissible = partDups.fold(hashes.filter(col("passes")))(
+              pd => hashes.filter(col("passes"))
+                .join(pd, Seq("media_id"), "left_anti"))
+            val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
+              admissible, committed, "media_id",
+              col(hcol).cast("string"), blooms)
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val nSurv = surv.count()
+            try {
+              surv.select(col("content_hash").as("h"))
+                .write.mode("overwrite")
+                .parquet(s"$storePath/hashes/batch=$batchId")
+              val kept = batch.join(surv.select("media_id"),
+                Seq("media_id"), "left_semi")
+              // on-admit metadata scrub: a deterministic byte-level chunk
+              // walk (replays republish identically) that never changes
+              // the sample stream, so the committed fingerprint still
+              // matches the scrubbed payload
+              (if (scrubMetadata) graft.multimodal.MediaScrub.scrub(kept)
+               else kept)
+                .write.mode("overwrite")
+                .parquet(s"$storePath/survivors/batch=$batchId")
+              writeBatchSketch(s, storePath, batchId,
+                surv.select(col("content_hash").as("h")), nSurv, fpp)
+              if (partHashes) {
+                val survParts = hashes
+                  .join(surv.select("media_id"), Seq("media_id"),
+                    "left_semi")
+                  .select(explode(col("parts")).as("__p"))
+                  .select(col("__p._3").cast("string").as("h"))
+                  .distinct()
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                try {
+                  val nParts = survParts.count()
+                  survParts.write.mode("overwrite")
+                    .parquet(s"$storePath/parts/batch=$batchId")
+                  writeBatchSketch(s, storePath, batchId, survParts,
+                    nParts, fpp, sketchPrefix = "psketch-")
+                } finally { survParts.unpersist(); () }
+              }
+            } finally { surv.unpersist(); () }
+          } finally { partDups.foreach(_.unpersist()); () }
         } finally { hashes.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
@@ -158,14 +258,18 @@ object MediaDedupIngest {
     new Path(storePath, "_format.json")
 
   /** Fingerprint-format binding (`_format.json`: modality + format
-    * version, written on first start). A store whose recorded format
-    * differs from this build's — or a legacy store with committed
-    * hashes but no token — REFUSES admission loudly: mixed-version
-    * fingerprints never match, so every duplicate would be re-admitted
-    * silently. Rebuild the store (or re-hash its survivors) after a
-    * format bump. */
+    * version + part spec, written on first start). A store whose
+    * recorded format differs from this build's — or a legacy store with
+    * committed hashes but no token — REFUSES admission loudly:
+    * mixed-version fingerprints never match, so every duplicate would
+    * be re-admitted silently. The PART spec binds the same way: part
+    * values under a different tile/window geometry (or a store built
+    * without parts) never match, so a trimmed re-upload would silently
+    * admit. Rebuild the store (or re-hash its survivors) after a
+    * format/spec change. */
   private def guardFormat(spark: SparkSession, storePath: String,
-                          modality: String): Unit = {
+                          modality: String,
+                          partsSpec: String = "none"): Unit = {
     val fmt = formatVersion(modality)
     readFormat(spark, storePath) match {
       case Some((boundMod, boundFmt)) =>
@@ -179,6 +283,13 @@ object MediaDedupIngest {
             "hashes would silently stop matching and previously-deduped " +
             "content would be re-admitted; rebuild the store before " +
             "admitting")
+        val boundParts = readPartsSpec(spark, storePath)
+        require(boundParts == partsSpec,
+          s"store $storePath was built with part spec '$boundParts' but " +
+            s"this stream runs '$partsSpec' — committed part values " +
+            "would silently never match (or trimmed/cropped re-uploads " +
+            "of earlier content would silently admit); rebuild the " +
+            "store or match the spec")
       case None =>
         val hashes = new Path(s"$storePath/hashes")
         val fs = hashes.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -187,7 +298,7 @@ object MediaDedupIngest {
             "_format.json — it predates format versioning and its " +
             "format cannot be verified; rebuild it (or write " +
             "_format.json by hand after confirming the format)")
-        writeFormat(spark, storePath, modality, fmt)
+        writeFormat(spark, storePath, modality, fmt, partsSpec)
     }
   }
 
@@ -205,11 +316,29 @@ object MediaDedupIngest {
     }
   }
 
-  private[streaming] def writeFormat(spark: SparkSession, storePath: String,
-                                     modality: String, fmt: Int): Unit = {
+  /** The recorded part spec; tokens predating part-hash admission (no
+    * `parts` field) read as "none" — those stores committed no parts. */
+  private[streaming] def readPartsSpec(spark: SparkSession,
+                                       storePath: String): String = {
     val p = formatTokenPath(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val json = s"""{"modality":"$modality","format":$fmt}"""
+    if (!fs.exists(p)) "none"
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val rx = "\"parts\"\\s*:\\s*\"([^\"]+)\"".r
+      rx.findFirstMatchIn(s).map(_.group(1)).getOrElse("none")
+    }
+  }
+
+  private[streaming] def writeFormat(spark: SparkSession, storePath: String,
+                                     modality: String, fmt: Int,
+                                     partsSpec: String = "none"): Unit = {
+    val p = formatTokenPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json =
+      s"""{"modality":"$modality","format":$fmt,"parts":"$partsSpec"}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -228,9 +357,13 @@ object MediaDedupIngest {
     * compact. Empty committed view returns Nil. */
   private[streaming] def committedBlooms(spark: SparkSession,
                                          storePath: String, batchId: Long,
-                                         fpp: Double, maxSketches: Int)
+                                         fpp: Double, maxSketches: Int,
+                                         sub: String = "hashes",
+                                         sketchPrefix: String = "sketch-",
+                                         compactPrefix: String =
+                                           "compact-upto-")
       : Seq[org.apache.spark.util.sketch.BloomFilter] = {
-    val hashesDir = new Path(s"$storePath/hashes")
+    val hashesDir = new Path(s"$storePath/$sub")
     val fs = hashesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committedIds =
       if (!fs.exists(hashesDir)) Seq.empty[Long]
@@ -243,22 +376,22 @@ object MediaDedupIngest {
     val compactUpTo =
       if (!fs.exists(sketchDir)) None
       else fs.listStatus(sketchDir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("compact-upto-"))
-        .map(_.stripPrefix("compact-upto-").stripSuffix(".bloom").toLong)
+        .filter(_.startsWith(compactPrefix))
+        .map(_.stripPrefix(compactPrefix).stripSuffix(".bloom").toLong)
         .filter(_ <= batchId) // a later lineage's compact would over-cover
         .sorted.lastOption
     val uncompacted = committedIds.filter(b => compactUpTo.forall(b >= _))
     val batchSketches = uncompacted.map(b =>
-      new Path(sketchDir, s"sketch-$b.bloom"))
+      new Path(sketchDir, s"$sketchPrefix$b.bloom"))
     val total = batchSketches.size + compactUpTo.size
     if (batchSketches.forall(fs.exists) && total <= maxSketches) {
       val compact = compactUpTo.toSeq.map(c =>
-        readSketch(fs, new Path(sketchDir, s"compact-upto-$c.bloom")))
+        readSketch(fs, new Path(sketchDir, s"$compactPrefix$c.bloom")))
       compact ++ batchSketches.map(readSketch(fs, _))
     } else {
       // compaction / legacy fallback: ONE full committed pass, then the
       // per-batch file count resets
-      val committed = committedHashes(spark, storePath, batchId)
+      val committed = committedHashes(spark, storePath, batchId, sub)
         .select(col("h")).distinct()
       val n = committed.count()
       // stat.bloomFilter NPEs on an empty frame (the aggregate yields
@@ -266,13 +399,14 @@ object MediaDedupIngest {
       val bloom =
         if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
         else committed.stat.bloomFilter("h", n, fpp)
-      val out = fs.create(new Path(sketchDir, s"compact-upto-$batchId.bloom"),
-        true)
+      val out = fs.create(
+        new Path(sketchDir, s"$compactPrefix$batchId.bloom"), true)
       try bloom.writeTo(out) finally out.close()
       // superseded compacts are dead weight; sweep them (best effort)
       compactUpTo.foreach { c =>
         if (c != batchId)
-          fs.delete(new Path(sketchDir, s"compact-upto-$c.bloom"), false): Unit
+          fs.delete(new Path(sketchDir, s"$compactPrefix$c.bloom"),
+            false): Unit
       }
       Seq(bloom)
     }
@@ -283,13 +417,14 @@ object MediaDedupIngest {
     * a replay's overwrite is idempotent. */
   private def writeBatchSketch(spark: SparkSession, storePath: String,
                                batchId: Long, survHashes: DataFrame,
-                               n: Long, fpp: Double): Unit = {
+                               n: Long, fpp: Double,
+                               sketchPrefix: String = "sketch-"): Unit = {
     // stat.bloomFilter NPEs on an empty frame — an all-duplicate batch
     // admits nothing and sketches as empty
     val bloom =
       if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
       else survHashes.stat.bloomFilter("h", n, fpp)
-    val p = new Path(s"$storePath/sketches/sketch-$batchId.bloom")
+    val p = new Path(s"$storePath/sketches/$sketchPrefix$batchId.bloom")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try bloom.writeTo(out) finally out.close()
@@ -303,10 +438,12 @@ object MediaDedupIngest {
   }
 
   /** All fingerprints committed by batches STRICTLY BEFORE `batchId` —
-    * the replay-stable committed view. */
+    * the replay-stable committed view. `sub` selects the value store
+    * ("hashes" = whole-content fingerprints, "parts" = part values). */
   private def committedHashes(spark: SparkSession, storePath: String,
-                              batchId: Long): DataFrame = {
-    val dir = new Path(s"$storePath/hashes")
+                              batchId: Long,
+                              sub: String = "hashes"): DataFrame = {
+    val dir = new Path(s"$storePath/$sub")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs =
       if (!fs.exists(dir)) Seq.empty

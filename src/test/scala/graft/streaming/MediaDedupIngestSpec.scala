@@ -258,6 +258,64 @@ class MediaDedupIngestSpec extends SparkSpec {
       legacy.getMessage)
   }
 
+  test("partHashes: trimmed/padded re-uploads of committed audio are refused") {
+    val clips = graft.multimodal.Multimodal.syntheticAudioShiftVariants(
+      spark, docs, groups = 10).filter(col("media_id") < 30)
+    val in = tmpDir("mdi-p-in"); val store = tmpDir("mdi-p-store") + "/store"
+    Seq(clips.filter(col("media_id") < 10),           // base renders
+        clips.filter(col("media_id").between(10, 19)), // trimmed copies
+        clips.filter(col("media_id") >= 20)).zipWithIndex.foreach { // padded
+      case (s, i) =>
+        val part = s"$in/f$i"
+        s.coalesce(1).write.parquet(part)
+        new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val ckpt = tmpDir("mdi-p-ckpt")
+    def run(): Unit = MediaDedupIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema), store, ckpt,
+      modality = "audio", partHashes = true).awaitTermination()
+    val c = Multimodal.MediaCounters.audioReads
+    val before = c.get()
+    run()
+    // ONE decode per record: whole hash + part windows from profileDeep
+    assert(c.get() - before == 30,
+      s"decoded ${c.get() - before} clips for 30 records")
+    // the trimmed and padded re-uploads carry FRESH whole-clip
+    // fingerprints (trimming re-buckets all 8 segments) but >= 2 of
+    // their hop-aligned window values are committed — refused
+    val got = MediaDedupIngest.survivors(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 10L), s"admitted: $got")
+    // parts committed only for admitted records
+    assert(spark.read.parquet(s"$store/parts").count() == 40) // 10 x 4 windows
+    // replay idempotence: the drained checkpoint re-runs as a no-op
+    run()
+    assert(MediaDedupIngest.survivors(spark, store).count() == 10)
+    // THE GAP IS REAL: whole-content admission admits every re-upload
+    val store2 = tmpDir("mdi-p-loose") + "/store"
+    MediaDedupIngest.start(
+      Streams.fileReplay(spark, s"$in/*", schema), store2,
+      tmpDir("mdi-p-loose-ckpt"), modality = "audio").awaitTermination()
+    val loose = MediaDedupIngest.survivors(spark, store2)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(loose == (0L until 30L), s"loose admitted: $loose")
+    // the part spec binds the store: a different window geometry would
+    // silently never match committed part values — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema), store, ckpt,
+        modality = "audio", partHashes = true, hopFrames = 200)
+    }
+    assert(e.getMessage.contains("part spec"), e.getMessage)
+    // ... and so would dropping partHashes on a parts-bound store
+    val e2 = intercept[IllegalArgumentException] {
+      MediaDedupIngest.start(
+        Streams.fileReplay(spark, s"$in/*", schema), store, ckpt,
+        modality = "audio")
+    }
+    assert(e2.getMessage.contains("part spec"), e2.getMessage)
+  }
+
   test("qualityGate rejects defects before dedup; gated never commit fingerprints") {
     val clean = Multimodal.syntheticImageVariants(spark,
       docs.filter(col("doc_id") % 5 =!= 0), groups = 20)
