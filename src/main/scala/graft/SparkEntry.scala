@@ -2616,6 +2616,17 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // AVI metadata scrub audit (round 17): the AVI face of q229/q230 —
+    // a LIST/INFO ISFT encoder block planted after the header list on
+    // doc_id % 4 = 0, found by the top-level RIFF walk, zero decodes;
+    // scrubbed survivors still decode (frames untouched)
+    "q239_avi_scrub_report" -> ((s, dir) => {
+      val mix = Multimodal.syntheticAvisWithMetadata(
+        s, t(s, dir, "documents"))
+      graft.multimodal.MediaScrub.scrubReport(mix)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
     // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
     // by the little-endian chunk walk, zero decodes
@@ -2998,6 +3009,19 @@ object SparkEntry {
     // back through javax.imageio's frame-indexed reader — n_frames,
     // width, duration come from the CONTAINER, and n_sampled counts the
     // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    // FPS-INVARIANT video dedup (round 17): a VFR clip and its
+    // constant-rate re-render show the SAME frame at every wall-clock
+    // instant but fold differently by frame index (vote multiplicities
+    // 4/1/1/2 vs 1/1/1/1 skew the per-bit majority); time-sampled
+    // fingerprints (the frame on screen at each 100 ms tick) are
+    // identical, so exact grouping collapses both renders to min id
+    "q240_video_fps_dedup" -> ((s, dir) => {
+      val vv = Multimodal.syntheticVfrVariants(
+        s, t(s, dir, "documents"), groups = 20)
+      graft.multimodal.VideoDedup.exactGroupsAtFps(vv, fps = 10)
+        .select(col("media_id"), col("group_rep"))
+    }),
+
     // REAL AVI/MJPEG container decode (round 17): the q196 contract over
     // the second in-JVM video container — a RIFF walk (LIST hdrl/movi,
     // 00dc chunks) + per-frame javax.imageio JPEG decode. Frame counts,
@@ -5193,6 +5217,11 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
         "doc_id % 4 = 0 AS had_metadata FROM documents"),
+    // exactly one LIST/INFO block planted on doc_id % 4 = 0
+    "q239_avi_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 AS had_metadata FROM documents"),
     // exactly one LIST chunk planted on doc_id % 4 = 0
     "q229_audio_scrub_report" ->
       ("SELECT doc_id AS media_id, " +
@@ -5392,6 +5421,11 @@ object SparkEntry {
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
         "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // VFR and CFR renders of one timeline share every time-sampled
+    // frame; min member id per content group is the group index
+    "q240_video_fps_dedup" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS group_rep " +
+        "FROM documents"),
     // the AVI mirror of q196: same planted frame-count/dims/duration
     // arithmetic, parsed from a real RIFF/AVI container instead of GIF
     "q237_avi_frames" ->

@@ -13,12 +13,13 @@ import Multimodal.MediaRecord
   * IDAT and the color-interpretation chunks are kept, so decode output
   * is unchanged by construction).
   *
-  * Three containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
-  * RIFF/WAVE (LIST/INFO, id3, bext) and GIF (comment/plain-text
-  * extensions). Bytes smuggled AFTER a container's declared end (past
-  * PNG's IEND, beyond the RIFF size, after the GIF trailer) are stripped
-  * and reported as a `TRAILING` pseudo-chunk — decoders never read them,
-  * so they are pure metadata carriage.
+  * Four containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
+  * RIFF/WAVE (LIST/INFO, id3, bext), RIFF/AVI (LIST INFO, JUNK padding)
+  * and GIF (comment/plain-text extensions). Bytes smuggled AFTER a
+  * container's declared end (past PNG's IEND, beyond the RIFF size,
+  * after the GIF trailer) are stripped and reported as a `TRAILING`
+  * pseudo-chunk — decoders never read them, so they are pure metadata
+  * carriage.
   *
   * Scale shape: map-only byte-level chunk walk — NO decode, no codec
   * init; the pass reads each payload once and rewrites only offending
@@ -241,9 +242,111 @@ object MediaScrub {
     }
   }
 
-  /** Scrub a media table: PNG, WAV and GIF payloads lose their metadata
-    * chunks, everything else passes through byte-untouched. Map-only,
-    * zero decodes; output keeps the media schema. */
+  // ---- AVI containers ----
+
+  /** Top-level AVI chunk walk: (id, offset, totalLen incl. pad), LIST
+    * chunks keyed as `LIST:<type>`. Bytes beyond the declared RIFF size
+    * surface as `TRAILING`, like every walk here. */
+  private def aviChunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(AviCodec.isAvi(b), "payload is not a RIFF/AVI container")
+    def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    val riffEnd = math.min(b.length.toLong,
+      8L + (le32(4).toLong & 0xffffffffL)).toInt
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = le32(off + 4)
+      require(len >= 0, s"negative AVI chunk length at $off")
+      require(off + 8 + len <= b.length, s"truncated $id chunk at $off")
+      val key =
+        if (id == "LIST" && off + 12 <= b.length)
+          s"LIST:${new String(b, off + 8, 4, "US-ASCII")}"
+        else id
+      val total = 8 + len + (len & 1)
+      out += ((key, off, math.min(total, b.length - off)))
+      off += total
+    }
+    if (off < b.length) out += (("TRAILING", off, b.length - off))
+    out.toSeq
+  }
+
+  /** AVI chunks that stay: the header list (`hdrl`), the frame data
+    * (`movi`), the seek index (`idx1`) and the OpenDML extension list
+    * (`odml`). `LIST INFO` blocks (IART/ISFT/ICMT... — where encoders
+    * stash author/tool/location strings), `JUNK` padding (a classic
+    * smuggling spot: players skip it unread) and unknown chunks are
+    * dropped. idx1 offsets are movi-relative in common encodings (and
+    * in [[AviCodec.writeMjpeg]]'s), so dropping chunks around `movi`
+    * leaves the index valid. */
+  private val KeepAvi = Set("LIST:hdrl", "LIST:movi", "LIST:odml", "idx1")
+
+  /** Strip metadata chunks from one AVI payload: (scrubbed bytes,
+    * dropped keys), RIFF size rewritten. A clean payload returns the
+    * original array. */
+  def stripAvi(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = aviChunkSpans(payload)
+    val dropped = spans.filterNot(s => KeepAvi(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => KeepAvi(s._1))
+      val body = keep.map(_._3).sum
+      val out = new Array[Byte](12 + body)
+      System.arraycopy(payload, 0, out, 0, 12)
+      val riffSize = 4 + body
+      out(4) = (riffSize & 0xff).toByte
+      out(5) = ((riffSize >> 8) & 0xff).toByte
+      out(6) = ((riffSize >> 16) & 0xff).toByte
+      out(7) = ((riffSize >> 24) & 0xff).toByte
+      var pos = 12
+      keep.foreach { case (_, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Insert a LIST/INFO block (ISFT software tag) after the header list —
+    * the fixture/adversary side of [[stripAvi]]. */
+  private[multimodal] def insertAviInfo(payload: Array[Byte],
+                                        comment: String): Array[Byte] = {
+    val spans = aviChunkSpans(payload)
+    val (_, hdrlOff, hdrlTotal) = spans.find(_._1 == "LIST:hdrl").get
+    val insertAt = hdrlOff + hdrlTotal
+    val text = comment.getBytes("US-ASCII")
+    val textPadded = text.length + (text.length & 1)
+    val listBody = 4 + 8 + textPadded
+    val chunk = new Array[Byte](8 + listBody)
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, chunk, 0, 4)
+    chunk(4) = (listBody & 0xff).toByte
+    chunk(5) = ((listBody >> 8) & 0xff).toByte
+    chunk(6) = ((listBody >> 16) & 0xff).toByte
+    chunk(7) = ((listBody >> 24) & 0xff).toByte
+    System.arraycopy("INFO".getBytes("US-ASCII"), 0, chunk, 8, 4)
+    System.arraycopy("ISFT".getBytes("US-ASCII"), 0, chunk, 12, 4)
+    chunk(16) = (text.length & 0xff).toByte
+    chunk(17) = ((text.length >> 8) & 0xff).toByte
+    chunk(18) = ((text.length >> 16) & 0xff).toByte
+    chunk(19) = ((text.length >> 24) & 0xff).toByte
+    System.arraycopy(text, 0, chunk, 20, text.length)
+    val out = new Array[Byte](payload.length + chunk.length)
+    System.arraycopy(payload, 0, out, 0, insertAt)
+    System.arraycopy(chunk, 0, out, insertAt, chunk.length)
+    System.arraycopy(payload, insertAt, out, insertAt + chunk.length,
+      payload.length - insertAt)
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xff).toByte
+    out(5) = ((riffSize >> 8) & 0xff).toByte
+    out(6) = ((riffSize >> 16) & 0xff).toByte
+    out(7) = ((riffSize >> 24) & 0xff).toByte
+    out
+  }
+
+  /** Scrub a media table: PNG, WAV, GIF and AVI payloads lose their
+    * metadata chunks, everything else passes through byte-untouched.
+    * Map-only, zero decodes; output keeps the media schema. */
   def scrub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -251,6 +354,7 @@ object MediaScrub {
       val stripped =
         if (isPng(r.payload)) Some(stripPng(r.payload))
         else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
+        else if (AviCodec.isAvi(r.payload)) Some(stripAvi(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -264,9 +368,10 @@ object MediaScrub {
 
   /** The scrub audit: (media_id, n_stripped, stripped_types,
     * had_metadata) per record — what a compliance run reports (and the
-    * gate a strict ingest refuses on instead of scrubbing). PNG, WAV and
-    * GIF containers are walked (including trailing-byte smuggling);
-    * container formats without a scrubber report 0 stripped. */
+    * gate a strict ingest refuses on instead of scrubbing). PNG, WAV,
+    * AVI and GIF containers are walked (including trailing-byte
+    * smuggling); container formats without a scrubber report 0
+    * stripped. */
   def scrubReport(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -276,6 +381,8 @@ object MediaScrub {
           chunkSpans(r.payload).map(_._1).filterNot(Keep)
         else if (isRiffWave(r.payload))
           wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
+        else if (AviCodec.isAvi(r.payload))
+          aviChunkSpans(r.payload).map(_._1).filterNot(KeepAvi)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

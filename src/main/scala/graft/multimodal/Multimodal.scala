@@ -1175,6 +1175,72 @@ object Multimodal {
     }).toDF()
   }
 
+  /** Synthetic videos with planted FRAME-RATE-variant duplicate groups —
+    * the fixture for time-sampled (fps-invariant) dedup
+    * ([[VideoDedup.fingerprint64AtFps]]): the content timeline shows 4
+    * distinct textures of (base = doc_id % groups, c) for
+    * 400/100/100/200 ms, and `kind = (doc_id / groups) % 2` renders it
+    * 0 = VFR (4 frames, delays 40/10/10/20 cs) or 1 = CONSTANT-RATE
+    * (8 frames at 10 cs — A,A,A,A,B,C,D,D, the same wall-clock
+    * timeline). The frame on screen at every tick matches across kinds,
+    * so time-sampled fingerprints are IDENTICAL; the index-based
+    * majority fold sees vote multiplicities 4/1/1/2 vs 1/1/1/1 and
+    * drifts far — the gap this fixture exists to pin. Ground truth:
+    * group = doc_id % groups, its min id = the group index. */
+  def syntheticVfrVariants(spark: SparkSession, docs: DataFrame,
+                           groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val cfr = (id / groups) % 2 == 1
+      val w = 32
+      val h = 32
+      def tex(c: Int): java.awt.image.BufferedImage = {
+        val img = grayIndexedImage(w, h)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var z = base.toLong * 0x9E3779B97F4A7C15L +
+              c * 0xD6E8FEB86659FD93L + x * 0xC2B2AE3D27D4EB4FL +
+              y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            raster.setSample(x, y, 0, (z & 0xffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val content = (0 until 4).map(tex)
+      val (frames, delays) =
+        if (!cfr) (content, Seq(40, 10, 10, 20))
+        else (Seq(content(0), content(0), content(0), content(0),
+          content(1), content(2), content(3), content(3)),
+          Seq.fill(8)(10))
+      (id, "video", GifCodec.writeAnimatedVfr(frames, delays),
+        "image/gif", s"vgrp$base-${if (cfr) "cfr" else "vfr"}")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic AVIs with PLANTED container metadata: the MJPEG clips of
+    * [[syntheticAviVideos]], with a LIST/INFO ISFT block (a fake
+    * encoder/operator string) inserted after the header list on
+    * doc_id % 4 == 0. Ground truth for [[MediaScrub]]: had_metadata =
+    * doc_id % 4 == 0. */
+  def syntheticAvisWithMetadata(spark: SparkSession,
+                                docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    syntheticAviVideos(spark, docs)
+      .as[MediaRecord].mapPartitions(_.map { r =>
+        if (r.media_id % 4 == 0)
+          r.copy(payload = MediaScrub.insertAviInfo(r.payload,
+            s"encoder=cam${r.media_id} op=name"))
+        else r
+      }).toDF()
+  }
+
   /** Synthetic images with PLANTED blur: doc_id % 3 == 0 renders a 4x4
     * splitmix texture bilinear-UPSCALED to 32x32 (the defocused /
     * upscaled re-encode class — linear ramps have near-zero Laplacian),

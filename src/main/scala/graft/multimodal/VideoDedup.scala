@@ -78,6 +78,81 @@ object VideoDedup {
     bits
   }
 
+  /** 64-bit TIME-SAMPLED fingerprint — the FRAME-RATE-INVARIANT face of
+    * [[fingerprint64]]: dHash the frame ON SCREEN at each tick
+    * k * 1000/fps of the cumulative delay chain (delays <= 1 cs render
+    * as 10 cs, the browser convention shared with
+    * [[VideoScenes.sampleAtFps]]), then fold per-bit majority. The
+    * index-based fold weights each CONTAINER FRAME once, so a
+    * frame-rate-converted copy — a VFR clip re-rendered at constant
+    * rate, pulldown-style frame duplication — skews the per-bit votes
+    * and drifts the fold far from its source; time sampling weights
+    * content by WALL TIME, so ANY re-render of the same timeline folds
+    * identically. Consecutive ticks landing on one frame decode it once
+    * (the hash is cached per frame) — still ONE container decode per
+    * record. `fps` must divide 1000 (integer tick arithmetic). */
+  def fingerprint64AtFps(payload: Array[Byte], fps: Int): Long = {
+    require(fps >= 1 && 1000 % fps == 0,
+      s"fps=$fps must be a positive divisor of 1000 (integer ticks)")
+    require(VideoCodec.isVideo(payload),
+      "payload is not a decodable video container (GIF/AVI) — no " +
+        "in-JVM codec for mp4/webm")
+    MediaCounters.videoReads.incrementAndGet(): Unit
+    VideoCodec.withFrames(payload) { v =>
+      val n = v.numFrames
+      require(n >= 1, "video container holds no frames")
+      val starts = new Array[Long](n + 1)
+      var i = 0
+      while (i < n) {
+        val d = v.delayCs(i)
+        starts(i + 1) = starts(i) + (if (d <= 1) 10L else d.toLong) * 10L
+        i += 1
+      }
+      val total = starts(n)
+      val interval = 1000 / fps
+      val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var k = 0
+      var frame = 0
+      var t = 0L
+      var hashedFrame = -1
+      var lastHash = 0L
+      while (t < total) {
+        while (frame + 1 < n && starts(frame + 1) <= t) frame += 1
+        if (frame != hashedFrame) {
+          lastHash = ImageDedup.dHash64(v.frame(frame))
+          hashedFrame = frame
+        }
+        hashes += lastHash
+        k += 1
+        t = k.toLong * interval
+      }
+      // tick 0 exists for any clip (clamped delays are > 0 ms), so the
+      // fold is never over an empty set
+      foldMajority(hashes.toArray)
+    }
+  }
+
+  /** Map-only TIME-SAMPLED hash pass: (media_id, vhash) with one
+    * container decode per record — feed [[exactGroups]]-shaped grouping
+    * or the shared banding for fps-invariant near-dup. */
+  def hashVideosAtFps(media: DataFrame, fps: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: video fingerprint over ${r.media_type}")
+      (r.media_id, fingerprint64AtFps(r.payload, fps))
+    }).toDF("media_id", "vhash")
+  }
+
+  /** Exact FPS-INVARIANT dedup: every video labeled with its
+    * time-sampled-fingerprint group's representative (min media_id) —
+    * a VFR clip and its constant-rate re-render land in ONE group. */
+  def exactGroupsAtFps(media: DataFrame, fps: Int): DataFrame =
+    hashVideosAtFps(media, fps).withColumn("group_rep",
+      min(col("media_id")).over(Window.partitionBy(col("vhash"))))
+      .select("media_id", "vhash", "group_rep")
+
   /** Map-only hash pass: (media_id, vhash) with one container decode per
     * record. Non-video payloads refuse loudly — a silently skipped video
     * is a duplicate that survives. */

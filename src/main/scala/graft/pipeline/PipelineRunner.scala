@@ -334,6 +334,10 @@ object PipelineRunner {
               graft.multimodal.AudioDedup.exactGroups(df)
             case Array("video", "exact") =>
               graft.multimodal.VideoDedup.exactGroups(df)
+            // FPS-INVARIANT exact dedup: time-sampled fingerprints
+            // re-align frame-rate-converted (VFR<->CFR) re-renders
+            case Array("video", "fps", fps) =>
+              graft.multimodal.VideoDedup.exactGroupsAtFps(df, fps.toInt)
             case Array("image", "near", h) =>
               graft.multimodal.ImageDedup.clusters(df, h.toInt)
             case Array("audio", "near", h) =>
@@ -377,6 +381,7 @@ object PipelineRunner {
               graft.multimodal.MediaBytes.exactGroups(df)
             case other => throw new IllegalArgumentException(
               "mediadedup: wants '<image|audio|video>;exact', " +
+                "'video;fps;<fps>', " +
                 "'<image|audio|video>;near;<maxHamming>', " +
                 "'image;best;<maxHamming>', 'video;best;<maxHamming>', " +
                 "'video;overlap;<maxHamming>', " +
@@ -441,8 +446,8 @@ object PipelineRunner {
         // (bars shift every hash); bar-free rows pass through untouched
         case Array("cropbars") =>
           graft.multimodal.MediaQuality.cropBars(df)
-        // PNG/WAV/GIF metadata scrub (incl. trailing-byte smuggling):
-        // the compliance pass for binary payloads
+        // PNG/WAV/GIF/AVI metadata scrub (incl. trailing-byte
+        // smuggling): the compliance pass for binary payloads
         case Array("mediascrub") =>
           graft.multimodal.MediaScrub.scrub(df)
         // scene keyframes extracted as standalone IMAGE rows — the

@@ -97,6 +97,51 @@ class MediaScrubSpec extends SparkSpec {
     }
   }
 
+  test("AVI scrub: LIST/INFO blocks strip, bytes restore, frames intact") {
+    val aviMix = Multimodal.syntheticAvisWithMetadata(spark,
+      docs.filter(col("doc_id") < 120))
+    val rep = MediaScrub.scrubReport(aviMix)
+    val wrong = rep.filter(col("had_metadata") =!=
+      (pmod(col("media_id"), lit(4L)) === 0))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(rep.filter(col("had_metadata"))
+      .filter(!array_contains(col("stripped_types"), "LIST:INFO"))
+      .count() == 0)
+    // insert -> strip restores the exact pre-injection container
+    val clean = Multimodal.syntheticAviVideos(spark, docs.limit(40))
+      .as[Multimodal.MediaRecord].collect()
+      .map(r => r.media_id -> r.payload).toMap
+    val scrubbed = MediaScrub.scrub(aviMix.filter(col("media_id") < 40))
+      .as[Multimodal.MediaRecord].collect()
+    scrubbed.foreach { r =>
+      assert(java.util.Arrays.equals(r.payload, clean(r.media_id)),
+        s"media_id=${r.media_id}: AVI scrub did not restore the original")
+    }
+    // the injected container still parses with its frames intact
+    val injected = aviMix.filter(col("media_id") === 0)
+      .as[Multimodal.MediaRecord].head().payload
+    assert(AviCodec.open(injected).numFrames == 2)
+    // JUNK padding (a smuggling spot players skip unread) strips too
+    val junk = new Array[Byte](8 + 16)
+    System.arraycopy("JUNK".getBytes("US-ASCII"), 0, junk, 0, 4)
+    junk(4) = 16
+    System.arraycopy("lat=1,lon=2 ops!".getBytes("US-ASCII"), 0, junk, 8, 16)
+    val base = clean(1L)
+    val withJunk = new Array[Byte](base.length + junk.length)
+    System.arraycopy(base, 0, withJunk, 0, 12)
+    System.arraycopy(junk, 0, withJunk, 12, junk.length)
+    System.arraycopy(base, 12, withJunk, 12 + junk.length, base.length - 12)
+    val riffSize = withJunk.length - 8
+    withJunk(4) = (riffSize & 0xff).toByte
+    withJunk(5) = ((riffSize >> 8) & 0xff).toByte
+    withJunk(6) = ((riffSize >> 16) & 0xff).toByte
+    withJunk(7) = ((riffSize >> 24) & 0xff).toByte
+    val (cleaned, dropped) = MediaScrub.stripAvi(withJunk)
+    assert(dropped == Seq("JUNK"), dropped.toString)
+    assert(java.util.Arrays.equals(cleaned, base),
+      "JUNK strip must restore the exact original container")
+  }
+
   test("bytes smuggled past the container end are stripped and reported") {
     def appended(b: Array[Byte]): Array[Byte] = {
       val smuggled = "lat=52.52,lon=13.40 operator=J.Doe".getBytes("US-ASCII")
@@ -110,11 +155,14 @@ class MediaScrubSpec extends SparkSpec {
       groups = 1).as[Multimodal.MediaRecord].head().payload
     val gif = Multimodal.syntheticGifVariants(spark, docs.limit(1),
       groups = 1).as[Multimodal.MediaRecord].head().payload
-    // PNG: after IEND; WAV: beyond the declared RIFF size (the header is
-    // NOT updated — players honor it, so the payload still decodes);
-    // GIF: after the 0x3b trailer
+    val avi = Multimodal.syntheticAviVideos(spark, docs.limit(1))
+      .as[Multimodal.MediaRecord].head().payload
+    // PNG: after IEND; WAV/AVI: beyond the declared RIFF size (the
+    // header is NOT updated — players honor it, so the payload still
+    // decodes); GIF: after the 0x3b trailer
     Seq(png -> (MediaScrub.stripPng _), wav -> (MediaScrub.stripWav _),
-      gif -> (MediaScrub.stripGif _)).foreach { case (clean, strip) =>
+      gif -> (MediaScrub.stripGif _), avi -> (MediaScrub.stripAvi _))
+      .foreach { case (clean, strip) =>
       val dirty = appended(clean)
       val (scrubbed, dropped) = strip(dirty)
       assert(dropped == Seq("TRAILING"), dropped.toString)

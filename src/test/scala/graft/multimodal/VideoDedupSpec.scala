@@ -11,6 +11,37 @@ class VideoDedupSpec extends SparkSpec {
   private lazy val variants =
     Multimodal.syntheticGifVariants(spark, docs, groups = 20)
 
+  test("fps-invariant dedup: VFR and CFR renders of one timeline group together") {
+    val vv = Multimodal.syntheticVfrVariants(spark,
+      docs.filter(col("doc_id") < 80), groups = 20)
+    val n = vv.count()
+    val c = Multimodal.MediaCounters.videoReads
+    val before = c.get()
+    // time-sampled fingerprints: the frame on screen at every 100 ms
+    // tick matches across renders -> identical fold -> one exact group
+    // per content timeline, min id = the group index
+    val grouped = VideoDedup.exactGroupsAtFps(vv, fps = 10)
+    assert(grouped.filter(
+      col("group_rep") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+    assert(c.get() - before == n,
+      s"time-sampled fold decoded ${c.get() - before} containers for $n")
+    // THE GAP IS REAL: the index-based fold weights container frames,
+    // not wall time — vote multiplicities 4/1/1/2 vs 1/1/1/1 drift the
+    // two renders apart (exactly 2 distinct fingerprints per group)
+    val idx = VideoDedup.hashVideos(vv)
+      .withColumn("g", pmod(col("media_id"), lit(20L)))
+    assert(idx.groupBy("g").agg(countDistinct("vhash").as("nh"))
+      .filter(col("nh") =!= 2).count() == 0,
+      "index-based folds unexpectedly agreed across frame rates")
+    // tick 0 exists for ANY clip (delays clamp to >= 2 cs > 0 ms), so
+    // even a sub-tick clip folds its first frame instead of folding air
+    val tiny = Multimodal.GifCodec.writeAnimatedVfr(
+      Seq(new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)), Seq(2)) // 20 ms
+    assert(VideoDedup.fingerprint64AtFps(tiny, fps = 10) ==
+      VideoDedup.fingerprint64(tiny))
+  }
+
   test("fingerprint geometry: perturbed near its base, distinct bases far") {
     val h = VideoDedup.hashVideos(variants)
       .withColumn("base", pmod(col("media_id"), lit(20L)))
