@@ -703,6 +703,20 @@ class PipelineSpecSuite extends SparkSpec {
     assert(spark.read.parquet(s"$out/voverlap").filter(
       col("cluster_id") =!= pmod(col("media_id"), lit(20L))).count() == 0)
 
+    // fps-invariant exact groups as a hop: the VFR render and its
+    // constant-rate re-render collapse to one group per timeline
+    graft.multimodal.Multimodal.syntheticVfrVariants(spark,
+      docs.filter(col("doc_id") < 80), groups = 20)
+      .write.parquet(s"$media/vfr")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-vfps",
+      source = SourceSpec(format = "parquet", path = s"$media/vfr"),
+      transformExprs = Seq("mediadedup:video;fps;10"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/vfps"))),
+      "runMmVFps")
+    assert(spark.read.parquet(s"$out/vfps").filter(
+      col("group_rep") =!= pmod(col("media_id"), lit(20L))).count() == 0)
+
     // shift-tolerant audio clusters as a hop
     graft.multimodal.Multimodal.syntheticAudioShiftVariants(spark,
       docs.filter(col("doc_id") < 60), groups = 10)
