@@ -3009,6 +3009,18 @@ object SparkEntry {
     // back through javax.imageio's frame-indexed reader — n_frames,
     // width, duration come from the CONTAINER, and n_sampled counts the
     // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    // AVI AUDIO DEMUX (round 17): the container walk pulls the auds
+    // stream's PCM bytes out of the 01wb chunks (NO video decode — the
+    // JPEG frames are never touched), re-wraps them as WAV, and the
+    // demuxed track runs the ENTIRE audio stack; planted sample counts
+    // stay doc_id arithmetic through a REAL WAV re-decode
+    "q241_avi_audio_demux" -> ((s, dir) => {
+      val avs = Multimodal.syntheticAviWithAudio(s, t(s, dir, "documents"))
+      val tracks = Multimodal.demuxAviAudio(avs)
+      graft.multimodal.MediaQuality.audioSignals(tracks)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
     // FPS-INVARIANT video dedup (round 17): a VFR clip and its
     // constant-rate re-render show the SAME frame at every wall-clock
     // instant but fold differently by frame index (vote multiplicities
@@ -5421,6 +5433,12 @@ object SparkEntry {
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
         "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // the demuxed soundtrack is 800 + id%800 samples at 8 kHz
+    "q241_avi_audio_demux" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
     // VFR and CFR renders of one timeline share every time-sampled
     // frame; min member id per content group is the group index
     "q240_video_fps_dedup" ->

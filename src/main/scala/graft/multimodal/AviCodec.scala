@@ -91,13 +91,89 @@ private[multimodal] object AviCodec {
     new AviFrames(payload, frames.toArray, usPerFrame, w, h)
   }
 
+  /** A demuxed AVI PCM soundtrack: raw little-endian sample bytes plus
+    * the WAVEFORMATEX fields needed to re-wrap them as WAV. */
+  final case class AviAudio(pcm: Array[Byte], channels: Int, rate: Int,
+                            bits: Int)
+
+  /** DEMUX the PCM audio stream of an AVI container: walk `LIST hdrl`'s
+    * `strl` lists in declaration order (the stream NUMBER in movi chunk
+    * ids is that order), find the `auds` stream and its WAVEFORMATEX
+    * `strf`, then concatenate its `##wb` chunks from `LIST movi` in
+    * container order. Returns None when the container carries no audio
+    * stream; refuses loudly on non-PCM audio (compressed soundtracks
+    * need a codec the JDK lacks — the same honest seam as mp4 video). */
+  def extractAudio(payload: Array[Byte]): Option[AviAudio] = {
+    require(isAvi(payload), "payload is not a RIFF/AVI container")
+    def le32(o: Int): Int = (payload(o) & 0xff) |
+      ((payload(o + 1) & 0xff) << 8) | ((payload(o + 2) & 0xff) << 16) |
+      ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def fourcc(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    val riffEnd = math.min(payload.length.toLong,
+      8L + (le32(4).toLong & 0xffffffffL)).toInt
+    var streamIdx = -1
+    var audioIdx = -1
+    var fmt: Option[AviAudio] = None
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
+      var off = from
+      var strlType = ""
+      while (off + 8 <= to) {
+        val id = fourcc(off)
+        val len = le32(off + 4)
+        require(len >= 0, s"negative AVI chunk length at $off")
+        require(off + 8 + len <= payload.length,
+          s"truncated $id chunk at $off")
+        if (id == "LIST") {
+          val listType = fourcc(off + 8)
+          if (listType == "strl") streamIdx += 1
+          walk(off + 12, off + 8 + len,
+            listType == "movi" || (inMovi && listType == "rec "),
+            listType == "strl")
+        } else if (inStrl && id == "strh") {
+          strlType = fourcc(off + 8)
+          if (strlType == "auds") audioIdx = streamIdx
+        } else if (inStrl && id == "strf" && strlType == "auds") {
+          require(len >= 16, s"auds strf too short ($len bytes)")
+          val formatTag = le16(off + 8)
+          require(formatTag == 1,
+            s"AVI audio stream is wFormatTag=$formatTag — only PCM (1) " +
+              "demuxes without a codec; compressed soundtracks refuse " +
+              "loudly rather than emit garbage samples")
+          fmt = Some(AviAudio(Array.emptyByteArray,
+            channels = le16(off + 10), rate = le32(off + 12),
+            bits = le16(off + 22)))
+        } else if (inMovi && audioIdx >= 0 &&
+          id == f"$audioIdx%02dwb") {
+          chunks += ((off + 8, len))
+        }
+        off += 8 + len + (len & 1)
+      }
+    }
+    walk(12, riffEnd, inMovi = false, inStrl = false)
+    fmt.map { f =>
+      val pcm = new Array[Byte](chunks.map(_._2).sum)
+      var pos = 0
+      chunks.foreach { case (off, len) =>
+        System.arraycopy(payload, off, pcm, pos, len)
+        pos += len
+      }
+      f.copy(pcm = pcm)
+    }
+  }
+
   /** Write frames as one AVI/MJPEG container (the fixture/producer side
     * of [[open]], and a real interchange writer): each frame JPEG-encodes
     * through `javax.imageio`, headers carry the real dims and
     * `usPerFrame` timing, and an `idx1` index (offset/size per frame)
-    * makes the container seekable for external players. */
+    * makes the container seekable for external players. With `audio`
+    * set ((mono 16-bit PCM bytes, sample rate)), a second `auds` stream
+    * (WAVEFORMATEX strf, one `01wb` chunk) interleaves after the video
+    * frames — the producer side of [[extractAudio]]. */
   def writeMjpeg(frames: Seq[java.awt.image.BufferedImage],
-                 usPerFrame: Long): Array[Byte] = {
+                 usPerFrame: Long,
+                 audio: Option[(Array[Byte], Int)] = None): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
     require(usPerFrame > 0 && usPerFrame <= 0xffffffffL,
       s"usPerFrame=$usPerFrame out of the header field's range")
@@ -134,12 +210,16 @@ private[multimodal] object AviCodec {
     // sizes, inner-out (every chunk is even-padded; JPEG lengths vary)
     def padded(n: Int) = n + (n & 1)
     val strhSize = 56
-    val strfSize = 40
-    val strlSize = 4 + 8 + strhSize + 8 + strfSize
+    val strfVSize = 40
+    val strfASize = 16 // plain WAVEFORMATEX without cbSize (PCM)
+    val strlVSize = 4 + 8 + strhSize + 8 + strfVSize
+    val strlASize = 4 + 8 + strhSize + 8 + strfASize
     val avihSize = 56
-    val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
-    val moviSize = 4 + jpegs.map(j => 8 + padded(j.length)).sum
-    val idx1Size = 16 * jpegs.length
+    val hdrlSize = 4 + 8 + avihSize + 8 + strlVSize +
+      audio.fold(0)(_ => 8 + strlASize)
+    val moviSize = 4 + jpegs.map(j => 8 + padded(j.length)).sum +
+      audio.fold(0) { case (pcm, _) => 8 + padded(pcm.length) }
+    val idx1Size = 16 * (jpegs.length + audio.size)
     val riffSize = 4 + 8 + hdrlSize + 8 + moviSize + 8 + idx1Size
 
     fcc("RIFF"); le32(riffSize.toLong); fcc("AVI ")
@@ -148,11 +228,12 @@ private[multimodal] object AviCodec {
     le32(usPerFrame)                    // dwMicroSecPerFrame
     le32(0L); le32(0L); le32(0L)        // maxBytesPerSec, padding, flags
     le32(jpegs.length.toLong)           // dwTotalFrames
-    le32(0L); le32(1L)                  // dwInitialFrames, dwStreams
+    le32(0L)                            // dwInitialFrames
+    le32(1L + audio.size)               // dwStreams
     le32(maxJpeg.toLong)                // dwSuggestedBufferSize
     le32(w.toLong); le32(h.toLong)
     le32(0L); le32(0L); le32(0L); le32(0L) // dwReserved[4]
-    fcc("LIST"); le32(strlSize.toLong); fcc("strl")
+    fcc("LIST"); le32(strlVSize.toLong); fcc("strl")
     fcc("strh"); le32(strhSize.toLong)
     fcc("vids"); fcc("MJPG")            // fccType, fccHandler
     le32(0L)                            // dwFlags
@@ -166,13 +247,37 @@ private[multimodal] object AviCodec {
     le32(0xffffffffL)                   // dwQuality (default)
     le32(0L)                            // dwSampleSize
     le16(0); le16(0); le16(w); le16(h)  // rcFrame
-    fcc("strf"); le32(strfSize.toLong)
+    fcc("strf"); le32(strfVSize.toLong)
     le32(40L)                           // biSize
     le32(w.toLong); le32(h.toLong)
     le16(1); le16(24)                   // biPlanes, biBitCount
     fcc("MJPG")                         // biCompression
     le32(w.toLong * h * 3)              // biSizeImage
     le32(0L); le32(0L); le32(0L); le32(0L) // pels/meter, clr used/important
+    audio.foreach { case (pcm, rate) =>
+      val blockAlign = 2 // mono 16-bit PCM
+      fcc("LIST"); le32(strlASize.toLong); fcc("strl")
+      fcc("strh"); le32(strhSize.toLong)
+      fcc("auds"); le32(0L)             // fccType, fccHandler (0 = PCM)
+      le32(0L)                          // dwFlags
+      le16(0); le16(0)                  // wPriority, wLanguage
+      le32(0L)                          // dwInitialFrames
+      le32(1L)                          // dwScale
+      le32(rate.toLong)                 // dwRate (samples/s)
+      le32(0L)                          // dwStart
+      le32(pcm.length.toLong / blockAlign) // dwLength (samples)
+      le32(pcm.length.toLong)           // dwSuggestedBufferSize
+      le32(0xffffffffL)                 // dwQuality
+      le32(blockAlign.toLong)           // dwSampleSize
+      le16(0); le16(0); le16(0); le16(0) // rcFrame (unused for audio)
+      fcc("strf"); le32(strfASize.toLong)
+      le16(1)                           // wFormatTag = PCM
+      le16(1)                           // nChannels (mono)
+      le32(rate.toLong)                 // nSamplesPerSec
+      le32(rate.toLong * blockAlign)    // nAvgBytesPerSec
+      le16(blockAlign)                  // nBlockAlign
+      le16(16)                          // wBitsPerSample
+    }
     fcc("LIST"); le32(moviSize.toLong); fcc("movi")
     val offsets = new Array[Int](jpegs.length) // relative to 'movi' fourcc
     var rel = 4
@@ -183,10 +288,20 @@ private[multimodal] object AviCodec {
       if ((j.length & 1) == 1) out.write(0)
       rel += 8 + padded(j.length)
     }
+    val audioOffset = rel
+    audio.foreach { case (pcm, _) =>
+      fcc("01wb"); le32(pcm.length.toLong)
+      out.write(pcm)
+      if ((pcm.length & 1) == 1) out.write(0)
+    }
     fcc("idx1"); le32(idx1Size.toLong)
     jpegs.zipWithIndex.foreach { case (j, i) =>
       fcc("00dc"); le32(0x10L)          // AVIIF_KEYFRAME
       le32(offsets(i).toLong); le32(j.length.toLong)
+    }
+    audio.foreach { case (pcm, _) =>
+      fcc("01wb"); le32(0x10L)
+      le32(audioOffset.toLong); le32(pcm.length.toLong)
     }
     out.toByteArray
   }

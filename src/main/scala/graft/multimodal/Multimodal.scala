@@ -497,6 +497,79 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** DEMUX the PCM soundtrack of AVI videos into first-class AUDIO rows
+    * (media_id = the video's id, media_type 'audio', payload = 16-bit
+    * WAV re-wrap of the container's sample bytes) — the bridge from the
+    * video container into the ENTIRE audio stack: dedup, quality gates,
+    * silence segmentation, resampling and fingerprint stores all run on
+    * soundtracks unchanged. Map-only, ONE container walk per record and
+    * NO video decode (the walk reads chunk headers and copies sample
+    * bytes — the JPEG frames are never touched). Videos without an
+    * audio stream emit no row (a silent film is not an audio record);
+    * non-AVI videos refuse loudly (GIF carries no audio track by
+    * format; mp4/webm need a codec the JDK lacks). */
+  def demuxAviAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: audio demux over ${r.media_type}")
+      require(AviCodec.isAvi(r.payload),
+        s"media_id=${r.media_id}: audio demux is an AVI container walk " +
+          "(GIF has no audio track by format; mp4/webm need a codec the " +
+          "JDK lacks)")
+      AviCodec.extractAudio(r.payload).map { a =>
+        require(a.bits == 16,
+          s"media_id=${r.media_id}: ${a.bits}-bit PCM unsupported " +
+            "(16-bit required, the WAV norm)")
+        val fmt = new javax.sound.sampled.AudioFormat(a.rate.toFloat, 16,
+          a.channels, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(a.pcm), fmt,
+            a.pcm.length / (2L * a.channels)),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        (r.media_id, "audio", bos.toByteArray, "audio/wav", r.source)
+      }
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic AVI table WITH a PCM soundtrack: the 2-frame MJPEG video
+    * plus a mono 16-bit 8 kHz tone of `800 + doc_id % 800` samples at
+    * pitch `200 + (doc_id % 10) * 50` Hz, muxed as a second `auds`
+    * stream — frame counts and durations of the demuxed track stay
+    * oracle-computable from doc_id alone. */
+  def syntheticAviWithAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val frames = (0 until 2).map { f =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 16).foreach(y => (0 until 16).foreach { x =>
+          val g = ((id * 31 + f * 47 + x * 3 + y * 5) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        })
+        img
+      }
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val pcm = new Array[Byte](nSamp * 2)
+      var i = 0
+      while (i < nSamp) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * 8000).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      (id, "video",
+        AviCodec.writeMjpeg(frames, usPerFrame = 100000L,
+          audio = Some((pcm, rate))),
+        "video/avi", "avmux")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic AUDIO table with REAL WAV payloads: per document, a
     * 16-bit mono 8 kHz PCM sine whose length and pitch derive from
     * doc_id (`frames = 400 + doc_id % 800`), encoded with the JDK WAV

@@ -395,6 +395,11 @@ object PipelineRunner {
         // feed every existing vector operator (ANN search, embedding
         // near-dup, SemDeDup, the IVF index family) — the bridge from
         // the multimodal decode pass into the vector stack
+        // AVI soundtrack demux: PCM audio rows out of video containers —
+        // the declarative bridge from the video stack into the audio
+        // stack (dedup/quality/segments run on soundtracks unchanged)
+        case Array("aviaudio") =>
+          graft.multimodal.Multimodal.demuxAviAudio(df)
         case Array("mediaembed", spec2) => // [featureDim]
           val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
             .map(_.toInt).getOrElse(8)

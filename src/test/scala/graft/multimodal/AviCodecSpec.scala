@@ -104,6 +104,39 @@ class AviCodecSpec extends SparkSpec {
     assert(e3.getMessage != null)
   }
 
+  test("audio demux: the muxed PCM soundtrack round-trips into the audio stack") {
+    val avs = Multimodal.syntheticAviWithAudio(spark,
+      docs.filter(col("doc_id") < 60))
+    // extractAudio round-trips the exact sample bytes and format
+    val one = avs.filter(col("media_id") === 7L)
+      .as[Multimodal.MediaRecord].head()
+    val a = AviCodec.extractAudio(one.payload).get
+    assert(a.channels == 1 && a.rate == 8000 && a.bits == 16)
+    assert(a.pcm.length == (800 + 7) * 2)
+    // the video stream is untouched by the second stream: frames parse
+    val avi = AviCodec.open(one.payload)
+    assert(avi.numFrames == 2 && avi.usPerFrame == 100000L)
+    // demuxed tracks run the real audio faces: counts planted by id
+    val tracks = Multimodal.demuxAviAudio(avs)
+    val sig = MediaQuality.audioSignals(tracks)
+    assert(sig.filter(col("n_frames") =!=
+      pmod(col("media_id"), lit(800L)) + 800L).count() == 0)
+    // distinct pitches fingerprint apart, same pitch groups together
+    val h = AudioDedup.hashAudio(tracks)
+      .withColumn("g", pmod(col("media_id"), lit(10L)))
+    assert(h.select("ahash").distinct().count() >= 10)
+    // a video WITHOUT an audio stream emits no row, not a crash
+    val silent = Multimodal.syntheticAviVideos(spark, docs.limit(3))
+    assert(Multimodal.demuxAviAudio(silent).count() == 0)
+    // GIF video refuses loudly (no audio track by format)
+    val gif = Multimodal.syntheticGifVariants(spark, docs.limit(1),
+      groups = 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.demuxAviAudio(gif).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("scrub passes AVI through untouched (RIFF but not WAVE)") {
     val avis = Multimodal.syntheticAviVideos(spark, docs.limit(3))
     val out = MediaScrub.scrub(avis).as[Multimodal.MediaRecord].collect()
