@@ -3009,6 +3009,25 @@ object SparkEntry {
     // back through javax.imageio's frame-indexed reader — n_frames,
     // width, duration come from the CONTAINER, and n_sampled counts the
     // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    // PAIRED curation with the DEEP leak guard (round 17): eval =
+    // CROPPED renders of groups 0..4 — the whole-hash probe of q224's
+    // shape sees nothing (a crop shifts the 9x8 downscale grid under
+    // every cell), but the per-tile part hashes riding the SAME profile
+    // decode re-align, so both the base AND border-extended survivors
+    // of those groups flag contaminated; caption gate first (no decode),
+    // dedup = min caption-passing id per (group, kind)
+    "q242_paired_deep_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.syntheticImageCropVariants(
+        s, docs.filter(expr("(doc_id div 20) % 3 != 1")), groups = 20)
+      val eval = Multimodal.syntheticImageCropVariants(
+        s, docs.filter(expr("doc_id >= 20 AND doc_id < 25")), groups = 20)
+      graft.multimodal.PairedCuration.curateDeep(media, docs,
+        minCaptionChars = 200L, maxHamming = 3, minShared = 2,
+        evalMedia = Some(eval))
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // AVI AUDIO DEMUX (round 17): the container walk pulls the auds
     // stream's PCM bytes out of the 01wb chunks (NO video decode — the
     // JPEG frames are never touched), re-wraps them as WAV, and the
@@ -5433,6 +5452,22 @@ object SparkEntry {
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
         "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // caption gate first, then min caption-passing id per (texture
+    // group, crop kind) survives whole-hash dedup; survivors of the
+    // eval'd groups 0..4 flag through the tile-level probe
+    "q242_paired_deep_decontaminated" ->
+      ("WITH s AS (SELECT doc_id, n_chars < 200 AS cap_g, " +
+        "(doc_id // 20) % 3 AS kind FROM documents " +
+        "WHERE (doc_id // 20) % 3 <> 1), " +
+        "msurv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 20, kind ORDER BY doc_id ASC) AS rk " +
+        "FROM s WHERE NOT cap_g) " +
+        "SELECT s.doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN s.cap_g THEN 'caption_gated' " +
+        "WHEN msurv.rk > 1 THEN 'dup_dropped' " +
+        "WHEN s.doc_id % 20 < 5 THEN 'contaminated' " +
+        "ELSE 'kept' END AS stage " +
+        "FROM s LEFT JOIN msurv ON s.doc_id = msurv.doc_id"),
     // the demuxed soundtrack is 800 + id%800 samples at 8 kHz
     "q241_avi_audio_demux" ->
       ("SELECT doc_id AS media_id, " +

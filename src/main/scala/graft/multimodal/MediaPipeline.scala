@@ -341,59 +341,18 @@ object MediaPipeline {
         s"eval set hashes $nEvalParts part/orientation rows > " +
           s"maxEval=$maxEval — a broadcast this size would flood the " +
           "executors; raise maxEval deliberately")
-      import graft.dedup.HammingBands
       val stages = Seq("image", "audio", "video").map { m =>
         val p = prof.filter(col("media_type") === m)
         val gatedIn = p.filter(col("passes"))
-        val pairs = HammingBands.pairs(
+        val pairs = graft.dedup.HammingBands.pairs(
           gatedIn.select(col("media_id"), col("chash")),
           "media_id", "chash", maxHamming, maxBucket, s"media-deep-$m")
           .select(col("id_a"), col("id_b"))
         val surv = graft.dedup.DupClusters.survivorsBy(
           gatedIn.select(col("media_id"), col("chash"), col("prefer")),
           "media_id", pairs, prefer = col("prefer"))
-        // PART-level leak probe: survivor parts vs broadcast eval parts
-        val survParts = p.join(
-          surv.select(col("media_id")), Seq("media_id"), "left_semi")
-          .select(col("media_id"), explode(col("parts")).as("__p"))
-          .select(col("media_id"),
-            struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__k"),
-            col("__p._3").as("__hc"))
-        val evalParts = evalProf.filter(col("media_type") === m)
-          .select(col("media_id").as("__eval_id"),
-            explode(col("parts")).as("__p"))
-          .select(col("__eval_id"),
-            struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__ek"),
-            col("__p._3").as("__he"))
-        val partFlagged =
-          HammingBands.explodeBands(survParts, "__hc", maxHamming)
-          .join(broadcast(
-            HammingBands.explodeBands(evalParts, "__he", maxHamming)),
-            Seq("band", "value"))
-          .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
-          .groupBy(col("media_id"), col("__eval_id"))
-          .agg(countDistinct(struct(col("__k"), col("__ek"))).as("shared"))
-          .filter(col("shared") >= minShared)
-          .select("media_id").distinct()
-        // ROTATION leak probe (images): survivor whole hash vs the
-        // broadcast eval 8-orientation fanout — one hash row per corpus
-        // survivor, the eval side carries the 8x expansion
-        val flagged =
-          if (m != "image") partFlagged
-          else {
-            val evalOrients = evalProf.filter(col("media_type") === m)
-              .select(explode(col("orients")).as("__he"))
-            val rotFlagged = HammingBands.explodeBands(
-              surv.select(col("media_id"), col("chash").as("__hc")),
-              "__hc", maxHamming)
-              .join(broadcast(
-                HammingBands.explodeBands(evalOrients, "__he", maxHamming)),
-                Seq("band", "value"))
-              .filter(bit_count(col("__hc").bitwiseXOR(col("__he")))
-                <= maxHamming)
-              .select("media_id").distinct()
-            partFlagged.unionByName(rotFlagged).distinct()
-          }
+        val flagged = deepLeakFlags(p, surv, evalProf, m,
+          maxHamming, minShared)
         p.select(col("media_id"), col("media_type"), col("passes"))
           .join(surv.select(col("media_id"), lit(true).as("__surv")),
             Seq("media_id"), "left")
@@ -410,5 +369,63 @@ object MediaPipeline {
       out.count(): Unit
       out
     } finally { prof.unpersist(); evalProf.unpersist(); () }
+  }
+
+  /** The DEEP leak probe shared by [[curateDeep]] and
+    * [[PairedCuration.curateDeep]]: media_ids among `surv` (media_id,
+    * chash) that share at least `minShared` near-identical parts (tiles
+    * / windows / frames) with any single eval record of modality `m` —
+    * plus, for images, whose whole hash lies within `maxHamming` of any
+    * eval DIHEDRAL ORIENTATION hash (a rotated benchmark image turns
+    * every tile with it, so only the orientation probe re-aligns it).
+    * `p` carries the corpus [[profileDeep]] rows of the modality; eval
+    * parts/orientations BROADCAST as bands, corpus parts never shuffle
+    * (only band-matched candidates reach the shared count). */
+  private[multimodal] def deepLeakFlags(p: DataFrame, surv: DataFrame,
+                                        evalProf: DataFrame, m: String,
+                                        maxHamming: Int,
+                                        minShared: Int): DataFrame = {
+    import graft.dedup.HammingBands
+    // PART-level leak probe: survivor parts vs broadcast eval parts
+    val survParts = p.join(
+      surv.select(col("media_id")), Seq("media_id"), "left_semi")
+      .select(col("media_id"), explode(col("parts")).as("__p"))
+      .select(col("media_id"),
+        struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__k"),
+        col("__p._3").as("__hc"))
+    val evalParts = evalProf.filter(col("media_type") === m)
+      .select(col("media_id").as("__eval_id"),
+        explode(col("parts")).as("__p"))
+      .select(col("__eval_id"),
+        struct(col("__p._1").as("kx"), col("__p._2").as("ky")).as("__ek"),
+        col("__p._3").as("__he"))
+    val partFlagged =
+      HammingBands.explodeBands(survParts, "__hc", maxHamming)
+      .join(broadcast(
+        HammingBands.explodeBands(evalParts, "__he", maxHamming)),
+        Seq("band", "value"))
+      .filter(bit_count(col("__hc").bitwiseXOR(col("__he"))) <= maxHamming)
+      .groupBy(col("media_id"), col("__eval_id"))
+      .agg(countDistinct(struct(col("__k"), col("__ek"))).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("media_id").distinct()
+    // ROTATION leak probe (images): survivor whole hash vs the
+    // broadcast eval 8-orientation fanout — one hash row per corpus
+    // survivor, the eval side carries the 8x expansion
+    if (m != "image") partFlagged
+    else {
+      val evalOrients = evalProf.filter(col("media_type") === m)
+        .select(explode(col("orients")).as("__he"))
+      val rotFlagged = HammingBands.explodeBands(
+        surv.select(col("media_id"), col("chash").as("__hc")),
+        "__hc", maxHamming)
+        .join(broadcast(
+          HammingBands.explodeBands(evalOrients, "__he", maxHamming)),
+          Seq("band", "value"))
+        .filter(bit_count(col("__hc").bitwiseXOR(col("__he")))
+          <= maxHamming)
+        .select("media_id").distinct()
+      partFlagged.unionByName(rotFlagged).distinct()
+    }
   }
 }

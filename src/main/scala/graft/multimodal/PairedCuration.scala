@@ -127,6 +127,115 @@ object PairedCuration {
     }
   }
 
+  /** [[curate]] with the DEEP leak guard: stages and labels exactly as
+    * [[curate]] — caption gate first (no decode), decoded media gates,
+    * whole-hash keep-best dedup, optional caption-key collapse — but the
+    * decontamination stage probes at the PART level (tiles / windows /
+    * frames, >= `minShared` shared parts with any single eval record)
+    * and, for images, against the eval DIHEDRAL ORIENTATION fanout: a
+    * CROPPED or ROTATED copy of benchmark imagery hiding in the pair
+    * corpus flags, which the whole-hash probe of [[curate]] provably
+    * misses. The part and orientation hashes ride the SAME profile
+    * decode ([[MediaPipeline.profileDeep]]), so the cost contract is
+    * unchanged: caption-failing pairs never decode, survivors decode
+    * exactly once end-to-end. Output (media_id, media_type, stage),
+    * PERSISTED — unpersist once consumed. */
+  def curateDeep(media: DataFrame, captions: DataFrame,
+                 minCaptionChars: Long, maxHamming: Int,
+                 minShared: Int = 2, tileW: Int = 16, tileH: Int = 16,
+                 windowFrames: Int = 400, hopFrames: Int = 400,
+                 maxBucket: Long = 100000L,
+                 capIdCol: String = "doc_id", capLenCol: String = "n_chars",
+                 evalMedia: Option[DataFrame] = None,
+                 maxEval: Long = 100000L,
+                 capKeyCol: Option[String] = None): DataFrame = {
+    require(minCaptionChars >= 0,
+      s"minCaptionChars=$minCaptionChars must be >= 0")
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    val cap = captions.select(
+      Seq(col(capIdCol).as("media_id"),
+        coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len")) ++
+        capKeyCol.map(k => col(k).as("__cap_key")).toSeq: _*)
+    val paired = media.join(cap, Seq("media_id"))
+    // ONE decode per caption-surviving pair: gates + whole hash + part
+    // hashes + orientation hashes from the same profile pass
+    val prof = MediaPipeline.profileDeep(
+      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len"),
+      tileW = tileW, tileH = tileH, windowFrames = windowFrames,
+      hopFrames = hopFrames)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    prof.count(): Unit
+    val evalProf = evalMedia.map(e => MediaPipeline.profileDeep(e,
+      tileW = tileW, tileH = tileH, windowFrames = windowFrames,
+      hopFrames = hopFrames).persist(StorageLevel.MEMORY_AND_DISK))
+    try {
+      evalProf.foreach { ep =>
+        ep.count(): Unit // ONE decode per eval record
+        val nEval = ep.select(explode(col("parts"))).count() +
+          ep.select(explode(col("orients"))).count()
+        require(nEval <= maxEval,
+          s"eval set hashes $nEval part/orientation rows > " +
+            s"maxEval=$maxEval — a broadcast this size would flood the " +
+            "executors; raise maxEval deliberately")
+      }
+      val gatedIn = prof.filter(col("passes"))
+      val pairs = graft.dedup.HammingBands.pairs(
+        gatedIn.select(col("media_id"), col("chash")),
+        "media_id", "chash", maxHamming, maxBucket, "paired-deep")
+        .select(col("id_a"), col("id_b"))
+      val mediaSurv = graft.dedup.DupClusters.survivorsBy(
+        gatedIn.select(col("media_id"), col("chash"), col("prefer")),
+        "media_id", pairs, prefer = col("prefer"))
+      // caption-key pre-aggregate, identical to [[curate]]'s
+      val surv = capKeyCol.fold(mediaSurv) { _ =>
+        val winners = mediaSurv
+          .join(paired.select(col("media_id"), col("__cap_key")),
+            Seq("media_id"))
+          .groupBy(col("__cap_key"))
+          .agg(min(col("media_id")).as("media_id"))
+        mediaSurv.join(winners.select("media_id"), Seq("media_id"),
+          "left_semi")
+      }
+      val contaminated = evalProf.map { ep =>
+        Seq("image", "audio", "video").map { m =>
+          MediaPipeline.deepLeakFlags(
+            prof.filter(col("media_type") === m),
+            surv.join(prof.select(col("media_id"), col("media_type")),
+              Seq("media_id"))
+              .filter(col("media_type") === m)
+              .select(col("media_id"), col("chash")),
+            ep, m, maxHamming, minShared)
+        }.reduce(_ unionByName _)
+          .select(col("media_id"), lit(true).as("__cont"))
+      }
+      val labeled = paired.select(col("media_id"), col("media_type"),
+        (col("__cap_len") < minCaptionChars).as("__cap_g"))
+        .join(prof.select(col("media_id"), col("passes")),
+          Seq("media_id"), "left")
+        .join(mediaSurv.select(col("media_id"), lit(true).as("__msurv")),
+          Seq("media_id"), "left")
+        .join(surv.select(col("media_id"), lit(true).as("__surv")),
+          Seq("media_id"), "left")
+      val withCont = contaminated.fold(
+        labeled.withColumn("__cont", lit(null).cast("boolean")))(c =>
+        labeled.join(c, Seq("media_id"), "left"))
+      val out = withCont.select(col("media_id"), col("media_type"),
+        when(col("__cap_g"), lit("caption_gated"))
+          .when(!col("passes"), lit("media_gated"))
+          .when(col("__msurv").isNull, lit("dup_dropped"))
+          .when(col("__surv").isNull, lit("caption_dup"))
+          .when(col("__cont").isNotNull, lit("contaminated"))
+          .otherwise(lit("kept")).as("stage"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally {
+      prof.unpersist()
+      evalProf.foreach(_.unpersist())
+      ()
+    }
+  }
+
   /** The paired run's data card: pairs per (modality, stage) — one
     * aggregate over the stage frame, nothing re-decodes. */
   def card(stages: DataFrame): DataFrame =

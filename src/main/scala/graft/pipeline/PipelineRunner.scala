@@ -482,22 +482,34 @@ object PipelineRunner {
         // config-given location
         case Array("pairedcuration", spec2) =>
           // <captionsPath>;<minCaptionChars>;<maxHamming>
-          //   [;eval=<path>][;capkey=<col>]
+          //   [;eval=<path>][;capkey=<col>][;deep=<minShared>]
           val segs = spec2.split(';').map(_.trim)
           require(segs.length >= 3,
             "pairedcuration: wants '<captionsPath>;<minCaptionChars>;" +
-              "<maxHamming>[;eval=<path>][;capkey=<col>]', got " +
+              "<maxHamming>[;eval=<path>][;capkey=<col>]" +
+              "[;deep=<minShared>]', got " +
               s"'$spec2'")
           val opts = segs.drop(3).filter(_.nonEmpty).map { o =>
             val i = o.indexOf('=')
-            require(i > 0 && Set("eval", "capkey")(o.substring(0, i)),
-              s"pairedcuration option is not eval=/capkey=: '$o'")
+            require(i > 0 && Set("eval", "capkey", "deep")(o.substring(0, i)),
+              s"pairedcuration option is not eval=/capkey=/deep=: '$o'")
             o.substring(0, i) -> o.substring(i + 1)
           }.toMap
-          graft.multimodal.PairedCuration.curate(df,
-            spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
-            evalMedia = opts.get("eval").map(spark.read.parquet(_)),
-            capKeyCol = opts.get("capkey"))
+          opts.get("deep") match {
+            // deep: the decontamination probes tiles/windows/frames and
+            // image orientations — cropped/rotated benchmark leaks flag
+            case Some(minShared) =>
+              graft.multimodal.PairedCuration.curateDeep(df,
+                spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
+                minShared = minShared.toInt,
+                evalMedia = opts.get("eval").map(spark.read.parquet(_)),
+                capKeyCol = opts.get("capkey"))
+            case None =>
+              graft.multimodal.PairedCuration.curate(df,
+                spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
+                evalMedia = opts.get("eval").map(spark.read.parquet(_)),
+                capKeyCol = opts.get("capkey"))
+          }
         // leakage-safe split by PERCEPTUAL cluster: label:width bands
         // over the banded portable hash of the near-dup cluster id
         case Array("mediasplit", spec2) =>

@@ -158,6 +158,43 @@ class PairedCurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("curateDeep catches cropped eval leaks the whole-hash curate misses") {
+    val media = Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(expr("(doc_id div 20) % 3 != 1")), groups = 20)
+    val eval = Multimodal.syntheticImageCropVariants(spark,
+      docs.filter(col("doc_id").between(20L, 24L)), groups = 20)
+    val nCapOk = docs.filter(expr("(doc_id div 20) % 3 != 1"))
+      .filter(col("n_chars") >= 200).count()
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    val out = PairedCuration.curateDeep(media, docs,
+      minCaptionChars = 200L, maxHamming = 3, minShared = 2,
+      evalMedia = Some(eval)).persist()
+    try {
+      // cost contract unchanged: caption-failing pairs never decode,
+      // survivors decode once, eval decodes once
+      assert(c.get() - before == nCapOk + 5,
+        s"decoded ${c.get() - before} for $nCapOk pairs + 5 eval")
+      val cont = out.filter(col("stage") === "contaminated")
+        .select("media_id").as[Long].collect().toSet
+      assert(cont.nonEmpty && cont.forall(_ % 20 < 5),
+        s"contamination outside the eval groups: $cont")
+      // every caption-passing SURVIVOR of groups 0..4 flags: both the
+      // base and the border-extended kind keep one survivor each
+      assert(out.filter(col("stage") === "kept")
+        .filter(pmod(col("media_id"), lit(20L)) < 5).count() == 0)
+      // THE GAP IS REAL: the whole-hash paired pipeline flags nothing
+      // (a crop shifts the downscale grid under every cell)
+      val shallow = PairedCuration.curate(media, docs,
+        minCaptionChars = 200L, maxHamming = 3, evalMedia = Some(eval))
+      try assert(shallow.filter(col("stage") === "contaminated")
+        .count() == 0, "whole-hash probe unexpectedly saw the crop")
+      finally { shallow.unpersist(); () }
+      // stage algebra intact: the frame partitions the pair corpus
+      assert(out.count() == media.count())
+    } finally { out.unpersist(); () }
+  }
+
   test("media rows without a caption row are not pairs") {
     val out = PairedCuration.curate(images,
       docs.filter(col("doc_id") < 100),
