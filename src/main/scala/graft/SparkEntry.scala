@@ -3009,6 +3009,22 @@ object SparkEntry {
     // back through javax.imageio's frame-indexed reader — n_frames,
     // width, duration come from the CONTAINER, and n_sampled counts the
     // frames sampleGifFrames actually decoded (every 2nd frame's pixels)
+    // PAIRED curation with CAPTION-TEXT decontamination (round 17):
+    // benchmark prompts/answers leak through the TEXT side of an
+    // image-caption crawl — any caption sharing a 4-gram with an eval
+    // caption stages caption_contaminated BEFORE the decode (the q72
+    // n-gram probe folded into the pair pipeline's cost order), so
+    // leaked pairs never pay the media decode either
+    "q243_paired_caption_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.syntheticMediaPipelineMix(s, docs)
+        .filter(col("media_type") === "image")
+      graft.multimodal.PairedCuration.curate(media, docs,
+        minCaptionChars = 200L, maxHamming = 3,
+        evalCaptions = Some(docs.filter(pmod(col("doc_id"), lit(50)) === 0)))
+        .select(col("media_id"), col("media_type"), col("stage"))
+    }),
+
     // PAIRED curation with the DEEP leak guard (round 17): eval =
     // CROPPED renders of groups 0..4 — the whole-hash probe of q224's
     // shape sees nothing (a crop shifts the 9x8 downscale grid under
@@ -5452,6 +5468,34 @@ object SparkEntry {
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "((2 + doc_id % 6) * 100)::BIGINT AS duration_ms, " +
         "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // q72's gram arithmetic folded into q222's stage algebra: caption
+    // length gate, then the 4-gram leak probe (eval = docs at %50=0 —
+    // which self-flag as corpus pairs), then planted image defects and
+    // keep-best-resolution dedup over what remains
+    "q243_paired_caption_decontaminated" ->
+      ("WITH g AS (SELECT doc_id, CASE WHEN len(string_split(text,' ')) < 4 " +
+        "THEN [text] " +
+        "ELSE [array_to_string(string_split(text,' ')[i:i+3],' ') " +
+        "FOR i IN range(1, len(string_split(text,' '))-2)] END AS sh " +
+        "FROM documents), " +
+        "bench AS (SELECT DISTINCT unnest(sh) AS gr FROM g " +
+        "WHERE doc_id % 50 = 0), " +
+        "cont AS (SELECT DISTINCT doc_id FROM " +
+        "(SELECT doc_id, unnest(sh) AS gr FROM g) c JOIN bench USING (gr)), " +
+        "s AS (SELECT doc_id, n_chars < 200 AS cap_g, " +
+        "doc_id IN (SELECT doc_id FROM cont) AS cap_cont, " +
+        "doc_id % 5 = 0 AS img_def, " +
+        "CASE WHEN (doc_id // 20) % 2 = 0 THEN 1152 ELSE 288 END AS res " +
+        "FROM documents), " +
+        "msurv AS (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY doc_id % 20 ORDER BY res DESC, doc_id ASC) AS rk " +
+        "FROM s WHERE NOT cap_g AND NOT cap_cont AND NOT img_def) " +
+        "SELECT s.doc_id AS media_id, 'image' AS media_type, " +
+        "CASE WHEN s.cap_g THEN 'caption_gated' " +
+        "WHEN s.cap_cont THEN 'caption_contaminated' " +
+        "WHEN s.img_def THEN 'media_gated' " +
+        "WHEN msurv.rk = 1 THEN 'kept' ELSE 'dup_dropped' END AS stage " +
+        "FROM s LEFT JOIN msurv ON s.doc_id = msurv.doc_id"),
     // caption gate first, then min caption-passing id per (texture
     // group, crop kind) survives whole-hash dedup; survivors of the
     // eval'd groups 0..4 flag through the tile-level probe

@@ -23,26 +23,34 @@ import org.apache.spark.storage.StorageLevel
 object PairedCuration {
 
   /** Label every (media, caption) pair: `caption_gated` (caption shorter
-    * than `minCaptionChars` — decided WITHOUT decoding), `media_gated`
-    * (failed its modality's decoded quality gates), `dup_dropped` (lost
-    * its near-dup cluster to a better/earlier gate-survivor — keep-best
-    * resolution for images, min id elsewhere), `contaminated` (survived
-    * dedup but its fingerprint lies within `maxHamming` of an `evalMedia`
-    * record — benchmark imagery leaking into the pair corpus), or
-    * `kept`. With `capKeyCol` set, media-dedup survivors sharing a
-    * caption key additionally collapse to the minimum pair id — the
-    * spammed-caption class (one boilerplate caption across thousands of
-    * images), losers staged `caption_dup`. Pairs join on
-    * `media_id == capIdCol`; media rows with no caption row are not
-    * pairs and do not appear. The bounded eval side profiles once and
-    * BROADCASTS. Output (media_id, media_type, stage), PERSISTED —
-    * unpersist once consumed. */
+    * than `minCaptionChars` — decided WITHOUT decoding),
+    * `caption_contaminated` (the caption shares at least one
+    * `shingleWords`-gram with an `evalCaptions` text — benchmark
+    * prompts/answers leaking into the crawl THROUGH THE TEXT SIDE; also
+    * decided without decoding, so leaked pairs never pay the media
+    * decode either), `media_gated` (failed its modality's decoded
+    * quality gates), `dup_dropped` (lost its near-dup cluster to a
+    * better/earlier gate-survivor — keep-best resolution for images,
+    * min id elsewhere), `contaminated` (survived dedup but its
+    * fingerprint lies within `maxHamming` of an `evalMedia` record —
+    * benchmark imagery leaking into the pair corpus), or `kept`. With
+    * `capKeyCol` set, media-dedup survivors sharing a caption key
+    * additionally collapse to the minimum pair id — the spammed-caption
+    * class (one boilerplate caption across thousands of images), losers
+    * staged `caption_dup`. Pairs join on `media_id == capIdCol`; media
+    * rows with no caption row are not pairs and do not appear. The
+    * bounded eval sides (media profile / caption grams) BROADCAST.
+    * Output (media_id, media_type, stage), PERSISTED — unpersist once
+    * consumed. */
   def curate(media: DataFrame, captions: DataFrame, minCaptionChars: Long,
              maxHamming: Int, maxBucket: Long = 100000L,
              capIdCol: String = "doc_id", capLenCol: String = "n_chars",
              evalMedia: Option[DataFrame] = None,
              maxEval: Long = 100000L,
-             capKeyCol: Option[String] = None): DataFrame = {
+             capKeyCol: Option[String] = None,
+             evalCaptions: Option[DataFrame] = None,
+             capTextCol: String = "text",
+             shingleWords: Int = 4): DataFrame = {
     require(minCaptionChars >= 0,
       s"minCaptionChars=$minCaptionChars must be >= 0")
     val cap = captions.select(
@@ -50,10 +58,18 @@ object PairedCuration {
         coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len")) ++
         capKeyCol.map(k => col(k).as("__cap_key")).toSeq: _*)
     val paired = media.join(cap, Seq("media_id"))
+    // caption-TEXT decontamination before any decode: the eval grams are
+    // bounded and broadcast, the caption side is a map-side explode +
+    // broadcast semi-join — the leaked pairs skip the decode entirely
+    val capCont = evalCaptions.map(ev => captionLeakIds(captions, ev,
+      capIdCol, capTextCol, shingleWords, maxEval))
     // the decode pass runs ONLY on caption-surviving pairs — the gate
     // order is the cost order
+    val decodeIn =
+      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len")
     val prof = MediaPipeline.profile(
-      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len"))
+      capCont.fold(decodeIn)(cc =>
+        decodeIn.join(cc, Seq("media_id"), "left_anti")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     prof.count(): Unit // ONE decode per caption-surviving pair
     val evalProf = evalMedia.map(e => MediaPipeline.profile(e)
@@ -107,11 +123,16 @@ object PairedCuration {
           Seq("media_id"), "left")
         .join(surv.select(col("media_id"), lit(true).as("__surv")),
           Seq("media_id"), "left")
+      val withCapCont = capCont.fold(
+        labeled.withColumn("__cap_cont", lit(null).cast("boolean")))(cc =>
+        labeled.join(cc.withColumn("__cap_cont", lit(true)),
+          Seq("media_id"), "left"))
       val withCont = contaminated.fold(
-        labeled.withColumn("__cont", lit(null).cast("boolean")))(c =>
-        labeled.join(c, Seq("media_id"), "left"))
+        withCapCont.withColumn("__cont", lit(null).cast("boolean")))(c =>
+        withCapCont.join(c, Seq("media_id"), "left"))
       val out = withCont.select(col("media_id"), col("media_type"),
         when(col("__cap_g"), lit("caption_gated"))
+          .when(col("__cap_cont").isNotNull, lit("caption_contaminated"))
           .when(!col("passes"), lit("media_gated"))
           .when(col("__msurv").isNull, lit("dup_dropped"))
           .when(col("__surv").isNull, lit("caption_dup"))
@@ -125,6 +146,35 @@ object PairedCuration {
       evalProf.foreach(_.unpersist())
       ()
     }
+  }
+
+  /** Pair ids whose caption shares at least one `shingleWords`-gram with
+    * any `evalCaptions` text — the TEXT-side leak probe shared by
+    * [[curate]] and [[curateDeep]]: eval grams are required bounded
+    * (<= maxEval, refused loudly) and BROADCAST; the caption side is a
+    * map-side explode + broadcast semi-join, no caption shuffle. */
+  private def captionLeakIds(captions: DataFrame, evalCaptions: DataFrame,
+                             capIdCol: String, capTextCol: String,
+                             shingleWords: Int, maxEval: Long): DataFrame = {
+    require(shingleWords >= 1, s"shingleWords=$shingleWords must be >= 1")
+    val grams = graft.dedup.MinHashDedup.shingles(col(capTextCol),
+      shingleWords)
+    val bench = evalCaptions.select(explode(grams).as("__g")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBench = bench.count()
+      require(nBench <= maxEval,
+        s"eval captions carry $nBench distinct grams > maxEval=$maxEval — " +
+          "a broadcast this size would flood the executors; raise maxEval " +
+          "deliberately")
+      val out = captions
+        .select(col(capIdCol).as("media_id"), explode(grams).as("__g"))
+        .join(broadcast(bench), Seq("__g"))
+        .select("media_id").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count(): Unit
+      out
+    } finally { bench.unpersist(); () }
   }
 
   /** [[curate]] with the DEEP leak guard: stages and labels exactly as
@@ -148,7 +198,10 @@ object PairedCuration {
                  capIdCol: String = "doc_id", capLenCol: String = "n_chars",
                  evalMedia: Option[DataFrame] = None,
                  maxEval: Long = 100000L,
-                 capKeyCol: Option[String] = None): DataFrame = {
+                 capKeyCol: Option[String] = None,
+                 evalCaptions: Option[DataFrame] = None,
+                 capTextCol: String = "text",
+                 shingleWords: Int = 4): DataFrame = {
     require(minCaptionChars >= 0,
       s"minCaptionChars=$minCaptionChars must be >= 0")
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
@@ -157,10 +210,16 @@ object PairedCuration {
         coalesce(col(capLenCol).cast("long"), lit(-1L)).as("__cap_len")) ++
         capKeyCol.map(k => col(k).as("__cap_key")).toSeq: _*)
     val paired = media.join(cap, Seq("media_id"))
+    // caption-TEXT decontamination before any decode, as in [[curate]]
+    val capCont = evalCaptions.map(ev => captionLeakIds(captions, ev,
+      capIdCol, capTextCol, shingleWords, maxEval))
     // ONE decode per caption-surviving pair: gates + whole hash + part
     // hashes + orientation hashes from the same profile pass
+    val decodeIn =
+      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len")
     val prof = MediaPipeline.profileDeep(
-      paired.filter(col("__cap_len") >= minCaptionChars).drop("__cap_len"),
+      capCont.fold(decodeIn)(cc =>
+        decodeIn.join(cc, Seq("media_id"), "left_anti")),
       tileW = tileW, tileH = tileH, windowFrames = windowFrames,
       hopFrames = hopFrames)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,11 +275,16 @@ object PairedCuration {
           Seq("media_id"), "left")
         .join(surv.select(col("media_id"), lit(true).as("__surv")),
           Seq("media_id"), "left")
+      val withCapCont = capCont.fold(
+        labeled.withColumn("__cap_cont", lit(null).cast("boolean")))(cc =>
+        labeled.join(cc.withColumn("__cap_cont", lit(true)),
+          Seq("media_id"), "left"))
       val withCont = contaminated.fold(
-        labeled.withColumn("__cont", lit(null).cast("boolean")))(c =>
-        labeled.join(c, Seq("media_id"), "left"))
+        withCapCont.withColumn("__cont", lit(null).cast("boolean")))(c =>
+        withCapCont.join(c, Seq("media_id"), "left"))
       val out = withCont.select(col("media_id"), col("media_type"),
         when(col("__cap_g"), lit("caption_gated"))
+          .when(col("__cap_cont").isNotNull, lit("caption_contaminated"))
           .when(!col("passes"), lit("media_gated"))
           .when(col("__msurv").isNull, lit("dup_dropped"))
           .when(col("__surv").isNull, lit("caption_dup"))

@@ -483,16 +483,19 @@ object PipelineRunner {
         case Array("pairedcuration", spec2) =>
           // <captionsPath>;<minCaptionChars>;<maxHamming>
           //   [;eval=<path>][;capkey=<col>][;deep=<minShared>]
+          //   [;capeval=<path>]
           val segs = spec2.split(';').map(_.trim)
           require(segs.length >= 3,
             "pairedcuration: wants '<captionsPath>;<minCaptionChars>;" +
               "<maxHamming>[;eval=<path>][;capkey=<col>]" +
-              "[;deep=<minShared>]', got " +
+              "[;deep=<minShared>][;capeval=<path>]', got " +
               s"'$spec2'")
           val opts = segs.drop(3).filter(_.nonEmpty).map { o =>
             val i = o.indexOf('=')
-            require(i > 0 && Set("eval", "capkey", "deep")(o.substring(0, i)),
-              s"pairedcuration option is not eval=/capkey=/deep=: '$o'")
+            require(i > 0 &&
+              Set("eval", "capkey", "deep", "capeval")(o.substring(0, i)),
+              s"pairedcuration option is not eval=/capkey=/deep=/capeval=: " +
+                s"'$o'")
             o.substring(0, i) -> o.substring(i + 1)
           }.toMap
           opts.get("deep") match {
@@ -503,12 +506,14 @@ object PipelineRunner {
                 spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
                 minShared = minShared.toInt,
                 evalMedia = opts.get("eval").map(spark.read.parquet(_)),
-                capKeyCol = opts.get("capkey"))
+                capKeyCol = opts.get("capkey"),
+                evalCaptions = opts.get("capeval").map(spark.read.parquet(_)))
             case None =>
               graft.multimodal.PairedCuration.curate(df,
                 spark.read.parquet(segs(0)), segs(1).toLong, segs(2).toInt,
                 evalMedia = opts.get("eval").map(spark.read.parquet(_)),
-                capKeyCol = opts.get("capkey"))
+                capKeyCol = opts.get("capkey"),
+                evalCaptions = opts.get("capeval").map(spark.read.parquet(_)))
           }
         // leakage-safe split by PERCEPTUAL cluster: label:width bands
         // over the banded portable hash of the near-dup cluster id

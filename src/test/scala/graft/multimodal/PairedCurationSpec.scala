@@ -158,6 +158,36 @@ class PairedCurationSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("caption-text decontamination gates leaked pairs BEFORE the decode") {
+    val evalCaps = docs.filter(col("doc_id") % 50 === 0)
+    // expected leak set by q72's gram arithmetic (eval ids self-flag —
+    // the benchmark caption itself is in the crawl)
+    val grams = graft.dedup.MinHashDedup.shingles(col("text"), 4)
+    val bench = evalCaps.select(explode(grams).as("g")).distinct()
+    val leak = docs.select(col("doc_id"), explode(grams).as("g"))
+      .join(broadcast(bench), "g").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val capOk = docs.filter(col("n_chars") >= 200)
+      .select("doc_id").as[Long].collect().toSet
+    val c = Multimodal.MediaCounters.imageReads
+    val before = c.get()
+    val out = PairedCuration.curate(images, docs,
+      minCaptionChars = 200L, maxHamming = 3,
+      evalCaptions = Some(evalCaps)).persist()
+    try {
+      // leaked pairs never pay the media decode — the probe is text-only
+      assert(c.get() - before == (capOk -- leak).size,
+        s"decoded ${c.get() - before} for ${(capOk -- leak).size} pairs")
+      val got = out.filter(col("stage") === "caption_contaminated")
+        .select("media_id").as[Long].collect().toSet
+      assert(got == (capOk intersect leak),
+        s"leaked-stage mismatch: ${got.size} vs ${(capOk intersect leak).size}")
+      assert(got.nonEmpty, "fixture planted no caption leaks")
+      // the stage frame still partitions the pair corpus
+      assert(out.count() == docs.count())
+    } finally { out.unpersist(); () }
+  }
+
   test("curateDeep catches cropped eval leaks the whole-hash curate misses") {
     val media = Multimodal.syntheticImageCropVariants(spark,
       docs.filter(expr("(doc_id div 20) % 3 != 1")), groups = 20)
