@@ -843,6 +843,32 @@ class PipelineSpecSuite extends SparkSpec {
     assert(paired.filter(col("stage") === "media_gated")
       .filter(pmod(col("media_id"), lit(5L)) =!= 0).count() == 0)
 
+    // capeval=: caption-text decontamination as a hop option — eval
+    // captions (ids % 50 = 0) self-flag their own pairs at minimum
+    docsSlice.filter(col("doc_id") % 50 === 0)
+      .write.parquet(s"$media/capeval")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-paired-capeval",
+      source = SourceSpec(format = "parquet", path = s"$media/pairimgs"),
+      transformExprs = Seq(
+        s"pairedcuration:$media/captions;200;3;capeval=$media/capeval"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/pairedcap"))),
+      "runMmPairedCapEval")
+    val pairedCap = spark.read.parquet(s"$out/pairedcap")
+    assert(pairedCap.count() == 100)
+    // the contaminated stage equals the independent gram recompute
+    // (restricted to length-gate survivors — caption_gated wins ties)
+    val shingles = graft.dedup.MinHashDedup.shingles(col("text"), 4)
+    val benchGrams = docsSlice.filter(col("doc_id") % 50 === 0)
+      .select(explode(shingles).as("g")).distinct()
+    val wantLeak = docsSlice.filter(col("n_chars") >= 200)
+      .select(col("doc_id"), explode(shingles).as("g"))
+      .join(broadcast(benchGrams), "g").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gotLeak = pairedCap.filter(col("stage") === "caption_contaminated")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(gotLeak == wantLeak, s"${gotLeak.size} vs ${wantLeak.size}")
+
     // bytes: zero-decode byte-exact survivors chain into a perceptual hop
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-bytes",
