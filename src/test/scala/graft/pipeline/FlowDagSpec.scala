@@ -309,6 +309,42 @@ class FlowDagSpec extends SparkSpec {
     assert(detail.exists(_.contains(s"gated=$nGated")), detail.toString)
   }
 
+  test("media-dedup-ingest hop: part.hashes refuses trimmed re-uploads at admission") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("flowdag-mediadedup-parts")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val clips = graft.multimodal.Multimodal
+      .syntheticAudioShiftVariants(spark, docs, groups = 10)
+      .filter(col("media_id") < 20) // bases 0..9, trimmed copies 10..19
+    clips.filter(col("media_id") < 10).coalesce(1)
+      .write.parquet(s"$dir/in/f0")
+    clips.filter(col("media_id") >= 10).coalesce(1)
+      .write.parquet(s"$dir/in/f1")
+    new java.io.File(s"$dir/in/f0").listFiles()
+      .foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$dir/in/f1").listFiles()
+      .foreach(_.setLastModified(2000000L))
+    val ledger = new graft.state.RunLedger(spark, s"$dir/ledger")
+    val res = FlowDag.run(spark, FlowDag.fromProperties(Map(
+      "flow.name" -> "crawl-admit-parts",
+      "job.1.job.name" -> "admit",
+      "job.1.job.type" -> "media-dedup-ingest",
+      "job.1.input.glob" -> s"$dir/in/*",
+      "job.1.store.path" -> s"$dir/store",
+      "job.1.checkpoint.dir" -> s"$dir/ckpt",
+      "job.1.modality" -> "audio",
+      "job.1.part.hashes" -> "true",
+      "job.1.min.shared.parts" -> "2")), "mediaflow-parts",
+      ledger = Some(ledger))
+    assert(res("admit").status == FlowDag.Succeeded)
+    // the trimmed re-uploads carry fresh whole-clip fingerprints but
+    // >= 2 of their hop-aligned window values are committed — refused
+    assert(graft.streaming.MediaDedupIngest.survivors(spark, s"$dir/store")
+      .select("media_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted.toSeq == (0L until 10L))
+  }
+
   test("media-dedup-ingest hop: an IDLE run (empty backlog) reports survivors=0") {
     // empty input glob -> AvailableNow runs no batch -> the survivors
     // dir is never created; the node must report 0, not crash
