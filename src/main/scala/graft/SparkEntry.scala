@@ -3044,6 +3044,21 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("stage"))
     }),
 
+    // FPS-INVARIANT video decontamination (round 17): eval = constant-
+    // rate re-renders of groups 0..4's VFR timelines — the index-based
+    // whole-fold probe sees nothing (vote multiplicities differ), the
+    // time-sampled probe re-aligns them exactly
+    "q244_video_fps_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticVfrVariants(
+        s, docs.filter(expr("(doc_id div 20) % 2 = 0")), groups = 20)
+      val eval = Multimodal.syntheticVfrVariants(
+        s, docs.filter(expr("doc_id >= 20 AND doc_id < 25")), groups = 20)
+      graft.multimodal.VideoDedup.decontaminateAtFps(
+        corpus, eval, fps = 10, maxHamming = 3)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
     // AVI AUDIO DEMUX (round 17): the container walk pulls the auds
     // stream's PCM bytes out of the 01wb chunks (NO video decode — the
     // JPEG frames are never touched), re-wraps them as WAV, and the
@@ -5512,6 +5527,11 @@ object SparkEntry {
         "WHEN s.doc_id % 20 < 5 THEN 'contaminated' " +
         "ELSE 'kept' END AS stage " +
         "FROM s LEFT JOIN msurv ON s.doc_id = msurv.doc_id"),
+    // eval = CFR re-renders of groups 0..4's timelines; every VFR
+    // corpus render of those groups time-samples to the same fold
+    "q244_video_fps_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents WHERE (doc_id // 20) % 2 = 0"),
     // the demuxed soundtrack is 800 + id%800 samples at 8 kHz
     "q241_avi_audio_demux" ->
       ("SELECT doc_id AS media_id, " +

@@ -412,4 +412,40 @@ object VideoDedup {
       } finally { corpusHashes.unpersist(); () }
     } finally { evalHashes.unpersist(); () }
   }
+
+  /** FPS-INVARIANT video decontamination — [[decontaminate]]'s shape
+    * over TIME-SAMPLED fingerprints ([[fingerprint64AtFps]]): a
+    * frame-rate-converted re-render of benchmark video (a VFR clip
+    * re-encoded at constant rate, pulldown duplication) drifts the
+    * index-based fold far from its source and sails through the whole-
+    * fold probe; the time-sampled fold weighs content by wall time, so
+    * any re-render of the same timeline lands within re-encode
+    * tolerance. Bounded eval BROADCASTS; the corpus never shuffles.
+    * Output (media_id, contaminated) per corpus video, PERSISTED —
+    * unpersist once consumed. */
+  def decontaminateAtFps(corpus: DataFrame, eval: DataFrame, fps: Int,
+                         maxHamming: Int,
+                         maxEval: Long = 100000L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming $maxHamming not in [0,16]")
+    val evalHashes = hashVideosAtFps(eval, fps)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try { // eval unpersists on EVERY exit — a maxEval refusal must not
+      // leak a cache that silently serves the next job's hash frame
+      val nEval = evalHashes.count() // also materializes: eval decodes once
+      require(nEval <= maxEval,
+        s"eval set has $nEval videos > maxEval=$maxEval — a broadcast this " +
+          "size would flood the executors; raise maxEval deliberately")
+      val corpusHashes = hashVideosAtFps(corpus, fps)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      corpusHashes.count(): Unit
+      try {
+        val out = graft.dedup.HammingBands.decontaminateProbe(
+          corpusHashes, evalHashes, "media_id", "vhash", maxHamming)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count(): Unit
+        out
+      } finally { corpusHashes.unpersist(); () }
+    } finally { evalHashes.unpersist(); () }
+  }
 }

@@ -42,6 +42,25 @@ class VideoDedupSpec extends SparkSpec {
       VideoDedup.fingerprint64(tiny))
   }
 
+  test("fps-invariant decontamination flags what the whole-fold probe misses") {
+    val corpus = Multimodal.syntheticVfrVariants(spark,
+      docs.filter(expr("(doc_id div 20) % 2 = 0 AND doc_id < 120")),
+      groups = 20)
+    val eval = Multimodal.syntheticVfrVariants(spark,
+      docs.filter(col("doc_id").between(20L, 24L)), groups = 20)
+    val out = VideoDedup.decontaminateAtFps(corpus, eval,
+      fps = 10, maxHamming = 3)
+    try {
+      assert(out.filter(col("contaminated") =!=
+        (pmod(col("media_id"), lit(20L)) < 5)).count() == 0)
+      // the index-based probe on the same fixture flags NOTHING: the
+      // CFR eval re-render's fold drifts far from every VFR corpus fold
+      val shallow = VideoDedup.decontaminate(corpus, eval, maxHamming = 3)
+      try assert(shallow.filter(col("contaminated")).count() == 0)
+      finally { shallow.unpersist(); () }
+    } finally { out.unpersist(); () }
+  }
+
   test("fingerprint geometry: perturbed near its base, distinct bases far") {
     val h = VideoDedup.hashVideos(variants)
       .withColumn("base", pmod(col("media_id"), lit(20L)))
