@@ -44,10 +44,16 @@ private[multimodal] object AviCodec {
   }
 
   /** Parse the container: walk top-level RIFF chunks, recurse into LIST
-    * chunks, pull dwMicroSecPerFrame + dims from `avih` and collect every
-    * `##dc`/`##db` frame chunk under `LIST movi` (including `LIST rec `
-    * groupings). Malformed containers refuse loudly — same contract as
-    * every codec here. */
+    * chunks, pull dwMicroSecPerFrame + dims from `avih`, resolve the
+    * `vids` stream's declaration index from the `strl` lists (the
+    * two-digit stream number in movi chunk ids IS that order) and
+    * collect only THAT stream's `##dc`/`##db` frame chunks under
+    * `LIST movi` (including `LIST rec ` groupings) — a second video
+    * stream would interleave foreign frames into the sequence, so
+    * multi-vids containers refuse loudly, same contract as every codec
+    * here. Chunk lengths are untrusted crawl data: all bounds
+    * arithmetic runs in Long so a crafted length near Int.MaxValue
+    * hits the loud truncated-chunk refusal instead of wrapping. */
   def open(payload: Array[Byte]): AviFrames = {
     require(isAvi(payload), "payload is not a RIFF/AVI container")
     def le32(o: Int): Int = (payload(o) & 0xff) |
@@ -59,32 +65,46 @@ private[multimodal] object AviCodec {
     var usPerFrame = 0L
     var w = 0
     var h = 0
+    var streamIdx = -1
+    var vidsIdx = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    def walk(from: Int, to: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
       var off = from
       while (off + 8 <= to) {
         val id = fourcc(off)
         val len = le32(off + 4)
         require(len >= 0, s"negative AVI chunk length at $off")
-        require(off + 8 + len <= payload.length,
-          s"truncated $id chunk at $off")
+        val end = off.toLong + 8L + len
+        require(end <= payload.length, s"truncated $id chunk at $off")
         if (id == "LIST") {
           val listType = fourcc(off + 8)
-          walk(off + 12, off + 8 + len,
-            listType == "movi" || (inMovi && listType == "rec "))
+          if (listType == "strl") streamIdx += 1
+          walk(off + 12, (end min to.toLong).toInt,
+            listType == "movi" || (inMovi && listType == "rec "),
+            listType == "strl")
         } else if (id == "avih") {
           require(len >= 40, s"avih chunk too short ($len bytes)")
           usPerFrame = le32(off + 8).toLong & 0xffffffffL
           w = le32(off + 8 + 32)
           h = le32(off + 8 + 36)
-        } else if (inMovi &&
-          (id.endsWith("dc") || id.endsWith("db"))) {
+        } else if (inStrl && id == "strh") {
+          require(len >= 4, s"strh chunk too short ($len bytes)")
+          if (fourcc(off + 8) == "vids") {
+            require(vidsIdx < 0,
+              "AVI container declares more than one vids stream — " +
+                "interleaving both into one frame sequence would corrupt " +
+                "counts, timing and fingerprints; refusing loudly")
+            vidsIdx = streamIdx
+          }
+        } else if (inMovi && vidsIdx >= 0 &&
+          (id == f"$vidsIdx%02ddc" || id == f"$vidsIdx%02ddb")) {
           frames += ((off + 8, len))
         }
-        off += 8 + len + (len & 1)
+        off = (end + (len & 1)).toInt
       }
     }
-    walk(12, riffEnd, inMovi = false)
+    walk(12, riffEnd, inMovi = false, inStrl = false)
+    require(vidsIdx >= 0, "AVI header declares no vids stream")
     require(frames.nonEmpty, "AVI container holds no video frames")
     require(usPerFrame > 0,
       "AVI header missing dwMicroSecPerFrame — frame timing unknown")
@@ -123,12 +143,12 @@ private[multimodal] object AviCodec {
         val id = fourcc(off)
         val len = le32(off + 4)
         require(len >= 0, s"negative AVI chunk length at $off")
-        require(off + 8 + len <= payload.length,
-          s"truncated $id chunk at $off")
+        val end = off.toLong + 8L + len
+        require(end <= payload.length, s"truncated $id chunk at $off")
         if (id == "LIST") {
           val listType = fourcc(off + 8)
           if (listType == "strl") streamIdx += 1
-          walk(off + 12, off + 8 + len,
+          walk(off + 12, (end min to.toLong).toInt,
             listType == "movi" || (inMovi && listType == "rec "),
             listType == "strl")
         } else if (inStrl && id == "strh") {
@@ -148,7 +168,7 @@ private[multimodal] object AviCodec {
           id == f"$audioIdx%02dwb") {
           chunks += ((off + 8, len))
         }
-        off += 8 + len + (len & 1)
+        off = (end + (len & 1)).toInt
       }
     }
     walk(12, riffEnd, inMovi = false, inStrl = false)
@@ -163,17 +183,59 @@ private[multimodal] object AviCodec {
     }
   }
 
+  /** Normalize a demuxed PCM soundtrack to the pipeline's 16-bit MONO
+    * norm: 8-bit PCM (unsigned by the WAV/AVI convention) re-centers and
+    * scales to 16-bit; multi-channel PCM downmixes by per-frame channel
+    * average — both exact integer arithmetic, replayable anywhere.
+    * 8-bit mono is common in old capture rigs; 24/32-bit float PCM stays
+    * a loud refusal (no lossless norm without a resolution policy).
+    * Returns little-endian 16-bit mono sample bytes. */
+  def toMono16(a: AviAudio): Array[Byte] = {
+    require(a.bits == 8 || a.bits == 16,
+      s"${a.bits}-bit PCM unsupported (8 and 16-bit normalize to the " +
+        "16-bit mono norm; deeper resolutions refuse loudly rather " +
+        "than silently truncate)")
+    require(a.channels >= 1, s"channels=${a.channels} must be >= 1")
+    val bytesPerSample = a.bits / 8
+    val frameBytes = bytesPerSample * a.channels
+    val nFrames = a.pcm.length / frameBytes
+    val out = new Array[Byte](nFrames * 2)
+    var f = 0
+    while (f < nFrames) {
+      var sum = 0L
+      var c = 0
+      while (c < a.channels) {
+        val o = f * frameBytes + c * bytesPerSample
+        val s =
+          if (a.bits == 16)
+            ((a.pcm(o) & 0xff) | (a.pcm(o + 1) << 8)).toShort.toInt
+          else ((a.pcm(o) & 0xff) - 128) << 8 // unsigned 8-bit convention
+        sum += s
+        c += 1
+      }
+      val v = (sum / a.channels).toInt
+      out(f * 2) = (v & 0xff).toByte
+      out(f * 2 + 1) = ((v >> 8) & 0xff).toByte
+      f += 1
+    }
+    out
+  }
+
   /** Write frames as one AVI/MJPEG container (the fixture/producer side
     * of [[open]], and a real interchange writer): each frame JPEG-encodes
     * through `javax.imageio`, headers carry the real dims and
     * `usPerFrame` timing, and an `idx1` index (offset/size per frame)
     * makes the container seekable for external players. With `audio`
-    * set ((mono 16-bit PCM bytes, sample rate)), a second `auds` stream
+    * set ((PCM sample bytes, sample rate)), a second `auds` stream
     * (WAVEFORMATEX strf, one `01wb` chunk) interleaves after the video
-    * frames — the producer side of [[extractAudio]]. */
+    * frames — the producer side of [[extractAudio]]. `audioChannels` /
+    * `audioBits` shape the PCM layout (interleaved frames; 8-bit is
+    * unsigned by the WAV convention) so fixtures can exercise
+    * [[toMono16]]'s downmix paths. */
   def writeMjpeg(frames: Seq[java.awt.image.BufferedImage],
                  usPerFrame: Long,
-                 audio: Option[(Array[Byte], Int)] = None): Array[Byte] = {
+                 audio: Option[(Array[Byte], Int)] = None,
+                 audioChannels: Int = 1, audioBits: Int = 16): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
     require(usPerFrame > 0 && usPerFrame <= 0xffffffffL,
       s"usPerFrame=$usPerFrame out of the header field's range")
@@ -255,7 +317,7 @@ private[multimodal] object AviCodec {
     le32(w.toLong * h * 3)              // biSizeImage
     le32(0L); le32(0L); le32(0L); le32(0L) // pels/meter, clr used/important
     audio.foreach { case (pcm, rate) =>
-      val blockAlign = 2 // mono 16-bit PCM
+      val blockAlign = audioChannels * audioBits / 8
       fcc("LIST"); le32(strlASize.toLong); fcc("strl")
       fcc("strh"); le32(strhSize.toLong)
       fcc("auds"); le32(0L)             // fccType, fccHandler (0 = PCM)
@@ -272,11 +334,11 @@ private[multimodal] object AviCodec {
       le16(0); le16(0); le16(0); le16(0) // rcFrame (unused for audio)
       fcc("strf"); le32(strfASize.toLong)
       le16(1)                           // wFormatTag = PCM
-      le16(1)                           // nChannels (mono)
+      le16(audioChannels)               // nChannels
       le32(rate.toLong)                 // nSamplesPerSec
       le32(rate.toLong * blockAlign)    // nAvgBytesPerSec
       le16(blockAlign)                  // nBlockAlign
-      le16(16)                          // wBitsPerSample
+      le16(audioBits)                   // wBitsPerSample
     }
     fcc("LIST"); le32(moviSize.toLong); fcc("movi")
     val offsets = new Array[Int](jpegs.length) // relative to 'movi' fourcc
@@ -316,13 +378,29 @@ private[multimodal] object AviCodec {
   * loudly, the documented stub seam. */
 private[multimodal] object VideoCodec {
 
-  /** Frame access + per-frame display delay in CENTISECONDS (the GIF
-    * native unit, kept so GIF semantics are bit-identical; AVI's
-    * µs-per-frame rounds down). */
+  /** Frame access + per-frame timing in MICROSECONDS — the finest unit
+    * any served container states (AVI's dwMicroSecPerFrame), so no
+    * consumer quantizes: a 60 fps AVI reports 16666 µs exactly instead
+    * of a truncated centisecond.
+    *
+    * Two timing views, because the containers differ in WHO owns the
+    * ambiguity: [[delayUs]] is the container's RAW stated delay (GIF's
+    * GCE centiseconds × 10000; AVI's header µs verbatim) — duration
+    * sums and quality gates read this, so a stated-zero GIF really sums
+    * to zero. [[renderedDelayUs]] is the WALL-CLOCK display time the
+    * fps-invariant faces sample against: GIF delays <= 1 cs mean
+    * "unspecified" by the format's browser convention and render as
+    * 10 cs; AVI timing is EXPLICIT in its header, so it passes through
+    * exactly — a 100 fps AVI ticks at 10000 µs, never stretched to the
+    * GIF fallback. */
   trait Frames {
     def numFrames: Int
     def frame(i: Int): java.awt.image.BufferedImage
-    def delayCs(i: Int): Int
+    /** Raw container-stated per-frame delay in µs. */
+    def delayUs(i: Int): Long
+    /** Wall-clock display delay in µs (GIF-only unspecified-delay
+      * convention applied; explicit AVI timing verbatim). */
+    def renderedDelayUs(i: Int): Long
   }
 
   def isVideo(b: Array[Byte]): Boolean =
@@ -334,8 +412,14 @@ private[multimodal] object VideoCodec {
         f(new Frames {
           lazy val numFrames: Int = reader.getNumImages(true)
           def frame(i: Int): java.awt.image.BufferedImage = reader.read(i)
-          def delayCs(i: Int): Int =
-            Multimodal.GifCodec.frameDelayCs(reader, i)
+          def delayUs(i: Int): Long =
+            Multimodal.GifCodec.frameDelayCs(reader, i).toLong * 10000L
+          def renderedDelayUs(i: Int): Long = {
+            // zero/absent GCE delays are common in wild GIFs; browsers
+            // render delay <= 1 cs as 10 cs — the format's convention
+            val cs = Multimodal.GifCodec.frameDelayCs(reader, i)
+            (if (cs <= 1) 10L else cs.toLong) * 10000L
+          }
         })
       }
     else if (AviCodec.isAvi(payload)) {
@@ -343,7 +427,10 @@ private[multimodal] object VideoCodec {
       f(new Frames {
         def numFrames: Int = avi.numFrames
         def frame(i: Int): java.awt.image.BufferedImage = avi.frame(i)
-        def delayCs(i: Int): Int = (avi.usPerFrame / 10000L).toInt
+        def delayUs(i: Int): Long = avi.usPerFrame
+        // AVI timing is explicit in the header — no unspecified-delay
+        // convention; a 100 fps clip ticks at 10000 µs, not 100000
+        def renderedDelayUs(i: Int): Long = avi.usPerFrame
       })
     } else throw new IllegalArgumentException(
       "payload is not a decodable video container (animated GIF and " +

@@ -94,15 +94,16 @@ object MediaPipeline {
             val n = v.numFrames
             require(n >= 1,
               s"media_id=${r.media_id}: container holds no frames")
-            var durationCs = 0L
+            var durationUs = 0L
             var i = 0
             while (i < n) {
-              durationCs += v.delayCs(i); i += 1
+              durationUs += v.delayUs(i); i += 1
             }
+            val durationMs = durationUs / 1000L
             val hashes = Iterator.range(0, n, every)
               .map(f => ImageDedup.dHash64(v.frame(f))).toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
-              durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
+              durationMs >= minVideoMs && durationMs <= maxVideoMs
             (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
               passes, 0L)
           }
@@ -280,16 +281,17 @@ object MediaPipeline {
             val n = v.numFrames
             require(n >= 1,
               s"media_id=${r.media_id}: container holds no frames")
-            var durationCs = 0L
+            var durationUs = 0L
             var i = 0
             while (i < n) {
-              durationCs += v.delayCs(i); i += 1
+              durationUs += v.delayUs(i); i += 1
             }
+            val durationMs = durationUs / 1000L
             val parts = (0 until n by every)
               .map(f => (f, 0, ImageDedup.dHash64(v.frame(f))))
             val hashes = parts.map(_._3).toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
-              durationCs * 10L >= minVideoMs && durationCs * 10L <= maxVideoMs
+              durationMs >= minVideoMs && durationMs <= maxVideoMs
             (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
               passes, 0L, parts, Seq.empty[Long])
           }

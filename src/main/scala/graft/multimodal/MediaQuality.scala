@@ -149,16 +149,19 @@ object MediaQuality {
       VideoCodec.withFrames(r.payload) { v =>
         val n = v.numFrames
         require(n >= 1, s"media_id=${r.media_id}: container holds no frames")
-        var durationCs = 0L
+        // exact µs sum -> ms: a 60 fps AVI reports 33 ms for 2 frames
+        // (33333 µs trunc), never the 0 ms a centisecond-quantized
+        // delay would have silently gated as too_short
+        var durationUs = 0L
         var i = 0
-        while (i < n) { durationCs += v.delayCs(i); i += 1 }
+        while (i < n) { durationUs += v.delayUs(i); i += 1 }
         val hashes = scala.collection.mutable.HashSet.empty[Long]
         var f = 0
         while (f < n) {
           hashes += ImageDedup.dHash64(v.frame(f)): Unit
           f += every
         }
-        (r.media_id, n.toLong, durationCs * 10L, hashes.size.toLong)
+        (r.media_id, n.toLong, durationUs / 1000L, hashes.size.toLong)
       }
     }).toDF("media_id", "n_frames", "duration_ms", "distinct_frame_hashes")
       .withColumn("too_few_frames", col("n_frames") < minFrames)

@@ -259,13 +259,16 @@ object MediaScrub {
       val id = new String(b, off, 4, "US-ASCII")
       val len = le32(off + 4)
       require(len >= 0, s"negative AVI chunk length at $off")
-      require(off + 8 + len <= b.length, s"truncated $id chunk at $off")
+      // Long bounds: a crafted length near Int.MaxValue must hit this
+      // refusal, not wrap the offset negative (untrusted crawl bytes)
+      val end = off.toLong + 8L + len
+      require(end <= b.length, s"truncated $id chunk at $off")
       val key =
         if (id == "LIST" && off + 12 <= b.length)
           s"LIST:${new String(b, off + 8, 4, "US-ASCII")}"
         else id
-      val total = 8 + len + (len & 1)
-      out += ((key, off, math.min(total, b.length - off)))
+      val total = (end + (len & 1) min b.length.toLong).toInt - off
+      out += ((key, off, total))
       off += total
     }
     if (off < b.length) out += (("TRAILING", off, b.length - off))
@@ -277,20 +280,64 @@ object MediaScrub {
     * (`odml`). `LIST INFO` blocks (IART/ISFT/ICMT... — where encoders
     * stash author/tool/location strings), `JUNK` padding (a classic
     * smuggling spot: players skip it unread) and unknown chunks are
-    * dropped. idx1 offsets are movi-relative in common encodings (and
-    * in [[AviCodec.writeMjpeg]]'s), so dropping chunks around `movi`
-    * leaves the index valid. */
+    * dropped. idx1 entry offsets come in TWO conventions in the wild —
+    * movi-relative (common encoders, [[AviCodec.writeMjpeg]]) and
+    * file-absolute (another real encoder class; players sniff which):
+    * [[stripAvi]] detects the convention by checking which
+    * interpretation of the first entry actually lands on its chunk id,
+    * rewrites absolute offsets when bytes before `movi` were removed,
+    * and DROPS an idx1 whose convention it cannot verify — a silently
+    * corrupt seek index is worse for external players than none. */
   private val KeepAvi = Set("LIST:hdrl", "LIST:movi", "LIST:odml", "idx1")
 
   /** Strip metadata chunks from one AVI payload: (scrubbed bytes,
-    * dropped keys), RIFF size rewritten. A clean payload returns the
+    * dropped keys), RIFF size rewritten, idx1 offsets kept valid (see
+    * [[KeepAvi]]'s convention note). A clean payload returns the
     * original array. */
   def stripAvi(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
     val spans = aviChunkSpans(payload)
-    val dropped = spans.filterNot(s => KeepAvi(s._1))
-    if (dropped.isEmpty) (payload, Nil)
+    val dropped0 = spans.filterNot(s => KeepAvi(s._1))
+    if (dropped0.isEmpty) (payload, Nil)
     else {
-      val keep = spans.filter(s => KeepAvi(s._1))
+      def le32(o: Int): Int = (payload(o) & 0xff) |
+        ((payload(o + 1) & 0xff) << 8) | ((payload(o + 2) & 0xff) << 16) |
+        ((payload(o + 3) & 0xff) << 24)
+      val moviOff = spans.collectFirst { case ("LIST:movi", o, _) => o }
+      // bytes removed BEFORE movi shift every in-movi position; only a
+      // FILE-ABSOLUTE index needs its entries rebased by that delta
+      val deltaBeforeMovi = moviOff.fold(0)(m =>
+        dropped0.filter(_._2 < m).map(_._3).sum)
+      // detect the idx1 offset convention by dereferencing entry 0:
+      // whichever interpretation lands on the entry's own chunk id wins
+      sealed trait IdxFate
+      case object KeepAsIs extends IdxFate
+      case class Rebase(delta: Int) extends IdxFate
+      case object Drop extends IdxFate
+      val idxFate = spans.collectFirst { case ("idx1", o, t) => (o, t) }
+        .fold[IdxFate](KeepAsIs) { case (idxOff, idxTotal) =>
+          if (idxTotal < 8 + 16) KeepAsIs // empty index points nowhere
+          else {
+            val ckid = new String(payload, idxOff + 8, 4, "US-ASCII")
+            val entryOff = le32(idxOff + 16)
+            def idAt(p: Long): Boolean = p >= 0 && p + 4 <= payload.length &&
+              new String(payload, p.toInt, 4, "US-ASCII") == ckid
+            val moviFourcc = moviOff.fold(-1L)(_.toLong + 8L)
+            if (moviFourcc >= 0 && idAt(moviFourcc + entryOff)) KeepAsIs
+            else if (idAt(entryOff.toLong)) {
+              if (deltaBeforeMovi == 0) KeepAsIs
+              else Rebase(deltaBeforeMovi)
+            } else Drop
+          }
+        }
+      val keep0 = spans.filter(s => KeepAvi(s._1))
+      val keep = idxFate match {
+        case Drop => keep0.filterNot(_._1 == "idx1")
+        case _ => keep0
+      }
+      val dropped = idxFate match {
+        case Drop => dropped0 ++ spans.filter(_._1 == "idx1")
+        case _ => dropped0
+      }
       val body = keep.map(_._3).sum
       val out = new Array[Byte](12 + body)
       System.arraycopy(payload, 0, out, 0, 12)
@@ -300,8 +347,25 @@ object MediaScrub {
       out(6) = ((riffSize >> 16) & 0xff).toByte
       out(7) = ((riffSize >> 24) & 0xff).toByte
       var pos = 12
-      keep.foreach { case (_, off, total) =>
+      keep.foreach { case (key, off, total) =>
         System.arraycopy(payload, off, out, pos, total)
+        (idxFate, key) match {
+          case (Rebase(delta), "idx1") =>
+            // rewrite each entry's dwChunkOffset (entry layout: ckid,
+            // flags, offset, size — 16 bytes) down by the removed span
+            var e = pos + 8
+            while (e + 16 <= pos + total) {
+              val old = (out(e + 8) & 0xff) | ((out(e + 9) & 0xff) << 8) |
+                ((out(e + 10) & 0xff) << 16) | ((out(e + 11) & 0xff) << 24)
+              val nw = old - delta
+              out(e + 8) = (nw & 0xff).toByte
+              out(e + 9) = ((nw >> 8) & 0xff).toByte
+              out(e + 10) = ((nw >> 16) & 0xff).toByte
+              out(e + 11) = ((nw >> 24) & 0xff).toByte
+              e += 16
+            }
+          case _ =>
+        }
         pos += total
       }
       (out, dropped.map(_._1))

@@ -499,7 +499,8 @@ object Multimodal {
 
   /** DEMUX the PCM soundtrack of AVI videos into first-class AUDIO rows
     * (media_id = the video's id, media_type 'audio', payload = 16-bit
-    * WAV re-wrap of the container's sample bytes) — the bridge from the
+    * MONO WAV re-wrap of the container's sample bytes — 8-bit rescales
+    * and stereo downmixes through [[AviCodec.toMono16]]) — the bridge from the
     * video container into the ENTIRE audio stack: dedup, quality gates,
     * silence segmentation, resampling and fingerprint stores all run on
     * soundtracks unchanged. Map-only, ONE container walk per record and
@@ -519,16 +520,18 @@ object Multimodal {
           "(GIF has no audio track by format; mp4/webm need a codec the " +
           "JDK lacks)")
       AviCodec.extractAudio(r.payload).map { a =>
-        require(a.bits == 16,
-          s"media_id=${r.media_id}: ${a.bits}-bit PCM unsupported " +
-            "(16-bit required, the WAV norm)")
+        // normalize to the pipeline's 16-bit MONO norm: 8-bit rescales,
+        // stereo downmixes by channel average (exact integer arithmetic
+        // — old capture rigs commonly ship 8-bit or stereo PCM); deeper
+        // resolutions refuse loudly inside toMono16
+        val mono = AviCodec.toMono16(a)
         val fmt = new javax.sound.sampled.AudioFormat(a.rate.toFloat, 16,
-          a.channels, true, false)
+          1, true, false)
         val bos = new java.io.ByteArrayOutputStream()
         javax.sound.sampled.AudioSystem.write(
           new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(a.pcm), fmt,
-            a.pcm.length / (2L * a.channels)),
+            new java.io.ByteArrayInputStream(mono), fmt,
+            mono.length / 2L),
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
         (r.media_id, "audio", bos.toByteArray, "audio/wav", r.source)
       }

@@ -80,9 +80,12 @@ object VideoDedup {
 
   /** 64-bit TIME-SAMPLED fingerprint — the FRAME-RATE-INVARIANT face of
     * [[fingerprint64]]: dHash the frame ON SCREEN at each tick
-    * k * 1000/fps of the cumulative delay chain (delays <= 1 cs render
-    * as 10 cs, the browser convention shared with
-    * [[VideoScenes.sampleAtFps]]), then fold per-bit majority. The
+    * k * 1000000/fps µs of the cumulative wall-clock delay chain
+    * ([[VideoCodec.Frames.renderedDelayUs]] — GIF's <= 1 cs unspecified
+    * delays render as 10 cs, the browser convention shared with
+    * [[VideoScenes.sampleAtFps]]; explicit AVI header timing passes
+    * through at full µs precision, so high-fps AVI re-renders stay
+    * invariant), then fold per-bit majority. The
     * index-based fold weights each CONTAINER FRAME once, so a
     * frame-rate-converted copy — a VFR clip re-rendered at constant
     * rate, pulldown-style frame duplication — skews the per-bit votes
@@ -101,15 +104,18 @@ object VideoDedup {
     VideoCodec.withFrames(payload) { v =>
       val n = v.numFrames
       require(n >= 1, "video container holds no frames")
+      // cumulative wall-clock starts in MICROSECONDS — renderedDelayUs
+      // applies the 10 cs unspecified-delay convention on the GIF branch
+      // only; explicit AVI header timing passes through exactly, so a
+      // 100 fps AVI and its 25 fps re-render share one timeline
       val starts = new Array[Long](n + 1)
       var i = 0
       while (i < n) {
-        val d = v.delayCs(i)
-        starts(i + 1) = starts(i) + (if (d <= 1) 10L else d.toLong) * 10L
+        starts(i + 1) = starts(i) + v.renderedDelayUs(i)
         i += 1
       }
       val total = starts(n)
-      val interval = 1000 / fps
+      val interval = 1000000L / fps
       val hashes = scala.collection.mutable.ArrayBuffer.empty[Long]
       var k = 0
       var frame = 0
@@ -126,6 +132,7 @@ object VideoDedup {
         k += 1
         t = k.toLong * interval
       }
+      // (ticks are exact: 1000 % fps == 0 makes 1000000/fps integral)
       // tick 0 exists for any clip (clamped delays are > 0 ms), so the
       // fold is never over an empty set
       foldMajority(hashes.toArray)

@@ -108,7 +108,7 @@ object VideoScenes {
   def sampleAtFps(media: DataFrame, fps: Int): DataFrame = {
     require(fps >= 1 && 1000 % fps == 0,
       s"fps=$fps must be a positive divisor of 1000 (integer ticks)")
-    val interval = 1000 / fps
+    val intervalUs = 1000000L / fps
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap { r =>
@@ -121,16 +121,15 @@ object VideoScenes {
       VideoCodec.withFrames(r.payload) { v =>
         val n = v.numFrames
         require(n >= 1, "video container holds no frames")
+        // cumulative wall-clock starts in MICROSECONDS: renderedDelayUs
+        // applies GIF's <= 1 cs -> 10 cs browser convention (a wild GIF
+        // with zero/absent GCE delays must not collapse to zero duration
+        // and vanish from the sampled corpus) while explicit AVI header
+        // timing passes through at full µs precision
         val starts = new Array[Long](n + 1)
         var i = 0
         while (i < n) {
-          // zero/absent GCE delays are common in wild GIFs and would
-          // collapse the clip to zero duration (silently dropping it
-          // from the sampled corpus); browsers render delay <= 1 cs as
-          // 10 cs — apply the same convention
-          val d = v.delayCs(i)
-          val delayCs = if (d <= 1) 10L else d.toLong
-          starts(i + 1) = starts(i) + delayCs * 10L
+          starts(i + 1) = starts(i) + v.renderedDelayUs(i)
           i += 1
         }
         val total = starts(n)
@@ -141,9 +140,9 @@ object VideoScenes {
         var t = 0L
         while (t < total) {
           while (frame + 1 < n && starts(frame + 1) <= t) frame += 1
-          out += ((r.media_id, k, frame, t))
+          out += ((r.media_id, k, frame, t / 1000L))
           k += 1
-          t = k.toLong * interval
+          t = k.toLong * intervalUs
         }
         out.toVector
       }
