@@ -2931,6 +2931,40 @@ object SparkEntry {
         .select(col("media_id"))
     }),
 
+    // part-refusal ADMISSION CARD (round 18): q238's part-hash store
+    // through the ops view — the card's part leg makes the trimmed/
+    // padded refusal class visible per batch (batch 0 admits the 10
+    // bases; batches 1 and 2 part-refuse their 10 re-uploads each —
+    // an n_part_refused spike means aligned cuts of committed content
+    // are arriving). Pure batch arithmetic, payloads prune out
+    "q245_part_admission_card" -> ((s, dir) => {
+      val clips = Multimodal.syntheticAudioShiftVariants(
+        s, t(s, dir, "documents"), groups = 10)
+        .filter(col("media_id") < 30)
+      val root = tmp("q245")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val in = s"$root/in"
+      Seq(clips.filter(col("media_id") < 10),          // bases
+          clips.filter(col("media_id").between(10, 19)), // trimmed
+          clips.filter(col("media_id") >= 20)).zipWithIndex.foreach { // padded
+        case (sl, i) =>
+          val part = s"$in/f$i"
+          sl.coalesce(1).write.parquet(part)
+          new java.io.File(part).listFiles()
+            .foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+      val q = graft.streaming.MediaDedupIngest.start(
+        Streams.fileReplay(s, s"$in/*", Multimodal.mediaSchema),
+        s"$root/store", s"$root/ckpt", modality = "audio",
+        partHashes = true, minSharedParts = 2)
+      q.awaitTermination()
+      graft.streaming.MediaDedupIngest.admissionCard(s, s"$root/store")
+        .select(col("batch"), col("n_admitted"), col("n_gated"),
+          col("n_part_refused"))
+    }),
+
     "q201_stream_media_dedup" -> ((s, dir) => {
       val variants = Multimodal.syntheticImageVariants(
         s, t(s, dir, "documents"), groups = 25)
@@ -5398,6 +5432,13 @@ object SparkEntry {
     "q215_image_tile_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents WHERE (doc_id // 20) % 3 <> 1"),
+    // batch 0 admits the 10 bases; batches 1 (trimmed) and 2 (padded)
+    // each part-refuse their 10 re-uploads — the part leg of the card
+    "q245_part_admission_card" ->
+      ("SELECT 0::BIGINT AS batch, 10::BIGINT AS n_admitted, " +
+        "0::BIGINT AS n_gated, 0::BIGINT AS n_part_refused " +
+        "UNION ALL SELECT 1::BIGINT, 0::BIGINT, 0::BIGINT, 10::BIGINT " +
+        "UNION ALL SELECT 2::BIGINT, 0::BIGINT, 0::BIGINT, 10::BIGINT"),
     // batch 0 admits the 16 clean group minima and gates its
     // thumbnails; batch 1 admits nothing (all duplicates of batch 0)
     "q216_admission_card" ->

@@ -36,11 +36,35 @@ import graft.multimodal.{AudioDedup, ImageDedup, MediaPipeline, VideoDedup}
   */
 object MediaDedupIngest {
 
+  /** Number of hash-prefix buckets committed hash/parts stores are
+    * partitioned into (`batch=<id>/hb=<bucket>/...`): Bloom-positive
+    * exact-verify prunes to the probe's bucket set instead of scanning
+    * every committed partition — at 10⁹ committed items a
+    * duplicate-carrying batch reads ~1/64th of the hash store. */
+  private[streaming] val NumBuckets = 64
+
+  /** The bucket of a fingerprint string — the committed stores'
+    * partition key. An equi-match on the hash value implies an equal
+    * bucket, so pruning the committed side to the probe's buckets is
+    * byte-identical to the full scan. */
+  private[streaming] def bucketOf(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(NumBuckets.toLong))
+
+  /** Prune a bucketed committed store to the probe's bucket set (a
+    * partition-pruned scan); frames without the bucket column — the
+    * empty first-batch view — pass through unpruned. */
+  private def pruneBuckets(committed: DataFrame,
+                           buckets: Array[Long]): DataFrame =
+    if (!committed.columns.contains("hb")) committed
+    else committed.filter(col("hb").isin(buckets.toSeq: _*))
+
   /** Start admitting `stream` (canonical media schema) into
     * `storePath`: survivors land under `storePath/survivors/batch=<id>`
-    * (full records), fingerprints under `storePath/hashes/batch=<id>`
-    * (one string column `h`). `modality` selects the hash pass; `every`
-    * is the video frame-sampling stride.
+    * (full records), fingerprints under `storePath/hashes/batch=<id>/
+    * hb=<bucket>` (one string column `h`, partitioned by hash-prefix
+    * bucket so later batches' exact-verify prunes to matching buckets).
+    * `modality` selects the hash pass; `every` is the video
+    * frame-sampling stride.
     *
     * The committed-side Bloom PREFILTER is O(batches-since-compaction),
     * not O(corpus): each batch persists a right-sized sketch of its
@@ -80,10 +104,21 @@ object MediaDedupIngest {
     * (`psketch-`/`pcompact-`), so the part prefilter stays
     * O(batches-since-compaction) too. Matching is EXACT on hop/tile-
     * aligned part values (the batch faces' Hamming-tolerant pairing
-    * handles noisy edits; admission guards the aligned-cut class). The
+    * handles noisy edits; admission guards the aligned-cut class).
+    * Part refusal is also applied WITHIN a batch: a trimmed copy
+    * arriving in the same micro-batch as its base refuses against the
+    * parts of lower-media_id batch records, in ONE pass keyed on each
+    * part value's minimum holder. The pass is non-cascading — in a
+    * chain base <- trim <- re-trim, the re-trim refuses even though the
+    * trim's parts never commit — which errs CONSERVATIVE: an aligned
+    * cut of in-batch content never admits. Refused ids land under
+    * `part_refused/batch=<id>` for audit ([[partRefused]] /
+    * [[admissionCard]]'s n_part_refused). The
     * store's `_format.json` binds the part spec — a store built with
     * different tile/window geometry (or none) refuses loudly, because
-    * its committed part values would silently never match. */
+    * its committed part values would silently never match — and the
+    * bucket layout, because a flat legacy store mixed with bucketed
+    * batch dirs would break partition discovery. */
   def start(stream: DataFrame, storePath: String, checkpointDir: String,
             modality: String = "image", fpp: Double = 0.01,
             trigger: Trigger = Trigger.AvailableNow(),
@@ -170,37 +205,81 @@ object MediaDedupIngest {
                 .select(col("media_id"),
                   col("__p._3").cast("string").as("__ph"))
                 .distinct()
-              val confirmed =
-                if (partBlooms.isEmpty)
-                  batchParts.limit(0)
-                else {
-                  val bc = s.sparkContext.broadcast(partBlooms.toArray)
-                  val might = udf((v: String) =>
-                    v != null && bc.value.exists(_.mightContain(v)))
-                  batchParts.filter(might(col("__ph")))
-                    .join(committedParts.select(col("h")).distinct(),
-                      col("__ph") === col("h"), "left_semi")
-                }
-              Some(confirmed.groupBy("media_id")
-                .agg(count(lit(1)).as("__n"))
-                .filter(col("__n") >= minSharedParts)
-                .select("media_id")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              try {
+                val fromCommitted =
+                  if (partBlooms.isEmpty)
+                    batchParts.limit(0)
+                  else {
+                    val bc = s.sparkContext.broadcast(partBlooms.toArray)
+                    val might = udf((v: String) =>
+                      v != null && bc.value.exists(_.mightContain(v)))
+                    // bucket-pruned exact verify: only committed hb
+                    // partitions matching the batch's part buckets scan
+                    val buckets = batchParts
+                      .select(bucketOf(col("__ph")).as("hb"))
+                      .distinct().collect().map(_.getLong(0))
+                    batchParts.filter(might(col("__ph")))
+                      .join(pruneBuckets(committedParts, buckets)
+                        .select(col("h")).distinct(),
+                        col("__ph") === col("h"), "left_semi")
+                  }
+                // within-batch refusal: a trimmed copy arriving WITH its
+                // base refuses against lower-media_id peers' parts — one
+                // pass keyed on each value's minimum holder (a value is
+                // shared with SOME lower id iff its min holder is lower).
+                // Non-cascading by design: conservative, deterministic
+                val minHolder = batchParts.groupBy(col("__ph"))
+                  .agg(min(col("media_id")).as("__minId"))
+                val fromBatch = batchParts.join(minHolder, Seq("__ph"))
+                  .filter(col("media_id") > col("__minId"))
+                  .select(col("media_id"), col("__ph"))
+                val pd = fromCommitted.select(col("media_id"), col("__ph"))
+                  .unionByName(fromBatch).distinct()
+                  .groupBy("media_id")
+                  .agg(count(lit(1)).as("__n"))
+                  .filter(col("__n") >= minSharedParts)
+                  .select("media_id")
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                pd.count(): Unit
+                Some(pd)
+              } finally { batchParts.unpersist(); () }
             }
           try {
-            partDups.foreach(_.count(): Unit)
+            // the refusal audit trail feeding admissionCard's
+            // n_part_refused (deterministic overwrite, replay-identical)
+            partDups.foreach(_.write.mode("overwrite")
+              .parquet(s"$storePath/part_refused/batch=$batchId"))
             val admissible = partDups.fold(hashes.filter(col("passes")))(
               pd => hashes.filter(col("passes"))
                 .join(pd, Seq("media_id"), "left_anti"))
+            // bucket-pruned exact verify: committed hb partitions
+            // outside the batch's bucket set never scan (sketch loads
+            // already skip the store entirely when blooms is empty)
+            val committedPruned =
+              if (blooms.isEmpty) committed
+              else pruneBuckets(committed, hashes
+                .select(bucketOf(col(hcol).cast("string")).as("hb"))
+                .distinct().collect().map(_.getLong(0)))
             val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
-              admissible, committed, "media_id",
+              admissible, committedPruned, "media_id",
               col(hcol).cast("string"), blooms)
               .persist(StorageLevel.MEMORY_AND_DISK)
             val nSurv = surv.count()
             try {
-              surv.select(col("content_hash").as("h"))
-                .write.mode("overwrite")
-                .parquet(s"$storePath/hashes/batch=$batchId")
+              val hashDir = new Path(s"$storePath/hashes/batch=$batchId")
+              val hfs = hashDir.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              // an all-duplicate batch commits NO hash partition (a
+              // zero-row partitionBy write would leave a fileless dir
+              // that breaks later partition discovery); determinism
+              // holds — a replay recomputes the same empty set
+              if (nSurv == 0) { hfs.delete(hashDir, true): Unit }
+              else
+                surv.select(col("content_hash").as("h"))
+                  .withColumn("hb", bucketOf(col("h")))
+                  .write.mode("overwrite").partitionBy("hb")
+                  .parquet(hashDir.toString)
               val kept = batch.join(surv.select("media_id"),
                 Seq("media_id"), "left_semi")
               // on-admit metadata scrub: a deterministic byte-level chunk
@@ -223,8 +302,12 @@ object MediaDedupIngest {
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 try {
                   val nParts = survParts.count()
-                  survParts.write.mode("overwrite")
-                    .parquet(s"$storePath/parts/batch=$batchId")
+                  val partDir = new Path(s"$storePath/parts/batch=$batchId")
+                  if (nParts == 0) { hfs.delete(partDir, true): Unit }
+                  else
+                    survParts.withColumn("hb", bucketOf(col("h")))
+                      .write.mode("overwrite").partitionBy("hb")
+                      .parquet(partDir.toString)
                   writeBatchSketch(s, storePath, batchId, survParts,
                     nParts, fpp, sketchPrefix = "psketch-")
                 } finally { survParts.unpersist(); () }
@@ -290,6 +373,13 @@ object MediaDedupIngest {
             "would silently never match (or trimmed/cropped re-uploads " +
             "of earlier content would silently admit); rebuild the " +
             "store or match the spec")
+        val boundLayout = readLayout(spark, storePath)
+        require(boundLayout == Layout,
+          s"store $storePath lays out committed hashes as " +
+            s"'$boundLayout' but this build writes and prunes " +
+            s"'$Layout' bucket dirs — appending bucketed batch dirs to " +
+            "a flat store breaks partition discovery for every later " +
+            "read; rebuild the store (re-hash its survivors) first")
       case None =>
         val hashes = new Path(s"$storePath/hashes")
         val fs = hashes.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -316,6 +406,26 @@ object MediaDedupIngest {
     }
   }
 
+  /** The hash/parts store layout this build writes: `batch=<id>/
+    * hb=<bucket>` hash-prefix partitioning ([[NumBuckets]] buckets). */
+  private[streaming] val Layout = s"hb$NumBuckets"
+
+  /** The recorded store layout; tokens predating bucketed stores (no
+    * `layout` field) read as "flat" — unpartitioned batch dirs. */
+  private[streaming] def readLayout(spark: SparkSession,
+                                    storePath: String): String = {
+    val p = formatTokenPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Layout
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val rx = "\"layout\"\\s*:\\s*\"([^\"]+)\"".r
+      rx.findFirstMatchIn(s).map(_.group(1)).getOrElse("flat")
+    }
+  }
+
   /** The recorded part spec; tokens predating part-hash admission (no
     * `parts` field) read as "none" — those stores committed no parts. */
   private[streaming] def readPartsSpec(spark: SparkSession,
@@ -334,11 +444,13 @@ object MediaDedupIngest {
 
   private[streaming] def writeFormat(spark: SparkSession, storePath: String,
                                      modality: String, fmt: Int,
-                                     partsSpec: String = "none"): Unit = {
+                                     partsSpec: String = "none",
+                                     layout: String = Layout): Unit = {
     val p = formatTokenPath(storePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json =
-      s"""{"modality":"$modality","format":$fmt,"parts":"$partsSpec"}"""
+      s"""{"modality":"$modality","format":$fmt,"parts":"$partsSpec",""" +
+        s""""layout":"$layout"}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -439,7 +551,10 @@ object MediaDedupIngest {
 
   /** All fingerprints committed by batches STRICTLY BEFORE `batchId` —
     * the replay-stable committed view. `sub` selects the value store
-    * ("hashes" = whole-content fingerprints, "parts" = part values). */
+    * ("hashes" = whole-content fingerprints, "parts" = part values).
+    * Read with the store root as basePath so `hb` (and `batch`) surface
+    * as partition columns — a filter on `hb` prunes committed bucket
+    * dirs at the scan instead of reading every partition. */
   private def committedHashes(spark: SparkSession, storePath: String,
                               batchId: Long,
                               sub: String = "hashes"): DataFrame = {
@@ -454,7 +569,7 @@ object MediaDedupIngest {
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", StringType))))
-    else spark.read.parquet(dirs: _*)
+    else spark.read.option("basePath", dir.toString).parquet(dirs: _*)
   }
 
   /** Every admitted record across all committed batches. An idle store
@@ -495,21 +610,46 @@ object MediaDedupIngest {
         .withColumn("batch", col("batch").cast("long"))
   }
 
+  /** Every PART-level refusal across committed batches of a part-hash
+    * store ((media_id, batch) rows — records whose trimmed/cropped/
+    * clipped content shared >= minSharedParts committed or lower-id
+    * in-batch part values). A store without part admission — the dir
+    * was never created — reads as empty, mirroring [[gated]]. */
+  def partRefused(spark: SparkSession, storePath: String): DataFrame = {
+    val dir = new Path(s"$storePath/part_refused")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("media_id", org.apache.spark.sql.types.LongType),
+          StructField("batch", org.apache.spark.sql.types.LongType))))
+    else
+      spark.read.option("basePath", s"$storePath/part_refused")
+        .parquet(s"$storePath/part_refused")
+        .withColumn("batch", col("batch").cast("long"))
+  }
+
   /** Per-batch ADMISSION CARD of a dedup store: (batch, n_admitted,
-    * n_gated) for every batch that admitted or rejected at least one
-    * record — the ops view of continuous crawl ingestion (an admission
-    * rate collapsing toward zero means the crawl is re-seeing committed
-    * content; a gated-rate spike means a quality regression upstream).
-    * Reads only ids and the batch partition column — payloads prune out
-    * of both scans. */
+    * n_gated, n_part_refused) for every batch that admitted or rejected
+    * at least one record — the ops view of continuous crawl ingestion
+    * (an admission rate collapsing toward zero means the crawl is
+    * re-seeing committed content; a gated-rate spike means a quality
+    * regression upstream; a part-refusal spike means trimmed/cropped
+    * re-uploads of committed content are arriving). Reads only ids and
+    * the batch partition column — payloads prune out of every scan. */
   def admissionCard(spark: SparkSession, storePath: String): DataFrame = {
     val s = survivors(spark, storePath)
       .groupBy(col("batch")).agg(count(lit(1)).as("n_admitted"))
     val g = gated(spark, storePath)
       .groupBy(col("batch")).agg(count(lit(1)).as("n_gated"))
+    val p = partRefused(spark, storePath)
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_part_refused"))
     s.join(g, Seq("batch"), "full_outer")
+      .join(p, Seq("batch"), "full_outer")
       .select(col("batch"),
         coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
-        coalesce(col("n_gated"), lit(0L)).as("n_gated"))
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_part_refused"), lit(0L)).as("n_part_refused"))
   }
 }

@@ -155,7 +155,19 @@ class MediaDedupIngestSpec extends SparkSpec {
 
   test("sketch store: O(batches) prefilter, compaction, legacy rebuild") {
     val in = tmpDir("mdi-s-in"); val store = tmpDir("mdi-s-store") + "/store"
-    val slices = writeArrivals(in)
+    // every batch introduces NEW content (clean bases, then their
+    // perturbed renders, then unrelated gradients) so each commits a
+    // hash partition — zero-admission batches commit nothing and their
+    // sketches never load
+    val slices = Seq(
+      variants.filter(col("media_id") < 25),
+      variants.filter(col("media_id") >= 25 && col("media_id") < 50),
+      Multimodal.syntheticImages(spark, docs.filter(col("doc_id") < 30)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val part = s"$in/f$i"
+      s.coalesce(1).write.parquet(part)
+      new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+    }
     val ckpt = tmpDir("mdi-s-ckpt")
     def run(): Unit = {
       val q = MediaDedupIngest.start(
@@ -314,6 +326,96 @@ class MediaDedupIngestSpec extends SparkSpec {
         modality = "audio")
     }
     assert(e2.getMessage.contains("part spec"), e2.getMessage)
+  }
+
+  test("bucketed hash store: exact-verify scans only matching-bucket files") {
+    val in = tmpDir("mdi-b-in"); val store = tmpDir("mdi-b-store") + "/store"
+    Seq(variants.filter(col("media_id") < 50),             // all 50 contents
+        variants.filter(col("media_id").between(50, 54)))  // 5 re-uploads
+      .zipWithIndex.foreach { case (s, i) =>
+        val part = s"$in/f$i"
+        s.coalesce(1).write.parquet(part)
+        new File(part).listFiles().foreach(_.setLastModified(1000000L * (i + 1)))
+      }
+    MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+      store, tmpDir("mdi-b-ckpt"), modality = "image").awaitTermination()
+    // batch 1 was all duplicates: nothing admitted, NO batch=1 hash dir
+    // (a fileless dir would break later partition discovery)
+    val expected = ImageDedup.hashImages(
+      variants.filter(col("media_id") < 50))
+      .select("dhash").distinct().count()
+    assert(MediaDedupIngest.survivors(spark, store).count() == expected)
+    assert(!new File(s"$store/hashes/batch=1").exists())
+    // committed layout: every hash file sits under an hb= bucket dir
+    val b0 = new File(s"$store/hashes/batch=0")
+    val hbDirs = b0.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(hbDirs.nonEmpty && hbDirs.forall(_.startsWith("hb=")), hbDirs)
+    assert(MediaDedupIngest.readLayout(spark, store) == "hb64")
+    // the FS-level pruning guarantee: replay batch 1's probe by hand —
+    // the bucket-filtered committed view must SCAN only matching-bucket
+    // files (executed-plan numFiles), never the whole committed store
+    val probe = ImageDedup.hashImages(
+      variants.filter(col("media_id").between(50, 54)))
+      .select(col("dhash").cast("string").as("h"))
+    val buckets = probe.select(MediaDedupIngest.bucketOf(col("h")).as("hb"))
+      .distinct().as[Long].collect().toSeq
+    val committed = spark.read.option("basePath", s"$store/hashes")
+      .parquet(s"$store/hashes/batch=0")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      val plan = df.queryExecution.executedPlan
+      plan.execute().count(): Unit
+      plan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.get
+    }
+    val allFiles = filesScanned(committed)
+    val prunedFiles = filesScanned(
+      committed.filter(col("hb").isin(buckets: _*)))
+    assert(prunedFiles < allFiles,
+      s"prune scanned $prunedFiles of $allFiles committed files")
+    val matchingBucketFiles = buckets.map { b =>
+      val d = new File(s"$store/hashes/batch=0/hb=$b")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet"))
+      else 0
+    }.sum
+    assert(prunedFiles == matchingBucketFiles,
+      s"scanned $prunedFiles files but the probe's buckets hold " +
+        s"$matchingBucketFiles")
+    // ... and the pruned view still verifies every duplicate exactly
+    assert(probe.join(
+      committed.filter(col("hb").isin(buckets: _*)).select("h"),
+      Seq("h"), "left_semi").count() == probe.select("h").distinct().count())
+  }
+
+  test("within-batch part refusal: a trim arriving WITH its base refuses; card reports it") {
+    // bases, their trimmed copies AND their padded copies all land in
+    // ONE micro-batch: the committed store is empty, so only the
+    // within-batch pass (parts keyed on min holder) can catch them
+    val clips = Multimodal.syntheticAudioShiftVariants(spark, docs,
+      groups = 10).filter(col("media_id") < 30)
+    val in = tmpDir("mdi-w-in"); val store = tmpDir("mdi-w-store") + "/store"
+    clips.coalesce(1).write.parquet(s"$in/f0")
+    MediaDedupIngest.start(Streams.fileReplay(spark, s"$in/*", schema),
+      store, tmpDir("mdi-w-ckpt"), modality = "audio", partHashes = true)
+      .awaitTermination()
+    val got = MediaDedupIngest.survivors(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 10L), s"admitted: $got")
+    // refusals are audited under part_refused/batch=<id> and surface on
+    // the admission card's part leg
+    val pr = MediaDedupIngest.partRefused(spark, store)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(pr == (10L until 30L), s"part_refused: $pr")
+    val card = MediaDedupIngest.admissionCard(spark, store).collect()
+    assert(card.length == 1)
+    assert(card.head.getAs[Long]("n_admitted") == 10L &&
+      card.head.getAs[Long]("n_gated") == 0L &&
+      card.head.getAs[Long]("n_part_refused") == 20L, card.head.toString)
+    // a store without part admission reads zero part refusals, not a
+    // path-not-found crash
+    assert(MediaDedupIngest.partRefused(spark, tmpDir("mdi-nopr"))
+      .count() == 0)
   }
 
   test("qualityGate rejects defects before dedup; gated never commit fingerprints") {
