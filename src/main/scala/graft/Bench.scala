@@ -100,7 +100,13 @@ object Bench {
     "q197_video_neardup",     // GIF frame decode + majority fold + components
     // appended round 17: the second real video container — RIFF walk +
     // per-frame JPEG decode; a parser/decode regression surfaces here
-    "q237_avi_frames")
+    "q237_avi_frames",
+    // appended round 18: scale tripwires for the round-17 media paths
+    // the sweep set predated — part-hash streaming admission (bucketed
+    // committed stores; a store-scan regression shows as a super-linear
+    // exponent) and the fps-invariant time-sampled fold
+    "q238_stream_part_admission",
+    "q240_video_fps_dedup")
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a

@@ -3118,25 +3118,19 @@ object SparkEntry {
         .select(col("media_id"), col("group_rep"))
     }),
 
-    // REAL AVI/MJPEG container decode (round 17): the q196 contract over
-    // the second in-JVM video container — a RIFF walk (LIST hdrl/movi,
-    // 00dc chunks) + per-frame javax.imageio JPEG decode. Frame counts,
-    // dims and µs-per-frame durations come from real parsing; the same
-    // GifVideoDecoder chain and sampleGifFrames seam serve both
-    // containers, so every video face lights up for AVI too
+    // REAL AVI/MJPEG container decode (round 17; composed round 18): the
+    // q196 contract over the second in-JVM video container — a RIFF walk
+    // (LIST hdrl/movi, 00dc chunks) + per-frame javax.imageio JPEG
+    // decode. Frame counts, dims and µs-per-frame durations come from
+    // real parsing, and the card composes features + frame sampling
+    // through ONE VideoCodec pass (the earlier two-pass join paid the
+    // container decode twice — at 100 TB of video, decode IS the job)
     "q237_avi_frames" -> ((s, dir) => {
       val avis = Multimodal.syntheticAviVideos(s, t(s, dir, "documents"))
-      val feats = Multimodal.extractFeatures(
-        avis, new Multimodal.GifVideoDecoder()).toDF()
+      Multimodal.videoFrameCard(avis, every = 2)
         .select(col("media_id"),
           col("width").cast("bigint").as("width"),
-          col("n_frames").cast("bigint").as("n_frames"),
-          col("duration_ms").cast("bigint").as("duration_ms"))
-      val sampled = Multimodal.sampleGifFrames(avis, every = 2)
-        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
-      feats.join(sampled, "media_id")
-        .select(col("media_id"), col("width"), col("n_frames"),
-          col("duration_ms"), col("n_sampled"))
+          col("n_frames"), col("duration_ms"), col("n_sampled"))
     }),
 
     "q196_gif_frames" -> ((s, dir) => {

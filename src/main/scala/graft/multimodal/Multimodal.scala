@@ -430,6 +430,53 @@ object Multimodal {
     }).toDF("media_id", "frame_idx", "width", "height", "feature")
   }
 
+  /** Per-video FRAME CARD from ONE container decode — the composed face
+    * of [[extractFeatures]] + [[sampleGifFrames]] for pipelines needing
+    * both the per-video features and the sampled-frame census: dims +
+    * luminance-band feature from frame 0, duration from the container's
+    * stated µs timing, and every `every`-th frame decoded and counted
+    * (`n_sampled`). Paying one container walk + ceil(n/every) frame
+    * decodes instead of two full passes matters because at 100 TB of
+    * video the decode IS the job. Unknown containers refuse loudly. */
+  def videoFrameCard(media: DataFrame, every: Int,
+                     featureDim: Int = 8): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      require(r.media_type == "video",
+        s"media_id=${r.media_id}: frame card is a VIDEO pass " +
+          s"(got ${r.media_type})")
+      require(VideoCodec.isVideo(r.payload),
+        s"media_id=${r.media_id}: payload is not a decodable video " +
+          "container (GIF/AVI) — no in-JVM codec for mp4/webm")
+      MediaCounters.videoReads.incrementAndGet(): Unit
+      VideoCodec.withFrames(r.payload) { v =>
+        val n = v.numFrames
+        require(n >= 1, s"media_id=${r.media_id}: container holds no frames")
+        var durUs = 0L
+        var i = 0
+        while (i < n) { durUs += v.delayUs(i); i += 1 }
+        var w = 0
+        var h = 0
+        var feature: Array[Float] = null
+        var nSampled = 0L
+        var f = 0
+        while (f < n) {
+          val img = v.frame(f)
+          if (f == 0) {
+            w = img.getWidth; h = img.getHeight
+            feature = lumBands(img, featureDim)
+          }
+          nSampled += 1
+          f += every
+        }
+        (r.media_id, w, h, n.toLong, durUs / 1000L, nSampled, feature)
+      }
+    }).toDF("media_id", "width", "height", "n_frames", "duration_ms",
+      "n_sampled", "feature")
+  }
+
   /** Synthetic ANIMATED GIF table with REAL multi-frame payloads: per
     * document, `2 + doc_id % 6` grayscale gradient frames (content
     * shifts with the frame index, so per-frame features differ) at
