@@ -2627,6 +2627,32 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // mp4 (ISO-BMFF) metadata scrub audit (round 18): the box-walk face
+    // of q228/q239 over the dominant crawl container — an Apple-style
+    // udta (comment + GPS) planted inside moov on doc_id % 4 = 0 and
+    // smuggled trailing bytes on doc_id % 4 = 2; metadata boxes are
+    // WIPED IN PLACE (stco sample offsets are file-absolute, so removal
+    // would corrupt every pointer), trailing bytes strip. Zero decodes
+    "q246_mp4_scrub_report" -> ((s, dir) => {
+      val m4as = Multimodal.syntheticM4aAudio(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(m4as)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
+    // mp4 PCM AUDIO DEMUX (round 18): the sample-table walk
+    // (stsd/stsc/stsz/stco) concatenates the soun track's PCM out of
+    // mdat — zero video decode — and the demuxed track runs the ENTIRE
+    // audio stack; sowt and twos byte orders alternate by doc_id parity
+    // and normalize identically. Planted counts stay doc_id arithmetic
+    // through a REAL WAV re-decode
+    "q247_mp4_audio_demux" -> ((s, dir) => {
+      val m4as = Multimodal.syntheticM4aAudio(s, t(s, dir, "documents"))
+      val tracks = Multimodal.demuxMp4Audio(m4as)
+      graft.multimodal.MediaQuality.audioSignals(tracks)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
     // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
     // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
     // by the little-endian chunk walk, zero decodes
@@ -5312,6 +5338,18 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
         "doc_id % 4 = 0 AS had_metadata FROM documents"),
+    // one udta box planted on doc_id % 4 = 0, trailing bytes on % 4 = 2
+    "q246_mp4_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
+        "END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
+    // the demuxed soun track is 800 + id%800 samples at 8 kHz
+    "q247_mp4_audio_demux" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
     // exactly one LIST chunk planted on doc_id % 4 = 0
     "q229_audio_scrub_report" ->
       ("SELECT doc_id AS media_id, " +

@@ -13,13 +13,15 @@ import Multimodal.MediaRecord
   * IDAT and the color-interpretation chunks are kept, so decode output
   * is unchanged by construction).
   *
-  * Four containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
-  * RIFF/WAVE (LIST/INFO, id3, bext), RIFF/AVI (LIST INFO, JUNK padding)
-  * and GIF (comment/plain-text extensions). Bytes smuggled AFTER a
-  * container's declared end (past PNG's IEND, beyond the RIFF size,
-  * after the GIF trailer) are stripped and reported as a `TRAILING`
-  * pseudo-chunk — decoders never read them, so they are pure metadata
-  * carriage.
+  * Five containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
+  * RIFF/WAVE (LIST/INFO, id3, bext), RIFF/AVI (LIST INFO, JUNK padding),
+  * GIF (comment/plain-text extensions) and ISO-BMFF mp4/m4a/mov
+  * ([[Mp4Codec]]: udta/meta/uuid boxes and dirty free-space padding,
+  * wiped IN PLACE because stco sample offsets are file-absolute). Bytes
+  * smuggled AFTER a container's declared end (past PNG's IEND, beyond
+  * the RIFF size, after the GIF trailer, past mp4's last top-level box)
+  * are stripped and reported as a `TRAILING` pseudo-chunk — decoders
+  * never read them, so they are pure metadata carriage.
   *
   * Scale shape: map-only byte-level chunk walk — NO decode, no codec
   * init; the pass reads each payload once and rewrites only offending
@@ -408,9 +410,10 @@ object MediaScrub {
     out
   }
 
-  /** Scrub a media table: PNG, WAV, GIF and AVI payloads lose their
-    * metadata chunks, everything else passes through byte-untouched.
-    * Map-only, zero decodes; output keeps the media schema. */
+  /** Scrub a media table: PNG, WAV, GIF, AVI and mp4 payloads lose
+    * their metadata chunks, everything else passes through
+    * byte-untouched. Map-only, zero decodes; output keeps the media
+    * schema. */
   def scrub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -419,6 +422,7 @@ object MediaScrub {
         if (isPng(r.payload)) Some(stripPng(r.payload))
         else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
         else if (AviCodec.isAvi(r.payload)) Some(stripAvi(r.payload))
+        else if (Mp4Codec.isMp4(r.payload)) Some(Mp4Codec.strip(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -433,7 +437,7 @@ object MediaScrub {
   /** The scrub audit: (media_id, n_stripped, stripped_types,
     * had_metadata) per record — what a compliance run reports (and the
     * gate a strict ingest refuses on instead of scrubbing). PNG, WAV,
-    * AVI and GIF containers are walked (including trailing-byte
+    * AVI, mp4 and GIF containers are walked (including trailing-byte
     * smuggling); container formats without a scrubber report 0
     * stripped. */
   def scrubReport(media: DataFrame): DataFrame = {
@@ -447,6 +451,8 @@ object MediaScrub {
           wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
         else if (AviCodec.isAvi(r.payload))
           aviChunkSpans(r.payload).map(_._1).filterNot(KeepAvi)
+        else if (Mp4Codec.isMp4(r.payload))
+          Mp4Codec.wipeReport(r.payload)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

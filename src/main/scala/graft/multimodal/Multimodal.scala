@@ -620,6 +620,75 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** DEMUX the PCM soundtrack of ISO-BMFF (mp4/m4a/mov) containers into
+    * first-class AUDIO rows — the mp4 face of [[demuxAviAudio]], fed by
+    * [[Mp4Codec.extractAudio]]'s sample-table walk (stsd/stsc/stsz/
+    * stco): media_id = the container's id, media_type 'audio', payload
+    * a 16-bit MONO WAV re-wrap (sowt/twos 16-bit and raw 8-bit PCM
+    * normalize through [[AviCodec.toMono16]]; compressed soundtracks
+    * refuse loudly inside the walk). Map-only, one container walk per
+    * record, ZERO video decode. Containers without an audio track emit
+    * no row; non-mp4 payloads refuse loudly. */
+  def demuxMp4Audio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(Mp4Codec.isMp4(r.payload),
+        s"media_id=${r.media_id}: mp4 audio demux is an ISO-BMFF box " +
+          "walk — this payload is not an mp4/m4a/mov container")
+      Mp4Codec.extractAudio(r.payload).map { a =>
+        val mono = AviCodec.toMono16(a)
+        val fmt = new javax.sound.sampled.AudioFormat(a.rate.toFloat, 16,
+          1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(mono), fmt,
+            mono.length / 2L),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        (r.media_id, "audio", bos.toByteArray, "audio/wav", r.source)
+      }
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic ISO-BMFF audio (m4a-shaped mp4) table: the
+    * [[syntheticAviWithAudio]] tone — mono 16-bit 8 kHz,
+    * `800 + doc_id % 800` samples at pitch `200 + (doc_id % 10) * 50`
+    * Hz — through [[Mp4Codec.writePcm]], alternating `sowt`/`twos`
+    * byte orders by doc_id parity so both demux paths run. With
+    * `plantMetadata`, an Apple-style `udta` (comment + `©xyz` GPS)
+    * plants inside moov on doc_id % 4 = 0 and smuggled trailing bytes
+    * append on doc_id % 4 = 2 — the adversary side of the mp4 scrub. */
+  def syntheticM4aAudio(spark: SparkSession, docs: DataFrame,
+                        plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val pcm = new Array[Byte](nSamp * 2)
+      var i = 0
+      while (i < nSamp) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * 8000).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = if (id % 2 == 0) "sowt" else "twos"
+      val udta =
+        if (plantMetadata && id % 4 == 0) Some(s"captured by rig $id")
+        else None
+      val trailing =
+        if (plantMetadata && id % 4 == 2)
+          s"smuggled-after-moov-$id".getBytes("US-ASCII")
+        else Array.emptyByteArray
+      (id, "audio",
+        Mp4Codec.writePcm(pcm, rate, format = fmt, udta = udta,
+          trailing = trailing),
+        "audio/mp4", "m4agen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic AUDIO table with REAL WAV payloads: per document, a
     * 16-bit mono 8 kHz PCM sine whose length and pitch derive from
     * doc_id (`frames = 400 + doc_id % 800`), encoded with the JDK WAV
