@@ -400,6 +400,10 @@ object PipelineRunner {
         // stack (dedup/quality/segments run on soundtracks unchanged)
         case Array("aviaudio") =>
           graft.multimodal.Multimodal.demuxAviAudio(df)
+        // mp4 soundtrack demux: the ISO-BMFF face of the same bridge —
+        // PCM sample-table walk, zero video decode
+        case Array("mp4audio") =>
+          graft.multimodal.Multimodal.demuxMp4Audio(df)
         case Array("mediaembed", spec2) => // [featureDim]
           val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
             .map(_.toInt).getOrElse(8)

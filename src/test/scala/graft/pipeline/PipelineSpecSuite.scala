@@ -923,6 +923,23 @@ class PipelineSpecSuite extends SparkSpec {
       spark.read.parquet(s"$out/scrubbed"))
       .filter(col("had_metadata")).count() == 0)
 
+    // mp4audio: the ISO-BMFF soundtrack demux as a hop, chained after
+    // mediascrub (which wipes the planted udta/trailing smuggling in
+    // the same pass — mp4 dispatch rides the existing hop)
+    graft.multimodal.Multimodal.syntheticM4aAudio(spark,
+      docs.filter(col("doc_id") < 40), plantMetadata = true)
+      .write.parquet(s"$media/m4a")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-mp4audio",
+      source = SourceSpec(format = "parquet", path = s"$media/m4a"),
+      transformExprs = Seq("mediascrub", "mp4audio"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/m4atracks"))),
+      "runMmMp4Audio")
+    val m4aTracks = spark.read.parquet(s"$out/m4atracks")
+    assert(graft.multimodal.MediaQuality.audioSignals(m4aTracks)
+      .filter(col("n_frames") =!=
+        pmod(col("media_id"), lit(800L)) + 800L).count() == 0)
+
     // fpssample + aspectbuckets: sampling and packing as hops
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-fps",
