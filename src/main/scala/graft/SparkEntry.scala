@@ -3159,6 +3159,21 @@ object SparkEntry {
           col("n_frames"), col("duration_ms"), col("n_sampled"))
     }),
 
+    // REAL MJPEG-in-mp4 container decode (round 18): the q196/q237
+    // contract over the THIRD in-JVM video container — the ISO-BMFF
+    // sample-table walk (stsd 'jpeg' entries, stsc/stsz/stco spans,
+    // stts per-frame timing) + per-frame javax.imageio JPEG decode.
+    // mp4 is natively VFR: frame f displays (f+1)*50 ms, so
+    // duration_ms = 25*n*(n+1) exercises the per-frame µs chain;
+    // compressed codecs (avc1/hev1) stay the loud-refusal seam
+    "q248_mp4_frames" -> ((s, dir) => {
+      val mp4s = Multimodal.syntheticMp4Videos(s, t(s, dir, "documents"))
+      Multimodal.videoFrameCard(mp4s, every = 2)
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("n_frames"), col("duration_ms"), col("n_sampled"))
+    }),
+
     "q196_gif_frames" -> ((s, dir) => {
       val gifs = Multimodal.syntheticAnimatedGifs(s, t(s, dir, "documents"))
       val feats = Multimodal.extractFeatures(
@@ -5616,6 +5631,13 @@ object SparkEntry {
     "q240_video_fps_dedup" ->
       ("SELECT doc_id AS media_id, (doc_id % 20)::BIGINT AS group_rep " +
         "FROM documents"),
+    // the mp4 mirror of q196/q237 with NATIVE VFR timing: frame f of n
+    // displays (f+1)*50 ms, so duration = 25*n*(n+1); n = 2 + id%6
+    "q248_mp4_frames" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 16)::BIGINT AS width, " +
+        "(2 + doc_id % 6)::BIGINT AS n_frames, " +
+        "(25 * (2 + doc_id % 6) * (3 + doc_id % 6))::BIGINT AS duration_ms, " +
+        "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
     // the AVI mirror of q196: same planted frame-count/dims/duration
     // arithmetic, parsed from a real RIFF/AVI container instead of GIF
     "q237_avi_frames" ->

@@ -373,9 +373,10 @@ private[multimodal] object AviCodec {
   * frame fingerprints, fps sampling, quality gates, composed pipelines)
   * reads frames through [[withFrames]], which dispatches on container
   * magic — animated GIF through the JDK's frame-indexed reader, AVI/MJPEG
-  * through [[AviCodec]] — so a new real container lights up EVERY face at
-  * once. Unknown containers (mp4/webm — the JDK ships no codec) refuse
-  * loudly, the documented stub seam. */
+  * through [[AviCodec]], MJPEG-in-mp4 through [[Mp4Codec.openVideo]]'s
+  * sample-table walk — so a new real container lights up EVERY face at
+  * once. Compressed-codec containers (avc1/hev1/vp09 mp4, webm — the
+  * JDK ships no codec) refuse loudly, the documented stub seam. */
 private[multimodal] object VideoCodec {
 
   /** Frame access + per-frame timing in MICROSECONDS — the finest unit
@@ -404,7 +405,8 @@ private[multimodal] object VideoCodec {
   }
 
   def isVideo(b: Array[Byte]): Boolean =
-    Multimodal.GifCodec.isGif(b) || AviCodec.isAvi(b)
+    Multimodal.GifCodec.isGif(b) || AviCodec.isAvi(b) ||
+      Mp4Codec.hasMjpegVideo(b)
 
   def withFrames[T](payload: Array[Byte])(f: Frames => T): T =
     if (Multimodal.GifCodec.isGif(payload))
@@ -432,7 +434,18 @@ private[multimodal] object VideoCodec {
         // convention; a 100 fps clip ticks at 10000 µs, not 100000
         def renderedDelayUs(i: Int): Long = avi.usPerFrame
       })
+    } else if (Mp4Codec.hasMjpegVideo(payload)) {
+      val mp4 = Mp4Codec.openVideo(payload)
+      f(new Frames {
+        def numFrames: Int = mp4.numFrames
+        def frame(i: Int): java.awt.image.BufferedImage = mp4.frame(i)
+        // mp4 stts timing is explicit AND per-frame (natively VFR),
+        // already in µs through the mdhd timescale
+        def delayUs(i: Int): Long = mp4.frameDelaysUs(i)
+        def renderedDelayUs(i: Int): Long = mp4.frameDelaysUs(i)
+      })
     } else throw new IllegalArgumentException(
-      "payload is not a decodable video container (animated GIF and " +
-        "AVI/MJPEG decode in-JVM; mp4/webm need a codec the JDK lacks)")
+      "payload is not a decodable video container (animated GIF, " +
+        "AVI/MJPEG and MJPEG-in-mp4 decode in-JVM; compressed codecs — " +
+        "avc1/hev1/vp09 mp4, webm — need a codec the JDK lacks)")
 }

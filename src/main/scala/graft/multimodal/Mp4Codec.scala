@@ -178,6 +178,124 @@ private[multimodal] object Mp4Codec {
   def wipeReport(payload: Array[Byte]): Seq[String] =
     wipeTargets(payload).map(_.tpe)
 
+  // ---- sample-table walk (shared by audio demux and video decode) ----
+
+  /** Resolve a trak's handler type (`soun`/`vide`/...) from mdia/hdlr. */
+  private def handlerOf(payload: Array[Byte], trak: Box): Option[String] =
+    for {
+      mdia <- children(payload, trak).find(_.tpe == "mdia")
+      hdlr <- children(payload, mdia).find(_.tpe == "hdlr")
+      // hdlr payload: version/flags(4) + pre_defined(4) + handler(4)
+    } yield fourcc(payload, hdlr.off + hdlr.payloadOff + 8)
+
+  /** The trak's mdhd timescale (ticks per second of its stts deltas). */
+  private def timescaleOf(payload: Array[Byte], trak: Box): Long =
+    (for {
+      mdia <- children(payload, trak).find(_.tpe == "mdia")
+      mdhd <- children(payload, mdia).find(_.tpe == "mdhd")
+      // mdhd v0 payload: vf(4) cre(4) mod(4) timescale(4) ...
+    } yield be32(payload, mdhd.off + mdhd.payloadOff + 12))
+      .getOrElse(throw new IllegalArgumentException(
+        "trak has no mdhd — timescale unknown"))
+
+  private def stblOf(payload: Array[Byte], trak: Box): Box =
+    (for {
+      mdia <- children(payload, trak).find(_.tpe == "mdia")
+      minf <- children(payload, mdia).find(_.tpe == "minf")
+      stbl <- children(payload, minf).find(_.tpe == "stbl")
+    } yield stbl).getOrElse(throw new IllegalArgumentException(
+      "trak has no stbl sample table"))
+
+  /** Per-sample (offset, size) spans in sample order, resolved from the
+    * stsc sample-to-chunk runs, stsz sizes and stco/co64 chunk offsets.
+    * Every span is bounds-checked against the container — corrupt
+    * tables refuse loudly. */
+  private def sampleSpans(payload: Array[Byte],
+                          stbl: Box): Array[(Long, Long)] = {
+    val tables = children(payload, stbl)
+    def table(t: String): Box = tables.find(_.tpe == t).getOrElse(
+      throw new IllegalArgumentException(s"stbl has no $t box"))
+    val stsz = table("stsz")
+    val szOff = stsz.off + stsz.payloadOff
+    val constSize = be32(payload, szOff + 4)
+    val sampleCount = be32(payload, szOff + 8).toInt
+    def sampleSize(i: Int): Long =
+      if (constSize != 0L) constSize else be32(payload, szOff + 12 + 4 * i)
+    val stsc = table("stsc")
+    val scOff = stsc.off + stsc.payloadOff
+    val scCount = be32(payload, scOff + 4).toInt
+    val runs = (0 until scCount).map { i =>
+      (be32(payload, scOff + 8 + 12 * i).toInt,        // first_chunk (1-based)
+        be32(payload, scOff + 8 + 12 * i + 4).toInt)   // samples_per_chunk
+    }
+    val (chunkCount, chunkOffset) = tables.find(_.tpe == "stco") match {
+      case Some(stco) =>
+        val o = stco.off + stco.payloadOff
+        (be32(payload, o + 4).toInt,
+          (i: Int) => be32(payload, o + 8 + 4 * i))
+      case None =>
+        val co64 = table("co64")
+        val o = co64.off + co64.payloadOff
+        (be32(payload, o + 4).toInt,
+          (i: Int) => be64(payload, o + 8 + 8 * i))
+    }
+    def samplesInChunk(c: Int): Int =
+      runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
+    val spans = new Array[(Long, Long)](sampleCount)
+    var sample = 0
+    var c = 1
+    while (c <= chunkCount && sample < sampleCount) {
+      var off = chunkOffset(c - 1)
+      var i = 0
+      val inChunk = samplesInChunk(c)
+      while (i < inChunk && sample < sampleCount) {
+        val len = sampleSize(sample)
+        require(off >= 0 && off + len <= payload.length,
+          s"sample $sample of chunk $c points past the container " +
+            s"(offset $off, length $len) — corrupt sample table")
+        spans(sample) = (off, len)
+        off += len
+        i += 1
+        sample += 1
+      }
+      c += 1
+    }
+    require(sample == sampleCount,
+      s"sample table declares $sampleCount samples but chunks cover " +
+        s"$sample — corrupt stsc/stco")
+    spans
+  }
+
+  /** Per-sample durations in MICROSECONDS from the stts run-length
+    * table, converted through the trak's mdhd timescale. */
+  private def sampleDurationsUs(payload: Array[Byte], stbl: Box,
+                                timescale: Long,
+                                sampleCount: Int): Array[Long] = {
+    require(timescale > 0, s"mdhd timescale $timescale must be positive")
+    val stts = children(payload, stbl).find(_.tpe == "stts").getOrElse(
+      throw new IllegalArgumentException("stbl has no stts box"))
+    val o = stts.off + stts.payloadOff
+    val entryCount = be32(payload, o + 4).toInt
+    val out = new Array[Long](sampleCount)
+    var s = 0
+    var e = 0
+    while (e < entryCount && s < sampleCount) {
+      val count = be32(payload, o + 8 + 8 * e).toInt
+      val delta = be32(payload, o + 8 + 8 * e + 4)
+      var i = 0
+      while (i < count && s < sampleCount) {
+        out(s) = delta * 1000000L / timescale
+        s += 1
+        i += 1
+      }
+      e += 1
+    }
+    require(s == sampleCount,
+      s"stts covers $s samples but the table declares $sampleCount — " +
+        "corrupt timing table")
+    out
+  }
+
   // ---- PCM audio demux ----
 
   /** DEMUX the PCM soundtrack: find the single `soun` track, read its
@@ -194,30 +312,17 @@ private[multimodal] object Mp4Codec {
       throw new IllegalArgumentException(
         "ISO-BMFF container has no moov box — no sample tables"))
     val traks = children(payload, moov).filter(_.tpe == "trak")
-    val sounTraks = traks.filter { t =>
-      (for {
-        mdia <- children(payload, t).find(_.tpe == "mdia")
-        hdlr <- children(payload, mdia).find(_.tpe == "hdlr")
-        // hdlr payload: version/flags(4) + pre_defined(4) + handler(4)
-      } yield fourcc(payload, hdlr.off + hdlr.payloadOff + 8) == "soun")
-        .getOrElse(false)
-    }
+    val sounTraks = traks.filter(t =>
+      handlerOf(payload, t).contains("soun"))
     if (sounTraks.isEmpty) return None
     require(sounTraks.size == 1,
       s"ISO-BMFF container declares ${sounTraks.size} soun tracks — " +
         "interleaving them would corrupt the sample stream; refusing " +
         "loudly")
-    val stbl = (for {
-      mdia <- children(payload, sounTraks.head).find(_.tpe == "mdia")
-      minf <- children(payload, mdia).find(_.tpe == "minf")
-      stbl <- children(payload, minf).find(_.tpe == "stbl")
-    } yield stbl).getOrElse(throw new IllegalArgumentException(
-      "soun track has no stbl sample table"))
-    val tables = children(payload, stbl)
-    def table(t: String): Box = tables.find(_.tpe == t).getOrElse(
-      throw new IllegalArgumentException(s"soun track stbl has no $t box"))
+    val stbl = stblOf(payload, sounTraks.head)
     // stsd: FullBox, entry_count, then sample entries
-    val stsd = table("stsd")
+    val stsd = children(payload, stbl).find(_.tpe == "stsd").getOrElse(
+      throw new IllegalArgumentException("soun track stbl has no stsd box"))
     val entryCount = be32(payload, stsd.off + stsd.payloadOff + 4)
     require(entryCount == 1L,
       s"stsd declares $entryCount sample descriptions — mixed-format " +
@@ -232,59 +337,11 @@ private[multimodal] object Mp4Codec {
     val sampleBits = (be32(payload, entry + 24) & 0xffff).toInt
     val rate = (be32(payload, entry + 32) >> 16).toInt
     val bits = if (format == "raw ") 8 else sampleBits
-    // stsz: constant sample_size or per-sample table
-    val stsz = table("stsz")
-    val szOff = stsz.off + stsz.payloadOff
-    val constSize = be32(payload, szOff + 4)
-    val sampleCount = be32(payload, szOff + 8).toInt
-    def sampleSize(i: Int): Long =
-      if (constSize != 0L) constSize else be32(payload, szOff + 12 + 4 * i)
-    // stsc: (first_chunk, samples_per_chunk, _) runs
-    val stsc = table("stsc")
-    val scOff = stsc.off + stsc.payloadOff
-    val scCount = be32(payload, scOff + 4).toInt
-    val runs = (0 until scCount).map { i =>
-      (be32(payload, scOff + 8 + 12 * i).toInt,        // first_chunk (1-based)
-        be32(payload, scOff + 8 + 12 * i + 4).toInt)   // samples_per_chunk
-    }
-    // stco / co64: chunk offsets (file-absolute)
-    val (chunkCount, chunkOffset) = tables.find(_.tpe == "stco") match {
-      case Some(stco) =>
-        val o = stco.off + stco.payloadOff
-        (be32(payload, o + 4).toInt,
-          (i: Int) => be32(payload, o + 8 + 4 * i))
-      case None =>
-        val co64 = table("co64")
-        val o = co64.off + co64.payloadOff
-        (be32(payload, o + 4).toInt,
-          (i: Int) => be64(payload, o + 8 + 8 * i))
-    }
-    // samples per chunk c (1-based): the last stsc run with
-    // first_chunk <= c
-    def samplesInChunk(c: Int): Int =
-      runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
+    val spans = sampleSpans(payload, stbl)
     val out = new java.io.ByteArrayOutputStream()
-    var sample = 0
-    var c = 1
-    while (c <= chunkCount && sample < sampleCount) {
-      var off = chunkOffset(c - 1)
-      var i = 0
-      val inChunk = samplesInChunk(c)
-      while (i < inChunk && sample < sampleCount) {
-        val len = sampleSize(sample)
-        require(off >= 0 && off + len <= payload.length,
-          s"sample $sample of chunk $c points past the container " +
-            s"(offset $off, length $len) — corrupt sample table")
-        out.write(payload, off.toInt, len.toInt)
-        off += len
-        i += 1
-        sample += 1
-      }
-      c += 1
+    spans.foreach { case (off, len) =>
+      out.write(payload, off.toInt, len.toInt)
     }
-    require(sample == sampleCount,
-      s"sample table declares $sampleCount samples but chunks cover " +
-        s"$sample — corrupt stsc/stco")
     val pcm = out.toByteArray
     // normalize twos (big-endian 16-bit) to the little-endian norm
     if (format == "twos" && bits == 16) {
@@ -295,6 +352,83 @@ private[multimodal] object Mp4Codec {
       }
     }
     Some(AviCodec.AviAudio(pcm, channels, rate, bits))
+  }
+
+  // ---- MJPEG video decode ----
+
+  /** A parsed MJPEG-in-mp4 video track: per-frame JPEG spans (decode is
+    * lazy, per frame) plus per-frame stts-derived timing in µs and the
+    * sample-entry header dims. */
+  final class Mp4Frames(payload: Array[Byte],
+                        frameSpans: Array[(Long, Long)],
+                        val frameDelaysUs: Array[Long],
+                        val width: Int, val height: Int) {
+    def numFrames: Int = frameSpans.length
+    def frame(i: Int): java.awt.image.BufferedImage = {
+      val (off, len) = frameSpans(i)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload, off.toInt, len.toInt))
+      require(img != null, s"mp4 video sample $i is not a decodable JPEG")
+      img
+    }
+  }
+
+  /** Whether the container carries a DECODABLE (MJPEG `jpeg`-typed)
+    * video track — the [[VideoCodec.isVideo]] predicate for mp4: an
+    * avc1/hev1/vp09 mp4 answers false (no JDK codec), so every video
+    * face refuses it loudly rather than decoding garbage. Malformed
+    * containers also answer false (the face's decode path reports the
+    * real refusal). */
+  def hasMjpegVideo(b: Array[Byte]): Boolean =
+    isMp4(b) && (try videoFormat(b).contains("jpeg")
+    catch { case _: IllegalArgumentException => false })
+
+  /** The single vide trak's stsd sample-entry fourcc, if any. */
+  private def videoFormat(payload: Array[Byte]): Option[String] = {
+    val top = topBoxes(payload)
+    val moov = top.find(_.tpe == "moov").getOrElse(return None)
+    val videTraks = children(payload, moov).filter(_.tpe == "trak")
+      .filter(t => handlerOf(payload, t).contains("vide"))
+    if (videTraks.isEmpty) return None
+    require(videTraks.size == 1,
+      s"ISO-BMFF container declares ${videTraks.size} vide tracks — " +
+        "interleaving them would corrupt the frame sequence; refusing " +
+        "loudly")
+    val stsd = children(payload, stblOf(payload, videTraks.head))
+      .find(_.tpe == "stsd").getOrElse(
+        throw new IllegalArgumentException(
+          "vide track stbl has no stsd box"))
+    Some(fourcc(payload, stsd.off + stsd.payloadOff + 8 + 4))
+  }
+
+  /** Open the MJPEG video track: per-frame JPEG spans from the sample
+    * tables, per-frame µs timing from stts through the mdhd timescale —
+    * mp4 is a natively VFR container (stts runs), so the timing chain
+    * is per-frame like GIF's, at µs precision like AVI's. Compressed
+    * video formats refuse loudly with the codec-seam message. */
+  def openVideo(payload: Array[Byte]): Mp4Frames = {
+    val fmt = videoFormat(payload).getOrElse(
+      throw new IllegalArgumentException(
+        "ISO-BMFF container has no video track"))
+    require(fmt == "jpeg",
+      s"mp4 video sample entry is '$fmt' — only MJPEG ('jpeg') decodes " +
+        "in a stock JVM; avc1/hev1/vp09 need a codec the JDK lacks")
+    val top = topBoxes(payload)
+    val moov = top.find(_.tpe == "moov").get
+    val trak = children(payload, moov).filter(_.tpe == "trak")
+      .find(t => handlerOf(payload, t).contains("vide")).get
+    val stbl = stblOf(payload, trak)
+    val stsd = children(payload, stbl).find(_.tpe == "stsd").get
+    val entry = stsd.off + stsd.payloadOff + 8
+    // VisualSampleEntry: ... pre_defined(2) reserved(2) pre_defined(12)
+    // then width(2) height(2) at entry offsets 32/34
+    val w = ((payload(entry + 32) & 0xff) << 8) | (payload(entry + 33) & 0xff)
+    val h = ((payload(entry + 34) & 0xff) << 8) | (payload(entry + 35) & 0xff)
+    val spans = sampleSpans(payload, stbl)
+    require(spans.nonEmpty, "mp4 video track holds no frames")
+    val delays = sampleDurationsUs(payload, stbl,
+      timescaleOf(payload, trak), spans.length)
+    new Mp4Frames(payload, spans, delays, w, h)
   }
 
   // ---- fixture/producer side ----
@@ -322,6 +456,101 @@ private[multimodal] object Mp4Codec {
 
   private def u16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private val Matrix = Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L,
+    0L, 0L, 0x40000000L).flatMap(u32)
+
+  private def dinfBox: Array[Byte] =
+    boxBytes("dinf", boxBytes("dref", u32(0L), u32(1L),
+      boxBytes("url ", u32(1L)))) // self-contained flag
+
+  /** A complete `soun` trak for one PCM chunk at `dataOffset`. */
+  private def pcmTrak(nFrames: Int, rate: Int, channels: Int, bits: Int,
+                      format: String, blockAlign: Int, dataOffset: Long,
+                      trackId: Long): Array[Byte] = {
+    val stsd = boxBytes("stsd", u32(0L), u32(1L),
+      boxBytes(format,
+        new Array[Byte](6), u16(1),          // reserved, data_ref_index
+        u16(0), u16(0), u32(0L),             // version, revision, vendor
+        u16(channels), u16(bits),
+        u16(0), u16(0),                      // compression_id, packet size
+        u32(rate.toLong << 16)))             // 16.16 fixed sample rate
+    val stts = boxBytes("stts", u32(0L), u32(1L),
+      u32(nFrames.toLong), u32(1L))
+    val stsc = boxBytes("stsc", u32(0L), u32(1L),
+      u32(1L), u32(nFrames.toLong), u32(1L))
+    val stsz = boxBytes("stsz", u32(0L), u32(blockAlign.toLong),
+      u32(nFrames.toLong))
+    val stco = boxBytes("stco", u32(0L), u32(1L), u32(dataOffset))
+    val stbl = boxBytes("stbl", stsd, stts, stsc, stsz, stco)
+    val smhd = boxBytes("smhd", u32(0L), u16(0), u16(0))
+    val minf = boxBytes("minf", smhd, dinfBox, stbl)
+    val hdlr = boxBytes("hdlr", u32(0L), u32(0L),
+      "soun".getBytes("US-ASCII"), new Array[Byte](12),
+      Array(0.toByte)) // empty null-terminated name
+    val mdhd = boxBytes("mdhd", u32(0L), u32(0L), u32(0L),
+      u32(rate.toLong), u32(nFrames.toLong), u16(0x55c4), u16(0)) // und
+    val mdia = boxBytes("mdia", mdhd, hdlr, minf)
+    val tkhd = boxBytes("tkhd", u32(7L), // v0, flags: enabled+in movie
+      u32(0L), u32(0L), u32(trackId), u32(0L), u32(nFrames.toLong),
+      new Array[Byte](8), u16(0), u16(0), u16(0x0100), u16(0),
+      Matrix, u32(0L), u32(0L))
+    boxBytes("trak", tkhd, mdia)
+  }
+
+  /** A complete MJPEG `vide` trak: per-frame sizes in one chunk at
+    * `dataOffset`, per-frame stts timing in µs (timescale 1000000, so
+    * the deltas ARE the µs values — run-length-compressed like any
+    * real muxer writes them). */
+  private def mjpegTrak(jpegSizes: Seq[Int], delaysUs: Seq[Long],
+                        w: Int, h: Int, dataOffset: Long,
+                        trackId: Long): Array[Byte] = {
+    val n = jpegSizes.length
+    val durationUs = delaysUs.sum
+    val stsd = boxBytes("stsd", u32(0L), u32(1L),
+      boxBytes("jpeg",
+        new Array[Byte](6), u16(1),          // reserved, data_ref_index
+        u16(0), u16(0), new Array[Byte](12), // pre_defined/reserved
+        u16(w), u16(h),
+        u32(0x00480000L), u32(0x00480000L),  // 72 dpi horiz/vert
+        u32(0L), u16(1),                     // reserved, frame_count
+        new Array[Byte](32),                 // compressorname
+        u16(24), u16(0xffff)))               // depth, pre_defined (-1)
+    // stts: run-length compress consecutive equal µs deltas
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    delaysUs.foreach { d =>
+      if (runs.nonEmpty && runs.last._2 == d)
+        runs(runs.length - 1) = (runs.last._1 + 1, d)
+      else runs += ((1, d))
+    }
+    val stts = boxBytes("stts", u32(0L), u32(runs.length.toLong),
+      runs.toArray.flatMap { case (c, d) => u32(c.toLong) ++ u32(d) })
+    val stsc = boxBytes("stsc", u32(0L), u32(1L),
+      u32(1L), u32(n.toLong), u32(1L))
+    val stsz = boxBytes("stsz", u32(0L), u32(0L), u32(n.toLong),
+      jpegSizes.toArray.flatMap(s => u32(s.toLong)))
+    val stco = boxBytes("stco", u32(0L), u32(1L), u32(dataOffset))
+    val stbl = boxBytes("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = boxBytes("vmhd", u32(1L), u16(0),
+      u16(0), u16(0), u16(0)) // graphicsmode copy, opcolor
+    val minf = boxBytes("minf", vmhd, dinfBox, stbl)
+    val hdlr = boxBytes("hdlr", u32(0L), u32(0L),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12),
+      Array(0.toByte))
+    val mdhd = boxBytes("mdhd", u32(0L), u32(0L), u32(0L),
+      u32(1000000L), u32(durationUs), u16(0x55c4), u16(0))
+    val mdia = boxBytes("mdia", mdhd, hdlr, minf)
+    val tkhd = boxBytes("tkhd", u32(7L),
+      u32(0L), u32(0L), u32(trackId), u32(0L), u32(durationUs),
+      new Array[Byte](8), u16(0), u16(0), u16(0), u16(0),
+      Matrix, u32(w.toLong << 16), u32(h.toLong << 16))
+    boxBytes("trak", tkhd, mdia)
+  }
+
+  private def udtaBoxOf(text: String): Array[Byte] =
+    boxBytes("udta",
+      boxBytes("©cmt", text.getBytes("UTF-8")),
+      boxBytes("©xyz", "+37.7749-122.4194/".getBytes("US-ASCII")))
 
   /** Write a PCM audio-only mp4 (an .m4a-shaped ISO-BMFF file): ftyp +
     * mdat (one chunk of interleaved PCM frames) + moov (full sample
@@ -359,50 +588,75 @@ private[multimodal] object Mp4Codec {
       "isom".getBytes("US-ASCII"))
     val mdat = boxBytes("mdat", data)
     val dataOffset = ftyp.length + 8L // first sample byte inside mdat
-    val stsd = boxBytes("stsd", u32(0L), u32(1L),
-      boxBytes(format,
-        new Array[Byte](6), u16(1),          // reserved, data_ref_index
-        u16(0), u16(0), u32(0L),             // version, revision, vendor
-        u16(channels), u16(bits),
-        u16(0), u16(0),                      // compression_id, packet size
-        u32(rate.toLong << 16)))             // 16.16 fixed sample rate
-    val stts = boxBytes("stts", u32(0L), u32(1L),
-      u32(nFrames.toLong), u32(1L))
-    val stsc = boxBytes("stsc", u32(0L), u32(1L),
-      u32(1L), u32(nFrames.toLong), u32(1L))
-    val stsz = boxBytes("stsz", u32(0L), u32(blockAlign.toLong),
-      u32(nFrames.toLong))
-    val stco = boxBytes("stco", u32(0L), u32(1L), u32(dataOffset))
-    val stbl = boxBytes("stbl", stsd, stts, stsc, stsz, stco)
-    val smhd = boxBytes("smhd", u32(0L), u16(0), u16(0))
-    val dinf = boxBytes("dinf", boxBytes("dref", u32(0L), u32(1L),
-      boxBytes("url ", u32(1L)))) // self-contained flag
-    val minf = boxBytes("minf", smhd, dinf, stbl)
-    val hdlr = boxBytes("hdlr", u32(0L), u32(0L),
-      "soun".getBytes("US-ASCII"), new Array[Byte](12),
-      Array(0.toByte)) // empty null-terminated name
-    val mdhd = boxBytes("mdhd", u32(0L), u32(0L), u32(0L),
-      u32(rate.toLong), u32(nFrames.toLong), u16(0x55c4), u16(0)) // und
-    val mdia = boxBytes("mdia", mdhd, hdlr, minf)
-    val matrix = Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L,
-      0x40000000L).flatMap(u32)
-    val tkhd = boxBytes("tkhd", u32(7L), // v0, flags: enabled+in movie
-      u32(0L), u32(0L), u32(1L), u32(0L), u32(nFrames.toLong),
-      new Array[Byte](8), u16(0), u16(0), u16(0x0100), u16(0),
-      matrix, u32(0L), u32(0L))
-    val trak = boxBytes("trak", tkhd, mdia)
+    val trak = pcmTrak(nFrames, rate, channels, bits, format, blockAlign,
+      dataOffset, trackId = 1L)
     val mvhd = boxBytes("mvhd", u32(0L), u32(0L), u32(0L),
       u32(rate.toLong), u32(nFrames.toLong), u32(0x00010000L),
-      u16(0x0100), u16(0), new Array[Byte](8), matrix,
+      u16(0x0100), u16(0), new Array[Byte](8), Matrix,
       new Array[Byte](24), u32(2L))
-    val udtaBox = udta.map { text =>
-      val t = text.getBytes("UTF-8")
-      boxBytes("udta",
-        boxBytes("©cmt", t),
-        boxBytes("©xyz", "+37.7749-122.4194/".getBytes("US-ASCII")))
-    }
     val moov = boxBytes("moov",
-      Seq(mvhd, trak) ++ udtaBox.toSeq: _*)
+      Seq(mvhd, trak) ++ udta.map(udtaBoxOf).toSeq: _*)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp); out.write(mdat); out.write(moov)
+    out.write(trailing)
+    out.toByteArray
+  }
+
+  /** Write an MJPEG video mp4 (optionally with a mono 16-bit PCM
+    * soundtrack): each frame JPEG-encodes through `javax.imageio` into
+    * one mdat chunk, the vide trak's stts carries PER-FRAME µs timing
+    * (timescale 1000000 — mp4 is natively VFR, so `delaysUs` may vary
+    * frame to frame), and the optional soun trak's chunk follows the
+    * frames. The fixture/producer side of [[openVideo]] AND a real
+    * interchange writer; `udta`/`trailing` plant scrub adversaries like
+    * [[writePcm]]'s. */
+  def writeMjpeg(frames: Seq[java.awt.image.BufferedImage],
+                 delaysUs: Seq[Long],
+                 audio: Option[(Array[Byte], Int)] = None,
+                 udta: Option[String] = None,
+                 trailing: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(frames.nonEmpty, "an mp4 video needs at least one frame")
+    require(frames.length == delaysUs.length,
+      s"${frames.length} frames but ${delaysUs.length} delays")
+    require(delaysUs.forall(d => d > 0 && d <= 0xffffffffL),
+      "per-frame delays must be positive u32 µs ticks")
+    val jpegs = frames.map { img =>
+      // the JDK JPEG writer refuses alpha; normalize to RGB
+      val rgb =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+        else {
+          val c = new java.awt.image.BufferedImage(img.getWidth,
+            img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = c.createGraphics()
+          try g.drawImage(img, 0, 0, null): Unit finally g.dispose()
+          c
+        }
+      val baos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(rgb, "jpg", baos),
+        "no JPEG writer available")
+      baos.toByteArray
+    }
+    val ftyp = boxBytes("ftyp", "isom".getBytes("US-ASCII"), u32(0x200L),
+      "isom".getBytes("US-ASCII"))
+    val mdatBody = new java.io.ByteArrayOutputStream()
+    jpegs.foreach(mdatBody.write)
+    audio.foreach { case (pcm, _) => mdatBody.write(pcm) }
+    val mdat = boxBytes("mdat", mdatBody.toByteArray)
+    val videoOffset = ftyp.length + 8L
+    val audioOffset = videoOffset + jpegs.map(_.length.toLong).sum
+    val vTrak = mjpegTrak(jpegs.map(_.length), delaysUs,
+      frames.head.getWidth, frames.head.getHeight, videoOffset,
+      trackId = 1L)
+    val aTrak = audio.map { case (pcm, rate) =>
+      pcmTrak(pcm.length / 2, rate, channels = 1, bits = 16,
+        format = "sowt", blockAlign = 2, audioOffset, trackId = 2L)
+    }
+    val mvhd = boxBytes("mvhd", u32(0L), u32(0L), u32(0L),
+      u32(1000000L), u32(delaysUs.sum), u32(0x00010000L),
+      u16(0x0100), u16(0), new Array[Byte](8), Matrix,
+      new Array[Byte](24), u32(3L))
+    val moov = boxBytes("moov",
+      Seq(mvhd, vTrak) ++ aTrak.toSeq ++ udta.map(udtaBoxOf).toSeq: _*)
     val out = new java.io.ByteArrayOutputStream()
     out.write(ftyp); out.write(mdat); out.write(moov)
     out.write(trailing)

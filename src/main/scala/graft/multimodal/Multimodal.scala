@@ -378,20 +378,45 @@ object Multimodal {
     * ([[AviCodec]] — a RIFF walk + per-frame `javax.imageio` JPEG
     * decode): frame counts from the `movi` chunk list, dims + feature
     * from decoded frame 0, duration from the header's µs-per-frame
-    * timing. Non-AVI video payloads (mp4/webm — no JDK codec) fall back
-    * to the configured decoder, as do non-video records. */
+    * timing. Non-AVI video payloads fall back to the configured decoder
+    * — by default an [[Mp4VideoDecoder]], so MJPEG-in-mp4 decodes for
+    * real too; non-video records fall through the same chain. */
   final class AviVideoDecoder(featureDim: Int = 8,
-                              fallback: MediaDecoder = new FakeDecoder())
+                              fallback: MediaDecoder = null)
       extends MediaDecoder {
+    private val next: MediaDecoder =
+      if (fallback != null) fallback else new Mp4VideoDecoder(featureDim)
     def decode(r: MediaRecord): MediaFeatures =
       if (r.media_type != "video" || !AviCodec.isAvi(r.payload))
-        fallback.decode(r)
+        next.decode(r)
       else {
         val avi = AviCodec.open(r.payload)
         val f0 = avi.frame(0)
         MediaFeatures(r.media_id, r.media_type, f0.getWidth, f0.getHeight,
           n_frames = avi.numFrames,
           duration_ms = avi.numFrames * avi.usPerFrame / 1000L,
+          feature = lumBands(f0, featureDim))
+      }
+  }
+
+  /** REAL multi-frame video-path decoder for MJPEG-in-mp4 containers
+    * ([[Mp4Codec.openVideo]] — the ISO-BMFF sample-table walk +
+    * per-frame `javax.imageio` JPEG decode): frame counts from stsz,
+    * dims + feature from decoded frame 0, duration the sum of per-frame
+    * stts µs deltas (mp4 is natively VFR). Compressed-codec mp4 and
+    * non-video records fall back to the configured decoder. */
+  final class Mp4VideoDecoder(featureDim: Int = 8,
+                              fallback: MediaDecoder = new FakeDecoder())
+      extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      if (r.media_type != "video" || !Mp4Codec.hasMjpegVideo(r.payload))
+        fallback.decode(r)
+      else {
+        val mp4 = Mp4Codec.openVideo(r.payload)
+        val f0 = mp4.frame(0)
+        MediaFeatures(r.media_id, r.media_type, f0.getWidth, f0.getHeight,
+          n_frames = mp4.numFrames,
+          duration_ms = mp4.frameDelaysUs.sum / 1000L,
           feature = lumBands(f0, featureDim))
       }
   }
@@ -541,6 +566,40 @@ object Multimodal {
       }
       (id, "video", AviCodec.writeMjpeg(frames, usPerFrame = 100000L),
         "video/avi", "avigen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic MJPEG-in-mp4 table with REAL multi-frame VFR payloads —
+    * the ISO-BMFF mirror of [[syntheticAviVideos]]: per document,
+    * `2 + doc_id % 6` JPEG frames (same gradient arithmetic) at
+    * `(16 + doc_id % 16) x (16 + doc_id % 12)`, but with VARIABLE
+    * per-frame timing — frame f displays `(f + 1) * 50` ms (mp4's stts
+    * is natively VFR, unlike AVI's constant header rate), so
+    * duration_ms = 25 * n * (n + 1) stays doc_id arithmetic. */
+  def syntheticMp4Videos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nFrames = 2 + (id % 6).toInt
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + f * 47 + x * 3 + y * 5) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val delaysUs = (0 until nFrames).map(f => (f + 1) * 50000L)
+      (id, "video", Mp4Codec.writeMjpeg(frames, delaysUs),
+        "video/mp4", "mp4gen")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 

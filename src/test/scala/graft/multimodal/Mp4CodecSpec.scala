@@ -134,6 +134,100 @@ class Mp4CodecSpec extends SparkSpec {
     assert(Mp4Codec.strip(tail.toByteArray)._2 == Seq("TRAILING"))
   }
 
+  test("MJPEG-in-mp4 video lights every face through the unified seam") {
+    def gray(seed: Int, w: Int = 32, h: Int = 32) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val g = (seed * 83 + x * 31 + y * 17) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      })
+      img
+    }
+    // write -> open round-trip: frames, VFR µs timing, header dims
+    val frames = Seq(gray(1), gray(2), gray(3))
+    val mp4 = Mp4Codec.writeMjpeg(frames, Seq(50000L, 100000L, 150000L))
+    assert(Mp4Codec.isMp4(mp4) && Mp4Codec.hasMjpegVideo(mp4))
+    assert(VideoCodec.isVideo(mp4))
+    val v = Mp4Codec.openVideo(mp4)
+    assert(v.numFrames == 3 && v.width == 32 && v.height == 32)
+    assert(v.frameDelaysUs.toSeq == Seq(50000L, 100000L, 150000L))
+    assert(v.frame(1).getWidth == 32)
+    // the VFR timing drives videoSignals durations and fps sampling
+    val media = Seq((1L, "video", mp4, "video/mp4", "t"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    assert(MediaQuality.videoSignals(media).head()
+      .getAs[Long]("duration_ms") == 300L)
+    val ticks = VideoScenes.sampleAtFps(media, fps = 10)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(ticks == Seq(0, 1, 2), s"ticks $ticks") // 0,50..150,150..300 ms
+    // the fps-invariant fold matches a GIF render of the SAME timeline
+    // within JPEG re-encode tolerance (5/10/15 cs delays)
+    val gif = Multimodal.GifCodec.writeAnimatedVfr(frames, Seq(5, 10, 15))
+    val d = java.lang.Long.bitCount(
+      VideoDedup.fingerprint64AtFps(mp4, fps = 10) ^
+        VideoDedup.fingerprint64AtFps(gif, fps = 10))
+    assert(d <= 3, s"cross-container fps-fold distance $d > 3")
+    // a video+audio mp4 serves BOTH bridges from one container
+    val pcm = tone(800)
+    val av = Mp4Codec.writeMjpeg(frames, Seq.fill(3)(100000L),
+      audio = Some((pcm, 8000)))
+    assert(Mp4Codec.openVideo(av).numFrames == 3)
+    assert(java.util.Arrays.equals(
+      Mp4Codec.extractAudio(av).get.pcm, pcm))
+    // compressed-codec mp4 refuses loudly at every face (avc1 has no
+    // JDK codec) — isVideo answers false so faces refuse up front
+    val avc1 = java.util.Arrays.copyOf(mp4, mp4.length)
+    System.arraycopy("avc1".getBytes("US-ASCII"), 0, avc1,
+      find(avc1, "jpeg"), 4)
+    assert(!Mp4Codec.hasMjpegVideo(avc1) && !VideoCodec.isVideo(avc1))
+    val e = intercept[IllegalArgumentException] {
+      Mp4Codec.openVideo(avc1)
+    }
+    assert(e.getMessage.contains("avc1"), e.getMessage)
+    // scrub wipes a dirty video mp4 in place; frames decode identically
+    val dirty = Mp4Codec.writeMjpeg(frames, Seq.fill(3)(100000L),
+      udta = Some("drone gps"))
+    val (clean, wiped) = Mp4Codec.strip(dirty)
+    assert(wiped == Seq("udta"))
+    assert(Mp4Codec.openVideo(clean).numFrames == 3)
+    assert(ImageDedup.dHash64(Mp4Codec.openVideo(clean).frame(0)) ==
+      ImageDedup.dHash64(v.frame(0)))
+  }
+
+  test("mp4 videos run dedup/scenes/pipeline faces; VFR arithmetic holds") {
+    val mp4s = Multimodal.syntheticMp4Videos(spark,
+      docs.filter(col("doc_id") < 120))
+    // quality signals: VFR duration = 25 * n * (n+1), n = 2 + id % 6
+    val sig = MediaQuality.videoSignals(mp4s)
+    val n = pmod(col("media_id"), lit(6L)) + 2
+    assert(sig.filter(col("n_frames") =!= n).count() == 0)
+    assert(sig.filter(col("duration_ms") =!= n * (n + 1) * 25).count() == 0)
+    // per-frame hashes: one row per frame, real pixels
+    assert(VideoDedup.hashFrames(mp4s).groupBy("media_id").count()
+      .filter(col("count") =!= pmod(col("media_id"), lit(6L)) + 2)
+      .count() == 0)
+    // the composed frame card (one decode) agrees
+    val card = Multimodal.videoFrameCard(mp4s, every = 2)
+    assert(card.filter(col("width") =!=
+      pmod(col("media_id"), lit(16L)) + 16).count() == 0)
+    assert(card.filter(col("n_sampled") =!=
+      floor((pmod(col("media_id"), lit(6L)) + 3) / 2)).count() == 0)
+    // the decoder chain serves mp4 through the same mediafeatures seam
+    val feats = Multimodal.extractFeatures(
+      mp4s, new Multimodal.GifVideoDecoder()).toDF()
+    assert(feats.filter(col("n_frames").cast("bigint") =!= n).count() == 0)
+    // whole-clip fingerprints group re-renders: an mp4 and an AVI of
+    // the same frames (constant rate) land within re-encode tolerance
+    val avis = Multimodal.syntheticAviVideos(spark,
+      docs.filter(col("doc_id") === 7L))
+    val cfrMp4 = Multimodal.syntheticMp4Videos(spark,
+      docs.filter(col("doc_id") === 7L))
+    val h1 = VideoDedup.hashVideos(avis).select("vhash").as[Long].head()
+    val h2 = VideoDedup.hashVideos(cfrMp4).select("vhash").as[Long].head()
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3)
+  }
+
   test("the demuxed m4a soundtrack runs the full audio stack; scrub integrates") {
     val m4as = Multimodal.syntheticM4aAudio(spark,
       docs.filter(col("doc_id") < 120), plantMetadata = true)
