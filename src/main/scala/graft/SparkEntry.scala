@@ -3119,6 +3119,24 @@ object SparkEntry {
         .select(col("media_id"), col("contaminated"))
     }),
 
+    // CROSS-CONTAINER fps-invariant video decontamination (round 18):
+    // eval = MJPEG-mp4 re-renders of groups 0..4's timelines — the
+    // shape a leaked benchmark video actually arrives in (different
+    // container, different codec, different frame rate). The GIF corpus
+    // renders of those groups land within JPEG re-encode tolerance of
+    // the mp4 eval folds because time sampling sees only decoded pixels
+    // on a shared wall clock
+    "q249_video_cross_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = Multimodal.syntheticVfrVariants(
+        s, docs.filter(expr("(doc_id div 20) % 2 = 0")), groups = 20)
+      val eval = Multimodal.syntheticVfrMp4Variants(
+        s, docs.filter(expr("doc_id >= 20 AND doc_id < 25")), groups = 20)
+      graft.multimodal.VideoDedup.decontaminateAtFps(
+        corpus, eval, fps = 10, maxHamming = 3)
+        .select(col("media_id"), col("contaminated"))
+    }),
+
     // AVI AUDIO DEMUX (round 17): the container walk pulls the auds
     // stream's PCM bytes out of the 01wb chunks (NO video decode — the
     // JPEG frames are never touched), re-wraps them as WAV, and the
@@ -5618,6 +5636,12 @@ object SparkEntry {
     // eval = CFR re-renders of groups 0..4's timelines; every VFR
     // corpus render of those groups time-samples to the same fold
     "q244_video_fps_decontaminate" ->
+      ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
+        "FROM documents WHERE (doc_id // 20) % 2 = 0"),
+    // eval = mp4/MJPEG re-renders of groups 0..4's timelines; every GIF
+    // corpus render of those groups time-samples within re-encode
+    // tolerance of an eval fold
+    "q249_video_cross_decontaminate" ->
       ("SELECT doc_id AS media_id, (doc_id % 20) < 5 AS contaminated " +
         "FROM documents WHERE (doc_id // 20) % 2 = 0"),
     // the demuxed soundtrack is 800 + id%800 samples at 8 kHz

@@ -1475,6 +1475,50 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** The [[syntheticVfrVariants]] timelines re-rendered as MJPEG-in-mp4
+    * — SAME textures, SAME wall-clock schedule (40/10/10/20 cs VFR or
+    * 8x10 cs CFR, carried as native per-frame stts µs deltas), a
+    * DIFFERENT container and codec: the cross-container re-encode class
+    * a leaked benchmark video actually arrives in. Time-sampled folds
+    * land within JPEG re-encode tolerance of the GIF renders. */
+  def syntheticVfrMp4Variants(spark: SparkSession, docs: DataFrame,
+                              groups: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val base = (id % groups).toInt
+      val cfr = (id / groups) % 2 == 1
+      val w = 32
+      val h = 32
+      def tex(c: Int): java.awt.image.BufferedImage = {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var z = base.toLong * 0x9E3779B97F4A7C15L +
+              c * 0xD6E8FEB86659FD93L + x * 0xC2B2AE3D27D4EB4FL +
+              y * 0x165667B19E3779F9L
+            z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+            val g = (z & 0xffL).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val content = (0 until 4).map(tex)
+      val (frames, delaysUs) =
+        if (!cfr) (content, Seq(400000L, 100000L, 100000L, 200000L))
+        else (Seq(content(0), content(0), content(0), content(0),
+          content(1), content(2), content(3), content(3)),
+          Seq.fill(8)(100000L))
+      (id, "video", Mp4Codec.writeMjpeg(frames, delaysUs),
+        "video/mp4", s"vgrp$base-${if (cfr) "cfr" else "vfr"}-mp4")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic AVIs with PLANTED container metadata: the MJPEG clips of
     * [[syntheticAviVideos]], with a LIST/INFO ISFT block (a fake
     * encoder/operator string) inserted after the header list on
