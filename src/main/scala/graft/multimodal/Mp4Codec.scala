@@ -180,23 +180,46 @@ private[multimodal] object Mp4Codec {
 
   // ---- sample-table walk (shared by audio demux and video decode) ----
 
+  /** Bounds-checked field read guard: reading `need` bytes at relative
+    * offset `at` inside `box` must stay inside the box — these are
+    * untrusted crawl bytes, so a truncated table refuses loudly instead
+    * of reading the neighboring box (or past the array). */
+  private def inBox(box: Box, at: Int, need: Int): Unit =
+    require(box.payloadOff + at + need <= box.total,
+      s"${box.tpe} box too short (${box.total} bytes) for a field at " +
+        s"payload offset $at — truncated table")
+
   /** Resolve a trak's handler type (`soun`/`vide`/...) from mdia/hdlr. */
   private def handlerOf(payload: Array[Byte], trak: Box): Option[String] =
     for {
       mdia <- children(payload, trak).find(_.tpe == "mdia")
       hdlr <- children(payload, mdia).find(_.tpe == "hdlr")
       // hdlr payload: version/flags(4) + pre_defined(4) + handler(4)
+      _ = inBox(hdlr, 8, 4)
     } yield fourcc(payload, hdlr.off + hdlr.payloadOff + 8)
 
-  /** The trak's mdhd timescale (ticks per second of its stts deltas). */
+  /** The trak's mdhd timescale (ticks per second of its stts deltas).
+    * mdhd version 0 carries 32-bit times (timescale at payload offset
+    * 12); version 1 widens creation/modification to 64-bit (timescale
+    * at offset 20) — modern muxers write either. */
   private def timescaleOf(payload: Array[Byte], trak: Box): Long =
     (for {
       mdia <- children(payload, trak).find(_.tpe == "mdia")
       mdhd <- children(payload, mdia).find(_.tpe == "mdhd")
-      // mdhd v0 payload: vf(4) cre(4) mod(4) timescale(4) ...
-    } yield be32(payload, mdhd.off + mdhd.payloadOff + 12))
-      .getOrElse(throw new IllegalArgumentException(
-        "trak has no mdhd — timescale unknown"))
+    } yield {
+      inBox(mdhd, 0, 4)
+      val version = payload(mdhd.off + mdhd.payloadOff) & 0xff
+      val at = version match {
+        case 0 => 12 // vf(4) cre(4) mod(4) timescale(4)
+        case 1 => 20 // vf(4) cre(8) mod(8) timescale(4)
+        case v => throw new IllegalArgumentException(
+          s"mdhd version $v unknown — refusing rather than misread " +
+            "the timescale")
+      }
+      inBox(mdhd, at, 4)
+      be32(payload, mdhd.off + mdhd.payloadOff + at)
+    }).getOrElse(throw new IllegalArgumentException(
+      "trak has no mdhd — timescale unknown"))
 
   private def stblOf(payload: Array[Byte], trak: Box): Box =
     (for {
@@ -217,13 +240,19 @@ private[multimodal] object Mp4Codec {
       throw new IllegalArgumentException(s"stbl has no $t box"))
     val stsz = table("stsz")
     val szOff = stsz.off + stsz.payloadOff
+    inBox(stsz, 0, 12)
     val constSize = be32(payload, szOff + 4)
     val sampleCount = be32(payload, szOff + 8).toInt
+    require(sampleCount >= 0, s"stsz sample count $sampleCount negative")
+    if (constSize == 0L) inBox(stsz, 12, 4 * sampleCount)
     def sampleSize(i: Int): Long =
       if (constSize != 0L) constSize else be32(payload, szOff + 12 + 4 * i)
     val stsc = table("stsc")
     val scOff = stsc.off + stsc.payloadOff
+    inBox(stsc, 0, 8)
     val scCount = be32(payload, scOff + 4).toInt
+    require(scCount >= 0, s"stsc entry count $scCount negative")
+    inBox(stsc, 8, 12 * scCount)
     val runs = (0 until scCount).map { i =>
       (be32(payload, scOff + 8 + 12 * i).toInt,        // first_chunk (1-based)
         be32(payload, scOff + 8 + 12 * i + 4).toInt)   // samples_per_chunk
@@ -231,13 +260,19 @@ private[multimodal] object Mp4Codec {
     val (chunkCount, chunkOffset) = tables.find(_.tpe == "stco") match {
       case Some(stco) =>
         val o = stco.off + stco.payloadOff
-        (be32(payload, o + 4).toInt,
-          (i: Int) => be32(payload, o + 8 + 4 * i))
+        inBox(stco, 0, 8)
+        val n = be32(payload, o + 4).toInt
+        require(n >= 0, s"stco chunk count $n negative")
+        inBox(stco, 8, 4 * n)
+        (n, (i: Int) => be32(payload, o + 8 + 4 * i))
       case None =>
         val co64 = table("co64")
         val o = co64.off + co64.payloadOff
-        (be32(payload, o + 4).toInt,
-          (i: Int) => be64(payload, o + 8 + 8 * i))
+        inBox(co64, 0, 8)
+        val n = be32(payload, o + 4).toInt
+        require(n >= 0, s"co64 chunk count $n negative")
+        inBox(co64, 8, 8 * n)
+        (n, (i: Int) => be64(payload, o + 8 + 8 * i))
     }
     def samplesInChunk(c: Int): Int =
       runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0)
@@ -275,7 +310,10 @@ private[multimodal] object Mp4Codec {
     val stts = children(payload, stbl).find(_.tpe == "stts").getOrElse(
       throw new IllegalArgumentException("stbl has no stts box"))
     val o = stts.off + stts.payloadOff
+    inBox(stts, 0, 8)
     val entryCount = be32(payload, o + 4).toInt
+    require(entryCount >= 0, s"stts entry count $entryCount negative")
+    inBox(stts, 8, 8 * entryCount)
     val out = new Array[Long](sampleCount)
     var s = 0
     var e = 0
@@ -323,10 +361,12 @@ private[multimodal] object Mp4Codec {
     // stsd: FullBox, entry_count, then sample entries
     val stsd = children(payload, stbl).find(_.tpe == "stsd").getOrElse(
       throw new IllegalArgumentException("soun track stbl has no stsd box"))
+    inBox(stsd, 0, 8)
     val entryCount = be32(payload, stsd.off + stsd.payloadOff + 4)
     require(entryCount == 1L,
       s"stsd declares $entryCount sample descriptions — mixed-format " +
         "tracks are out of demux scope; refusing loudly")
+    inBox(stsd, 8, 36) // one full AudioSampleEntry
     val entry = stsd.off + stsd.payloadOff + 8
     val format = fourcc(payload, entry + 4)
     require(format == "sowt" || format == "twos" || format == "raw ",
@@ -398,6 +438,7 @@ private[multimodal] object Mp4Codec {
       .find(_.tpe == "stsd").getOrElse(
         throw new IllegalArgumentException(
           "vide track stbl has no stsd box"))
+    inBox(stsd, 8, 8) // entry header (size + format)
     Some(fourcc(payload, stsd.off + stsd.payloadOff + 8 + 4))
   }
 
@@ -419,6 +460,7 @@ private[multimodal] object Mp4Codec {
       .find(t => handlerOf(payload, t).contains("vide")).get
     val stbl = stblOf(payload, trak)
     val stsd = children(payload, stbl).find(_.tpe == "stsd").get
+    inBox(stsd, 8, 36) // through the dims fields of a VisualSampleEntry
     val entry = stsd.off + stsd.payloadOff + 8
     // VisualSampleEntry: ... pre_defined(2) reserved(2) pre_defined(12)
     // then width(2) height(2) at entry offsets 32/34
@@ -456,6 +498,8 @@ private[multimodal] object Mp4Codec {
 
   private def u16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
 
   private val Matrix = Array(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L,
     0L, 0L, 0x40000000L).flatMap(u32)
@@ -504,7 +548,8 @@ private[multimodal] object Mp4Codec {
     * real muxer writes them). */
   private def mjpegTrak(jpegSizes: Seq[Int], delaysUs: Seq[Long],
                         w: Int, h: Int, dataOffset: Long,
-                        trackId: Long): Array[Byte] = {
+                        trackId: Long, mdhdV1: Boolean = false,
+                        co64: Boolean = false): Array[Byte] = {
     val n = jpegSizes.length
     val durationUs = delaysUs.sum
     val stsd = boxBytes("stsd", u32(0L), u32(1L),
@@ -529,7 +574,9 @@ private[multimodal] object Mp4Codec {
       u32(1L), u32(n.toLong), u32(1L))
     val stsz = boxBytes("stsz", u32(0L), u32(0L), u32(n.toLong),
       jpegSizes.toArray.flatMap(s => u32(s.toLong)))
-    val stco = boxBytes("stco", u32(0L), u32(1L), u32(dataOffset))
+    val stco =
+      if (co64) boxBytes("co64", u32(0L), u32(1L), u64(dataOffset))
+      else boxBytes("stco", u32(0L), u32(1L), u32(dataOffset))
     val stbl = boxBytes("stbl", stsd, stts, stsc, stsz, stco)
     val vmhd = boxBytes("vmhd", u32(1L), u16(0),
       u16(0), u16(0), u16(0)) // graphicsmode copy, opcolor
@@ -537,8 +584,14 @@ private[multimodal] object Mp4Codec {
     val hdlr = boxBytes("hdlr", u32(0L), u32(0L),
       "vide".getBytes("US-ASCII"), new Array[Byte](12),
       Array(0.toByte))
-    val mdhd = boxBytes("mdhd", u32(0L), u32(0L), u32(0L),
-      u32(1000000L), u32(durationUs), u16(0x55c4), u16(0))
+    // v1 mdhd widens creation/modification/duration to 64-bit — modern
+    // muxers write either version, so the reader's branch needs a
+    // producer to exercise it
+    val mdhd =
+      if (mdhdV1) boxBytes("mdhd", u32(0x01000000L), u64(0L), u64(0L),
+        u32(1000000L), u64(durationUs), u16(0x55c4), u16(0))
+      else boxBytes("mdhd", u32(0L), u32(0L), u32(0L),
+        u32(1000000L), u32(durationUs), u16(0x55c4), u16(0))
     val mdia = boxBytes("mdia", mdhd, hdlr, minf)
     val tkhd = boxBytes("tkhd", u32(7L),
       u32(0L), u32(0L), u32(trackId), u32(0L), u32(durationUs),
@@ -614,7 +667,9 @@ private[multimodal] object Mp4Codec {
                  delaysUs: Seq[Long],
                  audio: Option[(Array[Byte], Int)] = None,
                  udta: Option[String] = None,
-                 trailing: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+                 trailing: Array[Byte] = Array.emptyByteArray,
+                 mdhdV1: Boolean = false,
+                 co64: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "an mp4 video needs at least one frame")
     require(frames.length == delaysUs.length,
       s"${frames.length} frames but ${delaysUs.length} delays")
@@ -646,7 +701,7 @@ private[multimodal] object Mp4Codec {
     val audioOffset = videoOffset + jpegs.map(_.length.toLong).sum
     val vTrak = mjpegTrak(jpegs.map(_.length), delaysUs,
       frames.head.getWidth, frames.head.getHeight, videoOffset,
-      trackId = 1L)
+      trackId = 1L, mdhdV1 = mdhdV1, co64 = co64)
     val aTrak = audio.map { case (pcm, rate) =>
       pcmTrak(pcm.length / 2, rate, channels = 1, bits = 16,
         format = "sowt", blockAlign = 2, audioOffset, trackId = 2L)

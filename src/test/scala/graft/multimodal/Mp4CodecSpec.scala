@@ -195,6 +195,52 @@ class Mp4CodecSpec extends SparkSpec {
       ImageDedup.dHash64(v.frame(0)))
   }
 
+  test("mdhd v1 and co64 layouts read identically; truncated tables refuse") {
+    def gray(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(24, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 24).foreach(y => (0 until 24).foreach { x =>
+        val g = (seed * 83 + x * 31 + y * 17) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      })
+      img
+    }
+    val frames = Seq(gray(4), gray(5))
+    val delays = Seq(40000L, 80000L)
+    val v0 = Mp4Codec.openVideo(Mp4Codec.writeMjpeg(frames, delays))
+    // v1 mdhd (64-bit times) resolves the SAME timescale -> same µs
+    val v1 = Mp4Codec.openVideo(
+      Mp4Codec.writeMjpeg(frames, delays, mdhdV1 = true))
+    assert(v1.frameDelaysUs.toSeq == v0.frameDelaysUs.toSeq)
+    // co64 (64-bit chunk offsets) resolves the SAME frame spans
+    val c64 = Mp4Codec.openVideo(
+      Mp4Codec.writeMjpeg(frames, delays, co64 = true))
+    assert(c64.numFrames == 2 &&
+      ImageDedup.dHash64(c64.frame(0)) == ImageDedup.dHash64(v0.frame(0)))
+    // a TRUNCATED sample table refuses loudly instead of reading the
+    // neighboring box (untrusted crawl bytes): shrink stsz's declared
+    // box size so its per-sample table overruns it
+    val m = Mp4Codec.writeMjpeg(frames, delays)
+    val szAt = (0 until m.length - 4).find(i =>
+      new String(m, i, 4, "ISO-8859-1") == "stsz").get - 4
+    val bad = java.util.Arrays.copyOf(m, m.length)
+    bad(szAt + 3) = 16 // box too short for 2 table entries
+    val e = intercept[IllegalArgumentException] {
+      Mp4Codec.openVideo(bad)
+    }
+    assert(e.getMessage.contains("truncated table") ||
+      e.getMessage.contains("malformed"), e.getMessage)
+    // an unknown mdhd version refuses rather than misreading timing
+    val vAt = (0 until m.length - 4).find(i =>
+      new String(m, i, 4, "ISO-8859-1") == "mdhd").get + 4
+    val badV = java.util.Arrays.copyOf(m, m.length)
+    badV(vAt) = 7
+    val e2 = intercept[IllegalArgumentException] {
+      Mp4Codec.openVideo(badV)
+    }
+    assert(e2.getMessage.contains("mdhd version 7"), e2.getMessage)
+  }
+
   test("mp4 videos run dedup/scenes/pipeline faces; VFR arithmetic holds") {
     val mp4s = Multimodal.syntheticMp4Videos(spark,
       docs.filter(col("doc_id") < 120))
