@@ -2653,6 +2653,19 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("duration_ms"))
     }),
 
+    // G.711 TELEPHONY AUDIO DEMUX (round 18): A-law/µ-law companded
+    // soundtracks (the 8-bit log-PCM of telephony and old capture rigs)
+    // expand to linear 16-bit by pure ITU segment/mantissa arithmetic —
+    // no codec — inside the mp4 sample-table demux; the expanded track
+    // runs the ENTIRE audio stack and planted counts survive a real
+    // compand->expand round-trip
+    "q250_g711_audio_demux" -> ((s, dir) => {
+      val m4as = Multimodal.syntheticG711Audio(s, t(s, dir, "documents"))
+      val tracks = Multimodal.demuxMp4Audio(m4as)
+      graft.multimodal.MediaQuality.audioSignals(tracks)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
     // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
     // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
     // by the little-endian chunk walk, zero decodes
@@ -5377,6 +5390,12 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
         "END::INT AS n_stripped, " +
         "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
+    // the companded track expands to 800 + id%800 linear samples
+    "q250_g711_audio_demux" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
     // the demuxed soun track is 800 + id%800 samples at 8 kHz
     "q247_mp4_audio_demux" ->
       ("SELECT doc_id AS media_id, " +

@@ -17,6 +17,82 @@ package graft.multimodal
   * never containers); both the grammar and the field layout here come
   * from the public RIFF/AVI specification.
   */
+/** G.711 companding (ITU-T A-law / µ-law) — the 8-bit logarithmic PCM
+  * of telephony and old capture rigs, decodable by pure segment/mantissa
+  * arithmetic from the public spec (no codec): both AVI (wFormatTag 6/7)
+  * and mp4 (`alaw`/`ulaw` sample entries) soundtracks expand through
+  * these to the pipeline's 16-bit norm. The encoder exists for the
+  * fixture/producer side. */
+private[multimodal] object G711 {
+
+  /** Expand one µ-law byte to a linear 16-bit sample. */
+  def ulawToLinear(b: Byte): Short = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** Expand one A-law byte to a linear 16-bit sample. */
+  def alawToLinear(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    t += (if (seg == 0) 8 else 0x108)
+    if (seg > 1) t <<= seg - 1
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  private def searchSeg(v: Int, table: Array[Int]): Int = {
+    var i = 0
+    while (i < table.length && v > table(i)) i += 1
+    i
+  }
+
+  // segment end tables at the companding bit depths (µ-law quantizes a
+  // 14-bit magnitude, A-law a 13-bit one — the ITU G.711 layout)
+  private val UlawSegEnds =
+    Array(0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff, 0x1fff)
+  private val AlawSegEnds =
+    Array(0x1f, 0x3f, 0x7f, 0xff, 0x1ff, 0x3ff, 0x7ff, 0xfff)
+
+  /** Compress one linear 16-bit sample to µ-law. */
+  def linearToUlaw(s: Short): Byte = {
+    var v = s.toInt >> 2 // 16 -> 14 bit
+    val mask = if (v < 0) { v = -v; 0x7f } else 0xff
+    if (v > 8159) v = 8159 // clip
+    v += 33 // bias at 14-bit scale
+    val seg = searchSeg(v, UlawSegEnds)
+    val u =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((v >> (seg + 1)) & 0x0f)
+    ((u ^ mask) & 0xff).toByte
+  }
+
+  /** Compress one linear 16-bit sample to A-law. */
+  def linearToAlaw(s: Short): Byte = {
+    var v = s.toInt >> 3 // 16 -> 13 bit
+    val mask = if (v >= 0) 0xd5 else { v = -v - 1; 0x55 }
+    val seg = searchSeg(v, AlawSegEnds)
+    val a =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((if (seg < 2) v >> 1 else v >> seg) & 0x0f)
+    ((a ^ mask) & 0xff).toByte
+  }
+
+  /** Expand a whole G.711 byte stream to little-endian 16-bit PCM. */
+  def expand(data: Array[Byte], alaw: Boolean): Array[Byte] = {
+    val out = new Array[Byte](data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val s = if (alaw) alawToLinear(data(i)) else ulawToLinear(data(i))
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+}
+
 private[multimodal] object AviCodec {
 
   /** RIFF....AVI<space> magic. */
@@ -134,6 +210,7 @@ private[multimodal] object AviCodec {
       8L + (le32(4).toLong & 0xffffffffL)).toInt
     var streamIdx = -1
     var audioIdx = -1
+    var tag = 1
     var fmt: Option[AviAudio] = None
     val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def walk(from: Int, to: Int, inMovi: Boolean, inStrl: Boolean): Unit = {
@@ -157,10 +234,12 @@ private[multimodal] object AviCodec {
         } else if (inStrl && id == "strf" && strlType == "auds") {
           require(len >= 16, s"auds strf too short ($len bytes)")
           val formatTag = le16(off + 8)
-          require(formatTag == 1,
-            s"AVI audio stream is wFormatTag=$formatTag — only PCM (1) " +
-              "demuxes without a codec; compressed soundtracks refuse " +
-              "loudly rather than emit garbage samples")
+          require(formatTag == 1 || formatTag == 6 || formatTag == 7,
+            s"AVI audio stream is wFormatTag=$formatTag — PCM (1) " +
+              "demuxes verbatim and G.711 A-law (6) / µ-law (7) expand " +
+              "by table arithmetic; other codings refuse loudly rather " +
+              "than emit garbage samples")
+          tag = formatTag
           fmt = Some(AviAudio(Array.emptyByteArray,
             channels = le16(off + 10), rate = le32(off + 12),
             bits = le16(off + 22)))
@@ -173,13 +252,18 @@ private[multimodal] object AviCodec {
     }
     walk(12, riffEnd, inMovi = false, inStrl = false)
     fmt.map { f =>
-      val pcm = new Array[Byte](chunks.map(_._2).sum)
+      val raw = new Array[Byte](chunks.map(_._2).sum)
       var pos = 0
       chunks.foreach { case (off, len) =>
-        System.arraycopy(payload, off, pcm, pos, len)
+        System.arraycopy(payload, off, raw, pos, len)
         pos += len
       }
-      f.copy(pcm = pcm)
+      // G.711 soundtracks expand to linear 16-bit here, so every
+      // consumer sees one PCM norm regardless of the wire coding
+      tag match {
+        case 1 => f.copy(pcm = raw)
+        case t => f.copy(pcm = G711.expand(raw, alaw = t == 6), bits = 16)
+      }
     }
   }
 
@@ -235,7 +319,8 @@ private[multimodal] object AviCodec {
   def writeMjpeg(frames: Seq[java.awt.image.BufferedImage],
                  usPerFrame: Long,
                  audio: Option[(Array[Byte], Int)] = None,
-                 audioChannels: Int = 1, audioBits: Int = 16): Array[Byte] = {
+                 audioChannels: Int = 1, audioBits: Int = 16,
+                 audioFormatTag: Int = 1): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
     require(usPerFrame > 0 && usPerFrame <= 0xffffffffL,
       s"usPerFrame=$usPerFrame out of the header field's range")
@@ -333,7 +418,7 @@ private[multimodal] object AviCodec {
       le32(blockAlign.toLong)           // dwSampleSize
       le16(0); le16(0); le16(0); le16(0) // rcFrame (unused for audio)
       fcc("strf"); le32(strfASize.toLong)
-      le16(1)                           // wFormatTag = PCM
+      le16(audioFormatTag)              // PCM (1) / A-law (6) / µ-law (7)
       le16(audioChannels)               // nChannels
       le32(rate.toLong)                 // nSamplesPerSec
       le32(rate.toLong * blockAlign)    // nAvgBytesPerSec

@@ -369,14 +369,18 @@ private[multimodal] object Mp4Codec {
     inBox(stsd, 8, 36) // one full AudioSampleEntry
     val entry = stsd.off + stsd.payloadOff + 8
     val format = fourcc(payload, entry + 4)
-    require(format == "sowt" || format == "twos" || format == "raw ",
-      s"audio sample entry is '$format' — only raw PCM (sowt/twos/raw ) " +
-        "demuxes without a codec; compressed soundtracks refuse loudly " +
-        "rather than emit garbage samples")
+    require(format == "sowt" || format == "twos" || format == "raw " ||
+      format == "alaw" || format == "ulaw",
+      s"audio sample entry is '$format' — raw PCM (sowt/twos/raw ) " +
+        "demuxes verbatim and G.711 (alaw/ulaw) expands by table " +
+        "arithmetic; compressed soundtracks refuse loudly rather than " +
+        "emit garbage samples")
     val channels = (be32(payload, entry + 24) >> 16).toInt
     val sampleBits = (be32(payload, entry + 24) & 0xffff).toInt
     val rate = (be32(payload, entry + 32) >> 16).toInt
-    val bits = if (format == "raw ") 8 else sampleBits
+    val bits =
+      if (format == "raw " || format == "alaw" || format == "ulaw") 8
+      else sampleBits
     val spans = sampleSpans(payload, stbl)
     val out = new java.io.ByteArrayOutputStream()
     spans.foreach { case (off, len) =>
@@ -391,7 +395,11 @@ private[multimodal] object Mp4Codec {
         i += 2
       }
     }
-    Some(AviCodec.AviAudio(pcm, channels, rate, bits))
+    // G.711 expands to linear 16-bit here — one PCM norm downstream
+    if (format == "alaw" || format == "ulaw")
+      Some(AviCodec.AviAudio(
+        G711.expand(pcm, alaw = format == "alaw"), channels, rate, 16))
+    else Some(AviCodec.AviAudio(pcm, channels, rate, bits))
   }
 
   // ---- MJPEG video decode ----
@@ -619,9 +627,12 @@ private[multimodal] object Mp4Codec {
                format: String = "sowt",
                udta: Option[String] = None,
                trailing: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    require(format == "sowt" || format == "twos" || format == "raw ",
+    require(format == "sowt" || format == "twos" || format == "raw " ||
+      format == "alaw" || format == "ulaw",
       s"unsupported PCM format '$format'")
-    val bits = if (format == "raw ") 8 else 16
+    val bits =
+      if (format == "raw " || format == "alaw" || format == "ulaw") 8
+      else 16
     val blockAlign = channels * bits / 8
     require(pcm.length % blockAlign == 0,
       s"pcm length ${pcm.length} is not a multiple of frame size $blockAlign")

@@ -748,6 +748,33 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic G.711 telephony-audio mp4 table: the
+    * [[syntheticM4aAudio]] tone COMPANDED through [[G711]] — A-law on
+    * even doc_ids, µ-law on odd — and muxed as `alaw`/`ulaw` sample
+    * entries. Demux expands the log-PCM back to the linear 16-bit norm,
+    * so frame counts stay doc_id arithmetic through a REAL companding
+    * round-trip. */
+  def syntheticG711Audio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val alaw = id % 2 == 0
+      val g711 = new Array[Byte](nSamp)
+      var i = 0
+      while (i < nSamp) {
+        val v = (math.sin(2 * math.Pi * freq * i / rate) * 8000).toShort
+        g711(i) = if (alaw) G711.linearToAlaw(v) else G711.linearToUlaw(v)
+        i += 1
+      }
+      (id, "audio",
+        Mp4Codec.writePcm(g711, rate,
+          format = if (alaw) "alaw" else "ulaw"),
+        "audio/mp4", "g711gen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic AUDIO table with REAL WAV payloads: per document, a
     * 16-bit mono 8 kHz PCM sine whose length and pitch derive from
     * doc_id (`frames = 400 + doc_id % 800`), encoded with the JDK WAV

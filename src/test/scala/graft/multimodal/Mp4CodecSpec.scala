@@ -195,6 +195,58 @@ class Mp4CodecSpec extends SparkSpec {
       ImageDedup.dHash64(v.frame(0)))
   }
 
+  test("G.711 A-law/µ-law soundtracks expand to the 16-bit norm in mp4 AND AVI") {
+    // spec-pinned values: µ-law 0xff is digital zero, A-law 0x55 is -8
+    assert(G711.ulawToLinear(0xff.toByte) == 0)
+    assert(G711.alawToLinear(0x55.toByte) == -8)
+    def le16(b: Array[Byte], i: Int): Int =
+      ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+    val pcm = tone(800, freq = 250)
+    val alawBytes = Array.tabulate(800)(i =>
+      G711.linearToAlaw(le16(pcm, i).toShort))
+    val ulawBytes = Array.tabulate(800)(i =>
+      G711.linearToUlaw(le16(pcm, i).toShort))
+    val aDec = G711.expand(alawBytes, alaw = true)
+    val uDec = G711.expand(ulawBytes, alaw = false)
+    // companded round-trip stays within the top-segment quantization
+    // step for an 8000-amplitude tone
+    val maxErrA = (0 until 800).map(i =>
+      math.abs(le16(aDec, i) - le16(pcm, i))).max
+    val maxErrU = (0 until 800).map(i =>
+      math.abs(le16(uDec, i) - le16(pcm, i))).max
+    assert(maxErrA <= 300, s"alaw round-trip error $maxErrA")
+    assert(maxErrU <= 300, s"ulaw round-trip error $maxErrU")
+    // mp4 'alaw'/'ulaw' sample entries demux EXPANDED (bits = 16)
+    val aa = Mp4Codec.extractAudio(
+      Mp4Codec.writePcm(alawBytes, 8000, format = "alaw")).get
+    assert(aa.bits == 16 && java.util.Arrays.equals(aa.pcm, aDec))
+    val uu = Mp4Codec.extractAudio(
+      Mp4Codec.writePcm(ulawBytes, 8000, format = "ulaw")).get
+    assert(java.util.Arrays.equals(uu.pcm, uDec))
+    // AVI wFormatTag 6/7 expands through the same tables
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val avi = AviCodec.writeMjpeg(Seq(img), usPerFrame = 100000L,
+      audio = Some((ulawBytes, 8000)), audioBits = 8, audioFormatTag = 7)
+    val av = AviCodec.extractAudio(avi).get
+    assert(av.bits == 16 && java.util.Arrays.equals(av.pcm, uDec))
+    // the demuxed telephony track runs the full audio stack
+    val media = Seq(
+      (1L, "audio", Mp4Codec.writePcm(alawBytes, 8000, format = "alaw"),
+        "audio/mp4", "t"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    assert(MediaQuality.audioSignals(Multimodal.demuxMp4Audio(media))
+      .head().getAs[Long]("n_frames") == 800L)
+    // MP3-in-AVI still refuses loudly (a real codec class)
+    val mp3Avi = AviCodec.writeMjpeg(Seq(img), usPerFrame = 100000L,
+      audio = Some((ulawBytes, 8000)), audioBits = 8,
+      audioFormatTag = 0x55)
+    val e = intercept[IllegalArgumentException] {
+      AviCodec.extractAudio(mp3Avi)
+    }
+    assert(e.getMessage.contains("wFormatTag=85"), e.getMessage)
+  }
+
   test("mdhd v1 and co64 layouts read identically; truncated tables refuse") {
     def gray(seed: Int) = {
       val img = new java.awt.image.BufferedImage(24, 24,
