@@ -2627,6 +2627,19 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // JPEG metadata scrub audit (round 18): the marker-segment face of
+    // q228 over the MOST crawled image format — an APP1 Exif segment
+    // (GPS/device strings) planted after SOI on doc_id % 4 = 0 and
+    // smuggled post-EOI bytes on doc_id % 4 = 2; the entropy-coded
+    // scans stay byte-identical, JFIF/ICC/Adobe color segments stay,
+    // zero decodes
+    "q251_jpeg_scrub_report" -> ((s, dir) => {
+      val jpgs = Multimodal.syntheticJpegsWithMetadata(
+        s, t(s, dir, "documents"))
+      graft.multimodal.MediaScrub.scrubReport(jpgs)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // mp4 (ISO-BMFF) metadata scrub audit (round 18): the box-walk face
     // of q228/q239 over the dominant crawl container — an Apple-style
     // udta (comment + GPS) planted inside moov on doc_id % 4 = 0 and
@@ -5384,6 +5397,12 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, " +
         "CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END::INT AS n_stripped, " +
         "doc_id % 4 = 0 AS had_metadata FROM documents"),
+    // one APP1 segment planted on doc_id % 4 = 0, trailing on % 4 = 2
+    "q251_jpeg_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
+        "END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
     // one udta box planted on doc_id % 4 = 0, trailing bytes on % 4 = 2
     "q246_mp4_scrub_report" ->
       ("SELECT doc_id AS media_id, " +

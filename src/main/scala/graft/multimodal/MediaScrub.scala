@@ -13,15 +13,18 @@ import Multimodal.MediaRecord
   * IDAT and the color-interpretation chunks are kept, so decode output
   * is unchanged by construction).
   *
-  * Five containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
-  * RIFF/WAVE (LIST/INFO, id3, bext), RIFF/AVI (LIST INFO, JUNK padding),
-  * GIF (comment/plain-text extensions) and ISO-BMFF mp4/m4a/mov
-  * ([[Mp4Codec]]: udta/meta/uuid boxes and dirty free-space padding,
-  * wiped IN PLACE because stco sample offsets are file-absolute). Bytes
-  * smuggled AFTER a container's declared end (past PNG's IEND, beyond
-  * the RIFF size, after the GIF trailer, past mp4's last top-level box)
-  * are stripped and reported as a `TRAILING` pseudo-chunk — decoders
-  * never read them, so they are pure metadata carriage.
+  * Six containers are walked: PNG (tEXt/iTXt/zTXt/tIME/eXIf chunks),
+  * JPEG (APP1 Exif/XMP — where crawled photos carry GPS — APP13 IPTC
+  * and COM segments; JFIF APP0, ICC APP2 and the Adobe APP14 color
+  * flag stay), RIFF/WAVE (LIST/INFO, id3, bext), RIFF/AVI (LIST INFO,
+  * JUNK padding), GIF (comment/plain-text extensions) and ISO-BMFF
+  * mp4/m4a/mov ([[Mp4Codec]]: udta/meta/uuid boxes and dirty free-space
+  * padding, wiped IN PLACE because stco sample offsets are
+  * file-absolute). Bytes smuggled AFTER a container's declared end
+  * (past PNG's IEND, after JPEG's EOI, beyond the RIFF size, after the
+  * GIF trailer, past mp4's last top-level box) are stripped and
+  * reported as a `TRAILING` pseudo-chunk — decoders never read them, so
+  * they are pure metadata carriage.
   *
   * Scale shape: map-only byte-level chunk walk — NO decode, no codec
   * init; the pass reads each payload once and rewrites only offending
@@ -244,6 +247,130 @@ object MediaScrub {
     }
   }
 
+  // ---- JPEG (JFIF) containers ----
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length > 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** JPEG marker-segment walk: (kind, offset, totalLen) with kinds SOI,
+    * APPn (`APP0`..`APP15`), COM, coding segments (`SEGxx` for DQT/DHT/
+    * SOF/DRI/...), SOS (the scan HEADER + its entropy-coded data up to
+    * the next real marker — restart markers and byte-stuffed FF00 are
+    * part of the scan, progressive multi-scan files keep walking), EOI,
+    * and TRAILING for bytes smuggled after EOI (decoders stop there).
+    * Malformed streams refuse loudly. */
+  private def jpegSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(isJpeg(b), "payload is not a JPEG stream")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    out += (("SOI", 0, 2))
+    var off = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      require(off + 2 <= b.length, s"truncated JPEG marker at $off")
+      require((b(off) & 0xff) == 0xff, s"lost JPEG marker sync at $off")
+      val marker = b(off + 1) & 0xff
+      marker match {
+        case 0xd9 =>
+          out += (("EOI", off, 2)); sawEoi = true
+          if (off + 2 < b.length)
+            out += (("TRAILING", off + 2, b.length - off - 2))
+        case m if m >= 0xe0 && m <= 0xef => // APPn
+          require(off + 4 <= b.length, s"truncated APP segment at $off")
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          require(len >= 2 && off + 2 + len <= b.length,
+            s"truncated APP${m - 0xe0} segment at $off")
+          out += ((s"APP${m - 0xe0}", off, 2 + len))
+          off += 2 + len
+        case 0xfe => // COM
+          require(off + 4 <= b.length, s"truncated COM segment at $off")
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          require(len >= 2 && off + 2 + len <= b.length,
+            s"truncated COM segment at $off")
+          out += (("COM", off, 2 + len))
+          off += 2 + len
+        case 0xda => // SOS: header + entropy data to the next real marker
+          require(off + 4 <= b.length, s"truncated SOS header at $off")
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          require(len >= 2 && off + 2 + len <= b.length,
+            s"truncated SOS header at $off")
+          var p = off + 2 + len
+          var done = false
+          while (!done) {
+            require(p + 1 < b.length, s"JPEG scan ran past the stream at $p")
+            if ((b(p) & 0xff) == 0xff) {
+              val m2 = b(p + 1) & 0xff
+              // 00 = byte-stuffed FF, D0-D7 = restart markers: scan data
+              if (m2 != 0 && !(m2 >= 0xd0 && m2 <= 0xd7)) done = true
+              else p += 2
+            } else p += 1
+          }
+          out += (("SOS", off, p - off))
+          off = p
+        case m =>
+          // every remaining marker with a length field (DQT/DHT/SOF/DRI
+          // /DNL/...) — coding-essential, kept verbatim
+          require(off + 4 <= b.length, s"truncated JPEG segment at $off")
+          val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+          require(len >= 2 && off + 2 + len <= b.length,
+            f"truncated JPEG segment 0x$m%02x at $off")
+          out += ((f"SEG$m%02x", off, 2 + len))
+          off += 2 + len
+      }
+    }
+    out.toSeq
+  }
+
+  /** JPEG segments that stay: structure (SOI/EOI), every coding segment
+    * (SEGxx: quant/huffman tables, frame headers, restart interval),
+    * the scans, JFIF APP0 (density/aspect), APP2 (ICC color profiles)
+    * and APP14 (the Adobe color-transform flag — dropping it changes
+    * CMYK/YCCK decode colors). Dropped: APP1 (Exif — GPS, device
+    * serials, timestamps — and XMP), APP13 (Photoshop/IPTC bylines),
+    * every other APPn, COM comments, trailing smuggled bytes. */
+  private val KeepJpeg: String => Boolean = k =>
+    k == "SOI" || k == "EOI" || k == "SOS" || k.startsWith("SEG") ||
+      k == "APP0" || k == "APP2" || k == "APP14"
+
+  /** Strip metadata segments from one JPEG payload: (scrubbed bytes,
+    * dropped kinds). The entropy-coded scans are kept byte-identical —
+    * decode output is unchanged by construction. A clean payload
+    * returns the original array. */
+  def stripJpeg(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = jpegSpans(payload)
+    val dropped = spans.filterNot(s => KeepJpeg(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => KeepJpeg(s._1))
+      val out = new Array[Byte](keep.map(_._3).sum)
+      var pos = 0
+      keep.foreach { case (_, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Insert an APP1 (Exif-shaped) segment after SOI — the
+    * fixture/adversary side of [[stripJpeg]]. */
+  private[multimodal] def insertJpegExif(payload: Array[Byte],
+                                         text: String): Array[Byte] = {
+    require(isJpeg(payload), "payload is not a JPEG stream")
+    val body = ("Exif  " + text).getBytes("ISO-8859-1")
+    val len = body.length + 2
+    val seg = new Array[Byte](4 + body.length)
+    seg(0) = 0xff.toByte; seg(1) = 0xe1.toByte
+    seg(2) = ((len >> 8) & 0xff).toByte; seg(3) = (len & 0xff).toByte
+    System.arraycopy(body, 0, seg, 4, body.length)
+    val out = new Array[Byte](payload.length + seg.length)
+    System.arraycopy(payload, 0, out, 0, 2)
+    System.arraycopy(seg, 0, out, 2, seg.length)
+    System.arraycopy(payload, 2, out, 2 + seg.length, payload.length - 2)
+    out
+  }
+
   // ---- AVI containers ----
 
   /** Top-level AVI chunk walk: (id, offset, totalLen incl. pad), LIST
@@ -420,6 +547,7 @@ object MediaScrub {
     media.as[MediaRecord].mapPartitions(_.map { r =>
       val stripped =
         if (isPng(r.payload)) Some(stripPng(r.payload))
+        else if (isJpeg(r.payload)) Some(stripJpeg(r.payload))
         else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
         else if (AviCodec.isAvi(r.payload)) Some(stripAvi(r.payload))
         else if (Mp4Codec.isMp4(r.payload)) Some(Mp4Codec.strip(r.payload))
@@ -447,6 +575,8 @@ object MediaScrub {
       val dropped =
         if (isPng(r.payload))
           chunkSpans(r.payload).map(_._1).filterNot(Keep)
+        else if (isJpeg(r.payload))
+          jpegSpans(r.payload).map(_._1).filterNot(s => KeepJpeg(s))
         else if (isRiffWave(r.payload))
           wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
         else if (AviCodec.isAvi(r.payload))

@@ -1393,6 +1393,42 @@ object Multimodal {
     }).toDF()
   }
 
+  /** Synthetic JPEGs with PLANTED metadata: the [[syntheticImages]]
+    * gradients JPEG-encoded through the JDK writer (JFIF APP0 only —
+    * clean), with an APP1 Exif-shaped segment (fake GPS/device string)
+    * inserted after SOI on doc_id % 4 == 0 and smuggled trailing bytes
+    * appended after EOI on doc_id % 4 == 2. Ground truth for
+    * [[MediaScrub.stripJpeg]]. */
+  def syntheticJpegsWithMetadata(spark: SparkSession,
+                                 docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 37 + x * 255 / w) % 256).toInt
+          val g = ((id * 11 + y * 255 / h) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | ((id + x + y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val clean = ImageCodec.write(img, "jpg")
+      val payload =
+        if (id % 4 == 0)
+          MediaScrub.insertJpegExif(clean, s"GPS 1.0,$id device=cam$id")
+        else if (id % 4 == 2)
+          clean ++ s"smuggled-after-eoi-$id".getBytes("US-ASCII")
+        else clean
+      (id, "image", payload, "image/jpeg", "jpggen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic WAVs with PLANTED container metadata: the tone clips of
     * [[syntheticAudioVariants]] (groups=20), with a LIST/INFO ICMT
     * comment (a fake recorder serial) appended on doc_id % 4 == 0.

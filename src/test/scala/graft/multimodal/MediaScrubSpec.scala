@@ -142,6 +142,49 @@ class MediaScrubSpec extends SparkSpec {
       "JUNK strip must restore the exact original container")
   }
 
+  test("JPEG scrub: APP1 Exif strips, scans stay byte-identical, pixels intact") {
+    val jpgs = Multimodal.syntheticJpegsWithMetadata(spark,
+      docs.filter(col("doc_id") < 80))
+    // report: APP1 on %4=0, trailing on %4=2, clean otherwise; no decode
+    val before = Multimodal.MediaCounters.imageReads.get()
+    val rep = MediaScrub.scrubReport(jpgs)
+    val wrong = rep.filter(col("had_metadata") =!=
+      (pmod(col("media_id"), lit(4L)) === 0 ||
+        pmod(col("media_id"), lit(4L)) === 2))
+    assert(wrong.count() == 0, wrong.limit(5).collect().mkString("; "))
+    assert(rep.filter(pmod(col("media_id"), lit(4L)) === 0)
+      .filter(!array_contains(col("stripped_types"), "APP1")).count() == 0)
+    assert(rep.filter(pmod(col("media_id"), lit(4L)) === 2)
+      .filter(!array_contains(col("stripped_types"), "TRAILING"))
+      .count() == 0)
+    assert(Multimodal.MediaCounters.imageReads.get() == before,
+      "the segment walk must never decode")
+    // insert -> strip restores the EXACT original bytes (the JDK JPEG
+    // writer emits only JFIF APP0 + coding segments, all kept)
+    val dirty = jpgs.filter(col("media_id") % 4 === 0)
+      .as[Multimodal.MediaRecord].head()
+    val (clean, dropped) = MediaScrub.stripJpeg(dirty.payload)
+    assert(dropped == Seq("APP1"))
+    assert(!new String(clean, "ISO-8859-1").contains("device=cam"))
+    val img = Multimodal.ImageCodec.read(clean)
+    assert(img != null && img.getWidth == 16)
+    // idempotent + clean passthrough by reference
+    assert(MediaScrub.stripJpeg(clean)._1 eq clean)
+    // scrub() output carries no metadata and still hashes like clean
+    val scrubbed = MediaScrub.scrub(jpgs)
+    assert(MediaScrub.scrubReport(scrubbed)
+      .filter(col("had_metadata")).count() == 0)
+    val ha = ImageDedup.hashImages(scrubbed).withColumnRenamed("dhash", "a")
+    val hb = ImageDedup.hashImages(jpgs).withColumnRenamed("dhash", "b")
+    assert(ha.join(hb, "media_id").filter(col("a") =!= col("b"))
+      .count() == 0, "scrub must never change decoded pixels")
+    // a truncated APP segment refuses loudly
+    val bad = java.util.Arrays.copyOf(dirty.payload, 40)
+    val e = intercept[IllegalArgumentException] { MediaScrub.stripJpeg(bad) }
+    assert(e.getMessage.contains("truncated") ||
+      e.getMessage.contains("ran past"), e.getMessage)
+  }
+
   test("bytes smuggled past the container end are stripped and reported") {
     def appended(b: Array[Byte]): Array[Byte] = {
       val smuggled = "lat=52.52,lon=13.40 operator=J.Doe".getBytes("US-ASCII")
