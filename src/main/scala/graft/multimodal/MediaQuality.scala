@@ -477,11 +477,41 @@ object MediaQuality {
     } else if (GifCodec.isGif(payload) && payload.length >= 10) {
       ((payload(6) & 0xff) | ((payload(7) & 0xff) << 8),
         (payload(8) & 0xff) | ((payload(9) & 0xff) << 8))
+    } else if (MediaScrub.isJpeg(payload)) {
+      // JPEG dims live in the SOF frame header (lines/samples-per-line
+      // after precision) — a marker walk, zero pixel decode for the
+      // most common crawled format. SOF markers: C0-CF minus the
+      // non-frame C4 (DHT), C8 (JPG), CC (DAC)
+      jpegDims(payload)
     } else {
       val img = ImageCodec.read(payload)
       require(img != null, "payload is not a decodable image")
       (img.getWidth, img.getHeight)
     }
+
+  /** (width, height) from a JPEG SOF header — marker walk only. */
+  private def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var off = 2
+    while (true) {
+      require(off + 4 <= b.length, s"truncated JPEG marker at $off")
+      require((b(off) & 0xff) == 0xff, s"lost JPEG marker sync at $off")
+      val m = b(off + 1) & 0xff
+      val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      require(len >= 2 && off + 2 + len <= b.length,
+        f"truncated JPEG segment 0x$m%02x at $off")
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        require(len >= 7, s"SOF segment too short ($len bytes)")
+        // payload: precision(1), lines(2), samples/line(2)
+        val h = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+        val w = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+        return (w, h)
+      }
+      require(m != 0xda && m != 0xd9,
+        "JPEG stream reached its scan without a SOF header — dims unknown")
+      off += 2 + len
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** ASPECT-RATIO bucketing — the batch-packing pass of vision training
     * (images batch with same-shaped peers instead of being cropped to
@@ -494,7 +524,7 @@ object MediaQuality {
     * bucket i beats the incumbent j iff
     * |w*bh_i - h*bw_i| * bh_j < |w*bh_j - h*bw_j| * bh_i — integer-exact,
     * no floats, ties to the EARLIEST bucket. Dims come from container
-    * header bytes where possible — ZERO pixel decodes for PNG/GIF
+    * header bytes where possible — ZERO pixel decodes for PNG/GIF/JPEG
     * crawls. Output (media_id, width, height, bucket). */
   def aspectBuckets(media: DataFrame,
                     buckets: Seq[(Int, Int)] = Seq((1, 1), (4, 3), (3, 4),

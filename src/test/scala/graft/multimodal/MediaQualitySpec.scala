@@ -250,6 +250,26 @@ class MediaQualitySpec extends SparkSpec {
     assert(e.getMessage.contains("positive"), e.getMessage)
   }
 
+  test("aspectBuckets reads JPEG dims from the SOF header — zero decodes") {
+    val jpgs = Multimodal.syntheticJpegsWithMetadata(spark,
+      docs.filter(col("doc_id") < 60))
+    val before = Multimodal.MediaCounters.imageReads.get()
+    val out = MediaQuality.aspectBuckets(jpgs).persist()
+    // header dims == the generator's planted dims (== decoded dims)
+    assert(out.filter(col("width") =!=
+      pmod(col("media_id"), lit(32L)) + 16).count() == 0)
+    assert(out.filter(col("height") =!=
+      pmod(col("media_id"), lit(24L)) + 16).count() == 0)
+    assert(Multimodal.MediaCounters.imageReads.get() == before,
+      "JPEG dims must come from the SOF header, never a pixel decode")
+    out.unpersist()
+    // dims survive the metadata scrub (APP1 removal shifts SOF offsets)
+    val scrubbed = graft.multimodal.MediaScrub.scrub(jpgs)
+    assert(MediaQuality.aspectBuckets(scrubbed)
+      .filter(col("width") =!= pmod(col("media_id"), lit(32L)) + 16)
+      .count() == 0)
+  }
+
   test("aspectBuckets: normalized distance — 16:10 and 21:9 land in 16:9") {
     // the un-normalized |w*bh - h*bw| argmin biases against large-bh
     // buckets: a 16:10 image scores 6 for 1:1 but 16 for 16:9 and would
