@@ -439,6 +439,12 @@ object PipelineRunner {
           val parts = spec2.split(';').map(_.trim)
           val dim = if (parts.length > 1) parts(1).toInt else 8
           graft.multimodal.Multimodal.sampleGifFrames(df, parts(0).toInt, dim)
+        // composed per-video frame card: features + sampled-frame census
+        // from ONE container decode (GIF/AVI/MJPEG-mp4)
+        case Array("framecard", spec2) => // every[;featureDim]
+          val parts = spec2.split(';').map(_.trim)
+          graft.multimodal.Multimodal.videoFrameCard(df, parts(0).toInt,
+            if (parts.length > 1) parts(1).toInt else 8)
         // shot-boundary detection over real decoded frames: one row per
         // scene (the content-balanced frame sampler's segmentation)
         case Array("videoscenes", spec2) => // maxHamming[;every]

@@ -982,6 +982,16 @@ class PipelineSpecSuite extends SparkSpec {
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= 2).count() == 0)
 
+    // framecard: the one-decode composed card as a hop
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-framecard",
+      source = SourceSpec(format = "parquet", path = s"$media/video"),
+      transformExprs = Seq("framecard:2"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/framecard"))),
+      "runMmFramecard")
+    assert(spark.read.parquet(s"$out/framecard")
+      .filter(col("n_sampled") =!= 2).count() == 0)
+
     // mediaembed: decoded features become embeddings the vector stack
     // consumes — prove it by running the existing brute-force ANN over
     // the hop's output (same-content images land identical vectors)
