@@ -495,6 +495,8 @@ object MediaQuality {
     while (true) {
       require(off + 4 <= b.length, s"truncated JPEG marker at $off")
       require((b(off) & 0xff) == 0xff, s"lost JPEG marker sync at $off")
+      // step past spec-legal 0xFF fill bytes before the marker
+      while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
       val m = b(off + 1) & 0xff
       val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
       require(len >= 2 && off + 2 + len <= b.length,

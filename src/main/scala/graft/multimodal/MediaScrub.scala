@@ -270,6 +270,11 @@ object MediaScrub {
     while (!sawEoi) {
       require(off + 2 <= b.length, s"truncated JPEG marker at $off")
       require((b(off) & 0xff) == 0xff, s"lost JPEG marker sync at $off")
+      // the spec allows 0xFF fill bytes before any marker — step past
+      // them (semantic no-ops; a scrub that drops segments re-tiles
+      // without them)
+      while (off + 2 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      require(off + 2 <= b.length, s"truncated JPEG marker at $off")
       val marker = b(off + 1) & 0xff
       marker match {
         case 0xd9 =>
