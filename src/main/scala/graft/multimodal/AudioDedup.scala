@@ -46,11 +46,16 @@ object AudioDedup {
   private[multimodal] def decodeMono(payload: Array[Byte]): Array[Int] =
     decodeMonoWithRate(payload)._1
 
-  /** [[decodeMono]] plus the stream's frame rate — composed passes
-    * that also gate on duration need it without a second decode. */
-  private[multimodal] def decodeMonoWithRate(
-      payload: Array[Byte]): (Array[Int], Float) = {
-    MediaCounters.audioReads.incrementAndGet(): Unit
+  /** Open an audio payload and NORMALIZE its wire coding to 16-bit
+    * LITTLE-endian interleaved sample bytes: G.711 telephony WAVs
+    * (A-law/µ-law) expand by table arithmetic, 8-bit PCM rescales
+    * (unsigned per the WAV convention), big-endian 16-bit byte-swaps;
+    * other codings (float PCM, MP3 plugins) refuse loudly. Returns
+    * (sample bytes, channels, sample rate) — the single decode seam
+    * every audio face shares, so a new wire coding lights them all up
+    * at once. Does NOT count a decode; callers own their counters. */
+  private[multimodal] def openNormalized16(
+      payload: Array[Byte]): (Array[Byte], Int, Float) = {
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     catch {
@@ -60,31 +65,66 @@ object AudioDedup {
     }
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16,
-        s"${fmt.getSampleSizeInBits}-bit PCM unsupported (16-bit required)")
-      val channels = fmt.getChannels
-      val big = fmt.isBigEndian
-      val bytes = in.readAllBytes()
-      val nFrames = bytes.length / 2 / channels
-      require(nFrames > 0, "empty audio stream")
-      val out = new Array[Int](nFrames)
-      var f = 0
-      while (f < nFrames) {
-        // mean over channels, mono-ized
-        var acc = 0L
-        var c = 0
-        while (c < channels) {
-          val i = (f * channels + c) * 2
-          val lo = bytes(i) & 0xff
-          val hi = bytes(i + 1) & 0xff
-          acc += (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
-          c += 1
+      val enc = fmt.getEncoding
+      import javax.sound.sampled.AudioFormat.Encoding._
+      val bytes =
+        if (enc == ALAW || enc == ULAW) {
+          require(fmt.getSampleSizeInBits == 8,
+            s"${fmt.getSampleSizeInBits}-bit G.711 is not a valid coding")
+          G711.expand(in.readAllBytes(), alaw = enc == ALAW)
+        } else if (enc == PCM_UNSIGNED && fmt.getSampleSizeInBits == 8) {
+          val raw = in.readAllBytes()
+          val out = new Array[Byte](raw.length * 2)
+          var i = 0
+          while (i < raw.length) {
+            val v = ((raw(i) & 0xff) - 128) << 8
+            out(2 * i) = (v & 0xff).toByte
+            out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          out
+        } else {
+          require(enc == PCM_SIGNED && fmt.getSampleSizeInBits == 16,
+            s"${fmt.getSampleSizeInBits}-bit $enc unsupported (16-bit " +
+              "signed PCM, 8-bit unsigned PCM and G.711 A-law/µ-law " +
+              "decode; float/compressed codings refuse loudly)")
+          val raw = in.readAllBytes()
+          if (fmt.isBigEndian) {
+            var i = 0
+            while (i + 1 < raw.length) {
+              val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t
+              i += 2
+            }
+          }
+          raw
         }
-        out(f) = (acc / channels).toInt
-        f += 1
-      }
-      (out, fmt.getSampleRate)
+      (bytes, fmt.getChannels, fmt.getSampleRate)
     } finally in.close()
+  }
+
+  /** [[decodeMono]] plus the stream's frame rate — composed passes
+    * that also gate on duration need it without a second decode. */
+  private[multimodal] def decodeMonoWithRate(
+      payload: Array[Byte]): (Array[Int], Float) = {
+    MediaCounters.audioReads.incrementAndGet(): Unit
+    val (bytes, channels, rate) = openNormalized16(payload)
+    val nFrames = bytes.length / 2 / channels
+    require(nFrames > 0, "empty audio stream")
+    val out = new Array[Int](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      // mean over channels, mono-ized
+      var acc = 0L
+      var c = 0
+      while (c < channels) {
+        val i = (f * channels + c) * 2
+        acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+        c += 1
+      }
+      out(f) = (acc / channels).toInt
+      f += 1
+    }
+    (out, rate)
   }
 
   /** The 8-segment envelope/ZCR fingerprint over samples [from, until)

@@ -79,40 +79,30 @@ object MediaQuality {
     media.as[MediaRecord].mapPartitions(_.map { r =>
       require(r.media_type == "audio",
         s"media_id=${r.media_id}: audio signals over ${r.media_type}")
-      val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(r.payload))
-      catch {
-        case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          throw new IllegalArgumentException(
-            s"media_id=${r.media_id}: payload is not a decodable audio " +
-              "stream", e)
-      }
-      try {
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16,
-          s"media_id=${r.media_id}: ${fmt.getSampleSizeInBits}-bit PCM " +
-            "unsupported (16-bit required)")
-        val channels = fmt.getChannels
-        val big = fmt.isBigEndian
-        val bytes = in.readAllBytes()
-        val total = bytes.length / 2
-        require(total > 0, s"media_id=${r.media_id}: empty audio stream")
-        var sumAbs = 0L
-        var clipped = 0L
-        var i = 0
-        while (i < total) {
-          val lo = bytes(2 * i) & 0xff
-          val hi = bytes(2 * i + 1) & 0xff
-          val s = (if (big) (lo << 8) | hi else (hi << 8) | lo).toShort
-          sumAbs += math.abs(s.toInt)
-          if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
-          i += 1
+      // one normalized-decode seam for every wire coding (16-bit PCM,
+      // 8-bit PCM, G.711 telephony) — see AudioDedup.openNormalized16
+      val (bytes, channels, rate) =
+        try AudioDedup.openNormalized16(r.payload)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"media_id=${r.media_id}: ${e.getMessage}", e)
         }
-        val frames = total / channels
-        (r.media_id, frames.toLong,
-          frames.toLong * 1000L / fmt.getSampleRate.toLong,
-          sumAbs / total, clipped * 1000L / total)
-      } finally in.close()
+      val total = bytes.length / 2
+      require(total > 0, s"media_id=${r.media_id}: empty audio stream")
+      var sumAbs = 0L
+      var clipped = 0L
+      var i = 0
+      while (i < total) {
+        val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        sumAbs += math.abs(s.toInt)
+        if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+        i += 1
+      }
+      val frames = total / channels
+      (r.media_id, frames.toLong,
+        frames.toLong * 1000L / rate.toLong,
+        sumAbs / total, clipped * 1000L / total)
     }).toDF("media_id", "n_frames", "duration_ms", "mean_abs",
       "clip_permille")
       .withColumn("too_short", col("duration_ms") < minMs)

@@ -11,6 +11,51 @@ class AudioDedupSpec extends SparkSpec {
   private lazy val variants =
     Multimodal.syntheticAudioVariants(spark, docs, groups = 20)
 
+  test("G.711 and 8-bit PCM WAVs decode through the whole audio stack") {
+    def wav(data: Array[Byte],
+            fmt: javax.sound.sampled.AudioFormat): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, data.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+      bos.toByteArray
+    }
+    val n = 900
+    val pcm16 = new Array[Int](n)
+    (0 until n).foreach(i =>
+      pcm16(i) = (math.sin(2 * math.Pi * 300 * i / 8000) * 8000).toInt)
+    import javax.sound.sampled.AudioFormat
+    // A-law WAV: decoded samples == the G.711 reference expansion
+    val alawBytes = Array.tabulate(n)(i => G711.linearToAlaw(pcm16(i).toShort))
+    val alawWav = wav(alawBytes, new AudioFormat(
+      AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false))
+    val (decA, rateA) = AudioDedup.decodeMonoWithRate(alawWav)
+    assert(rateA == 8000f && decA.length == n)
+    assert((0 until n).forall(i =>
+      decA(i) == G711.alawToLinear(alawBytes(i)).toInt))
+    // µ-law WAV likewise
+    val ulawBytes = Array.tabulate(n)(i => G711.linearToUlaw(pcm16(i).toShort))
+    val ulawWav = wav(ulawBytes, new AudioFormat(
+      AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false))
+    assert(AudioDedup.decodeMonoWithRate(ulawWav)._1.toSeq ==
+      ulawBytes.map(b => G711.ulawToLinear(b).toInt).toSeq)
+    // 8-bit unsigned PCM WAV rescales by the (v - 128) << 8 convention
+    val u8 = Array.tabulate(n)(i => ((pcm16(i) >> 8) + 128).toByte)
+    val u8Wav = wav(u8, new AudioFormat(
+      AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false))
+    assert(AudioDedup.decodeMonoWithRate(u8Wav)._1.toSeq ==
+      u8.map(b => ((b & 0xff) - 128) << 8).toSeq)
+    // the full stack runs: signals + fingerprints over telephony WAVs
+    val media = Seq((1L, "audio", alawWav, "audio/wav", "t"),
+      (2L, "audio", ulawWav, "audio/wav", "t"))
+      .toDF("media_id", "media_type", "payload", "mime", "source")
+    val sig = MediaQuality.audioSignals(media)
+    assert(sig.filter(col("n_frames") =!= n.toLong).count() == 0)
+    assert(AudioDedup.hashAudio(media).select("ahash").distinct()
+      .count() >= 1)
+  }
+
   test("fingerprint: volume-invariant, pitch-sensitive, deterministic") {
     val h = AudioDedup.hashAudio(variants)
       .withColumn("base", pmod(col("media_id"), lit(20L)))
