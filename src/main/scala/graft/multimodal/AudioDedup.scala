@@ -48,14 +48,22 @@ object AudioDedup {
 
   /** Open an audio payload and NORMALIZE its wire coding to 16-bit
     * LITTLE-endian interleaved sample bytes: G.711 telephony WAVs
-    * (A-law/µ-law) expand by table arithmetic, 8-bit PCM rescales
-    * (unsigned per the WAV convention), big-endian 16-bit byte-swaps;
+    * (A-law/µ-law) expand by table arithmetic, IMA/MS ADPCM WAVs
+    * block-decode ([[Adpcm]]), 8-bit PCM rescales (unsigned per the
+    * WAV convention), big-endian 16-bit byte-swaps;
     * other codings (float PCM, MP3 plugins) refuse loudly. Returns
     * (sample bytes, channels, sample rate) — the single decode seam
     * every audio face shares, so a new wire coding lights them all up
     * at once. Does NOT count a decode; callers own their counters. */
   private[multimodal] def openNormalized16(
       payload: Array[Byte]): (Array[Byte], Int, Float) = {
+    // ADPCM WAVs first (wFormatTag 0x0002/0x0011): the JDK reader
+    // refuses those tags, so the RIFF sniff + block decode live in
+    // [[Adpcm]]; every other payload falls through to AudioSystem
+    Adpcm.sniffWav(payload) match {
+      case Some(w) => return Adpcm.decodeWav(w)
+      case None => ()
+    }
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     catch {
