@@ -554,6 +554,49 @@ object SparkEntry {
       s.read.parquet(dstDir)
     }),
 
+    // --- archive-aware distcp (round 18): UnGzipConverter +
+    // DecryptConverter + TarArchiveInputStreamDataWriter semantics —
+    // an encrypted compressed archive drop (`suppliers.tar.gz.aes`)
+    // decrypts (keystore rotating AES-GCM), gunzips and unpacks IN
+    // FLIGHT inside the copy task; the destination holds the plain
+    // member files (extensions stripped), which re-parse to the source
+    // table's rows ---
+    "q252_copy_unpack" -> ((s, dir) => {
+      val base = tmp("q252")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ring = graft.functions.KeyCrypto.KeyRing(Map(
+        1 -> Array.tabulate(16)(i => (i * 11 + 5).toByte),
+        2 -> Array.tabulate(16)(i => (i * 3 + 2).toByte)))
+      // fixture: the supplier table as 4 csv members of one archive
+      // (drop-shaped: a vendor ships a tarball, not a table)
+      val rows = t(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .collect() // fixture setup: supplier is the smallest table
+      val members = rows.groupBy(r => (r.getLong(0) % 4).toInt).toSeq
+        .sortBy(_._1)
+        .map { case (m, rs) =>
+          val text = rs.sortBy(_.getLong(0))
+            .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getInt(2)}")
+            .mkString("", "\n", "\n")
+          (s"part-$m.csv", text.getBytes("UTF-8"))
+        }
+      operators.CopyStream.writeTarGzAes(hfs,
+        new org.apache.hadoop.fs.Path(s"$base/src/suppliers.tar.gz.aes"),
+        "suppliers", members, ring)
+      val tasks = operators.CopyExec.planFromManifest(
+        operators.CopyDiff.listManifest(s, s"$base/src"),
+        s"$base/src", s"$base/dst")
+      val stats = operators.CopyStream.execute(tasks,
+        Seq(operators.CopyStream.DecryptAes(ring), operators.CopyStream.Ungzip),
+        untar = true)
+      require(stats.filesCopied == 1 && stats.entriesWritten == 4,
+        s"archive copy wrote ${stats.entriesWritten} members")
+      s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT")
+        .csv(s"$base/dst/suppliers")
+    }),
+
     // --- partition-scoped purge rewrite (HivePurgerSource.java:66): only
     // partitions holding a deleted key are rewritten (dynamic partition
     // overwrite); the re-read of the WHOLE tree equals the anti-join ---
@@ -2640,6 +2683,27 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // WebP metadata scrub audit (round 18): the RIFF face of the image
+    // compliance pass over the #2 web format — EXIF+XMP chunks planted
+    // on doc_id % 4 = 0 (with VP8X presence flags where the form has
+    // one), smuggled trailing bytes on % 4 = 2; image data and ICCP
+    // color profiles stay, zero pixel decodes
+    "q254_webp_scrub_report" -> ((s, dir) => {
+      val webps = Multimodal.syntheticWebpImages(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(webps)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
+    // WebP aspect bucketing (round 18): q233's nearest-ratio arithmetic
+    // with dims read from all THREE WebP header forms (VP8L stream
+    // bits, VP8X canvas, lossy VP8 key-frame header) — zero decodes
+    "q255_webp_aspect_buckets" -> ((s, dir) => {
+      val webps = Multimodal.syntheticWebpImages(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.aspectBuckets(webps)
+        .select(col("media_id"), col("width"), col("height"), col("bucket"))
+    }),
+
     // mp4 (ISO-BMFF) metadata scrub audit (round 18): the box-walk face
     // of q228/q239 over the dominant crawl container — an Apple-style
     // udta (comment + GPS) planted inside moov on doc_id % 4 = 0 and
@@ -2676,6 +2740,19 @@ object SparkEntry {
       val m4as = Multimodal.syntheticG711Audio(s, t(s, dir, "documents"))
       val tracks = Multimodal.demuxMp4Audio(m4as)
       graft.multimodal.MediaQuality.audioSignals(tracks)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // ADPCM AUDIO (round 18): the 4-bit differential wire codings of
+    // dictation rigs and games — IMA/DVI (0x0011) on even doc_ids,
+    // Microsoft (0x0002) on odd — block-decode through the normalized
+    // seam (the JDK WAV reader refuses these tags; graft.multimodal
+    // .Adpcm owns the RIFF sniff + table arithmetic); planted counts
+    // stay doc_id arithmetic through a REAL lossy encode→decode
+    // round-trip with exact fact-chunk frame counts
+    "q253_adpcm_audio" -> ((s, dir) => {
+      val wavs = Multimodal.syntheticAdpcmAudio(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.audioSignals(wavs)
         .select(col("media_id"), col("n_frames"), col("duration_ms"))
     }),
 
@@ -3216,6 +3293,46 @@ object SparkEntry {
         .select(col("media_id"),
           col("width").cast("bigint").as("width"),
           col("n_frames"), col("duration_ms"), col("n_sampled"))
+    }),
+
+    // REAL MJPEG-in-Matroska container decode (round 18): the q248
+    // contract over the FOURTH in-JVM video container — the EBML
+    // element walk (Tracks/TrackEntry codec gate, Cluster/SimpleBlock
+    // frames, per-block timestamps through TimestampScale) + per-frame
+    // javax.imageio JPEG decode. Timing is native-VFR start stamps:
+    // frame f displays (f+1)*50 ms (last span from DefaultDuration),
+    // so duration_ms = 25*n*(n+1); VP8/VP9 webm stays the loud refusal
+    "q256_mkv_frames" -> ((s, dir) => {
+      val mkvs = Multimodal.syntheticMkvVideos(s, t(s, dir, "documents"))
+      Multimodal.videoFrameCard(mkvs, every = 2)
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("n_frames"), col("duration_ms"), col("n_sampled"))
+    }),
+
+    // Matroska PCM AUDIO DEMUX (round 18): A_PCM/INT/LIT tracks out of
+    // Cluster/SimpleBlock payloads — 16-bit LE on even doc_ids, 8-bit
+    // unsigned on odd (both bit-depth paths) — re-wrapped as WAV and
+    // run through the ENTIRE audio stack; compressed webm soundtracks
+    // (Vorbis/Opus) refuse loudly
+    "q257_mkv_audio_demux" -> ((s, dir) => {
+      val mkvs = Multimodal.syntheticMkvAudio(s, t(s, dir, "documents"))
+      val tracks = Multimodal.demuxMkvAudio(mkvs)
+      graft.multimodal.MediaQuality.audioSignals(tracks)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // Matroska metadata scrub audit (round 18): the EBML face of q246
+    // — a Tags element (author/GPS comment) planted on doc_id % 4 = 0
+    // is WIPED IN PLACE with a same-size Void (SeekHead/Cues hold
+    // segment-relative offsets; removal would corrupt them — Void is
+    // the format's own mechanism), smuggled bytes past the Segment end
+    // strip on % 4 = 2. Zero decodes
+    "q258_mkv_scrub_report" -> ((s, dir) => {
+      val mkvs = Multimodal.syntheticMkvVideos(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(mkvs)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
     "q196_gif_frames" -> ((s, dir) => {
@@ -4889,6 +5006,8 @@ object SparkEntry {
       "SELECT * FROM orders",
     "q54_copy_exec" ->
       "SELECT * FROM supplier",
+    "q252_copy_unpack" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "q55_purge_partitions" ->
       ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
         "WHERE c_custkey % 7 <> 0"),
@@ -5403,6 +5522,25 @@ object SparkEntry {
         "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
         "END::INT AS n_stripped, " +
         "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
+    // EXIF + XMP chunks planted on % 4 = 0, trailing bytes on % 4 = 2
+    "q254_webp_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 2 WHEN doc_id % 4 = 2 THEN 1 " +
+        "ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 IN (0, 2) AS had_metadata FROM documents"),
+    // q233's bucket arithmetic over WebP header dims
+    "q255_webp_aspect_buckets" ->
+      ("WITH s AS (SELECT doc_id, (16 + doc_id % 32)::INT AS w, " +
+        "(16 + doc_id % 24)::INT AS h FROM documents), " +
+        "d AS (SELECT doc_id, w, h, abs(w*1 - h*1) AS d0, " +
+        "abs(w*3 - h*4) AS d1, abs(w*4 - h*3) AS d2, " +
+        "abs(w*9 - h*16) AS d3, abs(w*16 - h*9) AS d4 FROM s) " +
+        "SELECT doc_id AS media_id, w AS width, h AS height, " +
+        "CASE WHEN d0*3 <= d1*1 AND d0*4 <= d2*1 AND d0*9 <= d3*1 " +
+        "AND d0*16 <= d4*1 THEN '1:1' " +
+        "WHEN d1*4 <= d2*3 AND d1*9 <= d3*3 AND d1*16 <= d4*3 THEN '4:3' " +
+        "WHEN d2*9 <= d3*4 AND d2*16 <= d4*4 THEN '3:4' " +
+        "WHEN d3*16 <= d4*9 THEN '16:9' ELSE '9:16' END AS bucket FROM d"),
     // one udta box planted on doc_id % 4 = 0, trailing bytes on % 4 = 2
     "q246_mp4_scrub_report" ->
       ("SELECT doc_id AS media_id, " +
@@ -5411,6 +5549,12 @@ object SparkEntry {
         "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
     // the companded track expands to 800 + id%800 linear samples
     "q250_g711_audio_demux" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
+    // ADPCM WAVs decode to exactly the fact-chunk frame count
+    "q253_adpcm_audio" ->
       ("SELECT doc_id AS media_id, " +
         "(800 + doc_id % 800)::BIGINT AS n_frames, " +
         "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
@@ -5700,6 +5844,25 @@ object SparkEntry {
         "(2 + doc_id % 6)::BIGINT AS n_frames, " +
         "(25 * (2 + doc_id % 6) * (3 + doc_id % 6))::BIGINT AS duration_ms, " +
         "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // the Matroska mirror of q248: same VFR arithmetic, parsed from an
+    // EBML container instead of ISO-BMFF
+    "q256_mkv_frames" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 16)::BIGINT AS width, " +
+        "(2 + doc_id % 6)::BIGINT AS n_frames, " +
+        "(25 * (2 + doc_id % 6) * (3 + doc_id % 6))::BIGINT AS duration_ms, " +
+        "((2 + doc_id % 6 + 1) // 2)::BIGINT AS n_sampled FROM documents"),
+    // the demuxed A_PCM track is 800 + id%800 samples at 8 kHz
+    "q257_mkv_audio_demux" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
+    // one Tags element planted on doc_id % 4 = 0, trailing on % 4 = 2
+    "q258_mkv_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
+        "END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
     // the AVI mirror of q196: same planted frame-count/dims/duration
     // arithmetic, parsed from a real RIFF/AVI container instead of GIF
     "q237_avi_frames" ->

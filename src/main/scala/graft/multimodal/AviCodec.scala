@@ -491,7 +491,7 @@ private[multimodal] object VideoCodec {
 
   def isVideo(b: Array[Byte]): Boolean =
     Multimodal.GifCodec.isGif(b) || AviCodec.isAvi(b) ||
-      Mp4Codec.hasMjpegVideo(b)
+      Mp4Codec.hasMjpegVideo(b) || MkvCodec.hasMjpegVideo(b)
 
   def withFrames[T](payload: Array[Byte])(f: Frames => T): T =
     if (Multimodal.GifCodec.isGif(payload))
@@ -529,8 +529,19 @@ private[multimodal] object VideoCodec {
         def delayUs(i: Int): Long = mp4.frameDelaysUs(i)
         def renderedDelayUs(i: Int): Long = mp4.frameDelaysUs(i)
       })
+    } else if (MkvCodec.hasMjpegVideo(payload)) {
+      val mkv = MkvCodec.openVideo(payload)
+      f(new Frames {
+        def numFrames: Int = mkv.numFrames
+        def frame(i: Int): java.awt.image.BufferedImage = mkv.frame(i)
+        // Matroska block timestamps are explicit and per-frame
+        // (natively VFR), in µs through the TimestampScale
+        def delayUs(i: Int): Long = mkv.delaysUs(i)
+        def renderedDelayUs(i: Int): Long = mkv.delaysUs(i)
+      })
     } else throw new IllegalArgumentException(
       "payload is not a decodable video container (animated GIF, " +
-        "AVI/MJPEG and MJPEG-in-mp4 decode in-JVM; compressed codecs — " +
-        "avc1/hev1/vp09 mp4, webm — need a codec the JDK lacks)")
+        "AVI/MJPEG, MJPEG-in-mp4 and MJPEG-in-Matroska decode in-JVM; " +
+        "compressed codecs — avc1/hev1/vp09, VP8/VP9 webm — need a " +
+        "codec the JDK lacks)")
 }

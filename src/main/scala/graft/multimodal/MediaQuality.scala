@@ -473,6 +473,8 @@ object MediaQuality {
       // most common crawled format. SOF markers: C0-CF minus the
       // non-frame C4 (DHT), C8 (JPG), CC (DAC)
       jpegDims(payload)
+    } else if (MediaScrub.isRiffWebp(payload)) {
+      webpDims(payload)
     } else {
       val img = ImageCodec.read(payload)
       require(img != null, "payload is not a decodable image")
@@ -503,6 +505,38 @@ object MediaQuality {
       off += 2 + len
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** (width, height) from WebP header bytes — zero pixel decode. The
+    * first chunk decides: VP8X carries the canvas size outright
+    * (24-bit minus-one fields), VP8L packs 14-bit minus-one dims into
+    * its stream header, lossy VP8 carries them in the key-frame
+    * header after the 9D 01 2A start code. */
+  private def webpDims(b: Array[Byte]): (Int, Int) = {
+    require(b.length >= 20, "truncated WebP container")
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le24(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16)
+    val id = new String(b, 12, 4, "US-ASCII")
+    val body = 20 // first chunk's payload offset
+    id match {
+      case "VP8X" =>
+        require(b.length >= body + 10, "truncated VP8X header")
+        (1 + le24(body + 4), 1 + le24(body + 7))
+      case "VP8L" =>
+        require(b.length >= body + 5 && (b(body) & 0xff) == 0x2f,
+          "VP8L stream lacks its signature byte")
+        val bits = le24(body + 1) | ((b(body + 4) & 0xff) << 24)
+        (1 + (bits & 0x3fff), 1 + ((bits >> 14) & 0x3fff))
+      case "VP8 " =>
+        require(b.length >= body + 10, "truncated VP8 frame header")
+        require((b(body + 3) & 0xff) == 0x9d && (b(body + 4) & 0xff) == 0x01 &&
+          (b(body + 5) & 0xff) == 0x2a,
+          "VP8 key-frame start code missing — dims unknown")
+        (le16(body + 6) & 0x3fff, le16(body + 8) & 0x3fff)
+      case other => throw new IllegalArgumentException(
+        s"WebP leads with '$other' — dims unknown")
+    }
   }
 
   /** ASPECT-RATIO bucketing — the batch-packing pass of vision training

@@ -115,6 +115,12 @@ object MediaScrub {
     * as a `TRAILING` pseudo-chunk — stripped and reported. */
   private def wavChunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
     require(isRiffWave(b), "payload is not a RIFF/WAVE container")
+    riffFlatSpans(b)
+  }
+
+  /** The flat RIFF walk shared by WAVE and WEBP forms (AVI needs the
+    * LIST-aware walk instead): caller has validated the form type. */
+  private def riffFlatSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
     val riffEnd = math.min(b.length.toLong,
       12L + (((b(4) & 0xffL)) | ((b(5) & 0xffL) << 8) |
         ((b(6) & 0xffL) << 16) | ((b(7) & 0xffL) << 24)) - 4L).toInt
@@ -159,6 +165,94 @@ object MediaScrub {
       }
       (out, dropped.map(_._1))
     }
+  }
+
+  // ---- WebP containers ----
+
+  /** WebP chunks that stay: the image/animation data and the COLOR
+    * profile (ICCP is rendering info, like JPEG's ICC APP2). `EXIF`
+    * and `XMP ` — where cameras and editors stash GPS coordinates,
+    * device serials and author strings — are dropped. */
+  private val KeepWebp =
+    Set("VP8 ", "VP8L", "VP8X", "ALPH", "ANIM", "ANMF", "ICCP")
+
+  def isRiffWebp(b: Array[Byte]): Boolean =
+    b.length > 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  private def webpChunkSpans(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(isRiffWebp(b), "payload is not a RIFF/WEBP container")
+    riffFlatSpans(b)
+  }
+
+  /** Strip metadata chunks from one WebP payload: (scrubbed bytes,
+    * dropped chunk ids), RIFF size rewritten, and the VP8X header's
+    * EXIF/XMP presence flags CLEARED (readers trust the flags; a set
+    * flag pointing at a removed chunk is a spec violation some
+    * parsers refuse). A clean payload returns the original array. */
+  def stripWebp(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    val spans = webpChunkSpans(payload)
+    val dropped = spans.filterNot(s => KeepWebp(s._1))
+    if (dropped.isEmpty) (payload, Nil)
+    else {
+      val keep = spans.filter(s => KeepWebp(s._1))
+      val body = keep.map(_._3).sum
+      val out = new Array[Byte](12 + body)
+      System.arraycopy(payload, 0, out, 0, 12)
+      val riffSize = 4 + body
+      out(4) = (riffSize & 0xff).toByte
+      out(5) = ((riffSize >> 8) & 0xff).toByte
+      out(6) = ((riffSize >> 16) & 0xff).toByte
+      out(7) = ((riffSize >> 24) & 0xff).toByte
+      var pos = 12
+      keep.foreach { case (id, off, total) =>
+        System.arraycopy(payload, off, out, pos, total)
+        if (id == "VP8X" && total >= 9) {
+          // flags byte: |Rsv|Rsv|ICC|Alpha|EXIF|XMP|Anim|Rsv|
+          out(pos + 8) = (out(pos + 8) & ~0x0c).toByte
+        }
+        pos += total
+      }
+      (out, dropped.map(_._1))
+    }
+  }
+
+  /** Insert EXIF/XMP metadata chunks (and set the matching VP8X flags
+    * when present) — the fixture/adversary side of [[stripWebp]]. */
+  private[multimodal] def insertWebpMetadata(payload: Array[Byte],
+                                             exif: Array[Byte],
+                                             xmp: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val spans = webpChunkSpans(payload)
+    require(!spans.exists(_._1 == "TRAILING"),
+      "fixture payload already has trailing bytes")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      val out = new Array[Byte](8 + data.length + pad)
+      System.arraycopy(id.getBytes("US-ASCII"), 0, out, 0, 4)
+      out(4) = (data.length & 0xff).toByte
+      out(5) = ((data.length >> 8) & 0xff).toByte
+      out(6) = ((data.length >> 16) & 0xff).toByte
+      out(7) = ((data.length >> 24) & 0xff).toByte
+      System.arraycopy(data, 0, out, 8, data.length)
+      out
+    }
+    val extra = chunk("EXIF", exif) ++
+      (if (xmp.nonEmpty) chunk("XMP ", xmp) else Array.emptyByteArray)
+    val out = new Array[Byte](payload.length + extra.length)
+    System.arraycopy(payload, 0, out, 0, payload.length)
+    System.arraycopy(extra, 0, out, payload.length, extra.length)
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xff).toByte
+    out(5) = ((riffSize >> 8) & 0xff).toByte
+    out(6) = ((riffSize >> 16) & 0xff).toByte
+    out(7) = ((riffSize >> 24) & 0xff).toByte
+    spans.find(_._1 == "VP8X").foreach { case (_, off, total) =>
+      if (total >= 9)
+        out(off + 8) = (out(off + 8) |
+          (if (xmp.nonEmpty) 0x0c else 0x08)).toByte
+    }
+    out
   }
 
   // ---- GIF containers ----
@@ -542,10 +636,10 @@ object MediaScrub {
     out
   }
 
-  /** Scrub a media table: PNG, WAV, GIF, AVI and mp4 payloads lose
-    * their metadata chunks, everything else passes through
-    * byte-untouched. Map-only, zero decodes; output keeps the media
-    * schema. */
+  /** Scrub a media table: PNG, JPEG, WAV, WebP, GIF, AVI and mp4
+    * payloads lose their metadata chunks, everything else passes
+    * through byte-untouched. Map-only, zero decodes; output keeps the
+    * media schema. */
   def scrub(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -554,8 +648,10 @@ object MediaScrub {
         if (isPng(r.payload)) Some(stripPng(r.payload))
         else if (isJpeg(r.payload)) Some(stripJpeg(r.payload))
         else if (isRiffWave(r.payload)) Some(stripWav(r.payload))
+        else if (isRiffWebp(r.payload)) Some(stripWebp(r.payload))
         else if (AviCodec.isAvi(r.payload)) Some(stripAvi(r.payload))
         else if (Mp4Codec.isMp4(r.payload)) Some(Mp4Codec.strip(r.payload))
+        else if (MkvCodec.isMkv(r.payload)) Some(MkvCodec.strip(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -584,10 +680,14 @@ object MediaScrub {
           jpegSpans(r.payload).map(_._1).filterNot(s => KeepJpeg(s))
         else if (isRiffWave(r.payload))
           wavChunkSpans(r.payload).map(_._1).filterNot(KeepWav)
+        else if (isRiffWebp(r.payload))
+          webpChunkSpans(r.payload).map(_._1).filterNot(KeepWebp)
         else if (AviCodec.isAvi(r.payload))
           aviChunkSpans(r.payload).map(_._1).filterNot(KeepAvi)
         else if (Mp4Codec.isMp4(r.payload))
           Mp4Codec.wipeReport(r.payload)
+        else if (MkvCodec.isMkv(r.payload))
+          MkvCodec.wipeReport(r.payload)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

@@ -710,6 +710,119 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Demux Matroska `A_PCM/INT/LIT` soundtracks into first-class audio
+    * rows — the EBML mirror of [[demuxMp4Audio]]: same mono-16
+    * normalization, same WAV re-wrap, so the demuxed track runs the
+    * entire audio stack unchanged. */
+  def demuxMkvAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      require(MkvCodec.isMkv(r.payload),
+        s"media_id=${r.media_id}: Matroska audio demux is an EBML " +
+          "walk — this payload is not a Matroska/webm container")
+      MkvCodec.extractAudio(r.payload).map { a =>
+        val mono = AviCodec.toMono16(a)
+        val fmt = new javax.sound.sampled.AudioFormat(a.rate.toFloat, 16,
+          1, true, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(mono), fmt,
+            mono.length / 2L),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos): Unit
+        (r.media_id, "audio", bos.toByteArray, "audio/wav", r.source)
+      }
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic Matroska video table — the EBML mirror of
+    * [[syntheticMp4Videos]]: `2 + doc_id % 6` MJPEG frames (same
+    * gradient arithmetic) with NATIVE VFR timing via block timestamps
+    * (frame f starts at 50·f·(f+1)/2 ms, so it displays (f+1)·50 ms;
+    * the last frame's span comes from DefaultDuration = 50·n ms) —
+    * duration_ms = 25·n·(n+1), the q248 arithmetic, through a third
+    * container grammar. With `plantMetadata`: a Tags element (author
+    * comment) on doc_id % 4 = 0, trailing bytes on % 4 = 2. */
+  def syntheticMkvVideos(spark: SparkSession, docs: DataFrame,
+                         plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nFrames = 2 + (id % 6).toInt
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 12).toInt
+      val jpegs = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = ((id * 31 + f * 47 + x * 3 + y * 5) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", baos),
+          "no JPEG writer available")
+        baos.toByteArray
+      }
+      val ts = (0 until nFrames).map(f => 50L * f * (f + 1) / 2)
+      val tags = if (plantMetadata && id % 4 == 0)
+        Some(s"muxed by rig $id at 12.34,56.78") else None
+      val trailing = if (plantMetadata && id % 4 == 2)
+        s"smuggled-after-segment-$id".getBytes("US-ASCII")
+      else Array.emptyByteArray
+      (id, "video",
+        MkvCodec.writeMkv(jpegs, ts, w, h,
+          defaultDurationMs = 50L * nFrames, tags = tags,
+          trailing = trailing),
+        "video/x-matroska", "mkvgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic Matroska audio table: the [[syntheticM4aAudio]] tone —
+    * mono 16-bit 8 kHz, `800 + doc_id % 800` samples — muxed as an
+    * `A_PCM/INT/LIT` track (8-bit unsigned on doc_id % 2 = 1, so both
+    * bit-depth demux paths run). */
+  def syntheticMkvAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val eightBit = id % 2 == 1
+      val pcm =
+        if (eightBit) {
+          val out = new Array[Byte](nSamp)
+          var i = 0
+          while (i < nSamp) {
+            val v = (math.sin(2 * math.Pi * freq * i / rate) * 100).toInt
+            out(i) = ((v + 128) & 0xff).toByte // unsigned by convention
+            i += 1
+          }
+          out
+        } else {
+          val out = new Array[Byte](nSamp * 2)
+          var i = 0
+          while (i < nSamp) {
+            val v = (math.sin(2 * math.Pi * freq * i / rate) * 8000).toShort
+            out(2 * i) = (v & 0xff).toByte
+            out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          out
+        }
+      val audio = AviCodec.AviAudio(pcm, channels = 1, rate = rate,
+        bits = if (eightBit) 8 else 16)
+      (id, "audio",
+        MkvCodec.writeMkv(Seq.empty, Seq.empty, 0, 0, audio = Some(audio)),
+        "audio/x-matroska", "mkvgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic ISO-BMFF audio (m4a-shaped mp4) table: the
     * [[syntheticAviWithAudio]] tone — mono 16-bit 8 kHz,
     * `800 + doc_id % 800` samples at pitch `200 + (doc_id % 10) * 50`
@@ -772,6 +885,31 @@ object Multimodal {
         Mp4Codec.writePcm(g711, rate,
           format = if (alaw) "alaw" else "ulaw"),
         "audio/mp4", "g711gen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic ADPCM WAV table: the [[syntheticG711Audio]] tone coded
+    * as 4-bit differential ADPCM — IMA/DVI (wFormatTag 0x0011) on even
+    * doc_ids, Microsoft (0x0002) on odd — with a `fact` chunk carrying
+    * the exact frame count, so planted counts stay doc_id arithmetic
+    * through a REAL lossy encode→block-decode round-trip. */
+  def syntheticAdpcmAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val samples = Array.tabulate(nSamp)(i =>
+        (math.sin(2 * math.Pi * freq * i / rate) * 8000).toInt)
+      val ima = id % 2 == 0
+      val wav = if (ima) {
+        val (data, ba) = Adpcm.encodeImaMono(samples)
+        Adpcm.wavBytes(0x0011, 1, rate, ba, nSamp.toLong, data)
+      } else {
+        val (data, ba) = Adpcm.encodeMsMono(samples)
+        Adpcm.wavBytes(0x0002, 1, rate, ba, nSamp.toLong, data)
+      }
+      (id, "audio", wav, "audio/wav", "adpcmgen")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
@@ -902,6 +1040,74 @@ object Multimodal {
         (id, "image", ImageCodec.write(img, "png"), "image/png", source)
       })
       .toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic WebP table exercising all three header forms — the #2
+    * web image format's layout-only faces (scrub, aspect bucketing)
+    * need no pixel decode, so payloads carry REAL header grammar
+    * (VP8L stream bits on doc_id % 3 = 0, a VP8X canvas on 1, a lossy
+    * VP8 key-frame header on 2) with [[syntheticImages]]' dims
+    * arithmetic (w = 16 + id % 32, h = 16 + id % 24). With
+    * `plantMetadata`: EXIF + XMP chunks on doc_id % 4 = 0 (VP8X flags
+    * set when present), smuggled trailing bytes on doc_id % 4 = 2. */
+  def syntheticWebpImages(spark: SparkSession, docs: DataFrame,
+                          plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      def chunk(cid: String, data: Array[Byte]): Array[Byte] = {
+        val pad = data.length & 1
+        val out = new Array[Byte](8 + data.length + pad)
+        System.arraycopy(cid.getBytes("US-ASCII"), 0, out, 0, 4)
+        out(4) = (data.length & 0xff).toByte
+        out(5) = ((data.length >> 8) & 0xff).toByte
+        out(6) = ((data.length >> 16) & 0xff).toByte
+        out(7) = ((data.length >> 24) & 0xff).toByte
+        System.arraycopy(data, 0, out, 8, data.length)
+        out
+      }
+      def vp8l: Array[Byte] = {
+        val bits = (w - 1) | ((h - 1) << 14)
+        chunk("VP8L", Array[Byte](0x2f,
+          (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+          ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte,
+          (id & 0x7f).toByte, ((id >> 7) & 0x7f).toByte))
+      }
+      val body: Array[Byte] = (id % 3) match {
+        case 0 => vp8l
+        case 1 =>
+          val x = new Array[Byte](10)
+          x(4) = ((w - 1) & 0xff).toByte
+          x(5) = (((w - 1) >> 8) & 0xff).toByte
+          x(6) = (((w - 1) >> 16) & 0xff).toByte
+          x(7) = ((h - 1) & 0xff).toByte
+          x(8) = (((h - 1) >> 8) & 0xff).toByte
+          x(9) = (((h - 1) >> 16) & 0xff).toByte
+          chunk("VP8X", x) ++ vp8l
+        case _ =>
+          val f = new Array[Byte](12)
+          f(3) = 0x9d.toByte; f(4) = 0x01; f(5) = 0x2a
+          f(6) = (w & 0xff).toByte; f(7) = ((w >> 8) & 0x3f).toByte
+          f(8) = (h & 0xff).toByte; f(9) = ((h >> 8) & 0x3f).toByte
+          chunk("VP8 ", f)
+      }
+      val riffSize = 4 + body.length
+      val head = Array[Byte]('R', 'I', 'F', 'F',
+        (riffSize & 0xff).toByte, ((riffSize >> 8) & 0xff).toByte,
+        ((riffSize >> 16) & 0xff).toByte, ((riffSize >> 24) & 0xff).toByte,
+        'W', 'E', 'B', 'P')
+      val clean = head ++ body
+      val payload =
+        if (plantMetadata && id % 4 == 0)
+          MediaScrub.insertWebpMetadata(clean,
+            s"gps=12.34,56.78 rig=$id".getBytes("US-ASCII"),
+            s"<x:xmpmeta author='rig-$id'/>".getBytes("US-ASCII"))
+        else if (plantMetadata && id % 4 == 2)
+          clean ++ s"smuggled-after-webp-$id".getBytes("US-ASCII")
+        else clean
+      (id, "image", payload, "image/webp", "webpgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
   /** Synthetic image table with PLANTED duplicate groups: content is a
