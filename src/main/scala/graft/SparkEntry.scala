@@ -2756,6 +2756,30 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("duration_ms"))
     }),
 
+    // FLAC AUDIO (round 18): the first COMPRESSED audio coding served
+    // in-JVM — integer fixed/LPC prediction + Rice residuals, pure
+    // table-free arithmetic, frame CRCs verified. 16-bit on even
+    // doc_ids, 8-bit on odd; the lossless decode feeds the normalized
+    // seam, so planted counts are EXACT (unlike ADPCM's lossy bound)
+    "q259_flac_audio" -> ((s, dir) => {
+      val flacs = Multimodal.syntheticFlacAudio(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.audioSignals(flacs)
+        .select(col("media_id"), col("n_frames"), col("duration_ms"))
+    }),
+
+    // FLAC metadata scrub audit (round 18): VORBIS_COMMENT (recorder
+    // location strings) planted on doc_id % 4 = 0, an embedded PICTURE
+    // block (a smuggling channel) on % 4 = 2; STREAMINFO and the audio
+    // frames stay byte-identical — FLAC seek points are offsets from
+    // the FIRST FRAME byte, so block removal shifts nothing. Zero
+    // decodes
+    "q260_flac_scrub_report" -> ((s, dir) => {
+      val flacs = Multimodal.syntheticFlacAudio(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(flacs)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
     // WAV metadata scrub audit (round 16): the RIFF face of q228 — a
     // LIST/INFO recorder-comment chunk planted on doc_id % 4 = 0 found
     // by the little-endian chunk walk, zero decodes
@@ -5553,6 +5577,18 @@ object SparkEntry {
         "(800 + doc_id % 800)::BIGINT AS n_frames, " +
         "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
         "FROM documents"),
+    // the lossless FLAC decode recovers exactly the encoded samples
+    "q259_flac_audio" ->
+      ("SELECT doc_id AS media_id, " +
+        "(800 + doc_id % 800)::BIGINT AS n_frames, " +
+        "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
+    // a VORBIS_COMMENT planted on % 4 = 0, a PICTURE block on % 4 = 2
+    "q260_flac_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0 " +
+        "END::INT AS n_stripped, " +
+        "doc_id % 4 = 0 OR doc_id % 4 = 2 AS had_metadata FROM documents"),
     // ADPCM WAVs decode to exactly the fact-chunk frame count
     "q253_adpcm_audio" ->
       ("SELECT doc_id AS media_id, " +

@@ -49,8 +49,9 @@ object AudioDedup {
   /** Open an audio payload and NORMALIZE its wire coding to 16-bit
     * LITTLE-endian interleaved sample bytes: G.711 telephony WAVs
     * (A-law/µ-law) expand by table arithmetic, IMA/MS ADPCM WAVs
-    * block-decode ([[Adpcm]]), 8-bit PCM rescales (unsigned per the
-    * WAV convention), big-endian 16-bit byte-swaps;
+    * block-decode ([[Adpcm]]), FLAC streams losslessly decode
+    * ([[Flac]]), 8-bit PCM rescales (unsigned per the WAV
+    * convention), big-endian 16-bit byte-swaps;
     * other codings (float PCM, MP3 plugins) refuse loudly. Returns
     * (sample bytes, channels, sample rate) — the single decode seam
     * every audio face shares, so a new wire coding lights them all up
@@ -63,6 +64,21 @@ object AudioDedup {
     Adpcm.sniffWav(payload) match {
       case Some(w) => return Adpcm.decodeWav(w)
       case None => ()
+    }
+    // FLAC streams: the integer-predictive decode lives in [[Flac]]
+    // (the JDK has no FLAC SPI); 8-bit samples rescale to the 16-bit
+    // norm like 8-bit PCM does
+    if (Flac.isFlac(payload)) {
+      val (samples, channels, rate, bits) = Flac.decode(payload)
+      val out = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val v = if (bits == 8) samples(i) << 8 else samples(i)
+        out(2 * i) = (v & 0xff).toByte
+        out(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      return (out, channels, rate.toFloat)
     }
     val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))

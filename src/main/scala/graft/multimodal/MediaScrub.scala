@@ -652,6 +652,7 @@ object MediaScrub {
         else if (AviCodec.isAvi(r.payload)) Some(stripAvi(r.payload))
         else if (Mp4Codec.isMp4(r.payload)) Some(Mp4Codec.strip(r.payload))
         else if (MkvCodec.isMkv(r.payload)) Some(MkvCodec.strip(r.payload))
+        else if (Flac.isFlac(r.payload)) Some(Flac.stripMeta(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -688,6 +689,8 @@ object MediaScrub {
           Mp4Codec.wipeReport(r.payload)
         else if (MkvCodec.isMkv(r.payload))
           MkvCodec.wipeReport(r.payload)
+        else if (Flac.isFlac(r.payload))
+          Flac.metaReport(r.payload)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

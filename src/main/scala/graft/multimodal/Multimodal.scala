@@ -913,6 +913,35 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic FLAC table: the [[syntheticAdpcmAudio]] tone encoded as
+    * REAL spec-conformant FLAC (fixed-predictor + Rice residuals) —
+    * 16-bit on even doc_ids, 8-bit on odd, so both depth paths
+    * normalize. With `plantMetadata`: a VORBIS_COMMENT (recorder
+    * location string) on doc_id % 4 = 0, an embedded PICTURE block on
+    * % 4 = 2 — the adversary side of [[Flac.stripMeta]]. */
+  def syntheticFlacAudio(spark: SparkSession, docs: DataFrame,
+                         plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val rate = 8000
+      val nSamp = 800 + (id % 800).toInt
+      val freq = 200.0 + (id % 10) * 50.0
+      val eightBit = id % 2 == 1
+      val amp = if (eightBit) 100.0 else 8000.0
+      val samples = Array.tabulate(nSamp)(i =>
+        (math.sin(2 * math.Pi * freq * i / rate) * amp).toInt)
+      val comment = if (plantMetadata && id % 4 == 0)
+        Some(s"recorded by rig $id at 12.34,56.78") else None
+      val picture = if (plantMetadata && id % 4 == 2)
+        Some(Array.tabulate[Byte](48)(i => ((id + i) & 0x7f).toByte)) else None
+      (id, "audio",
+        Flac.encode(samples, channels = 1, rate = rate,
+          bits = if (eightBit) 8 else 16, comment = comment,
+          picture = picture),
+        "audio/flac", "flacgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic AUDIO table with REAL WAV payloads: per document, a
     * 16-bit mono 8 kHz PCM sine whose length and pitch derive from
     * doc_id (`frames = 400 + doc_id % 800`), encoded with the JDK WAV
