@@ -404,6 +404,10 @@ object PipelineRunner {
         // PCM sample-table walk, zero video decode
         case Array("mp4audio") =>
           graft.multimodal.Multimodal.demuxMp4Audio(df)
+        // Matroska soundtrack demux: the EBML face — A_PCM blocks out
+        // of Cluster/SimpleBlock, zero video decode
+        case Array("mkvaudio") =>
+          graft.multimodal.Multimodal.demuxMkvAudio(df)
         case Array("mediaembed", spec2) => // [featureDim]
           val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
             .map(_.toInt).getOrElse(8)

@@ -940,6 +940,25 @@ class PipelineSpecSuite extends SparkSpec {
       .filter(col("n_frames") =!=
         pmod(col("media_id"), lit(800L)) + 800L).count() == 0)
 
+    // mkvaudio: the Matroska face of the soundtrack demux, chained
+    // after mediascrub (which Void-wipes the planted Tags and strips
+    // trailing smuggling in the same pass — EBML dispatch rides the
+    // existing hop). The audio fixture has no metadata variant, so the
+    // scrub is a pass-through proof there too
+    graft.multimodal.Multimodal.syntheticMkvAudio(spark,
+      docs.filter(col("doc_id") < 40))
+      .write.parquet(s"$media/mkva")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-mkvaudio",
+      source = SourceSpec(format = "parquet", path = s"$media/mkva"),
+      transformExprs = Seq("mediascrub", "mkvaudio"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/mkvtracks"))),
+      "runMmMkvAudio")
+    val mkvTracks = spark.read.parquet(s"$out/mkvtracks")
+    assert(graft.multimodal.MediaQuality.audioSignals(mkvTracks)
+      .filter(col("n_frames") =!=
+        pmod(col("media_id"), lit(800L)) + 800L).count() == 0)
+
     // fpssample + aspectbuckets: sampling and packing as hops
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-fps",
