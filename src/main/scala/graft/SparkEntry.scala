@@ -2756,6 +2756,36 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("duration_ms"))
     }),
 
+    // TAR-SHARD (WebDataset-convention) source/sink round-trip (round
+    // 18): documents pack into rolling .tar shards (key = zero-padded
+    // doc_id, members <key>.txt + <key>.json, sealed at a byte budget
+    // ONLY at key boundaries so samples never straddle shards), then
+    // the shard reader streams them back one-task-per-shard; member
+    // byte counts re-derive the source table
+    "q261_tar_shards" -> ((s, dir) => {
+      val base = tmp("q261")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val members = t(s, dir, "documents")
+        .select(format_string("%09d", col("doc_id")).as("key"),
+          col("text"))
+        .select(col("key"), explode(array(
+          struct(lit("txt").as("ext"),
+            encode(col("text"), "UTF-8").as("content")),
+          struct(lit("json").as("ext"),
+            encode(concat(lit("{\"key\":\""), col("key"), lit("\"}")),
+              "UTF-8").as("content")))).as("m"))
+        .select(col("key"), col("m.ext"), col("m.content"))
+      val stats = graft.sources.TarShards.writeShards(
+        members, base, maxShardBytes = 1L << 20, numPartitions = 8)
+      require(stats.shards >= 8, s"expected >= 8 shards, got ${stats.shards}")
+      graft.sources.TarShards.readMembers(s, base)
+        .filter(col("ext") === "txt")
+        .select(col("key").cast("bigint").as("doc_id"),
+          length(col("content")).cast("bigint").as("n_bytes"))
+    }),
+
     // FLAC AUDIO (round 18): the first COMPRESSED audio coding served
     // in-JVM — integer fixed/LPC prediction + Rice residuals, pure
     // table-free arithmetic, frame CRCs verified. 16-bit on even
@@ -5576,6 +5606,10 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, " +
         "(800 + doc_id % 800)::BIGINT AS n_frames, " +
         "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
+        "FROM documents"),
+    // shard members carry the documents' UTF-8 text bytes
+    "q261_tar_shards" ->
+      ("SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes " +
         "FROM documents"),
     // the lossless FLAC decode recovers exactly the encoded samples
     "q259_flac_audio" ->
