@@ -106,7 +106,14 @@ object Bench {
     // committed stores; a store-scan regression shows as a super-linear
     // exponent) and the fps-invariant time-sampled fold
     "q238_stream_part_admission",
-    "q240_video_fps_dedup")
+    "q240_video_fps_dedup",
+    // appended round 18 (cont.): two NEW cost classes — the
+    // integer-predictive FLAC decode (bit-level loops; a BitReader
+    // regression is invisible to the container tripwires) and the
+    // tar-shard pack+stream-read I/O path (rolling shard seal +
+    // one-task-per-shard scan)
+    "q259_flac_audio",
+    "q261_tar_shards")
 
   /** Driver-side per-batch capture for the streaming headline queries:
     * trigger machinery + sentinel batches dominate their WALL time, so a
