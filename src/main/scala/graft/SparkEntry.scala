@@ -2683,6 +2683,23 @@ object SparkEntry {
         .select(col("media_id"), col("n_stripped"), col("had_metadata"))
     }),
 
+    // REAL WebP (VP8L) PIXEL DECODE (round 18): the #2 web image
+    // format decodes in-JVM — LSB-first bit stream, canonical Huffman
+    // through the code-length code, transform chain (plain /
+    // subtract-green / predictor residuals rotate by doc_id % 3) —
+    // and the decoded pixels run the standard image feature pass;
+    // dims arithmetic is recovered from REAL decodes, not headers
+    "q262_webp_decode" -> ((s, dir) => {
+      val webps = Multimodal.syntheticWebpPixelImages(
+        s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(webps, new Multimodal.ImageIoDecoder())
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
     // WebP metadata scrub audit (round 18): the RIFF face of the image
     // compliance pass over the #2 web format — EXIF+XMP chunks planted
     // on doc_id % 4 = 0 (with VP8X presence flags where the form has
@@ -5413,6 +5430,11 @@ object SparkEntry {
     // decodes them back through the REAL JDK codec; the oracle recomputes
     // the dims formula — any codec-path fault diverges the hash
     "q185_image_decode" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
+        "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
+        "FROM documents"),
+    // q185's dims arithmetic through REAL VP8L decodes
+    "q262_webp_decode" ->
       ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
         "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
         "FROM documents"),

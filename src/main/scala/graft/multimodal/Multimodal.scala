@@ -995,7 +995,10 @@ object Multimodal {
     def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       headless
       MediaCounters.imageReads.incrementAndGet(): Unit
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // lossless WebP decodes through the in-JVM VP8L codec (ImageIO
+      // has no WebP SPI); lossy VP8 refuses loudly inside Vp8l
+      if (MediaScrub.isRiffWebp(bytes)) Vp8l.decode(bytes)
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     }
     def write(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
       headless
@@ -1136,6 +1139,39 @@ object Multimodal {
           clean ++ s"smuggled-after-webp-$id".getBytes("US-ASCII")
         else clean
       (id, "image", payload, "image/webp", "webpgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic WebP table with REAL VP8L payloads: [[syntheticImages]]'
+    * gradient + dims arithmetic encoded through the in-JVM lossless
+    * codec, rotating the encoder mode by doc_id % 3 (plain literals,
+    * subtract-green, predictor residuals) so a decode pass exercises
+    * the transform chain across the corpus. */
+  def syntheticWebpPixelImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 37 + x * 255 / w) % 256).toInt
+          val g = ((id * 11 + y * 255 / h) % 256).toInt
+          val b = ((id + x + y) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val webp = (id % 3) match {
+        case 0 => Vp8l.encode(img)
+        case 1 => Vp8l.encode(img, subtractGreen = true)
+        case _ => Vp8l.encode(img, predictor = true)
+      }
+      (id, "image", webp, "image/webp", "webpgen")
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
