@@ -2700,6 +2700,22 @@ object SparkEntry {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // IMAGE TRANSCODE to WebP (round 18): the crawl-normalization pass
+    // — PNG corpus decodes through the shared seam and re-encodes as
+    // in-JVM VP8L (lossless, so pixels survive exactly); the output
+    // payloads are then REALLY re-decoded for their dims. One corpus,
+    // one container, zero native codecs
+    "q263_webp_transcode" -> ((s, dir) => {
+      val pngs = Multimodal.syntheticImages(s, t(s, dir, "documents"))
+      val webps = Multimodal.transcodeImages(pngs, "webp")
+      Multimodal.extractFeatures(webps, new Multimodal.ImageIoDecoder())
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
     // WebP metadata scrub audit (round 18): the RIFF face of the image
     // compliance pass over the #2 web format — EXIF+XMP chunks planted
     // on doc_id % 4 = 0 (with VP8X presence flags where the form has
@@ -5435,6 +5451,11 @@ object SparkEntry {
         "FROM documents"),
     // q185's dims arithmetic through REAL VP8L decodes
     "q262_webp_decode" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
+        "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
+        "FROM documents"),
+    // the PNG corpus transcoded to VP8L keeps its dims exactly
+    "q263_webp_transcode" ->
       ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
         "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
         "FROM documents"),

@@ -1029,6 +1029,55 @@ object Multimodal {
     })
   }
 
+  /** TRANSCODE image payloads to a target format — the normalization
+    * pass a heterogeneous crawl needs before format-sensitive tooling
+    * (one corpus, one container): decode through the shared seam
+    * (PNG/GIF/JPEG/BMP via ImageIO, lossless WebP via [[Vp8l]]) and
+    * re-encode as `png` (ImageIO, lossless), `jpg` (ImageIO, lossy)
+    * or `webp` (in-JVM VP8L, lossless). png→webp→png is pixel-exact
+    * by construction. Map-only; non-image rows pass through. */
+  def transcodeImages(media: DataFrame, format: String): DataFrame = {
+    require(Set("png", "jpg", "webp")(format), s"transcode to '$format'?")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { r =>
+      if (r.media_type != "image") r
+      else {
+        val img = ImageCodec.read(r.payload)
+        require(img != null,
+          s"media_id=${r.media_id}: payload is not a decodable image")
+        val out = format match {
+          case "webp" =>
+            // VP8L wants ARGB input; normalize the color model
+            val argb =
+              if (img.getType == java.awt.image.BufferedImage.TYPE_INT_ARGB) img
+              else {
+                val c = new java.awt.image.BufferedImage(img.getWidth,
+                  img.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+                val g = c.createGraphics()
+                try g.drawImage(img, 0, 0, null): Unit finally g.dispose()
+                c
+              }
+            Vp8l.encode(argb)
+          case "jpg" =>
+            // the JDK JPEG writer refuses alpha
+            val rgb =
+              if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+              else {
+                val c = new java.awt.image.BufferedImage(img.getWidth,
+                  img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = c.createGraphics()
+                try g.drawImage(img, 0, 0, null): Unit finally g.dispose()
+                c
+              }
+            ImageCodec.write(rgb, "jpg")
+          case f => ImageCodec.write(img, f)
+        }
+        r.copy(payload = out, mime = s"image/$format")
+      }
+    }).toDF()
+  }
+
   /** Frame sampling plan for video: every nth frame index as rows —
     * pure-relational (explode over a sequence), the decode of each sampled
     * frame happens in the decoder stage. */

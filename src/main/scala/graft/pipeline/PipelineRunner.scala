@@ -408,6 +408,11 @@ object PipelineRunner {
         // of Cluster/SimpleBlock, zero video decode
         case Array("mkvaudio") =>
           graft.multimodal.Multimodal.demuxMkvAudio(df)
+        // image format normalization: decode through the shared seam,
+        // re-encode as png (lossless), jpg or in-JVM VP8L webp
+        // (lossless) — one corpus, one container
+        case Array("imagetranscode", fmt) =>
+          graft.multimodal.Multimodal.transcodeImages(df, fmt.trim)
         case Array("mediaembed", spec2) => // [featureDim]
           val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
             .map(_.toInt).getOrElse(8)

@@ -78,6 +78,22 @@ class Vp8lSpec extends AnyFunSuite {
     assert(MediaQuality.dimsFromHeader(webp) == ((40, 25)))
   }
 
+  test("transcode png -> webp is pixel-exact; cross-format dHash folds agree") {
+    val img = gradient(28, 22, 8)
+    val png = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val webp = Vp8l.encode(img)
+    // both containers decode to the same pixels -> the perceptual
+    // fold (dHash) is IDENTICAL, so a png and its webp re-render
+    // land in one exact dedup group
+    val hPng = ImageDedup.dHash64(Multimodal.ImageCodec.read(png))
+    val hWebp = ImageDedup.dHash64(Multimodal.ImageCodec.read(webp))
+    assert(hPng == hWebp)
+  }
+
   // LSB-first writer for hand-crafted streams
   private final class W {
     private val bos = new java.io.ByteArrayOutputStream()

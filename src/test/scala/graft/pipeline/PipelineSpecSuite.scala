@@ -959,6 +959,24 @@ class PipelineSpecSuite extends SparkSpec {
       .filter(col("n_frames") =!=
         pmod(col("media_id"), lit(800L)) + 800L).count() == 0)
 
+    // imagetranscode: format normalization as a hop — the PNG corpus
+    // re-encodes as in-JVM VP8L webp and the outputs REALLY decode
+    graft.multimodal.Multimodal.syntheticImages(spark,
+      docs.filter(col("doc_id") < 30))
+      .write.parquet(s"$media/pngs")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-transcode",
+      source = SourceSpec(format = "parquet", path = s"$media/pngs"),
+      transformExprs = Seq("imagetranscode:webp"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/webps"))),
+      "runMmTranscode")
+    val webpRows = spark.read.parquet(s"$out/webps")
+    assert(webpRows.filter(col("mime") =!= "image/webp").count() == 0)
+    val webpDims = graft.multimodal.ImageDedup.hashImagesWithDims(webpRows)
+    assert(webpDims.filter(
+      col("width") =!= pmod(col("media_id"), lit(32L)) + 16 ||
+        col("height") =!= pmod(col("media_id"), lit(24L)) + 16).count() == 0)
+
     // fpssample + aspectbuckets: sampling and packing as hops
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-fps",
