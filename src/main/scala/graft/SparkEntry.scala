@@ -2700,6 +2700,40 @@ object SparkEntry {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // TIFF metadata scrub audit (round 18): the IFD face of the image
+    // compliance pass over the scanned-document format — an Artist
+    // string + a GPS sub-IFD (rational coordinates) planted on
+    // doc_id % 4 = 0, Artist alone on % 4 = 2; the wipe is IN PLACE
+    // (strip offsets and sub-IFD pointers are absolute file
+    // positions) and out-of-line values ZERO, not just unreference
+    "q264_tiff_scrub_report" -> ((s, dir) => {
+      val tiffs = Multimodal.syntheticTiffImages(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(tiffs)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
+    // TIFF aspect bucketing (round 18): q233's nearest-ratio
+    // arithmetic with dims from the IFD — zero pixel decodes
+    "q265_tiff_aspect_buckets" -> ((s, dir) => {
+      val tiffs = Multimodal.syntheticTiffImages(s, t(s, dir, "documents"))
+      graft.multimodal.MediaQuality.aspectBuckets(tiffs)
+        .select(col("media_id"), col("width"), col("height"), col("bucket"))
+    }),
+
+    // TIFF pixel decode (round 18): the fixture files are REAL TIFFs
+    // the JDK's ImageIO plugin decodes — q185's contract over the
+    // scanned-document format
+    "q266_tiff_decode" -> ((s, dir) => {
+      val tiffs = Multimodal.syntheticTiffImages(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(tiffs, new Multimodal.ImageIoDecoder())
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"))
+    }),
+
     // IMAGE TRANSCODE to WebP (round 18): the crawl-normalization pass
     // — PNG corpus decodes through the shared seam and re-encodes as
     // in-JVM VP8L (lossless, so pixels survive exactly); the output
@@ -5451,6 +5485,30 @@ object SparkEntry {
         "FROM documents"),
     // q185's dims arithmetic through REAL VP8L decodes
     "q262_webp_decode" ->
+      ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
+        "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
+        "FROM documents"),
+    // Artist + GPS sub-IFD on % 4 = 0, Artist alone on % 4 = 2
+    "q264_tiff_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 2 WHEN doc_id % 4 = 2 THEN 1 " +
+        "ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 IN (0, 2) AS had_metadata FROM documents"),
+    // q233's bucket arithmetic over TIFF IFD dims
+    "q265_tiff_aspect_buckets" ->
+      ("WITH s AS (SELECT doc_id, (16 + doc_id % 32)::INT AS w, " +
+        "(16 + doc_id % 24)::INT AS h FROM documents), " +
+        "d AS (SELECT doc_id, w, h, abs(w*1 - h*1) AS d0, " +
+        "abs(w*3 - h*4) AS d1, abs(w*4 - h*3) AS d2, " +
+        "abs(w*9 - h*16) AS d3, abs(w*16 - h*9) AS d4 FROM s) " +
+        "SELECT doc_id AS media_id, w AS width, h AS height, " +
+        "CASE WHEN d0*3 <= d1*1 AND d0*4 <= d2*1 AND d0*9 <= d3*1 " +
+        "AND d0*16 <= d4*1 THEN '1:1' " +
+        "WHEN d1*4 <= d2*3 AND d1*9 <= d3*3 AND d1*16 <= d4*3 THEN '4:3' " +
+        "WHEN d2*9 <= d3*4 AND d2*16 <= d4*4 THEN '3:4' " +
+        "WHEN d3*16 <= d4*9 THEN '16:9' ELSE '9:16' END AS bucket FROM d"),
+    // q185's dims arithmetic through REAL JDK TIFF decodes
+    "q266_tiff_decode" ->
       ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
         "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
         "FROM documents"),

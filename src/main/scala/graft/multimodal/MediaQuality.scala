@@ -475,6 +475,8 @@ object MediaQuality {
       jpegDims(payload)
     } else if (MediaScrub.isRiffWebp(payload)) {
       webpDims(payload)
+    } else if (Tiff.isTiff(payload)) {
+      Tiff.dims(payload)
     } else {
       val img = ImageCodec.read(payload)
       require(img != null, "payload is not a decodable image")

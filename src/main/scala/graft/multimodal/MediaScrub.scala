@@ -653,6 +653,7 @@ object MediaScrub {
         else if (Mp4Codec.isMp4(r.payload)) Some(Mp4Codec.strip(r.payload))
         else if (MkvCodec.isMkv(r.payload)) Some(MkvCodec.strip(r.payload))
         else if (Flac.isFlac(r.payload)) Some(Flac.stripMeta(r.payload))
+        else if (Tiff.isTiff(r.payload)) Some(Tiff.strip(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -691,6 +692,8 @@ object MediaScrub {
           MkvCodec.wipeReport(r.payload)
         else if (Flac.isFlac(r.payload))
           Flac.metaReport(r.payload)
+        else if (Tiff.isTiff(r.payload))
+          Tiff.wipeReport(r.payload)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

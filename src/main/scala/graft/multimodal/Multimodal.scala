@@ -1191,6 +1191,28 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic TIFF table (scanned-document shape): minimal
+    * little-endian grayscale TIFFs with [[syntheticImages]]' dims
+    * arithmetic and an id-seeded gradient the JDK TIFF plugin really
+    * decodes. With `plantMetadata`: an Artist string + a GPS sub-IFD
+    * (rational coordinates) on doc_id % 4 = 0, Artist alone on
+    * % 4 = 2 — the adversary side of [[Tiff.strip]]. */
+  def syntheticTiffImages(spark: SparkSession, docs: DataFrame,
+                          plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id % 24).toInt
+      val artist = if (plantMetadata && (id % 4 == 0 || id % 4 == 2))
+        Some(s"operator rig-$id") else None
+      val gps = plantMetadata && id % 4 == 0
+      val tif = Tiff.writeGray(w, h,
+        (x, y) => ((id * 31 + x * 3 + y * 5) % 256).toInt,
+        artist = artist, gps = gps)
+      (id, "image", tif, "image/tiff", "tiffgen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
   /** Synthetic WebP table with REAL VP8L payloads: [[syntheticImages]]'
     * gradient + dims arithmetic encoded through the in-JVM lossless
     * codec, rotating the encoder mode by doc_id % 3 (plain literals,
