@@ -2700,6 +2700,29 @@ object SparkEntry {
           col("n_frames").cast("bigint").as("n_frames"))
     }),
 
+    // MP3 TAG scrub audit (round 18): the audio coding itself stays
+    // the honest refusal, but the ID3v2 artist/geotag block, the
+    // ID3v1 trailer and APEv2 trailers are pure structure — planted
+    // ID3v2+ID3v1 on doc_id % 4 = 0, ID3v1 alone on % 4 = 2; the
+    // audio frames survive byte-identically
+    "q267_mp3_scrub_report" -> ((s, dir) => {
+      val mp3s = Multimodal.syntheticMp3Audio(
+        s, t(s, dir, "documents"), plantMetadata = true)
+      graft.multimodal.MediaScrub.scrubReport(mp3s)
+        .select(col("media_id"), col("n_stripped"), col("had_metadata"))
+    }),
+
+    // CAPTION-TRACK parsing (round 18): SRT on even doc_ids, WebVTT
+    // (NOTE blocks, cue settings) on odd — `1 + id % 4` cues with
+    // planted millisecond arithmetic, exploded map-only into timed
+    // rows the text stack (and PairedCuration) consumes per cue
+    "q268_caption_cues" -> ((s, dir) => {
+      val tracks = Multimodal.syntheticCaptionTracks(s, t(s, dir, "documents"))
+      graft.multimodal.Captions.cues(tracks)
+        .select(col("media_id"), col("seq"), col("t_start_ms"),
+          col("t_end_ms"))
+    }),
+
     // TIFF metadata scrub audit (round 18): the IFD face of the image
     // compliance pass over the scanned-document format — an Artist
     // string + a GPS sub-IFD (rational coordinates) planted on
@@ -5488,6 +5511,19 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, (16 + doc_id % 32)::BIGINT AS width, " +
         "(16 + doc_id % 24)::BIGINT AS height, 1::BIGINT AS n_frames " +
         "FROM documents"),
+    // ID3v2+ID3v1 on % 4 = 0, ID3v1 alone on % 4 = 2
+    "q267_mp3_scrub_report" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 2 WHEN doc_id % 4 = 2 THEN 1 " +
+        "ELSE 0 END::INT AS n_stripped, " +
+        "doc_id % 4 IN (0, 2) AS had_metadata FROM documents"),
+    // cue k of doc id spans [k*2000 + (id%5)*100, +1500] ms
+    "q268_caption_cues" ->
+      ("SELECT doc_id AS media_id, s.s::INT AS seq, " +
+        "(s.s*2000 + (doc_id % 5)*100)::BIGINT AS t_start_ms, " +
+        "(s.s*2000 + (doc_id % 5)*100 + 1500)::BIGINT AS t_end_ms " +
+        "FROM documents JOIN (SELECT * FROM generate_series(0,3) s(s)) s " +
+        "ON s.s <= doc_id % 4"),
     // Artist + GPS sub-IFD on % 4 = 0, Artist alone on % 4 = 2
     "q264_tiff_scrub_report" ->
       ("SELECT doc_id AS media_id, " +

@@ -255,6 +255,99 @@ object MediaScrub {
     out
   }
 
+  // ---- MP3 (ID3-tagged) payloads ----
+
+  /** MP3 bitstreams themselves need a codec the JDK lacks — but the
+    * metadata wrapping them is pure structure: an ID3v2 block BEFORE
+    * the audio (syncsafe-sized, where crawled music carries artist /
+    * geotag / embedded-image frames), an ID3v1 trailer (the fixed
+    * 128-byte `TAG` block) and an APEv2 trailer after it. The scrub
+    * drops all three and leaves the audio frames byte-identical. */
+  def isMp3(b: Array[Byte]): Boolean = {
+    if (b.length < 4) return false
+    if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') return true
+    // bare frame sync: 11 set bits, MPEG audio version != reserved
+    (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 && (b(1) & 0x18) != 0x08
+  }
+
+  private def id3v2Length(b: Array[Byte], off: Int): Int = {
+    // "ID3" maj min flags size(4 x 7-bit syncsafe)
+    require(off + 10 <= b.length, "truncated ID3v2 header")
+    val flags = b(off + 5) & 0xff
+    val size = ((b(off + 6) & 0x7f) << 21) | ((b(off + 7) & 0x7f) << 14) |
+      ((b(off + 8) & 0x7f) << 7) | (b(off + 9) & 0x7f)
+    val footer = if ((flags & 0x10) != 0) 10 else 0
+    val total = 10 + size + footer
+    require(off + total <= b.length, "ID3v2 size overruns the payload")
+    total
+  }
+
+  /** Strip ID3v2/ID3v1/APEv2 tag blocks from an MP3 payload:
+    * (clean bytes, dropped block names). The audio frames are
+    * UNTOUCHED — this is a byte-exact slice, not a re-encode. */
+  def stripMp3(payload: Array[Byte]): (Array[Byte], Seq[String]) = {
+    require(isMp3(payload), "payload is not an MP3 stream")
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start + 3 <= payload.length && payload(start) == 'I' &&
+      payload(start + 1) == 'D' && payload(start + 2) == '3') {
+      start += id3v2Length(payload, start)
+      dropped += "ID3v2"
+    }
+    var end = payload.length
+    if (end - start >= 128 && payload(end - 128) == 'T' &&
+      payload(end - 127) == 'A' && payload(end - 126) == 'G') {
+      end -= 128
+      dropped += "ID3v1"
+    }
+    // APEv2 footer: 32 bytes ending the tag, "APETAGEX" + version +
+    // size (LE, includes items + footer, not the optional header)
+    if (end - start >= 32 &&
+      new String(payload, end - 32, 8, "US-ASCII") == "APETAGEX") {
+      val size = (payload(end - 20) & 0xff) | ((payload(end - 19) & 0xff) << 8) |
+        ((payload(end - 18) & 0xff) << 16) | ((payload(end - 17) & 0xff) << 24)
+      val flags = (payload(end - 8) & 0xff) | ((payload(end - 7) & 0xff) << 8) |
+        ((payload(end - 6) & 0xff) << 16) | ((payload(end - 5) & 0xff) << 24)
+      val header = if ((flags & 0x80000000) != 0) 32 else 0
+      require(size + header <= end - start, "APEv2 size overruns the payload")
+      end -= size + header
+      dropped += "APEv2"
+    }
+    if (dropped.isEmpty) (payload, Nil)
+    else (java.util.Arrays.copyOfRange(payload, start, end), dropped.toSeq)
+  }
+
+  /** What [[stripMp3]] would drop — the audit face. */
+  def mp3Report(payload: Array[Byte]): Seq[String] = stripMp3(payload)._2
+
+  /** Build a tagged MP3 payload around fake-but-sync-valid audio
+    * frames — the fixture/adversary side of [[stripMp3]]. */
+  private[multimodal] def insertMp3Tags(audio: Array[Byte],
+                                        id3v2: Option[String],
+                                        id3v1: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    id3v2.foreach { text =>
+      // one TXXX-ish frame body; content is opaque to the scrub
+      val body = s"TPE1${text}".getBytes("ISO-8859-1")
+      bos.write('I'); bos.write('D'); bos.write('3')
+      bos.write(4); bos.write(0); bos.write(0) // v2.4, no flags
+      bos.write((body.length >> 21) & 0x7f)
+      bos.write((body.length >> 14) & 0x7f)
+      bos.write((body.length >> 7) & 0x7f)
+      bos.write(body.length & 0x7f)
+      bos.write(body)
+    }
+    bos.write(audio)
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      val t = "planted title".getBytes("US-ASCII")
+      System.arraycopy(t, 0, tag, 3, t.length)
+      bos.write(tag)
+    }
+    bos.toByteArray
+  }
+
   // ---- GIF containers ----
 
   /** GIF block walk: (kind, offset, totalLen) with kinds HDR (header +
@@ -654,6 +747,7 @@ object MediaScrub {
         else if (MkvCodec.isMkv(r.payload)) Some(MkvCodec.strip(r.payload))
         else if (Flac.isFlac(r.payload)) Some(Flac.stripMeta(r.payload))
         else if (Tiff.isTiff(r.payload)) Some(Tiff.strip(r.payload))
+        else if (isMp3(r.payload)) Some(stripMp3(r.payload))
         else if (Multimodal.GifCodec.isGif(r.payload))
           Some(stripGif(r.payload))
         else None
@@ -694,6 +788,8 @@ object MediaScrub {
           Flac.metaReport(r.payload)
         else if (Tiff.isTiff(r.payload))
           Tiff.wipeReport(r.payload)
+        else if (isMp3(r.payload))
+          mp3Report(r.payload)
         else if (Multimodal.GifCodec.isGif(r.payload))
           gifSpans(r.payload).map(_._1).filterNot(KeepGif)
         else Nil

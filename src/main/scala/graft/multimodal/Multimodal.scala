@@ -1191,6 +1191,69 @@ object Multimodal {
     }).toDF("media_id", "media_type", "payload", "mime", "source")
   }
 
+  /** Synthetic ID3-tagged MP3 table: sync-valid (0xFFFB) filler frames
+    * — the audio CODING stays the honest refusal, but the tag blocks
+    * wrapping it are pure structure. With `plantMetadata`: an ID3v2
+    * artist/geotag block + an ID3v1 trailer on doc_id % 4 = 0, the
+    * ID3v1 trailer alone on % 4 = 2. */
+  def syntheticMp3Audio(spark: SparkSession, docs: DataFrame,
+                        plantMetadata: Boolean = false): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = 64 + (id % 64).toInt
+      val audio = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        audio(i) = if (i % 4 == 0) 0xff.toByte
+        else if (i % 4 == 1) 0xfb.toByte
+        else ((id + i) & 0x7f).toByte
+        i += 1
+      }
+      val payload =
+        if (plantMetadata && id % 4 == 0)
+          MediaScrub.insertMp3Tags(audio,
+            Some(s"rig-$id at 12.34,56.78"), id3v1 = true)
+        else if (plantMetadata && id % 4 == 2)
+          MediaScrub.insertMp3Tags(audio, None, id3v1 = true)
+        else audio
+      (id, "audio", payload, "audio/mpeg", "mp3gen")
+    }).toDF("media_id", "media_type", "payload", "mime", "source")
+  }
+
+  /** Synthetic caption-track table: per document, `1 + doc_id % 4`
+    * cues — cue k spans [k·2000 + (id%5)·100, +1500] ms with text
+    * derived from (id, k) — rendered as SRT on even doc_ids and
+    * WebVTT (with a NOTE block and cue settings) on odd, so both
+    * parsers run. */
+  def syntheticCaptionTracks(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val nCues = 1 + (id % 4).toInt
+      def stamp(ms: Long, sep: Char): String = {
+        val h = ms / 3600000L
+        val m = (ms % 3600000L) / 60000L
+        val s = (ms % 60000L) / 1000L
+        val r = ms % 1000L
+        f"$h%02d:$m%02d:$s%02d$sep$r%03d"
+      }
+      val track = if (id % 2 == 0) {
+        (0 until nCues).map { k =>
+          val start = k * 2000L + (id % 5) * 100L
+          s"${k + 1}\n${stamp(start, ',')} --> ${stamp(start + 1500L, ',')}\n" +
+            s"cue $k of doc $id"
+        }.mkString("\n\n")
+      } else {
+        "WEBVTT\n\nNOTE synthetic track\n\n" +
+          (0 until nCues).map { k =>
+            val start = k * 2000L + (id % 5) * 100L
+            s"${stamp(start, '.')} --> ${stamp(start + 1500L, '.')} align:start\n" +
+              s"cue $k of doc $id"
+          }.mkString("\n\n")
+      }
+      (id, track)
+    }).toDF("media_id", "caption")
+  }
+
   /** Synthetic TIFF table (scanned-document shape): minimal
     * little-endian grayscale TIFFs with [[syntheticImages]]' dims
     * arithmetic and an id-seeded gradient the JDK TIFF plugin really
