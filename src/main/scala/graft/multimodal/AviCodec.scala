@@ -494,21 +494,23 @@ private[multimodal] object VideoCodec {
       Mp4Codec.hasMjpegVideo(b) || MkvCodec.hasMjpegVideo(b)
 
   def withFrames[T](payload: Array[Byte])(f: Frames => T): T =
-    if (Multimodal.GifCodec.isGif(payload))
-      Multimodal.GifCodec.withReader(payload) { reader =>
-        f(new Frames {
-          lazy val numFrames: Int = reader.getNumImages(true)
-          def frame(i: Int): java.awt.image.BufferedImage = reader.read(i)
-          def delayUs(i: Int): Long =
-            Multimodal.GifCodec.frameDelayCs(reader, i).toLong * 10000L
-          def renderedDelayUs(i: Int): Long = {
-            // zero/absent GCE delays are common in wild GIFs; browsers
-            // render delay <= 1 cs as 10 cs — the format's convention
-            val cs = Multimodal.GifCodec.frameDelayCs(reader, i)
-            (if (cs <= 1) 10L else cs.toLong) * 10000L
-          }
-        })
-      }
+    if (Multimodal.GifCodec.isGif(payload)) {
+      // the in-JVM LZW decoder ([[GifDecode]]): one parse records all
+      // frame spans + GCE timing, each frame is one tight LZW loop —
+      // no per-frame XML metadata trees, no stream re-walks
+      val gif = GifDecode.parse(payload)
+      f(new Frames {
+        def numFrames: Int = gif.numFrames
+        def frame(i: Int): java.awt.image.BufferedImage = gif.frame(i)
+        def delayUs(i: Int): Long = gif.frames(i).delayCs.toLong * 10000L
+        def renderedDelayUs(i: Int): Long = {
+          // zero/absent GCE delays are common in wild GIFs; browsers
+          // render delay <= 1 cs as 10 cs — the format's convention
+          val cs = gif.frames(i).delayCs
+          (if (cs <= 1) 10L else cs.toLong) * 10000L
+        }
+      })
+    }
     else if (AviCodec.isAvi(payload)) {
       val avi = AviCodec.open(payload)
       f(new Frames {

@@ -1,0 +1,257 @@
+package graft.multimodal
+
+/** In-JVM GIF frame decoder — a direct LZW implementation replacing
+  * the `javax.imageio` GIF reader on the video hot path. The ImageIO
+  * reader rebuilds an XML metadata tree per frame for a single delay
+  * field and re-walks the stream per `read(i)`; at 100 TB of crawl
+  * video, GIF frame decode IS the dominant cost of the perceptual
+  * dedup/decontamination/sampling faces, so the decode loop deserves
+  * first-class code: one parse pass records every frame's span + GCE
+  * timing, then each frame is one tight LZW loop into an int raster.
+  *
+  * Parity contract (unit-pinned against ImageIO): frames are returned
+  * as the RAW frame rect (not composited — the ImageIO reader's
+  * behavior, which every existing face was built on), with identical
+  * RGB values; GCE delays match `frameDelayCs`. Transparency maps to
+  * alpha 0. Interlaced frames de-interlace. Malformed streams refuse
+  * loudly.
+  */
+private[multimodal] object GifDecode {
+
+  final case class FrameInfo(left: Int, top: Int, width: Int, height: Int,
+                             delayCs: Int, disposal: Int,
+                             transparentIdx: Int, interlaced: Boolean,
+                             palette: Array[Int], minCodeSize: Int,
+                             dataOffset: Int)
+
+  final class Gif(val payload: Array[Byte], val width: Int, val height: Int,
+                  val frames: IndexedSeq[FrameInfo]) {
+    def numFrames: Int = frames.length
+
+    /** Decode frame i to its raw rect (TYPE_INT_RGB, or ARGB when a
+      * transparent index is declared). */
+    def frame(i: Int): java.awt.image.BufferedImage = {
+      val f = frames(i)
+      val indices = lzw(payload, f.dataOffset, f.minCodeSize,
+        f.width * f.height)
+      val hasAlpha = f.transparentIdx >= 0
+      val img = new java.awt.image.BufferedImage(f.width, f.height,
+        if (hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val raster = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      val n = f.width * f.height
+      if (!f.interlaced) {
+        var p = 0
+        while (p < n) {
+          val idx = indices(p) & 0xff
+          raster(p) =
+            if (idx == f.transparentIdx) 0
+            else f.palette(idx) | (if (hasAlpha) 0xff000000 else 0)
+          p += 1
+        }
+      } else {
+        // 4-pass interlace: rows 0,8,16.. then 4,12.. then 2,6.. then 1,3..
+        var src = 0
+        var pass = 0
+        val starts = Array(0, 4, 2, 1)
+        val steps = Array(8, 8, 4, 2)
+        while (pass < 4) {
+          var y = starts(pass)
+          while (y < f.height) {
+            var x = 0
+            while (x < f.width) {
+              val idx = indices(src) & 0xff
+              raster(y * f.width + x) =
+                if (idx == f.transparentIdx) 0
+                else f.palette(idx) | (if (hasAlpha) 0xff000000 else 0)
+              src += 1
+              x += 1
+            }
+            y += steps(pass)
+          }
+          pass += 1
+        }
+      }
+      img
+    }
+  }
+
+  def parse(b: Array[Byte]): Gif = {
+    require(b.length > 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F',
+      "payload is not a GIF")
+    def u8(o: Int): Int = {
+      require(o < b.length, s"GIF truncated at $o")
+      b(o) & 0xff
+    }
+    def u16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    val w = u16(6)
+    val h = u16(8)
+    val lsdFlags = u8(10)
+    var off = 13
+    val gct: Array[Int] =
+      if ((lsdFlags & 0x80) != 0) {
+        val size = 2 << (lsdFlags & 7)
+        val p = readPalette(b, off, size)
+        off += size * 3
+        p
+      } else null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[FrameInfo]
+    var delayCs = 0
+    var disposal = 0
+    var transparent = -1
+    var done = false
+    while (!done) {
+      u8(off) match {
+        case 0x3b => done = true // trailer
+        case 0x21 => // extension
+          val label = u8(off + 1)
+          if (label == 0xf9) { // GraphicControlExtension
+            require(u8(off + 2) == 4, "GCE block size != 4")
+            val flags = u8(off + 3)
+            delayCs = u16(off + 4)
+            disposal = (flags >> 2) & 7
+            transparent = if ((flags & 1) != 0) u8(off + 6) else -1
+          }
+          // skip sub-blocks (GCE's included: 4-byte block + terminator)
+          var p = off + 2
+          var len = u8(p)
+          while (len != 0) { p += 1 + len; len = u8(p) }
+          off = p + 1
+        case 0x2c => // image descriptor
+          val left = u16(off + 1)
+          val top = u16(off + 3)
+          val fw = u16(off + 5)
+          val fh = u16(off + 7)
+          val flags = u8(off + 9)
+          var p = off + 10
+          val palette =
+            if ((flags & 0x80) != 0) {
+              val size = 2 << (flags & 7)
+              val lp = readPalette(b, p, size)
+              p += size * 3
+              lp
+            } else {
+              require(gct != null, "frame without local or global palette")
+              gct
+            }
+          val minCode = u8(p)
+          require(minCode >= 1 && minCode <= 11, s"LZW min code $minCode")
+          frames += FrameInfo(left, top, fw, fh, delayCs, disposal,
+            transparent, (flags & 0x40) != 0, palette, minCode, p + 1)
+          // GCE state applies to ONE following image
+          delayCs = 0; disposal = 0; transparent = -1
+          p += 1
+          var len = u8(p)
+          while (len != 0) { p += 1 + len; len = u8(p) }
+          off = p + 1
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02x at $off")
+      }
+    }
+    require(frames.nonEmpty, "GIF holds no image frames")
+    new Gif(b, w, h, frames.toIndexedSeq)
+  }
+
+  private def readPalette(b: Array[Byte], off: Int, size: Int): Array[Int] = {
+    require(off + size * 3 <= b.length, "truncated GIF palette")
+    Array.tabulate(size)(i =>
+      ((b(off + 3 * i) & 0xff) << 16) | ((b(off + 3 * i + 1) & 0xff) << 8) |
+        (b(off + 3 * i + 2) & 0xff))
+  }
+
+  /** GIF-variant LZW: variable code width from `minCodeSize`+1 up to
+    * 12 bits, clear/EOI codes, dictionary rebuilt on clear. Reads the
+    * sub-block chain starting at `off`; emits exactly `expected`
+    * indices (extra data ignored, shortfall refuses). */
+  private def lzw(b: Array[Byte], off: Int, minCodeSize: Int,
+                  expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val clearCode = 1 << minCodeSize
+    val eoiCode = clearCode + 1
+    // dictionary as prefix links: suffix byte + prefix code per entry
+    val maxEntries = 4096
+    val prefix = new Array[Short](maxEntries)
+    val suffix = new Array[Byte](maxEntries)
+    val stack = new Array[Byte](maxEntries + 1)
+    var dictSize = eoiCode + 1
+    var codeWidth = minCodeSize + 1
+    var prevCode = -1
+    // bit reader over sub-blocks
+    var blockOff = off
+    var blockLen = b(blockOff) & 0xff
+    var dataPos = blockOff + 1
+    var dataEnd = dataPos + blockLen
+    var bitBuf = 0L
+    var bitCnt = 0
+    var finished = false
+    def fill(): Boolean = {
+      while (bitCnt < codeWidth) {
+        if (dataPos >= dataEnd) {
+          blockOff = dataEnd
+          require(blockOff < b.length, "GIF LZW data truncated")
+          blockLen = b(blockOff) & 0xff
+          if (blockLen == 0) return false
+          dataPos = blockOff + 1
+          dataEnd = dataPos + blockLen
+          require(dataEnd <= b.length, "GIF LZW sub-block truncated")
+        }
+        bitBuf |= (b(dataPos) & 0xffL) << bitCnt
+        dataPos += 1
+        bitCnt += 8
+      }
+      true
+    }
+    var firstOfPrev = 0
+    while (!finished && outPos < expected) {
+      if (!fill()) {
+        finished = true
+      } else {
+        val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+        bitBuf >>>= codeWidth
+        bitCnt -= codeWidth
+        if (code == clearCode) {
+          dictSize = eoiCode + 1
+          codeWidth = minCodeSize + 1
+          prevCode = -1
+        } else if (code == eoiCode) {
+          finished = true
+        } else {
+          var sp = 0
+          var cur = code
+          if (code >= dictSize) {
+            // KwKwK case: emit prev string + its first byte
+            require(prevCode >= 0 && code == dictSize,
+              s"LZW code $code beyond dictionary $dictSize")
+            stack(sp) = firstOfPrev.toByte; sp += 1
+            cur = prevCode
+          }
+          while (cur >= clearCode + 2) {
+            stack(sp) = suffix(cur); sp += 1
+            cur = prefix(cur)
+          }
+          require(cur < clearCode, s"LZW chain ended at control code $cur")
+          val first = cur
+          stack(sp) = cur.toByte; sp += 1
+          // pop in reverse
+          while (sp > 0 && outPos < expected) {
+            sp -= 1
+            out(outPos) = stack(sp); outPos += 1
+          }
+          if (prevCode >= 0 && dictSize < maxEntries) {
+            prefix(dictSize) = prevCode.toShort
+            suffix(dictSize) = first.toByte
+            dictSize += 1
+            if (dictSize == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+          }
+          prevCode = code
+          firstOfPrev = first
+        }
+      }
+    }
+    require(outPos == expected,
+      s"GIF frame decoded $outPos of $expected pixels")
+    out
+  }
+}

@@ -477,6 +477,11 @@ object MediaQuality {
       webpDims(payload)
     } else if (Tiff.isTiff(payload)) {
       Tiff.dims(payload)
+    } else if (payload.length >= 26 && payload(0) == 'B' && payload(1) == 'M') {
+      // BMP info header: i32 LE dims at 18/22 (height < 0 = top-down)
+      def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      (le32(18), math.abs(le32(22)))
     } else {
       val img = ImageCodec.read(payload)
       require(img != null, "payload is not a decodable image")

@@ -361,13 +361,14 @@ object Multimodal {
     def decode(r: MediaRecord): MediaFeatures =
       if (r.media_type != "video" || !GifCodec.isGif(r.payload))
         next.decode(r)
-      else GifCodec.withReader(r.payload) { reader =>
-        val n = reader.getNumImages(true)
+      else {
+        val gif = GifDecode.parse(r.payload)
+        val n = gif.numFrames
         require(n >= 1, s"media_id=${r.media_id}: GIF container holds no frames")
-        val f0 = reader.read(0)
+        val f0 = gif.frame(0)
         var durCs = 0L
         var i = 0
-        while (i < n) { durCs += GifCodec.frameDelayCs(reader, i); i += 1 }
+        while (i < n) { durCs += gif.frames(i).delayCs; i += 1 }
         MediaFeatures(r.media_id, r.media_type, f0.getWidth, f0.getHeight,
           n_frames = n, duration_ms = durCs * 10L,
           feature = lumBands(f0, featureDim))
@@ -2580,7 +2581,7 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions(_.map { r =>
       if (r.media_type != "image" || !GifCodec.isGif(r.payload)) r
       else {
-        val n = GifCodec.withReader(r.payload)(_.getNumImages(true))
+        val n = GifDecode.parse(r.payload).numFrames
         if (n > 1) r.copy(media_type = "video") else r
       }
     }).toDF()

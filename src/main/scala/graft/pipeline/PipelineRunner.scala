@@ -413,6 +413,11 @@ object PipelineRunner {
         // (lossless) — one corpus, one container
         case Array("imagetranscode", fmt) =>
           graft.multimodal.Multimodal.transcodeImages(df, fmt.trim)
+        // caption sidecars (SRT/WebVTT) exploded into timed cue rows
+        case Array("captioncues") =>
+          graft.multimodal.Captions.cues(df)
+        case Array("captioncues", colName) =>
+          graft.multimodal.Captions.cues(df, colName.trim)
         case Array("mediaembed", spec2) => // [featureDim]
           val dim = Option(spec2).map(_.trim).filter(_.nonEmpty)
             .map(_.toInt).getOrElse(8)

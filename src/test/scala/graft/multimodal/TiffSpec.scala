@@ -59,6 +59,17 @@ class TiffSpec extends SparkSpec {
     }
   }
 
+  test("BMP header dims route through dimsFromHeader without a decode") {
+    val img = new java.awt.image.BufferedImage(27, 13,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val before = Multimodal.MediaCounters.imageReads.get()
+    assert(MediaQuality.dimsFromHeader(bos.toByteArray) == ((27, 13)))
+    assert(Multimodal.MediaCounters.imageReads.get() == before,
+      "header path must not decode")
+  }
+
   test("MediaScrub dispatch covers TIFF payloads") {
     import spark.implicits._
     val planted = Multimodal.syntheticTiffImages(spark,

@@ -977,6 +977,22 @@ class PipelineSpecSuite extends SparkSpec {
       col("width") =!= pmod(col("media_id"), lit(32L)) + 16 ||
         col("height") =!= pmod(col("media_id"), lit(24L)) + 16).count() == 0)
 
+    // captioncues: SRT/WebVTT sidecars exploded into timed rows
+    graft.multimodal.Multimodal.syntheticCaptionTracks(spark,
+      docs.filter(col("doc_id") < 20))
+      .write.parquet(s"$media/cuetracks")
+    PipelineRunner.run(spark, PipelineSpec(
+      name = "mm-captions",
+      source = SourceSpec(format = "parquet", path = s"$media/cuetracks"),
+      transformExprs = Seq("captioncues"),
+      branches = Seq(BranchSpec("main", None, Nil, s"$out/cues"))),
+      "runMmCaptions")
+    val cueRows = spark.read.parquet(s"$out/cues")
+    assert(cueRows.filter(col("t_end_ms") =!= col("t_start_ms") + 1500)
+      .count() == 0)
+    assert(cueRows.count() ==
+      (0L until 20L).map(id => 1 + (id % 4)).sum)
+
     // fpssample + aspectbuckets: sampling and packing as hops
     PipelineRunner.run(spark, PipelineSpec(
       name = "mm-fps",
