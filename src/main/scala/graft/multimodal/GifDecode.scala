@@ -160,6 +160,152 @@ private[multimodal] object GifDecode {
         (b(off + 3 * i + 2) & 0xff))
   }
 
+  // ---- encoder (the fixture/sink hot path) ----
+
+  /** Encode frames as one animated GIF when EVERY frame's distinct
+    * colors fit a 256-entry palette (then the palette is exact and the
+    * encode LOSSLESS — unlike the ImageIO writer's quantizer this
+    * never silently approximates); None when any frame is too colorful
+    * or dims vary (callers fall back to ImageIO). The ImageIO sequence
+    * writer builds an XML metadata tree per frame and its LZW runs
+    * through the generic plugin machinery; fixture encode is HALF the
+    * cost of the video bench rows, so the writer gets the same
+    * first-class treatment as the decoder. */
+  def writeAnimated(frames: Seq[java.awt.image.BufferedImage],
+                    delaysCs: Seq[Int]): Option[Array[Byte]] = {
+    require(frames.nonEmpty && frames.length == delaysCs.length)
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    if (!frames.forall(f => f.getWidth == w && f.getHeight == h)) return None
+    // per-frame exact palettes
+    val palettes = new Array[java.util.HashMap[Integer, Integer]](frames.length)
+    val pixelArrays = new Array[Array[Int]](frames.length)
+    var fi = 0
+    while (fi < frames.length) {
+      val img = frames(fi)
+      val px = new Array[Int](w * h)
+      img.getRGB(0, 0, w, h, px, 0, w): Unit
+      val pal = new java.util.HashMap[Integer, Integer]()
+      var i = 0
+      while (i < px.length) {
+        val c = px(i) & 0xffffff
+        px(i) = c
+        if (!pal.containsKey(c)) {
+          if (pal.size == 256) return None
+          pal.put(c, pal.size): Unit
+        }
+        i += 1
+      }
+      palettes(fi) = pal
+      pixelArrays(fi) = px
+      fi += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h)
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    w16(w); w16(h)
+    bos.write(0); bos.write(0); bos.write(0) // no GCT, bg, aspect
+    fi = 0
+    while (fi < frames.length) {
+      val pal = palettes(fi)
+      val px = pixelArrays(fi)
+      // GCE
+      bos.write(0x21); bos.write(0xf9); bos.write(4)
+      bos.write(0) // no disposal, no transparency
+      w16(delaysCs(fi)); bos.write(0); bos.write(0)
+      // image descriptor + local palette (padded to a power of two)
+      var palBits = 1
+      while ((1 << palBits) < pal.size) palBits += 1
+      if (palBits < 1) palBits = 1
+      bos.write(0x2c); w16(0); w16(0); w16(w); w16(h)
+      bos.write(0x80 | (palBits - 1))
+      val colors = new Array[Int](1 << palBits)
+      val it = pal.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        colors(e.getValue.intValue()) = e.getKey.intValue()
+      }
+      colors.foreach { c =>
+        bos.write((c >> 16) & 0xff); bos.write((c >> 8) & 0xff)
+        bos.write(c & 0xff)
+      }
+      val minCode = math.max(2, palBits)
+      bos.write(minCode)
+      writeLzw(bos, px, pal, minCode)
+      bos.write(0) // sub-block terminator
+      fi += 1
+    }
+    bos.write(0x3b)
+    Some(bos.toByteArray)
+  }
+
+  /** Greedy LZW with decoder-synchronized width bookkeeping, chunked
+    * into 255-byte sub-blocks. */
+  private def writeLzw(out: java.io.ByteArrayOutputStream, px: Array[Int],
+                       pal: java.util.HashMap[Integer, Integer],
+                       minCode: Int): Unit = {
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
+    val block = new Array[Byte](255)
+    var blockLen = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    // decoder-mirror state: the width the DECODER will use to read the
+    // next code, tracked by replaying its add-after-second-read rule
+    var decWidth = minCode + 1
+    var decDict = eoiCode + 1
+    var readsSinceClear = 0
+    def flushByte(): Unit = {
+      block(blockLen) = (bitBuf & 0xff).toByte
+      bitBuf >>>= 8; bitCnt -= 8
+      blockLen += 1
+      if (blockLen == 255) {
+        out.write(255); out.write(block, 0, 255); blockLen = 0
+      }
+    }
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += decWidth
+      while (bitCnt >= 8) flushByte()
+      readsSinceClear += 1
+      if (code == clearCode) {
+        decWidth = minCode + 1; decDict = eoiCode + 1; readsSinceClear = 0
+      } else if (readsSinceClear >= 2 && decDict < 4096) {
+        decDict += 1
+        if (decDict == (1 << decWidth) && decWidth < 12) decWidth += 1
+      }
+    }
+    // encoder dictionary: (prefixCode << 8 | colorIndex) -> code
+    var dict = new java.util.HashMap[Integer, Integer](4096)
+    var nextCode = eoiCode + 1
+    emit(clearCode)
+    var cur = pal.get(px(0) & 0xffffff).intValue()
+    var i = 1
+    while (i < px.length) {
+      val idx = pal.get(px(i) & 0xffffff).intValue()
+      val key = (cur << 8) | idx
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (nextCode < 4096) {
+          dict.put(key, nextCode): Unit
+          nextCode += 1
+        } else {
+          emit(clearCode)
+          dict = new java.util.HashMap[Integer, Integer](4096)
+          nextCode = eoiCode + 1
+        }
+        cur = idx
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoiCode)
+    if (bitCnt > 0) { bitCnt = 8; flushByte() }
+    if (blockLen > 0) { out.write(blockLen); out.write(block, 0, blockLen) }
+  }
+
   /** GIF-variant LZW: variable code width from `minCodeSize`+1 up to
     * 12 bits, clear/EOI codes, dictionary rebuilt on clear. Reads the
     * sub-block chain starting at `off`; emits exactly `expected`

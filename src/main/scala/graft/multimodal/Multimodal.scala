@@ -299,6 +299,14 @@ object Multimodal {
       require(frames.nonEmpty, "an animated GIF needs at least one frame")
       require(delaysCs.length == frames.length,
         s"${delaysCs.length} delays for ${frames.length} frames")
+      // fast path: frames whose colors fit a 256-entry palette encode
+      // through the in-JVM LZW writer (exact palette, LOSSLESS — and
+      // none of the per-frame ImageIO metadata-tree machinery); more
+      // colorful frames keep the ImageIO writer below
+      GifDecode.writeAnimated(frames, delaysCs) match {
+        case Some(bytes) => return bytes
+        case None => ()
+      }
       val writer = javax.imageio.ImageIO
         .getImageWritersByFormatName("gif").next()
       val baos = new java.io.ByteArrayOutputStream()

@@ -165,6 +165,70 @@ class GifDecodeSpec extends AnyFunSuite {
     assert((img.getRGB(1, 0) >>> 24) == 0, "transparent pixel alpha 0")
   }
 
+  test("in-JVM encoder round-trips losslessly through BOTH decoders") {
+    val fs = frames(3, 29, 18, 4)
+    val bytes = GifDecode.writeAnimated(fs, Seq(7, 12, 3)).get
+    // my decoder
+    val mine = GifDecode.parse(bytes)
+    assert(mine.numFrames == 3)
+    assert((0 until 3).map(i => mine.frames(i).delayCs) == Seq(7, 12, 3))
+    (0 until 3).foreach { i =>
+      val out = mine.frame(i)
+      (0 until 18).foreach(y => (0 until 29).foreach { x =>
+        assert((out.getRGB(x, y) & 0xffffff) ==
+          (fs(i).getRGB(x, y) & 0xffffff), s"i=$i ($x,$y)")
+      })
+    }
+    // the ImageIO reader agrees (foreign-reader conformance)
+    Multimodal.GifCodec.withReader(bytes) { reader =>
+      assert(reader.getNumImages(true) == 3)
+      (0 until 3).foreach { i =>
+        val out = reader.read(i)
+        (0 until 18).foreach(y => (0 until 29).foreach { x =>
+          assert((out.getRGB(x, y) & 0xffffff) ==
+            (fs(i).getRGB(x, y) & 0xffffff), s"imageio i=$i ($x,$y)")
+        })
+        assert(Multimodal.GifCodec.frameDelayCs(reader, i) ==
+          Seq(7, 12, 3)(i))
+      }
+    }
+  }
+
+  test("encoder survives a dictionary-full clear (large noisy frame)") {
+    // 256 gray values over 200x160 noise: the LZW dictionary hits 4096
+    // mid-frame and the encoder must emit a clear the decoders follow
+    val img = new java.awt.image.BufferedImage(200, 160,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = 999
+    (0 until 160).foreach(y => (0 until 200).foreach { x =>
+      s = s * 1103515245 + 12345
+      val g = (s >>> 16) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    })
+    val bytes = GifDecode.writeAnimated(Seq(img), Seq(10)).get
+    val mine = GifDecode.parse(bytes).frame(0)
+    Multimodal.GifCodec.withReader(bytes) { reader =>
+      val ref = reader.read(0)
+      (0 until 160).foreach(y => (0 until 200).foreach { x =>
+        val want = img.getRGB(x, y) & 0xffffff
+        assert((mine.getRGB(x, y) & 0xffffff) == want, s"mine ($x,$y)")
+        assert((ref.getRGB(x, y) & 0xffffff) == want, s"imageio ($x,$y)")
+      })
+    }
+  }
+
+  test("too-colorful frames fall back to the ImageIO writer") {
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(y => (0 until 32).foreach { x =>
+      img.setRGB(x, y, (x << 16) | (y << 8) | ((x * y) & 0xff))
+    })
+    assert(GifDecode.writeAnimated(Seq(img), Seq(5)).isEmpty)
+    // the public writer still produces a decodable GIF via ImageIO
+    val bytes = Multimodal.GifCodec.writeAnimatedVfr(Seq(img), Seq(5))
+    assert(GifDecode.parse(bytes).numFrames == 1)
+  }
+
   test("malformed streams refuse loudly") {
     intercept[IllegalArgumentException] {
       GifDecode.parse("not a gif".getBytes("UTF-8"))
