@@ -2846,6 +2846,54 @@ object SparkEntry {
         .select(col("media_id"), col("n_frames"), col("duration_ms"))
     }),
 
+    // WARC → HTML → TEXT end-to-end (round 18): the wire format web
+    // crawls actually arrive in — documents render as HTML pages
+    // inside HTTP response records packed into member-per-record
+    // .warc.gz files (one per partition, distributed build), then the
+    // reader streams ONE FILE PER TASK, splits the HTTP payload and
+    // the extraction rules (drop script/style/title with contents,
+    // tags→breaks, entities decode, whitespace collapse) recover the
+    // EXACT source text
+    "q269_warc_html_text" -> ((s, dir) => {
+      val base = tmp("q269")
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+      hfs.mkdirs(new org.apache.hadoop.fs.Path(base))
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      import s.implicits._
+      t(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].repartition(8)
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val records = it.map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            val html = s"<html><head><title>Doc $id</title>" +
+              "<script>var tracker = 1;</script></head>" +
+              s"<body><h1>Doc $id</h1><p>$esc</p>" +
+              "<!-- crawler comment --></body></html>"
+            graft.sources.Warc.Record("", "response",
+              s"https://example.org/doc/$id", "2026-08-17T00:00:00Z",
+              "application/http; msgtype=response",
+              graft.sources.Warc.httpResponse(html.getBytes("UTF-8")))
+          }.toSeq
+          val p = new org.apache.hadoop.fs.Path(base, f"crawl-$pid%02d.warc.gz")
+          graft.sources.Warc.writeWarc(p.getFileSystem(hconf.value), p,
+            records, gzipPerRecord = true)
+        }
+      val recs = graft.sources.Warc.readRecords(s, base)
+        .filter(col("record_type") === "response")
+      val httpPayloadText = udf((b: Array[Byte]) =>
+        new String(graft.sources.Warc.httpPayload(b), "UTF-8"))
+      recs.select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1)
+          .cast("bigint").as("doc_id"),
+        graft.text.HtmlText.htmlToText(
+          httpPayloadText(col("content"))).as("text"))
+    }),
+
     // TAR-SHARD (WebDataset-convention) source/sink round-trip (round
     // 18): documents pack into rolling .tar shards (key = zero-padded
     // doc_id, members <key>.txt + <key>.json, sealed at a byte budget
@@ -5744,6 +5792,10 @@ object SparkEntry {
         "(800 + doc_id % 800)::BIGINT AS n_frames, " +
         "((800 + doc_id % 800) * 1000 // 8000)::BIGINT AS duration_ms " +
         "FROM documents"),
+    // the h1 heading survives as 'Doc <id>' + blank line + exact text
+    "q269_warc_html_text" ->
+      ("SELECT doc_id, 'Doc ' || doc_id || chr(10) || chr(10) || text " +
+        "AS text FROM documents"),
     // shard members carry the documents' UTF-8 text bytes
     "q261_tar_shards" ->
       ("SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes " +
