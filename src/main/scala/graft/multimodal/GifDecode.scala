@@ -177,27 +177,45 @@ private[multimodal] object GifDecode {
     val w = frames.head.getWidth
     val h = frames.head.getHeight
     if (!frames.forall(f => f.getWidth == w && f.getHeight == h)) return None
-    // per-frame exact palettes
-    val palettes = new Array[java.util.HashMap[Integer, Integer]](frames.length)
-    val pixelArrays = new Array[Array[Int]](frames.length)
+    // per-frame exact palettes + pre-resolved palette INDEX per pixel —
+    // the encoder's inner loops then never touch a boxed map (the old
+    // HashMap[Integer, Integer] paid boxing + hashing PER PIXEL, and
+    // fixture encode is half the cost of the video bench rows)
+    val paletteArrays = new Array[Array[Int]](frames.length)
+    val indexArrays = new Array[Array[Byte]](frames.length)
     var fi = 0
     while (fi < frames.length) {
-      val img = frames(fi)
-      val px = new Array[Int](w * h)
-      img.getRGB(0, 0, w, h, px, 0, w): Unit
-      val pal = new java.util.HashMap[Integer, Integer]()
+      val px = Pixels.argbPlane(frames(fi))
+      // open-addressed 24-bit-color -> insertion-order index map
+      val cap = 1024 // power of two, max 256 entries => load <= 0.25
+      val keys = new Array[Int](cap)
+      java.util.Arrays.fill(keys, -1)
+      val vals = new Array[Int](cap)
+      val colors = new Array[Int](256)
+      var palSize = 0
+      val idx = new Array[Byte](px.length)
       var i = 0
       while (i < px.length) {
         val c = px(i) & 0xffffff
-        px(i) = c
-        if (!pal.containsKey(c)) {
-          if (pal.size == 256) return None
-          pal.put(c, pal.size): Unit
+        var slot = (c * 0x9E3779B1) >>> 22 // top 10 bits of a Fibonacci mix
+        var found = -1
+        while (found == -1) {
+          val k = keys(slot)
+          if (k == c) found = vals(slot)
+          else if (k == -1) {
+            if (palSize == 256) return None
+            keys(slot) = c
+            vals(slot) = palSize
+            colors(palSize) = c
+            found = palSize
+            palSize += 1
+          } else slot = (slot + 1) & (cap - 1)
         }
+        idx(i) = found.toByte
         i += 1
       }
-      palettes(fi) = pal
-      pixelArrays(fi) = px
+      paletteArrays(fi) = java.util.Arrays.copyOf(colors, palSize)
+      indexArrays(fi) = idx
       fi += 1
     }
     val bos = new java.io.ByteArrayOutputStream(w * h)
@@ -207,31 +225,26 @@ private[multimodal] object GifDecode {
     bos.write(0); bos.write(0); bos.write(0) // no GCT, bg, aspect
     fi = 0
     while (fi < frames.length) {
-      val pal = palettes(fi)
-      val px = pixelArrays(fi)
+      val palette = paletteArrays(fi)
+      val idx = indexArrays(fi)
       // GCE
       bos.write(0x21); bos.write(0xf9); bos.write(4)
       bos.write(0) // no disposal, no transparency
       w16(delaysCs(fi)); bos.write(0); bos.write(0)
       // image descriptor + local palette (padded to a power of two)
       var palBits = 1
-      while ((1 << palBits) < pal.size) palBits += 1
+      while ((1 << palBits) < palette.length) palBits += 1
       if (palBits < 1) palBits = 1
       bos.write(0x2c); w16(0); w16(0); w16(w); w16(h)
       bos.write(0x80 | (palBits - 1))
-      val colors = new Array[Int](1 << palBits)
-      val it = pal.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        colors(e.getValue.intValue()) = e.getKey.intValue()
-      }
+      val colors = java.util.Arrays.copyOf(palette, 1 << palBits)
       colors.foreach { c =>
         bos.write((c >> 16) & 0xff); bos.write((c >> 8) & 0xff)
         bos.write(c & 0xff)
       }
       val minCode = math.max(2, palBits)
       bos.write(minCode)
-      writeLzw(bos, px, pal, minCode)
+      writeLzw(bos, idx, minCode)
       bos.write(0) // sub-block terminator
       fi += 1
     }
@@ -240,9 +253,10 @@ private[multimodal] object GifDecode {
   }
 
   /** Greedy LZW with decoder-synchronized width bookkeeping, chunked
-    * into 255-byte sub-blocks. */
-  private def writeLzw(out: java.io.ByteArrayOutputStream, px: Array[Int],
-                       pal: java.util.HashMap[Integer, Integer],
+    * into 255-byte sub-blocks. `idx` carries the pre-resolved palette
+    * index per pixel; the dictionary is an open-addressed int map
+    * (same greedy matches, same emitted codes, zero boxing). */
+  private def writeLzw(out: java.io.ByteArrayOutputStream, idx: Array[Byte],
                        minCode: Int): Unit = {
     val clearCode = 1 << minCode
     val eoiCode = clearCode + 1
@@ -275,28 +289,48 @@ private[multimodal] object GifDecode {
         if (decDict == (1 << decWidth) && decWidth < 12) decWidth += 1
       }
     }
-    // encoder dictionary: (prefixCode << 8 | colorIndex) -> code
-    var dict = new java.util.HashMap[Integer, Integer](4096)
+    // encoder dictionary: (prefixCode << 8 | colorIndex) -> code, as an
+    // open-addressed int map (keys are < 2^20, so -1 marks empty)
+    val cap = 16384 // power of two; <= 4096 - 258 entries => load < 0.25
+    val dictKeys = new Array[Int](cap)
+    java.util.Arrays.fill(dictKeys, -1)
+    val dictVals = new Array[Int](cap)
+    def dictGet(key: Int): Int = {
+      var slot = (key * 0x9E3779B1) >>> 18
+      while (true) {
+        val k = dictKeys(slot)
+        if (k == key) return dictVals(slot)
+        if (k == -1) return -1
+        slot = (slot + 1) & (cap - 1)
+      }
+      -1
+    }
+    def dictPut(key: Int, v: Int): Unit = {
+      var slot = (key * 0x9E3779B1) >>> 18
+      while (dictKeys(slot) != -1) slot = (slot + 1) & (cap - 1)
+      dictKeys(slot) = key
+      dictVals(slot) = v
+    }
     var nextCode = eoiCode + 1
     emit(clearCode)
-    var cur = pal.get(px(0) & 0xffffff).intValue()
+    var cur = idx(0) & 0xff
     var i = 1
-    while (i < px.length) {
-      val idx = pal.get(px(i) & 0xffffff).intValue()
-      val key = (cur << 8) | idx
-      val hit = dict.get(key)
-      if (hit != null) cur = hit.intValue()
+    while (i < idx.length) {
+      val nxt = idx(i) & 0xff
+      val key = (cur << 8) | nxt
+      val hit = dictGet(key)
+      if (hit != -1) cur = hit
       else {
         emit(cur)
         if (nextCode < 4096) {
-          dict.put(key, nextCode): Unit
+          dictPut(key, nextCode)
           nextCode += 1
         } else {
           emit(clearCode)
-          dict = new java.util.HashMap[Integer, Integer](4096)
+          java.util.Arrays.fill(dictKeys, -1)
           nextCode = eoiCode + 1
         }
-        cur = idx
+        cur = nxt
       }
       i += 1
     }

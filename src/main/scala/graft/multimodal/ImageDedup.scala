@@ -35,8 +35,22 @@ object ImageDedup {
     * area-averaging over the source grid (deterministic integer
     * arithmetic — unlike Graphics2D filtering, identical across JDK
     * implementations), then one bit per horizontal neighbor comparison. */
-  def dHash64(img: java.awt.image.BufferedImage): Long = {
-    val gray = downscaleGray(img, 9, 8)
+  def dHash64(img: java.awt.image.BufferedImage): Long =
+    dHashOfLuma(Pixels.lumaPlane(img), img.getWidth, img.getHeight)
+
+  /** [[dHash64]] over an already-extracted luminance plane, for composed
+    * passes that share one plane across several signals (one plane
+    * extraction per decode — the plane IS the per-frame hot-loop cost). */
+  private[multimodal] def dHashOfLuma(lum: Array[Int], sw: Int,
+                                      sh: Int): Long =
+    dHashOfLumaRect(lum, sw, 0, 0, sw, sh)
+
+  /** dHash of the (ox, oy, rw, rh) sub-rect of a luminance plane —
+    * value-identical to `dHash64(img.getSubimage(ox, oy, rw, rh))`. */
+  private[multimodal] def dHashOfLumaRect(lum: Array[Int], stride: Int,
+                                          ox: Int, oy: Int, rw: Int,
+                                          rh: Int): Long = {
+    val gray = downscaleGrayRect(lum, stride, ox, oy, rw, rh, 9, 8)
     var bits = 0L
     var y = 0
     while (y < 8) {
@@ -53,9 +67,26 @@ object ImageDedup {
 
   /** Integer area-average downscale to w x h luminance (0..255). */
   private[multimodal] def downscaleGray(img: java.awt.image.BufferedImage,
-                                        w: Int, h: Int): Array[Array[Int]] = {
-    val sw = img.getWidth
-    val sh = img.getHeight
+                                        w: Int, h: Int): Array[Array[Int]] =
+    downscaleGrayPlane(Pixels.lumaPlane(img), img.getWidth, img.getHeight,
+      w, h)
+
+  /** [[downscaleGray]] over an already-extracted luminance plane — the
+    * per-pixel luma is floored first and the cell average floored after,
+    * exactly the original per-pixel-getRGB arithmetic. */
+  private[multimodal] def downscaleGrayPlane(lum: Array[Int], sw: Int,
+                                             sh: Int, w: Int,
+                                             h: Int): Array[Array[Int]] =
+    downscaleGrayRect(lum, sw, 0, 0, sw, sh, w, h)
+
+  /** Area-average downscale of the (ox, oy, sw, sh) sub-rect of a
+    * luminance plane with row `stride` — tile hashing reads its tiles
+    * straight off the parent plane instead of re-extracting pixels per
+    * `getSubimage` view. */
+  private[multimodal] def downscaleGrayRect(lum: Array[Int], stride: Int,
+                                            ox: Int, oy: Int, sw: Int,
+                                            sh: Int, w: Int,
+                                            h: Int): Array[Array[Int]] = {
     val out = Array.ofDim[Int](h, w)
     var y = 0
     while (y < h) {
@@ -68,11 +99,10 @@ object ImageDedup {
         var sum = 0L
         var yy = y0
         while (yy < y1) {
+          val row = (oy + yy) * stride + ox
           var xx = x0
           while (xx < x1) {
-            val rgb = img.getRGB(xx, yy)
-            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-              (rgb & 0xff) * 114) / 1000
+            sum += lum(row + xx)
             xx += 1
           }
           yy += 1
@@ -95,25 +125,14 @@ object ImageDedup {
     * the duplicate class the whole-image dHash cannot see (the gradient
     * field turns under every downscale cell). Index 0 IS [[dHash64]]. */
   private[multimodal] def dHashDihedral(
-      img: java.awt.image.BufferedImage): Array[Long] = {
-    val sw = img.getWidth
-    val sh = img.getHeight
-    val lum = new Array[Int](sw * sh)
-    var i = 0
-    var yy = 0
-    while (yy < sh) {
-      var xx = 0
-      while (xx < sw) {
-        val rgb = img.getRGB(xx, yy)
-        lum(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        i += 1
-        xx += 1
-      }
-      yy += 1
-    }
+      img: java.awt.image.BufferedImage): Array[Long] =
+    dHashDihedralOfLuma(Pixels.lumaPlane(img), img.getWidth, img.getHeight)
+
+  /** [[dHashDihedral]] over an already-extracted luminance plane (one
+    * plane per decode in composed passes). */
+  private[multimodal] def dHashDihedralOfLuma(lum: Array[Int], sw: Int,
+                                              sh: Int): Array[Long] =
     Array.tabulate(8)(o => dHashRemap(lum, sw, sh, o))
-  }
 
   /** dHash of the o-th dihedral transform via index remap — the same
     * 9x8 integer area-average as [[dHash64]], iterated in the TARGET
@@ -477,13 +496,15 @@ object ImageDedup {
       val img = ImageCodec.read(r.payload)
       require(img != null,
         s"media_id=${r.media_id}: payload is not a decodable image")
-      val nx = img.getWidth / tileW
+      val w = img.getWidth
+      val nx = w / tileW
       val ny = img.getHeight / tileH
+      val lum = Pixels.lumaPlane(img) // one plane serves every tile
       for {
         ty <- Iterator.range(0, ny)
         tx <- Iterator.range(0, nx)
       } yield (r.media_id, tx, ty,
-        dHash64(img.getSubimage(tx * tileW, ty * tileH, tileW, tileH)))
+        dHashOfLumaRect(lum, w, tx * tileW, ty * tileH, tileW, tileH))
     }).toDF("media_id", "tile_x", "tile_y", "thash")
   }
 

@@ -47,26 +47,22 @@ object MediaPipeline {
             s"media_id=${r.media_id}: payload is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
+          // ONE pixel pass: the plane feeds the contrast gate AND the hash
+          val lum = Pixels.lumaPlane(img)
           var mn = 255
           var mx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              if (lum < mn) mn = lum
-              if (lum > mx) mx = lum
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < lum.length) {
+            val l = lum(i)
+            if (l < mn) mn = l
+            if (l > mx) mx = l
+            i += 1
           }
           val passes = w >= minSide && h >= minSide &&
             1000L * math.max(w, h) / math.min(w, h) <= maxAspectMilli &&
             mx - mn >= minLumaRange
-          (r.media_id, r.media_type, ImageDedup.dHash64(img), passes,
-            w.toLong * h)
+          (r.media_id, r.media_type, ImageDedup.dHashOfLuma(lum, w, h),
+            passes, w.toLong * h)
         case "audio" =>
           val (samples, rate) = AudioDedup.decodeMonoWithRate(r.payload)
           var sumAbs = 0L
@@ -215,20 +211,17 @@ object MediaPipeline {
             s"media_id=${r.media_id}: payload is not a decodable image")
           val w = img.getWidth
           val h = img.getHeight
+          // ONE pixel pass: the plane feeds the contrast gate, every
+          // tile hash AND the dihedral fanout
+          val lum = Pixels.lumaPlane(img)
           var mn = 255
           var mx = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xff) * 299 +
-                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-              if (lum < mn) mn = lum
-              if (lum > mx) mx = lum
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < lum.length) {
+            val l = lum(i)
+            if (l < mn) mn = l
+            if (l > mx) mx = l
+            i += 1
           }
           val passes = w >= minSide && h >= minSide &&
             1000L * math.max(w, h) / math.min(w, h) <= maxAspectMilli &&
@@ -236,10 +229,10 @@ object MediaPipeline {
           val parts = for {
             ty <- 0 until h / tileH
             tx <- 0 until w / tileW
-          } yield (tx, ty, ImageDedup.dHash64(
-            img.getSubimage(tx * tileW, ty * tileH, tileW, tileH)))
+          } yield (tx, ty, ImageDedup.dHashOfLumaRect(
+            lum, w, tx * tileW, ty * tileH, tileW, tileH))
           // index 0 IS dHash64 — the whole hash rides the dihedral pass
-          val orients = ImageDedup.dHashDihedral(img)
+          val orients = ImageDedup.dHashDihedralOfLuma(lum, w, h)
           (r.media_id, r.media_type, orients(0), passes,
             w.toLong * h, parts, orients.toSeq)
         case "audio" =>

@@ -36,22 +36,17 @@ object MediaQuality {
         s"media_id=${r.media_id}: payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
+      val lumPlane = Pixels.lumaPlane(img)
       var mn = 255
       var mx = 0
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          if (lum < mn) mn = lum
-          if (lum > mx) mx = lum
-          sum += lum
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < lumPlane.length) {
+        val lum = lumPlane(i)
+        if (lum < mn) mn = lum
+        if (lum > mx) mx = lum
+        sum += lum
+        i += 1
       }
       (r.media_id, w, h,
         1000L * math.max(w, h) / math.min(w, h),
@@ -183,27 +178,17 @@ object MediaQuality {
         s"media_id=${r.media_id}: payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val lum = Array.ofDim[Int](h, w)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          lum(y)(x) = (((rgb >> 16) & 0xff) * 299 +
-            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
-      }
+      val lum = Pixels.lumaPlane(img)
       var sum = 0L
       var sumSq = 0L
       var n = 0L
-      y = 1
+      var y = 1
       while (y < h - 1) {
+        val row = y * w
         var x = 1
         while (x < w - 1) {
-          val lap = 4 * lum(y)(x) - lum(y)(x - 1) - lum(y)(x + 1) -
-            lum(y - 1)(x) - lum(y + 1)(x)
+          val lap = 4 * lum(row + x) - lum(row + x - 1) - lum(row + x + 1) -
+            lum(row - w + x) - lum(row + w + x)
           sum += lap
           sumSq += lap.toLong * lap
           n += 1
@@ -242,22 +227,12 @@ object MediaQuality {
         s"media_id=${r.media_id}: payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val lum = Array.ofDim[Int](h, w)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          lum(y)(x) = (((rgb >> 16) & 0xff) * 299 +
-            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-          x += 1
-        }
-        y += 1
-      }
+      val lum = Pixels.lumaPlane(img)
       def rowUniform(yy: Int): Boolean = {
-        val v = lum(yy)(0)
+        val row = yy * w
+        val v = lum(row)
         var x = 1
-        while (x < w) { if (lum(yy)(x) != v) return false; x += 1 }
+        while (x < w) { if (lum(row + x) != v) return false; x += 1 }
         true
       }
       var top = 0
@@ -268,10 +243,10 @@ object MediaQuality {
       // left/right pillarbox still spans full columns, while corner
       // pixels of a top bar must not fake a column bar
       def colUniformIn(xx: Int): Boolean = {
-        val v = lum(top)(xx)
+        val v = lum(top * w + xx)
         var yy = top
         while (yy < h - bottom) {
-          if (lum(yy)(xx) != v) return false
+          if (lum(yy * w + xx) != v) return false
           yy += 1
         }
         true
@@ -305,11 +280,8 @@ object MediaQuality {
         s"media_id=${r.media_id}: payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      def lumAt(x: Int, y: Int): Int = {
-        val rgb = img.getRGB(x, y)
-        (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-      }
+      val lum = Pixels.lumaPlane(img)
+      def lumAt(x: Int, y: Int): Int = lum(y * w + x)
       def rowUniform(yy: Int): Boolean = {
         val v = lumAt(0, yy)
         var x = 1
@@ -371,34 +343,31 @@ object MediaQuality {
         s"media_id=${r.media_id}: payload is not a decodable image")
       val w = img.getWidth
       val h = img.getHeight
-      val lum = Array.ofDim[Int](h, w)
+      // ONE pixel pass: the luminance plane feeds min/max/mean, the
+      // Laplacian, the bar scans AND the dHash (which used to re-read
+      // every pixel through its own downscale)
+      val lum = Pixels.lumaPlane(img)
       var mn = 255
       var mx = 0
       var sum = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          lum(y)(x) = l
-          if (l < mn) mn = l
-          if (l > mx) mx = l
-          sum += l
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < lum.length) {
+        val l = lum(i)
+        if (l < mn) mn = l
+        if (l > mx) mx = l
+        sum += l
+        i += 1
       }
       var lapSum = 0L
       var lapSq = 0L
       var lapN = 0L
-      y = 1
+      var y = 1
       while (y < h - 1) {
+        val row = y * w
         var x = 1
         while (x < w - 1) {
-          val lap = 4 * lum(y)(x) - lum(y)(x - 1) - lum(y)(x + 1) -
-            lum(y - 1)(x) - lum(y + 1)(x)
+          val lap = 4 * lum(row + x) - lum(row + x - 1) - lum(row + x + 1) -
+            lum(row - w + x) - lum(row + w + x)
           lapSum += lap
           lapSq += lap.toLong * lap
           lapN += 1
@@ -410,9 +379,10 @@ object MediaQuality {
         if (lapN == 0) 0L
         else lapSq / lapN - (lapSum / lapN) * (lapSum / lapN)
       def rowUniform(yy: Int): Boolean = {
-        val v = lum(yy)(0)
+        val row = yy * w
+        val v = lum(row)
         var x = 1
-        while (x < w) { if (lum(yy)(x) != v) return false; x += 1 }
+        while (x < w) { if (lum(row + x) != v) return false; x += 1 }
         true
       }
       var top = 0
@@ -423,10 +393,10 @@ object MediaQuality {
         if (top + bottom >= h) (w, 0)
         else {
           def colUniformIn(xx: Int): Boolean = {
-            val v = lum(top)(xx)
+            val v = lum(top * w + xx)
             var yy = top
             while (yy < h - bottom) {
-              if (lum(yy)(xx) != v) return false
+              if (lum(yy * w + xx) != v) return false
               yy += 1
             }
             true
@@ -439,7 +409,7 @@ object MediaQuality {
         }
       (r.media_id, w, h, 1000L * math.max(w, h) / math.min(w, h),
         (sum / (w.toLong * h)).toInt, mx - mn, lapVar,
-        top, bottom, left, right, ImageDedup.dHash64(img))
+        top, bottom, left, right, ImageDedup.dHashOfLuma(lum, w, h))
     }).toDF("media_id", "width", "height", "aspect_milli", "luma_mean",
       "luma_range", "lap_var", "bar_top", "bar_bottom", "bar_left",
       "bar_right", "dhash")

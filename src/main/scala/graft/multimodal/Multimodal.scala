@@ -101,15 +101,14 @@ object Multimodal {
     val h = img.getHeight
     val bands = new Array[Float](featureDim)
     val counts = new Array[Int](featureDim)
+    val plane = Pixels.lumaPlane(img)
     var y = 0
     while (y < h) {
       val band = math.min(featureDim - 1, y * featureDim / h)
+      val row = y * w
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
-        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        bands(band) += lum / 255f
+        bands(band) += plane(row + x) / 255f
         counts(band) += 1
         x += 1
       }
