@@ -25,6 +25,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[t]] for queries whose FIRST stage does heavy per-row work
+    * (tokenize/shingle/hash/k-means): the sf tables arrive as one
+    * unsplittable parquet split (single row group), which would run
+    * that stage on one core of the session. Repartitions to session
+    * default parallelism ONLY when the scan is narrower — at production
+    * split counts this is a no-op (no exchange). Queries whose fixtures
+    * are sensitive to input file/partition counts keep the raw [[t]]. */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par)
+  }
+
   private def tmp(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-entry/$name"
 
@@ -659,7 +672,7 @@ object SparkEntry {
     // (DuckDB recomputes the set all-pairs at oracle scale, while the
     // engine path stays O(docs x bands)).
     "q21_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
         n = 3, k = 64, numBands = 32)
       MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
@@ -672,7 +685,7 @@ object SparkEntry {
     // DuckDB recomputes components with a recursive CTE over the same
     // exact-Jaccard pair set.
     "q36_dup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
         n = 3, k = 64, numBands = 32)
       val pairs = MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id", "text",
@@ -1027,7 +1040,7 @@ object SparkEntry {
     // candidates touch text for the exact-Jaccard verify. Same %4 split
     // as q67; DuckDB recomputes the cross pair set all-pairs.
     "q73_lsh_index_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
       graft.dedup.LshIndex.build(s, corpus, "doc_id", "text",
@@ -1216,7 +1229,7 @@ object SparkEntry {
     // any corpus scale, so its distinct grams BROADCAST and the corpus
     // pays one map-side semi-join probe — no shuffle of corpus grams.
     "q72_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val grams = MinHashDedup.shingles(col("text"), 4)
       val benchGrams = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
         .select(explode(grams).as("g")).distinct()
@@ -1372,7 +1385,7 @@ object SparkEntry {
     // log2 quantization is length(bin(cnt))-1 — integer/string ops only,
     // so train AND score are bit-identical in DuckDB (no float log).
     "q93_lm_familiarity" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val model = graft.text.NgramLm.train(docs, "text", n = 3, minCount = 2)
       graft.text.NgramLm.familiarity(docs, model, "doc_id", "text", n = 3)
         .select("doc_id", "n_grams", "fam_q")
@@ -1470,7 +1483,7 @@ object SparkEntry {
     // pairs + recursive components + the same window), so the row proves
     // the banded LSH path loses NO pair the exact definition requires.
     "q85_neardup_keepbest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val cands = MinHashDedup.candidatePairs(docs, "doc_id", "text",
         n = 3, k = 64, numBands = 32)
       val pairs = MinHashDedup.verifyShingleJaccard(cands, docs, "doc_id",
@@ -2116,7 +2129,7 @@ object SparkEntry {
     // a hash-sample must report full recall.
     "q176_knn_graph" -> ((s, dir) => {
       import graft.ann.KnnGraph
-      val derived = t(s, dir, "embeddings").select(col("vec_id"),
+      val derived = tp(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           (x, i) => x + when(i.cast("bigint") === pmod(col("vec_id"), lit(16L)),
             lit(10.0)).otherwise(lit(0.0))).as("embedding"))
@@ -3913,7 +3926,7 @@ object SparkEntry {
     // value-based equal-count thirds — pure integer arithmetic, ties
     // never straddle a boundary, corpus never globally sorted.
     "q110_ccnet_tiers" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       // the CCNet shape at scale: the LM trains on a bounded
       // deterministic hash-sample (CCNet trains on a Wikipedia-sized
       // slice, not the crawl) and the model is COLLECTED once — a lazy

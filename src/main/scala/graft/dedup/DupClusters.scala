@@ -52,20 +52,31 @@ object DupClusters {
     * consumed. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverMaxEdges: Long = 1L << 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Normalize to UNDIRECTED (min, max) edges and materialize ONCE.
+    // The earlier shape symmetrized FIRST: the (often expensive —
+    // a banded near-dup join) `pairs` plan was evaluated twice by the
+    // union, and the driver-budget check counted every undirected edge
+    // twice, pushing pair sets that fit the driver comfortably onto the
+    // iterative loop at half the documented capacity.
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("src"),
+        greatest(col("id_a"), col("id_b")).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val integralIds = edges.schema.fields.forall(f =>
+    val integralIds = und.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && edges.count() <= driverMaxEdges)
-      return driverComponents(edges)
-    try starComponents(edges, maxIter) finally edges.unpersist()
+    if (integralIds && und.count() <= driverMaxEdges)
+      return driverComponents(und) // union-find is direction-blind
+    val sym = und.union(
+      und.select(col("dst").as("src"), col("src").as("dst")))
+    try starComponents(sym, maxIter) finally und.unpersist()
   }
 
-  /** Large-star/small-star alternation over a symmetric, distinct edge
-    * set. State between rounds is the directed parent-edge set
+  /** Large-star/small-star alternation over a symmetric edge set (built
+    * from a persisted undirected set; self-pairs may appear twice — the
+    * orientation filter and the self-only census both dedup locally).
+    * State between rounds is the directed parent-edge set
     * (child > parent); at the fixpoint it is a union of stars, each
     * rooted at its component's minimum id.
     *

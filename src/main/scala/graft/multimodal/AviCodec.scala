@@ -95,6 +95,9 @@ private[multimodal] object G711 {
 
 private[multimodal] object AviCodec {
 
+  ImageIoTuning.init // memory-cached ImageIO streams for the JPEG frames
+
+
   /** RIFF....AVI<space> magic. */
   def isAvi(b: Array[Byte]): Boolean =
     b != null && b.length > 12 &&
@@ -487,6 +490,15 @@ private[multimodal] object VideoCodec {
     /** Wall-clock display delay in µs (GIF-only unspecified-delay
       * convention applied; explicit AVI timing verbatim). */
     def renderedDelayUs(i: Int): Long
+    /** Frame i as (luminance plane, width, height) — value-identical to
+      * `Pixels.lumaPlane(frame(i))` + dims (unit-pinned). The
+      * decode-to-hash faces read THIS: palette containers (GIF) decode
+      * indices straight to luma through a 256-entry LUT, skipping the
+      * BufferedImage + ARGB round-trip the hash never needed. */
+    def lumaFrame(i: Int): (Array[Int], Int, Int) = {
+      val img = frame(i)
+      (Pixels.lumaPlane(img), img.getWidth, img.getHeight)
+    }
   }
 
   def isVideo(b: Array[Byte]): Boolean =
@@ -502,6 +514,10 @@ private[multimodal] object VideoCodec {
       f(new Frames {
         def numFrames: Int = gif.numFrames
         def frame(i: Int): java.awt.image.BufferedImage = gif.frame(i)
+        override def lumaFrame(i: Int): (Array[Int], Int, Int) = {
+          val fr = gif.frames(i)
+          (gif.lumaFrame(i), fr.width, fr.height)
+        }
         def delayUs(i: Int): Long = gif.frames(i).delayCs.toLong * 10000L
         def renderedDelayUs(i: Int): Long = {
           // zero/absent GCE delays are common in wild GIFs; browsers

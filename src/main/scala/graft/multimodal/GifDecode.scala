@@ -75,6 +75,57 @@ private[multimodal] object GifDecode {
       }
       img
     }
+
+    /** Frame i decoded straight to a LUMINANCE plane — value-identical
+      * to `Pixels.lumaPlane(frame(i))` (unit-pinned): palette colors map
+      * through a 256-entry luma LUT (transparent index → ARGB 0 → luma
+      * 0), so the hash faces skip the BufferedImage + packed-ARGB
+      * round-trip entirely. At 100 TB of GIF video the decode-to-dHash
+      * chain IS the job; this is its tightest in-JVM form. */
+    def lumaFrame(i: Int): Array[Int] = {
+      val f = frames(i)
+      val indices = lzw(payload, f.dataOffset, f.minCodeSize,
+        f.width * f.height)
+      val lut = new Array[Int](f.palette.length)
+      var j = 0
+      while (j < lut.length) {
+        val c = f.palette(j)
+        lut(j) = (((c >> 16) & 0xff) * 299 + ((c >> 8) & 0xff) * 587 +
+          (c & 0xff) * 114) / 1000
+        j += 1
+      }
+      val n = f.width * f.height
+      val out = new Array[Int](n)
+      if (!f.interlaced) {
+        var p = 0
+        while (p < n) {
+          val idx = indices(p) & 0xff
+          out(p) = if (idx == f.transparentIdx) 0 else lut(idx)
+          p += 1
+        }
+      } else {
+        var src = 0
+        var pass = 0
+        val starts = Array(0, 4, 2, 1)
+        val steps = Array(8, 8, 4, 2)
+        while (pass < 4) {
+          var y = starts(pass)
+          while (y < f.height) {
+            var x = 0
+            while (x < f.width) {
+              val idx = indices(src) & 0xff
+              out(y * f.width + x) =
+                if (idx == f.transparentIdx) 0 else lut(idx)
+              src += 1
+              x += 1
+            }
+            y += steps(pass)
+          }
+          pass += 1
+        }
+      }
+      out
+    }
   }
 
   def parse(b: Array[Byte]): Gif = {

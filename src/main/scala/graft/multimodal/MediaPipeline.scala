@@ -97,7 +97,10 @@ object MediaPipeline {
             }
             val durationMs = durationUs / 1000L
             val hashes = Iterator.range(0, n, every)
-              .map(f => ImageDedup.dHash64(v.frame(f))).toArray
+              .map { f =>
+                val (l, fw, fh) = v.lumaFrame(f)
+                ImageDedup.dHashOfLuma(l, fw, fh)
+              }.toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
               durationMs >= minVideoMs && durationMs <= maxVideoMs
             (r.media_id, r.media_type, VideoDedup.foldMajority(hashes),
@@ -281,7 +284,10 @@ object MediaPipeline {
             }
             val durationMs = durationUs / 1000L
             val parts = (0 until n by every)
-              .map(f => (f, 0, ImageDedup.dHash64(v.frame(f))))
+              .map { f =>
+                val (l, fw, fh) = v.lumaFrame(f)
+                (f, 0, ImageDedup.dHashOfLuma(l, fw, fh))
+              }
             val hashes = parts.map(_._3).toArray
             val passes = n >= minFrames && hashes.distinct.length > 1 &&
               durationMs >= minVideoMs && durationMs <= maxVideoMs

@@ -143,7 +143,8 @@ object MediaQuality {
         val hashes = scala.collection.mutable.HashSet.empty[Long]
         var f = 0
         while (f < n) {
-          hashes += ImageDedup.dHash64(v.frame(f)): Unit
+          val (l, fw, fh) = v.lumaFrame(f)
+          hashes += ImageDedup.dHashOfLuma(l, fw, fh): Unit
           f += every
         }
         (r.media_id, n.toLong, durationUs / 1000L, hashes.size.toLong)

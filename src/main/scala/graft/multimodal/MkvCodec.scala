@@ -38,6 +38,9 @@ package graft.multimodal
   */
 private[multimodal] object MkvCodec {
 
+  ImageIoTuning.init // memory-cached ImageIO streams for the JPEG frames
+
+
   // element ids as they appear on the wire (marker bit included)
   private val IdEbml = 0x1A45DFA3L
   private val IdSegment = 0x18538067L

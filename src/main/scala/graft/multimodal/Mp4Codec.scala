@@ -36,6 +36,9 @@ package graft.multimodal
   */
 private[multimodal] object Mp4Codec {
 
+  ImageIoTuning.init // memory-cached ImageIO streams for the JPEG frames
+
+
   /** `ftyp` at offset 4 — every ISO-BMFF file leads with it. */
   def isMp4(b: Array[Byte]): Boolean =
     b != null && b.length > 12 &&

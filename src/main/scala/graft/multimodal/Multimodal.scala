@@ -92,16 +92,37 @@ object Multimodal {
       r.copy(mime = s"resized/${width}x$height")
   }
 
+  /** The synthetic generators' doc_id feed, spread to session default
+    * parallelism: the sf tables arrive as ONE unsplittable parquet split
+    * (single row group), which would serialize every executor-side
+    * media encode behind one core — the guide's "one huge unsplittable
+    * file: repartition immediately after the read" case. Ids only — the
+    * exchange moves 8 bytes a row, never payloads — and a no-op when
+    * the input is already at least as parallel as the session. */
+  private def docIds(docs: DataFrame): Dataset[Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col("doc_id")).as[Long]
+    val par = spark.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions >= par) ids
+    else ids.repartition(par)
+  }
+
   /** Mean luminance of `featureDim` horizontal bands — the cheap actual-
     * content embedding every real decoder here emits (image frames, GIF
     * video frames). */
   private[multimodal] def lumBands(img: java.awt.image.BufferedImage,
-                                   featureDim: Int): Array[Float] = {
-    val w = img.getWidth
-    val h = img.getHeight
+                                   featureDim: Int): Array[Float] =
+    lumBandsOfLuma(Pixels.lumaPlane(img), img.getWidth, img.getHeight,
+      featureDim)
+
+  /** [[lumBands]] over an already-extracted luminance plane — the video
+    * frame faces feed [[graft.multimodal.AviCodec]]'s VideoCodec
+    * `lumaFrame` fast path straight in. */
+  private[multimodal] def lumBandsOfLuma(plane: Array[Int], w: Int, h: Int,
+                                         featureDim: Int): Array[Float] = {
     val bands = new Array[Float](featureDim)
     val counts = new Array[Int](featureDim)
-    val plane = Pixels.lumaPlane(img)
     var y = 0
     while (y < h) {
       val band = math.min(featureDim - 1, y * featureDim / h)
@@ -242,6 +263,9 @@ object Multimodal {
     * real in a stock JVM — true video codecs (mp4/webm/...) remain the
     * documented [[FakeDecoder]] seam. */
   private[multimodal] object GifCodec {
+
+    ImageIoTuning.init // memory-cached ImageIO streams
+
     def isGif(b: Array[Byte]): Boolean =
       b != null && b.length >= 6 &&
         b(0) == 'G'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte
@@ -455,9 +479,8 @@ object Multimodal {
       VideoCodec.withFrames(r.payload) { v =>
         val n = v.numFrames
         (0 until n by every).map { i =>
-          val img = v.frame(i)
-          (r.media_id, i, img.getWidth, img.getHeight,
-            lumBands(img, featureDim))
+          val (lum, fw, fh) = v.lumaFrame(i)
+          (r.media_id, i, fw, fh, lumBandsOfLuma(lum, fw, fh, featureDim))
         }.toVector // materialize before the reader is disposed
       }
     }).toDF("media_id", "frame_idx", "width", "height", "feature")
@@ -496,11 +519,14 @@ object Multimodal {
         var nSampled = 0L
         var f = 0
         while (f < n) {
-          val img = v.frame(f)
+          // sampled frames genuinely decode (the census contract); only
+          // frame 0's PIXELS are read (dims + bands), so the other
+          // frames pay the codec, never an extra pixel conversion
           if (f == 0) {
-            w = img.getWidth; h = img.getHeight
-            feature = lumBands(img, featureDim)
-          }
+            val (lum, fw, fh) = v.lumaFrame(f)
+            w = fw; h = fh
+            feature = lumBandsOfLuma(lum, fw, fh, featureDim)
+          } else v.frame(f): Unit
           nSampled += 1
           f += every
         }
@@ -519,7 +545,7 @@ object Multimodal {
     * alone while decode exercises a real multi-frame container. */
   def syntheticAnimatedGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nFrames = 2 + (id % 6).toInt
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 12).toInt
@@ -553,7 +579,7 @@ object Multimodal {
     * RIFF container walk + per-frame JPEG decode. */
   def syntheticAviVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nFrames = 2 + (id % 6).toInt
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 12).toInt
@@ -586,7 +612,7 @@ object Multimodal {
     * duration_ms = 25 * n * (n + 1) stays doc_id arithmetic. */
   def syntheticMp4Videos(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nFrames = 2 + (id % 6).toInt
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 12).toInt
@@ -659,7 +685,7 @@ object Multimodal {
     * oracle-computable from doc_id alone. */
   def syntheticAviWithAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val frames = (0 until 2).map { f =>
         val img = new java.awt.image.BufferedImage(16, 16,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -755,7 +781,7 @@ object Multimodal {
   def syntheticMkvVideos(spark: SparkSession, docs: DataFrame,
                          plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nFrames = 2 + (id % 6).toInt
       val w = 16 + (id % 16).toInt
       val h = 16 + (id % 12).toInt
@@ -797,7 +823,7 @@ object Multimodal {
     * bit-depth demux paths run). */
   def syntheticMkvAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val nSamp = 800 + (id % 800).toInt
       val freq = 200.0 + (id % 10) * 50.0
@@ -842,7 +868,7 @@ object Multimodal {
   def syntheticM4aAudio(spark: SparkSession, docs: DataFrame,
                         plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val nSamp = 800 + (id % 800).toInt
       val freq = 200.0 + (id % 10) * 50.0
@@ -877,7 +903,7 @@ object Multimodal {
     * round-trip. */
   def syntheticG711Audio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val nSamp = 800 + (id % 800).toInt
       val freq = 200.0 + (id % 10) * 50.0
@@ -903,7 +929,7 @@ object Multimodal {
     * through a REAL lossy encode→block-decode round-trip. */
   def syntheticAdpcmAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val nSamp = 800 + (id % 800).toInt
       val freq = 200.0 + (id % 10) * 50.0
@@ -930,7 +956,7 @@ object Multimodal {
   def syntheticFlacAudio(spark: SparkSession, docs: DataFrame,
                          plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val nSamp = 800 + (id % 800).toInt
       val freq = 200.0 + (id % 10) * 50.0
@@ -998,8 +1024,7 @@ object Multimodal {
   /** Shared executor-side codec helpers: force headless AWT once per JVM
     * (executors have no display) before touching ImageIO. */
   private[multimodal] object ImageCodec {
-    private lazy val headless: Unit =
-      System.setProperty("java.awt.headless", "true"): Unit
+    private lazy val headless: Unit = ImageIoTuning.init
     def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       headless
       MediaCounters.imageReads.incrementAndGet(): Unit
@@ -1142,7 +1167,7 @@ object Multimodal {
   def syntheticWebpImages(spark: SparkSession, docs: DataFrame,
                           plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = 16 + (id % 32).toInt
       val h = 16 + (id % 24).toInt
       def chunk(cid: String, data: Array[Byte]): Array[Byte] = {
@@ -1207,7 +1232,7 @@ object Multimodal {
   def syntheticMp3Audio(spark: SparkSession, docs: DataFrame,
                         plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val n = 64 + (id % 64).toInt
       val audio = new Array[Byte](n)
       var i = 0
@@ -1235,7 +1260,7 @@ object Multimodal {
     * parsers run. */
   def syntheticCaptionTracks(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nCues = 1 + (id % 4).toInt
       def stamp(ms: Long, sep: Char): String = {
         val h = ms / 3600000L
@@ -1271,7 +1296,7 @@ object Multimodal {
   def syntheticTiffImages(spark: SparkSession, docs: DataFrame,
                           plantMetadata: Boolean = false): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = 16 + (id % 32).toInt
       val h = 16 + (id % 24).toInt
       val artist = if (plantMetadata && (id % 4 == 0 || id % 4 == 2))
@@ -1291,7 +1316,7 @@ object Multimodal {
     * the transform chain across the corpus. */
   def syntheticWebpPixelImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = 16 + (id % 32).toInt
       val h = 16 + (id % 24).toInt
       val img = new java.awt.image.BufferedImage(w, h,
@@ -1327,7 +1352,7 @@ object Multimodal {
   def syntheticImageVariants(spark: SparkSession, docs: DataFrame,
                              groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val perturbed = (id / groups) % 2 == 1
       val w = 32
@@ -1368,7 +1393,7 @@ object Multimodal {
     require(groups >= 1 && groups <= 20,
       s"groups=$groups: pitch spacing resolves at most 20 groups")
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val amp = if ((id / groups) % 2 == 1) 7000.0 else 14000.0
       val rate = 8000
@@ -1410,7 +1435,7 @@ object Multimodal {
     require(groups >= 1 && groups <= 20,
       s"groups=$groups: pitch spacing resolves at most 20 groups")
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val kind = ((id / groups) % 3).toInt
       val rate = 8000
@@ -1466,7 +1491,7 @@ object Multimodal {
   def syntheticImageResVariants(spark: SparkSession, docs: DataFrame,
                                 groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val small = (id / groups) % 2 == 1
       val w = 36
@@ -1519,7 +1544,7 @@ object Multimodal {
   def syntheticImageCropVariants(spark: SparkSession, docs: DataFrame,
                                  groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val kind = ((id / groups) % 3).toInt
       val tile = 16
@@ -1567,7 +1592,7 @@ object Multimodal {
   def syntheticImageRotationVariants(spark: SparkSession, docs: DataFrame,
                                      groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val kind = ((id / groups) % 4).toInt
       val perturbed = (id / (4L * groups)) % 2 == 1
@@ -1624,7 +1649,7 @@ object Multimodal {
   def syntheticGifVariants(spark: SparkSession, docs: DataFrame,
                            groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val perturbed = (id / groups) % 2 == 1
       val w = 32
@@ -1672,7 +1697,7 @@ object Multimodal {
     * frames. */
   def syntheticGifSceneVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val scenes = 1 + (id % 4).toInt
       val noisy = id % 2 == 1
       val w = 32
@@ -1712,7 +1737,7 @@ object Multimodal {
   def syntheticAudioSegmentVariants(spark: SparkSession,
                                     docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val nseg = 1 + (id % 4).toInt
       val win = 400
       val rate = 8000
@@ -1753,7 +1778,7 @@ object Multimodal {
     * [[MediaQuality.borderBars]]/cropBars. */
   def syntheticImageBarMix(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val top = (id % 3).toInt
       val bottom = ((id / 3) % 3).toInt
       val left = ((id / 9) % 3).toInt
@@ -1815,7 +1840,7 @@ object Multimodal {
   def syntheticJpegsWithMetadata(spark: SparkSession,
                                  docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val w = 16 + (id % 32).toInt
       val h = 16 + (id % 24).toInt
       val img = new java.awt.image.BufferedImage(w, h,
@@ -1917,7 +1942,7 @@ object Multimodal {
   def syntheticVfrVariants(spark: SparkSession, docs: DataFrame,
                            groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val cfr = (id / groups) % 2 == 1
       val w = 32
@@ -1960,7 +1985,7 @@ object Multimodal {
   def syntheticVfrMp4Variants(spark: SparkSession, docs: DataFrame,
                               groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val cfr = (id / groups) % 2 == 1
       val w = 32
@@ -2020,7 +2045,7 @@ object Multimodal {
     * [[MediaQuality.imageSharpness]] gate: blurry = doc_id % 3 == 0. */
   def syntheticImageBlurMix(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val blurred = id % 3 == 0
       val side = 32
       val src = if (blurred) 4 else side
@@ -2065,7 +2090,7 @@ object Multimodal {
     * Ground truth for the [[MediaQuality.imageSignals]] gates. */
   def syntheticImageQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val (w, h, solid) =
         if (id % 5 == 0) (8, 8, false)
         else if (id % 11 == 0) (120, 16, false)
@@ -2102,7 +2127,7 @@ object Multimodal {
     * Ground truth for the [[MediaQuality.audioSignals]] gates. */
   def syntheticAudioQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val rate = 8000
       val frames = if (id % 5 == 0) 200 else 800
       val silent = id % 5 != 0 && id % 11 == 0
@@ -2150,7 +2175,7 @@ object Multimodal {
   def syntheticMediaPipelineMix(spark: SparkSession,
                                 docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id")).as[Long]
+    val ids = docIds(docs)
     def splitmix(parts: Long*): Long = {
       var z = 0L
       parts.foreach { p => z = (z + p) * 0x9E3779B97F4A7C15L }
@@ -2268,7 +2293,7 @@ object Multimodal {
   def syntheticMediaPipelineDeepMix(spark: SparkSession,
                                     docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val ids = docs.select(col("doc_id")).as[Long]
+    val ids = docIds(docs)
     def splitmix(parts: Long*): Long = {
       var z = 0L
       parts.foreach { p => z = (z + p) * 0x9E3779B97F4A7C15L }
@@ -2387,7 +2412,7 @@ object Multimodal {
     * [[MediaQuality.videoSignals]] gates. */
   def syntheticVideoQualityMix(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val single = id % 5 == 0
       val static = !single && id % 11 == 0
       val short = !single && !static && id % 7 == 0
@@ -2430,7 +2455,7 @@ object Multimodal {
   def syntheticGifOverlapVariants(spark: SparkSession, docs: DataFrame,
                                   groups: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val kind = ((id / groups) % 3).toInt
       val nFrames = if (kind == 2) 6 else 4
@@ -2467,7 +2492,7 @@ object Multimodal {
   def syntheticGifFrameImages(spark: SparkSession, docs: DataFrame,
                               groups: Int, frame: Int): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val w = 32
       val h = 32
@@ -2509,7 +2534,7 @@ object Multimodal {
     require(groups >= 1 && groups <= 20,
       s"groups=$groups: pitch spacing resolves at most 20 groups")
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    docIds(docs).mapPartitions(_.map { id =>
       val base = (id % groups).toInt
       val kind = ((id / groups) % 3).toInt
       val amp = if (kind == 1) 7000.0 else 14000.0

@@ -20,6 +20,19 @@ import java.awt.image.{BufferedImage, ComponentSampleModel, DataBufferByte,
   * an offset. Types with color-space conversion on the getRGB path
   * (TYPE_BYTE_GRAY's linear-gray → sRGB) or premultiplied alpha take
   * the fallback — the conversion is the contract there. */
+/** JVM-wide ImageIO setup shared by every codec entry point: headless
+  * AWT, and MEMORY-cached ImageIO streams — the default cache is
+  * DISK-backed, creating and deleting a temp FILE per
+  * `read(InputStream)`/`write(_, _, OutputStream)` call, which
+  * serializes concurrent decode tasks behind the filesystem. Both are
+  * pure environment toggles; decoded/encoded bytes are bit-identical. */
+private[multimodal] object ImageIoTuning {
+  lazy val init: Unit = {
+    System.setProperty("java.awt.headless", "true"): Unit
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+}
+
 private[multimodal] object Pixels {
 
   /** Packed ARGB plane, row-major `w*h` — `out(y*w + x)` equals

@@ -48,7 +48,10 @@ object VideoDedup {
       val n = v.numFrames
       require(n >= 1, "video container holds no frames")
       val hashes = Iterator.range(0, n, every)
-        .map(i => ImageDedup.dHash64(v.frame(i))).toArray
+        .map { i =>
+          val (l, fw, fh) = v.lumaFrame(i)
+          ImageDedup.dHashOfLuma(l, fw, fh)
+        }.toArray
       foldMajority(hashes)
     }
   }
@@ -125,7 +128,8 @@ object VideoDedup {
       while (t < total) {
         while (frame + 1 < n && starts(frame + 1) <= t) frame += 1
         if (frame != hashedFrame) {
-          lastHash = ImageDedup.dHash64(v.frame(frame))
+          val (l, fw, fh) = v.lumaFrame(frame)
+          lastHash = ImageDedup.dHashOfLuma(l, fw, fh)
           hashedFrame = frame
         }
         hashes += lastHash
@@ -243,7 +247,8 @@ object VideoDedup {
       VideoCodec.withFrames(r.payload) { v =>
         val n = v.numFrames
         (0 until n by every).map { i =>
-          (r.media_id, i, ImageDedup.dHash64(v.frame(i)))
+          val (l, fw, fh) = v.lumaFrame(i)
+          (r.media_id, i, ImageDedup.dHashOfLuma(l, fw, fh))
         }.toVector
       }
     }).toDF("media_id", "frame_idx", "fhash")

@@ -36,7 +36,10 @@ object VideoScenes {
       val n = v.numFrames
       require(n >= 1, "video container holds no frames")
       Iterator.range(0, n, every)
-        .map(i => ImageDedup.dHash64(v.frame(i))).toArray
+        .map { i =>
+          val (l, fw, fh) = v.lumaFrame(i)
+          ImageDedup.dHashOfLuma(l, fw, fh)
+        }.toArray
     }
   }
 
@@ -183,13 +186,15 @@ object VideoScenes {
         var i = 0
         var sampled = 0
         while (i < n) {
-          val img = v.frame(i)
-          val h = ImageDedup.dHash64(img)
+          // hash from the luma fast path; decode full pixels ONLY for
+          // the (rare) frames that become keyframes and need re-encode
+          val (l, fw, fh) = v.lumaFrame(i)
+          val h = ImageDedup.dHashOfLuma(l, fw, fh)
           // a scene starts at the first sampled frame and at every cut
           if (sampled == 0 ||
             java.lang.Long.bitCount(h ^ prev) > maxHamming)
             out += ((r.media_id, i, "image",
-              Multimodal.ImageCodec.write(img, "png"), "image/png",
+              Multimodal.ImageCodec.write(v.frame(i), "png"), "image/png",
               r.source))
           prev = h
           sampled += 1

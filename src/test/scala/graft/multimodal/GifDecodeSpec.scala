@@ -40,6 +40,25 @@ class GifDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("lumaFrame parity: direct-to-luma decode equals lumaPlane(frame)") {
+    val fs = frames(3, 29, 18, 11)
+    val gifBytes = Multimodal.GifCodec.writeAnimatedVfr(fs, Seq(10, 10, 10))
+    val gif = GifDecode.parse(gifBytes)
+    (0 until gif.numFrames).foreach { i =>
+      assert(gif.lumaFrame(i).toSeq ==
+        Pixels.lumaPlane(gif.frame(i)).toSeq, s"frame $i")
+    }
+    // and through the VideoCodec seam (the hash faces' entry point)
+    VideoCodec.withFrames(gifBytes) { v =>
+      (0 until v.numFrames).foreach { i =>
+        val (lum, fw, fh) = v.lumaFrame(i)
+        val img = v.frame(i)
+        assert(fw == img.getWidth && fh == img.getHeight)
+        assert(lum.toSeq == Pixels.lumaPlane(img).toSeq, s"seam frame $i")
+      }
+    }
+  }
+
   test("a busy high-entropy frame exercises dictionary growth to wide codes") {
     // id-seeded noise maxes the palette and forces the LZW dictionary
     // through its width escalations (and typically a mid-stream clear)
@@ -126,12 +145,15 @@ class GifDecodeSpec extends AnyFunSuite {
     bos.write(data)
     bos.write(0) // sub-block terminator
     bos.write(0x3b)
-    val img = GifDecode.parse(bos.toByteArray).frame(0)
+    val gif = GifDecode.parse(bos.toByteArray)
+    val img = gif.frame(0)
     (0 until 4).foreach { y =>
       val want = if (y % 2 == 0) 0x000000 else 0xffffff
       (0 until 4).foreach(x =>
         assert((img.getRGB(x, y) & 0xffffff) == want, s"($x,$y)"))
     }
+    // the direct-to-luma decode de-interlaces identically
+    assert(gif.lumaFrame(0).toSeq == Pixels.lumaPlane(img).toSeq)
   }
 
   test("transparency maps to alpha 0") {
@@ -163,6 +185,8 @@ class GifDecodeSpec extends AnyFunSuite {
     assert((img.getRGB(0, 0) >>> 24) == 0xff &&
       (img.getRGB(0, 0) & 0xffffff) == (10 << 16 | 20 << 8 | 30))
     assert((img.getRGB(1, 0) >>> 24) == 0, "transparent pixel alpha 0")
+    // direct-to-luma parity: transparent pixel -> ARGB 0 -> luma 0
+    assert(gif.lumaFrame(0).toSeq == Pixels.lumaPlane(img).toSeq)
   }
 
   test("in-JVM encoder round-trips losslessly through BOTH decoders") {

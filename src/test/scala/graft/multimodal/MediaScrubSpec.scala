@@ -161,7 +161,9 @@ class MediaScrubSpec extends SparkSpec {
       "the segment walk must never decode")
     // insert -> strip restores the EXACT original bytes (the JDK JPEG
     // writer emits only JFIF APP0 + coding segments, all kept)
-    val dirty = jpgs.filter(col("media_id") % 4 === 0)
+    // pin media_id 0 (4-aligned): head() over the distributed fixture
+    // is partition-order-dependent
+    val dirty = jpgs.filter(col("media_id") === 0)
       .as[Multimodal.MediaRecord].head()
     val (clean, dropped) = MediaScrub.stripJpeg(dirty.payload)
     assert(dropped == Seq("APP1"))
