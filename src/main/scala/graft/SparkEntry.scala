@@ -42,19 +42,48 @@ object SparkEntry {
     s"${sys.props("java.io.tmpdir")}/graft-entry/$name"
 
   /** The integer Gopher quality signals shared by the q91 gate and the
-    * q124 funnel — one map-only pass over documents. */
+    * q124 funnel. The bigram distinct/top-count signals used to ride
+    * higher-order array functions (`transform`/`aggregate`) — those are
+    * CodegenFallback in Spark, evaluated INTERPRETED per element
+    * (milliseconds per document; measurement showed the whole query
+    * bottlenecked there with parallelism unable to help). They are now
+    * a posexplode + self-join-free bigram build (each bigram is token i
+    * ++ " " ++ token i+1 via a window lead over (doc, pos)) and one
+    * whole-stage-codegen aggregation — value-identical (the <2-token
+    * special case matches shingles()' whole-text fallback: 1 bigram,
+    * 1 distinct, top count 1). */
   private def gopherSignals(docs: DataFrame): DataFrame = {
     val toks = graft.text.TextStats.tokens(col("text"))
-    val g = graft.dedup.MinHashDedup.shingles(col("text"), 2)
-    docs.select(col("doc_id"),
+    // cheap non-HOF signals stay map-only
+    val base = docs.select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
-      size(g).cast("long").as("n_bigrams"),
-      size(array_distinct(g)).cast("long").as("n_distinct_bigrams"),
-      graft.text.TextStats.maxNgramCount(g).cast("long").as("max_bigram_cnt"),
       size(array_intersect(toks,
         lit(graft.text.TextStats.defaultStopwords.toArray)))
         .cast("long").as("stop_hits"))
+    // bigram stats through codegen generators/aggregates
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__pos"))
+    val bigrams = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("__pos", "__tok")))
+      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col("doc_id"),
+        concat(col("__tok"), lit(" "), col("__nxt")).as("__g"))
+    val perBigram = bigrams.groupBy(col("doc_id"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+    val stats = perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("__cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("__cnt")).as("max_bigram_cnt"))
+    base.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("sum_tok_len"),
+        // < 2 tokens: shingles() fell back to ONE whole-text shingle
+        coalesce(col("n_bigrams"), lit(1L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(1L))
+          .as("n_distinct_bigrams"),
+        coalesce(col("max_bigram_cnt"), lit(1L)).as("max_bigram_cnt"),
+        col("stop_hits"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
