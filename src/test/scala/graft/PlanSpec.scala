@@ -167,10 +167,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 0, s"expected a pure map, saw $exchanges shuffles:\n$p")
   }
 
-  test("q91 quality filter is map-only: zero exchanges") {
+  test("q91 quality filter: codegen bigram aggregation, no interpreted HOFs") {
+    // The round-18 optimization traded the old zero-exchange spelling —
+    // whose transform/aggregate array HOFs are CodegenFallback and
+    // evaluated INTERPRETED per element, the measured bottleneck — for
+    // one posexplode + lead-window + two whole-stage-codegen
+    // aggregations. The pin: no lambda HOFs survive anywhere in the
+    // plan, the bigram stats broadcast back to the doc rows (never a
+    // shuffled join of the corpus), and the exchange count stays at the
+    // designed one (the bigram regroup).
     val p = planOf(q("q91_quality_filter"))
+    assert(!p.contains("lambdafunction"),
+      s"interpreted array-HOF expressions crept back into the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bigram stats must broadcast back onto the doc rows:\n$p")
+    assert(!p.contains("CartesianProduct"))
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges == 0, s"expected a pure map, saw $exchanges shuffles:\n$p")
+    assert(exchanges <= 1, s"expected <= 1 shuffle, saw $exchanges:\n$p")
   }
 
   test("q72 decontamination broadcasts the eval grams, anti-joins the verdict") {
