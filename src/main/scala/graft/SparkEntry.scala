@@ -44,45 +44,55 @@ object SparkEntry {
   /** The integer Gopher quality signals shared by the q91 gate and the
     * q124 funnel. The bigram distinct/top-count signals used to ride
     * higher-order array functions (`transform`/`aggregate`) — those are
-    * CodegenFallback in Spark, evaluated INTERPRETED per element
-    * (milliseconds per document; measurement showed the whole query
-    * bottlenecked there with parallelism unable to help). They are now
-    * a posexplode + self-join-free bigram build (each bigram is token i
-    * ++ " " ++ token i+1 via a window lead over (doc, pos)) and one
-    * whole-stage-codegen aggregation — value-identical (the <2-token
-    * special case matches shingles()' whole-text fallback: 1 bigram,
-    * 1 distinct, top count 1). */
+    * CodegenFallback in Spark, evaluated INTERPRETED per element; the
+    * round-18 respelling (posexplode + lead window) fixed that but
+    * shuffled one row PER TOKEN of the corpus (the lead's
+    * hashpartitioning(doc_id) exchange) and scanned documents twice
+    * (base leg + bigram leg). Now: adjacent pairs are built PER ROW
+    * with codegen-capable slice/arrays_zip (a bigram is tokens[i] ++
+    * " " ++ tokens[i+1] — no window, no token shuffle), the base
+    * signals ride the same single scan through the aggregation
+    * (first()), and the only exchanges move partial (doc, bigram)
+    * counts. `explode_outer` keeps <2-token docs (empty pair array →
+    * one null row), matching shingles()' whole-text fallback of
+    * 1 bigram / 1 distinct / top count 1 — value-identical to both
+    * earlier spellings. */
   private def gopherSignals(docs: DataFrame): DataFrame = {
     val toks = graft.text.TextStats.tokens(col("text"))
-    // cheap non-HOF signals stay map-only
-    val base = docs.select(col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      (length(col("text")) - (size(toks) - 1)).cast("long").as("sum_tok_len"),
+    val n = size(toks)
+    // two selects so the per-DOC stats and the pair array are computed
+    // BELOW the Generate (one split per doc); a single select would plan
+    // Project(stats) ABOVE Generate and re-split the text per bigram row
+    val pre = docs.select(col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (length(col("text")) - (n - 1)).cast("long").as("sum_tok_len"),
       size(array_intersect(toks,
         lit(graft.text.TextStats.defaultStopwords.toArray)))
-        .cast("long").as("stop_hits"))
-    // bigram stats through codegen generators/aggregates
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__pos"))
-    val bigrams = docs
-      .select(col("doc_id"), posexplode(toks).as(Seq("__pos", "__tok")))
-      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
-      .filter(col("__nxt").isNotNull)
-      .select(col("doc_id"),
-        concat(col("__tok"), lit(" "), col("__nxt")).as("__g"))
-    val perBigram = bigrams.groupBy(col("doc_id"), col("__g"))
-      .agg(count(lit(1)).as("__cnt"))
-    val stats = perBigram.groupBy(col("doc_id"))
-      .agg(sum(col("__cnt")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("__cnt")).as("max_bigram_cnt"))
-    base.join(stats, Seq("doc_id"), "left")
+        .cast("long").as("stop_hits"),
+      arrays_zip(slice(toks, lit(1), n - 1).as("a"),
+        slice(toks, lit(2), n - 1).as("b")).as("__bg"))
+    val exploded = pre.select(col("doc_id"), col("n_tokens"),
+      col("sum_tok_len"), col("stop_hits"),
+      explode_outer(col("__bg")).as("__s"))
+    val perBigram = exploded.groupBy(col("doc_id"),
+        concat(col("__s.a"), lit(" "), col("__s.b")).as("__g"))
+      .agg(count(lit(1)).as("__cnt"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("sum_tok_len")).as("sum_tok_len"),
+        first(col("stop_hits")).as("stop_hits"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        first(col("sum_tok_len")).as("sum_tok_len"),
+        first(col("stop_hits")).as("stop_hits"),
+        sum(when(col("__g").isNotNull, col("__cnt"))).as("__nb"),
+        count(col("__g")).as("__nd"),
+        max(when(col("__g").isNotNull, col("__cnt"))).as("__mx"))
       .select(col("doc_id"), col("n_tokens"), col("sum_tok_len"),
         // < 2 tokens: shingles() fell back to ONE whole-text shingle
-        coalesce(col("n_bigrams"), lit(1L)).as("n_bigrams"),
-        coalesce(col("n_distinct_bigrams"), lit(1L))
+        coalesce(col("__nb"), lit(1L)).as("n_bigrams"),
+        when(col("__nd") === 0, lit(1L)).otherwise(col("__nd"))
           .as("n_distinct_bigrams"),
-        coalesce(col("max_bigram_cnt"), lit(1L)).as("max_bigram_cnt"),
+        coalesce(col("__mx"), lit(1L)).as("max_bigram_cnt"),
         col("stop_hits"))
   }
 

@@ -168,22 +168,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q91 quality filter: codegen bigram aggregation, no interpreted HOFs") {
-    // The round-18 optimization traded the old zero-exchange spelling —
-    // whose transform/aggregate array HOFs are CodegenFallback and
-    // evaluated INTERPRETED per element, the measured bottleneck — for
-    // one posexplode + lead-window + two whole-stage-codegen
-    // aggregations. The pin: no lambda HOFs survive anywhere in the
-    // plan, the bigram stats broadcast back to the doc rows (never a
-    // shuffled join of the corpus), and the exchange count stays at the
-    // designed one (the bigram regroup).
+    // Round 18 traded the old zero-exchange spelling — whose
+    // transform/aggregate array HOFs are CodegenFallback and evaluated
+    // INTERPRETED per element, the measured bottleneck — for a
+    // posexplode + lead window; that shuffled one row PER TOKEN and
+    // scanned documents twice. Round 19 builds adjacent pairs per row
+    // (slice/arrays_zip — codegen) so the bigram explode needs no
+    // window and the base signals ride the single scan through the
+    // aggregates. The pin: no lambda HOFs, ONE documents scan, no join
+    // or window at all, and only the two partial-count aggregation
+    // exchanges ((doc, bigram) then (doc)) — never a token-granularity
+    // shuffle.
     val p = planOf(q("q91_quality_filter"))
     assert(!p.contains("lambdafunction"),
       s"interpreted array-HOF expressions crept back into the plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"bigram stats must broadcast back onto the doc rows:\n$p")
-    assert(!p.contains("CartesianProduct"))
+    assert("(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned exactly once:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"bigram stats must aggregate in place, not join or window:\n$p")
+    // the generate must not re-evaluate the per-doc stats per bigram row:
+    // the split/stat projection sits BELOW the Generate
+    assert("(?s)Generate.*\\n\\s*\\+- Project".r.findFirstIn(p).isDefined,
+      s"per-doc stats must be projected below the Generate:\n$p")
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"expected <= 1 shuffle, saw $exchanges:\n$p")
+    assert(exchanges <= 2, s"expected <= 2 shuffles, saw $exchanges:\n$p")
   }
 
   test("q72 decontamination broadcasts the eval grams, anti-joins the verdict") {
