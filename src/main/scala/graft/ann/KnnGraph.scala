@@ -223,16 +223,22 @@ object KnnGraph {
                model: Option[Ann.IvfModel] = None): DataFrame = {
     val g = build(corpus, idCol, vecCol, k, numCells, nprobe,
       maxCellSize, model)
-    val e = g.select(col("src_id"), col("neighbor_id"))
-    val kept = if (!mutual) e
-      else e.join(e.select(col("neighbor_id").as("src_id"),
-          col("src_id").as("neighbor_id")),
-        Seq("src_id", "neighbor_id"), "left_semi")
-    val pairs = kept.select(
-        least(col("src_id"), col("neighbor_id")).as("id_a"),
-        greatest(col("src_id"), col("neighbor_id")).as("id_b"))
-      .distinct()
-    graft.dedup.DupClusters.resolve(corpus.select(col(idCol)), idCol, pairs)
+    // persisted: the mutual semi-join references the edge set TWICE
+    // (forward + swapped), and each reference would re-run the whole
+    // IVF pairing + top-k window otherwise; released once resolve has
+    // materialized its component labels
+    val e = g.select(col("src_id"), col("neighbor_id")).persist()
+    try {
+      val kept = if (!mutual) e
+        else e.join(e.select(col("neighbor_id").as("src_id"),
+            col("src_id").as("neighbor_id")),
+          Seq("src_id", "neighbor_id"), "left_semi")
+      val pairs = kept.select(
+          least(col("src_id"), col("neighbor_id")).as("id_a"),
+          greatest(col("src_id"), col("neighbor_id")).as("id_b"))
+        .distinct()
+      graft.dedup.DupClusters.resolve(corpus.select(col(idCol)), idCol, pairs)
+    } finally { e.unpersist(); () }
   }
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {

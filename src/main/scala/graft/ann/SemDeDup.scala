@@ -161,12 +161,19 @@ object SemDeDup {
       .join(survMemberIds.select(col(idCol).as("__id_a")), Seq("__id_a"), "left_semi")
       .join(survMemberIds.select(col(idCol).as("__id_b")), Seq("__id_b"), "left_semi")
       .count()
-    // (b) partition bookkeeping over the cached frames
-    val nMembers = r.filter(col("__rank") <= maxCellSize).count()
+    // (b) partition bookkeeping over the cached frames; (c) shed members
+    // passed through undeduped — both sides of the rank cap in ONE
+    // aggregate job over the persisted ranked frame instead of two
+    val mShed = r.agg(
+      coalesce(sum(when(col("__rank") <= maxCellSize, 1L).otherwise(0L)),
+        lit(0L)),
+      coalesce(sum(when(col("__rank") > maxCellSize, 1L).otherwise(0L)),
+        lit(0L)))
+      .collect()(0)
+    val nMembers = mShed.getLong(0)
+    val shed = mShed.getLong(1)
     val nDropped = dupIds.count()
     val nSurvMembers = survMemberIds.count()
-    // (c) shed members passed through undeduped
-    val shed = r.filter(col("__rank") > maxCellSize).count()
     // (d) INDEPENDENT probe of the output contract: re-pair ALL
     // survivors inside a deterministic ~1/probeCells hash sample of
     // CELLS, recomputing cosines from the vectors — zero near pairs may

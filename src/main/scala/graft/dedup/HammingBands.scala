@@ -68,31 +68,35 @@ object HammingBands {
     * id_a < id_b, each pair once. `maxBucket` caps a band bucket's size —
     * a bucket past it is shed LOUDLY under `tag`.
     *
-    * The input frame is evaluated MULTIPLE times (the shed census and both
-    * join sides): callers whose hash lineage is expensive — a media decode
-    * pass — must persist+materialize it first, as
-    * `multimodal/ImageDedup.nearDupPairs` and its audio sibling do. */
+    * Cost shape: bucket sizes ride a window count over ONE shuffle of
+    * the banded rows, which is then PERSISTED — the shed census is a
+    * cache read (the earlier shape ran a separate full groupBy census
+    * job), and both sides of the candidate self-join inherit the
+    * window's (band, value) partitioning, so the join adds NO exchange.
+    * The input frame is evaluated once; callers whose hash lineage is
+    * expensive — a media decode pass — should still persist it (the
+    * banded frame is their lineage re-run once), as
+    * `multimodal/ImageDedup.nearDupPairs` and its audio sibling do.
+    * The persisted banded frame is released only by the session's cache
+    * lifecycle (the returned pairs stay lazily derivable from it). */
   def pairs(hashes: DataFrame, idCol: String, hashCol: String,
             maxHamming: Int, maxBucket: Long, tag: String): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 16,
       s"maxHamming $maxHamming not in [1,16]")
     val banded = explodeBands(hashes.select(col(idCol), col(hashCol)),
       hashCol, maxHamming)
-    val big = banded.groupBy("band", "value").count()
-      .filter(col("count") > maxBucket)
+    val counted = banded.withColumn("__bcnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("value"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = counted.filter(col("__bcnt") > maxBucket)
+      .select(col("band"), col("value"), col("__bcnt")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     if (big.nonEmpty)
       System.err.println(s"[$tag] shedding ${big.length} band buckets " +
         s"past $maxBucket: " +
         big.map { case (b, v, n) => s"band$b=$v($n)" }.mkString(", "))
-    val shed = big.map { case (b, v, _) => (b, v) }.toSet
-    val kept =
-      if (shed.isEmpty) banded
-      else {
-        val shedDf = hashes.sparkSession
-          .createDataFrame(shed.toSeq).toDF("band", "value")
-        banded.join(broadcast(shedDf), Seq("band", "value"), "left_anti")
-      }
+    val kept = counted.filter(col("__bcnt") <= maxBucket)
     val a = kept.select(col("band"), col("value"),
       col(idCol).as("id_a"), col(hashCol).as("h_a"))
     val b = kept.select(col("band"), col("value"),
