@@ -1327,8 +1327,11 @@ object SparkEntry {
           stream, Seq("event_id"), "ts", delay = "3650 days")
           .select("event_id", "user_id"),
         // dedup state is one key row per event: 8 state partitions,
-        // not one per core (see Streams.withStatePartitions)
-        "q98_stream_dedup_wm_tbl", statePartitions = Some(8))
+        // not one per core (see Streams.withStatePartitions); first-seen
+        // rows emit in their own batch, so the trailing no-data batch
+        // (a full extra trigger) can only evict state — skip it
+        "q98_stream_dedup_wm_tbl", statePartitions = Some(8),
+        skipNoDataBatch = true)
     }),
 
     // keystore-backed rotating AES field encryption, end-to-end: generate
@@ -3947,8 +3950,11 @@ object SparkEntry {
           Seq("user_id"), "click_ts", "purchase_ts",
           "-1 hour", "0 seconds", delay = "3650 days"),
         // watermark-bounded join state is a few thousand rows: 8 state
-        // partitions, not one per core (see Streams.withStatePartitions)
-        "q107_ssij_tbl", statePartitions = Some(8))
+        // partitions, not one per core (see Streams.withStatePartitions);
+        // an INNER join emits only when a data batch brings a match, so
+        // the trailing no-data batch can only evict state — skip it
+        "q107_ssij_tbl", statePartitions = Some(8),
+        skipNoDataBatch = true)
         .select("user_id", "click_id", "purchase_id")
     }),
 
@@ -4160,8 +4166,14 @@ object SparkEntry {
           "-1 hour", "0 seconds", delay = "60 days",
           joinType = "left_outer"),
         // outer-join state is watermark-bounded and small: 8 state
-        // partitions, not one per core (see Streams.withStatePartitions)
-        "q117_ssoj_tbl", statePartitions = Some(8))
+        // partitions, not one per core (see Streams.withStatePartitions).
+        // Outer emission is driven by the two sentinel DATA batches:
+        // sentinel 1 advances the watermark past every real row and
+        // sentinel 2's batch emits the held outer rows, so by the
+        // trailing no-data batch only the sentinels' own rows remain in
+        // state — and those are filtered (user_id >= 0) — skip it
+        "q117_ssoj_tbl", statePartitions = Some(8),
+        skipNoDataBatch = true)
         .filter(col("user_id") >= 0)
         .select("user_id", "click_id", "purchase_id")
     }),

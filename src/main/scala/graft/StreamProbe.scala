@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** TEMP dev probe: run one query and print each micro-batch's full
+  * durationMs + stateOperators breakdown from the progress events. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      b.config("spark.sql.streaming.stateStore.providerClass", p))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        System.err.println(s"[probe] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} " +
+          s"stateRows=${p.stateOperators.map(_.numRowsTotal).mkString(",")} " +
+          s"commitMs=${p.stateOperators.map(_.commitTimeMs).mkString(",")}")
+      }
+    }
+    spark.streams.addListener(listener)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobStarts.put(e.jobId, (e.time, d)): Unit
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobStarts.remove(e.jobId)
+        if (st != null) {
+          val ms = e.time - st._1
+          if (ms >= 0)
+            System.err.println(s"[probe-job] id=${e.jobId} ms=$ms desc=${st._2.take(160)}")
+        }
+      }
+    })
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val t = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300)
+    println(f"[probe] $name rows=$n wall=$t%.2f s")
+    spark.stop()
+  }
+}

@@ -58,6 +58,7 @@ object MediaDedupIngest {
     if (!committed.columns.contains("hb")) committed
     else committed.filter(col("hb").isin(buckets.toSeq: _*))
 
+
   /** Start admitting `stream` (canonical media schema) into
     * `storePath`: survivors land under `storePath/survivors/batch=<id>`
     * (full records), fingerprints under `storePath/hashes/batch=<id>/
@@ -156,33 +157,46 @@ object MediaDedupIngest {
         val s = batch.sparkSession
         val committed = committedHashes(s, storePath, batchId)
         val blooms = committedBlooms(s, storePath, batchId, fpp, maxSketches)
+        // the modality policy check rides the decode pass's own
+        // materializing aggregate below (one job, not a separate count;
+        // profile switches per media_type, so wrong-modality records
+        // decode as their OWN type before the check refuses the batch —
+        // nothing is written either way)
         val hashed =
           if (qualityGate || partHashes) {
-            // the modality check hashOf would have enforced per record —
-            // profile switches per media_type, so enforce it here (reads
-            // only the media_type column; payloads untouched)
-            val nWrong = batch.filter(col("media_type") =!= modality).count()
-            require(nWrong == 0,
-              s"batch $batchId carries $nWrong non-$modality records — " +
-                "this store admits a single modality; route mixed crawls " +
-                "through one store per modality")
             if (partHashes)
               // gates + whole hash + part hashes from ONE decode
               MediaPipeline.profileDeep(batch, tileW = tileW, tileH = tileH,
                 windowFrames = windowFrames, hopFrames = hopFrames,
                 silenceFloor = silenceFloor, every = every)
-                .select(col("media_id"), col("chash").as(hcol),
+                .select(col("media_id"), col("media_type").as("__mt"),
+                  col("chash").as(hcol),
                   (if (qualityGate) col("passes") else lit(true))
                     .as("passes"),
                   col("parts"))
             else
               MediaPipeline.profile(batch, every = every)
-                .select(col("media_id"), col("chash").as(hcol),
+                .select(col("media_id"), col("media_type").as("__mt"),
+                  col("chash").as(hcol),
                   col("passes"), lit(null).as("parts"))
-          } else hashOf(batch).withColumn("passes", lit(true))
+          } else hashOf(batch).withColumn("__mt", lit(modality))
+            .withColumn("passes", lit(true))
             .withColumn("parts", lit(null))
         val hashes = hashed.persist(StorageLevel.MEMORY_AND_DISK)
-        hashes.count(): Unit // ONE decode per batch, all branches cached
+        // ONE materializing job: decode every record into the cache,
+        // count modality violations, and collect the batch's hash-bucket
+        // set (the committed-side partition prune) — the earlier shape
+        // paid three separate jobs for these
+        val head = hashes.agg(
+          coalesce(sum(when(col("__mt") =!= modality, 1L).otherwise(0L)),
+            lit(0L)),
+          collect_set(bucketOf(col(hcol).cast("string")))).collect()(0)
+        val nWrong = head.getLong(0)
+        require(nWrong == 0,
+          s"batch $batchId carries $nWrong non-$modality records — " +
+            "this store admits a single modality; route mixed crawls " +
+            "through one store per modality")
+        val batchBuckets = head.getSeq[Long](1).toArray
         try {
           if (qualityGate)
             hashes.filter(!col("passes")).select("media_id")
@@ -190,64 +204,65 @@ object MediaDedupIngest {
               .parquet(s"$storePath/gated/batch=$batchId")
           // part-level refusals: records sharing >= minSharedParts
           // committed part values (Bloom-prefiltered, exact-verified —
-          // the same O(batch) shape as the whole-hash path)
-          val partDups =
+          // the same O(batch) shape as the whole-hash path). batchParts
+          // stays persisted for the whole batch: the refusal legs AND
+          // the survivor part commit read it.
+          val batchParts =
             if (!partHashes) None
-            else {
-              val committedParts =
-                committedHashes(s, storePath, batchId, sub = "parts")
-              val partBlooms = committedBlooms(s, storePath, batchId, fpp,
-                maxSketches, sub = "parts", sketchPrefix = "psketch-",
-                compactPrefix = "pcompact-upto-")
-              val batchParts = hashes.filter(col("passes"))
-                .select(col("media_id"),
-                  explode(col("parts")).as("__p"))
-                .select(col("media_id"),
-                  col("__p._3").cast("string").as("__ph"))
-                .distinct()
-                .persist(StorageLevel.MEMORY_AND_DISK)
-              try {
-                val fromCommitted =
-                  if (partBlooms.isEmpty)
-                    batchParts.limit(0)
-                  else {
-                    val bc = s.sparkContext.broadcast(partBlooms.toArray)
-                    val might = udf((v: String) =>
-                      v != null && bc.value.exists(_.mightContain(v)))
-                    // bucket-pruned exact verify: only committed hb
-                    // partitions matching the batch's part buckets scan
-                    val buckets = batchParts
-                      .select(bucketOf(col("__ph")).as("hb"))
-                      .distinct().collect().map(_.getLong(0))
-                    batchParts.filter(might(col("__ph")))
-                      .join(pruneBuckets(committedParts, buckets)
-                        .select(col("h")).distinct(),
-                        col("__ph") === col("h"), "left_semi")
-                  }
-                // within-batch refusal: a trimmed copy arriving WITH its
-                // base refuses against lower-media_id peers' parts — one
-                // pass keyed on each value's minimum holder (a value is
-                // shared with SOME lower id iff its min holder is lower).
-                // Non-cascading by design: conservative, deterministic
-                val minHolder = batchParts.groupBy(col("__ph"))
-                  .agg(min(col("media_id")).as("__minId"))
-                val fromBatch = batchParts.join(minHolder, Seq("__ph"))
-                  .filter(col("media_id") > col("__minId"))
-                  .select(col("media_id"), col("__ph"))
-                val pd = fromCommitted.select(col("media_id"), col("__ph"))
-                  .unionByName(fromBatch).distinct()
-                  .groupBy("media_id")
-                  .agg(count(lit(1)).as("__n"))
-                  .filter(col("__n") >= minSharedParts)
-                  .select("media_id")
-                  .persist(StorageLevel.MEMORY_AND_DISK)
-                pd.count(): Unit
-                Some(pd)
-              } finally { batchParts.unpersist(); () }
-            }
+            else Some(hashes.filter(col("passes"))
+              .select(col("media_id"), explode(col("parts")).as("__p"))
+              .select(col("media_id"),
+                col("__p._3").cast("string").as("__ph"))
+              .distinct()
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          // one materializing job per part frame: fills the cache and
+          // returns the part bucket set for the committed-side prune
+          val partBuckets = batchParts.map(bp =>
+            bp.agg(collect_set(bucketOf(col("__ph")))).collect()(0)
+              .getSeq[Long](0).toArray)
+          val partDups = batchParts.map { bp =>
+            val committedParts =
+              committedHashes(s, storePath, batchId, sub = "parts")
+            val partBlooms = committedBlooms(s, storePath, batchId, fpp,
+              maxSketches, sub = "parts", sketchPrefix = "psketch-",
+              compactPrefix = "pcompact-upto-")
+            val fromCommitted =
+              if (partBlooms.isEmpty)
+                bp.limit(0)
+              else {
+                val bc = s.sparkContext.broadcast(partBlooms.toArray)
+                val might = udf((v: String) =>
+                  v != null && bc.value.exists(_.mightContain(v)))
+                // bucket-pruned exact verify: only committed hb
+                // partitions matching the batch's part buckets scan
+                bp.filter(might(col("__ph")))
+                  .join(pruneBuckets(committedParts, partBuckets.get)
+                    .select(col("h")).distinct(),
+                    col("__ph") === col("h"), "left_semi")
+              }
+            // within-batch refusal: a trimmed copy arriving WITH its
+            // base refuses against lower-media_id peers' parts — one
+            // pass keyed on each value's minimum holder (a value is
+            // shared with SOME lower id iff its min holder is lower).
+            // Non-cascading by design: conservative, deterministic
+            val minHolder = bp.groupBy(col("__ph"))
+              .agg(min(col("media_id")).as("__minId"))
+            val fromBatch = bp.join(minHolder, Seq("__ph"))
+              .filter(col("media_id") > col("__minId"))
+              .select(col("media_id"), col("__ph"))
+            fromCommitted.select(col("media_id"), col("__ph"))
+              .unionByName(fromBatch).distinct()
+              .groupBy("media_id")
+              .agg(count(lit(1)).as("__n"))
+              .filter(col("__n") >= minSharedParts)
+              .select("media_id")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+          }
           try {
             // the refusal audit trail feeding admissionCard's
-            // n_part_refused (deterministic overwrite, replay-identical)
+            // n_part_refused (deterministic overwrite, replay-identical);
+            // this write is also partDups' materializing action — the
+            // admission anti-join below reads the filled cache
             partDups.foreach(_.write.mode("overwrite")
               .parquet(s"$storePath/part_refused/batch=$batchId"))
             val admissible = partDups.fold(hashes.filter(col("passes")))(
@@ -258,9 +273,7 @@ object MediaDedupIngest {
             // already skip the store entirely when blooms is empty)
             val committedPruned =
               if (blooms.isEmpty) committed
-              else pruneBuckets(committed, hashes
-                .select(bucketOf(col(hcol).cast("string")).as("hb"))
-                .distinct().collect().map(_.getLong(0)))
+              else pruneBuckets(committed, batchBuckets)
             val surv = graft.dedup.IncrementalDedup.survivorsWithBlooms(
               admissible, committedPruned, "media_id",
               col(hcol).cast("string"), blooms)
@@ -274,6 +287,11 @@ object MediaDedupIngest {
               // zero-row partitionBy write would leave a fileless dir
               // that breaks later partition discovery); determinism
               // holds — a replay recomputes the same empty set
+              // (the tail publishes stay SEQUENTIAL deliberately: an A/B
+              // with the four pieces on concurrent driver threads ran
+              // 1.5x SLOWER — at micro-batch sizes the concurrent tiny
+              // jobs fight over scheduling/codegen locks instead of
+              // back-filling cores)
               if (nSurv == 0) { hfs.delete(hashDir, true): Unit }
               else
                 surv.select(col("content_hash").as("h"))
@@ -292,12 +310,13 @@ object MediaDedupIngest {
                 .parquet(s"$storePath/survivors/batch=$batchId")
               writeBatchSketch(s, storePath, batchId,
                 surv.select(col("content_hash").as("h")), nSurv, fpp)
-              if (partHashes) {
-                val survParts = hashes
+              batchParts.foreach { bp =>
+                // survivor part values from the CACHED part frame (the
+                // earlier shape re-exploded the hash cache here)
+                val survParts = bp
                   .join(surv.select("media_id"), Seq("media_id"),
                     "left_semi")
-                  .select(explode(col("parts")).as("__p"))
-                  .select(col("__p._3").cast("string").as("h"))
+                  .select(col("__ph").as("h"))
                   .distinct()
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 try {
@@ -313,7 +332,10 @@ object MediaDedupIngest {
                 } finally { survParts.unpersist(); () }
               }
             } finally { surv.unpersist(); () }
-          } finally { partDups.foreach(_.unpersist()); () }
+          } finally {
+            partDups.foreach(_.unpersist())
+            batchParts.foreach(_.unpersist()); ()
+          }
         } finally { hashes.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

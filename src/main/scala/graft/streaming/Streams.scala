@@ -139,18 +139,47 @@ object Streams {
 
   /** As [[runToCompletion]] but in APPEND mode — for stateless streams
     * (projections, filters, stream-static joins) where every micro-batch
-    * row is final on arrival. */
+    * row is final on arrival.
+    *
+    * `skipNoDataBatch = true` disables the engine's trailing NO-DATA
+    * micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`) for
+    * this run — a full extra trigger (plan + state-store open/commit on
+    * every partition) whose only purpose is emitting state the final
+    * watermark advance released. Opt in ONLY where that batch provably
+    * emits nothing: emission happens on arrival (watermark dedup), on
+    * match (inner interval join), or is driven by dedicated
+    * watermark-advancing sentinel DATA batches (q117's outer join). A
+    * stream whose LAST rows are released by timeout/watermark — e.g.
+    * flatMapGroupsWithState sessions closing after the final data batch
+    * — must keep the default, or those rows are silently dropped. */
   def runToCompletionAppend(stream: DataFrame, queryName: String,
-                            statePartitions: Option[Int] = None): DataFrame =
+                            statePartitions: Option[Int] = None,
+                            skipNoDataBatch: Boolean = false): DataFrame =
     withStatePartitions(stream.sparkSession, statePartitions) {
-      val q = stream.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      stream.sparkSession.table(queryName)
+      withNoDataBatchDisabled(stream.sparkSession, skipNoDataBatch) {
+        val q = stream.writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        stream.sparkSession.table(queryName)
+      }
+    }
+
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false` around
+    * a bounded streaming run (same session-global caveat as
+    * [[withStatePartitions]]). */
+  private def withNoDataBatchDisabled[T](
+      spark: org.apache.spark.sql.SparkSession,
+      disable: Boolean)(body: => T): T =
+    if (!disable) body
+    else {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
     }
 
   /** Scope `spark.sql.shuffle.partitions` around a streaming run. A
