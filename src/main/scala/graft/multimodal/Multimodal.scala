@@ -1029,8 +1029,15 @@ object Multimodal {
       headless
       MediaCounters.imageReads.incrementAndGet(): Unit
       // lossless WebP decodes through the in-JVM VP8L codec (ImageIO
-      // has no WebP SPI); lossy VP8 refuses loudly inside Vp8l
+      // has no WebP SPI); lossy VP8 refuses loudly inside Vp8l.
+      // 8-bit non-interlaced PNGs take the in-JVM inflate+unfilter
+      // fast path ([[PngDecode]] — raster-layout- and pixel-identical
+      // to the ImageIO reader, pinned by PngDecodeSpec); everything
+      // else keeps ImageIO
       if (MediaScrub.isRiffWebp(bytes)) Vp8l.decode(bytes)
+      else if (PngDecode.isPng(bytes))
+        PngDecode.decode(bytes).getOrElse(
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     }
     def write(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
