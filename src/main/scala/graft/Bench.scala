@@ -209,6 +209,28 @@ object Bench {
       .trim.split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** (machine busy jiffies across all cpus, this JVM's jiffies) from
+    * /proc — the inputs for FOREIGN-CPU accounting. The start-load
+    * quiet gate cannot see load that arrives mid-run (the round-18
+    * official ended at 1-min load 8.94 yet flagged clean, because its
+    * start was quiet), and the END load is useless on its own: the
+    * bench's own 32 threads push it up. Foreign busy time — total busy
+    * minus this process — is load the bench did NOT cause, measured
+    * over the whole run. iowait/idle are excluded from "busy". */
+  def cpuSnap(): Option[(Long, Long)] =
+    try {
+      val cpu = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal ...
+      val busy = cpu(0) + cpu(1) + cpu(2) + cpu(5) + cpu(6) +
+        (if (cpu.length > 7) cpu(7) else 0L)
+      val self = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/self/stat"))
+        .split(" ")
+      Some((busy, self(13).toLong + self(14).toLong))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -234,6 +256,8 @@ object Bench {
     if (loadAtStart > 2.0)
       System.err.println(f"[bench] WARNING: 1-min load $loadAtStart%.2f > 2 after " +
         "the wait budget — timings will be recorded as load_contaminated")
+    val cpuAtStart = cpuSnap()
+    val wallStartNs = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -311,12 +335,28 @@ object Bench {
     }.mkString("{", ",", "}")
     val superJson = superlinear.map(jstr).mkString("[", ",", "]")
     val total = times.values.sum
-    // contamination keys off the START load only: by the end the bench's
-    // own 32 threads have pushed the 1-min average up, which says nothing
-    // about foreign load (end load is recorded for context)
+    // Contamination = quiet gate failed at START, or FOREIGN CPU ran
+    // during the run: total busy cpu-seconds minus this JVM's own,
+    // averaged over the wall — the end 1-min load alone cannot tell
+    // foreign load from the bench's own threads, but foreign busy time
+    // can (round 18's official ended at load 8.94 and still flagged
+    // clean because only the start was gated). Threshold 1.5 cores:
+    // the sbt launcher and kernel writeback of the bench's own output
+    // sit well under it; a concurrent sandbox job does not.
     val loadAtEnd = loadAvg1()
-    val contaminated = loadAtStart > 2.0
-    val loadJson = f""","load1_start":$loadAtStart%.2f,"load1_end":$loadAtEnd%.2f,"load_contaminated":$contaminated"""
+    val elapsedSec = (System.nanoTime() - wallStartNs) / 1e9
+    val hz = 100.0 // kernel USER_HZ; /proc jiffies are reported at 100/s
+    val foreignCores = (for {
+      (b0, s0) <- cpuAtStart
+      (b1, s1) <- cpuSnap()
+    } yield (((b1 - b0) - (s1 - s0)) / hz / elapsedSec).max(0.0))
+      .getOrElse(-1.0)
+    val contaminated = loadAtStart > 2.0 || foreignCores > 1.5
+    if (foreignCores > 1.5)
+      System.err.println(f"[bench] WARNING: foreign load averaged " +
+        f"$foreignCores%.2f cpu cores during the run — recording " +
+        "load_contaminated")
+    val loadJson = f""","load1_start":$loadAtStart%.2f,"load1_end":$loadAtEnd%.2f,"foreign_cpu_cores":$foreignCores%.2f,"load_contaminated":$contaminated"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$loadJson""" +
       (if (doSweep) s""","sweep_sf":${jstr(sweepDir)},"sweep_queries":$sweeps,"exponents":$exps,"superlinear":$superJson""" else "") +
       s""","perBatchMs":$batches}"""

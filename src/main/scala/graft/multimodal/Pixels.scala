@@ -3,6 +3,19 @@ package graft.multimodal
 import java.awt.image.{BufferedImage, ComponentSampleModel, DataBufferByte,
   DataBufferInt, IndexColorModel, SinglePixelPackedSampleModel}
 
+/** JVM-wide ImageIO setup shared by every codec entry point: headless
+  * AWT, and MEMORY-cached ImageIO streams — the default cache is
+  * DISK-backed, creating and deleting a temp FILE per
+  * `read(InputStream)`/`write(_, _, OutputStream)` call, which
+  * serializes concurrent decode tasks behind the filesystem. Both are
+  * pure environment toggles; decoded/encoded bytes are bit-identical. */
+private[multimodal] object ImageIoTuning {
+  lazy val init: Unit = {
+    System.setProperty("java.awt.headless", "true"): Unit
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+}
+
 /** Fast, value-identical pixel access for the decode-adjacent hot loops
   * (perceptual hashes, quality gates, luminance features). Every loop in
   * the media stack used to call `BufferedImage.getRGB(x, y)` per pixel —
@@ -20,19 +33,6 @@ import java.awt.image.{BufferedImage, ComponentSampleModel, DataBufferByte,
   * an offset. Types with color-space conversion on the getRGB path
   * (TYPE_BYTE_GRAY's linear-gray → sRGB) or premultiplied alpha take
   * the fallback — the conversion is the contract there. */
-/** JVM-wide ImageIO setup shared by every codec entry point: headless
-  * AWT, and MEMORY-cached ImageIO streams — the default cache is
-  * DISK-backed, creating and deleting a temp FILE per
-  * `read(InputStream)`/`write(_, _, OutputStream)` call, which
-  * serializes concurrent decode tasks behind the filesystem. Both are
-  * pure environment toggles; decoded/encoded bytes are bit-identical. */
-private[multimodal] object ImageIoTuning {
-  lazy val init: Unit = {
-    System.setProperty("java.awt.headless", "true"): Unit
-    javax.imageio.ImageIO.setUseCache(false)
-  }
-}
-
 private[multimodal] object Pixels {
 
   /** Packed ARGB plane, row-major `w*h` — `out(y*w + x)` equals

@@ -194,6 +194,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <= 2 shuffles, saw $exchanges:\n$p")
   }
 
+  test("HammingBands.pairs: one banded shuffle; the self-join reads the cache") {
+    // Round 19 shape: bucket sizes ride a window count over ONE
+    // exchange of the banded rows, persisted; both self-join sides
+    // inherit the window's (band, value) partitioning from the cache.
+    // The pin: exactly one hashpartitioning(band, value) exchange in
+    // the whole pairs plan (the window's — the join must NOT re-shuffle
+    // either side), plus the final pair-dedup distinct's.
+    import org.apache.spark.sql.functions._
+    val hashes = spark.range(64).select(col("id"),
+      xxhash64(col("id")).as("h"))
+    val p = planOf(graft.dedup.HammingBands.pairs(
+      hashes, "id", "h", maxHamming = 3, maxBucket = 100, tag = "pin"))
+    assert(p.contains("InMemoryTableScan"),
+      s"join sides must read the persisted counted frame:\n$p")
+    // the OUTER query (everything above the cached banded frame) may
+    // shuffle exactly once — the final pair-dedup distinct. The
+    // candidate join itself must add no exchange: its sides inherit
+    // the window's (band, value) partitioning from the cache (or one
+    // side broadcasts, as AQE chooses at small sizes).
+    val outer = p.substring(0, p.indexOf("InMemoryRelation"))
+    val outerExchanges = "\\+- Exchange ".r.findAllIn(outer).size
+    assert(outerExchanges <= 1,
+      s"the candidate join must not re-shuffle the banded frame " +
+        s"(saw $outerExchanges outer exchanges):\n$p")
+  }
+
   test("q72 decontamination broadcasts the eval grams, anti-joins the verdict") {
     val p = planOf(q("q72_decontaminate"))
     assert(p.contains("BroadcastHashJoin"),
